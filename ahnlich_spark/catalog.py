@@ -1,0 +1,135 @@
+"""Store catalog: schemas -> stores -> {dimension, indexed predicates,
+ANN index configs, AI model bindings}, persisted as JSON.
+
+Mirrors the reference's in-memory registry (ahnlich/db/src/engine/
+store.rs:742-758 `Store`, schema namespace ahnlich/types/src/
+schema.rs:14-18): the default schema is ``public`` and cannot be
+dropped (store.rs:718-724). In Spark the catalog only records layout
+metadata — predicate "indexes" change nothing semantically (Catalyst
+filter pushdown covers both paths), they are bookkeeping plus an
+optional physical-layout hint.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from dataclasses import dataclass, field, asdict
+from typing import Dict, List, Optional
+
+from ahnlich_spark import errors
+
+PUBLIC_SCHEMA = "public"
+
+HNSW_DEFAULTS = {
+    # reference defaults: ahnlich/similarity/src/hnsw/mod.rs:285-296
+    "m": 16,
+    "m0": 32,
+    "ef_construction": 100,
+    "distance": "cosine_similarity",
+}
+
+
+@dataclass
+class AiBinding:
+    query_model: str
+    index_model: str
+    store_original: bool = False
+
+
+@dataclass
+class StoreMeta:
+    name: str
+    schema: str
+    dimension: int
+    predicates: List[str] = field(default_factory=list)
+    non_linear: List[str] = field(default_factory=list)  # 'kdtree' | 'hnsw'
+    non_linear_config: Dict[str, dict] = field(default_factory=dict)
+    version: int = 0  # 0 = empty, data lives at data/<schema>/<store>/v<version>
+    ai: Optional[AiBinding] = None
+
+
+class Catalog:
+    """JSON-file-backed registry. One file per warehouse; writes are
+    tempfile+rename (the reference persists snapshots the same way,
+    ahnlich/utils/src/persistence.rs:109-156)."""
+
+    def __init__(self, warehouse: str):
+        self.warehouse = warehouse
+        self.path = os.path.join(warehouse, "catalog.json")
+        os.makedirs(warehouse, exist_ok=True)
+        if not os.path.exists(self.path):
+            self._data = {"schemas": {PUBLIC_SCHEMA: {"stores": {}}}}
+            self._flush()
+        else:
+            with open(self.path) as f:
+                self._data = json.load(f)
+
+    # -- persistence ----------------------------------------------------
+    def _flush(self) -> None:
+        fd, tmp = tempfile.mkstemp(dir=self.warehouse, suffix=".catalog.tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(self._data, f, indent=1)
+        os.replace(tmp, self.path)
+
+    # -- schemas ---------------------------------------------------------
+    def ensure_schema(self, schema: str) -> None:
+        self._data["schemas"].setdefault(schema, {"stores": {}})
+        self._flush()
+
+    def schema_names(self) -> List[str]:
+        return sorted(self._data["schemas"])
+
+    def drop_schema(self, schema: str) -> int:
+        """Drop a non-public schema and all its stores; returns the number
+        of stores dropped (reference store.rs:718-737)."""
+        if schema == PUBLIC_SCHEMA:
+            raise errors.SchemaNotEmptyOrProtected("cannot drop the default 'public' schema")
+        if schema not in self._data["schemas"]:
+            raise errors.SchemaNotFound(f"schema {schema!r} not found")
+        n = len(self._data["schemas"][schema]["stores"])
+        del self._data["schemas"][schema]
+        self._flush()
+        return n
+
+    # -- stores ----------------------------------------------------------
+    def _stores(self, schema: str) -> Dict[str, dict]:
+        if schema not in self._data["schemas"]:
+            raise errors.SchemaNotFound(f"schema {schema!r} not found")
+        return self._data["schemas"][schema]["stores"]
+
+    def has_store(self, name: str, schema: str = PUBLIC_SCHEMA) -> bool:
+        return schema in self._data["schemas"] and name in self._data["schemas"][schema]["stores"]
+
+    def get_store(self, name: str, schema: str = PUBLIC_SCHEMA) -> StoreMeta:
+        stores = self._stores(schema)
+        if name not in stores:
+            raise errors.StoreNotFound(f"store {schema}.{name} not found")
+        raw = dict(stores[name])
+        ai = raw.pop("ai", None)
+        meta = StoreMeta(**raw)
+        if ai:
+            meta.ai = AiBinding(**ai)
+        return meta
+
+    def put_store(self, meta: StoreMeta) -> None:
+        self.ensure_schema(meta.schema)
+        d = asdict(meta)
+        self._data["schemas"][meta.schema]["stores"][meta.name] = d
+        self._flush()
+
+    def drop_store(self, name: str, schema: str = PUBLIC_SCHEMA) -> None:
+        stores = self._stores(schema)
+        if name not in stores:
+            raise errors.StoreNotFound(f"store {schema}.{name} not found")
+        del stores[name]
+        self._flush()
+
+    def list_stores(self, schema: str = PUBLIC_SCHEMA) -> List[StoreMeta]:
+        return [self.get_store(n, schema) for n in sorted(self._stores(schema))]
+
+    # -- data paths --------------------------------------------------------
+    def store_path(self, meta: StoreMeta, version: Optional[int] = None) -> str:
+        v = meta.version if version is None else version
+        return os.path.join(self.warehouse, "data", meta.schema, meta.name, f"v{v}")

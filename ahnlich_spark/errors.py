@@ -1,0 +1,55 @@
+"""Engine errors mirroring the reference's ServerError surface
+(reference: ahnlich/db/src/errors.rs)."""
+
+
+class AhnlichError(Exception):
+    """Base class for all engine errors."""
+
+
+class StoreNotFound(AhnlichError):
+    pass
+
+
+class StoreAlreadyExists(AhnlichError):
+    pass
+
+
+class SchemaNotFound(AhnlichError):
+    pass
+
+
+class SchemaNotEmptyOrProtected(AhnlichError):
+    """Dropping the default ``public`` schema is forbidden
+    (reference: ahnlich/db/src/engine/store.rs:718-724)."""
+
+
+class DimensionMismatch(AhnlichError):
+    """Vector length != store dimension
+    (reference: ahnlich/db/src/engine/store.rs:822-838)."""
+
+
+class NonLinearIndexNotFound(AhnlichError):
+    """KdTree/Hnsw query without the index created
+    (reference: ahnlich/db/src/engine/store.rs:324-326)."""
+
+
+class PredicateIndexNotFound(AhnlichError):
+    pass
+
+
+class UpsertMatchError(AhnlichError):
+    """Upsert requires exactly one matching row
+    (reference: ahnlich/db/src/engine/store.rs:443-528)."""
+
+
+class ReservedKeyError(AhnlichError):
+    """User supplied the reserved AI metadata key
+    (reference: ahnlich/ai/src/engine/store.rs:305-347)."""
+
+
+class InputTypeMismatch(AhnlichError):
+    """AI store input kind does not match the model's input type."""
+
+
+class DslSyntaxError(AhnlichError):
+    pass

@@ -1,0 +1,510 @@
+"""Engine facade: the reference's DB service surface as DataFrame plans.
+
+One method per operator in SURVEY.md §2.1 (reference wire surface:
+ahnlich/types/src/db/pipeline.rs:13-55). Every data-touching method is a
+declarative Catalyst plan over the store's parquet snapshot:
+
+- Set        -> id-hash + keep-last dedup + hash-join counting + rewrite
+                (reference ahnlich/db/src/engine/store.rs:1050-1135)
+- GetKey     -> left-semi join on hashed probe ids   (store.rs:860-867)
+- GetPred    -> Catalyst filter                      (store.rs:871-874)
+- GetSimN    -> filter -> score -> TakeOrderedAndProject (store.rs:290-399)
+- DelKey     -> left-anti join + count               (store.rs:842-849)
+- DelPred    -> negated filter + count               (store.rs:853-856)
+- Upsert     -> exactly-one-match guard + rewrite    (store.rs:443-528)
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Iterable, List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ahnlich_spark import errors
+from ahnlich_spark.catalog import (
+    Catalog,
+    HNSW_DEFAULTS,
+    PUBLIC_SCHEMA,
+    StoreMeta,
+)
+from ahnlich_spark.functions import similarity as S
+from ahnlich_spark.functions.hashing import store_key_id
+from ahnlich_spark.operators.predicates import Predicate, compile_predicate
+from ahnlich_spark.operators.topk import top_k_similar
+from ahnlich_spark.sources.store_io import read_store, write_store
+from ahnlich_spark.types import (
+    META_MAP_TYPE,
+    MetadataValue,
+    meta_map,
+    store_schema,
+    vector_lit,
+)
+
+Entry = Tuple[Sequence[float], dict]
+
+NON_LINEAR_ALGOS = ("kdtree", "hnsw")
+LINEAR_ALGOS = (S.COSINE, S.DOT, S.EUCLIDEAN)
+
+# Reference crossover: accept lists <= 4096 are brute-forced even when an
+# ANN index exists (ahnlich/similarity/src/hnsw/index.rs:24).
+BRUTE_FORCE_THRESHOLD = 4096
+
+
+@dataclass(frozen=True)
+class StoreUpsert:
+    inserted: int
+    updated: int
+
+
+@dataclass(frozen=True)
+class DelResult:
+    deleted_count: int
+
+
+@dataclass(frozen=True)
+class StoreInfo:
+    name: str
+    schema: str
+    len: int
+    size_in_bytes: int
+    dimension: int
+    predicates: Tuple[str, ...]
+    non_linear: Tuple[str, ...]
+
+
+def _dir_size(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for fn in files:
+            total += os.path.getsize(os.path.join(root, fn))
+    return total
+
+
+class Engine:
+    """The DB-service operation surface, Spark-first."""
+
+    def __init__(self, spark: SparkSession, warehouse: str):
+        self.spark = spark
+        self.catalog = Catalog(warehouse)
+
+    # ------------------------------------------------------------- DDL --
+    def create_store(
+        self,
+        name: str,
+        dimension: int,
+        predicates: Iterable[str] = (),
+        non_linear_indices: Iterable[str] = (),
+        error_if_exists: bool = True,
+        schema: str = PUBLIC_SCHEMA,
+    ) -> None:
+        if dimension <= 0:
+            raise ValueError("dimension must be a positive integer")
+        self.catalog.ensure_schema(schema)
+        if self.catalog.has_store(name, schema):
+            if error_if_exists:
+                raise errors.StoreAlreadyExists(f"store {schema}.{name} already exists")
+            return
+        non_linear = sorted(set(non_linear_indices))
+        for a in non_linear:
+            if a not in NON_LINEAR_ALGOS:
+                raise ValueError(f"unknown non-linear algorithm {a!r}")
+        self.catalog.put_store(
+            StoreMeta(
+                name=name,
+                schema=schema,
+                dimension=int(dimension),
+                predicates=sorted(set(predicates)),
+                non_linear=non_linear,
+                non_linear_config={a: dict(HNSW_DEFAULTS) for a in non_linear},
+            )
+        )
+
+    def drop_store(
+        self, name: str, error_if_not_exists: bool = True, schema: str = PUBLIC_SCHEMA
+    ) -> int:
+        if not self.catalog.has_store(name, schema):
+            if error_if_not_exists:
+                raise errors.StoreNotFound(f"store {schema}.{name} not found")
+            return 0
+        self.catalog.drop_store(name, schema)
+        return 1
+
+    def drop_schema(self, schema: str) -> int:
+        return self.catalog.drop_schema(schema)
+
+    def create_pred_index(
+        self, store: str, keys: Iterable[str], schema: str = PUBLIC_SCHEMA
+    ) -> int:
+        """Idempotent; returns the number of NEWLY indexed keys
+        (reference store.rs:1138-1158). Physically a catalog note — the
+        Catalyst filter answers identically with or without it."""
+        meta = self.catalog.get_store(store, schema)
+        new = [k for k in keys if k not in meta.predicates]
+        meta.predicates = sorted(set(meta.predicates) | set(keys))
+        self.catalog.put_store(meta)
+        return len(new)
+
+    def drop_pred_index(
+        self,
+        store: str,
+        keys: Iterable[str],
+        error_if_not_exists: bool = True,
+        schema: str = PUBLIC_SCHEMA,
+    ) -> int:
+        meta = self.catalog.get_store(store, schema)
+        keys = list(keys)
+        missing = [k for k in keys if k not in meta.predicates]
+        if missing and error_if_not_exists:
+            raise errors.PredicateIndexNotFound(f"predicate index not found: {missing}")
+        removed = [k for k in keys if k in meta.predicates]
+        meta.predicates = sorted(set(meta.predicates) - set(keys))
+        self.catalog.put_store(meta)
+        return len(removed)
+
+    def create_non_linear_algorithm_index(
+        self, store: str, algorithms: Iterable[str], schema: str = PUBLIC_SCHEMA
+    ) -> int:
+        meta = self.catalog.get_store(store, schema)
+        created = 0
+        for a in algorithms:
+            if a not in NON_LINEAR_ALGOS:
+                raise ValueError(f"unknown non-linear algorithm {a!r}")
+            if a not in meta.non_linear:
+                meta.non_linear.append(a)
+                meta.non_linear_config[a] = dict(HNSW_DEFAULTS)
+                created += 1
+        meta.non_linear = sorted(meta.non_linear)
+        self.catalog.put_store(meta)
+        return created
+
+    def drop_non_linear_algorithm_index(
+        self,
+        store: str,
+        algorithms: Iterable[str],
+        error_if_not_exists: bool = True,
+        schema: str = PUBLIC_SCHEMA,
+    ) -> int:
+        meta = self.catalog.get_store(store, schema)
+        algorithms = list(algorithms)
+        missing = [a for a in algorithms if a not in meta.non_linear]
+        if missing and error_if_not_exists:
+            raise errors.NonLinearIndexNotFound(f"non-linear index not found: {missing}")
+        removed = [a for a in algorithms if a in meta.non_linear]
+        meta.non_linear = sorted(set(meta.non_linear) - set(algorithms))
+        for a in removed:
+            meta.non_linear_config.pop(a, None)
+        self.catalog.put_store(meta)
+        return len(removed)
+
+    # ----------------------------------------------------------- reads --
+    def store_df(self, store: str, schema: str = PUBLIC_SCHEMA) -> DataFrame:
+        meta = self.catalog.get_store(store, schema)
+        return read_store(self.spark, self.catalog, meta)
+
+    def get_key(
+        self, store: str, keys: Sequence[Sequence[float]], schema: str = PUBLIC_SCHEMA
+    ) -> DataFrame:
+        """Exact-vector lookups: hash the probes, left-semi join on id.
+        At scale: small probe side broadcasts; the store never shuffles."""
+        meta = self.catalog.get_store(store, schema)
+        self._check_dims(meta, keys)
+        probes = self._keys_df(keys).select(store_key_id(F.col("key")).alias("id"))
+        df = read_store(self.spark, self.catalog, meta)
+        return df.join(F.broadcast(probes), "id", "left_semi")
+
+    def get_pred(
+        self, store: str, condition: Predicate, schema: str = PUBLIC_SCHEMA
+    ) -> DataFrame:
+        df = self.store_df(store, schema)
+        return df.filter(compile_predicate(condition))
+
+    def get_sim_n(
+        self,
+        store: str,
+        search_input: Sequence[float],
+        closest_n: int = 1,
+        algorithm: str = S.COSINE,
+        condition: Optional[Predicate] = None,
+        schema: str = PUBLIC_SCHEMA,
+        precision: str = "float",
+    ) -> DataFrame:
+        """Top-N similarity (reference store.rs:290-399). 4-way dispatch
+        (linear|nonlinear) x (condition|none) collapses into ONE Catalyst
+        plan: filter -> score -> bounded top-k. Non-linear algorithms
+        require their index to exist (store.rs:324-326) and run the
+        approximate path only above the brute-force threshold — exactly
+        the reference's <=4096 accept-list shortcut."""
+        meta = self.catalog.get_store(store, schema)
+        self._check_dims(meta, [search_input])
+        df = read_store(self.spark, self.catalog, meta)
+
+        if algorithm in LINEAR_ALGOS:
+            return top_k_similar(
+                df, search_input, algorithm, closest_n, condition, precision=precision
+            )
+        if algorithm not in NON_LINEAR_ALGOS:
+            raise ValueError(f"unknown algorithm {algorithm!r}")
+        if algorithm not in meta.non_linear:
+            raise errors.NonLinearIndexNotFound(
+                f"non-linear index {algorithm!r} not created for {schema}.{store}"
+            )
+        metric = (
+            S.EUCLIDEAN
+            if algorithm == "kdtree"
+            else meta.non_linear_config.get(algorithm, HNSW_DEFAULTS)["distance"]
+        )
+        if condition is not None:
+            # Reference: small accept-lists brute-force (hnsw/index.rs:24).
+            # Exact filtered top-k is Spark's natural plan, and exact
+            # results trivially satisfy the >0.9 recall contract.
+            return top_k_similar(
+                df, search_input, metric, closest_n, condition, precision=precision
+            )
+        from ahnlich_spark.operators.ann import lsh_top_k
+
+        return lsh_top_k(
+            df,
+            search_input,
+            metric=metric,
+            k=closest_n,
+            precision=precision,
+            brute_force_threshold=BRUTE_FORCE_THRESHOLD,
+        )
+
+    def list_stores(self, schema: str = PUBLIC_SCHEMA) -> List[StoreInfo]:
+        return [self._store_info(m) for m in self.catalog.list_stores(schema)]
+
+    def get_store(self, store: str, schema: str = PUBLIC_SCHEMA) -> StoreInfo:
+        return self._store_info(self.catalog.get_store(store, schema))
+
+    def _store_info(self, meta: StoreMeta) -> StoreInfo:
+        df = read_store(self.spark, self.catalog, meta)
+        n = df.count()
+        size = _dir_size(self.catalog.store_path(meta)) if meta.version > 0 else 0
+        return StoreInfo(
+            name=meta.name,
+            schema=meta.schema,
+            len=n,
+            size_in_bytes=size,
+            dimension=meta.dimension,
+            predicates=tuple(meta.predicates),
+            non_linear=tuple(meta.non_linear),
+        )
+
+    # ---------------------------------------------------------- writes --
+    def set(
+        self,
+        store: str,
+        entries: Union[Sequence[Entry], DataFrame],
+        schema: str = PUBLIC_SCHEMA,
+    ) -> StoreUpsert:
+        """Bulk upsert. The vector IS the primary key (id = hash of its
+        f32 bits), so a duplicate vector is an UPDATE; counts mirror the
+        reference's StoreUpsert {inserted, updated} (store.rs:1050-1135).
+
+        Within one batch, later occurrences of the same vector win
+        (map-insert order in the reference). Counting is one hash-join
+        aggregation; the rewrite is existing-anti-join-batch + batch.
+        """
+        meta = self.catalog.get_store(store, schema)
+        batch = self._entries_df(meta, entries)
+        # keep-last per id within the batch
+        w = Window.partitionBy("id").orderBy(F.col("_seq").desc())
+        batch_d = (
+            batch.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("id", "key", "meta")
+        )
+        existing = read_store(self.spark, self.catalog, meta)
+
+        counts = (
+            batch_d.join(
+                F.broadcast(existing.select("id").withColumn("_ex", F.lit(1))),
+                "id",
+                "left",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("total"),
+                F.coalesce(F.sum("_ex"), F.lit(0)).alias("updated"),
+            )
+            .first()
+        )
+        updated = int(counts["updated"])
+        inserted = int(counts["total"]) - updated
+
+        new_df = existing.join(batch_d.select("id"), "id", "left_anti").unionByName(
+            batch_d
+        )
+        write_store(new_df, self.catalog, meta)
+        return StoreUpsert(inserted=inserted, updated=updated)
+
+    def del_key(
+        self, store: str, keys: Sequence[Sequence[float]], schema: str = PUBLIC_SCHEMA
+    ) -> DelResult:
+        meta = self.catalog.get_store(store, schema)
+        self._check_dims(meta, keys)
+        probes = self._keys_df(keys).select(store_key_id(F.col("key")).alias("id"))
+        df = read_store(self.spark, self.catalog, meta)
+        deleted = df.join(F.broadcast(probes), "id", "left_semi").count()
+        if deleted:
+            remaining = df.join(F.broadcast(probes), "id", "left_anti")
+            write_store(remaining, self.catalog, meta)
+        return DelResult(deleted_count=int(deleted))
+
+    def del_pred(
+        self, store: str, condition: Predicate, schema: str = PUBLIC_SCHEMA
+    ) -> DelResult:
+        meta = self.catalog.get_store(store, schema)
+        df = read_store(self.spark, self.catalog, meta)
+        cond = F.coalesce(compile_predicate(condition), F.lit(False))
+        deleted = df.filter(cond).count()
+        if deleted:
+            write_store(df.filter(~cond), self.catalog, meta)
+        return DelResult(deleted_count=int(deleted))
+
+    def upsert(
+        self,
+        store: str,
+        condition: Predicate,
+        new_key: Optional[Sequence[float]] = None,
+        new_value: Optional[dict] = None,
+        merge_metadata: bool = False,
+        schema: str = PUBLIC_SCHEMA,
+    ) -> StoreUpsert:
+        """Update the SINGLE row matching ``condition`` (reference
+        store.rs:443-528): error unless exactly one match; new key and/or
+        new value, at least one; merge_metadata merges maps with new
+        winning per-key (store.rs:491-505)."""
+        if new_key is None and new_value is None:
+            raise ValueError("upsert requires new_key and/or new_value")
+        meta = self.catalog.get_store(store, schema)
+        if new_key is not None:
+            self._check_dims(meta, [new_key])
+        df = read_store(self.spark, self.catalog, meta)
+        cond = F.coalesce(compile_predicate(condition), F.lit(False))
+        matches = df.filter(cond).limit(2).collect()
+        if len(matches) != 1:
+            raise errors.UpsertMatchError(
+                f"upsert condition matched {len(matches)} rows; exactly 1 required"
+            )
+        old = matches[0]
+
+        key = (
+            [float(x) for x in np.asarray(list(new_key), dtype=np.float32)]
+            if new_key is not None
+            else list(old["key"])
+        )
+        if new_value is not None:
+            new_map = meta_map(new_value)
+            if merge_metadata:
+                merged = dict(old["meta"] or {})
+                merged.update({k: tuple(v) for k, v in new_map.items()})
+            else:
+                merged = {k: tuple(v) for k, v in new_map.items()}
+        else:
+            merged = {k: tuple(v) for k, v in (old["meta"] or {}).items()}
+
+        replacement = self.spark.createDataFrame(
+            [(key, merged, 0)],
+            T.StructType(
+                [
+                    T.StructField("key", T.ArrayType(T.FloatType(), False), False),
+                    T.StructField("meta", META_MAP_TYPE, True),
+                    T.StructField("_seq", T.LongType(), False),
+                ]
+            ),
+        ).withColumn("id", store_key_id(F.col("key")))
+        # remove the matched row, then upsert-by-id (a new key colliding
+        # with another existing row overwrites it, as a plain Set would)
+        remaining = df.filter(~cond).join(
+            F.broadcast(replacement.select("id")), "id", "left_anti"
+        )
+        write_store(remaining.unionByName(replacement.select("id", "key", "meta")), self.catalog, meta)
+        return StoreUpsert(inserted=0, updated=1)
+
+    # -------------------------------------------------------- pipeline --
+    def pipeline(self, ops: Sequence[Tuple[str, dict]]) -> List[dict]:
+        """Execute a list of (method_name, kwargs) sequentially, collecting
+        per-op results or errors (reference DbRequestPipeline,
+        ahnlich/db/src/server/handler.rs:526-927). Order matters."""
+        out: List[dict] = []
+        for name, kwargs in ops:
+            try:
+                result = getattr(self, name)(**kwargs)
+                out.append({"op": name, "ok": True, "result": result})
+            except Exception as e:  # error inline, keep going (ref :922-926)
+                out.append({"op": name, "ok": False, "error": f"{type(e).__name__}: {e}"})
+        return out
+
+    def ping(self) -> str:
+        return "pong"
+
+    def info_server(self) -> dict:
+        from ahnlich_spark import __version__
+
+        return {"type": "ahnlich_spark", "version": __version__}
+
+    # --------------------------------------------------------- helpers --
+    def _keys_df(self, keys: Sequence[Sequence[float]]) -> DataFrame:
+        rows = [([float(x) for x in np.asarray(list(k), dtype=np.float32)],) for k in keys]
+        return self.spark.createDataFrame(
+            rows,
+            T.StructType([T.StructField("key", T.ArrayType(T.FloatType(), False), False)]),
+        )
+
+    def _check_dims(self, meta: StoreMeta, keys: Sequence[Sequence[float]]) -> None:
+        """Dimension check — any mismatch fails the whole request
+        (reference store.rs:822-838, 300-308)."""
+        for k in keys:
+            if len(k) != meta.dimension:
+                raise errors.DimensionMismatch(
+                    f"store {meta.schema}.{meta.name} expects dimension "
+                    f"{meta.dimension}, got {len(k)}"
+                )
+
+    def _entries_df(self, meta: StoreMeta, entries: Union[Sequence[Entry], DataFrame]) -> DataFrame:
+        """Normalize entries to (id, key, meta, _seq). DataFrame input must
+        have key ARRAY<FLOAT> and meta MAP columns; dimension is validated
+        distributedly (one pass, fails the whole batch on any mismatch)."""
+        if isinstance(entries, DataFrame):
+            df = entries
+            if "_seq" not in df.columns:
+                df = df.withColumn("_seq", F.monotonically_increasing_id())
+            if "meta" not in df.columns:
+                df = df.withColumn("meta", F.lit(None).cast(META_MAP_TYPE))
+            bad = df.filter(F.size("key") != meta.dimension).limit(1).count()
+            if bad:
+                raise errors.DimensionMismatch(
+                    f"batch contains vectors of wrong dimension (expect {meta.dimension})"
+                )
+            df = df.select(
+                F.col("key").cast(T.ArrayType(T.FloatType(), False)).alias("key"),
+                F.col("meta").cast(META_MAP_TYPE).alias("meta"),
+                "_seq",
+            )
+        else:
+            rows = []
+            for i, (vec, m) in enumerate(entries):
+                if len(vec) != meta.dimension:
+                    raise errors.DimensionMismatch(
+                        f"store {meta.schema}.{meta.name} expects dimension "
+                        f"{meta.dimension}, got {len(vec)}"
+                    )
+                v32 = [float(x) for x in np.asarray(list(vec), dtype=np.float32)]
+                rows.append((v32, meta_map(m or {}), i))
+            df = self.spark.createDataFrame(
+                rows,
+                T.StructType(
+                    [
+                        T.StructField("key", T.ArrayType(T.FloatType(), False), False),
+                        T.StructField("meta", META_MAP_TYPE, True),
+                        T.StructField("_seq", T.LongType(), False),
+                    ]
+                ),
+            )
+        return df.withColumn("id", store_key_id(F.col("key")))

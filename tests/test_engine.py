@@ -1,0 +1,179 @@
+"""DB-surface behavior: set counting (F7), get_key/del_key, get_sim_n
+golden ranking with tie-break (F2), DDL/catalog ops, schemas."""
+
+import numpy as np
+import pytest
+
+from ahnlich_spark import errors
+from ahnlich_spark.functions import similarity as S
+from ahnlich_spark.operators.predicates import Equals
+
+
+def test_create_store_and_exists(engine):
+    engine.create_store("s1", dimension=4)
+    with pytest.raises(errors.StoreAlreadyExists):
+        engine.create_store("s1", dimension=4)
+    engine.create_store("s1", dimension=4, error_if_exists=False)  # no raise
+    info = engine.get_store("s1")
+    assert info.dimension == 4 and info.len == 0
+
+
+def test_set_counts_inserts_and_updates(engine):
+    """The vector is the primary key: duplicates update, not insert
+    (ref store.rs:1050-1135; store_key_id.rs:19-36)."""
+    engine.create_store("s", dimension=2)
+    r1 = engine.set("s", [([1.0, 2.0], {"a": "1"}), ([3.0, 4.0], {"a": "2"})])
+    assert (r1.inserted, r1.updated) == (2, 0)
+    # one duplicate of an existing vector + one new; duplicate WITHIN batch
+    r2 = engine.set(
+        "s",
+        [
+            ([1.0, 2.0], {"a": "updated"}),
+            ([5.0, 6.0], {"a": "3"}),
+            ([5.0, 6.0], {"a": "3-last-wins"}),
+        ],
+    )
+    assert (r2.inserted, r2.updated) == (1, 1)
+    assert engine.get_store("s").len == 3
+    rows = {tuple(r["key"]): dict(r["meta"]) for r in engine.store_df("s").collect()}
+    assert rows[(1.0, 2.0)]["a"][1] == "updated"
+    assert rows[(5.0, 6.0)]["a"][1] == "3-last-wins"
+
+
+def test_set_dimension_mismatch_fails_batch(engine):
+    engine.create_store("s", dimension=3)
+    with pytest.raises(errors.DimensionMismatch):
+        engine.set("s", [([1.0, 2.0, 3.0], {}), ([1.0, 2.0], {})])
+    assert engine.get_store("s").len == 0
+
+
+def test_get_key_and_del_key(engine):
+    engine.create_store("s", dimension=2)
+    engine.set("s", [([1.0, 2.0], {"a": "1"}), ([3.0, 4.0], {"a": "2"})])
+    got = engine.get_key("s", [[1.0, 2.0], [9.0, 9.0]])
+    assert [list(r["key"]) for r in got.collect()] == [[1.0, 2.0]]
+    d = engine.del_key("s", [[1.0, 2.0], [9.0, 9.0]])
+    assert d.deleted_count == 1
+    assert engine.get_store("s").len == 1
+
+
+def test_del_pred(engine):
+    engine.create_store("s", dimension=2)
+    engine.set("s", [([1.0, 0.0], {"t": "x"}), ([0.0, 1.0], {"t": "y"}), ([1.0, 1.0], {})])
+    d = engine.del_pred("s", Equals("t", "x"))
+    assert d.deleted_count == 1
+    assert engine.get_store("s").len == 2
+
+
+GOLDEN = {
+    # deterministic mini golden set (F2-style): query = [1,0,0]
+    "exact": [1.0, 0.0, 0.0],
+    "close": [0.9, 0.1, 0.0],
+    "mid": [0.5, 0.5, 0.0],
+    "far": [0.0, 0.0, 1.0],
+    "neg": [-1.0, 0.0, 0.0],
+}
+
+
+@pytest.fixture
+def golden_store(engine):
+    engine.create_store("g", dimension=3)
+    engine.set("g", [(v, {"label": k}) for k, v in GOLDEN.items()])
+    return "g"
+
+
+def labels(df):
+    return [r["meta"]["label"][1] for r in df.collect()]
+
+
+def test_get_sim_n_cosine_ranking(engine, golden_store):
+    got = engine.get_sim_n("g", [1.0, 0.0, 0.0], closest_n=3, algorithm=S.COSINE)
+    assert labels(got) == ["exact", "close", "mid"]
+    sims = [r["similarity"] for r in got.collect()]
+    assert sims == sorted(sims, reverse=True)
+    assert sims[0] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_get_sim_n_euclidean_ranking(engine, golden_store):
+    got = engine.get_sim_n("g", [1.0, 0.0, 0.0], closest_n=3, algorithm=S.EUCLIDEAN)
+    assert labels(got) == ["exact", "close", "mid"]
+    dists = [r["similarity"] for r in got.collect()]
+    assert dists == sorted(dists)  # closest-first => ascending distance
+
+
+def test_get_sim_n_dot_ranking(engine, golden_store):
+    got = engine.get_sim_n("g", [2.0, 0.0, 0.0], closest_n=2, algorithm=S.DOT)
+    assert labels(got) == ["exact", "close"]
+
+
+def test_get_sim_n_with_predicate(engine, golden_store):
+    got = engine.get_sim_n(
+        "g", [1.0, 0.0, 0.0], closest_n=2, algorithm=S.COSINE,
+        condition=Equals("label", "far"),
+    )
+    assert labels(got) == ["far"]
+
+
+def test_get_sim_n_tie_break_by_id(engine):
+    """Equal scores order by ascending id (ref algorithm/mod.rs:68-74)."""
+    engine.create_store("t", dimension=2)
+    engine.set("t", [([1.0, 1.0], {"n": "a"}), ([2.0, 2.0], {"n": "b"}), ([3.0, 3.0], {"n": "c"})])
+    got = engine.get_sim_n("t", [1.0, 1.0], closest_n=3, algorithm=S.COSINE).collect()
+    assert all(r["similarity"] == pytest.approx(1.0, abs=1e-6) for r in got)
+    ids = [r["id"] for r in got]
+    assert ids == sorted(ids)
+
+
+def test_get_sim_n_dimension_check(engine, golden_store):
+    with pytest.raises(errors.DimensionMismatch):
+        engine.get_sim_n("g", [1.0, 0.0], closest_n=1)
+
+
+def test_non_linear_requires_index(engine, golden_store):
+    with pytest.raises(errors.NonLinearIndexNotFound):
+        engine.get_sim_n("g", [1.0, 0.0, 0.0], closest_n=1, algorithm="hnsw")
+    assert engine.create_non_linear_algorithm_index("g", ["hnsw"]) == 1
+    got = engine.get_sim_n("g", [1.0, 0.0, 0.0], closest_n=2, algorithm="hnsw")
+    assert labels(got) == ["exact", "close"]
+
+
+def test_pred_index_ddl(engine):
+    engine.create_store("p", dimension=2)
+    assert engine.create_pred_index("p", ["a", "b"]) == 2
+    assert engine.create_pred_index("p", ["b", "c"]) == 1  # idempotent
+    assert engine.drop_pred_index("p", ["a"]) == 1
+    with pytest.raises(errors.PredicateIndexNotFound):
+        engine.drop_pred_index("p", ["zz"])
+    assert engine.drop_pred_index("p", ["zz"], error_if_not_exists=False) == 0
+
+
+def test_schemas(engine):
+    engine.create_store("s", dimension=2, schema="team1")
+    engine.create_store("s2", dimension=2, schema="team1")
+    assert len(engine.list_stores(schema="team1")) == 2
+    assert engine.drop_schema("team1") == 2
+    with pytest.raises(errors.SchemaNotEmptyOrProtected):
+        engine.drop_schema("public")
+    with pytest.raises(errors.SchemaNotFound):
+        engine.drop_schema("team1")
+
+
+def test_pipeline_collects_errors_inline(engine):
+    out = engine.pipeline(
+        [
+            ("create_store", {"name": "pl", "dimension": 2}),
+            ("create_store", {"name": "pl", "dimension": 2}),  # duplicate -> error
+            ("set", {"store": "pl", "entries": [([1.0, 2.0], {})]}),
+            ("ping", {}),
+        ]
+    )
+    assert [o["ok"] for o in out] == [True, False, True, True]
+    assert "StoreAlreadyExists" in out[1]["error"]
+
+
+def test_drop_store(engine):
+    engine.create_store("d", dimension=2)
+    assert engine.drop_store("d") == 1
+    with pytest.raises(errors.StoreNotFound):
+        engine.drop_store("d")
+    assert engine.drop_store("d", error_if_not_exists=False) == 0
