@@ -1,0 +1,222 @@
+"""The AI-proxy operation surface (reference: ahnlich/ai/ — 21 ops,
+ahnlich/types/src/ai/pipeline.rs:13-60): stores keyed by RAW inputs
+(text/image/audio) instead of vectors. The proxy embeds inputs through
+the store's models and delegates to the DB engine, preserving:
+
+- per-store query_model / index_model / store_original
+  (ahnlich/types/src/ai/query.rs:3-37);
+- the reserved metadata key ``_ahnlich_input_key`` holding the original
+  input when store_original=true, with user collisions rejected
+  (ahnlich/ai/src/engine/store.rs:305-347);
+- Set = [DelPred(In(_ahnlich_input_key, inputs)), Set] so re-setting the
+  same original replaces the old entry
+  (ahnlich/ai/src/engine/operations.rs:229-268);
+- input-kind vs model validation.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, List, Optional, Sequence, Tuple
+
+import numpy as np
+from pyspark.sql import DataFrame
+
+from ahnlich_spark import errors
+from ahnlich_spark.ai.embedder import P, RANGE
+from ahnlich_spark.ai.models import get_model
+from ahnlich_spark.catalog import PUBLIC_SCHEMA, AiBinding
+from ahnlich_spark.operators.predicates import In, Predicate
+from ahnlich_spark.plans.engine import DelResult, Engine, StoreUpsert
+from ahnlich_spark.types import (
+    AHNLICH_RESERVED_INPUT_KEY,
+    KIND_RAW_STRING,
+    MetadataValue,
+    StoreInput,
+)
+
+AiEntry = Tuple[StoreInput, dict]
+
+
+def stub_embed(data: bytes, dim: int) -> List[float]:
+    """Driver-side copy of the stub featurizer (ai/embedder.py docstring
+    has the spec) for embedding QUERY inputs without a Spark job."""
+    codes = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
+    j = np.arange(1, len(codes) + 1, dtype=np.int64)
+    s1 = int((codes * j).sum() % P) if len(codes) else 0
+    s2 = int(codes.sum() % P) if len(codes) else 0
+    i = np.arange(1, dim + 1, dtype=np.int64)
+    raw = (s1 * i + s2) % RANGE - 1000
+    return [float(x) for x in (raw / 1000.0).astype(np.float32)]
+
+
+class AiEngine:
+    """AI ops over a DB Engine. One instance serves all AI stores."""
+
+    def __init__(self, engine: Engine):
+        self.engine = engine
+        self.catalog = engine.catalog
+
+    # ------------------------------------------------------------- DDL --
+    def create_store(
+        self,
+        name: str,
+        query_model: str,
+        index_model: str,
+        predicates: Iterable[str] = (),
+        non_linear_indices: Iterable[str] = (),
+        error_if_exists: bool = True,
+        store_original: bool = True,
+        schema: str = PUBLIC_SCHEMA,
+    ) -> None:
+        qspec, ispec = get_model(query_model), get_model(index_model)
+        if qspec.embedding_size != ispec.embedding_size:
+            raise ValueError(
+                "query and index models must share an embedding size "
+                f"({qspec.embedding_size} != {ispec.embedding_size})"
+            )
+        self.engine.create_store(
+            name,
+            dimension=ispec.embedding_size,
+            predicates=predicates,
+            non_linear_indices=non_linear_indices,
+            error_if_exists=error_if_exists,
+            schema=schema,
+        )
+        meta = self.catalog.get_store(name, schema)
+        meta.ai = AiBinding(
+            query_model=query_model, index_model=index_model, store_original=store_original
+        )
+        self.catalog.put_store(meta)
+
+    def drop_store(self, name: str, error_if_not_exists: bool = True,
+                   schema: str = PUBLIC_SCHEMA) -> int:
+        return self.engine.drop_store(name, error_if_not_exists, schema)
+
+    def purge_stores(self, schema: str = PUBLIC_SCHEMA) -> int:
+        """Drop ALL AI stores in the schema (ai/query.rs:256)."""
+        dropped = 0
+        for meta in self.catalog.list_stores(schema):
+            if meta.ai is not None:
+                self.catalog.drop_store(meta.name, schema)
+                dropped += 1
+        return dropped
+
+    # --------------------------------------------------------- helpers --
+    def _binding(self, store: str, schema: str) -> AiBinding:
+        meta = self.catalog.get_store(store, schema)
+        if meta.ai is None:
+            raise errors.StoreNotFound(f"{schema}.{store} is not an AI store")
+        return meta.ai
+
+    def _validate_kind(self, inp: StoreInput, model: str) -> None:
+        spec = get_model(model)
+        if inp.kind != spec.input_kind:
+            raise errors.InputTypeMismatch(
+                f"model {model!r} expects {spec.input_kind}, got {inp.kind}"
+            )
+
+    def _embed_input(self, inp: StoreInput, model: str) -> List[float]:
+        self._validate_kind(inp, model)
+        spec = get_model(model)
+        data = (inp.text or "").encode("utf-8") if inp.kind == KIND_RAW_STRING else (inp.bin or b"")
+        return stub_embed(data, spec.embedding_size)
+
+    @staticmethod
+    def _input_mv(inp: StoreInput) -> MetadataValue:
+        return inp.to_metadata_value()
+
+    # ------------------------------------------------------------ ops --
+    def set(
+        self,
+        store: str,
+        inputs: Sequence[AiEntry],
+        schema: str = PUBLIC_SCHEMA,
+    ) -> StoreUpsert:
+        binding = self._binding(store, schema)
+        entries = []
+        originals = []
+        for inp, meta in inputs:
+            if meta and AHNLICH_RESERVED_INPUT_KEY in meta:
+                raise errors.ReservedKeyError(
+                    f"metadata key {AHNLICH_RESERVED_INPUT_KEY!r} is reserved"
+                )
+            vec = self._embed_input(inp, binding.index_model)
+            m = dict(meta or {})
+            if binding.store_original:
+                m[AHNLICH_RESERVED_INPUT_KEY] = self._input_mv(inp)
+                originals.append(self._input_mv(inp))
+            entries.append((vec, m))
+        # re-SET of the same original deletes the prior entry first
+        # (reference operations.rs:229-243): DelPred(In(reserved, inputs))
+        if originals:
+            self.engine.del_pred(
+                store, In(AHNLICH_RESERVED_INPUT_KEY, tuple(originals)), schema
+            )
+        return self.engine.set(store, entries, schema)
+
+    def get_sim_n(
+        self,
+        store: str,
+        search_input: StoreInput,
+        closest_n: int = 1,
+        algorithm: str = "cosine_similarity",
+        condition: Optional[Predicate] = None,
+        schema: str = PUBLIC_SCHEMA,
+    ) -> DataFrame:
+        binding = self._binding(store, schema)
+        vec = self._embed_input(search_input, binding.query_model)
+        return self.engine.get_sim_n(store, vec, closest_n, algorithm, condition, schema)
+
+    def get_key(
+        self, store: str, inputs: Sequence[StoreInput], schema: str = PUBLIC_SCHEMA
+    ) -> DataFrame:
+        """Lookup by ORIGINAL input via the reserved predicate
+        (grammar: ai_get_key, syntax.pest:64-65)."""
+        binding = self._binding(store, schema)
+        if binding.store_original:
+            cond = In(AHNLICH_RESERVED_INPUT_KEY, tuple(self._input_mv(i) for i in inputs))
+            return self.engine.get_pred(store, cond, schema)
+        keys = [self._embed_input(i, binding.index_model) for i in inputs]
+        return self.engine.get_key(store, keys, schema)
+
+    def del_key(
+        self, store: str, inputs: Sequence[StoreInput], schema: str = PUBLIC_SCHEMA
+    ) -> DelResult:
+        binding = self._binding(store, schema)
+        if binding.store_original:
+            cond = In(AHNLICH_RESERVED_INPUT_KEY, tuple(self._input_mv(i) for i in inputs))
+            return self.engine.del_pred(store, cond, schema)
+        keys = [self._embed_input(i, binding.index_model) for i in inputs]
+        return self.engine.del_key(store, keys, schema)
+
+    def upsert(
+        self,
+        store: str,
+        condition: Predicate,
+        new_input: Optional[StoreInput] = None,
+        new_value: Optional[dict] = None,
+        merge_metadata: bool = False,
+        schema: str = PUBLIC_SCHEMA,
+    ) -> StoreUpsert:
+        """Single-row conditional update with re-embedding
+        (ahnlich/ai/src/engine/store.rs:433-498)."""
+        binding = self._binding(store, schema)
+        new_key = None
+        if new_input is not None:
+            new_key = self._embed_input(new_input, binding.index_model)
+            if binding.store_original:
+                new_value = dict(new_value or {})
+                new_value[AHNLICH_RESERVED_INPUT_KEY] = self._input_mv(new_input)
+                merge_metadata = True if new_value is None else merge_metadata
+        return self.engine.upsert(store, condition, new_key, new_value, merge_metadata, schema)
+
+    def convert_store_input_to_embeddings(
+        self, df: DataFrame, model: str, input_col: str = "text"
+    ) -> DataFrame:
+        """Pure embedding call, no store (ai/query.rs:326-346): adds an
+        ``embedding ARRAY<FLOAT>`` column, fully JVM-side."""
+        from pyspark.sql import functions as F
+
+        from ahnlich_spark.ai.embedder import embed_text_expr
+
+        return df.withColumn("embedding", embed_text_expr(F.col(input_col), model))

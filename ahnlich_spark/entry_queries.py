@@ -1,0 +1,705 @@
+"""Driver-contract queries: every operator from SURVEY.md §2 as a
+(spark_query, duckdb_oracle_sql) pair over the driver's testdata tables.
+
+Cross-engine hash-match discipline (the driver compares row-count +
+schema + order-insensitive value-hash):
+
+- NO raw floats in any output: scores are emitted as scaled BIGINTs
+  (``score_e4`` = round(score * 10^4)), ratios as exact integer
+  cross-multiplications, so IEEE last-ulp drift between Spark and DuckDB
+  cannot flip a hash.
+- Both sides compute distance math in DOUBLE (f32 inputs widen exactly);
+  the engine's own f32 ("float") mode is exercised by the pytest suite
+  instead, where the reference's f32 semantics are the spec.
+- Every computed column is aliased identically in Spark and SQL.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from typing import Callable, Dict, Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ahnlich_spark.functions import similarity as S
+from ahnlich_spark.functions import text as X
+from ahnlich_spark.functions.hashing import store_key_id
+from ahnlich_spark.operators import dedup as D
+from ahnlich_spark.operators import multimodal as MM
+from ahnlich_spark.operators.predicates import And, Equals, In, NotEquals, NotIn, Or, compile_predicate
+from ahnlich_spark.types import META_VALUE_TYPE
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: Dict[str, QueryFn] = {}
+ORACLES: Dict[str, str] = {}
+
+_PKG_SHIPPED = set()
+
+
+def _ensure_pkg_on_workers(spark: SparkSession) -> None:
+    """Ship ahnlich_spark to executor Python workers via addPyFile — the
+    driver process may import this package from a path the workers don't
+    share (and on a real cluster they never would). Python-UDF closures
+    (mapInPandas/pandas_udf) are pickled by module reference, so the
+    module must be importable worker-side."""
+    key = id(spark.sparkContext)
+    if key in _PKG_SHIPPED:
+        return
+    import zipfile
+
+    import ahnlich_spark
+
+    pkg_dir = os.path.dirname(os.path.abspath(ahnlich_spark.__file__))
+    zpath = os.path.join(tempfile.mkdtemp(prefix="ahnlich_pkg_"), "ahnlich_spark_pkg.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(root, fn)
+                    z.write(full, os.path.relpath(full, os.path.dirname(pkg_dir)))
+    spark.sparkContext.addPyFile(zpath)
+    _PKG_SHIPPED.add(key)
+
+
+def register(name: str, sql: Optional[str]):
+    def deco(fn: QueryFn) -> QueryFn:
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _ensure_pkg_on_workers(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        QUERIES[name] = wrapped
+        if sql is not None:
+            ORACLES[name] = sql
+        return wrapped
+
+    return deco
+
+
+# ------------------------------------------------------------- loaders --
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _qvec(spark: SparkSession, sf_dir: str):
+    """The shared search vector: embedding of vec_id=0 (both engines read
+    the same parquet, so the f32 values are identical)."""
+    row = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0).first()
+    return [float(x) for x in row["embedding"]]
+
+
+def _qvec_lit_double(q):
+    return F.array(*[F.lit(x).cast("double") for x in q])
+
+
+def _mv_str(c) -> F.Column:
+    """Wrap a string column as a raw_string MetadataValue struct."""
+    return F.struct(
+        F.lit("raw_string").alias("kind"),
+        c.cast("string").alias("s"),
+        F.lit(None).cast("binary").alias("bin"),
+    )
+
+
+def _emb_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings table as a canonical store frame: the metadata map is
+    built through the engine's tagged-value type so predicate queries
+    exercise the real machinery."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.select(
+        F.col("vec_id"),
+        F.col("embedding").alias("key"),
+        F.create_map(
+            F.lit("label"), _mv_str(F.col("label")),
+            F.lit("vid"), _mv_str(F.col("vec_id")),
+        ).alias("meta"),
+    )
+
+
+def _part_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part table as a store with a CONDITIONALLY-PRESENT metadata key:
+    size_bucket exists only for p_size >= 10 ('large' when >= 25, else
+    'mid') — the missing-key substrate for NotEquals/NotIn semantics."""
+    part = _t(spark, sf_dir, "part")
+    base = F.create_map(
+        F.lit("brand"), _mv_str(F.col("p_brand")),
+        F.lit("ptype"), _mv_str(F.col("p_type")),
+    )
+    with_bucket = F.create_map(
+        F.lit("brand"), _mv_str(F.col("p_brand")),
+        F.lit("ptype"), _mv_str(F.col("p_type")),
+        F.lit("size_bucket"), _mv_str(
+            F.when(F.col("p_size") >= 25, F.lit("large")).otherwise(F.lit("mid"))
+        ),
+    )
+    return part.select(
+        "p_partkey",
+        F.when(F.col("p_size") >= 10, with_bucket).otherwise(base).alias("meta"),
+    )
+
+
+SCORE_E4 = lambda c: F.round(c * 10000).cast("long")
+
+
+def _rank_topk(scored: DataFrame, metric: str, k: int) -> DataFrame:
+    """closeness-desc, id-asc bounded top-k + rank column — the same
+    TakeOrderedAndProject shape the engine's get_sim_n emits."""
+    order = [S.closeness(metric, F.col("score")).desc(), F.col("vec_id").asc()]
+    top = scored.orderBy(*order).limit(k)
+    w = Window.orderBy(*order)
+    return top.withColumn("rank_n", F.row_number().over(w).cast("long")).select(
+        "vec_id", "rank_n", SCORE_E4(F.col("score")).alias("score_e4")
+    )
+
+
+def _sim_sql(metric_sql: str, order: str, k: int = 10, where: str = "TRUE") -> str:
+    return f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id, {metric_sql} AS score
+  FROM embeddings, q WHERE {where}
+)
+SELECT vec_id,
+       CAST(row_number() OVER (ORDER BY score {order}, vec_id) AS BIGINT) AS rank_n,
+       CAST(round(score*10000) AS BIGINT) AS score_e4
+FROM scored ORDER BY score {order}, vec_id LIMIT {k}
+"""
+
+
+# ==================================================== GetSimN (linear) ==
+
+@register("get_sim_n_cosine", _sim_sql(
+    "list_cosine_similarity(embedding::DOUBLE[], qv)", "DESC"))
+def get_sim_n_cosine(spark, sf_dir):
+    q = _qvec(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    scored = emb.select(
+        "vec_id",
+        S.cosine_similarity(F.col("embedding").cast("array<double>"),
+                            _qvec_lit_double(q), "double").alias("score"),
+    )
+    return _rank_topk(scored, S.COSINE, 10)
+
+
+@register("get_sim_n_euclidean", _sim_sql(
+    "list_distance(embedding::DOUBLE[], qv)", "ASC"))
+def get_sim_n_euclidean(spark, sf_dir):
+    q = _qvec(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    scored = emb.select(
+        "vec_id",
+        S.euclidean_distance(F.col("embedding").cast("array<double>"),
+                             _qvec_lit_double(q), "double").alias("score"),
+    )
+    return _rank_topk(scored, S.EUCLIDEAN, 10)
+
+
+@register("get_sim_n_dot", _sim_sql(
+    "list_inner_product(embedding::DOUBLE[], qv)", "DESC"))
+def get_sim_n_dot(spark, sf_dir):
+    q = _qvec(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    scored = emb.select(
+        "vec_id",
+        S.dot_product(F.col("embedding").cast("array<double>"),
+                      _qvec_lit_double(q), "double").alias("score"),
+    )
+    return _rank_topk(scored, S.DOT, 10)
+
+
+@register("get_sim_n_cosine_filtered", _sim_sql(
+    "list_cosine_similarity(embedding::DOUBLE[], qv)", "DESC",
+    where="label IN (1, 2, 3)"))
+def get_sim_n_cosine_filtered(spark, sf_dir):
+    """Predicate pre-filter via the engine's condition tree (the 4-way
+    GetSimN dispatch collapses to filter->score->top-k)."""
+    q = _qvec(spark, sf_dir)
+    store = _emb_store(spark, sf_dir)
+    cond = In("label", ("1", "2", "3"))
+    scored = store.filter(compile_predicate(cond)).select(
+        "vec_id",
+        S.cosine_similarity(F.col("key").cast("array<double>"),
+                            _qvec_lit_double(q), "double").alias("score"),
+    )
+    return _rank_topk(scored, S.COSINE, 10)
+
+
+# ======================================================= GetKey/DelKey ==
+
+@register("get_key", """
+SELECT vec_id AS vid, CAST(label AS VARCHAR) AS label_s
+FROM embeddings WHERE vec_id IN (1, 5, 9)
+""")
+def get_key(spark, sf_dir):
+    """Exact-vector lookup: hash the probe vectors, broadcast semi-join
+    on the store-key id — the store side never shuffles."""
+    emb = _t(spark, sf_dir, "embeddings")
+    store = emb.select(
+        store_key_id(F.col("embedding")).alias("id"),
+        F.col("vec_id").alias("vid"),
+        F.col("label").cast("string").alias("label_s"),
+    )
+    probes = emb.filter(F.col("vec_id").isin(1, 5, 9)).select(
+        store_key_id(F.col("embedding")).alias("id")
+    )
+    return store.join(F.broadcast(probes), "id", "left_semi").select("vid", "label_s")
+
+
+@register("del_key", """
+SELECT (SELECT count(*) FROM embeddings WHERE vec_id IN (2, 4, 6, 8)) AS deleted_count,
+       (SELECT count(*) FROM embeddings) -
+       (SELECT count(*) FROM embeddings WHERE vec_id IN (2, 4, 6, 8)) AS remaining
+""")
+def del_key(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    store = emb.select(store_key_id(F.col("embedding")).alias("id"))
+    probes = emb.filter(F.col("vec_id").isin(2, 4, 6, 8)).select(
+        store_key_id(F.col("embedding")).alias("id")
+    )
+    deleted = store.join(F.broadcast(probes), "id", "left_semi").count()
+    remaining = store.join(F.broadcast(probes), "id", "left_anti").count()
+    return spark.createDataFrame(
+        [(deleted, remaining)], "deleted_count long, remaining long"
+    )
+
+
+# ========================================================= GetPred family ==
+
+@register("get_pred_equals", "SELECT p_partkey FROM part WHERE p_brand = 'Brand#4'")
+def get_pred_equals(spark, sf_dir):
+    store = _part_store(spark, sf_dir)
+    return store.filter(compile_predicate(Equals("brand", "Brand#4"))).select("p_partkey")
+
+
+@register("get_pred_not_equals_missing_key", """
+SELECT p_partkey FROM part WHERE p_size < 10 OR p_size >= 25
+""")
+def get_pred_not_equals_missing_key(spark, sf_dir):
+    """NotEquals MATCHES rows missing the key (scan semantics,
+    SURVEY.md §2.2): size_bucket absent (p_size<10) or != 'mid'."""
+    store = _part_store(spark, sf_dir)
+    return store.filter(compile_predicate(NotEquals("size_bucket", "mid"))).select("p_partkey")
+
+
+@register("get_pred_in", "SELECT p_partkey FROM part WHERE p_type IN ('MEDIUM', 'PROMO')")
+def get_pred_in(spark, sf_dir):
+    store = _part_store(spark, sf_dir)
+    return store.filter(compile_predicate(In("ptype", ("MEDIUM", "PROMO")))).select("p_partkey")
+
+
+@register("get_pred_not_in_missing_key", "SELECT p_partkey FROM part WHERE p_size < 10")
+def get_pred_not_in_missing_key(spark, sf_dir):
+    """NotIn over every present value leaves exactly the missing-key rows."""
+    store = _part_store(spark, sf_dir)
+    return store.filter(
+        compile_predicate(NotIn("size_bucket", ("mid", "large")))
+    ).select("p_partkey")
+
+
+@register("get_pred_nested", """
+SELECT p_partkey FROM part
+WHERE p_brand IN ('Brand#4', 'Brand#19')
+  AND (
+    (p_size >= 10 AND (CASE WHEN p_size >= 25 THEN 'large' ELSE 'mid' END) = 'large')
+    OR p_type <> 'MEDIUM'
+  )
+""")
+def get_pred_nested(spark, sf_dir):
+    cond = And(
+        In("brand", ("Brand#4", "Brand#19")),
+        Or(Equals("size_bucket", "large"), NotEquals("ptype", "MEDIUM")),
+    )
+    store = _part_store(spark, sf_dir)
+    return store.filter(compile_predicate(cond)).select("p_partkey")
+
+
+@register("del_pred", """
+SELECT (SELECT count(*) FROM part WHERE p_brand = 'Brand#4') AS deleted_count,
+       (SELECT count(*) FROM part) -
+       (SELECT count(*) FROM part WHERE p_brand = 'Brand#4') AS remaining
+""")
+def del_pred(spark, sf_dir):
+    store = _part_store(spark, sf_dir)
+    cond = F.coalesce(compile_predicate(Equals("brand", "Brand#4")), F.lit(False))
+    deleted = store.filter(cond).count()
+    remaining = store.filter(~cond).count()
+    return spark.createDataFrame(
+        [(deleted, remaining)], "deleted_count long, remaining long"
+    )
+
+
+# =============================================== Set / Upsert lifecycle ==
+
+@register("store_lifecycle_counts", """
+SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 300)  AS inserted1,
+       0::BIGINT                                             AS updated1,
+       (SELECT count(*) FROM embeddings WHERE vec_id >= 300) AS inserted2,
+       (SELECT count(*) FROM embeddings WHERE vec_id >= 200 AND vec_id < 300) AS updated2,
+       (SELECT count(*) FROM embeddings)                     AS store_len,
+       64::BIGINT                                            AS dimension
+""")
+def store_lifecycle_counts(spark, sf_dir):
+    """REAL engine write path: create store -> Set batch 1 (vec_id<300)
+    -> overlapping Set batch 2 (vec_id>=200) -> StoreUpsert counts +
+    final store stats. The vector-is-primary-key accounting is what the
+    oracle pins down (ref store.rs:1050-1135)."""
+    from ahnlich_spark.plans.engine import Engine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    wh = tempfile.mkdtemp(prefix="ahnlich_gate_")
+    eng = Engine(spark, wh)
+    eng.create_store("gate", dimension=64)
+    b1 = emb.filter(F.col("vec_id") < 300).select(F.col("embedding").alias("key"))
+    b2 = emb.filter(F.col("vec_id") >= 200).select(F.col("embedding").alias("key"))
+    r1 = eng.set("gate", b1)
+    r2 = eng.set("gate", b2)
+    info = eng.get_store("gate")
+    return spark.createDataFrame(
+        [(r1.inserted, r1.updated, r2.inserted, r2.updated, info.len, info.dimension)],
+        "inserted1 long, updated1 long, inserted2 long, updated2 long, store_len long, dimension long",
+    )
+
+
+@register("upsert_single_row", """
+SELECT 0::BIGINT AS inserted, 1::BIGINT AS updated, 1::BIGINT AS tagged_count,
+       (SELECT count(*) FROM embeddings WHERE vec_id < 50) AS store_len
+""")
+def upsert_single_row(spark, sf_dir):
+    """Engine upsert: exactly-one-match guard + metadata merge."""
+    from ahnlich_spark.plans.engine import Engine
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    wh = tempfile.mkdtemp(prefix="ahnlich_gate_")
+    eng = Engine(spark, wh)
+    eng.create_store("up", dimension=64)
+    rows = [(list(r["embedding"]), {"vid": str(r["vec_id"])}) for r in emb.collect()]
+    eng.set("up", rows)
+    r = eng.upsert("up", Equals("vid", "7"), new_value={"tag": "updated"}, merge_metadata=True)
+    tagged = eng.get_pred("up", Equals("tag", "updated")).count()
+    info = eng.get_store("up")
+    return spark.createDataFrame(
+        [(r.inserted, r.updated, tagged, info.len)],
+        "inserted long, updated long, tagged_count long, store_len long",
+    )
+
+
+# ================================================== AI: embeddings ==
+
+@register("ai_convert_embeddings", """
+WITH sums AS (
+  SELECT doc_id,
+    COALESCE(list_sum(list_transform(range(1, length(text)+1),
+                                     j -> ascii(text[j]) * j)), 0) % 1000003 AS s1,
+    COALESCE(list_sum(list_transform(range(1, length(text)+1),
+                                     j -> ascii(text[j]))), 0) % 1000003 AS s2
+  FROM documents
+)
+SELECT doc_id,
+  CAST((s1 * 1  + s2) % 2001 - 1000 AS BIGINT) AS e0,
+  CAST((s1 * 2  + s2) % 2001 - 1000 AS BIGINT) AS e1,
+  CAST((s1 * 100 + s2) % 2001 - 1000 AS BIGINT) AS e99
+FROM sums
+""")
+def ai_convert_embeddings(spark, sf_dir):
+    """ConvertStoreInputToEmbeddings (ai/query.rs:326-346) through the
+    stub featurizer; three probe components scaled back to exact ints."""
+    from ahnlich_spark.ai.embedder import embed_text_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = embed_text_expr(F.col("text"), "all-minilm-l6-v2")
+    out = docs.select(F.col("doc_id"), emb.alias("emb"))
+    pick = lambda i: F.round(F.element_at(F.col("emb"), i + 1) * 1000).cast("long")
+    return out.select(
+        "doc_id", pick(0).alias("e0"), pick(1).alias("e1"), pick(99).alias("e99")
+    )
+
+
+# ================================================== text analysis ==
+
+_TOKENS_SQL = "regexp_split_to_array(trim(text), '\\s+')"
+
+
+@register("doc_token_count", f"""
+SELECT doc_id, CAST(CASE WHEN trim(text) = '' THEN 0
+            ELSE len({_TOKENS_SQL}) END AS INT) AS n_tokens
+FROM documents
+""")
+def doc_token_count(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", X.token_count(F.col("text")).alias("n_tokens"))
+
+
+@register("doc_quality", f"""
+WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS ws, text FROM documents)
+SELECT doc_id,
+  CAST(len(ws) AS INT) AS n_tokens,
+  CAST(round(len(list_distinct(ws)) * 10000.0 / len(ws)) AS BIGINT) AS distinct_ratio_e4,
+  CAST(round(list_sum(list_transform(ws, w -> length(w))) * 100.0 / len(ws)) AS BIGINT) AS mean_token_len_e2,
+  CAST(round(len(list_filter(ws, w -> w IN ('the','a','an','and','or','of','to','in','is','it'))) * 10000.0 / len(ws)) AS BIGINT) AS stopword_ratio_e4
+FROM toks
+""")
+def doc_quality(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        X.token_count(F.col("text")).alias("n_tokens"),
+        X.distinct_token_ratio_e4(F.col("text")).alias("distinct_ratio_e4"),
+        X.mean_token_len_e2(F.col("text")).alias("mean_token_len_e2"),
+        X.stopword_ratio_e4(F.col("text")).alias("stopword_ratio_e4"),
+    )
+
+
+def _lang_score_sql(markers) -> str:
+    vals = ", ".join(f"'{m}'" for m in markers)
+    return f"len(list_filter({_TOKENS_SQL}, w -> w IN ({vals})))"
+
+
+_LANG_SQL = f"""
+WITH scores AS (
+  SELECT doc_id,
+    {_lang_score_sql(X.LANG_MARKERS['en'])} AS s_en,
+    {_lang_score_sql(X.LANG_MARKERS['es'])} AS s_es,
+    {_lang_score_sql(X.LANG_MARKERS['fr'])} AS s_fr,
+    {_lang_score_sql(X.LANG_MARKERS['de'])} AS s_de,
+    {_lang_score_sql(X.LANG_MARKERS['zh'])} AS s_zh
+  FROM documents
+)
+SELECT doc_id, CASE
+  WHEN greatest(s_en, s_es, s_fr, s_de, s_zh) = 0 THEN 'und'
+  WHEN s_en >= greatest(s_es, s_fr, s_de, s_zh) THEN 'en'
+  WHEN s_es >= greatest(s_fr, s_de, s_zh) THEN 'es'
+  WHEN s_fr >= greatest(s_de, s_zh) THEN 'fr'
+  WHEN s_de >= s_zh THEN 'de'
+  ELSE 'zh' END AS pred_lang
+FROM scores
+"""
+
+
+@register("doc_lang_id", _LANG_SQL)
+def doc_lang_id(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", X.lang_id(F.col("text")).alias("pred_lang"))
+
+
+@register("doc_fingerprint", """
+SELECT doc_id, md5(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS fp
+FROM documents
+""")
+def doc_fingerprint(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", X.fingerprint_md5(F.col("text")).alias("fp"))
+
+
+# ===================================================== dedup suite ==
+
+@register("dedup_exact", """
+SELECT min(doc_id) AS keep_id, count(*) AS n_dups
+FROM (SELECT doc_id, md5(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS fp FROM documents)
+GROUP BY fp
+""")
+def dedup_exact(spark, sf_dir):
+    return D.exact_dedup_groups(_t(spark, sf_dir, "documents"))
+
+
+@register("dedup_wordset", f"""
+SELECT min(doc_id) AS keep_id, count(*) AS n_dups
+FROM (SELECT doc_id,
+        md5(array_to_string(list_sort(list_distinct({_TOKENS_SQL})), chr(31))) AS fp
+      FROM documents)
+GROUP BY fp
+""")
+def dedup_wordset(spark, sf_dir):
+    return D.wordset_dedup_groups(_t(spark, sf_dir, "documents"))
+
+
+_SHINGLES_SQL = f"""
+words AS (SELECT doc_id, {_TOKENS_SQL} AS ws FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id AS did, s FROM (
+    SELECT doc_id, unnest(
+      CASE WHEN len(ws) >= 3
+           THEN list_transform(range(1, len(ws)-1),
+                               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+           ELSE [array_to_string(ws, ' ')] END) AS s
+    FROM words)
+),
+sizes AS (SELECT did, count(*) AS nsh FROM sh GROUP BY did)
+"""
+
+_JACCARD_VERIFY_SQL = """
+SELECT i, j, inter, ni, nj
+FROM inter
+JOIN (SELECT did AS i, nsh AS ni FROM sizes) USING (i)
+JOIN (SELECT did AS j, nsh AS nj FROM sizes) USING (j)
+WHERE 2 * inter >= (ni + nj - inter)
+"""
+
+
+@register("ngram_jaccard_pairs", f"""
+WITH {_SHINGLES_SQL},
+inter AS (
+  SELECT a.did AS i, b.did AS j, count(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.did < b.did
+  GROUP BY 1, 2
+)
+{_JACCARD_VERIFY_SQL}
+""")
+def ngram_jaccard_pairs(spark, sf_dir):
+    """Exact all-pairs word-3-gram Jaccard >= 0.5, integer-exact."""
+    return D.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+@register("minhash_lsh_pairs", f"""
+WITH {_SHINGLES_SQL},
+mh AS (
+  SELECT did, seed, min(md5(seed::VARCHAR || ':' || s)) AS h
+  FROM sh, range(16) t(seed) GROUP BY did, seed
+),
+sig AS (SELECT did, list(h ORDER BY seed) AS sig FROM mh GROUP BY did),
+bands AS (
+  SELECT did, unnest(list_transform(range(8),
+      b -> b::VARCHAR || '|' || sig[2*b+1] || '|' || sig[2*b+2])) AS band
+  FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.did AS i, b.did AS j
+  FROM bands a JOIN bands b ON a.band = b.band AND a.did < b.did
+),
+inter AS (
+  SELECT c.i, c.j, count(*) AS inter
+  FROM cand c JOIN sh a ON a.did = c.i JOIN sh b ON b.did = c.j AND a.s = b.s
+  GROUP BY 1, 2
+)
+{_JACCARD_VERIFY_SQL}
+""")
+def minhash_lsh_pairs(spark, sf_dir):
+    """The scalable near-dup pipeline: shingle -> minhash -> band ->
+    bucket-join candidates -> exact verify (only candidates pay the
+    verification join). Signature minima are md5-hex-string minima so
+    DuckDB reproduces them exactly."""
+    return D.minhash_lsh_dedup_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+@register("simhash_fingerprints", None)  # xxhash64 is Spark-specific -> rows-only
+def simhash_fingerprints(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", X.simhash64(F.col("text")).alias("simhash"))
+
+
+@register("embedding_near_dup", """
+SELECT a.vec_id AS i, b.vec_id AS j,
+       CAST(round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) * 10000) AS BIGINT) AS cos_e4
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
+""")
+def embedding_near_dup(spark, sf_dir):
+    return D.embedding_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.45, precision="double"
+    )
+
+
+# ========================================================= ANN ==
+
+@register("ann_lsh_topk", _sim_sql(
+    "list_cosine_similarity(embedding::DOUBLE[], qv)", "DESC"))
+def ann_lsh_topk(spark, sf_dir):
+    """LSH-bucketed ANN path. At oracle scale the candidate quota exceeds
+    the store size, so the plan takes the reference's brute-force
+    shortcut (hnsw/index.rs:24) and is EXACT — hence the exact-top-k
+    oracle. Recall at bucketed scale is asserted in tests/test_ann.py."""
+    from ahnlich_spark.operators.ann import lsh_top_k
+
+    q = _qvec(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    store = emb.select(
+        F.col("vec_id").alias("id"), F.col("embedding").cast("array<double>").alias("key")
+    )
+    top = lsh_top_k(store, q, metric=S.COSINE, k=10, precision="double")
+    w = Window.orderBy(F.col("similarity").desc(), F.col("id").asc())
+    return (
+        top.withColumn("rank_n", F.row_number().over(w).cast("long"))
+        .select(
+            F.col("id").alias("vec_id"), "rank_n",
+            SCORE_E4(F.col("similarity")).alias("score_e4"),
+        )
+    )
+
+
+# ================================================ events / windows ==
+
+@register("events_hourly_rollup", """
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+       event_type,
+       count(*) AS n,
+       CAST(round(sum(value) * 100) AS BIGINT) AS sum_value_e2
+FROM events GROUP BY 1, 2
+""")
+def events_hourly_rollup(spark, sf_dir):
+    """Tumbling-window rollup (the batch face of the streaming module:
+    the same plan runs under readStream + watermark in
+    ahnlich_spark/streaming). The events parquet stores TIMESTAMP(NANOS),
+    which Spark only reads via the nanosAsLong legacy conf — so the
+    window arithmetic is integer epoch math (timezone-free, identical in
+    both engines)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        ev = _t(spark, sf_dir, "events")
+    finally:
+        spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    ns_per_hour = 3_600_000_000_000
+    return (
+        ev.groupBy(
+            (F.floor(F.col("ts") / ns_per_hour) * 3600).cast("long").alias("hour_epoch"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("value") * 100).cast("long").alias("sum_value_e2"))
+        .select("hour_epoch", "event_type", "n", "sum_value_e2")
+    )
+
+
+# ================================================ multimodal stubs ==
+
+@register("multimodal_image_meta", """
+SELECT doc_id AS media_id,
+       length(text) AS n_bytes,
+       CAST(64 + length(text) % 577 AS INT) AS width,
+       CAST(64 + (length(text) * 7) % 417 AS INT) AS height
+FROM documents
+""")
+def multimodal_image_meta(spark, sf_dir):
+    """Binary-column decode plumbing (mapInPandas, Arrow-batched); the
+    decode itself is the documented deterministic stub."""
+    docs = _t(spark, sf_dir, "documents")
+    media = MM.media_table_from_documents(docs)
+    out = MM.image_metadata(media)
+    return out.select("media_id", "n_bytes", "width", "height")
+
+
+@register("multimodal_frame_sample", """
+WITH m AS (SELECT doc_id AS media_id, length(text) AS n FROM documents)
+SELECT media_id, CAST(i AS INT) AS frame_index,
+       least(1024, n - i * 1024) AS n_frame_bytes
+FROM m, LATERAL (SELECT unnest(range(least(8, greatest(1, n // 1024)))) AS i)
+""")
+def multimodal_frame_sample(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    media = MM.media_table_from_documents(docs)
+    frames = MM.sample_frames(media, every_n_bytes=1024, max_frames=8)
+    return frames.select(
+        "media_id", "frame_index",
+        F.length("frame_bytes").alias("n_frame_bytes"),
+    )
+
+
+# ------------------------------------------------------------- entry --
+
+def flagship(spark: SparkSession) -> DataFrame:
+    """Driver smoke query: exact top-10 cosine at sf0.001."""
+    return get_sim_n_cosine(spark, "/root/testdata/sf0.001")

@@ -1,0 +1,221 @@
+"""Text-analysis scalar functions for large-scale training-data
+pipelines — token counting, quality scoring, language-ID, document
+fingerprinting, shingling, minhash.
+
+Everything here is native ``pyspark.sql.functions`` (JVM-side, inside
+whole-stage codegen). No Python runs per row: at 100 TB these are
+scan-local map expressions with zero shuffle.
+
+Cross-engine determinism note: functions used by the duckdb-oracle
+gate avoid engine-specific hashes — minhash uses lexicographic-min of
+md5 hex strings (md5 is identical everywhere); simhash uses xxhash64
+(Spark-only, therefore oracle-checked as rows-only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------- tokens --
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (ARRAY<STRING>); empty text -> empty array."""
+    t = F.trim(text)
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Token count under the BPE-ish regex (words / numbers / punct)."""
+    return F.size(
+        F.regexp_extract_all(text, F.lit(r"'(?:s|t|re|ve|m|ll|d)|[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), F.lit(0))
+    )
+
+
+# ---------------------------------------------------------------- quality --
+
+def distinct_token_ratio_e4(text: Column) -> Column:
+    """10000 * distinct/total tokens, as BIGINT (0 for empty docs)."""
+    toks = tokens(text)
+    n = F.size(toks)
+    d = F.size(F.array_distinct(toks))
+    return F.when(n == 0, F.lit(0)).otherwise(
+        F.round(d * F.lit(10000.0) / n).cast("long")
+    )
+
+
+def punct_ratio_e4(text: Column) -> Column:
+    """10000 * punctuation-chars/total-chars, as BIGINT."""
+    total = F.length(text)
+    punct = total - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    return F.when(total == 0, F.lit(0)).otherwise(
+        F.round(punct * F.lit(10000.0) / total).cast("long")
+    )
+
+
+def mean_token_len_e2(text: Column) -> Column:
+    """100 * mean token length, as BIGINT."""
+    toks = tokens(text)
+    n = F.size(toks)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.when(n == 0, F.lit(0)).otherwise(
+        F.round(total * F.lit(100.0) / n).cast("long")
+    )
+
+
+STOPWORDS_EN = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+
+def stopword_ratio_e4(text: Column, stopwords=STOPWORDS_EN) -> Column:
+    toks = tokens(text)
+    n = F.size(toks)
+    sw = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+    return F.when(n == 0, F.lit(0)).otherwise(
+        F.round(sw * F.lit(10000.0) / n).cast("long")
+    )
+
+
+# ---------------------------------------------------------------- lang id --
+
+# Marker stopwords per language; scoring = total occurrences of the
+# language's markers among the tokens; argmax wins, ties broken by the
+# fixed order below (deterministic, SQL-replicable).
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "to", "a", "is"),
+    "es": ("el", "la", "de", "que", "y", "los"),
+    "fr": ("le", "la", "les", "et", "des", "une"),
+    "de": ("der", "die", "und", "das", "ein", "nicht"),
+    "zh": ("的", "是", "了", "在", "我", "有"),
+}
+LANG_ORDER = ("en", "es", "fr", "de", "zh")
+
+
+def _marker_hits(toks: Column, markers) -> Column:
+    return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+
+def lang_id(text: Column) -> Column:
+    """Heuristic n-gram/stopword language ID: most marker hits wins;
+    'und' (undetermined) when no marker fires at all."""
+    toks = tokens(text)
+    scores = [(lang, _marker_hits(toks, LANG_MARKERS[lang])) for lang in LANG_ORDER]
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    # iterate in REVERSE so that earlier languages win ties (>= replaces)
+    for lang, score in reversed(scores):
+        take = score >= best_score
+        # strictly-greater-than-zero requirement for 'und' fallback
+        best_lang = F.when((score > 0) & take, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(take, score).otherwise(best_score)
+    return best_lang
+
+
+# ----------------------------------------------------------- fingerprints --
+
+def fingerprint_md5(text: Column) -> Column:
+    """Whitespace-normalized md5 fingerprint (portable across engines)."""
+    return F.md5(F.regexp_replace(F.trim(text), r"\s+", " "))
+
+
+def rolling_hash(text: Column, base: int = 257, mod: int = 1_000_000_007) -> Column:
+    """Karp-Rabin polynomial rolling hash over character codes, computed
+    with exact integer arithmetic (JVM-side fold over the char array)."""
+    chars = F.split(text, "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * base + F.coalesce(F.ascii(c), F.lit(0))) % mod,
+    )
+
+
+def wordset_fingerprint(text: Column) -> Column:
+    """Order-insensitive bag-of-distinct-words fingerprint: md5 of the
+    sorted distinct token list."""
+    return F.md5(F.concat_ws("\x1f", F.array_sort(F.array_distinct(tokens(text)))))
+
+
+# --------------------------------------------------------------- shingles --
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (ARRAY<STRING>); docs shorter than n
+    tokens shingle to the whole document."""
+    toks = tokens(text)
+    k = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), k - n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    whole = F.array(F.concat_ws(" ", toks))
+    return F.array_distinct(F.when(k >= n, grams).otherwise(whole))
+
+
+# ---------------------------------------------------------------- minhash --
+
+def minhash_signature(shingles: Column, n_hashes: int = 16) -> Column:
+    """MinHash signature as ARRAY<STRING>: element i is the lexicographic
+    MIN of md5(i || ':' || shingle). Using md5-hex-string minima keeps the
+    signature bit-identical across engines (duckdb oracle parity) while
+    preserving the min-hash property (md5 is uniform on hex strings)."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{i}:"), s)))
+            )
+            for i in range(n_hashes)
+        ]
+    )
+
+
+def minhash_bands(signature: Column, n_bands: int = 8, rows_per_band: int = 2) -> Column:
+    """Band keys for LSH bucketing: ARRAY<STRING> of length n_bands, each
+    'band_index|h1|h2|...' — docs sharing ANY band key are candidates."""
+    return F.array(
+        *[
+            F.concat_ws(
+                "|",
+                F.lit(str(b)),
+                *[F.element_at(signature, b * rows_per_band + r + 1) for r in range(rows_per_band)],
+            )
+            for b in range(n_bands)
+        ]
+    )
+
+
+# --------------------------------------------------------------- simhash --
+
+def simhash64(text: Column) -> Column:
+    """64-bit SimHash over whitespace tokens, token-hash = xxhash64.
+    Per-bit vote: +1 if the token's hash bit is set else -1; fingerprint
+    bit = 1 where the vote sum is >= 0. (xxhash64 is Spark-specific, so
+    this is oracle-checked rows-only.)"""
+    toks = tokens(text)
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda a, b: a
+            + F.when(
+                F.call_function("shiftright", h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            ).otherwise(F.lit(-1)),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            votes,
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda v, b: F.when(
+                v >= 0, F.call_function("shiftleft", F.lit(1).cast("long"), b)
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )

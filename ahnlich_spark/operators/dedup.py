@@ -1,0 +1,204 @@
+"""Deduplication operators for training-data pipelines.
+
+Five strategies, each with a different cost/recall point at 100 TB:
+
+- exact          — hash-groupBy on a normalized fingerprint. One shuffle
+                   on a short string key; partial aggregation map-side.
+- wordset        — order-insensitive bag-of-words fingerprint groupBy.
+- ngram_jaccard  — exact pairwise Jaccard via shingle-explode self-join;
+                   quadratic in the worst case, use LSH to pre-prune.
+- minhash_lsh    — MinHash signatures banded into buckets; only bucket
+                   collisions are verified exactly (the classic
+                   shingle -> minhash -> band -> bucket-join pipeline).
+- simhash        — 64-bit SimHash fingerprint; near-dups = small Hamming
+                   distance (bit_count(xor)).
+- embedding      — cosine over an embedding column (see ann/topk for the
+                   scaled variant).
+
+All set algebra is integer-exact: Jaccard thresholds compare
+``c * denom_scale >= threshold_num * (na + nb - c)`` in BIGINT so that a
+duckdb oracle reproduces results bit-for-bit with no float boundaries.
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ahnlich_spark.functions import text as X
+from ahnlich_spark.functions import similarity as S
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(keep_id, n_dups) per exact-content group: keep the smallest id.
+    One shuffle on the md5 fingerprint; map-side partial agg."""
+    return (
+        df.select(F.col(id_col), X.fingerprint_md5(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+        .select("keep_id", "n_dups")
+    )
+
+
+def wordset_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Order-insensitive duplicate groups (same distinct-word set)."""
+    return (
+        df.select(F.col(id_col), X.wordset_fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+        .select("keep_id", "n_dups")
+    )
+
+
+def _shingle_table(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("did"),
+        F.explode(X.word_shingles(F.col(text_col), n)).alias("sh"),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All pairs (i < j) with word-n-gram Jaccard >= threshold.
+    Returns (i, j, inter, ni, nj) — integers only, so the comparison
+    ``inter/(ni+nj-inter) >= threshold`` is evaluated as exact integer
+    cross-multiplication (no float boundary).
+
+    Plan shape: explode shingles -> self-join on shingle (one shuffle on
+    the shingle key) -> groupBy pair -> integer filter. At scale, run
+    minhash_lsh_candidate_pairs first and verify only candidates."""
+    sh = _shingle_table(df, text_col, id_col, n)
+    sizes = sh.groupBy("did").agg(F.count(F.lit(1)).alias("nsh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.did") < F.col("b.did")))
+        .groupBy(F.col("a.did").alias("i"), F.col("b.did").alias("j"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    frac = Fraction(threshold).limit_denominator(10**6)
+    num, den = frac.numerator, frac.denominator
+    return (
+        inter.join(sizes.withColumnRenamed("did", "i").withColumnRenamed("nsh", "ni"), "i")
+        .join(sizes.withColumnRenamed("did", "j").withColumnRenamed("nsh", "nj"), "j")
+        # inter/(ni+nj-inter) >= num/den  <=>  den*inter >= num*(ni+nj-inter)
+        .filter(F.lit(den) * F.col("inter") >= F.lit(num) * (F.col("ni") + F.col("nj") - F.col("inter")))
+        .select("i", "j", "inter", "ni", "nj")
+    )
+
+
+def minhash_lsh_candidate_pairs(
+    df: DataFrame,
+    n_hashes: int = 16,
+    n_bands: int = 8,
+    rows_per_band: int = 2,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate pairs (i < j) sharing at least one MinHash LSH band.
+    shingle -> minhash -> band -> bucket self-join: the only shuffle is
+    on the band key, and bucket sizes bound the join fan-out (no
+    quadratic blow-up unless a bucket is genuinely hot)."""
+    sig = df.select(
+        F.col(id_col).alias("did"),
+        X.minhash_signature(X.word_shingles(F.col(text_col), shingle_n), n_hashes).alias("sig"),
+    )
+    bands = sig.select(
+        "did", F.explode(X.minhash_bands(F.col("sig"), n_bands, rows_per_band)).alias("band")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.did") < F.col("b.did")))
+        .select(F.col("a.did").alias("i"), F.col("b.did").alias("j"))
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n_hashes: int = 16,
+    n_bands: int = 8,
+    rows_per_band: int = 2,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LSH candidates verified by exact integer Jaccard: the scalable
+    near-dup pipeline (candidates only, never all pairs)."""
+    cands = minhash_lsh_candidate_pairs(
+        df, n_hashes, n_bands, rows_per_band, shingle_n, text_col, id_col
+    )
+    sh = _shingle_table(df, text_col, id_col, shingle_n)
+    sizes = sh.groupBy("did").agg(F.count(F.lit(1)).alias("nsh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        cands.join(a, cands["i"] == F.col("a.did"))
+        .join(b, (cands["j"] == F.col("b.did")) & (F.col("a.sh") == F.col("b.sh")))
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    frac = Fraction(threshold).limit_denominator(10**6)
+    num, den = frac.numerator, frac.denominator
+    return (
+        inter.join(sizes.withColumnRenamed("did", "i").withColumnRenamed("nsh", "ni"), "i")
+        .join(sizes.withColumnRenamed("did", "j").withColumnRenamed("nsh", "nj"), "j")
+        .filter(F.lit(den) * F.col("inter") >= F.lit(num) * (F.col("ni") + F.col("nj") - F.col("inter")))
+        .select("i", "j", "inter", "ni", "nj")
+    )
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_prefix_bits: int = 16,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
+
+    Scale path: block on the top ``n_prefix_bits`` of the fingerprint
+    (near-dups with few differing bits usually share the prefix; rotate
+    the fingerprint for higher recall) so the self-join is per-block, not
+    quadratic. Returns (i, j, hamming)."""
+    fp = df.select(F.col(id_col).alias("did"), X.simhash64(F.col(text_col)).alias("fp"))
+    blocked = fp.withColumn("blk", F.shiftrightunsigned(F.col("fp"), 64 - n_prefix_bits))
+    a, b = blocked.alias("a"), blocked.alias("b")
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.did") < F.col("b.did")))
+        .select(
+            F.col("a.did").alias("i"),
+            F.col("b.did").alias("j"),
+            F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    precision: str = "double",
+) -> DataFrame:
+    """Pairs (i < j) with cosine >= threshold over an embedding column.
+    Brute-force O(n^2) reference implementation — at scale, bucket with
+    ann.build_signature_index and join buckets instead. Returns
+    (i, j, cos_e4)."""
+    a = df.select(F.col(id_col).alias("i"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("j"), F.col(vec_col).alias("vb"))
+    pairs = a.join(b, F.col("i") < F.col("j"))
+    cos = S.cosine_similarity(F.col("va"), F.col("vb"), precision)
+    return (
+        pairs.withColumn("cos", cos)
+        .filter(F.col("cos") >= threshold)
+        .select("i", "j", F.round(F.col("cos") * 10000).cast("long").alias("cos_e4"))
+    )

@@ -413,7 +413,7 @@ class Engine:
             [(key, merged, 0)],
             T.StructType(
                 [
-                    T.StructField("key", T.ArrayType(T.FloatType(), False), False),
+                    T.StructField("key", T.ArrayType(T.FloatType(), True), False),
                     T.StructField("meta", META_MAP_TYPE, True),
                     T.StructField("_seq", T.LongType(), False),
                 ]
@@ -454,7 +454,7 @@ class Engine:
         rows = [([float(x) for x in np.asarray(list(k), dtype=np.float32)],) for k in keys]
         return self.spark.createDataFrame(
             rows,
-            T.StructType([T.StructField("key", T.ArrayType(T.FloatType(), False), False)]),
+            T.StructType([T.StructField("key", T.ArrayType(T.FloatType(), True), False)]),
         )
 
     def _check_dims(self, meta: StoreMeta, keys: Sequence[Sequence[float]]) -> None:
@@ -483,7 +483,7 @@ class Engine:
                     f"batch contains vectors of wrong dimension (expect {meta.dimension})"
                 )
             df = df.select(
-                F.col("key").cast(T.ArrayType(T.FloatType(), False)).alias("key"),
+                F.col("key").cast(T.ArrayType(T.FloatType(), True)).alias("key"),
                 F.col("meta").cast(META_MAP_TYPE).alias("meta"),
                 "_seq",
             )
@@ -501,7 +501,7 @@ class Engine:
                 rows,
                 T.StructType(
                     [
-                        T.StructField("key", T.ArrayType(T.FloatType(), False), False),
+                        T.StructField("key", T.ArrayType(T.FloatType(), True), False),
                         T.StructField("meta", META_MAP_TYPE, True),
                         T.StructField("_seq", T.LongType(), False),
                     ]

@@ -53,7 +53,7 @@ def store_schema() -> T.StructType:
     return T.StructType(
         [
             T.StructField("id", T.LongType(), False),
-            T.StructField("key", T.ArrayType(T.FloatType(), False), False),
+            T.StructField("key", T.ArrayType(T.FloatType(), True), False),
             T.StructField("meta", META_MAP_TYPE, True),
         ]
     )
