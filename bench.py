@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Times include full result materialization (collect), which is how the
+reference's criterion benches measure GetSimN round-trips."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# Headline set: the vector-store hot path, the scalable dedup pipeline,
+# text analysis scans, the write path, and the windowed rollup.
+BENCH_QUERIES = [
+    "get_sim_n_cosine",
+    "get_sim_n_euclidean",
+    "get_sim_n_dot",
+    "get_sim_n_cosine_filtered",
+    "ann_lsh_topk",
+    "get_key",
+    "get_pred_equals",
+    "get_pred_nested",
+    "del_pred",
+    "store_lifecycle_counts",
+    "ai_convert_embeddings",
+    "doc_token_count",
+    "doc_quality",
+    "doc_lang_id",
+    "doc_fingerprint",
+    "dedup_exact",
+    "dedup_wordset",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "simhash_fingerprints",
+    "embedding_near_dup",
+    "events_hourly_rollup",
+    "multimodal_image_meta",
+]
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("ahnlich_spark_bench")
+        .config("spark.sql.shuffle.partitions", CPUS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+
+    # JVM/codegen warmup on the smallest SF so bench times measure the
+    # queries, not classloading.
+    entry_mod.entry(spark).collect()
+
+    timings = {}
+    for name in BENCH_QUERIES:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        rows = fn(spark, SF_DIR).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        del rows
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "wall seconds, headline operator suite (collect-inclusive)",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
