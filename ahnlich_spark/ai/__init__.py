@@ -1,5 +1,10 @@
 from ahnlich_spark.ai.models import MODELS, ModelSpec
-from ahnlich_spark.ai.embedder import embed_text_expr, embed_binary_expr, embed_pandas_udf
+from ahnlich_spark.ai.embedder import (
+    embed_text_expr,
+    embed_binary_expr,
+    embed_pandas_udf,
+    stub_embed,
+)
 from ahnlich_spark.ai.proxy import AiEngine
 
 __all__ = [
@@ -8,5 +13,6 @@ __all__ = [
     "embed_text_expr",
     "embed_binary_expr",
     "embed_pandas_udf",
+    "stub_embed",
     "AiEngine",
 ]

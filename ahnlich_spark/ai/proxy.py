@@ -18,11 +18,10 @@ from __future__ import annotations
 
 from typing import Iterable, List, Optional, Sequence, Tuple
 
-import numpy as np
 from pyspark.sql import DataFrame
 
 from ahnlich_spark import errors
-from ahnlich_spark.ai.embedder import P, RANGE
+from ahnlich_spark.ai.embedder import stub_embed
 from ahnlich_spark.ai.models import get_model
 from ahnlich_spark.catalog import PUBLIC_SCHEMA, AiBinding
 from ahnlich_spark.operators.predicates import In, Predicate
@@ -35,18 +34,6 @@ from ahnlich_spark.types import (
 )
 
 AiEntry = Tuple[StoreInput, dict]
-
-
-def stub_embed(data: bytes, dim: int) -> List[float]:
-    """Driver-side copy of the stub featurizer (ai/embedder.py docstring
-    has the spec) for embedding QUERY inputs without a Spark job."""
-    codes = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
-    j = np.arange(1, len(codes) + 1, dtype=np.int64)
-    s1 = int((codes * j).sum() % P) if len(codes) else 0
-    s2 = int(codes.sum() % P) if len(codes) else 0
-    i = np.arange(1, dim + 1, dtype=np.int64)
-    raw = (s1 * i + s2) % RANGE - 1000
-    return [float(x) for x in (raw / 1000.0).astype(np.float32)]
 
 
 class AiEngine:
@@ -118,7 +105,7 @@ class AiEngine:
     def _embed_input(self, inp: StoreInput, model: str) -> List[float]:
         self._validate_kind(inp, model)
         spec = get_model(model)
-        data = (inp.text or "").encode("utf-8") if inp.kind == KIND_RAW_STRING else (inp.bin or b"")
+        data = (inp.text or "") if inp.kind == KIND_RAW_STRING else (inp.bin or b"")
         return stub_embed(data, spec.embedding_size)
 
     @staticmethod
@@ -211,12 +198,13 @@ class AiEngine:
         return self.engine.upsert(store, condition, new_key, new_value, merge_metadata, schema)
 
     def convert_store_input_to_embeddings(
-        self, df: DataFrame, model: str, input_col: str = "text"
+        self, df: DataFrame, model: str, input_col: str = "text", kind: str = "text"
     ) -> DataFrame:
         """Pure embedding call, no store (ai/query.rs:326-346): adds an
-        ``embedding ARRAY<FLOAT>`` column, fully JVM-side."""
+        ``embedding ARRAY<FLOAT>`` column via the Arrow-batched UDF."""
         from pyspark.sql import functions as F
 
-        from ahnlich_spark.ai.embedder import embed_text_expr
+        from ahnlich_spark.ai.embedder import embed_pandas_udf
 
-        return df.withColumn("embedding", embed_text_expr(F.col(input_col), model))
+        udf = embed_pandas_udf(model, kind=kind)
+        return df.withColumn("embedding", udf(F.col(input_col)))

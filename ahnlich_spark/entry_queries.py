@@ -408,11 +408,12 @@ FROM sums
 """)
 def ai_convert_embeddings(spark, sf_dir):
     """ConvertStoreInputToEmbeddings (ai/query.rs:326-346) through the
-    stub featurizer; three probe components scaled back to exact ints."""
-    from ahnlich_spark.ai.embedder import embed_text_expr
+    stub featurizer (Arrow-batched numpy — the ONNX plug-point); three
+    probe components scaled back to exact ints."""
+    from ahnlich_spark.ai.embedder import embed_pandas_udf
 
     docs = _t(spark, sf_dir, "documents")
-    emb = embed_text_expr(F.col("text"), "all-minilm-l6-v2")
+    emb = embed_pandas_udf("all-minilm-l6-v2")(F.col("text"))
     out = docs.select(F.col("doc_id"), emb.alias("emb"))
     pick = lambda i: F.round(F.element_at(F.col("emb"), i + 1) * 1000).cast("long")
     return out.select(
