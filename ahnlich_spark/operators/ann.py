@@ -96,6 +96,14 @@ def lsh_top_k(
     small-accept-list brute-force shortcut, hnsw/index.rs:24).
     """
     dim = len(list(query_vector))
+
+    # The reference's small-store shortcut (hnsw/index.rs:24): below the
+    # brute-force threshold the exact scan IS the fast path — skip the
+    # signature projection entirely (one cheap count vs evaluating
+    # n_planes dot products per row just to discover pruning won't pay).
+    if df.limit(brute_force_threshold + 1).count() <= brute_force_threshold:
+        return top_k_similar(df, query_vector, metric, k, precision=precision)
+
     planes = hyperplanes(dim, n_planes, seed)
     qsig = signature_of(query_vector, planes)
 
@@ -106,13 +114,21 @@ def lsh_top_k(
 
     min_candidates = max(4 * k, brute_force_threshold // 8)
     dist = F.bit_count(F.col("sig").bitwiseXOR(F.lit(qsig)))
-    for radius in (hamming_radius, hamming_radius + 2, hamming_radius + 4):
-        cands = cand_base.filter(dist <= radius).drop("sig")
-        # AQE-style runtime decision: one cheap count steers the plan.
-        # Accept only a FULL candidate quota — a starved bucket must widen,
-        # and a store smaller than the quota always brute-forces (the
-        # reference's <=4096 shortcut makes that the fast path anyway).
-        n = cands.limit(min_candidates).count()
-        if n >= min_candidates:
-            return top_k_similar(cands, query_vector, metric, k, precision=precision)
-    return top_k_similar(df, query_vector, metric, k, precision=precision)
+    # AQE-style runtime decision from ONE pass: the Hamming-distance
+    # histogram (n_planes+1 tiny rows) picks the smallest radius whose
+    # cumulative candidate count fills the quota — instead of paying a
+    # full signature evaluation per probed radius.
+    hist = dict(
+        cand_base.select(dist.alias("d")).groupBy("d").count().collect()
+    )
+    cum = 0
+    chosen = None
+    for radius in range(n_planes + 1):
+        cum += hist.get(radius, 0)
+        if radius >= hamming_radius and cum >= min_candidates:
+            chosen = radius
+            break
+    if chosen is None or cum < min_candidates:
+        return top_k_similar(df, query_vector, metric, k, precision=precision)
+    cands = cand_base.filter(dist <= chosen).drop("sig")
+    return top_k_similar(cands, query_vector, metric, k, precision=precision)
