@@ -13,3 +13,16 @@ from ahnlich_spark.plans.engine import Engine
 
 __all__ = ["Engine", "MetadataValue", "StoreInput"]
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # lazy imports to avoid a circular import at package load
+    if name == "DslExecutor":
+        from ahnlich_spark.dsl import DslExecutor
+
+        return DslExecutor
+    if name == "AiEngine":
+        from ahnlich_spark.ai import AiEngine
+
+        return AiEngine
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

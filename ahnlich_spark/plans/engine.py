@@ -444,6 +444,12 @@ class Engine:
     def ping(self) -> str:
         return "pong"
 
+    def list_clients(self) -> List[dict]:
+        """Connected-clients registry (reference handler.rs:385-401) —
+        a single-process Spark session has no client sessions; the DSL
+        surface still answers the statement."""
+        return []
+
     def info_server(self) -> dict:
         from ahnlich_spark import __version__
 
