@@ -35,6 +35,9 @@ from ahnlich_spark.types import (
 
 AiEntry = Tuple[StoreInput, dict]
 
+NO_PREPROCESSING = "nopreprocessing"
+MODEL_PREPROCESSING = "modelpreprocessing"
+
 
 class AiEngine:
     """AI ops over a DB Engine. One instance serves all AI stores."""
@@ -79,6 +82,27 @@ class AiEngine:
                    schema: str = PUBLIC_SCHEMA) -> int:
         return self.engine.drop_store(name, error_if_not_exists, schema)
 
+    def list_stores(self, schema: str = PUBLIC_SCHEMA) -> list:
+        """AI store listing with model bindings (reference AIStoreInfo:
+        name + query/index model + embedding size)."""
+        out = []
+        for meta in self.catalog.list_stores(schema):
+            if meta.ai is None:
+                continue
+            info = self.engine.get_store(meta.name, schema)
+            out.append(
+                {
+                    "name": meta.name,
+                    "schema": meta.schema,
+                    "len": info.len,
+                    "query_model": meta.ai.query_model,
+                    "index_model": meta.ai.index_model,
+                    "store_original": meta.ai.store_original,
+                    "embedding_size": info.dimension,
+                }
+            )
+        return out
+
     def purge_stores(self, schema: str = PUBLIC_SCHEMA) -> int:
         """Drop ALL AI stores in the schema (ai/query.rs:256)."""
         dropped = 0
@@ -102,8 +126,31 @@ class AiEngine:
                 f"model {model!r} expects {spec.input_kind}, got {inp.kind}"
             )
 
-    def _embed_input(self, inp: StoreInput, model: str) -> List[float]:
+    def _preprocess_input(self, inp: StoreInput, model: str, action: str) -> StoreInput:
+        """PreprocessAction semantics (reference ai/manager/mod.rs:186-207):
+        ModelPreprocessing truncates text to the model's token budget;
+        NoPreprocessing errors when the budget is exceeded. Token count
+        uses whitespace tokens (the model tokenizers are not in this
+        container; the budget check is the contract being preserved).
+        Image/audio resize-or-reject is stubbed as pass-through — the
+        decode stack lives behind operators/multimodal.py's stubs."""
+        spec = get_model(model)
+        if inp.kind == KIND_RAW_STRING and spec.max_tokens:
+            toks = (inp.text or "").split()
+            if len(toks) > spec.max_tokens:
+                if action == MODEL_PREPROCESSING:
+                    return StoreInput.raw_string(" ".join(toks[: spec.max_tokens]))
+                raise errors.TokenExceeded(
+                    f"input has {len(toks)} tokens; model {model!r} allows "
+                    f"{spec.max_tokens} (use ModelPreprocessing to truncate)"
+                )
+        return inp
+
+    def _embed_input(
+        self, inp: StoreInput, model: str, preprocess: str = NO_PREPROCESSING
+    ) -> List[float]:
         self._validate_kind(inp, model)
+        inp = self._preprocess_input(inp, model, preprocess)
         spec = get_model(model)
         data = (inp.text or "") if inp.kind == KIND_RAW_STRING else (inp.bin or b"")
         return stub_embed(data, spec.embedding_size)
@@ -118,6 +165,7 @@ class AiEngine:
         store: str,
         inputs: Sequence[AiEntry],
         schema: str = PUBLIC_SCHEMA,
+        preprocess_action: str = NO_PREPROCESSING,
     ) -> StoreUpsert:
         binding = self._binding(store, schema)
         entries = []
@@ -127,7 +175,7 @@ class AiEngine:
                 raise errors.ReservedKeyError(
                     f"metadata key {AHNLICH_RESERVED_INPUT_KEY!r} is reserved"
                 )
-            vec = self._embed_input(inp, binding.index_model)
+            vec = self._embed_input(inp, binding.index_model, preprocess_action)
             m = dict(meta or {})
             if binding.store_original:
                 m[AHNLICH_RESERVED_INPUT_KEY] = self._input_mv(inp)
@@ -149,9 +197,10 @@ class AiEngine:
         algorithm: str = "cosine_similarity",
         condition: Optional[Predicate] = None,
         schema: str = PUBLIC_SCHEMA,
+        preprocess_action: str = NO_PREPROCESSING,
     ) -> DataFrame:
         binding = self._binding(store, schema)
-        vec = self._embed_input(search_input, binding.query_model)
+        vec = self._embed_input(search_input, binding.query_model, preprocess_action)
         return self.engine.get_sim_n(store, vec, closest_n, algorithm, condition, schema)
 
     def get_key(
@@ -184,13 +233,14 @@ class AiEngine:
         new_value: Optional[dict] = None,
         merge_metadata: bool = False,
         schema: str = PUBLIC_SCHEMA,
+        preprocess_action: str = NO_PREPROCESSING,
     ) -> StoreUpsert:
         """Single-row conditional update with re-embedding
         (ahnlich/ai/src/engine/store.rs:433-498)."""
         binding = self._binding(store, schema)
         new_key = None
         if new_input is not None:
-            new_key = self._embed_input(new_input, binding.index_model)
+            new_key = self._embed_input(new_input, binding.index_model, preprocess_action)
             if binding.store_original:
                 new_value = dict(new_value or {})
                 new_value[AHNLICH_RESERVED_INPUT_KEY] = self._input_mv(new_input)

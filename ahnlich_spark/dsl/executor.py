@@ -136,17 +136,22 @@ class DslExecutor:
                 schema=_schema(op.schema))
         if isinstance(op, ops.AiSet):
             entries = [(inp, _meta_dict(value)) for inp, value in op.entries]
-            return ai.set(op.store, entries, schema=_schema(op.schema))
+            return ai.set(op.store, entries, schema=_schema(op.schema),
+                          preprocess_action=op.preprocess_action)
         if isinstance(op, ops.AiGetKey):
             return ai.get_key(op.store, list(op.inputs), schema=_schema(op.schema))
         if isinstance(op, ops.AiDelKey):
             return ai.del_key(op.store, list(op.inputs), schema=_schema(op.schema))
         if isinstance(op, ops.AiGetSimN):
+            kw = {}
+            if op.preprocess_action is not None:
+                kw["preprocess_action"] = op.preprocess_action
             return ai.get_sim_n(op.store, op.search_input, closest_n=op.closest_n,
                                 algorithm=op.algorithm, condition=op.condition,
-                                schema=_schema(op.schema))
+                                schema=_schema(op.schema), **kw)
         if isinstance(op, ops.AiUpsert):
             return ai.upsert(op.store, op.condition, new_input=op.new_input,
                              new_value=_meta_dict(op.new_value),
-                             schema=_schema(op.schema))
+                             schema=_schema(op.schema),
+                             preprocess_action=op.preprocess_action)
         raise ValueError(f"unhandled op {type(op).__name__}")

@@ -51,5 +51,11 @@ class InputTypeMismatch(AhnlichError):
     """AI store input kind does not match the model's input type."""
 
 
+class TokenExceeded(AhnlichError):
+    """Input exceeds the model's token budget under NoPreprocessing
+    (reference: AIProxyError::TokenExceededError,
+    ahnlich/ai/src/error.rs:40, raised at ai/src/manager/mod.rs:204-207)."""
+
+
 class DslSyntaxError(AhnlichError):
     pass

@@ -1,0 +1,118 @@
+"""AI-proxy surface tests (reference: ahnlich/ai/src/tests/aiproxy_test.rs
+behaviors): store_original + reserved key, re-set replacement, lookup by
+original input, preprocess-action token budget, model validation."""
+
+import pytest
+
+from ahnlich_spark import errors
+from ahnlich_spark.ai import AiEngine, stub_embed
+from ahnlich_spark.types import AHNLICH_RESERVED_INPUT_KEY, StoreInput
+
+SI = StoreInput.raw_string
+MODEL = "all-minilm-l6-v2"  # 384 dims, 256-token budget
+
+
+@pytest.fixture
+def ai(engine):
+    return AiEngine(engine)
+
+
+def _mk(ai, name="texts", store_original=True, **kw):
+    ai.create_store(name, query_model=MODEL, index_model=MODEL,
+                    store_original=store_original, **kw)
+
+
+def test_set_and_get_sim_n_roundtrip(ai):
+    _mk(ai)
+    r = ai.set("texts", [(SI("alpha beta"), {"n": "1"}), (SI("gamma"), {"n": "2"})])
+    assert (r.inserted, r.updated) == (2, 0)
+    top = ai.get_sim_n("texts", SI("alpha beta"), closest_n=1).collect()
+    assert len(top) == 1 and abs(top[0]["similarity"] - 1.0) < 1e-6
+
+
+def test_reserved_key_collision_rejected(ai):
+    _mk(ai)
+    with pytest.raises(errors.ReservedKeyError):
+        ai.set("texts", [(SI("x"), {AHNLICH_RESERVED_INPUT_KEY: "boom"})])
+
+
+def test_re_set_same_original_replaces(ai):
+    """Reference operations.rs:229-243: AI Set pipelines
+    [DelPred(In(reserved, inputs)), Set] — the old entry for the same
+    original is deleted first, so the store never grows."""
+    _mk(ai)
+    ai.set("texts", [(SI("doc one"), {"v": "1"})])
+    ai.set("texts", [(SI("doc one"), {"v": "2"})])
+    rows = ai.get_key("texts", [SI("doc one")]).collect()
+    assert len(rows) == 1
+    assert rows[0]["meta"]["v"]["s"] == "2"
+    assert ai.engine.get_store("texts").len == 1
+
+
+def test_get_key_and_del_key_by_original(ai):
+    _mk(ai)
+    ai.set("texts", [(SI("aaa"), {}), (SI("bbb"), {})])
+    assert ai.get_key("texts", [SI("aaa")]).count() == 1
+    assert ai.del_key("texts", [SI("aaa")]).deleted_count == 1
+    assert ai.engine.get_store("texts").len == 1
+
+
+def test_without_store_original_lookup_by_vector(ai):
+    _mk(ai, name="novecs", store_original=False)
+    ai.set("novecs", [(SI("hello"), {"k": "v"})])
+    rows = ai.get_key("novecs", [SI("hello")]).collect()
+    assert len(rows) == 1
+    assert AHNLICH_RESERVED_INPUT_KEY not in rows[0]["meta"]
+
+
+def test_token_budget_no_preprocessing_errors(ai):
+    _mk(ai)
+    long_text = " ".join(f"w{i}" for i in range(300))  # > 256-token budget
+    with pytest.raises(errors.TokenExceeded):
+        ai.set("texts", [(SI(long_text), {})])
+
+
+def test_token_budget_model_preprocessing_truncates(ai):
+    _mk(ai)
+    toks = [f"w{i}" for i in range(300)]
+    ai.set("texts", [(SI(" ".join(toks)), {})],
+           preprocess_action="modelpreprocessing")
+    # embedding equals the explicit 256-token truncation
+    truncated = " ".join(toks[:256])
+    top = ai.get_sim_n("texts", SI(truncated), closest_n=1,
+                       preprocess_action="nopreprocessing").collect()
+    assert abs(top[0]["similarity"] - 1.0) < 1e-6
+
+
+def test_input_kind_mismatch(ai):
+    _mk(ai)
+    with pytest.raises(errors.InputTypeMismatch):
+        ai.set("texts", [(StoreInput.image(b"\x01\x02"), {})])
+
+
+def test_query_index_model_dimension_guard(ai):
+    with pytest.raises(ValueError):
+        ai.create_store("bad", query_model=MODEL, index_model="bge-large-en-v1.5")
+
+
+def test_list_and_purge_stores(ai):
+    _mk(ai, name="a1")
+    _mk(ai, name="a2")
+    ai.engine.create_store("plain_db", dimension=4)  # not an AI store
+    infos = {i["name"]: i for i in ai.list_stores()}
+    assert set(infos) == {"a1", "a2"}
+    assert infos["a1"]["index_model"] == MODEL
+    assert infos["a1"]["embedding_size"] == 384
+    assert ai.purge_stores() == 2
+    assert ai.list_stores() == []
+    assert ai.engine.get_store("plain_db").dimension == 4  # survives purge
+
+
+def test_convert_store_input_to_embeddings(ai, spark):
+    df = spark.createDataFrame([("hello",), ("world",)], "text string")
+    out = ai.convert_store_input_to_embeddings(df, MODEL).collect()
+    by_text = {r["text"]: r["embedding"] for r in out}
+    for text, emb in by_text.items():
+        assert len(emb) == 384
+        want = stub_embed(text, 384)
+        assert [round(float(x), 6) for x in emb[:5]] == [round(w, 6) for w in want[:5]]
