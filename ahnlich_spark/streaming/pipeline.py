@@ -1,0 +1,113 @@
+"""Streaming faces of the batch pipeline operators.
+
+Every transformation here is a plain DataFrame->DataFrame function that
+works on BOTH a batch frame and a streaming frame — the batch entry
+queries and the streaming tests call the same code. That is the core
+design rule for the 100 TB pipeline: one declarative plan, two sources.
+
+- ``hourly_rollup``    — tumbling-window count/sum per event_type with a
+                         watermark for late data (the streaming face of
+                         entry_queries.events_hourly_rollup).
+- ``streaming_exact_dedup`` — watermarked dropDuplicates on the content
+                         fingerprint: exactly-once emission of first
+                         occurrences, state bounded by the watermark.
+- ``streaming_set_ingest``  — foreachBatch bridge: micro-batches of
+                         (key, meta) rows upserted into an engine store
+                         via Engine.set, giving the vector store a live
+                         ingest path the reference serves over gRPC.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ahnlich_spark.functions import text as X
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, path: str, schema: T.StructType = EVENTS_SCHEMA,
+    fmt: str = "parquet", max_files_per_trigger: Optional[int] = None,
+) -> DataFrame:
+    """File-source stream over an events directory. New files appearing
+    under ``path`` become micro-batches; ``maxFilesPerTrigger`` bounds
+    per-batch work (backpressure at scale)."""
+    reader = spark.readStream.schema(schema).format(fmt)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
+
+
+def hourly_rollup(
+    events: DataFrame, watermark: str = "2 hours", window: str = "1 hour"
+) -> DataFrame:
+    """Tumbling-window rollup: (window_start, event_type, n, sum_value).
+
+    On a streaming frame the watermark bounds state and admits late rows
+    up to ``watermark``; on a batch frame withWatermark is a no-op and
+    the result equals the GROUP BY date_trunc rollup."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def streaming_exact_dedup(
+    docs: DataFrame, ts_col: Optional[str] = None, watermark: str = "1 hour"
+) -> DataFrame:
+    """First-occurrence pass-through by content fingerprint.
+
+    State is the set of fingerprints seen; with a timestamp column the
+    watermark expires state (bounded memory on an unbounded stream —
+    dedup-within-horizon, the standard trade-off). Batch frames get
+    plain dropDuplicates."""
+    with_fp = docs.withColumn("fp", X.fingerprint_md5(F.col("text")))
+    if ts_col and with_fp.isStreaming:
+        return with_fp.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(["fp"])
+    return with_fp.dropDuplicates(["fp"])
+
+
+def streaming_set_ingest(stream: DataFrame, engine, store: str, schema: str = "public",
+                         checkpoint: Optional[str] = None):
+    """Live ingest into a vector store: each micro-batch of
+    (key ARRAY<FLOAT>, meta MAP) rows runs through Engine.set — the same
+    upsert-by-vector-id path as the batch API, so streaming writes get
+    identical insert/update semantics. Returns the StreamingQuery."""
+
+    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        engine.set(store, batch_df, schema=schema)
+
+    writer = stream.writeStream.foreachBatch(_sink).outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

@@ -1,0 +1,104 @@
+"""Structured Streaming tests: the streaming faces must produce the
+same answers as their batch twins on the driver's events/documents
+testdata (availableNow trigger + memory sink)."""
+
+import os
+import shutil
+import tempfile
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from ahnlich_spark.streaming import (
+    hourly_rollup,
+    read_events_stream,
+    streaming_exact_dedup,
+    streaming_set_ingest,
+)
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark, sf_dir):
+    # the driver's events parquet is TIMESTAMP(NANOS); stage a copy with
+    # microsecond timestamps so both batch and file-stream reads agree
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    finally:
+        spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    staged = raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    d = tempfile.mkdtemp(prefix="ahnlich_events_")
+    staged.coalesce(2).write.mode("overwrite").parquet(d)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _run_available_now(stream_df, spark, name):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete" if stream_df.isStreaming else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_hourly_rollup_stream_matches_batch(spark, events_batch):
+    stream = read_events_stream(spark, events_batch)
+    name = f"rollup_{uuid.uuid4().hex[:8]}"
+    got = _run_available_now(hourly_rollup(stream), spark, name).collect()
+    want = hourly_rollup(spark.read.parquet(events_batch)).collect()
+    key = lambda r: (r["window_start"], r["event_type"])
+    got_m = {key(r): (r["n"], round(r["sum_value"], 6)) for r in got}
+    want_m = {key(r): (r["n"], round(r["sum_value"], 6)) for r in want}
+    assert got_m == want_m and len(got_m) > 0
+
+
+def test_streaming_exact_dedup_first_occurrence(spark):
+    d = tempfile.mkdtemp(prefix="ahnlich_docs_")
+    try:
+        spark.createDataFrame(
+            [(1, "same text"), (2, "same text"), (3, "other text")],
+            "doc_id long, text string",
+        ).coalesce(1).write.mode("overwrite").parquet(d)
+        from ahnlich_spark.streaming.pipeline import DOCS_SCHEMA
+
+        stream = spark.readStream.schema(DOCS_SCHEMA).parquet(d)
+        deduped = streaming_exact_dedup(stream)
+        name = f"dedup_{uuid.uuid4().hex[:8]}"
+        q = (
+            deduped.writeStream.format("memory").queryName(name)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        rows = spark.table(name).collect()
+        assert len(rows) == 2
+        assert {r["text"] for r in rows} == {"same text", "other text"}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_set_ingest_into_store(spark, engine):
+    from ahnlich_spark.types import META_MAP_TYPE
+
+    d = tempfile.mkdtemp(prefix="ahnlich_ingest_")
+    cp = tempfile.mkdtemp(prefix="ahnlich_cp_")
+    try:
+        engine.create_store("live", dimension=3)
+        batch = spark.createDataFrame(
+            [([1.0, 0.0, 0.0],), ([0.0, 1.0, 0.0],), ([1.0, 0.0, 0.0],)],
+            "key array<float>",
+        )
+        batch.coalesce(1).write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema("key array<float>").parquet(d)
+        q = streaming_set_ingest(stream, engine, "live", checkpoint=cp)
+        q.processAllAvailable()
+        q.stop()
+        # 3 rows, 1 duplicate vector -> 2 distinct ids in the store
+        assert engine.get_store("live").len == 2
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(cp, ignore_errors=True)
