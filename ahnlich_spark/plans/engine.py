@@ -312,6 +312,10 @@ class Engine:
         aggregation; the rewrite is existing-anti-join-batch + batch.
         """
         meta = self.catalog.get_store(store, schema)
+        # a Python-list batch is known-small -> broadcast it so the
+        # (possibly huge) store side never shuffles; DataFrame batches
+        # have unknown size, so leave join-side choice to AQE
+        small_batch = not isinstance(entries, DataFrame)
         batch = self._entries_df(meta, entries)
         # keep-last per id within the batch
         w = Window.partitionBy("id").orderBy(F.col("_seq").desc())
@@ -322,24 +326,16 @@ class Engine:
         )
         existing = read_store(self.spark, self.catalog, meta)
 
-        counts = (
-            batch_d.join(
-                F.broadcast(existing.select("id").withColumn("_ex", F.lit(1))),
-                "id",
-                "left",
-            )
-            .agg(
-                F.count(F.lit(1)).alias("total"),
-                F.coalesce(F.sum("_ex"), F.lit(0)).alias("updated"),
-            )
-            .first()
-        )
-        updated = int(counts["updated"])
-        inserted = int(counts["total"]) - updated
+        # probe the STORE with the batch ids (never the reverse: the
+        # store is the 100 TB side, the batch the small side)
+        batch_ids = batch_d.select("id")
+        if small_batch:
+            batch_ids = F.broadcast(batch_ids)
+        total = batch_d.count()
+        updated = existing.join(batch_ids, "id", "left_semi").count()
+        inserted = total - updated
 
-        new_df = existing.join(batch_d.select("id"), "id", "left_anti").unionByName(
-            batch_d
-        )
+        new_df = existing.join(batch_ids, "id", "left_anti").unionByName(batch_d)
         write_store(new_df, self.catalog, meta)
         return StoreUpsert(inserted=inserted, updated=updated)
 
