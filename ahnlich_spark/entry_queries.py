@@ -497,6 +497,47 @@ def doc_fingerprint(spark, sf_dir):
     return docs.select("doc_id", X.fingerprint_md5(F.col("text")).alias("fp"))
 
 
+@register("doc_bpe_token_count", r"""
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text,
+    '''(?:s|t|re|ve|m|ll|d)|[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS INT)
+  AS n_bpe_tokens
+FROM documents
+""")
+def doc_bpe_token_count(spark, sf_dir):
+    """Token counting under the BPE-ish regex (words / numbers /
+    contractions / punctuation) — the tokenizer-free budget estimator."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", X.bpe_token_count(F.col("text")).alias("n_bpe_tokens"))
+
+
+@register("doc_punct_ratio", r"""
+SELECT doc_id,
+  CASE WHEN length(text) = 0 THEN 0 ELSE
+    CAST(round((length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))
+         * 10000.0 / length(text)) AS BIGINT) END AS punct_ratio_e4
+FROM documents
+""")
+def doc_punct_ratio(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", X.punct_ratio_e4(F.col("text")).alias("punct_ratio_e4"))
+
+
+@register("doc_rolling_hash", """
+SELECT doc_id,
+  CAST(list_reduce(
+    list_prepend(0::BIGINT,
+                 list_transform(range(1, length(text)+1), j -> ascii(text[j])::BIGINT)),
+    (acc, c) -> (acc * 257 + c) % 1000000007) AS BIGINT) AS rhash
+FROM documents
+""")
+def doc_rolling_hash(spark, sf_dir):
+    """Karp-Rabin polynomial fingerprint, exact integer arithmetic in
+    both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", X.rolling_hash(F.col("text")).alias("rhash"))
+
+
 # ===================================================== dedup suite ==
 
 @register("dedup_exact", """
@@ -632,6 +673,50 @@ def ann_lsh_topk(spark, sf_dir):
     )
 
 
+@register("topk_per_label", """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT label, vec_id,
+         list_cosine_similarity(embedding::DOUBLE[], qv) AS score
+  FROM embeddings, q
+),
+ranked AS (
+  SELECT label, vec_id,
+         CAST(row_number() OVER (PARTITION BY label ORDER BY score DESC, vec_id)
+              AS BIGINT) AS rank_n,
+         CAST(round(score*10000) AS BIGINT) AS score_e4
+  FROM scored
+)
+SELECT CAST(label AS BIGINT) AS label, vec_id, rank_n, score_e4
+FROM ranked WHERE rank_n <= 3
+""")
+def topk_per_label(spark, sf_dir):
+    """Grouped top-k retrieval (top-3 per label against one query) —
+    the batch-retrieval shape of training-data curation: ONE window
+    shuffle on the group key; each partition keeps a bounded heap
+    (rank <= k prunes before the sort materializes)."""
+    q = _qvec(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    scored = emb.select(
+        F.col("label").cast("long").alias("label"),
+        "vec_id",
+        S.cosine_similarity(F.col("embedding").cast("array<double>"),
+                            _qvec_lit_double(q), "double").alias("score"),
+    )
+    w = Window.partitionBy("label").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank_n", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank_n") <= 3)
+        .select("label", "vec_id", "rank_n", SCORE_E4(F.col("score")).alias("score_e4"))
+    )
+
+
+@register("simhash_near_dup", None)  # xxhash64 fingerprints -> rows-only
+def simhash_near_dup(spark, sf_dir):
+    """SimHash near-dup pairs (Hamming <= 3) with prefix blocking."""
+    return D.simhash_near_dup_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
 # ================================================ events / windows ==
 
 @register("events_hourly_rollup", """
@@ -662,6 +747,67 @@ def events_hourly_rollup(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"),
              F.round(F.sum("value") * 100).cast("long").alias("sum_value_e2"))
         .select("hour_epoch", "event_type", "n", "sum_value_e2")
+    )
+
+
+@register("events_sessionization", """
+WITH e AS (
+  SELECT user_id, epoch_ns(ts) AS tns FROM events
+),
+flagged AS (
+  SELECT user_id, tns,
+    CASE WHEN tns - lag(tns) OVER (PARTITION BY user_id ORDER BY tns)
+              > 1800000000000 OR
+              lag(tns) OVER (PARTITION BY user_id ORDER BY tns) IS NULL
+         THEN 1 ELSE 0 END AS new_session
+  FROM e
+),
+sessions AS (
+  SELECT user_id, tns,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY tns
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       count(*) AS n_events,
+       CAST((max(tns) - min(tns)) // 1000000000 AS BIGINT) AS duration_s
+FROM sessions GROUP BY user_id, session_id
+""")
+def events_sessionization(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity): lag -> boundary
+    flag -> running-sum session id -> per-session rollup. One shuffle on
+    user_id serves BOTH window passes and the final aggregation (Spark
+    reuses the partitioning); the 100 TB variant partitions input by
+    user and runs identically, or streams via session_window()."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        ev = _t(spark, sf_dir, "events")
+    finally:
+        spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    gap_ns = 30 * 60 * 1_000_000_000
+    w = Window.partitionBy("user_id").orderBy("ts")
+    flagged = ev.select("user_id", F.col("ts").alias("tns")).withColumn(
+        "new_session",
+        F.when(
+            F.col("tns") - F.lag("tns").over(Window.partitionBy("user_id").orderBy("tns"))
+            > gap_ns, 1
+        ).otherwise(
+            F.when(F.lag("tns").over(Window.partitionBy("user_id").orderBy("tns")).isNull(), 1)
+            .otherwise(0)
+        ),
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            Window.partitionBy("user_id").orderBy("tns").rowsBetween(Window.unboundedPreceding, 0)
+        ).cast("long"),
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        # floor-division on both sides (duckdb CAST rounds, Spark's
+        # truncates — floor is the portable choice)
+        F.floor((F.max("tns") - F.min("tns")) / F.lit(1_000_000_000))
+        .cast("long").alias("duration_s"),
     )
 
 

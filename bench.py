@@ -34,16 +34,21 @@ BENCH_QUERIES = [
     "store_lifecycle_counts",
     "ai_convert_embeddings",
     "doc_token_count",
+    "doc_bpe_token_count",
     "doc_quality",
     "doc_lang_id",
     "doc_fingerprint",
+    "doc_rolling_hash",
     "dedup_exact",
     "dedup_wordset",
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
     "simhash_fingerprints",
     "embedding_near_dup",
+    "simhash_near_dup",
+    "topk_per_label",
     "events_hourly_rollup",
+    "events_sessionization",
     "multimodal_image_meta",
 ]
 
