@@ -631,7 +631,9 @@ def minhash_lsh_pairs(spark, sf_dir):
 @register("simhash_fingerprints", None)  # xxhash64 is Spark-specific -> rows-only
 def simhash_fingerprints(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", X.simhash64(F.col("text")).alias("simhash"))
+    return D.simhash_table(docs).select(
+        F.col("did").alias("doc_id"), F.col("fp").alias("simhash")
+    )
 
 
 @register("embedding_near_dup", """

@@ -181,6 +181,41 @@ def minhash_lsh_dedup_pairs(
     )
 
 
+def simhash_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(did, fp) SimHash fingerprints, identical bit-for-bit to
+    ``text.simhash64`` but computed as 64 vote-sum aggregates over the
+    exploded token table (whole-stage codegen + map-side combine)
+    instead of the interpreted per-token higher-order fold — the same
+    rewrite that made minhash 10x faster."""
+    toks = df.select(
+        F.col(id_col).alias("did"), F.explode(X.tokens(F.col(text_col))).alias("tok")
+    )
+    h = F.xxhash64(F.col("tok"))
+    votes = toks.groupBy("did").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(64)
+        ]
+    )
+    bit = lambda b: F.when(
+        F.col(f"v{b}") >= 0,
+        F.lit(-(1 << 63) if b == 63 else (1 << b)).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    fp_col = bit(0)
+    for b in range(1, 64):
+        fp_col = fp_col.bitwiseOR(bit(b))
+    fps = votes.select("did", fp_col.alias("fp"))
+    # token-less docs (empty text) vote all-zero -> every bit set (-1),
+    # matching text.simhash64's fold over an empty array
+    return (
+        df.select(F.col(id_col).alias("did"))
+        .join(fps, "did", "left")
+        .select("did", F.coalesce(F.col("fp"), F.lit(-1).cast("long")).alias("fp"))
+    )
+
+
 def simhash_near_dup_pairs(
     df: DataFrame,
     max_hamming: int = 3,
@@ -194,7 +229,7 @@ def simhash_near_dup_pairs(
     (near-dups with few differing bits usually share the prefix; rotate
     the fingerprint for higher recall) so the self-join is per-block, not
     quadratic. Returns (i, j, hamming)."""
-    fp = df.select(F.col(id_col).alias("did"), X.simhash64(F.col(text_col)).alias("fp"))
+    fp = simhash_table(df, text_col, id_col)
     blocked = fp.withColumn("blk", F.shiftrightunsigned(F.col("fp"), 64 - n_prefix_bits))
     a, b = blocked.alias("a"), blocked.alias("b")
     return (
