@@ -52,8 +52,23 @@ def wordset_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "d
     )
 
 
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Raise parallelism for compute-heavy per-row expansion when the
+    input arrives in fewer partitions than cores (a small parquet file
+    scans as ONE task, serializing the explode+hash work onto one core
+    while the rest of the cluster idles). No-op when the input is
+    already wide — at scale the scan partitioning stands."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    try:
+        current = df.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover - defensive
+        return df
+    return df.repartition(target) if current < target else df
+
+
 def _shingle_table(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    return df.select(
+    return _fan_out(df).select(
         F.col(id_col).alias("did"),
         F.explode(X.word_shingles(F.col(text_col), n)).alias("sh"),
     )
@@ -187,7 +202,7 @@ def simhash_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     exploded token table (whole-stage codegen + map-side combine)
     instead of the interpreted per-token higher-order fold — the same
     rewrite that made minhash 10x faster."""
-    toks = df.select(
+    toks = _fan_out(df).select(
         F.col(id_col).alias("did"), F.explode(X.tokens(F.col(text_col))).alias("tok")
     )
     h = F.xxhash64(F.col("tok"))
