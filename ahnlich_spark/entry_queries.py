@@ -719,6 +719,31 @@ def simhash_near_dup(spark, sf_dir):
     return D.simhash_near_dup_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
 
 
+@register("ann_ivf_topk", _sim_sql(
+    "list_distance(embedding::DOUBLE[], qv)", "ASC"))
+def ann_ivf_topk(spark, sf_dir):
+    """IVF (cluster-pruned) ANN path — the engine's 'kdtree' algorithm.
+    At oracle scale the store sits under the brute-force threshold, so
+    the plan short-circuits to the exact scan (exact-top-k oracle);
+    recall through the real pruned path is asserted in tests/test_ann.py."""
+    from ahnlich_spark.operators.ann import ivf_top_k
+
+    q = _qvec(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    store = emb.select(
+        F.col("vec_id").alias("id"), F.col("embedding").cast("array<double>").alias("key")
+    )
+    top = ivf_top_k(store, q, metric=S.EUCLIDEAN, k=10, precision="double")
+    w = Window.orderBy(F.col("similarity").asc(), F.col("id").asc())
+    return (
+        top.withColumn("rank_n", F.row_number().over(w).cast("long"))
+        .select(
+            F.col("id").alias("vec_id"), "rank_n",
+            SCORE_E4(F.col("similarity")).alias("score_e4"),
+        )
+    )
+
+
 # ================================================ events / windows ==
 
 @register("events_hourly_rollup", """

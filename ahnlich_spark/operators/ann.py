@@ -29,6 +29,7 @@ from typing import Optional, Sequence
 import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ahnlich_spark.functions import similarity as S
 from ahnlich_spark.operators.topk import top_k_similar
@@ -131,4 +132,111 @@ def lsh_top_k(
     if chosen is None or cum < min_candidates:
         return top_k_similar(df, query_vector, metric, k, precision=precision)
     cands = cand_base.filter(dist <= chosen).drop("sig")
+    return top_k_similar(cands, query_vector, metric, k, precision=precision)
+
+
+# ----------------------------------------------------------------- IVF --
+
+DEFAULT_N_CLUSTERS = 64
+DEFAULT_N_PROBE = 8
+KMEANS_ITERS = 8
+KMEANS_SAMPLE = 20_000
+
+
+def train_centroids(
+    df: DataFrame,
+    dim: int,
+    n_clusters: int = DEFAULT_N_CLUSTERS,
+    sample: int = KMEANS_SAMPLE,
+    seed: int = DEFAULT_SEED,
+    key_col: str = "key",
+) -> np.ndarray:
+    """IVF coarse quantizer: k-means on a driver-side sample (the
+    standard IVF recipe — training is sample-based even at billions of
+    rows; only ASSIGNMENT is distributed). Deterministic via fixed seed
+    and Lloyd iterations in float64."""
+    rows = df.select(key_col).limit(sample).collect()
+    data = np.asarray([list(r[key_col]) for r in rows], dtype=np.float64)
+    n_clusters = min(n_clusters, len(data))
+    rng = np.random.RandomState(seed)
+    centers = data[rng.choice(len(data), size=n_clusters, replace=False)]
+    for _ in range(KMEANS_ITERS):
+        d2 = ((data[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(n_clusters):
+            members = data[assign == c]
+            if len(members):
+                centers[c] = members.mean(axis=0)
+    return centers.astype(np.float32)
+
+
+def assign_buckets(df: DataFrame, centroids: np.ndarray, key_col: str = "key") -> DataFrame:
+    """Add a ``bucket`` column: nearest-centroid id, one numpy matmul
+    per Arrow batch. At scale, WRITE the store partitioned by this
+    column — the probe-time bucket filter then prunes whole files
+    (classic IVF partition pruning)."""
+    import pandas as pd
+
+    cents = centroids.astype(np.float64)
+    cnorm = (cents * cents).sum(axis=1)
+
+    def assign(keys):
+        mat = np.stack(keys.map(lambda v: np.asarray(v, dtype=np.float64)).to_numpy())
+        # argmin ||x-c||^2 = argmin (||c||^2 - 2 x.c)
+        d = cnorm[None, :] - 2.0 * (mat @ cents.T)
+        return pd.Series(d.argmin(axis=1))
+
+    assign.__annotations__ = {"keys": pd.Series, "return": pd.Series}
+    assign_udf = F.pandas_udf(T.IntegerType())(assign)
+    return df.withColumn("bucket", assign_udf(F.col(key_col)))
+
+
+def ivf_top_k(
+    df: DataFrame,
+    query_vector: Sequence[float],
+    metric: str = S.COSINE,
+    k: int = 10,
+    precision: str = "float",
+    centroids: Optional[np.ndarray] = None,
+    index_df: Optional[DataFrame] = None,
+    n_clusters: int = DEFAULT_N_CLUSTERS,
+    n_probe: int = DEFAULT_N_PROBE,
+    brute_force_threshold: int = 4096,
+) -> DataFrame:
+    """IVF: probe the ``n_probe`` clusters nearest the query, exact
+    top-k over their members only. ``index_df`` is a prebuilt
+    (id, bucket) artifact (or the store may carry a ``bucket`` column);
+    otherwise assignment is computed on the fly. Mirrors lsh_top_k's
+    contracts: small stores brute-force; a starved probe set widens and
+    ultimately falls back to the exact scan."""
+    if df.limit(brute_force_threshold + 1).count() <= brute_force_threshold:
+        return top_k_similar(df, query_vector, metric, k, precision=precision)
+
+    dim = len(list(query_vector))
+    if centroids is None:
+        centroids = train_centroids(df, dim, n_clusters)
+    if index_df is not None:
+        base = df.join(index_df, "id")
+    elif "bucket" in df.columns:
+        base = df
+    else:
+        base = assign_buckets(df, centroids)
+
+    q = np.asarray(list(query_vector), dtype=np.float64)
+    order = np.argsort(((centroids.astype(np.float64) - q) ** 2).sum(axis=1))
+    min_candidates = max(4 * k, brute_force_threshold // 8)
+    # one histogram pass picks the probe width (same trick as the LSH
+    # radius histogram — never re-evaluate assignment per attempt)
+    hist = dict(base.groupBy("bucket").count().collect())
+    cum, chosen = 0, None
+    for i, c in enumerate(order):
+        cum += hist.get(int(c), 0)
+        if i + 1 >= n_probe and cum >= min_candidates:
+            chosen = i + 1
+            break
+    if chosen is None:
+        return top_k_similar(df.drop("bucket") if "bucket" in df.columns else df,
+                             query_vector, metric, k, precision=precision)
+    picked = [int(c) for c in order[:chosen]]
+    cands = base.filter(F.col("bucket").isin(picked)).drop("bucket")
     return top_k_similar(cands, query_vector, metric, k, precision=precision)

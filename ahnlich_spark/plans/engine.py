@@ -265,9 +265,13 @@ class Engine:
             return top_k_similar(
                 df, search_input, metric, closest_n, condition, precision=precision
             )
-        from ahnlich_spark.operators.ann import lsh_top_k
+        from ahnlich_spark.operators.ann import ivf_top_k, lsh_top_k
 
-        return lsh_top_k(
+        # kdtree -> IVF (space-partitioned pruning, the distributed
+        # analog of tree search); hnsw -> LSH bucket pruning. Both exact-
+        # rescore their candidates and share the brute-force shortcut.
+        ann = ivf_top_k if algorithm == "kdtree" else lsh_top_k
+        return ann(
             df,
             search_input,
             metric=metric,

@@ -27,6 +27,7 @@ BENCH_QUERIES = [
     "get_sim_n_dot",
     "get_sim_n_cosine_filtered",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "get_key",
     "get_pred_equals",
     "get_pred_nested",

@@ -62,6 +62,29 @@ def test_lsh_recall_above_090_at_k50(big_store, metric):
     assert avg > 0.90, f"{metric}: avg recall {avg:.3f} ({recalls})"
 
 
+@pytest.mark.parametrize("metric", [S.COSINE, S.EUCLIDEAN])
+def test_ivf_recall_above_090_at_k50(big_store, metric):
+    from ahnlich_spark.operators.ann import assign_buckets, ivf_top_k, train_centroids
+
+    df, vecs = big_store
+    cents = train_centroids(df, DIM)
+    indexed = assign_buckets(df, cents).cache()
+    indexed.count()
+    try:
+        rng = np.random.RandomState(4)
+        recalls = []
+        for i in rng.choice(len(vecs), size=5, replace=False):
+            q = vecs[i].tolist()
+            approx = {r["id"] for r in
+                      ivf_top_k(indexed, q, metric=metric, k=K, centroids=cents).collect()}
+            exact = {r["id"] for r in top_k_similar(df, q, metric, K).collect()}
+            recalls.append(len(approx & exact) / K)
+        avg = sum(recalls) / len(recalls)
+        assert avg > 0.90, f"{metric}: avg recall {avg:.3f} ({recalls})"
+    finally:
+        indexed.unpersist()
+
+
 def test_small_store_is_exact(spark):
     vecs = _clustered_vectors(500, DIM, seed=5)
     df = spark.createDataFrame(
