@@ -11,6 +11,7 @@ from ahnlich_spark.streaming.pipeline import (
     EVENTS_SCHEMA,
     hourly_rollup,
     read_events_stream,
+    running_user_totals,
     streaming_exact_dedup,
     streaming_set_ingest,
 )
@@ -19,6 +20,7 @@ __all__ = [
     "EVENTS_SCHEMA",
     "hourly_rollup",
     "read_events_stream",
+    "running_user_totals",
     "streaming_exact_dedup",
     "streaming_set_ingest",
 ]

@@ -95,6 +95,39 @@ def streaming_exact_dedup(
     return with_fp.dropDuplicates(["fp"])
 
 
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running (event count, value sum) maintained across micro-batches —
+    the arbitrary-state API for operators that windowed aggregation
+    can't express (per-key accumulators, custom eviction, model state).
+
+    State is one tiny tuple per user; each update emits the user's new
+    running totals. On a batch frame use a plain groupBy — this function
+    requires a streaming frame."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, n_events long, total_value double"
+    state_schema = "n long, total double"
+
+    def fn(key, pdfs, state: GroupState):
+        if state.exists:
+            n, total = state.get
+        else:
+            n, total = 0, 0.0
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def streaming_set_ingest(stream: DataFrame, engine, store: str, schema: str = "public",
                          checkpoint: Optional[str] = None):
     """Live ingest into a vector store: each micro-batch of

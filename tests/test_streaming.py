@@ -81,6 +81,45 @@ def test_streaming_exact_dedup_first_occurrence(spark):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_running_user_totals_stateful(spark, events_batch):
+    """applyInPandasWithState: running per-user totals across TWO
+    micro-batches must equal the batch groupBy over all the data, and
+    state must genuinely carry across batches."""
+    from ahnlich_spark.streaming import running_user_totals
+
+    src = spark.read.parquet(events_batch)
+    d = tempfile.mkdtemp(prefix="ahnlich_state_")
+    try:
+        src.filter(F.col("event_id") % 2 == 0).write.mode("append").parquet(d)
+        stream = read_events_stream(spark, d)
+        name = f"totals_{uuid.uuid4().hex[:8]}"
+        q = (
+            running_user_totals(stream)
+            .writeStream.format("memory").queryName(name)
+            .outputMode("update").start()
+        )
+        q.processAllAvailable()
+        src.filter(F.col("event_id") % 2 == 1).write.mode("append").parquet(d)
+        q.processAllAvailable()
+        q.stop()
+        # last emitted row per user = final running totals
+        updates = spark.table(name).toPandas()
+        final = updates.groupby("user_id").last()
+        want = {
+            r["user_id"]: (r["n"], round(r["total"], 4))
+            for r in src.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+            .collect()
+        }
+        got = {
+            int(uid): (int(row["n_events"]), round(float(row["total_value"]), 4))
+            for uid, row in final.iterrows()
+        }
+        assert got == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_streaming_set_ingest_into_store(spark, engine):
     from ahnlich_spark.types import META_MAP_TYPE
 
