@@ -856,6 +856,53 @@ def multimodal_image_meta(spark, sf_dir):
     return out.select("media_id", "n_bytes", "width", "height")
 
 
+@register("multimodal_audio_meta", """
+SELECT doc_id AS media_id,
+       length(text) AS n_bytes,
+       16000 AS sample_rate,
+       CAST(length(text) * 4 AS BIGINT) AS n_samples,
+       CAST(length(text) * 4 * 1000 // 16000 AS BIGINT) AS duration_ms
+FROM documents
+""")
+def multimodal_audio_meta(spark, sf_dir):
+    """Audio decode plumbing (mapInPandas, stubbed codec)."""
+    docs = _t(spark, sf_dir, "documents")
+    media = MM.media_table_from_documents(docs)
+    out = MM.audio_metadata(media)
+    return out.select("media_id", "n_bytes", "sample_rate", "n_samples", "duration_ms")
+
+
+@register("ai_embed_binary", """
+WITH sums AS (
+  SELECT doc_id,
+    COALESCE(list_sum(list_transform(range(1, length(text)+1),
+                                     j -> ascii(text[j]) * j)), 0) % 1000003 AS s1,
+    COALESCE(list_sum(list_transform(range(1, length(text)+1),
+                                     j -> ascii(text[j]))), 0) % 1000003 AS s2
+  FROM documents
+)
+SELECT doc_id,
+  CAST((s1 * 1    + s2) % 2001 - 1000 AS BIGINT) AS e0,
+  CAST((s1 * 512  + s2) % 2001 - 1000 AS BIGINT) AS e511,
+  CAST((s1 * 2048 + s2) % 2001 - 1000 AS BIGINT) AS e2047
+FROM sums
+""")
+def ai_embed_binary(spark, sf_dir):
+    """BINARY-column embedding (image/audio bytes path) through the
+    Arrow-batched stub; document text bytes stand in for media content
+    (ASCII, so byte codes == the oracle's character codes). resnet-50 =
+    2048 dims exercises the widest model."""
+    from ahnlich_spark.ai.embedder import embed_pandas_udf
+
+    docs = _t(spark, sf_dir, "documents")
+    udf = embed_pandas_udf("resnet-50", kind="binary")
+    out = docs.select("doc_id", udf(F.encode("text", "utf-8")).alias("emb"))
+    pick = lambda i: F.round(F.element_at(F.col("emb"), i + 1) * 1000).cast("long")
+    return out.select(
+        "doc_id", pick(0).alias("e0"), pick(511).alias("e511"), pick(2047).alias("e2047")
+    )
+
+
 @register("multimodal_frame_sample", """
 WITH m AS (SELECT doc_id AS media_id, length(text) AS n FROM documents)
 SELECT media_id, CAST(i AS INT) AS frame_index,
