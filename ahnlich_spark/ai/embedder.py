@@ -103,7 +103,26 @@ def embed_pandas_udf(model: str, kind: str = "text"):
         if have_runtime:
             # Real inference would go here: session.run(...) per batch.
             raise NotImplementedError("ONNX runtime path not wired in this container")
-        return col.map(lambda v: _stub_embed_np(_codes_np(v), dim))
+        import numpy as np
+
+        # per-row digests (variable lengths), then ONE vectorized
+        # expansion for the whole Arrow batch: (n,1)x(1,dim) broadcast
+        # instead of n Python-level dim-sized loops
+        n = len(col)
+        s1 = np.empty(n, dtype=np.int64)
+        s2 = np.empty(n, dtype=np.int64)
+        for ix, v in enumerate(col):
+            codes = _codes_np(v)
+            if len(codes):
+                j = np.arange(1, len(codes) + 1, dtype=np.int64)
+                s1[ix] = (codes * j).sum() % P
+                s2[ix] = codes.sum() % P
+            else:
+                s1[ix] = s2[ix] = 0
+        i = np.arange(1, dim + 1, dtype=np.int64)
+        raw = (s1[:, None] * i[None, :] + s2[:, None]) % RANGE - 1000
+        mat = (raw / 1000.0).astype(np.float32)
+        return pd.Series(list(mat))
 
     # NOTE: `from __future__ import annotations` would stringify inline
     # hints and break pandas_udf type inference — attach real ones.
