@@ -411,8 +411,9 @@ def ai_convert_embeddings(spark, sf_dir):
     stub featurizer (Arrow-batched numpy — the ONNX plug-point); three
     probe components scaled back to exact ints."""
     from ahnlich_spark.ai.embedder import embed_pandas_udf
+    from ahnlich_spark.plans.layout import fan_out
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = fan_out(_t(spark, sf_dir, "documents"))
     emb = embed_pandas_udf("all-minilm-l6-v2")(F.col("text"))
     out = docs.select(F.col("doc_id"), emb.alias("emb"))
     pick = lambda i: F.round(F.element_at(F.col("emb"), i + 1) * 1000).cast("long")
@@ -574,6 +575,11 @@ sh AS (
 sizes AS (SELECT did, count(*) AS nsh FROM sh GROUP BY did)
 """
 
+# universal-hash coefficient literals shared with text.minhash_coeffs
+_MH_A, _MH_B = X.minhash_coeffs(16)
+_MINHASH_A_SQL = "[" + ", ".join(str(x) for x in _MH_A) + "]"
+_MINHASH_B_SQL = "[" + ", ".join(str(x) for x in _MH_B) + "]"
+
 _JACCARD_VERIFY_SQL = """
 SELECT i, j, inter, ni, nj
 FROM inter
@@ -599,14 +605,19 @@ def ngram_jaccard_pairs(spark, sf_dir):
 
 @register("minhash_lsh_pairs", f"""
 WITH {_SHINGLES_SQL},
+shh AS (
+  SELECT did, ('0x' || substring(md5(s), 1, 15))::BIGINT % 1000000007 AS hb
+  FROM sh
+),
 mh AS (
-  SELECT did, seed, min(md5(seed::VARCHAR || ':' || s)) AS h
-  FROM sh, range(16) t(seed) GROUP BY did, seed
+  SELECT did, seed,
+         min(({_MINHASH_A_SQL}[seed+1] * hb + {_MINHASH_B_SQL}[seed+1]) % 1000000007) AS h
+  FROM shh, range(16) t(seed) GROUP BY did, seed
 ),
 sig AS (SELECT did, list(h ORDER BY seed) AS sig FROM mh GROUP BY did),
 bands AS (
   SELECT did, unnest(list_transform(range(8),
-      b -> b::VARCHAR || '|' || sig[2*b+1] || '|' || sig[2*b+2])) AS band
+      b -> b::VARCHAR || '|' || sig[2*b+1]::VARCHAR || '|' || sig[2*b+2]::VARCHAR)) AS band
   FROM sig
 ),
 cand AS (
@@ -623,8 +634,9 @@ inter AS (
 def minhash_lsh_pairs(spark, sf_dir):
     """The scalable near-dup pipeline: shingle -> minhash -> band ->
     bucket-join candidates -> exact verify (only candidates pay the
-    verification join). Signature minima are md5-hex-string minima so
-    DuckDB reproduces them exactly."""
+    verification join). Signatures are integer universal-hash minima
+    over ONE md5-derived base hash per shingle — exact BIGINT math
+    DuckDB reproduces bit-for-bit."""
     return D.minhash_lsh_dedup_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
 
 
@@ -893,8 +905,9 @@ def ai_embed_binary(spark, sf_dir):
     (ASCII, so byte codes == the oracle's character codes). resnet-50 =
     2048 dims exercises the widest model."""
     from ahnlich_spark.ai.embedder import embed_pandas_udf
+    from ahnlich_spark.plans.layout import fan_out
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = fan_out(_t(spark, sf_dir, "documents"))
     udf = embed_pandas_udf("resnet-50", kind="binary")
     out = docs.select("doc_id", udf(F.encode("text", "utf-8")).alias("emb"))
     pick = lambda i: F.round(F.element_at(F.col("emb"), i + 1) * 1000).cast("long")

@@ -7,9 +7,9 @@ whole-stage codegen). No Python runs per row: at 100 TB these are
 scan-local map expressions with zero shuffle.
 
 Cross-engine determinism note: functions used by the duckdb-oracle
-gate avoid engine-specific hashes — minhash uses lexicographic-min of
-md5 hex strings (md5 is identical everywhere); simhash uses xxhash64
-(Spark-only, therefore oracle-checked as rows-only).
+gate avoid engine-specific hashes — minhash derives a BIGINT base hash
+from md5 (identical everywhere) and applies integer universal hashing;
+simhash uses xxhash64 (Spark-only, therefore oracle-checked rows-only).
 """
 
 from __future__ import annotations
@@ -157,16 +157,38 @@ def word_shingles(text: Column, n: int = 3) -> Column:
 
 # ---------------------------------------------------------------- minhash --
 
+MINHASH_P = 1_000_000_007
+
+
+def minhash_coeffs(n_hashes: int):
+    """Deterministic universal-hash coefficients (a_i, b_i), engine-
+    independent: h_i(x) = (a_i * x + b_i) mod P over a base hash x < P.
+    One md5 per shingle feeds all n_hashes functions — a 16x cut in
+    cryptographic-hash work vs hashing per (seed, shingle)."""
+    a = [((2 * i + 1) * 2654435761) % MINHASH_P for i in range(n_hashes)]
+    b = [(i * 40503 + 17) % MINHASH_P for i in range(n_hashes)]
+    return a, b
+
+
+def minhash_base_hash(shingle: Column) -> Column:
+    """Base hash < P from the first 15 md5 hex chars (60 bits), portable:
+    Spark ``conv(substr(md5,1,15),16,10)`` == duckdb
+    ``('0x'||substring(md5,1,15))::BIGINT``."""
+    return (
+        F.conv(F.substring(F.md5(shingle), 1, 15), 16, 10).cast("long") % MINHASH_P
+    )
+
+
 def minhash_signature(shingles: Column, n_hashes: int = 16) -> Column:
-    """MinHash signature as ARRAY<STRING>: element i is the lexicographic
-    MIN of md5(i || ':' || shingle). Using md5-hex-string minima keeps the
-    signature bit-identical across engines (duckdb oracle parity) while
-    preserving the min-hash property (md5 is uniform on hex strings)."""
+    """MinHash signature as ARRAY<LONG>: element i is the MIN over
+    shingles of (a_i * base_hash(s) + b_i) mod P. a_i,b_i < P and
+    base < P keep every product under 2^60 — exact in BIGINT on any
+    engine (no float, no overflow)."""
+    a, b = minhash_coeffs(n_hashes)
+    hb = F.transform(shingles, minhash_base_hash)
     return F.array(
         *[
-            F.array_min(
-                F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{i}:"), s)))
-            )
+            F.array_min(F.transform(hb, lambda x, i=i: (F.lit(a[i]) * x + F.lit(b[i])) % MINHASH_P))
             for i in range(n_hashes)
         ]
     )
@@ -180,7 +202,10 @@ def minhash_bands(signature: Column, n_bands: int = 8, rows_per_band: int = 2) -
             F.concat_ws(
                 "|",
                 F.lit(str(b)),
-                *[F.element_at(signature, b * rows_per_band + r + 1) for r in range(rows_per_band)],
+                *[
+                    F.element_at(signature, b * rows_per_band + r + 1).cast("string")
+                    for r in range(rows_per_band)
+                ],
             )
             for b in range(n_bands)
         ]

@@ -52,22 +52,16 @@ def wordset_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "d
     )
 
 
-def _fan_out(df: DataFrame) -> DataFrame:
-    """Raise parallelism for compute-heavy per-row expansion when the
-    input arrives in fewer partitions than cores (a small parquet file
-    scans as ONE task, serializing the explode+hash work onto one core
-    while the rest of the cluster idles). No-op when the input is
-    already wide — at scale the scan partitioning stands."""
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    try:
-        current = df.rdd.getNumPartitions()
-    except Exception:  # pragma: no cover - defensive
-        return df
-    return df.repartition(target) if current < target else df
+from ahnlich_spark.plans.layout import fan_out as _fan_out
 
 
 def _shingle_table(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    # NOTE: the pairwise pipelines reference this subtree more than once
+    # (sizes, join side A, join side B). Measured on local[32] the
+    # recompute is cheaper than persist() — tokenize+explode is pure
+    # codegen'd map work, and caching costs a materialization barrier
+    # plus block-manager traffic. At true 100 TB scale, stage shingles /
+    # signatures to a table once and let each pass scan parquet.
     return _fan_out(df).select(
         F.col(id_col).alias("did"),
         F.explode(X.word_shingles(F.col(text_col), n)).alias("sh"),
@@ -115,18 +109,26 @@ def minhash_signature_table(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """(did, h0..h{n-1}) MinHash signatures, computed as ``n_hashes``
-    MIN-aggregates over the exploded shingle table. Identical output to
-    ``text.minhash_signature`` (min of md5("seed:" || shingle)), but the
-    md5 + min run inside whole-stage codegen with map-side partial
-    aggregation — the higher-order-function fold is interpreted
-    per-element and ~20x slower at document scale."""
+    """(did, nsh, h0..h{n-1}) MinHash signatures + shingle count, in ONE
+    aggregation over the exploded shingle table. Identical output to
+    ``text.minhash_signature``: one md5-derived BIGINT base hash per
+    shingle feeds all ``n_hashes`` universal-hash minima — 1 md5/row
+    instead of n_hashes, LONG minima instead of 32-char-string minima,
+    all inside whole-stage codegen with map-side partial aggregation
+    (the higher-order-function fold is interpreted per-element and
+    ~20x slower at document scale)."""
     sh = _shingle_table(df, text_col, id_col, shingle_n)
+    return _signature_aggregate(sh, n_hashes)
+
+
+def _signature_aggregate(sh: DataFrame, n_hashes: int) -> DataFrame:
+    a, b = X.minhash_coeffs(n_hashes)
+    hb = X.minhash_base_hash(F.col("sh"))
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"h{i}")
+        F.min((F.lit(a[i]) * hb + F.lit(b[i])) % X.MINHASH_P).alias(f"h{i}")
         for i in range(n_hashes)
     ]
-    return sh.groupBy("did").agg(*aggs)
+    return sh.groupBy("did").agg(F.count(F.lit(1)).alias("nsh"), *aggs)
 
 
 def minhash_lsh_candidate_pairs(
@@ -143,11 +145,18 @@ def minhash_lsh_candidate_pairs(
     on the band key, and bucket sizes bound the join fan-out (no
     quadratic blow-up unless a bucket is genuinely hot)."""
     sig = minhash_signature_table(df, n_hashes, shingle_n, text_col, id_col)
+    return _band_candidates(sig, n_bands, rows_per_band)
+
+
+def _band_candidates(sig: DataFrame, n_bands: int, rows_per_band: int) -> DataFrame:
     band_cols = [
         F.concat_ws(
             "|",
             F.lit(str(b)),
-            *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)],
+            *[
+                F.col(f"h{b * rows_per_band + r}").cast("string")
+                for r in range(rows_per_band)
+            ],
         )
         for b in range(n_bands)
     ]
@@ -173,12 +182,13 @@ def minhash_lsh_dedup_pairs(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """LSH candidates verified by exact integer Jaccard: the scalable
-    near-dup pipeline (candidates only, never all pairs)."""
-    cands = minhash_lsh_candidate_pairs(
-        df, n_hashes, n_bands, rows_per_band, shingle_n, text_col, id_col
-    )
+    near-dup pipeline (candidates only, never all pairs). The signature
+    aggregation also yields the per-doc shingle counts, so sizes need no
+    extra pass over the corpus."""
     sh = _shingle_table(df, text_col, id_col, shingle_n)
-    sizes = sh.groupBy("did").agg(F.count(F.lit(1)).alias("nsh"))
+    sig = _signature_aggregate(sh, n_hashes)
+    cands = _band_candidates(sig, n_bands, rows_per_band)
+    sizes = sig.select("did", "nsh")
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         cands.join(a, cands["i"] == F.col("a.did"))
@@ -206,16 +216,18 @@ def simhash_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         F.col(id_col).alias("did"), F.explode(X.tokens(F.col(text_col))).alias("tok")
     )
     h = F.xxhash64(F.col("tok"))
+    # ones-count per bit instead of +-1 votes: vote_b >= 0 is exactly
+    # 2*ones_b >= n_tokens, and SUM of a bare bit is ~2.5x cheaper per
+    # row than SUM(CASE WHEN ... THEN 1 ELSE -1) across 64 aggregates
     votes = toks.groupBy("did").agg(
+        F.count(F.lit(1)).alias("ntok"),
         *[
-            F.sum(
-                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"v{b}")
+            F.sum(F.shiftright(h, b).bitwiseAND(F.lit(1))).alias(f"o{b}")
             for b in range(64)
-        ]
+        ],
     )
     bit = lambda b: F.when(
-        F.col(f"v{b}") >= 0,
+        F.lit(2) * F.col(f"o{b}") >= F.col("ntok"),
         F.lit(-(1 << 63) if b == 63 else (1 << b)).cast("long"),
     ).otherwise(F.lit(0).cast("long"))
     fp_col = bit(0)

