@@ -389,6 +389,46 @@ def upsert_single_row(spark, sf_dir):
     )
 
 
+@register("dsl_pipeline_counts", """
+SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 300) AS inserted,
+       (SELECT count(*) FROM embeddings WHERE vec_id < 300 AND label = 0) AS deleted,
+       (SELECT count(*) FROM embeddings WHERE vec_id < 300 AND label IN (1, 2, 3)) AS matched,
+       (SELECT count(*) FROM embeddings WHERE vec_id < 300 AND label <> 0) AS store_len
+""")
+def dsl_pipeline_counts(spark, sf_dir):
+    """End-to-end DSL pipeline (reference CLI flow, cli/src/term.rs:309
+    -> dsl/src/syntax/syntax.pest): a multi-statement query string is
+    parsed and executed in order — CREATESTORE, a generated SET with 300
+    literal vectors, DELPRED, GETPRED with an Or/In condition tree,
+    GETSTORE — and the per-statement results are the output. Vector
+    literals round-trip exactly: f32 -> repr -> parse -> f32 is
+    identity."""
+    from ahnlich_spark.dsl.executor import DslExecutor
+    from ahnlich_spark.plans.engine import Engine
+
+    rows = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300).collect()
+    entries = ", ".join(
+        "([%s], {label: %d})" % (", ".join(repr(float(x)) for x in r["embedding"]), r["label"])
+        for r in rows
+    )
+    text = (
+        "CREATESTORE dslstore DIMENSION 64 PREDICATES (label);"
+        f"SET ({entries}) IN dslstore;"
+        "DELPRED (label = 0) IN dslstore;"
+        "GETPRED ((label = 1) OR (label IN (2, 3))) IN dslstore;"
+        "GETSTORE dslstore"
+    )
+    ex = DslExecutor(Engine(spark, tempfile.mkdtemp(prefix="ahnlich_gate_")))
+    res = ex.execute_db(text)
+    errs = [r.error for r in res if not r.ok]
+    assert not errs, errs
+    _create, set_r, del_r, pred_df, info = (r.result for r in res)
+    return spark.createDataFrame(
+        [(set_r.inserted, del_r.deleted_count, pred_df.count(), info.len)],
+        "inserted long, deleted long, matched long, store_len long",
+    )
+
+
 # ================================================== AI: embeddings ==
 
 @register("ai_convert_embeddings", """
