@@ -429,6 +429,54 @@ def dsl_pipeline_counts(spark, sf_dir):
     )
 
 
+@register("ai_store_lifecycle", """
+WITH d AS (
+  SELECT text, arg_max(lang, doc_id) AS lang
+  FROM documents WHERE doc_id < 200 GROUP BY text
+)
+SELECT (SELECT count(*) FROM d) AS store_len,
+       (SELECT count(*) FROM d WHERE lang = 'en') AS n_en,
+       1::BIGINT AS key_hits,
+       1::BIGINT AS deleted,
+       (SELECT count(*) FROM d) - 1 AS len_after_del
+""")
+def ai_store_lifecycle(spark, sf_dir):
+    """AI-proxy store lifecycle (SURVEY 2.4): create with model binding +
+    store_original, Set of raw-text inputs (embed via index model, inject
+    the reserved original-input key, DelPred-before-Set), GetPred on user
+    metadata, GetKey + DelKey by ORIGINAL input through the reserved
+    predicate. Duplicate texts embed to the same vector, so the store
+    dedups to distinct texts with last-occurrence metadata winning —
+    exactly what the arg_max oracle pins."""
+    from ahnlich_spark.ai.proxy import AiEngine
+    from ahnlich_spark.plans.engine import Engine
+    from ahnlich_spark.types import StoreInput
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .orderBy("doc_id")
+        .collect()
+    )
+    ai = AiEngine(Engine(spark, tempfile.mkdtemp(prefix="ahnlich_gate_")))
+    model = "jina-embeddings-v2-base-code"  # 8k-token budget fits any doc
+    ai.create_store(
+        "aig", query_model=model, index_model=model,
+        predicates=["lang"], store_original=True,
+    )
+    ai.set("aig", [(StoreInput.raw_string(r["text"]), {"lang": r["lang"]}) for r in docs])
+    store_len = [s for s in ai.list_stores() if s["name"] == "aig"][0]["len"]
+    n_en = ai.engine.get_pred("aig", Equals("lang", "en")).count()
+    probe = StoreInput.raw_string(docs[0]["text"])
+    key_hits = ai.get_key("aig", [probe]).count()
+    deleted = ai.del_key("aig", [probe]).deleted_count
+    len_after = ai.engine.get_store("aig").len
+    return spark.createDataFrame(
+        [(store_len, n_en, key_hits, deleted, len_after)],
+        "store_len long, n_en long, key_hits long, deleted long, len_after_del long",
+    )
+
+
 # ================================================== AI: embeddings ==
 
 @register("ai_convert_embeddings", """
@@ -826,6 +874,70 @@ def events_hourly_rollup(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"),
              F.round(F.sum("value") * 100).cast("long").alias("sum_value_e2"))
         .select("hour_epoch", "event_type", "n", "sum_value_e2")
+    )
+
+
+@register("streaming_hourly_rollup", """
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+       event_type,
+       count(*) AS n,
+       CAST(round(sum(value) * 100) AS BIGINT) AS sum_value_e2
+FROM events GROUP BY 1, 2
+""")
+def streaming_hourly_rollup(spark, sf_dir):
+    """The SAME rollup as events_hourly_rollup but executed through
+    Structured Streaming: readStream over the events parquet,
+    Trigger.AvailableNow (process-everything-then-stop), complete-mode
+    windowed aggregation into a memory sink. One declarative plan, two
+    sources — the streaming face must produce bit-identical results to
+    the batch face, and the batch SQL oracle checks it does."""
+    import uuid
+
+    from ahnlich_spark.streaming.pipeline import hourly_rollup
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) -> ns longs
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    # The file-stream source ingests DIRECTORIES (files appearing under a
+    # path become micro-batches); the fixture is one parquet file, so
+    # expose it through a temp directory via symlink.
+    stream_dir = tempfile.mkdtemp(prefix="ahnlich_stream_src_")
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(stream_dir, "events-0.parquet"),
+    )
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(stream_dir)
+            # data is us-precision; integer ns -> us keeps it exact
+            .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        )
+        rolled = hourly_rollup(stream, window="1 hour")
+        name = f"stream_rollup_{uuid.uuid4().hex[:8]}"
+        q = (
+            rolled.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    return spark.table(name).select(
+        F.unix_timestamp("window_start").alias("hour_epoch"),
+        "event_type",
+        "n",
+        F.round(F.col("sum_value") * 100).cast("long").alias("sum_value_e2"),
     )
 
 
