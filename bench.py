@@ -50,6 +50,9 @@ BENCH_QUERIES = [
     "topk_per_label",
     "events_hourly_rollup",
     "events_sessionization",
+    "streaming_hourly_rollup",
+    "lineitem_pricing_rollup",
+    "orders_top_customers",
     "multimodal_image_meta",
     "multimodal_audio_meta",
     "ai_embed_binary",
