@@ -798,8 +798,64 @@ def minhash_lsh_pairs(spark, sf_dir):
     return D.minhash_lsh_dedup_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
 
 
-@register("simhash_fingerprints", None)  # xxhash64 is Spark-specific -> rows-only
+# SimHash oracle: the fingerprint math is pure integer/md5 arithmetic, so
+# DuckDB reproduces it bit-for-bit. The SQL mirrors simhash_table exactly:
+# md5-hex-slice token hashes (60 low + 4 high bits), per-bit ones-count
+# votes, bit = (2*ones >= ntok), fp assembled from disjoint powers of two
+# (bit 63 contributes the BIGINT sign term).
+
+
+def _simhash_bit_sql(b: int) -> str:
+    return f"(CASE WHEN 2*coalesce(o{b},0) >= coalesce(ntok,0) THEN 1 ELSE 0 END)"
+
+
+def _simhash_ctes_sql(max_hamming: int = 3) -> str:
+    ones = ",\n         ".join(
+        f"sum(({'hlo' if b < 60 else 'hhi'} >> {b if b < 60 else b - 60}) & 1) AS o{b}"
+        for b in range(64)
+    )
+    fp_expr = " + ".join(
+        f"{_simhash_bit_sql(b)} * (1::BIGINT << {b})" for b in range(63)
+    ) + f" + {_simhash_bit_sql(63)} * (-9223372036854775807 - 1)"
+    chunk_exprs = ",\n         ".join(
+        " + ".join(
+            f"{_simhash_bit_sql(b)} * (1::BIGINT << {b - start})"
+            for b in range(start, start + width)
+        )
+        + f" AS v{c}"
+        for c, (start, width) in enumerate(D.simhash_chunk_bounds(max_hamming))
+    )
+    return f"""
+simtoks AS (
+  SELECT doc_id AS did,
+         unnest(CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                     ELSE {_TOKENS_SQL} END) AS tok
+  FROM documents
+),
+simvotes AS (
+  SELECT did, count(*) AS ntok,
+         {ones}
+  FROM (SELECT did,
+               ('0x' || substring(md5(tok), 2, 15))::BIGINT AS hlo,
+               ('0x' || substring(md5(tok), 1, 1))::BIGINT AS hhi
+        FROM simtoks)
+  GROUP BY did
+),
+simfp AS (
+  SELECT d.doc_id,
+         {fp_expr} AS fp,
+         {chunk_exprs}
+  FROM documents d LEFT JOIN simvotes v ON d.doc_id = v.did
+)"""
+
+
+@register("simhash_fingerprints", f"""
+WITH {_simhash_ctes_sql()}
+SELECT doc_id, fp AS simhash FROM simfp
+""")
 def simhash_fingerprints(spark, sf_dir):
+    """Portable 64-bit SimHash fingerprints (md5-derived token bits),
+    bit-identical between Spark and the DuckDB oracle."""
     docs = _t(spark, sf_dir, "documents")
     return D.simhash_table(docs).select(
         F.col("did").alias("doc_id"), F.col("fp").alias("simhash")
@@ -883,10 +939,30 @@ def topk_per_label(spark, sf_dir):
     )
 
 
-@register("simhash_near_dup", None)  # xxhash64 fingerprints -> rows-only
+@register("simhash_near_dup", f"""
+WITH {_simhash_ctes_sql(3)},
+simch AS (
+  SELECT doc_id AS did, fp,
+         unnest([{", ".join(str(c) for c in range(4))}]) AS c,
+         unnest([{", ".join(f"v{c}" for c in range(4))}]) AS v
+  FROM simfp
+),
+simcand AS (
+  SELECT DISTINCT a.did AS i, b.did AS j, a.fp AS fpi, b.fp AS fpj
+  FROM simch a JOIN simch b ON a.c = b.c AND a.v = b.v AND a.did < b.did
+)
+SELECT i, j, CAST(bit_count(xor(fpi, fpj)) AS BIGINT) AS hamming
+FROM simcand
+WHERE bit_count(xor(fpi, fpj)) <= 3
+""")
 def simhash_near_dup(spark, sf_dir):
-    """SimHash near-dup pairs (Hamming <= 3) with prefix blocking."""
-    return D.simhash_near_dup_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+    """EXACT SimHash near-dup pairs (Hamming <= 3): pigeonhole 4-chunk
+    blocking (Manku et al. WWW'07 multi-index) — guaranteed recall, and
+    the whole pipeline is integer/md5 math the DuckDB oracle reproduces
+    bit-for-bit."""
+    return D.simhash_near_dup_pairs(
+        _t(spark, sf_dir, "documents"), max_hamming=3
+    ).select("i", "j", F.col("hamming").cast("long").alias("hamming"))
 
 
 @register("ann_ivf_topk", _sim_sql(

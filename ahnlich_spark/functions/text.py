@@ -9,7 +9,9 @@ scan-local map expressions with zero shuffle.
 Cross-engine determinism note: functions used by the duckdb-oracle
 gate avoid engine-specific hashes — minhash derives a BIGINT base hash
 from md5 (identical everywhere) and applies integer universal hashing;
-simhash uses xxhash64 (Spark-only, therefore oracle-checked rows-only).
+simhash derives its 64 token-hash bits from md5 hex slices (60 low bits
++ 4 high bits, each < 2^60 so no engine hits signed-overflow), making
+the fingerprints bit-identical in DuckDB.
 """
 
 from __future__ import annotations
@@ -214,13 +216,40 @@ def minhash_bands(signature: Column, n_bands: int = 8, rows_per_band: int = 2) -
 
 # --------------------------------------------------------------- simhash --
 
+def simhash_token_hash_lo(tok: Column) -> Column:
+    """Bits 0..59 of the portable 64-bit token hash: md5 hex chars 2-16
+    as a 60-bit BIGINT. Portable: Spark ``conv(substr(md5,2,15),16,10)``
+    == duckdb ``('0x'||substring(md5,2,15))::BIGINT``. Staying under 61
+    bits keeps every value positive on both engines."""
+    return F.conv(F.substring(F.md5(tok), 2, 15), 16, 10).cast("long")
+
+
+def simhash_token_hash_hi(tok: Column) -> Column:
+    """Bits 60..63 of the portable token hash: the first md5 hex char."""
+    return F.conv(F.substring(F.md5(tok), 1, 1), 16, 10).cast("long")
+
+
+def simhash_token_bit(lo: Column, hi: Column, b: int) -> Column:
+    """Bit ``b`` (0..63) of the portable token hash, as 0/1 LONG."""
+    src, sh = (lo, b) if b < 60 else (hi, b - 60)
+    return F.shiftright(src, sh).bitwiseAND(F.lit(1))
+
+
 def simhash64(text: Column) -> Column:
-    """64-bit SimHash over whitespace tokens, token-hash = xxhash64.
+    """64-bit SimHash over whitespace tokens; token-hash bits derived
+    from md5 hex slices (engine-portable, duckdb-reproducible).
     Per-bit vote: +1 if the token's hash bit is set else -1; fingerprint
-    bit = 1 where the vote sum is >= 0. (xxhash64 is Spark-specific, so
-    this is oracle-checked rows-only.)"""
+    bit = 1 where the vote sum is >= 0 (empty doc -> all bits -> -1).
+
+    This is the per-row higher-order-function SPEC; the scaled path is
+    ``operators.dedup.simhash_table`` (same output, explode+aggregate)."""
     toks = tokens(text)
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    hashes = F.transform(
+        toks,
+        lambda t: F.struct(
+            simhash_token_hash_lo(t).alias("lo"), simhash_token_hash_hi(t).alias("hi")
+        ),
+    )
     votes = F.aggregate(
         hashes,
         F.array_repeat(F.lit(0), 64),
@@ -229,7 +258,13 @@ def simhash64(text: Column) -> Column:
             F.sequence(F.lit(0), F.lit(63)),
             lambda a, b: a
             + F.when(
-                F.call_function("shiftright", h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                F.call_function(
+                    "shiftright",
+                    F.when(b < 60, h["lo"]).otherwise(h["hi"]),
+                    F.when(b < 60, b).otherwise(b - 60),
+                ).bitwiseAND(F.lit(1))
+                == 1,
+                F.lit(1),
             ).otherwise(F.lit(-1)),
         ),
     )

@@ -212,15 +212,24 @@ def simhash_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     exploded token table (whole-stage codegen + map-side combine)
     instead of the interpreted per-token higher-order fold — the same
     rewrite that made minhash 10x faster. NULL text coerces to the
-    empty-document fingerprint (-1) rather than NULL."""
+    empty-document fingerprint (-1) rather than NULL.
+
+    Token-hash bits come from md5 hex slices (one md5 per token row,
+    60 low + 4 high bits — ``text.simhash_token_hash_lo/hi``), so the
+    fingerprints are engine-portable and the duckdb oracle reproduces
+    them bit-for-bit."""
     # explode_outer keeps token-less (empty text) docs as one NULL-token
     # row, so EVERY doc survives the aggregation and no second scan /
     # join is needed to restore them
     toks = _fan_out(df).select(
         F.col(id_col).alias("did"),
         F.explode_outer(X.tokens(F.col(text_col))).alias("tok"),
+    ).select(
+        "did",
+        "tok",
+        X.simhash_token_hash_lo(F.col("tok")).alias("hlo"),
+        X.simhash_token_hash_hi(F.col("tok")).alias("hhi"),
     )
-    h = F.xxhash64(F.col("tok"))
     # ones-count per bit instead of +-1 votes: vote_b >= 0 is exactly
     # 2*ones_b >= n_tokens, and SUM of a bare bit is ~2.5x cheaper per
     # row than SUM(CASE WHEN ... THEN 1 ELSE -1) across 64 aggregates.
@@ -231,7 +240,10 @@ def simhash_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         F.count(F.col("tok")).alias("ntok"),
         *[
             F.coalesce(
-                F.sum(F.shiftright(h, b).bitwiseAND(F.lit(1))), F.lit(0)
+                F.sum(
+                    X.simhash_token_bit(F.col("hlo"), F.col("hhi"), b)
+                ),
+                F.lit(0),
             ).alias(f"o{b}")
             for b in range(64)
         ],
@@ -246,28 +258,79 @@ def simhash_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     return votes.select("did", fp_col.alias("fp"))
 
 
+def simhash_chunk_bounds(max_hamming: int) -> list:
+    """(start, width) of the ``max_hamming + 1`` bit-chunks the 64-bit
+    fingerprint is split into. Pigeonhole: a pair with <= max_hamming
+    differing bits leaves at least one chunk untouched, so chunk-equality
+    blocking has GUARANTEED 100% recall (not heuristic prefix blocking)."""
+    n_chunks = max_hamming + 1
+    base, extra = divmod(64, n_chunks)
+    bounds, start = [], 0
+    for c in range(n_chunks):
+        width = base + (1 if c < extra else 0)
+        bounds.append((start, width))
+        start += width
+    return bounds
+
+
 def simhash_near_dup_pairs(
     df: DataFrame,
     max_hamming: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
-    n_prefix_bits: int = 16,
+    stage: bool = True,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
+    """EXACT near-dup pairs by SimHash Hamming distance <= max_hamming.
 
-    Scale path: block on the top ``n_prefix_bits`` of the fingerprint
-    (near-dups with few differing bits usually share the prefix; rotate
-    the fingerprint for higher recall) so the self-join is per-block, not
-    quadratic. Returns (i, j, hamming)."""
+    Scale path: split the 64-bit fingerprint into ``max_hamming + 1``
+    chunks and block on (chunk_index, chunk_value) — by pigeonhole every
+    qualifying pair shares at least one whole chunk, so the self-join is
+    per-bucket yet misses nothing (the multi-index scheme from the
+    Google SimHash paper, Manku et al. WWW'07). Candidates are verified
+    with the real bit_count(xor) so the result is EXACTLY the Hamming
+    ball — duckdb-reproducible. Returns (i, j, hamming).
+
+    ``stage=True`` materializes the fingerprint table once
+    (localCheckpoint here; a parquet stage on a real cluster) — the
+    64-aggregate subtree would otherwise be recomputed on both sides of
+    the self-join."""
     fp = simhash_table(df, text_col, id_col)
-    blocked = fp.withColumn("blk", F.shiftrightunsigned(F.col("fp"), 64 - n_prefix_bits))
-    a, b = blocked.alias("a"), blocked.alias("b")
+    if stage:
+        fp = fp.localCheckpoint(eager=False)
+    chunk_structs = [
+        F.struct(
+            F.lit(c).alias("c"),
+            F.shiftrightunsigned(F.col("fp"), start)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias("v"),
+        )
+        for c, (start, width) in enumerate(simhash_chunk_bounds(max_hamming))
+    ]
+    ch = fp.select(
+        "did", "fp", F.explode(F.array(*chunk_structs)).alias("ck")
+    ).select("did", "fp", F.col("ck.c").alias("c"), F.col("ck.v").alias("v"))
+    a, b = ch.alias("a"), ch.alias("b")
     return (
-        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.did") < F.col("b.did")))
+        a.join(
+            b,
+            (F.col("a.c") == F.col("b.c"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.did") < F.col("b.did")),
+        )
+        # a pair can collide on several chunks -> dedup BEFORE the
+        # (cheap) hamming compute; fp is functionally dependent on did
+        # so including it in the distinct keeps the join self-contained
         .select(
             F.col("a.did").alias("i"),
             F.col("b.did").alias("j"),
-            F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp"))).alias("hamming"),
+            F.col("a.fp").alias("fpi"),
+            F.col("b.fp").alias("fpj"),
+        )
+        .distinct()
+        .select(
+            "i",
+            "j",
+            F.bit_count(F.col("fpi").bitwiseXOR(F.col("fpj"))).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
     )
