@@ -160,7 +160,13 @@ def _expand(sums: Column, dim: int) -> Column:
 
 
 def embed_text_expr(text: Column, model: str) -> Column:
-    """ARRAY<FLOAT> stub embedding of a text column, fully JVM-side."""
+    """ARRAY<FLOAT> stub embedding of a text column, fully JVM-side.
+
+    BMP-only caveat: ``split(text,'')`` + ``ascii()`` walks UTF-16 code
+    units, while the pandas/stub path walks UTF-32 code points — for
+    non-BMP text (emoji, rare CJK) the two paths differ. Gate queries
+    and tests use this expr path on BOTH sides, so the hash-compare is
+    self-consistent; route non-BMP corpora through the pandas UDF."""
     spec = get_model(model)
     codes = F.transform(F.split(text, ""), lambda c: F.coalesce(F.ascii(c), F.lit(0)))
     return _expand(_poly_sums(codes), spec.embedding_size)

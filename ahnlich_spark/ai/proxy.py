@@ -231,12 +231,16 @@ class AiEngine:
         condition: Predicate,
         new_input: Optional[StoreInput] = None,
         new_value: Optional[dict] = None,
-        merge_metadata: bool = False,
+        merge_metadata: bool = True,
         schema: str = PUBLIC_SCHEMA,
         preprocess_action: str = NO_PREPROCESSING,
     ) -> StoreUpsert:
         """Single-row conditional update with re-embedding
-        (ahnlich/ai/src/engine/store.rs:433-498)."""
+        (ahnlich/ai/src/engine/store.rs:433-498). The AI proxy always
+        MERGES metadata (reference ai/src/engine/operations.rs:345-351) —
+        an input-only upsert must not wipe the row's user metadata — so
+        merge is the default and the reserved original-input key is
+        folded into the merge delta."""
         binding = self._binding(store, schema)
         new_key = None
         if new_input is not None:
@@ -244,7 +248,6 @@ class AiEngine:
             if binding.store_original:
                 new_value = dict(new_value or {})
                 new_value[AHNLICH_RESERVED_INPUT_KEY] = self._input_mv(new_input)
-                merge_metadata = True if new_value is None else merge_metadata
         return self.engine.upsert(store, condition, new_key, new_value, merge_metadata, schema)
 
     def convert_store_input_to_embeddings(

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import tempfile
 from dataclasses import dataclass, field, asdict
 from typing import Dict, List, Optional
@@ -83,7 +84,8 @@ class Catalog:
 
     def drop_schema(self, schema: str) -> int:
         """Drop a non-public schema and all its stores; returns the number
-        of stores dropped (reference store.rs:718-737)."""
+        of stores dropped (reference store.rs:718-737). The schema's data
+        directory is deleted too — dropped data must not leak disk."""
         if schema == PUBLIC_SCHEMA:
             raise errors.SchemaNotEmptyOrProtected("cannot drop the default 'public' schema")
         if schema not in self._data["schemas"]:
@@ -91,6 +93,7 @@ class Catalog:
         n = len(self._data["schemas"][schema]["stores"])
         del self._data["schemas"][schema]
         self._flush()
+        shutil.rmtree(os.path.join(self.warehouse, "data", schema), ignore_errors=True)
         return n
 
     # -- stores ----------------------------------------------------------
@@ -120,11 +123,36 @@ class Catalog:
         self._flush()
 
     def drop_store(self, name: str, schema: str = PUBLIC_SCHEMA) -> None:
+        """Remove the catalog entry AND the store's data directory (all
+        versions + index artifacts) — a drop frees disk, not just names."""
         stores = self._stores(schema)
         if name not in stores:
             raise errors.StoreNotFound(f"store {schema}.{name} not found")
         del stores[name]
         self._flush()
+        shutil.rmtree(
+            os.path.join(self.warehouse, "data", schema, name), ignore_errors=True
+        )
+
+    def gc_versions(self, meta: StoreMeta, keep: int = 1) -> int:
+        """Delete superseded version directories, keeping the newest
+        ``keep`` (current included). Every mutation writes a fresh
+        immutable version dir; without GC a long-lived warehouse leaks
+        one full copy of the store per write. Returns dirs removed."""
+        base = os.path.join(self.warehouse, "data", meta.schema, meta.name)
+        if not os.path.isdir(base):
+            return 0
+        removed = 0
+        for d in os.listdir(base):
+            if d.startswith("v"):
+                try:
+                    v = int(d[1:])
+                except ValueError:
+                    continue
+                if v <= meta.version - keep:
+                    shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+                    removed += 1
+        return removed
 
     def list_stores(self, schema: str = PUBLIC_SCHEMA) -> List[StoreMeta]:
         return [self.get_store(n, schema) for n in sorted(self._stores(schema))]

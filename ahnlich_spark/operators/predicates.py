@@ -85,6 +85,10 @@ class In(Predicate):
         object.__setattr__(self, "values", tuple(mv(v) for v in self.values))
 
     def _membership(self, meta: Column) -> Column:
+        # empty In matches nothing; NotIn's coalesce(~false, true) then
+        # matches everything (reference set-membership semantics)
+        if not self.values:
+            return F.lit(False)
         cols = [_value_eq(meta, self.key, v) for v in self.values]
         out = cols[0]
         for c in cols[1:]:

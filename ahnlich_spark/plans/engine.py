@@ -137,6 +137,15 @@ class Engine:
     def drop_schema(self, schema: str) -> int:
         return self.catalog.drop_schema(schema)
 
+    def vacuum(self, store: str, schema: str = PUBLIC_SCHEMA) -> int:
+        """Reclaim superseded version directories beyond the write-time
+        retention window (which keeps current + previous so lazy
+        DataFrames survive one mutation). Returns dirs removed. Invalid-
+        ates any still-unexecuted DataFrame over an older version —
+        same contract as Delta VACUUM."""
+        meta = self.catalog.get_store(store, schema)
+        return self.catalog.gc_versions(meta, keep=1)
+
     def create_pred_index(
         self, store: str, keys: Iterable[str], schema: str = PUBLIC_SCHEMA
     ) -> int:
@@ -328,6 +337,11 @@ class Engine:
             .filter(F.col("_rn") == 1)
             .select("id", "key", "meta")
         )
+        if not small_batch and "_seq" not in entries.columns:
+            # synthesized _seq (monotonically_increasing_id) is not stable
+            # across recomputations — pin the dedup winner ONCE so the
+            # counting job and the rewrite job see the same batch
+            batch_d = batch_d.localCheckpoint(eager=False)
         existing = read_store(self.spark, self.catalog, meta)
 
         # probe the STORE with the batch ids (never the reverse: the

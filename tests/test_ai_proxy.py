@@ -116,3 +116,29 @@ def test_convert_store_input_to_embeddings(ai, spark):
         assert len(emb) == 384
         want = stub_embed(text, 384)
         assert [round(float(x), 6) for x in emb[:5]] == [round(w, 6) for w in want[:5]]
+
+
+def test_input_only_upsert_preserves_user_metadata(ai):
+    """Reference ai/src/engine/operations.rs:345-351: AI upsert always
+    MERGES — changing only the input must not wipe user metadata."""
+    from ahnlich_spark.operators.predicates import Equals
+
+    _mk(ai)
+    ai.set("texts", [(SI("original text"), {"author": "ada", "v": "1"})])
+    ai.upsert("texts", Equals("author", "ada"), new_input=SI("revised text"))
+    rows = ai.get_key("texts", [SI("revised text")]).collect()
+    assert len(rows) == 1
+    m = rows[0]["meta"]
+    assert m["author"]["s"] == "ada" and m["v"]["s"] == "1"
+    assert m[AHNLICH_RESERVED_INPUT_KEY]["s"] == "revised text"
+
+
+def test_upsert_merge_updates_only_named_keys(ai):
+    from ahnlich_spark.operators.predicates import Equals
+
+    _mk(ai)
+    ai.set("texts", [(SI("doc"), {"author": "ada", "v": "1"})])
+    ai.upsert("texts", Equals("author", "ada"), new_value={"v": "2"})
+    rows = ai.get_key("texts", [SI("doc")]).collect()
+    m = rows[0]["meta"]
+    assert m["author"]["s"] == "ada" and m["v"]["s"] == "2"

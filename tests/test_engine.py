@@ -177,3 +177,49 @@ def test_drop_store(engine):
     with pytest.raises(errors.StoreNotFound):
         engine.drop_store("d")
     assert engine.drop_store("d", error_if_not_exists=False) == 0
+
+
+def test_drop_store_deletes_data_dir(engine):
+    import os
+
+    engine.create_store("gc1", dimension=2)
+    engine.set("gc1", [([1.0, 0.0], {}), ([0.0, 1.0], {})])
+    meta = engine.catalog.get_store("gc1")
+    base = os.path.dirname(engine.catalog.store_path(meta))
+    assert os.path.isdir(base)
+    engine.drop_store("gc1")
+    assert not os.path.isdir(base)
+
+
+def test_writes_gc_superseded_versions(engine):
+    """Every mutation writes a new version dir; superseded dirs must be
+    garbage-collected or a long-lived warehouse leaks one store copy per
+    write (ADVICE r01)."""
+    import os
+
+    engine.create_store("gc2", dimension=2)
+    for i in range(4):
+        engine.set("gc2", [([float(i), 1.0], {})])
+    meta = engine.catalog.get_store("gc2")
+    base = os.path.dirname(engine.catalog.store_path(meta))
+    versions = sorted(d for d in os.listdir(base) if d.startswith("v"))
+    # retention window: current + previous (lazy readers survive one
+    # mutation); anything older is GC'd at write time
+    assert versions == [f"v{meta.version - 1}", f"v{meta.version}"]
+    assert engine.vacuum("gc2") == 1
+    versions = sorted(d for d in os.listdir(base) if d.startswith("v"))
+    assert versions == [f"v{meta.version}"]
+    # the surviving version still reads fine and holds all rows
+    assert engine.get_store("gc2").len == 4
+
+
+def test_derive_buckets_scales_with_size(spark):
+    from ahnlich_spark.sources.store_io import derive_buckets
+
+    small = spark.range(10).selectExpr("id", "cast(id as string) s")
+    big = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    nb_small = derive_buckets(small)
+    nb_big = derive_buckets(big)
+    assert 1 <= nb_small <= nb_big <= 65536
+    # a ~few-MB parquet should stay near a handful of buckets
+    assert nb_big <= 64

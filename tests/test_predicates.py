@@ -96,3 +96,16 @@ def test_value_kind_distinguishes_string_from_image(engine):
     assert got.count() == 1
     got = engine.get_pred("kinds", Equals("v", MetadataValue.image(b"x")))
     assert got.count() == 1
+
+
+def test_empty_in_matches_nothing(engine, store):
+    from ahnlich_spark.operators.predicates import In
+
+    assert engine.get_pred(store, In("label", ())).count() == 0
+
+
+def test_empty_not_in_matches_everything(engine, store):
+    from ahnlich_spark.operators.predicates import NotIn
+
+    total = engine.get_store(store).len
+    assert engine.get_pred(store, NotIn("label", ())).count() == total
