@@ -161,3 +161,10 @@ class Catalog:
     def store_path(self, meta: StoreMeta, version: Optional[int] = None) -> str:
         v = meta.version if version is None else version
         return os.path.join(self.warehouse, "data", meta.schema, meta.name, f"v{v}")
+
+    def store_aux_path(self, meta: StoreMeta, filename: str) -> str:
+        """Per-store auxiliary artifact (e.g. IVF centroids) — lives next
+        to the version dirs, survives version GC, dies with drop_store."""
+        base = os.path.join(self.warehouse, "data", meta.schema, meta.name)
+        os.makedirs(base, exist_ok=True)
+        return os.path.join(base, filename)

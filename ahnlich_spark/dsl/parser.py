@@ -60,11 +60,12 @@ _WORD = re.compile(r"[A-Za-z0-9_\-]+")
 ALGORITHMS = {
     "kdtree": "kdtree",
     "hnsw": "hnsw",  # extension (see module docstring)
+    "ivf": "ivf",  # extension: space-partitioned approximate search
     "euclideandistance": "euclidean_distance",
     "cosinesimilarity": "cosine_similarity",
     "dotproductsimilarity": "dot_product",
 }
-NON_LINEAR = {"kdtree": "kdtree", "hnsw": "hnsw"}
+NON_LINEAR = {"kdtree": "kdtree", "hnsw": "hnsw", "ivf": "ivf"}
 PREPROCESS = ("nopreprocessing", "modelpreprocessing")
 PROVIDERS = ("coreml", "tensorrt", "directml", "cuda")
 

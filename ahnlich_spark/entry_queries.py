@@ -968,7 +968,9 @@ def simhash_near_dup(spark, sf_dir):
 @register("ann_ivf_topk", _sim_sql(
     "list_distance(embedding::DOUBLE[], qv)", "ASC"))
 def ann_ivf_topk(spark, sf_dir):
-    """IVF (cluster-pruned) ANN path — the engine's 'kdtree' algorithm.
+    """IVF (cluster-pruned) ANN path — the engine's 'ivf' extension
+    algorithm ('kdtree' itself routes to the EXACT scan, matching the
+    reference's exact KD-tree contract, kdtree.rs:437-529).
     At oracle scale the store sits under the brute-force threshold, so
     the plan short-circuits to the exact scan (exact-top-k oracle);
     recall through the real pruned path is asserted in tests/test_ann.py."""

@@ -36,6 +36,10 @@ from ahnlich_spark.operators.topk import top_k_similar
 
 DEFAULT_N_PLANES = 16
 DEFAULT_SEED = 7
+# Signature-prefix bits used as the store's partition-layout key: the
+# Hamming-ball probe maps to a small set of feasible prefixes, so the
+# candidate read prunes whole partition directories (files) at scale.
+PREFIX_BITS = 6
 
 
 def hyperplanes(dim: int, n_planes: int = DEFAULT_N_PLANES, seed: int = DEFAULT_SEED) -> np.ndarray:
@@ -71,6 +75,67 @@ def build_signature_index(df: DataFrame, dim: int, n_planes: int = DEFAULT_N_PLA
     candidate join never shuffles the store side."""
     planes = hyperplanes(dim, n_planes, seed)
     return df.select("id", signature_expr(F.col("key"), planes).alias("sig"))
+
+
+def sig_prefix_expr(sig: Column, n_planes: int, prefix_bits: int = PREFIX_BITS) -> Column:
+    """Top ``prefix_bits`` of the signature — the partition-layout key."""
+    return F.shiftrightunsigned(sig, max(0, n_planes - prefix_bits)).cast("int")
+
+
+# ------------------------------------------- driver-side probe planning --
+# These run on SMALL per-index statistics (<= 2^n_planes signature counts,
+# <= n_clusters bucket counts) collected ONCE per store version, so query
+# planning costs zero cluster scans.
+
+def hamming_histogram(sig_counts: dict, qsig: int) -> dict:
+    """{hamming_distance: row_count} from a {signature: count} table."""
+    hist: dict = {}
+    for sig, cnt in sig_counts.items():
+        d = bin(int(sig) ^ qsig).count("1")
+        hist[d] = hist.get(d, 0) + cnt
+    return hist
+
+
+def choose_radius(hist: dict, min_candidates: int, min_radius: int, n_planes: int):
+    """Smallest radius >= min_radius whose cumulative candidate count
+    fills the quota; (None, total) when even the widest ball starves."""
+    cum = 0
+    for radius in range(n_planes + 1):
+        cum += hist.get(radius, 0)
+        if radius >= min_radius and cum >= min_candidates:
+            return radius, cum
+    return None, cum
+
+
+def feasible_prefixes(qsig: int, n_planes: int, radius: int,
+                      prefix_bits: int = PREFIX_BITS) -> list:
+    """All prefix values a signature within Hamming ``radius`` of the
+    query can have: at most ``radius`` of the differing bits land in the
+    prefix, so the feasible set is the prefix-ball of the same radius.
+    Partition-prunes the candidate read when the store is laid out by
+    ``sig_prefix_expr``."""
+    from itertools import combinations
+
+    qp = qsig >> max(0, n_planes - prefix_bits)
+    out = set()
+    for d in range(min(radius, prefix_bits) + 1):
+        for pos in combinations(range(prefix_bits), d):
+            p = qp
+            for b in pos:
+                p ^= 1 << b
+            out.add(p)
+    return sorted(out)
+
+
+def choose_probes(order, bucket_counts: dict, n_probe: int, min_candidates: int):
+    """First ``i >= n_probe`` nearest buckets whose cumulative count
+    fills the quota; (None, total) when all buckets together starve."""
+    cum = 0
+    for i, c in enumerate(order):
+        cum += bucket_counts.get(int(c), 0)
+        if i + 1 >= n_probe and cum >= min_candidates:
+            return [int(x) for x in order[: i + 1]], cum
+    return None, cum
 
 
 def lsh_top_k(
@@ -122,14 +187,8 @@ def lsh_top_k(
     hist = dict(
         cand_base.select(dist.alias("d")).groupBy("d").count().collect()
     )
-    cum = 0
-    chosen = None
-    for radius in range(n_planes + 1):
-        cum += hist.get(radius, 0)
-        if radius >= hamming_radius and cum >= min_candidates:
-            chosen = radius
-            break
-    if chosen is None or cum < min_candidates:
+    chosen, _cum = choose_radius(hist, min_candidates, hamming_radius, n_planes)
+    if chosen is None:
         return top_k_similar(df, query_vector, metric, k, precision=precision)
     cands = cand_base.filter(dist <= chosen).drop("sig")
     return top_k_similar(cands, query_vector, metric, k, precision=precision)
@@ -228,15 +287,9 @@ def ivf_top_k(
     # one histogram pass picks the probe width (same trick as the LSH
     # radius histogram — never re-evaluate assignment per attempt)
     hist = dict(base.groupBy("bucket").count().collect())
-    cum, chosen = 0, None
-    for i, c in enumerate(order):
-        cum += hist.get(int(c), 0)
-        if i + 1 >= n_probe and cum >= min_candidates:
-            chosen = i + 1
-            break
-    if chosen is None:
+    picked, _cum = choose_probes(order, hist, n_probe, min_candidates)
+    if picked is None:
         return top_k_similar(df.drop("bucket") if "bucket" in df.columns else df,
                              query_vector, metric, k, precision=precision)
-    picked = [int(c) for c in order[:chosen]]
     cands = base.filter(F.col("bucket").isin(picked)).drop("bucket")
     return top_k_similar(cands, query_vector, metric, k, precision=precision)

@@ -47,12 +47,24 @@ from ahnlich_spark.types import (
 
 Entry = Tuple[Sequence[float], dict]
 
-NON_LINEAR_ALGOS = ("kdtree", "hnsw")
+NON_LINEAR_ALGOS = ("kdtree", "hnsw", "ivf")
 LINEAR_ALGOS = (S.COSINE, S.DOT, S.EUCLIDEAN)
 
 # Reference crossover: accept lists <= 4096 are brute-forced even when an
 # ANN index exists (ahnlich/similarity/src/hnsw/index.rs:24).
 BRUTE_FORCE_THRESHOLD = 4096
+
+# Per-algorithm index defaults. kdtree is EXACT (the reference KD-tree
+# n_nearest is exact k-NN, kdtree.rs:437-529) so it needs no artifact;
+# hnsw maps to LSH bucket pruning where ef_construction is honored as
+# the candidate-list quota (its literal HNSW meaning) and
+# n_planes/hamming_radius tune the signature; ivf is the engine's
+# space-partitioned extension (the distributed analog of tree search).
+ANN_DEFAULTS = {
+    "kdtree": {"distance": "euclidean_distance"},
+    "hnsw": dict(HNSW_DEFAULTS, n_planes=16, seed=7, hamming_radius=3),
+    "ivf": {"n_clusters": 64, "n_probe": 8, "distance": "euclidean_distance", "seed": 7},
+}
 
 
 @dataclass(frozen=True)
@@ -91,6 +103,11 @@ class Engine:
     def __init__(self, spark: SparkSession, warehouse: str):
         self.spark = spark
         self.catalog = Catalog(warehouse)
+        # per-(schema, store, version, algo) index statistics: signature /
+        # bucket histograms + row count, collected from ONE narrow
+        # column scan on first use and valid for the version's lifetime
+        # (writes bump the version, so stale entries simply never match)
+        self._ann_cache: dict = {}
 
     # ------------------------------------------------------------- DDL --
     def create_store(
@@ -120,7 +137,7 @@ class Engine:
                 dimension=int(dimension),
                 predicates=sorted(set(predicates)),
                 non_linear=non_linear,
-                non_linear_config={a: dict(HNSW_DEFAULTS) for a in non_linear},
+                non_linear_config={a: dict(ANN_DEFAULTS[a]) for a in non_linear},
             )
         )
 
@@ -176,8 +193,19 @@ class Engine:
         return len(removed)
 
     def create_non_linear_algorithm_index(
-        self, store: str, algorithms: Iterable[str], schema: str = PUBLIC_SCHEMA
+        self,
+        store: str,
+        algorithms: Iterable[str],
+        schema: str = PUBLIC_SCHEMA,
+        config: Optional[dict] = None,
     ) -> int:
+        """Create ANN indexes and BACKFILL their physical artifacts
+        (reference backfills on creation, non_linear.rs:186-205): for
+        hnsw/ivf on a non-empty store the store is rewritten once with
+        embedded signature/bucket columns and a matching partition
+        layout, so queries read the index instead of recomputing it.
+        ``config`` overrides per-algorithm defaults (e.g. hnsw
+        ef_construction/n_planes, ivf n_clusters/n_probe)."""
         meta = self.catalog.get_store(store, schema)
         created = 0
         for a in algorithms:
@@ -185,10 +213,13 @@ class Engine:
                 raise ValueError(f"unknown non-linear algorithm {a!r}")
             if a not in meta.non_linear:
                 meta.non_linear.append(a)
-                meta.non_linear_config[a] = dict(HNSW_DEFAULTS)
+                meta.non_linear_config[a] = dict(ANN_DEFAULTS[a], **(config or {}))
                 created += 1
         meta.non_linear = sorted(meta.non_linear)
         self.catalog.put_store(meta)
+        if created and meta.version > 0 and ({"hnsw", "ivf"} & set(meta.non_linear)):
+            df = read_store(self.spark, self.catalog, meta)
+            self._write(meta, df)
         return created
 
     def drop_non_linear_algorithm_index(
@@ -208,7 +239,86 @@ class Engine:
         for a in removed:
             meta.non_linear_config.pop(a, None)
         self.catalog.put_store(meta)
+        if "ivf" in removed:
+            try:
+                os.remove(self.catalog.store_aux_path(meta, "ivf_centroids.npy"))
+            except OSError:
+                pass
         return len(removed)
+
+    # -------------------------------------------------- index-aware I/O --
+    def _write(self, meta: StoreMeta, df: DataFrame) -> StoreMeta:
+        """Write the next store version with ANN index columns embedded
+        and the partition layout keyed by the index (IVF bucket wins over
+        LSH sig-prefix when both exist): queries then read the index for
+        free and probe filters prune whole partition directories."""
+        from ahnlich_spark.operators import ann as A
+        from ahnlich_spark.sources.store_io import ANN_COLUMNS
+
+        stale = [c for c in df.columns if c in ANN_COLUMNS]
+        if stale:
+            df = df.drop(*stale)
+        layout = None
+        if "hnsw" in meta.non_linear:
+            cfg = meta.non_linear_config.get("hnsw", ANN_DEFAULTS["hnsw"])
+            n_planes = int(cfg.get("n_planes", 16))
+            planes = A.hyperplanes(meta.dimension, n_planes, int(cfg.get("seed", 7)))
+            df = df.withColumn("_ann_sig", A.signature_expr(F.col("key"), planes))
+            df = df.withColumn("_ann_sigp", A.sig_prefix_expr(F.col("_ann_sig"), n_planes))
+            layout = "_ann_sigp"
+        if "ivf" in meta.non_linear:
+            cents = self._ivf_centroids(meta, df)
+            if cents is not None:
+                df = A.assign_buckets(df, cents, key_col="key").withColumnRenamed(
+                    "bucket", "_ann_bucket"
+                )
+                layout = "_ann_bucket"
+        return write_store(df, self.catalog, meta, layout_col=layout)
+
+    def _ivf_centroids(self, meta: StoreMeta, df: Optional[DataFrame] = None):
+        """Load the persisted IVF coarse quantizer; train + persist it on
+        first use (sample-based, the standard IVF recipe). Returns None
+        while the store has no data to train on."""
+        path = self.catalog.store_aux_path(meta, "ivf_centroids.npy")
+        if os.path.exists(path):
+            return np.load(path)
+        if df is None or df.limit(1).count() == 0:
+            return None
+        from ahnlich_spark.operators.ann import train_centroids
+
+        cfg = meta.non_linear_config.get("ivf", ANN_DEFAULTS["ivf"])
+        cents = train_centroids(
+            df, meta.dimension, int(cfg.get("n_clusters", 64)),
+            seed=int(cfg.get("seed", 7)),
+        )
+        np.save(path, cents)
+        return cents
+
+    def _ann_state(self, meta: StoreMeta, algorithm: str) -> dict:
+        """Per-version index statistics for driver-side probe planning:
+        {signature|bucket} histograms (bounded by 2^n_planes / n_clusters
+        entries) and the row count — ONE narrow column scan, cached."""
+        key = (meta.schema, meta.name, meta.version, algorithm)
+        state = self._ann_cache.get(key)
+        if state is not None:
+            return state
+        raw = read_store(self.spark, self.catalog, meta, canonical=False)
+        if algorithm == "hnsw" and "_ann_sig" in raw.columns:
+            counts = {
+                int(r[0]): int(r[1])
+                for r in raw.groupBy("_ann_sig").count().collect()
+            }
+            state = {"sig_counts": counts, "count": sum(counts.values())}
+        elif algorithm == "ivf" and "_ann_bucket" in raw.columns:
+            counts = {
+                int(r[0]): int(r[1])
+                for r in raw.groupBy("_ann_bucket").count().collect()
+            }
+            state = {"bucket_counts": counts, "count": sum(counts.values())}
+        else:
+            state = {"count": raw.count()}
+        self._ann_cache[key] = state
+        return state
 
     # ----------------------------------------------------------- reads --
     def store_df(self, store: str, schema: str = PUBLIC_SCHEMA) -> DataFrame:
@@ -262,11 +372,16 @@ class Engine:
             raise errors.NonLinearIndexNotFound(
                 f"non-linear index {algorithm!r} not created for {schema}.{store}"
             )
-        metric = (
-            S.EUCLIDEAN
-            if algorithm == "kdtree"
-            else meta.non_linear_config.get(algorithm, HNSW_DEFAULTS)["distance"]
-        )
+        cfg = meta.non_linear_config.get(algorithm, ANN_DEFAULTS[algorithm])
+        metric = cfg.get("distance", S.EUCLIDEAN)
+        if algorithm == "kdtree":
+            # The reference KD-tree n_nearest is EXACT k-NN
+            # (kdtree.rs:437-529); the exact scan is Spark's natural
+            # bounded top-k and needs no artifact. Approximate modes
+            # live under hnsw (LSH) and ivf.
+            return top_k_similar(
+                df, search_input, metric, closest_n, condition, precision=precision
+            )
         if condition is not None:
             # Reference: small accept-lists brute-force (hnsw/index.rs:24).
             # Exact filtered top-k is Spark's natural plan, and exact
@@ -274,20 +389,73 @@ class Engine:
             return top_k_similar(
                 df, search_input, metric, closest_n, condition, precision=precision
             )
+        return self._ann_top_k(meta, algorithm, cfg, metric, search_input,
+                               closest_n, precision, df)
+
+    def _ann_top_k(self, meta, algorithm, cfg, metric, search_input,
+                   closest_n, precision, df) -> DataFrame:
+        """Approximate top-k through the MATERIALIZED index: probe set is
+        planned driver-side from cached histograms (zero scans), then ONE
+        partition-pruned candidate read is exact-rescored. Falls back to
+        the exact scan when the store is small, the index artifact is
+        absent, or pruning would starve the candidate quota."""
+        from ahnlich_spark.operators import ann as A
+        from ahnlich_spark.sources.store_io import ANN_COLUMNS
+
+        state = self._ann_state(meta, algorithm)
+        if state["count"] <= BRUTE_FORCE_THRESHOLD:
+            return top_k_similar(df, search_input, metric, closest_n, precision=precision)
+        raw = read_store(self.spark, self.catalog, meta, canonical=False)
+        drop_cols = [c for c in raw.columns if c in ANN_COLUMNS]
+
+        if algorithm == "hnsw" and "sig_counts" in state:
+            n_planes = int(cfg.get("n_planes", 16))
+            planes = A.hyperplanes(meta.dimension, n_planes, int(cfg.get("seed", 7)))
+            qsig = A.signature_of(search_input, planes)
+            # ef_construction keeps its literal HNSW meaning: the size of
+            # the candidate list the search must fill before rescoring
+            # (floored at the generic path's quota so defaults don't
+            # under-collect; raise ef_construction to search wider)
+            min_cand = max(4 * closest_n, BRUTE_FORCE_THRESHOLD // 8,
+                           int(cfg.get("ef_construction", 100)))
+            hist = A.hamming_histogram(state["sig_counts"], qsig)
+            radius, _cum = A.choose_radius(
+                hist, min_cand, int(cfg.get("hamming_radius", 3)), n_planes
+            )
+            if radius is None:
+                return top_k_similar(df, search_input, metric, closest_n,
+                                     precision=precision)
+            feas = A.feasible_prefixes(qsig, n_planes, radius)
+            cands = raw.filter(
+                F.col("_ann_sigp").isin(feas)
+                & (F.bit_count(F.col("_ann_sig").bitwiseXOR(F.lit(qsig))) <= radius)
+            ).drop(*drop_cols)
+            return top_k_similar(cands, search_input, metric, closest_n,
+                                 precision=precision)
+
+        if algorithm == "ivf" and "bucket_counts" in state:
+            cents = self._ivf_centroids(meta)
+            if cents is not None:
+                q = np.asarray(list(search_input), dtype=np.float64)
+                order = np.argsort(((cents.astype(np.float64) - q) ** 2).sum(axis=1))
+                min_cand = max(4 * closest_n, BRUTE_FORCE_THRESHOLD // 8)
+                picked, _cum = A.choose_probes(
+                    order, state["bucket_counts"], int(cfg.get("n_probe", 8)), min_cand
+                )
+                if picked is None:
+                    return top_k_similar(df, search_input, metric, closest_n,
+                                         precision=precision)
+                cands = raw.filter(F.col("_ann_bucket").isin(picked)).drop(*drop_cols)
+                return top_k_similar(cands, search_input, metric, closest_n,
+                                     precision=precision)
+
+        # artifact missing (e.g. store predates the index): generic
+        # on-the-fly path keeps answers correct, one rebuild makes it fast
         from ahnlich_spark.operators.ann import ivf_top_k, lsh_top_k
 
-        # kdtree -> IVF (space-partitioned pruning, the distributed
-        # analog of tree search); hnsw -> LSH bucket pruning. Both exact-
-        # rescore their candidates and share the brute-force shortcut.
-        ann = ivf_top_k if algorithm == "kdtree" else lsh_top_k
-        return ann(
-            df,
-            search_input,
-            metric=metric,
-            k=closest_n,
-            precision=precision,
-            brute_force_threshold=BRUTE_FORCE_THRESHOLD,
-        )
+        ann = ivf_top_k if algorithm == "ivf" else lsh_top_k
+        return ann(df, search_input, metric=metric, k=closest_n, precision=precision,
+                   brute_force_threshold=BRUTE_FORCE_THRESHOLD)
 
     def list_stores(self, schema: str = PUBLIC_SCHEMA) -> List[StoreInfo]:
         return [self._store_info(m) for m in self.catalog.list_stores(schema)]
@@ -364,7 +532,7 @@ class Engine:
         inserted = total - updated
 
         new_df = existing.join(batch_ids, "id", "left_anti").unionByName(batch_d)
-        write_store(new_df, self.catalog, meta)
+        self._write(meta, new_df)
         return StoreUpsert(inserted=inserted, updated=updated)
 
     def del_key(
@@ -377,7 +545,7 @@ class Engine:
         deleted = df.join(F.broadcast(probes), "id", "left_semi").count()
         if deleted:
             remaining = df.join(F.broadcast(probes), "id", "left_anti")
-            write_store(remaining, self.catalog, meta)
+            self._write(meta, remaining)
         return DelResult(deleted_count=int(deleted))
 
     def del_pred(
@@ -388,7 +556,7 @@ class Engine:
         cond = F.coalesce(compile_predicate(condition), F.lit(False))
         deleted = df.filter(cond).count()
         if deleted:
-            write_store(df.filter(~cond), self.catalog, meta)
+            self._write(meta, df.filter(~cond))
         return DelResult(deleted_count=int(deleted))
 
     def upsert(
@@ -448,7 +616,7 @@ class Engine:
         remaining = df.filter(~cond).join(
             F.broadcast(replacement.select("id")), "id", "left_anti"
         )
-        write_store(remaining.unionByName(replacement.select("id", "key", "meta")), self.catalog, meta)
+        self._write(meta, remaining.unionByName(replacement.select("id", "key", "meta")))
         return StoreUpsert(inserted=0, updated=1)
 
     # -------------------------------------------------------- pipeline --

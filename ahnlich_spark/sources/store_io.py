@@ -35,12 +35,29 @@ KEEP_VERSIONS = 2
 MAX_BUCKETS = 65536
 
 
-def read_store(spark: SparkSession, catalog: Catalog, meta: StoreMeta) -> DataFrame:
+# Internal ANN-index columns embedded in the store files (computed at
+# write time so queries never re-project or join them):
+#   _ann_sig    BIGINT  LSH random-projection signature   (hnsw analog)
+#   _ann_sigp   INT     signature prefix = partition-layout key
+#   _ann_bucket INT     IVF nearest-centroid id = partition-layout key
+ANN_COLUMNS = ("_ann_sig", "_ann_sigp", "_ann_bucket")
+
+
+def read_store(
+    spark: SparkSession, catalog: Catalog, meta: StoreMeta, canonical: bool = True
+) -> DataFrame:
     """Current snapshot of a store as a DataFrame (empty stores give an
-    empty frame with the canonical schema)."""
+    empty frame with the canonical schema). ``canonical=True`` hides the
+    internal ANN index columns; the ANN query path reads with
+    ``canonical=False`` to use them."""
     if meta.version == 0:
         return spark.createDataFrame([], store_schema())
-    return spark.read.parquet(catalog.store_path(meta))
+    df = spark.read.parquet(catalog.store_path(meta))
+    if canonical:
+        extra = [c for c in df.columns if c in ANN_COLUMNS]
+        if extra:
+            df = df.drop(*extra)
+    return df
 
 
 def derive_buckets(df: DataFrame) -> int:
@@ -67,16 +84,29 @@ def write_store(
     catalog: Catalog,
     meta: StoreMeta,
     n_buckets: Optional[int] = None,
+    layout_col: Optional[str] = None,
 ) -> StoreMeta:
     """Write ``df`` as the next version of the store and flip the catalog
-    pointer. Data is hash-distributed by id before the write so future
-    id-joins read co-located files; version dirs older than the
-    KEEP_VERSIONS retention window are GC'd after the flip."""
+    pointer. Without a ``layout_col`` data is hash-distributed by id so
+    future id-joins read co-located files; with one (an ANN index key:
+    IVF bucket or LSH sig-prefix) the version is directory-partitioned
+    by it so probe filters prune whole files. Version dirs older than
+    the KEEP_VERSIONS retention window are GC'd after the flip."""
     if n_buckets is None:
         n_buckets = derive_buckets(df)
     new_version = meta.version + 1
     path = catalog.store_path(meta, new_version)
-    df.repartition(n_buckets, "id").write.mode("overwrite").parquet(path)
+    if layout_col is not None and layout_col in df.columns:
+        # hash-distribute on the layout key so each partition dir is
+        # written by one task (one file per dir, not tasks x dirs)
+        (
+            df.repartition(n_buckets, layout_col)
+            .write.mode("overwrite")
+            .partitionBy(layout_col)
+            .parquet(path)
+        )
+    else:
+        df.repartition(n_buckets, "id").write.mode("overwrite").parquet(path)
     meta.version = new_version
     catalog.put_store(meta)
     catalog.gc_versions(meta, keep=KEEP_VERSIONS)

@@ -1,0 +1,144 @@
+"""Materialized ANN index artifacts: engine queries must READ the index
+(embedded _ann_* columns + partition layout) instead of recomputing
+signatures per query, probe planning must cost zero cluster scans, and
+the partition layout must prune files at the scan.
+
+Reference parity: index built once on creation/backfill, maintained on
+writes, queried (ahnlich/db/src/engine/store.rs non_linear.rs:186-205);
+kdtree n_nearest is EXACT (kdtree.rs:437-529)."""
+
+import contextlib
+import io
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import types as T
+
+from ahnlich_spark.functions import similarity as S
+from ahnlich_spark.operators.topk import top_k_similar
+
+DIM = 32
+N = 6000  # > BRUTE_FORCE_THRESHOLD so the approximate path engages
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _vectors(n, dim, seed=11, n_clusters=120):
+    rng = np.random.RandomState(seed)
+    centers = rng.normal(0, 1.0, size=(n_clusters, dim))
+    assign = rng.randint(0, n_clusters, size=n)
+    return (centers[assign] + rng.normal(0, 0.15, size=(n, dim))).astype(np.float32)
+
+
+VECS = _vectors(N, DIM)
+
+
+def _big_entries():
+    return [(v.tolist(), {"i": str(i)}) for i, v in enumerate(VECS)]
+
+
+@pytest.fixture(scope="module")
+def indexed_engine(spark, tmp_path_factory):
+    from ahnlich_spark import Engine
+
+    eng = Engine(spark, str(tmp_path_factory.mktemp("ann_wh")))
+    eng.create_store("vecs", dimension=DIM)
+    eng.set("vecs", _big_entries())
+    # create AFTER data exists -> exercises the backfill rewrite
+    eng.create_non_linear_algorithm_index("vecs", ["hnsw", "ivf", "kdtree"])
+    return eng
+
+
+def test_store_files_carry_index_columns_and_layout(indexed_engine):
+    eng = indexed_engine
+    meta = eng.catalog.get_store("vecs")
+    path = eng.catalog.store_path(meta)
+    raw = eng.spark.read.parquet(path)
+    assert {"_ann_sig", "_ann_sigp", "_ann_bucket"} <= set(raw.columns)
+    # IVF bucket is the partition-layout key (dir-partitioned parquet)
+    assert any(d.startswith("_ann_bucket=") for d in os.listdir(path))
+    # centroids persisted next to the version dirs
+    assert os.path.exists(eng.catalog.store_aux_path(meta, "ivf_centroids.npy"))
+
+
+def test_query_plan_reads_index_not_recomputes(indexed_engine):
+    """The hnsw query plan must read the precomputed signature column
+    from the scan, NOT re-project it: a signature recompute would add
+    n_planes (16) per-plane dot-product expressions; the only
+    higher-order expressions allowed are the rescore cosine's (one
+    zip_with + its norm aggregates)."""
+    q = VECS[3].tolist()
+    top = indexed_engine.get_sim_n("vecs", q, closest_n=10, algorithm="hnsw")
+    plan = plan_of(top)
+    assert plan.count("zip_with") <= 2, plan
+    # candidate filter reads the stored signature and reaches the scan
+    assert "_ann_sig" in plan.split("ReadSchema")[1].split("\n")[0]
+    assert "bit_count" in plan
+    # the sig-prefix probe set is pushed to the parquet scan
+    assert "_ann_sigp" in plan.split("PushedFilters")[1].split("\n")[0]
+
+
+def test_ivf_query_partition_prunes(indexed_engine):
+    q = VECS[5].tolist()
+    top = indexed_engine.get_sim_n("vecs", q, closest_n=10, algorithm="ivf")
+    plan = plan_of(top)
+    # bucket probe reaches the scan as a PARTITION filter (file pruning)
+    assert "_ann_bucket" in plan.split("PartitionFilters")[1].split("\n")[0]
+
+
+def test_histograms_collected_once_per_version(indexed_engine):
+    """Probe planning runs on CACHED per-version statistics: after the
+    first collection, _ann_state must return the same object with zero
+    Spark jobs (no per-query histogram scans — the round-1 weakness)."""
+    eng = indexed_engine
+    meta = eng.catalog.get_store("vecs")
+    tracker = eng.spark.sparkContext.statusTracker()
+    s1 = eng._ann_state(meta, "hnsw")  # may collect (first use)
+    before = tracker.getJobIdsForGroup(None)
+    s2 = eng._ann_state(meta, "hnsw")
+    after = tracker.getJobIdsForGroup(None)
+    assert s2 is s1
+    assert len(after) == len(before), "cached _ann_state launched Spark jobs"
+    assert s1["count"] >= N
+    assert sum(s1["sig_counts"].values()) == s1["count"]
+
+
+@pytest.mark.parametrize("algo,metric", [("hnsw", S.COSINE), ("ivf", S.EUCLIDEAN)])
+def test_materialized_path_recall(indexed_engine, spark, algo, metric):
+    eng = indexed_engine
+    store = eng.store_df("vecs")
+    rng = np.random.RandomState(3)
+    recalls = []
+    for i in rng.choice(N, size=5, replace=False):
+        q = VECS[i].tolist()
+        approx = {r["id"] for r in eng.get_sim_n("vecs", q, 50, algorithm=algo).collect()}
+        exact = {r["id"] for r in top_k_similar(store, q, metric, 50).collect()}
+        recalls.append(len(approx & exact) / 50)
+    avg = sum(recalls) / len(recalls)
+    assert avg > 0.90, f"{algo}: avg recall {avg:.3f} ({recalls})"
+
+
+def test_kdtree_is_exact(indexed_engine):
+    """Reference KD-tree contract: n_nearest is exact k-NN."""
+    eng = indexed_engine
+    store = eng.store_df("vecs")
+    q = VECS[11].tolist()
+    got = [r["id"] for r in eng.get_sim_n("vecs", q, 20, algorithm="kdtree").collect()]
+    exact = [r["id"] for r in top_k_similar(store, q, S.EUCLIDEAN, 20).collect()]
+    assert got == exact
+
+
+def test_index_maintained_across_writes(indexed_engine):
+    """A post-index Set must keep the artifact current: new rows are
+    findable through the approximate path."""
+    eng = indexed_engine
+    probe = (_vectors(1, DIM, seed=99)[0] + 0.001).astype(np.float32).tolist()
+    eng.set("vecs", [(probe, {"i": "new"})])
+    top = eng.get_sim_n("vecs", probe, closest_n=1, algorithm="hnsw").collect()
+    assert len(top) == 1 and abs(top[0]["similarity"] - 1.0) < 1e-6
