@@ -23,6 +23,7 @@ duckdb oracle reproduces results bit-for-bit with no float boundaries.
 from __future__ import annotations
 
 from fractions import Fraction
+from typing import Optional
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -343,28 +344,51 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     precision: str = "double",
     block_size: int = 1024,
+    exact: Optional[bool] = None,
+    brute_force_threshold: int = 8192,
+    n_planes: int = 16,
+    n_bands: int = 4,
+    seed: int = 7,
 ) -> DataFrame:
     """Pairs (i < j) with cosine >= threshold over an embedding column.
     Returns (i, j, cos_e4) with cos_e4 = round-half-up(cos * 10^4).
 
-    Executed as a **blocked all-pairs matmul** (the distributed
-    block-nested-loop): rows are hashed into B = ceil(n/block_size)
-    blocks, every unordered block pair (bi <= bj) becomes one task, and
-    inside the task the full cosine block is one numpy float64 GEMM over
-    Arrow-transferred batches. Each row is replicated ~B+1 times through
-    ONE shuffle — at 100 TB you bound memory by block_size and the
-    replication factor grows as sqrt(#block-pairs), the standard
-    trade-off. ~40x faster than the naive theta-join, whose per-pair
-    higher-order-function cosine is interpreted per element.
+    DEFAULT (scale path): **LSH-pruned candidates** — random-projection
+    signatures (one Arrow matmul per batch), banded into ``n_bands``
+    buckets; only bucket collisions are cosine-verified. Work is
+    O(candidates), never all-pairs. Recall for genuine near-dups
+    (cos >= 0.9) is ~(1-(1-p^r)^b) with p = 1 - theta/pi, asserted
+    >= 0.9 in tests/test_dedup.py.
 
-    For billion-row corpora prune candidates first (LSH signatures /
-    ann.build_signature_index) and matmul only within buckets."""
+    Corpora at or below ``brute_force_threshold`` rows (and ``exact=True``
+    opt-in) run the **blocked all-pairs matmul** instead — exact at any
+    threshold, quadratic work: rows hash into B = ceil(n/block_size)
+    blocks, each unordered block pair is one task computing a float64
+    GEMM over Arrow batches. Each row is replicated ~B+1 times through
+    ONE shuffle; bound memory by block_size. (Low thresholds make LSH
+    pruning meaningless — use exact=True there.)"""
+    n = df.count()
+    if exact is None:
+        exact = n <= brute_force_threshold
+    if not exact:
+        return _embedding_pruned_pairs(
+            df, threshold, vec_col, id_col, n_planes, n_bands, seed
+        )
+    return _embedding_all_pairs(df, threshold, vec_col, id_col, block_size, n)
+
+
+def _embedding_all_pairs(
+    df: DataFrame,
+    threshold: float,
+    vec_col: str,
+    id_col: str,
+    block_size: int,
+    n: int,
+) -> DataFrame:
     import math
 
     import numpy as np
     import pandas as pd
-
-    n = df.count()
     n_blocks = max(1, math.ceil(n / block_size))
     base = df.select(
         F.col(id_col).cast("long").alias("rid"),
@@ -420,3 +444,104 @@ def embedding_near_dup_pairs(
     return tagged.groupBy("bi", "bj").applyInPandas(
         block_cosine, "i long, j long, cos_e4 long"
     )
+
+
+def _embedding_pruned_pairs(
+    df: DataFrame,
+    threshold: float,
+    vec_col: str,
+    id_col: str,
+    n_planes: int,
+    n_bands: int,
+    seed: int,
+) -> DataFrame:
+    """LSH-banded candidate generation + vectorized cosine verify.
+
+    Plan shape (the one that survives 100 TB):
+    1. signature: one Arrow-batched matmul adds a ``sig`` BIGINT per row
+       (cheap, scan-local);
+    2. bands: explode n_bands (band, bits) keys — the ONLY shuffle moves
+       (rid, band-key) pairs, never vectors;
+    3. candidates: per-bucket self-join, distinct (i, j);
+    4. verify: join the two vectors back by rid and compute the exact
+       cosine row-wise in numpy (mapInPandas) — work is O(candidates).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ahnlich_spark.operators.ann import hyperplanes
+
+    first = df.select(vec_col).first()
+    if first is None:
+        return df.sparkSession.createDataFrame([], "i long, j long, cos_e4 long")
+    planes = hyperplanes(len(first[0]), n_planes, seed).astype(np.float64)
+
+    def sign_sig(batches):
+        for keys in batches:
+            mat = np.stack(keys.map(lambda v: np.asarray(v, dtype=np.float64)).to_numpy())
+            bits = (mat @ planes.T) >= 0
+            sig = bits @ (1 << np.arange(n_planes, dtype=np.int64))
+            yield pd.Series(sig)
+
+    from typing import Iterator
+
+    sign_sig.__annotations__ = {
+        "batches": Iterator[pd.Series], "return": Iterator[pd.Series]
+    }
+    from pyspark.sql import types as T
+
+    sig_udf = F.pandas_udf(T.LongType())(sign_sig)
+
+    base = _fan_out(df).select(
+        F.col(id_col).cast("long").alias("rid"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+    sigd = base.select("rid", sig_udf(F.col("vec")).alias("sig"))
+    r = max(1, n_planes // n_bands)
+    band_keys = [
+        F.struct(
+            F.lit(b).alias("b"),
+            F.shiftrightunsigned(F.col("sig"), b * r)
+            .bitwiseAND(F.lit((1 << r) - 1))
+            .alias("v"),
+        )
+        for b in range(n_bands)
+    ]
+    bands = sigd.select("rid", F.explode(F.array(*band_keys)).alias("bk")).select(
+        "rid", F.col("bk.b").alias("b"), F.col("bk.v").alias("v")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.rid") < F.col("b.rid")),
+        )
+        .select(F.col("a.rid").alias("i"), F.col("b.rid").alias("j"))
+        .distinct()
+    )
+    pairs = (
+        cand.join(base.select(F.col("rid").alias("i"), F.col("vec").alias("vi")), "i")
+        .join(base.select(F.col("rid").alias("j"), F.col("vec").alias("vj")), "j")
+    )
+    thr = float(threshold)
+
+    def verify(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vi = np.stack(pdf["vi"].map(lambda v: np.asarray(v, dtype=np.float64)).to_numpy())
+            vj = np.stack(pdf["vj"].map(lambda v: np.asarray(v, dtype=np.float64)).to_numpy())
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = (vi * vj).sum(axis=1) / (
+                    np.linalg.norm(vi, axis=1) * np.linalg.norm(vj, axis=1)
+                )
+            keep = cos >= thr
+            c = cos[keep]
+            e4 = (np.sign(c) * np.floor(np.abs(c) * 10000 + 0.5)).astype(np.int64)
+            yield pd.DataFrame(
+                {"i": pdf["i"].to_numpy()[keep], "j": pdf["j"].to_numpy()[keep], "cos_e4": e4}
+            )
+
+    return pairs.mapInPandas(verify, "i long, j long, cos_e4 long")

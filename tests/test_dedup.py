@@ -86,3 +86,53 @@ def test_simhash_exact_dups_have_hamming_zero(docs):
     }
     assert pairs[(0, 2)] == 0  # identical docs
     assert (3, 4) in pairs and pairs[(3, 4)] == 0  # empty & null both -1
+
+
+def test_embedding_near_dup_pruned_matches_exact(spark):
+    """Above the brute-force threshold the DEFAULT path is LSH-pruned;
+    its pairs must be a subset of the exact all-pairs result with
+    recall >= 0.9 on genuine near-dups (cos >= 0.95 here)."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    n_base, dim = 5000, 32
+    base = rng.normal(size=(n_base, dim))
+    # 400 planted near-dup partners: tiny perturbations (cos ~ 0.99)
+    partners = base[:400] + rng.normal(0, 0.02, size=(400, dim))
+    vecs = np.vstack([base, partners]).astype(np.float32)  # 5400 < 8192
+    # tile to clear the 8192 brute-force threshold without new dups
+    far = rng.normal(10.0, 0.1, size=(4000, dim)).astype(np.float32)
+    allv = np.vstack([vecs, far])
+    rows = [(i, v.tolist()) for i, v in enumerate(allv)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    pruned = {
+        (r["i"], r["j"]): r["cos_e4"]
+        for r in D.embedding_near_dup_pairs(df, threshold=0.95).collect()
+    }
+    exact = {
+        (r["i"], r["j"]): r["cos_e4"]
+        for r in D.embedding_near_dup_pairs(df, threshold=0.95, exact=True).collect()
+    }
+    assert set(pruned) <= set(exact), "pruned path emitted a non-pair"
+    for k, v in pruned.items():
+        assert exact[k] == v, f"cosine mismatch for {k}"
+    assert len(exact) >= 400  # the planted pairs are present
+    recall = len(pruned) / len(exact)
+    assert recall >= 0.9, f"recall {recall:.3f} ({len(pruned)}/{len(exact)})"
+
+
+def test_embedding_near_dup_small_input_is_exact_by_default(spark):
+    """At or below the threshold the default is the exact blocked GEMM
+    (low thresholds would defeat LSH pruning anyway)."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    vecs = rng.normal(size=(300, 16)).astype(np.float32)
+    vecs[10] = vecs[4] * 1.5  # exact-direction dup, cos = 1
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)], "vec_id long, embedding array<float>"
+    )
+    got = {(r["i"], r["j"]): r["cos_e4"] for r in
+           D.embedding_near_dup_pairs(df, threshold=0.99).collect()}
+    assert got.get((4, 10)) == 10000
