@@ -163,10 +163,23 @@ class AiEngine:
     def set(
         self,
         store: str,
-        inputs: Sequence[AiEntry],
+        inputs,
         schema: str = PUBLIC_SCHEMA,
         preprocess_action: str = NO_PREPROCESSING,
+        input_col: str = "input",
+        meta_col: Optional[str] = None,
     ) -> StoreUpsert:
+        """AI Set. ``inputs`` is either a small list of (StoreInput,
+        meta) pairs — embedded driver-side, DSL-sized — or a DataFrame
+        of raw inputs for BULK ingest, embedded executor-side through
+        the Arrow-batched UDF (no driver loop, no collect). Both paths
+        fold the reference's DelPred-before-Set (re-setting the same
+        original replaces the old entry, operations.rs:229-268) into
+        ONE store rewrite."""
+        if isinstance(inputs, DataFrame):
+            return self._set_bulk(
+                store, inputs, schema, preprocess_action, input_col, meta_col
+            )
         binding = self._binding(store, schema)
         entries = []
         originals = []
@@ -181,13 +194,107 @@ class AiEngine:
                 m[AHNLICH_RESERVED_INPUT_KEY] = self._input_mv(inp)
                 originals.append(self._input_mv(inp))
             entries.append((vec, m))
-        # re-SET of the same original deletes the prior entry first
-        # (reference operations.rs:229-243): DelPred(In(reserved, inputs))
-        if originals:
-            self.engine.del_pred(
-                store, In(AHNLICH_RESERVED_INPUT_KEY, tuple(originals)), schema
+        # re-SET of the same original deletes the prior entry INSIDE the
+        # same rewrite (reference pipelines [DelPred, Set])
+        cond = (
+            In(AHNLICH_RESERVED_INPUT_KEY, tuple(originals)) if originals else None
+        )
+        return self.engine.set(store, entries, schema, remove_condition=cond)
+
+    def _set_bulk(
+        self,
+        store: str,
+        df: DataFrame,
+        schema: str,
+        preprocess_action: str,
+        input_col: str,
+        meta_col: Optional[str],
+    ) -> StoreUpsert:
+        """Bulk AI Set: embed a DataFrame of raw inputs executor-side.
+
+        Plan shape (scale path): one Arrow-batched embedding projection
+        over the batch, metadata wrapped JVM-side, prior entries for the
+        same originals removed via a distributed anti-join on the
+        reserved key — all inside the engine's single count+rewrite.
+        ``meta_col`` names an optional MAP<STRING, STRING> column of user
+        metadata; the reserved key is rejected there."""
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        from ahnlich_spark.ai.embedder import embed_pandas_udf
+        from ahnlich_spark.types import META_MAP_TYPE, META_VALUE_TYPE
+
+        binding = self._binding(store, schema)
+        spec = get_model(binding.index_model)
+        kind = "text" if spec.input_kind == KIND_RAW_STRING else "binary"
+        raw = F.col(input_col).cast("string" if kind == "text" else "binary")
+
+        if kind == "text" and spec.max_tokens:
+            toks = F.split(F.trim(raw), r"\s+")
+            if preprocess_action == MODEL_PREPROCESSING:
+                raw = F.when(
+                    F.size(toks) > spec.max_tokens,
+                    F.concat_ws(" ", F.slice(toks, 1, spec.max_tokens)),
+                ).otherwise(raw)
+            else:
+                over = df.filter(F.size(toks) > spec.max_tokens).limit(1).count()
+                if over:
+                    raise errors.TokenExceeded(
+                        f"batch contains inputs over model "
+                        f"{binding.index_model!r}'s {spec.max_tokens}-token "
+                        "budget (use ModelPreprocessing to truncate)"
+                    )
+
+        if meta_col is not None:
+            if df.filter(
+                F.map_contains_key(F.col(meta_col), AHNLICH_RESERVED_INPUT_KEY)
+            ).limit(1).count():
+                raise errors.ReservedKeyError(
+                    f"metadata key {AHNLICH_RESERVED_INPUT_KEY!r} is reserved"
+                )
+            user_meta = F.transform_values(
+                F.col(meta_col),
+                lambda _k, v: F.struct(
+                    F.lit(KIND_RAW_STRING).alias("kind"),
+                    v.cast("string").alias("s"),
+                    F.lit(None).cast("binary").alias("bin"),
+                ),
             )
-        return self.engine.set(store, entries, schema)
+        else:
+            user_meta = F.create_map().cast(META_MAP_TYPE)
+
+        # the original input as a MetadataValue struct (matches
+        # StoreInput.to_metadata_value for each kind)
+        if kind == "text":
+            orig_mv = F.struct(
+                F.lit(KIND_RAW_STRING).alias("kind"),
+                raw.alias("s"),
+                F.lit(None).cast("binary").alias("bin"),
+            )
+        else:
+            orig_mv = F.struct(
+                F.lit(spec.input_kind).alias("kind"),
+                F.lit(None).cast("string").alias("s"),
+                raw.alias("bin"),
+            )
+
+        meta_expr = user_meta
+        remove = None
+        if binding.store_original:
+            meta_expr = F.map_concat(
+                user_meta,
+                F.create_map(F.lit(AHNLICH_RESERVED_INPUT_KEY), orig_mv),
+            )
+            remove = (
+                AHNLICH_RESERVED_INPUT_KEY,
+                df.select(orig_mv.cast(META_VALUE_TYPE).alias("mv")),
+            )
+
+        udf = embed_pandas_udf(binding.index_model, kind=kind)
+        batch = df.select(
+            udf(raw).alias("key"), meta_expr.cast(META_MAP_TYPE).alias("meta")
+        )
+        return self.engine.set(store, batch, schema, remove_meta_matches=remove)
 
     def get_sim_n(
         self,

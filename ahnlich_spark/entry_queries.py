@@ -1184,6 +1184,67 @@ def multimodal_audio_meta(spark, sf_dir):
     return out.select("media_id", "n_bytes", "sample_rate", "n_samples", "duration_ms")
 
 
+_BULK_TXT_SQL = "'order ' || l_orderkey || ' line ' || l_linenumber || ' flag ' || l_returnflag"
+
+# The stub embedder maps a text to (s1 mod 2001, s2 mod 2001) — distinct
+# VECTORS (the store's primary key), not distinct texts, drive the
+# counts; the oracle reproduces the digest pair exactly (ASCII texts, so
+# duckdb ascii() == code points).
+_BULK_DIGEST_SQL = f"""
+bulk_digests AS (
+  SELECT (COALESCE(list_sum(list_transform(range(1, length(txt)+1),
+                                           j -> ascii(txt[j]) * j)), 0)
+          % 1000003) % 2001 AS s1m,
+         (COALESCE(list_sum(list_transform(range(1, length(txt)+1),
+                                           j -> ascii(txt[j]))), 0)
+          % 1000003) % 2001 AS s2m
+  FROM (SELECT {_BULK_TXT_SQL} AS txt FROM lineitem)
+),
+bulk_d AS (SELECT count(DISTINCT s1m * 2001 + s2m) AS d FROM bulk_digests)
+"""
+
+
+@register("ai_bulk_set", f"""
+WITH {_BULK_DIGEST_SQL}
+SELECT d AS inserted1, 0::BIGINT AS updated1,
+       d AS inserted2, 0::BIGINT AS updated2,
+       d AS store_len
+FROM bulk_d
+""")
+def ai_bulk_set(spark, sf_dir):
+    """BULK AI ingest (reference batches Set server-side,
+    ai/src/engine/operations.rs:182-268): tens of thousands of raw texts
+    flow through the Arrow-batched embedding UDF executor-side — no
+    driver loop — and the DelPred-before-Set replace semantics fold into
+    ONE rewrite. Re-ingesting the full batch removes every prior entry
+    for the same originals inside the same write, so the rows count as
+    fresh inserts and the store never grows."""
+    from ahnlich_spark.ai import AiEngine
+    from ahnlich_spark.plans.engine import Engine
+
+    li = _t(spark, sf_dir, "lineitem")
+    texts = li.select(
+        F.concat_ws(
+            " ",
+            F.lit("order"), F.col("l_orderkey").cast("string"),
+            F.lit("line"), F.col("l_linenumber").cast("string"),
+            F.lit("flag"), F.col("l_returnflag"),
+        ).alias("input"),
+        F.create_map(F.lit("flag"), F.col("l_returnflag")).alias("m"),
+    )
+    wh = tempfile.mkdtemp(prefix="ahnlich_gate_")
+    ai = AiEngine(Engine(spark, wh))
+    ai.create_store("bulk", query_model="all-minilm-l6-v2",
+                    index_model="all-minilm-l6-v2", store_original=True)
+    r1 = ai.set("bulk", texts, meta_col="m")
+    r2 = ai.set("bulk", texts, meta_col="m")
+    n = ai.engine.get_store("bulk").len
+    return spark.createDataFrame(
+        [(r1.inserted, r1.updated, r2.inserted, r2.updated, n)],
+        "inserted1 long, updated1 long, inserted2 long, updated2 long, store_len long",
+    )
+
+
 @register("ai_embed_binary", """
 WITH sums AS (
   SELECT doc_id,

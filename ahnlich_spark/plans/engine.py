@@ -483,6 +483,8 @@ class Engine:
         store: str,
         entries: Union[Sequence[Entry], DataFrame],
         schema: str = PUBLIC_SCHEMA,
+        remove_condition: Optional[Predicate] = None,
+        remove_meta_matches: Optional[Tuple[str, DataFrame]] = None,
     ) -> StoreUpsert:
         """Bulk upsert. The vector IS the primary key (id = hash of its
         f32 bits), so a duplicate vector is an UPDATE; counts mirror the
@@ -491,7 +493,12 @@ class Engine:
         Within one batch, later occurrences of the same vector win
         (map-insert order in the reference). Counting is one hash-join
         aggregation; the rewrite is existing-anti-join-batch + batch.
-        """
+
+        ``remove_condition`` (a Predicate) and ``remove_meta_matches``
+        (``(meta_key, one-column DataFrame of MetadataValue structs)``)
+        delete matching pre-existing rows INSIDE the same rewrite — the
+        AI proxy's DelPred-before-Set pipelines into ONE store write
+        instead of two (reference operations.rs:229-268)."""
         meta = self.catalog.get_store(store, schema)
         # a Python-list batch is known-small -> broadcast it so the
         # (possibly huge) store side never shuffles; DataFrame batches
@@ -511,6 +518,19 @@ class Engine:
             # counting job and the rewrite job see the same batch
             batch_d = batch_d.localCheckpoint(eager=False)
         existing = read_store(self.spark, self.catalog, meta)
+        if remove_condition is not None:
+            cond = F.coalesce(compile_predicate(remove_condition), F.lit(False))
+            existing = existing.filter(~cond)
+        if remove_meta_matches is not None:
+            rm_key, rm_df = remove_meta_matches
+            rm = rm_df.select(F.col(rm_df.columns[0]).alias("_rm_mv")).distinct()
+            # no broadcast hint: the match side is batch-sized (unknown,
+            # possibly huge raw documents) — AQE picks the join strategy
+            existing = existing.join(
+                rm,
+                F.col("meta")[rm_key].eqNullSafe(F.col("_rm_mv")),
+                "left_anti",
+            )
 
         # probe the STORE with the batch ids (never the reverse: the
         # store is the 100 TB side, the batch the small side); union the

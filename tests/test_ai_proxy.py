@@ -142,3 +142,61 @@ def test_upsert_merge_updates_only_named_keys(ai):
     rows = ai.get_key("texts", [SI("doc")]).collect()
     m = rows[0]["meta"]
     assert m["author"]["s"] == "ada" and m["v"]["s"] == "2"
+
+
+def test_bulk_set_dataframe_counts_and_replace(ai, spark):
+    """DataFrame bulk ingest: executor-side embedding, metadata wrap,
+    reserved-original replace folded into one rewrite."""
+    _mk(ai, "bulk")
+    df = spark.createDataFrame(
+        [(f"text number {i}", {"n": str(i)}) for i in range(50)],
+        "input string, m map<string,string>",
+    )
+    r1 = ai.set("bulk", df, meta_col="m")
+    assert (r1.inserted, r1.updated) == (50, 0)
+    # re-set a subset: prior entries for the same originals are removed
+    # inside the same write (reference DelPred-before-Set), so the store
+    # never grows and the rows count as fresh inserts
+    sub = df.limit(10)
+    r2 = ai.set("bulk", sub, meta_col="m")
+    assert ai.engine.get_store("bulk").len == 50
+    rows = ai.get_key("bulk", [SI("text number 3")]).collect()
+    assert len(rows) == 1
+    assert rows[0]["meta"]["n"]["s"] == "3"
+    assert rows[0]["meta"][AHNLICH_RESERVED_INPUT_KEY]["s"] == "text number 3"
+
+
+def test_bulk_set_reserved_key_rejected(ai, spark):
+    _mk(ai, "bulkr")
+    df = spark.createDataFrame(
+        [("x", {AHNLICH_RESERVED_INPUT_KEY: "boom"})], "input string, m map<string,string>"
+    )
+    with pytest.raises(errors.ReservedKeyError):
+        ai.set("bulkr", df, meta_col="m")
+
+
+def test_bulk_set_token_budget(ai, spark):
+    _mk(ai, "bulkt")
+    long_text = " ".join(["tok"] * 300)  # over the 256-token budget
+    df = spark.createDataFrame([(long_text,)], "input string")
+    with pytest.raises(errors.TokenExceeded):
+        ai.set("bulkt", df)
+    # ModelPreprocessing truncates instead; the STORED original is the
+    # truncated text (what was embedded), mirroring the list path
+    r = ai.set("bulkt", df, preprocess_action="modelpreprocessing")
+    assert r.inserted == 1
+    truncated = " ".join(["tok"] * 256)
+    assert ai.get_key("bulkt", [SI(truncated)]).count() == 1
+
+
+def test_bulk_set_matches_list_path_vectors(ai, spark):
+    """The bulk path must embed to the SAME vectors as the driver-side
+    list path (same stub math, Arrow-batched)."""
+    _mk(ai, "bulka")
+    _mk(ai, "bulkb")
+    texts = ["alpha beta", "gamma delta", "épsilon"]
+    ai.set("bulka", [(SI(t), {}) for t in texts])
+    ai.set("bulkb", spark.createDataFrame([(t,) for t in texts], "input string"))
+    ka = {tuple(r["key"]) for r in ai.engine.store_df("bulka").collect()}
+    kb = {tuple(r["key"]) for r in ai.engine.store_df("bulkb").collect()}
+    assert ka == kb
