@@ -129,3 +129,59 @@ def compile_predicate(pred: Predicate, meta: Column | None = None) -> Column:
     if meta is None:
         meta = F.col("meta")
     return pred.to_column(meta)
+
+
+# ------------------------------------------------- index pushdown hints --
+# Map access (meta[k]) gets NO parquet pushdown, so an indexed predicate
+# key materializes a flat ``_pred_<key>`` STRING column in the store
+# files (the physical effect of CreatePredIndex; reference backfills an
+# inverted index, predicate.rs:142-178). ``pushdown_hint`` derives a
+# condition IMPLIED by the predicate tree over those flat columns — a
+# sound conjunct that Catalyst pushes to the scan for row-group/file
+# pruning, while the full tagged-struct filter keeps exactness.
+
+import re as _re
+
+_PRED_COL_OK = _re.compile(r"^[A-Za-z0-9_]+$")
+
+
+def pred_col_name(key: str):
+    """Materialized-column name for an indexed key; None when the key
+    cannot be a safe flat column name."""
+    return f"_pred_{key}" if _PRED_COL_OK.match(key) else None
+
+
+def _leaf_hint(key: str, values, indexed_cols) -> "Column | None":
+    col = pred_col_name(key)
+    if col is None or col not in indexed_cols:
+        return None
+    svals = [v.s for v in values]
+    if any(s is None for s in svals):  # non-string kinds live in .bin
+        return None
+    return F.col(col).isin(svals) if len(svals) != 1 else (F.col(col) == svals[0])
+
+
+def pushdown_hint(pred: Predicate, indexed_cols) -> "Column | None":
+    """A pushable conjunct implied by ``pred`` over the materialized
+    predicate columns, or None when no sound hint exists. Negative
+    leaves (NotEquals/NotIn) give no hint — missing keys must MATCH
+    there, and the flat column is NULL for them."""
+    if isinstance(pred, Equals):
+        return _leaf_hint(pred.key, (pred.value,), indexed_cols)
+    if isinstance(pred, NotIn) or isinstance(pred, NotEquals):
+        return None
+    if isinstance(pred, In):
+        if not pred.values:
+            return F.lit(False)
+        return _leaf_hint(pred.key, pred.values, indexed_cols)
+    if isinstance(pred, And):
+        l = pushdown_hint(pred.left, indexed_cols)
+        r = pushdown_hint(pred.right, indexed_cols)
+        if l is not None and r is not None:
+            return l & r
+        return l if l is not None else r
+    if isinstance(pred, Or):
+        l = pushdown_hint(pred.left, indexed_cols)
+        r = pushdown_hint(pred.right, indexed_cols)
+        return (l | r) if l is not None and r is not None else None
+    return None

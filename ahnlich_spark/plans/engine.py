@@ -167,12 +167,21 @@ class Engine:
         self, store: str, keys: Iterable[str], schema: str = PUBLIC_SCHEMA
     ) -> int:
         """Idempotent; returns the number of NEWLY indexed keys
-        (reference store.rs:1138-1158). Physically a catalog note — the
-        Catalyst filter answers identically with or without it."""
+        (reference store.rs:1138-1158). PHYSICAL effect (reference
+        backfills an inverted index, predicate.rs:142-178): the store is
+        rewritten once with flat ``_pred_<key>`` columns + file
+        clustering, so Equals/In on indexed keys push down to the
+        parquet scan. The ANSWER never changes — the tagged-struct
+        filter still runs; the index only prunes what it scans."""
         meta = self.catalog.get_store(store, schema)
+        keys = list(keys)
         new = [k for k in keys if k not in meta.predicates]
         meta.predicates = sorted(set(meta.predicates) | set(keys))
         self.catalog.put_store(meta)
+        from ahnlich_spark.operators.predicates import pred_col_name
+
+        if new and meta.version > 0 and any(pred_col_name(k) for k in new):
+            self._write(meta, read_store(self.spark, self.catalog, meta))
         return len(new)
 
     def drop_pred_index(
@@ -253,9 +262,10 @@ class Engine:
         LSH sig-prefix when both exist): queries then read the index for
         free and probe filters prune whole partition directories."""
         from ahnlich_spark.operators import ann as A
-        from ahnlich_spark.sources.store_io import ANN_COLUMNS
+        from ahnlich_spark.operators.predicates import pred_col_name
+        from ahnlich_spark.sources.store_io import internal_columns
 
-        stale = [c for c in df.columns if c in ANN_COLUMNS]
+        stale = internal_columns(df)
         if stale:
             df = df.drop(*stale)
         layout = None
@@ -273,7 +283,18 @@ class Engine:
                     "bucket", "_ann_bucket"
                 )
                 layout = "_ann_bucket"
-        return write_store(df, self.catalog, meta, layout_col=layout)
+        # indexed predicate keys: flat string copies of meta[k].s — the
+        # physical effect of CreatePredIndex (map access gets no parquet
+        # pushdown; these columns do, and files are clustered by them)
+        pred_cols = []
+        for key in meta.predicates:
+            c = pred_col_name(key)
+            if c:
+                df = df.withColumn(c, F.col("meta")[key]["s"])
+                pred_cols.append(c)
+        return write_store(
+            df, self.catalog, meta, layout_col=layout, sort_cols=pred_cols or None
+        )
 
     def _ivf_centroids(self, meta: StoreMeta, df: Optional[DataFrame] = None):
         """Load the persisted IVF coarse quantizer; train + persist it on
@@ -336,11 +357,28 @@ class Engine:
         df = read_store(self.spark, self.catalog, meta)
         return df.join(F.broadcast(probes), "id", "left_semi")
 
+    def _pred_filtered(self, meta: StoreMeta, condition: Predicate) -> DataFrame:
+        """Store rows matching ``condition``, canonical columns. When the
+        store carries materialized predicate columns, a pushdown hint
+        implied by the condition is conjoined so the parquet scan prunes
+        row-groups/files; the full tagged filter keeps exactness."""
+        from ahnlich_spark.operators.predicates import pushdown_hint
+        from ahnlich_spark.sources.store_io import internal_columns
+
+        raw = read_store(self.spark, self.catalog, meta, canonical=False)
+        cond = compile_predicate(condition)
+        hint = pushdown_hint(condition, set(raw.columns))
+        if hint is not None:
+            cond = hint & cond
+        out = raw.filter(cond)
+        extra = internal_columns(out)
+        return out.drop(*extra) if extra else out
+
     def get_pred(
         self, store: str, condition: Predicate, schema: str = PUBLIC_SCHEMA
     ) -> DataFrame:
-        df = self.store_df(store, schema)
-        return df.filter(compile_predicate(condition))
+        meta = self.catalog.get_store(store, schema)
+        return self._pred_filtered(meta, condition)
 
     def get_sim_n(
         self,
@@ -360,11 +398,17 @@ class Engine:
         the reference's <=4096 accept-list shortcut."""
         meta = self.catalog.get_store(store, schema)
         self._check_dims(meta, [search_input])
-        df = read_store(self.spark, self.catalog, meta)
+        had_condition = condition is not None
+        if had_condition:
+            # apply the condition up front through the index-aware path:
+            # indexed keys prune the scan before any scoring happens
+            df = self._pred_filtered(meta, condition)
+        else:
+            df = read_store(self.spark, self.catalog, meta)
 
         if algorithm in LINEAR_ALGOS:
             return top_k_similar(
-                df, search_input, algorithm, closest_n, condition, precision=precision
+                df, search_input, algorithm, closest_n, precision=precision
             )
         if algorithm not in NON_LINEAR_ALGOS:
             raise ValueError(f"unknown algorithm {algorithm!r}")
@@ -374,20 +418,15 @@ class Engine:
             )
         cfg = meta.non_linear_config.get(algorithm, ANN_DEFAULTS[algorithm])
         metric = cfg.get("distance", S.EUCLIDEAN)
-        if algorithm == "kdtree":
-            # The reference KD-tree n_nearest is EXACT k-NN
-            # (kdtree.rs:437-529); the exact scan is Spark's natural
-            # bounded top-k and needs no artifact. Approximate modes
-            # live under hnsw (LSH) and ivf.
+        if algorithm == "kdtree" or had_condition:
+            # kdtree: the reference KD-tree n_nearest is EXACT k-NN
+            # (kdtree.rs:437-529) — the exact scan is Spark's natural
+            # bounded top-k and needs no artifact. Conditioned
+            # approximate queries: small accept-lists brute-force
+            # (hnsw/index.rs:24) — exact filtered top-k trivially
+            # satisfies the >0.9 recall contract.
             return top_k_similar(
-                df, search_input, metric, closest_n, condition, precision=precision
-            )
-        if condition is not None:
-            # Reference: small accept-lists brute-force (hnsw/index.rs:24).
-            # Exact filtered top-k is Spark's natural plan, and exact
-            # results trivially satisfy the >0.9 recall contract.
-            return top_k_similar(
-                df, search_input, metric, closest_n, condition, precision=precision
+                df, search_input, metric, closest_n, precision=precision
             )
         return self._ann_top_k(meta, algorithm, cfg, metric, search_input,
                                closest_n, precision, df)
@@ -572,10 +611,12 @@ class Engine:
         self, store: str, condition: Predicate, schema: str = PUBLIC_SCHEMA
     ) -> DelResult:
         meta = self.catalog.get_store(store, schema)
-        df = read_store(self.spark, self.catalog, meta)
-        cond = F.coalesce(compile_predicate(condition), F.lit(False))
-        deleted = df.filter(cond).count()
+        # count through the index-aware path (pruned scan); the rewrite
+        # must read every surviving row anyway, so it filters plainly
+        deleted = self._pred_filtered(meta, condition).count()
         if deleted:
+            df = read_store(self.spark, self.catalog, meta)
+            cond = F.coalesce(compile_predicate(condition), F.lit(False))
             self._write(meta, df.filter(~cond))
         return DelResult(deleted_count=int(deleted))
 

@@ -35,12 +35,20 @@ KEEP_VERSIONS = 2
 MAX_BUCKETS = 65536
 
 
-# Internal ANN-index columns embedded in the store files (computed at
+# Internal index columns embedded in the store files (computed at
 # write time so queries never re-project or join them):
-#   _ann_sig    BIGINT  LSH random-projection signature   (hnsw analog)
-#   _ann_sigp   INT     signature prefix = partition-layout key
-#   _ann_bucket INT     IVF nearest-centroid id = partition-layout key
+#   _ann_sig     BIGINT  LSH random-projection signature   (hnsw analog)
+#   _ann_sigp    INT     signature prefix = partition-layout key
+#   _ann_bucket  INT     IVF nearest-centroid id = partition-layout key
+#   _pred_<key>  STRING  flat copy of meta[<key>].s for an indexed
+#                        predicate key — map access gets no parquet
+#                        pushdown, a flat column does
 ANN_COLUMNS = ("_ann_sig", "_ann_sigp", "_ann_bucket")
+INTERNAL_PREFIXES = ("_ann_", "_pred_")
+
+
+def internal_columns(df: DataFrame):
+    return [c for c in df.columns if c.startswith(INTERNAL_PREFIXES)]
 
 
 def read_store(
@@ -48,13 +56,13 @@ def read_store(
 ) -> DataFrame:
     """Current snapshot of a store as a DataFrame (empty stores give an
     empty frame with the canonical schema). ``canonical=True`` hides the
-    internal ANN index columns; the ANN query path reads with
+    internal index columns; index-aware query paths read with
     ``canonical=False`` to use them."""
     if meta.version == 0:
         return spark.createDataFrame([], store_schema())
     df = spark.read.parquet(catalog.store_path(meta))
     if canonical:
-        extra = [c for c in df.columns if c in ANN_COLUMNS]
+        extra = internal_columns(df)
         if extra:
             df = df.drop(*extra)
     return df
@@ -85,12 +93,15 @@ def write_store(
     meta: StoreMeta,
     n_buckets: Optional[int] = None,
     layout_col: Optional[str] = None,
+    sort_cols: Optional[list] = None,
 ) -> StoreMeta:
     """Write ``df`` as the next version of the store and flip the catalog
     pointer. Without a ``layout_col`` data is hash-distributed by id so
     future id-joins read co-located files; with one (an ANN index key:
     IVF bucket or LSH sig-prefix) the version is directory-partitioned
-    by it so probe filters prune whole files. Version dirs older than
+    by it so probe filters prune whole files. ``sort_cols`` (indexed
+    predicate columns) cluster rows inside each file so row-group
+    min/max + dictionary stats prune scans. Version dirs older than
     the KEEP_VERSIONS retention window are GC'd after the flip."""
     if n_buckets is None:
         n_buckets = derive_buckets(df)
@@ -99,14 +110,15 @@ def write_store(
     if layout_col is not None and layout_col in df.columns:
         # hash-distribute on the layout key so each partition dir is
         # written by one task (one file per dir, not tasks x dirs)
-        (
-            df.repartition(n_buckets, layout_col)
-            .write.mode("overwrite")
-            .partitionBy(layout_col)
-            .parquet(path)
-        )
+        out = df.repartition(n_buckets, layout_col)
+        if sort_cols:
+            out = out.sortWithinPartitions(layout_col, *sort_cols)
+        out.write.mode("overwrite").partitionBy(layout_col).parquet(path)
     else:
-        df.repartition(n_buckets, "id").write.mode("overwrite").parquet(path)
+        out = df.repartition(n_buckets, "id")
+        if sort_cols:
+            out = out.sortWithinPartitions(*sort_cols)
+        out.write.mode("overwrite").parquet(path)
     meta.version = new_version
     catalog.put_store(meta)
     catalog.gc_versions(meta, keep=KEEP_VERSIONS)
