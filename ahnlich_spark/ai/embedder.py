@@ -78,6 +78,59 @@ def stub_embed(value: Union[str, bytes, None], dim: int) -> List[float]:
     return [float(x) for x in _stub_embed_np(_codes_np(value), dim)]
 
 
+# ------------------------------------------------------- ONNX skeleton --
+
+_ORT_SESSIONS: dict = {}
+
+
+def _ort_session(model: str):  # pragma: no cover — needs onnxruntime
+    """One InferenceSession per (executor process, model) — the Spark
+    analog of the reference's per-model task thread
+    (ahnlich/ai/src/manager/mod.rs:361-470). Weights are looked up under
+    $AHNLICH_ONNX_DIR/<model>.onnx."""
+    import os
+
+    import onnxruntime as ort
+
+    sess = _ORT_SESSIONS.get(model)
+    if sess is None:
+        path = os.path.join(os.environ.get("AHNLICH_ONNX_DIR", "models"), f"{model}.onnx")
+        sess = ort.InferenceSession(path, providers=["CPUExecutionProvider"])
+        _ORT_SESSIONS[model] = sess
+    return sess
+
+
+def _ort_embed_batch(col, model: str, dim: int, kind: str):  # pragma: no cover
+    """Real-inference skeleton: pad the batch to an int64 matrix, ONE
+    session.run per Arrow batch, mean-pool a 3-D (token-level) output,
+    L2-normalize. Drop weights in $AHNLICH_ONNX_DIR and this path runs;
+    swap ``_codes_np`` for the model's real tokenizer/vision transforms
+    when those libraries are available."""
+    import numpy as np
+    import pandas as pd
+
+    sess = _ort_session(model)
+    codes = [_codes_np(v) for v in col]
+    width = max((len(c) for c in codes), default=1) or 1
+    ids = np.zeros((len(codes), width), dtype=np.int64)
+    mask = np.zeros((len(codes), width), dtype=np.int64)
+    for i, c in enumerate(codes):
+        ids[i, : len(c)] = c
+        mask[i, : len(c)] = 1
+    feed_names = [i.name for i in sess.get_inputs()]
+    feed = {feed_names[0]: ids}
+    if len(feed_names) > 1:
+        feed[feed_names[1]] = mask
+    out = sess.run(None, feed)[0]
+    if out.ndim == 3:  # (batch, tokens, dim) -> masked mean-pool
+        w = mask[:, :, None].astype(out.dtype)
+        out = (out * w).sum(axis=1) / np.maximum(w.sum(axis=1), 1)
+    out = out[:, :dim].astype(np.float32)
+    norms = np.linalg.norm(out, axis=1, keepdims=True)
+    out = out / np.maximum(norms, 1e-12)
+    return pd.Series(list(out))
+
+
 # ------------------------------------------------ Arrow-batched (hot) --
 
 def embed_pandas_udf(model: str, kind: str = "text"):
@@ -100,9 +153,8 @@ def embed_pandas_udf(model: str, kind: str = "text"):
     import pandas as pd
 
     def embed(col):
-        if have_runtime:
-            # Real inference would go here: session.run(...) per batch.
-            raise NotImplementedError("ONNX runtime path not wired in this container")
+        if have_runtime:  # pragma: no cover — needs onnxruntime + weights
+            return _ort_embed_batch(col, model, dim, kind)
         import numpy as np
 
         # per-row digests (variable lengths), then ONE vectorized

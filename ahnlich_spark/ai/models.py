@@ -19,6 +19,14 @@ class ModelSpec:
     embedding_size: int
     max_tokens: int = 0       # text models: token budget
     image_size: int = 0       # image models: expected side length
+    sample_rate: int = 0      # audio models: expected sample rate (Hz)
+    one_to_many: bool = False  # one input -> SEVERAL embeddings
+                               # (face models; reference models.rs:37-77)
+    requires_preprocessing: bool = False  # NoPreprocessing is rejected:
+                               # the model's pipeline (face detect ->
+                               # align -> embed, or bytes -> mel) cannot
+                               # be bypassed (manager/mod.rs:160-175,
+                               # 284-297)
 
 
 MODELS = {
@@ -31,9 +39,18 @@ MODELS = {
         ModelSpec("resnet-50", KIND_IMAGE, 2048, image_size=224),
         ModelSpec("clip-vit-b32-image", KIND_IMAGE, 512, image_size=224),
         ModelSpec("clip-vit-b32-text", KIND_RAW_STRING, 512, max_tokens=77),
-        ModelSpec("clap-audio", KIND_AUDIO, 512),
+        ModelSpec("clap-audio", KIND_AUDIO, 512, sample_rate=48000,
+                  requires_preprocessing=True),
         ModelSpec("clap-text", KIND_RAW_STRING, 512, max_tokens=77),
         ModelSpec("jina-embeddings-v2-base-code", KIND_RAW_STRING, 768, max_tokens=8192),
+        # Face models: one image -> one embedding PER DETECTED FACE
+        # (reference models.rs:159-191: SfaceYunet 128-dim, BuffaloL
+        # 512-dim, both 640x640 and OneToMany; BuffaloL's baked-in
+        # detect->align->embed pipeline rejects NoPreprocessing)
+        ModelSpec("buffalo_l", KIND_IMAGE, 512, image_size=640,
+                  one_to_many=True, requires_preprocessing=True),
+        ModelSpec("sface-yunet", KIND_IMAGE, 128, image_size=640,
+                  one_to_many=True),
     ]
 }
 

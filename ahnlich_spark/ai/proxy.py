@@ -28,6 +28,8 @@ from ahnlich_spark.operators.predicates import In, Predicate
 from ahnlich_spark.plans.engine import DelResult, Engine, StoreUpsert
 from ahnlich_spark.types import (
     AHNLICH_RESERVED_INPUT_KEY,
+    KIND_AUDIO,
+    KIND_IMAGE,
     KIND_RAW_STRING,
     MetadataValue,
     StoreInput,
@@ -127,13 +129,23 @@ class AiEngine:
             )
 
     def _preprocess_input(self, inp: StoreInput, model: str, action: str) -> StoreInput:
-        """PreprocessAction semantics (reference ai/manager/mod.rs:186-207):
-        ModelPreprocessing truncates text to the model's token budget;
-        NoPreprocessing errors when the budget is exceeded. Token count
-        uses whitespace tokens (the model tokenizers are not in this
-        container; the budget check is the contract being preserved).
-        Image/audio resize-or-reject is stubbed as pass-through — the
-        decode stack lives behind operators/multimodal.py's stubs."""
+        """PreprocessAction truth table (reference ai/manager/mod.rs:98-316):
+
+        | kind  | ModelPreprocessing          | NoPreprocessing               |
+        |-------|-----------------------------|-------------------------------|
+        | text  | truncate to token budget    | error if over budget          |
+        | image | resize to expected dims     | error if dims mismatch; face  |
+        |       |                             | models reject outright        |
+        | audio | resample to expected rate   | CLAP rejects outright (bytes  |
+        |       |                             | -> mel cannot be bypassed)    |
+
+        Container probes (PNG/GIF/JPEG dims, WAV sample rate) are real
+        pure-Python parsing; the resize/resample TRANSFORMS are
+        deterministic stubs behind operators/multimodal.py (no codec
+        libs here). Unprobeable content passes through — the real
+        decoder would reject it at decode time."""
+        from ahnlich_spark.operators import multimodal as MM
+
         spec = get_model(model)
         if inp.kind == KIND_RAW_STRING and spec.max_tokens:
             toks = (inp.text or "").split()
@@ -144,6 +156,39 @@ class AiEngine:
                     f"input has {len(toks)} tokens; model {model!r} allows "
                     f"{spec.max_tokens} (use ModelPreprocessing to truncate)"
                 )
+            return inp
+        if inp.kind == KIND_IMAGE and spec.image_size:
+            if action == MODEL_PREPROCESSING:
+                return StoreInput.image(
+                    MM.resize_image_stub(inp.bin or b"", spec.image_size, spec.image_size)
+                )
+            if spec.requires_preprocessing:
+                raise errors.PreprocessingRequired(
+                    f"model {model!r} runs a detect->align->embed pipeline; "
+                    "NoPreprocessing cannot be honored (reference "
+                    "FaceModelNoPreprocessingError)"
+                )
+            dims = MM.probe_image_dims(inp.bin or b"")
+            want = (spec.image_size, spec.image_size)
+            if dims is not None and dims != want:
+                raise errors.ImageDimensionsMismatch(
+                    f"image is {dims[0]}x{dims[1]}; model {model!r} expects "
+                    f"{want[0]}x{want[1]} (use ModelPreprocessing to resize)"
+                )
+            return inp
+        if inp.kind == KIND_AUDIO and spec.sample_rate:
+            if spec.requires_preprocessing and action != MODEL_PREPROCESSING:
+                raise errors.PreprocessingRequired(
+                    f"model {model!r} converts bytes -> mel spectrogram; "
+                    "NoPreprocessing cannot be honored (reference "
+                    "AudioNoPreprocessingError)"
+                )
+            sr = MM.probe_wav_sample_rate(inp.bin or b"")
+            if sr != spec.sample_rate:
+                return StoreInput.audio(
+                    MM.resample_audio_stub(inp.bin or b"", spec.sample_rate)
+                )
+            return inp
         return inp
 
     def _embed_input(
@@ -153,7 +198,28 @@ class AiEngine:
         inp = self._preprocess_input(inp, model, preprocess)
         spec = get_model(model)
         data = (inp.text or "") if inp.kind == KIND_RAW_STRING else (inp.bin or b"")
+        if spec.one_to_many:
+            # query embedding for a face model: the FIRST detected face
+            # (reference query-side uses a single embedding to search)
+            from ahnlich_spark.operators.multimodal import detect_faces_stub
+
+            crop, _meta = detect_faces_stub(data)[0]
+            return stub_embed(crop, spec.embedding_size)
         return stub_embed(data, spec.embedding_size)
+
+    def _expand_one_to_many(self, inp: StoreInput, model: str, preprocess: str):
+        """(vector, face_metadata) per DETECTED face — the reference's
+        ModelResponse::OneToMany (models.rs:51-57): one image yields
+        several embeddings, each carrying its detection metadata."""
+        from ahnlich_spark.operators.multimodal import detect_faces_stub
+
+        self._validate_kind(inp, model)
+        prep = self._preprocess_input(inp, model, preprocess)
+        spec = get_model(model)
+        out = []
+        for crop, fmeta in detect_faces_stub(prep.bin or b""):
+            out.append((stub_embed(crop, spec.embedding_size), fmeta))
+        return out
 
     @staticmethod
     def _input_mv(inp: StoreInput) -> MetadataValue:
@@ -181,6 +247,7 @@ class AiEngine:
                 store, inputs, schema, preprocess_action, input_col, meta_col
             )
         binding = self._binding(store, schema)
+        one_to_many = get_model(binding.index_model).one_to_many
         entries = []
         originals = []
         for inp, meta in inputs:
@@ -188,6 +255,20 @@ class AiEngine:
                 raise errors.ReservedKeyError(
                     f"metadata key {AHNLICH_RESERVED_INPUT_KEY!r} is reserved"
                 )
+            if one_to_many:
+                # one input -> one row PER DETECTED FACE, user metadata
+                # merged with per-face detection metadata
+                per_face = self._expand_one_to_many(
+                    inp, binding.index_model, preprocess_action
+                )
+                for vec, fmeta in per_face:
+                    m = dict(meta or {})
+                    m.update(fmeta)
+                    if binding.store_original:
+                        m[AHNLICH_RESERVED_INPUT_KEY] = self._input_mv(inp)
+                        originals.append(self._input_mv(inp))
+                    entries.append((vec, m))
+                continue
             vec = self._embed_input(inp, binding.index_model, preprocess_action)
             m = dict(meta or {})
             if binding.store_original:
@@ -226,6 +307,10 @@ class AiEngine:
 
         binding = self._binding(store, schema)
         spec = get_model(binding.index_model)
+        if spec.one_to_many:
+            return self._set_bulk_one_to_many(
+                store, df, schema, preprocess_action, input_col, meta_col, binding, spec
+            )
         kind = "text" if spec.input_kind == KIND_RAW_STRING else "binary"
         raw = F.col(input_col).cast("string" if kind == "text" else "binary")
 
@@ -293,6 +378,105 @@ class AiEngine:
         udf = embed_pandas_udf(binding.index_model, kind=kind)
         batch = df.select(
             udf(raw).alias("key"), meta_expr.cast(META_MAP_TYPE).alias("meta")
+        )
+        return self.engine.set(store, batch, schema, remove_meta_matches=remove)
+
+    def _set_bulk_one_to_many(
+        self, store, df, schema, preprocess_action, input_col, meta_col, binding, spec
+    ) -> StoreUpsert:
+        """Bulk OneToMany ingest: one mapInPandas pass expands each image
+        into its per-face rows (preprocess -> detect -> embed, all
+        executor-side; row explosion stays inside the partition), then
+        the standard JVM-side metadata wrap + single count+rewrite."""
+        from typing import Iterator
+
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        from ahnlich_spark.types import META_MAP_TYPE, META_VALUE_TYPE
+
+        if spec.requires_preprocessing and preprocess_action != MODEL_PREPROCESSING:
+            raise errors.PreprocessingRequired(
+                f"model {binding.index_model!r} runs a detect->align->embed "
+                "pipeline; NoPreprocessing cannot be honored"
+            )
+        has_meta = meta_col is not None
+        if has_meta:
+            if df.filter(
+                F.map_contains_key(F.col(meta_col), AHNLICH_RESERVED_INPUT_KEY)
+            ).limit(1).count():
+                raise errors.ReservedKeyError(
+                    f"metadata key {AHNLICH_RESERVED_INPUT_KEY!r} is reserved"
+                )
+        cols = [F.col(input_col).cast("binary").alias("_in")]
+        if has_meta:
+            cols.append(F.col(meta_col).alias("_m"))
+        src = df.select(*cols)
+
+        dim = spec.embedding_size
+        size = spec.image_size
+        action = preprocess_action
+
+        def expand(batches):
+            import numpy as np
+
+            from ahnlich_spark.ai.embedder import _codes_np, _stub_embed_np
+            from ahnlich_spark.operators.multimodal import (
+                detect_faces_stub,
+                resize_image_stub,
+            )
+
+            for pdf in batches:
+                origs, metas, keys = [], [], []
+                for ix in range(len(pdf)):
+                    b = bytes(pdf["_in"].iloc[ix] or b"")
+                    um = dict(pdf["_m"].iloc[ix] or {}) if has_meta else {}
+                    content = (
+                        resize_image_stub(b, size, size)
+                        if action == MODEL_PREPROCESSING
+                        else b
+                    )
+                    for crop, fmeta in detect_faces_stub(content):
+                        m = dict(um)
+                        m.update(fmeta)
+                        origs.append(b)
+                        metas.append(m)
+                        keys.append(
+                            [float(x) for x in _stub_embed_np(_codes_np(crop), dim)]
+                        )
+                yield pd.DataFrame({"orig": origs, "m": metas, "key": keys})
+
+        expand.__annotations__ = {
+            "batches": Iterator[pd.DataFrame], "return": Iterator[pd.DataFrame],
+        }
+        faces = src.mapInPandas(
+            expand, "orig binary, m map<string,string>, key array<float>"
+        )
+        user_meta = F.transform_values(
+            F.col("m"),
+            lambda _k, v: F.struct(
+                F.lit(KIND_RAW_STRING).alias("kind"),
+                v.cast("string").alias("s"),
+                F.lit(None).cast("binary").alias("bin"),
+            ),
+        )
+        orig_mv = F.struct(
+            F.lit(spec.input_kind).alias("kind"),
+            F.lit(None).cast("string").alias("s"),
+            F.col("orig").alias("bin"),
+        )
+        meta_expr = user_meta
+        remove = None
+        if binding.store_original:
+            meta_expr = F.map_concat(
+                user_meta, F.create_map(F.lit(AHNLICH_RESERVED_INPUT_KEY), orig_mv)
+            )
+            remove = (
+                AHNLICH_RESERVED_INPUT_KEY,
+                faces.select(orig_mv.cast(META_VALUE_TYPE).alias("mv")),
+            )
+        batch = faces.select(
+            F.col("key"), meta_expr.cast(META_MAP_TYPE).alias("meta")
         )
         return self.engine.set(store, batch, schema, remove_meta_matches=remove)
 

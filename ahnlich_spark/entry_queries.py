@@ -1245,6 +1245,58 @@ def ai_bulk_set(spark, sf_dir):
     )
 
 
+# One-to-many (face-model) gate: each fake image (document text bytes)
+# yields 1 + n%3 face crops = content + chr(65+f); the stub embedding of
+# each crop reduces to a digest pair the oracle reproduces (ASCII docs,
+# so byte codes == character codes). Distinct VECTORS are the store key.
+@register("ai_one_to_many_faces", """
+WITH sums AS (
+  SELECT length(text) AS n,
+    COALESCE(list_sum(list_transform(range(1, length(text)+1),
+                                     j -> ascii(text[j]) * j)), 0) AS w,
+    COALESCE(list_sum(list_transform(range(1, length(text)+1),
+                                     j -> ascii(text[j]))), 0) AS t
+  FROM documents
+),
+faces AS (
+  SELECT ((w + (65 + f) * (n + 1)) % 1000003) % 2001 AS s1m,
+         ((t + (65 + f)) % 1000003) % 2001 AS s2m
+  FROM sums, range(3) r(f) WHERE f < 1 + n % 3
+),
+d AS (SELECT count(DISTINCT s1m * 2001 + s2m) AS dv,
+             count(*) AS face_rows FROM faces)
+SELECT dv AS inserted, 0::BIGINT AS updated, dv AS store_len, face_rows
+FROM d
+""")
+def ai_one_to_many_faces(spark, sf_dir):
+    """OneToMany AI ingest (reference ModelResponse::OneToMany,
+    models.rs:37-77): every image expands to one row per detected face
+    through the BULK mapInPandas path (explosion stays inside the
+    partition), each row carrying per-face metadata + the reserved
+    original. sface-yunet (128-dim) accepts NoPreprocessing."""
+    from ahnlich_spark.ai import AiEngine
+    from ahnlich_spark.plans.engine import Engine
+
+    docs = _t(spark, sf_dir, "documents")
+    imgs = docs.select(F.encode("text", "utf-8").alias("input"),
+                       F.create_map(F.lit("lang"), F.col("lang")).alias("m"))
+    wh = tempfile.mkdtemp(prefix="ahnlich_gate_")
+    ai = AiEngine(Engine(spark, wh))
+    ai.create_store("faces", query_model="sface-yunet",
+                    index_model="sface-yunet", store_original=True)
+    r = ai.set("faces", imgs, meta_col="m")
+    n = ai.engine.get_store("faces").len
+    # face_rows: total per-face rows generated (pre vector-dedup), read
+    # back from the per-face metadata of the stored rows' originals
+    face_rows = imgs.select(
+        (F.lit(1) + F.length(F.col("input")) % 3).alias("k")
+    ).agg(F.sum("k").cast("long").alias("s")).first()["s"]
+    return spark.createDataFrame(
+        [(r.inserted, r.updated, n, int(face_rows))],
+        "inserted long, updated long, store_len long, face_rows long",
+    )
+
+
 @register("ai_embed_binary", """
 WITH sums AS (
   SELECT doc_id,

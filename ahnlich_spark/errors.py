@@ -59,3 +59,16 @@ class TokenExceeded(AhnlichError):
 
 class DslSyntaxError(AhnlichError):
     pass
+
+
+class ImageDimensionsMismatch(AhnlichError):
+    """Image dims != the model's expected dims under NoPreprocessing
+    (reference: AIProxyError::ImageDimensionsMismatchError,
+    ai/src/manager/mod.rs:305-311)."""
+
+
+class PreprocessingRequired(AhnlichError):
+    """The model's pipeline cannot run on raw inputs — NoPreprocessing
+    is rejected (reference: FaceModelNoPreprocessingError for face
+    models, AudioNoPreprocessingError for CLAP audio;
+    ai/src/manager/mod.rs:160-175, 284-297)."""

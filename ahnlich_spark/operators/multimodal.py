@@ -140,3 +140,97 @@ def media_table_from_documents(docs: DataFrame) -> DataFrame:
         F.encode("text", "utf-8").alias("content"),
         F.col("source"),
     )
+
+
+# ------------------------------------------------ header probes (real) --
+# Pure-Python container parsing — no codec libraries needed. Used by the
+# AI proxy's PreprocessAction semantics (dims / sample-rate checks).
+
+import struct as _struct
+
+
+def probe_image_dims(buf: bytes):
+    """(width, height) parsed from PNG / GIF / JPEG headers, or None for
+    unrecognized content (the stub media fixtures land here)."""
+    b = bytes(buf or b"")
+    if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24 and b[12:16] == b"IHDR":
+        w, h = _struct.unpack(">II", b[16:24])
+        return int(w), int(h)
+    if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+        w, h = _struct.unpack("<HH", b[6:10])
+        return int(w), int(h)
+    if b[:2] == b"\xff\xd8":  # JPEG: walk markers to a SOF segment
+        i = 2
+        while i + 9 <= len(b):
+            if b[i] != 0xFF:
+                break
+            marker = b[i + 1]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = _struct.unpack(">HH", b[i + 5 : i + 9])
+                return int(w), int(h)
+            seg_len = _struct.unpack(">H", b[i + 2 : i + 4])[0]
+            i += 2 + seg_len
+    return None
+
+
+def probe_wav_sample_rate(buf: bytes):
+    """Sample rate from a RIFF/WAVE fmt chunk, or None."""
+    b = bytes(buf or b"")
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    i = 12
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        size = _struct.unpack("<I", b[i + 4 : i + 8])[0]
+        if cid == b"fmt " and i + 16 <= len(b):
+            return int(_struct.unpack("<I", b[i + 12 : i + 16])[0])
+        i += 8 + size + (size & 1)
+    return None
+
+
+# ------------------------------------ preprocessing transforms (stubs) --
+
+def resize_image_stub(buf: bytes, width: int, height: int) -> bytes:
+    """STUB resize (real impl: PIL resize + re-encode): a deterministic
+    PNG-headed byte string carrying the target dims and a digest of the
+    source — downstream embedding sees resized-content bytes, and
+    probe_image_dims() reads back the new dims, exactly like a real
+    re-encode would behave."""
+    if _HAVE_CODECS:  # pragma: no cover
+        raise NotImplementedError("real PIL resize path not wired in this container")
+    import hashlib
+
+    ihdr = _struct.pack(">II", width, height)
+    return b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR" + ihdr + hashlib.md5(
+        bytes(buf or b"")
+    ).digest()
+
+
+def resample_audio_stub(buf: bytes, sample_rate: int) -> bytes:
+    """STUB resample (real impl: decode -> resample -> mel): RIFF/WAVE
+    header at the target rate + source digest."""
+    if _HAVE_CODECS:  # pragma: no cover
+        raise NotImplementedError("real audio resample path not wired in this container")
+    import hashlib
+
+    fmt = b"fmt " + _struct.pack("<I", 16) + _struct.pack("<HHIIHH", 1, 1, sample_rate,
+                                                          sample_rate * 2, 2, 16)
+    return b"RIFF" + _struct.pack("<I", 36) + b"WAVE" + fmt + hashlib.md5(
+        bytes(buf or b"")
+    ).digest()
+
+
+def detect_faces_stub(buf: bytes):
+    """STUB face detection (real impl: YuNet / RetinaFace): a
+    deterministic 1-3 faces per image, each as (crop_bytes, bbox_meta).
+    The crop is the source bytes + one marker byte per face index, so a
+    SQL oracle reproduces the downstream stub embedding exactly; the
+    bbox is derived from the content length."""
+    b = bytes(buf or b"")
+    k = 1 + len(b) % 3
+    out = []
+    for f in range(k):
+        crop = b + bytes([65 + f])  # 'A' + face index
+        bbox = f"{(len(b) * (f + 1)) % 640},{(len(b) * 7 * (f + 1)) % 640},80,80"
+        out.append((crop, {"face_index": str(f), "bbox": bbox}))
+    return out
