@@ -480,6 +480,25 @@ class AiEngine:
         )
         return self.engine.set(store, batch, schema, remove_meta_matches=remove)
 
+    def _to_store_input_frame(self, df: DataFrame, binding: AiBinding) -> DataFrame:
+        """Convert DB-entry rows back to AI-surface rows (reference
+        handler.rs:339-425 + ai/src/engine/store.rs:526-546): the
+        reserved original becomes the leading ``input`` column and is
+        POPPED from the returned metadata. Without store_original there
+        is no original to recover — rows pass through unchanged."""
+        if not binding.store_original:
+            return df
+        from pyspark.sql import functions as F
+
+        keep = [c for c in df.columns if c not in ("id", "key", "meta")]
+        return df.select(
+            F.col("meta")[AHNLICH_RESERVED_INPUT_KEY].alias("input"),
+            F.map_filter(
+                F.col("meta"), lambda k, _v: k != F.lit(AHNLICH_RESERVED_INPUT_KEY)
+            ).alias("meta"),
+            *keep,
+        )
+
     def get_sim_n(
         self,
         store: str,
@@ -492,7 +511,8 @@ class AiEngine:
     ) -> DataFrame:
         binding = self._binding(store, schema)
         vec = self._embed_input(search_input, binding.query_model, preprocess_action)
-        return self.engine.get_sim_n(store, vec, closest_n, algorithm, condition, schema)
+        out = self.engine.get_sim_n(store, vec, closest_n, algorithm, condition, schema)
+        return self._to_store_input_frame(out, binding)
 
     def get_key(
         self, store: str, inputs: Sequence[StoreInput], schema: str = PUBLIC_SCHEMA

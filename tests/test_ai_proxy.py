@@ -200,3 +200,26 @@ def test_bulk_set_matches_list_path_vectors(ai, spark):
     ka = {tuple(r["key"]) for r in ai.engine.store_df("bulka").collect()}
     kb = {tuple(r["key"]) for r in ai.engine.store_df("bulkb").collect()}
     assert ka == kb
+
+
+def test_get_sim_n_returns_original_inputs(ai):
+    """Reference handler.rs:339-425: AI GetSimN results surface the
+    ORIGINAL input as the entry key, with the reserved key popped from
+    the returned metadata."""
+    _mk(ai, "conv")
+    ai.set("conv", [(SI("hello world"), {"n": "1"}), (SI("other text"), {"n": "2"})])
+    top = ai.get_sim_n("conv", SI("hello world"), closest_n=1).collect()
+    assert len(top) == 1
+    row = top[0]
+    assert row["input"]["s"] == "hello world"
+    assert row["input"]["kind"] == "raw_string"
+    assert AHNLICH_RESERVED_INPUT_KEY not in row["meta"]
+    assert row["meta"]["n"]["s"] == "1"
+    assert abs(row["similarity"] - 1.0) < 1e-6
+
+
+def test_get_sim_n_without_store_original_passthrough(ai):
+    _mk(ai, "conv2", store_original=False)
+    ai.set("conv2", [(SI("abc"), {})])
+    top = ai.get_sim_n("conv2", SI("abc"), closest_n=1).collect()
+    assert "key" in top[0].asDict()  # vector rows pass through unchanged
