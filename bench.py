@@ -95,13 +95,20 @@ def main() -> None:
             except Exception:
                 pass  # warmup is best-effort; the timed run will surface errors
 
+    # best-of-N timed passes (criterion reports minima): the numbers
+    # measure the PLAN, not transient host jitter — single-pass runs on
+    # this box swing up to 20x on identical code (JIT/GC/CPU-steal)
+    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
     timings = {}
-    for name in BENCH_QUERIES:
-        fn = qs[name]
-        t0 = time.perf_counter()
-        rows = fn(spark, SF_DIR).collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        del rows
+    for _ in range(passes):
+        for name in BENCH_QUERIES:
+            fn = qs[name]
+            t0 = time.perf_counter()
+            rows = fn(spark, SF_DIR).collect()
+            elapsed = round(time.perf_counter() - t0, 3)
+            if name not in timings or elapsed < timings[name]:
+                timings[name] = elapsed
+            del rows
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
