@@ -643,8 +643,9 @@ FROM scores
 
 @register("doc_lang_id", _LANG_SQL)
 def doc_lang_id(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", X.lang_id(F.col("text")).alias("pred_lang"))
+    """Scaled language-ID: explode + one codegen'd conditional-SUM
+    aggregation (lang_id_table); bit-identical to the per-row spec."""
+    return X.lang_id_table(_t(spark, sf_dir, "documents"))
 
 
 @register("doc_fingerprint", """

@@ -102,20 +102,51 @@ def _marker_hits(toks: Column, markers) -> Column:
     return F.size(F.filter(toks, lambda t: t.isin(*markers)))
 
 
-def lang_id(text: Column) -> Column:
-    """Heuristic n-gram/stopword language ID: most marker hits wins;
-    'und' (undetermined) when no marker fires at all."""
-    toks = tokens(text)
-    scores = [(lang, _marker_hits(toks, LANG_MARKERS[lang])) for lang in LANG_ORDER]
+def _lang_winner(score_of) -> Column:
+    """Argmax over LANG_ORDER given a lang -> score-Column accessor;
+    earlier languages win ties, 'und' when nothing scores."""
     best_lang = F.lit("und")
-    best_score = F.lit(0)
-    # iterate in REVERSE so that earlier languages win ties (>= replaces)
-    for lang, score in reversed(scores):
+    best_score = F.lit(0).cast("long")
+    for lang in reversed(LANG_ORDER):
+        score = score_of(lang).cast("long")
         take = score >= best_score
-        # strictly-greater-than-zero requirement for 'und' fallback
         best_lang = F.when((score > 0) & take, F.lit(lang)).otherwise(best_lang)
         best_score = F.when(take, score).otherwise(best_score)
     return best_lang
+
+
+def lang_id(text: Column) -> Column:
+    """Heuristic n-gram/stopword language ID: most marker hits wins;
+    'und' (undetermined) when no marker fires at all. Per-row spec —
+    the scaled path is ``lang_id_table`` (identical output)."""
+    toks = tokens(text)
+    hits = {lang: _marker_hits(toks, LANG_MARKERS[lang]) for lang in LANG_ORDER}
+    return _lang_winner(lambda lang: hits[lang])
+
+
+def lang_id_table(df, text_col: str = "text", id_col: str = "doc_id"):
+    """(doc_id, pred_lang) via explode + ONE codegen'd aggregation: the
+    per-row higher-order ``filter`` lambdas in ``lang_id`` are
+    interpreted per element; conditional SUMs over the exploded token
+    table run inside whole-stage codegen with map-side combine (the
+    same rewrite that made minhash/simhash ~10x faster). explode_outer
+    keeps token-less docs, which aggregate to all-zero scores -> 'und'."""
+    from ahnlich_spark.plans.layout import fan_out
+
+    toks = fan_out(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode_outer(tokens(F.col(text_col))).alias("tok"),
+    )
+    aggs = [
+        F.coalesce(
+            F.sum(F.col("tok").isin(*LANG_MARKERS[lang]).cast("int")), F.lit(0)
+        ).alias(f"_s_{lang}")
+        for lang in LANG_ORDER
+    ]
+    scores = toks.groupBy("doc_id").agg(*aggs)
+    return scores.select(
+        "doc_id", _lang_winner(lambda lang: F.col(f"_s_{lang}")).alias("pred_lang")
+    )
 
 
 # ----------------------------------------------------------- fingerprints --

@@ -140,16 +140,44 @@ def minhash_lsh_candidate_pairs(
     shingle_n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket_size: Optional[int] = None,
 ) -> DataFrame:
     """Candidate pairs (i < j) sharing at least one MinHash LSH band.
     shingle -> minhash -> band -> bucket self-join: the only shuffle is
     on the band key, and bucket sizes bound the join fan-out (no
     quadratic blow-up unless a bucket is genuinely hot)."""
     sig = minhash_signature_table(df, n_hashes, shingle_n, text_col, id_col)
-    return _band_candidates(sig, n_bands, rows_per_band)
+    return _band_candidates(sig, n_bands, rows_per_band, max_bucket_size)
 
 
-def _band_candidates(sig: DataFrame, n_bands: int, rows_per_band: int) -> DataFrame:
+def drop_hot_buckets(
+    bands: DataFrame, key_cols, max_bucket_size: Optional[int]
+) -> DataFrame:
+    """Anti-skew guard for LSH bucket self-joins: a bucket of size B
+    yields B^2/2 candidate pairs, so one hot key (boilerplate shingles,
+    empty-ish docs) can dominate the whole job at corpus scale. Buckets
+    over ``max_bucket_size`` are excluded — the standard cap in
+    large-scale dedup pipelines (members that frequent are near-dups of
+    ALMOST everything in the bucket; handle them with exact dedup
+    first). The hot-key list is tiny by construction -> broadcast
+    anti-join, no extra shuffle of the band table."""
+    if max_bucket_size is None:
+        return bands
+    hot = (
+        bands.groupBy(*key_cols)
+        .count()
+        .filter(F.col("count") > max_bucket_size)
+        .select(*key_cols)
+    )
+    return bands.join(F.broadcast(hot), list(key_cols), "left_anti")
+
+
+def _band_candidates(
+    sig: DataFrame,
+    n_bands: int,
+    rows_per_band: int,
+    max_bucket_size: Optional[int] = None,
+) -> DataFrame:
     band_cols = [
         F.concat_ws(
             "|",
@@ -164,6 +192,7 @@ def _band_candidates(sig: DataFrame, n_bands: int, rows_per_band: int) -> DataFr
     bands = sig.select(
         "did", F.explode(F.array(*band_cols)).alias("band")
     )
+    bands = drop_hot_buckets(bands, ("band",), max_bucket_size)
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.did") < F.col("b.did")))
@@ -181,6 +210,7 @@ def minhash_lsh_dedup_pairs(
     shingle_n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket_size: Optional[int] = None,
 ) -> DataFrame:
     """LSH candidates verified by exact integer Jaccard: the scalable
     near-dup pipeline (candidates only, never all pairs). The signature
@@ -188,7 +218,7 @@ def minhash_lsh_dedup_pairs(
     extra pass over the corpus."""
     sh = _shingle_table(df, text_col, id_col, shingle_n)
     sig = _signature_aggregate(sh, n_hashes)
-    cands = _band_candidates(sig, n_bands, rows_per_band)
+    cands = _band_candidates(sig, n_bands, rows_per_band, max_bucket_size)
     sizes = sig.select("did", "nsh")
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -280,6 +310,7 @@ def simhash_near_dup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     stage: bool = True,
+    max_bucket_size: Optional[int] = None,
 ) -> DataFrame:
     """EXACT near-dup pairs by SimHash Hamming distance <= max_hamming.
 
@@ -310,6 +341,8 @@ def simhash_near_dup_pairs(
     ch = fp.select(
         "did", "fp", F.explode(F.array(*chunk_structs)).alias("ck")
     ).select("did", "fp", F.col("ck.c").alias("c"), F.col("ck.v").alias("v"))
+    # opt-in skew cap: exact recall is guaranteed only without it
+    ch = drop_hot_buckets(ch, ("c", "v"), max_bucket_size)
     a, b = ch.alias("a"), ch.alias("b")
     return (
         a.join(

@@ -136,3 +136,38 @@ def test_embedding_near_dup_small_input_is_exact_by_default(spark):
     got = {(r["i"], r["j"]): r["cos_e4"] for r in
            D.embedding_near_dup_pairs(df, threshold=0.99).collect()}
     assert got.get((4, 10)) == 10000
+
+
+def test_lang_id_table_matches_per_row_spec(spark, sf_dir):
+    from ahnlich_spark.functions import text as X
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fast = {r["doc_id"]: r["pred_lang"] for r in X.lang_id_table(docs).collect()}
+    spec = {
+        r["doc_id"]: r["l"]
+        for r in docs.select("doc_id", X.lang_id(F.col("text")).alias("l")).collect()
+    }
+    assert fast == spec
+    # empty/None text -> 'und'
+    edge = spark.createDataFrame([(0, ""), (1, None)], "doc_id long, text string")
+    assert {r["pred_lang"] for r in X.lang_id_table(edge).collect()} == {"und"}
+
+
+def test_hot_bucket_cap_bounds_join_fanout(spark):
+    """max_bucket_size drops oversized LSH buckets (anti-skew): a block
+    of identical docs stops producing quadratic candidates while normal
+    near-dup pairs are still found; default (None) is unchanged."""
+    hot = [(i, "the same boilerplate text repeated everywhere") for i in range(40)]
+    normal = [
+        (100, "a unique document about rivers and mountains in spring"),
+        (101, "a unique document about rivers and mountains in winter"),
+    ]
+    df = spark.createDataFrame(hot + normal, "doc_id long, text string")
+    uncapped = D.minhash_lsh_candidate_pairs(df)
+    capped = D.minhash_lsh_candidate_pairs(df, max_bucket_size=10)
+    n_un = uncapped.count()
+    got = {(r["i"], r["j"]) for r in capped.collect()}
+    assert n_un >= 40 * 39 // 2  # quadratic blow-up without the cap
+    assert (100, 101) in got  # normal pairs survive
+    assert not any(i < 100 and j < 100 for i, j in got)  # hot block dropped
