@@ -799,6 +799,63 @@ def minhash_lsh_pairs(spark, sf_dir):
     return D.minhash_lsh_dedup_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
 
 
+@register("dedup_clusters", f"""
+WITH RECURSIVE {_SHINGLES_SQL},
+shh AS (
+  SELECT did, ('0x' || substring(md5(s), 1, 15))::BIGINT % 1000000007 AS hb
+  FROM sh
+),
+mh AS (
+  SELECT did, seed,
+         min(({_MINHASH_A_SQL}[seed+1] * hb + {_MINHASH_B_SQL}[seed+1]) % 1000000007) AS h
+  FROM shh, range(16) t(seed) GROUP BY did, seed
+),
+sig AS (SELECT did, list(h ORDER BY seed) AS sig FROM mh GROUP BY did),
+bands AS (
+  SELECT did, unnest(list_transform(range(8),
+      b -> b::VARCHAR || '|' || sig[2*b+1]::VARCHAR || '|' || sig[2*b+2]::VARCHAR)) AS band
+  FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.did AS i, b.did AS j
+  FROM bands a JOIN bands b ON a.band = b.band AND a.did < b.did
+),
+inter AS (
+  SELECT c.i, c.j, count(*) AS inter
+  FROM cand c JOIN sh a ON a.did = c.i JOIN sh b ON b.did = c.j AND a.s = b.s
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT i, j FROM inter
+  JOIN (SELECT did AS i, nsh AS ni FROM sizes) USING (i)
+  JOIN (SELECT did AS j, nsh AS nj FROM sizes) USING (j)
+  WHERE 2 * inter >= (ni + nj - inter)
+),
+edges AS (SELECT i AS a, j AS b FROM pairs UNION SELECT j AS a, i AS b FROM pairs),
+walk AS (
+  SELECT a AS n, b AS m FROM edges
+  UNION
+  SELECT w.n, e.b FROM walk w JOIN edges e ON e.a = w.m WHERE e.b <> w.n
+),
+comp AS (SELECT n, least(n, min(m)) AS component FROM walk GROUP BY n)
+SELECT d.doc_id,
+       coalesce(c.component, d.doc_id) AS cluster_id,
+       CASE WHEN coalesce(c.component, d.doc_id) = d.doc_id THEN 1 ELSE 0 END AS is_rep
+FROM documents d LEFT JOIN comp c ON c.n = d.doc_id
+""")
+def dedup_clusters_q(spark, sf_dir):
+    """End of the near-dup pipeline: LSH pairs -> connected components
+    (iterative min-label propagation, operators/cluster.py) -> one
+    cluster id + representative flag per document. The oracle walks the
+    same pair graph with a recursive CTE (full transitive closure — fine
+    at oracle scale; the Spark side converges in diameter(G) shuffles)."""
+    from ahnlich_spark.operators.cluster import dedup_clusters as _dc
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    pairs = D.minhash_lsh_dedup_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+    return _dc(docs, pairs.select("i", "j"))
+
+
 # SimHash oracle: the fingerprint math is pure integer/md5 arithmetic, so
 # DuckDB reproduces it bit-for-bit. The SQL mirrors simhash_table exactly:
 # md5-hex-slice token hashes (60 low + 4 high bits), per-bit ones-count

@@ -1,0 +1,46 @@
+"""Connected-components dedup clustering (operators/cluster.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ahnlich_spark.operators.cluster import connected_components, dedup_clusters
+
+
+def _cc(spark, pairs):
+    df = spark.createDataFrame(pairs, "i bigint, j bigint")
+    rows = connected_components(df).collect()
+    return {r.node: r.component for r in rows}
+
+
+def test_chain_collapses_to_min(spark):
+    # 1-2-3-4-5 chain: diameter > 1, needs multiple propagation rounds
+    got = _cc(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+
+
+def test_two_components_and_reversed_edges(spark):
+    got = _cc(spark, [(9, 7), (7, 8), (3, 2)])
+    assert got == {7: 7, 8: 7, 9: 7, 2: 2, 3: 2}
+
+
+def test_clique_single_round(spark):
+    got = _cc(spark, [(1, 2), (1, 3), (2, 3)])
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_dedup_clusters_singletons_and_reps(spark):
+    docs = spark.createDataFrame([(i,) for i in range(1, 7)], "doc_id bigint")
+    pairs = spark.createDataFrame([(2, 4), (4, 6)], "i bigint, j bigint")
+    rows = {r.doc_id: (r.cluster_id, r.is_rep) for r in dedup_clusters(docs, pairs).collect()}
+    assert rows == {
+        1: (1, 1),
+        2: (2, 1),  # representative of {2,4,6}
+        3: (3, 1),
+        4: (2, 0),
+        5: (5, 1),
+        6: (2, 0),
+    }
+    # exactly one representative per cluster
+    df = dedup_clusters(docs, pairs)
+    per = df.groupBy("cluster_id").agg(F.sum("is_rep").alias("nrep")).collect()
+    assert all(r.nrep == 1 for r in per)
