@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_wordset",
     "minhash_lsh_pairs",
+    "dedup_clusters",
     "ngram_jaccard_pairs",
     "simhash_fingerprints",
     "embedding_near_dup",
