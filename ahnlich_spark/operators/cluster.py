@@ -54,6 +54,10 @@ def connected_components(
         .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
     )
+    # edges participates in EVERY round's join — materialize once so the
+    # (possibly expensive) upstream pair pipeline is not recomputed per
+    # round. Near-dup edge tables are tiny relative to the corpus.
+    edges = _persist(edges, reliable)
     # Half the labels never improve via in-edges (the component minimum
     # itself), so seed every endpoint with its own id once up front.
     labels = edges.select(F.col("a").alias("n")).distinct().select(
