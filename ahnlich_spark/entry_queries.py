@@ -1403,6 +1403,143 @@ def multimodal_frame_sample(spark, sf_dir):
     )
 
 
+# ----------------------------------------- sampling / packing / hygiene --
+# Training-pipeline corpus ops: deterministic (hash-derived) sampling,
+# token-budget sequence packing, benchmark decontamination, repetition
+# stats. All-integer outputs; every decision is a pure function of the
+# row, so DuckDB reproduces the exact row set.
+
+_HASH_UNIT_SQL = (
+    "('0x' || substring(md5('{salt}' || doc_id::VARCHAR), 1, 15))::BIGINT % 1000000"
+)
+
+
+@register("sample_hash", f"""
+SELECT doc_id, lang, source FROM documents
+WHERE {_HASH_UNIT_SQL.format(salt='r2')} < 250000
+""")
+def sample_hash(spark, sf_dir):
+    """Deterministic 25% corpus sample: scan-local md5-mod filter, no
+    shuffle, reproducible and nested across rates."""
+    from ahnlich_spark.operators.sampling import hash_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return hash_sample(docs, 0.25, salt="r2")
+
+
+@register("sample_stratified", f"""
+SELECT doc_id, lang FROM documents
+WHERE {_HASH_UNIT_SQL.format(salt='mix')} <
+      CASE lang WHEN 'en' THEN 1000000 WHEN 'de' THEN 500000
+                WHEN 'zh' THEN 100000 ELSE 200000 END
+""")
+def sample_stratified(spark, sf_dir):
+    """Corpus re-mixing: per-language keep rates as a literal CASE
+    threshold — still a scan-local filter, no join."""
+    from ahnlich_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_sample(
+        docs, {"en": 1.0, "de": 0.5, "zh": 0.1}, strata_col="lang",
+        salt="mix", default_rate=0.2,
+    )
+
+
+@register("pack_sequences", f"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+              ELSE len({_TOKENS_SQL}) END AS BIGINT) AS n_tok
+  FROM documents
+),
+b AS (
+  SELECT doc_id, source, n_tok,
+         CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id) - n_tok
+              AS BIGINT) // 256 AS batch_id
+  FROM t
+)
+SELECT doc_id, source, n_tok, batch_id,
+       CAST(row_number() OVER (PARTITION BY source, batch_id ORDER BY doc_id)
+            AS INT) AS seq_in_batch
+FROM b
+""")
+def pack_sequences_q(spark, sf_dir):
+    """Token-budget sequence packing by prefix-sum chunking within each
+    source: one shuffle, deterministic batch assignment."""
+    from ahnlich_spark.operators.sampling import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "n_tokens", X.token_count(F.col("text"))
+    )
+    return pack_sequences(docs, budget=256, token_col="n_tokens")
+
+
+_GRAM8_SQL = """
+words AS (SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS ws
+          FROM documents),
+g AS (
+  SELECT doc_id, source, unnest(
+      CASE WHEN len(ws) >= 8
+           THEN list_transform(range(1, len(ws) - 6),
+                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+                     || ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6]
+                     || ' ' || ws[i+7])
+           ELSE [array_to_string(ws, ' ')] END) AS gr
+  FROM words
+),
+gd AS (SELECT DISTINCT doc_id, source, md5(gr) AS gh FROM g)
+"""
+
+
+@register("decontaminate_ngrams", f"""
+WITH {_GRAM8_SQL},
+bench AS (SELECT DISTINCT gh FROM gd WHERE source = 'src0')
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared_grams
+FROM gd JOIN bench USING (gh)
+WHERE source <> 'src0'
+GROUP BY doc_id
+""")
+def decontaminate_ngrams(spark, sf_dir):
+    """Benchmark decontamination: training docs (sources != src0)
+    sharing any word-8-gram with the benchmark set (src0). Grams join
+    on md5 (16-byte keys), benchmark side broadcast — the corpus never
+    shuffles."""
+    from ahnlich_spark.operators.contamination import contaminated_docs
+
+    docs = _t(spark, sf_dir, "documents")
+    return contaminated_docs(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        n=8,
+    )
+
+
+@register("doc_repetition", f"""
+WITH words AS (SELECT doc_id, {_TOKENS_SQL} AS ws FROM documents),
+g AS (
+  SELECT doc_id, unnest(
+      CASE WHEN len(ws) >= 2
+           THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+           ELSE [array_to_string(ws, ' ')] END) AS gr
+  FROM words
+),
+per AS (SELECT doc_id, gr, count(*) AS c FROM g GROUP BY 1, 2),
+agg AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         CAST(max(c) AS BIGINT) AS top_gram_count
+  FROM per GROUP BY doc_id
+)
+SELECT doc_id, n_grams, n_distinct, top_gram_count,
+       (n_grams - n_distinct) * 10000 // n_grams AS dup_ratio_e4
+FROM agg
+""")
+def doc_repetition(spark, sf_dir):
+    """Gopher-style intra-doc repetition: word-2-gram multiset totals
+    and duplicate-gram ratio (integer e4)."""
+    return X.repetition_table(_t(spark, sf_dir, "documents"), n=2)
+
+
 # ------------------------------------------------------------- entry --
 
 def flagship(spark: SparkSession) -> DataFrame:

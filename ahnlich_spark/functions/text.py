@@ -175,6 +175,49 @@ def wordset_fingerprint(text: Column) -> Column:
 
 # --------------------------------------------------------------- shingles --
 
+def word_ngrams_with_multiplicity(text: Column, n: int = 2) -> Column:
+    """Word n-grams WITH multiplicity (ARRAY<STRING>) — the counting
+    variant of ``word_shingles`` for repetition analysis; docs shorter
+    than n tokens yield the whole document as one gram."""
+    toks = tokens(text)
+    k = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), k - n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    whole = F.array(F.concat_ws(" ", toks))
+    return F.when(k >= n, grams).otherwise(whole)
+
+
+def repetition_table(df, n: int = 2, text_col: str = "text", id_col: str = "doc_id"):
+    """Gopher-style intra-document repetition stats: per doc, the word
+    n-gram multiset's total / distinct / top counts and the duplicate-
+    gram ratio (scaled e4, exact integer division — hash-portable).
+    Heavily repetitive documents (dup_ratio high, top_gram_count high)
+    are boilerplate/spam and get dropped by quality filters.
+
+    Scale: explode -> two-level groupBy, both with map-side partial
+    aggregation; grams stay strings only within a partition (the first
+    groupBy keys on (doc, gram) locally before any exchange)."""
+    g = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_ngrams_with_multiplicity(F.col(text_col), n)).alias("g"),
+    )
+    per = g.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+    return (
+        per.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_grams"),
+            F.count("*").alias("n_distinct"),
+            F.max("c").alias("top_gram_count"),
+        )
+        .withColumn(
+            "dup_ratio_e4",
+            F.expr("(n_grams - n_distinct) * 10000 div n_grams"),
+        )
+    )
+
+
 def word_shingles(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles (ARRAY<STRING>); docs shorter than n
     tokens shingle to the whole document."""

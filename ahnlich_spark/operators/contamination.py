@@ -1,0 +1,57 @@
+"""Benchmark decontamination: flag training docs that share word
+n-grams with an evaluation/benchmark set.
+
+Standard LLM-pipeline hygiene (the GPT-3/PaLM papers decontaminate on
+8-13-gram collisions): any training document sharing at least
+``min_hits`` distinct word n-grams with any benchmark document is
+flagged (and typically dropped or split).
+
+Reference parity: part of this repo's training-data-pipeline extension
+surface; the reference engine (deven96/ahnlich) has no corpus ops.
+
+Scale notes (100 TB):
+- Both sides explode to (gram, doc) pairs; the join key is the md5 of
+  the gram string, so long grams never shuffle — 16 bytes per edge.
+- The benchmark side is small by construction (eval sets are MBs, the
+  corpus is TBs): ``F.broadcast`` keeps the corpus un-shuffled — the
+  whole operator is scan + broadcast-hash-join + partial-agg groupBy.
+- Distinct grams per side first (semantics: distinct shared grams),
+  which also bounds the join fan-out on repetitive docs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ahnlich_spark.functions import text as X
+
+
+def _gram_table(df: DataFrame, n: int, text_col: str, id_col: str) -> DataFrame:
+    return (
+        df.select(F.col(id_col).alias("did"), X.word_shingles(F.col(text_col), n).alias("gs"))
+        .select("did", F.explode("gs").alias("g"))
+        .select("did", F.md5("g").alias("gh"))
+        .distinct()
+    )
+
+
+def contaminated_docs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    min_hits: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_shared_grams) for every corpus doc sharing >=
+    ``min_hits`` distinct word ``n``-grams with the benchmark set."""
+    train = _gram_table(corpus, n, text_col, id_col)
+    bench = _gram_table(benchmark, n, text_col, id_col).select("gh").distinct()
+    return (
+        train.join(F.broadcast(bench), "gh")
+        .groupBy("did")
+        .agg(F.count("*").alias("n_shared_grams"))
+        .filter(F.col("n_shared_grams") >= min_hits)
+        .select(F.col("did").alias("doc_id"), "n_shared_grams")
+    )

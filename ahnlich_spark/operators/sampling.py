@@ -1,0 +1,110 @@
+"""Deterministic corpus sampling and sequence packing.
+
+Training-data pipelines downsample and re-mix corpora constantly; doing
+it with ``rand()`` makes every run irreproducible and every retry a
+different dataset. These operators derive the keep/assign decision from
+a stable hash of the row id, so the sample is a pure function of
+(id, salt, rate) — reproducible across runs, engines and cluster sizes.
+
+Reference parity: sampling/packing is part of this repo's
+training-data-pipeline extension surface (the reference engine,
+deven96/ahnlich, stops at store/query primitives).
+
+Scale notes (100 TB):
+- ``hash_sample`` / ``stratified_sample`` are narrow scan-local filters
+  (md5 + modulo on projected columns) — no shuffle, no UDF; Catalyst
+  pushes the surviving-column projection to the parquet scan and the
+  filter runs inside WholeStageCodegen.
+- ``pack_sequences`` is one shuffle (window partitioned by the pack
+  key); each partition's packing is independent, so skew is bounded by
+  the largest single key — pick a pack key with cluster-sized groups
+  (source/shard/date), not a global ordering.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# 60 bits of md5 (15 hex chars) — portable: Spark conv(,16,10) == DuckDB
+# ('0x'||...)::BIGINT. Same derivation as text.minhash_base_hash.
+_SCALE = 1_000_000
+
+
+def _hash_unit(col: Column, salt: str) -> Column:
+    """Deterministic value in [0, _SCALE) from (salt, id)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), col.cast("string"))), 1, 15), 16, 10
+    ).cast("long")
+    return h % _SCALE
+
+
+def hash_sample(
+    df: DataFrame,
+    rate: float,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Keep a deterministic ``rate`` fraction of rows: row survives iff
+    md5(salt || id) mod 1e6 < rate * 1e6. Changing ``salt`` draws an
+    independent sample; the same (salt, rate) always returns the same
+    rows, and a rate increase strictly grows the sample (nested
+    samples — handy for scaling-law subsets)."""
+    return df.filter(_hash_unit(F.col(id_col), salt) < int(round(rate * _SCALE)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: Dict[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (corpus re-mixing: e.g. keep
+    100% of wiki, 10% of crawl). ``rates`` maps stratum value -> keep
+    rate; unlisted strata fall back to ``default_rate``. The threshold
+    map is a literal CASE expression — scan-local, no join."""
+    thr: Column = F.lit(int(round(default_rate * _SCALE)))
+    for value, rate in sorted(rates.items()):
+        thr = F.when(
+            F.col(strata_col) == value, F.lit(int(round(rate * _SCALE)))
+        ).otherwise(thr)
+    return df.filter(_hash_unit(F.col(id_col), salt) < thr)
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    token_col: str = "n_tokens",
+    pack_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training batches by
+    prefix-sum chunking: within each ``pack_col`` group, docs are laid
+    out in ``id_col`` order and a doc starts a new batch exactly when
+    the tokens before it have crossed a multiple of ``budget`` —
+    ``batch_id = floor((cumsum(tokens) - tokens) / budget)``.
+
+    Batch boundaries sit at budget multiples of the group's token
+    prefix sum, so when no document exceeds the budget every batch
+    total lies within budget +/- (max_doc_tokens - 1) — documents are
+    never split, batches never drift from the budget. The assignment is
+    deterministic and packing is embarrassingly parallel across pack
+    groups: one shuffle, no iteration.
+
+    Output: (id, pack group, batch_id, seq_in_batch, token count).
+    """
+    w = Window.partitionBy(pack_col).orderBy(id_col)
+    tok = F.col(token_col).cast("long")
+    before = F.sum(tok).over(w) - tok
+    out = df.select(
+        F.col(id_col),
+        F.col(pack_col),
+        tok.alias("n_tok"),
+        F.floor(before / F.lit(budget)).alias("batch_id"),
+    )
+    w2 = Window.partitionBy(pack_col, "batch_id").orderBy(id_col)
+    return out.withColumn("seq_in_batch", F.row_number().over(w2))

@@ -49,6 +49,10 @@ BENCH_QUERIES = [
     "embedding_near_dup",
     "simhash_near_dup",
     "topk_per_label",
+    "sample_stratified",
+    "pack_sequences",
+    "decontaminate_ngrams",
+    "doc_repetition",
     "events_hourly_rollup",
     "events_sessionization",
     "streaming_hourly_rollup",

@@ -1,0 +1,110 @@
+"""Deterministic sampling, sequence packing, decontamination, repetition."""
+
+from pyspark.sql import functions as F
+
+from ahnlich_spark.operators.contamination import contaminated_docs
+from ahnlich_spark.operators.sampling import (
+    hash_sample,
+    pack_sequences,
+    stratified_sample,
+)
+from ahnlich_spark.functions.text import repetition_table
+
+
+def _docs(spark, n=400):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 4).cast("string").alias("lang"),
+    )
+
+
+def test_hash_sample_rate_and_determinism(spark):
+    df = _docs(spark)
+    a = {r.doc_id for r in hash_sample(df, 0.3, salt="s").collect()}
+    b = {r.doc_id for r in hash_sample(df, 0.3, salt="s").collect()}
+    assert a == b  # pure function of (id, salt, rate)
+    assert 0.15 < len(a) / 400 < 0.45
+    # different salt draws an independent sample
+    c = {r.doc_id for r in hash_sample(df, 0.3, salt="t").collect()}
+    assert c != a
+
+
+def test_hash_sample_nested_across_rates(spark):
+    df = _docs(spark)
+    small = {r.doc_id for r in hash_sample(df, 0.1, salt="s").collect()}
+    big = {r.doc_id for r in hash_sample(df, 0.5, salt="s").collect()}
+    assert small <= big
+
+
+def test_stratified_sample_rates_per_stratum(spark):
+    df = _docs(spark)
+    out = stratified_sample(
+        df, {"0": 1.0, "1": 0.0}, strata_col="lang", default_rate=0.5, salt="x"
+    )
+    per = {r.lang: r.c for r in out.groupBy("lang").agg(F.count("*").alias("c")).collect()}
+    assert per.get("0") == 100  # rate 1.0 keeps everything
+    assert "1" not in per  # rate 0.0 keeps nothing
+    assert 20 < per.get("2", 0) < 80 and 20 < per.get("3", 0) < 80
+
+
+def test_pack_sequences_budget_property(spark):
+    df = spark.range(50).select(
+        F.col("id").alias("doc_id"),
+        F.lit("s").alias("source"),
+        (F.col("id") % 7 + 1).alias("n_tokens"),
+    )
+    out = pack_sequences(df, budget=10, token_col="n_tokens").collect()
+    # with max_doc=7 <= budget: batch ids are contiguous from 0 and
+    # every batch total lies within budget +/- (max_doc - 1)
+    by_batch = {}
+    for r in out:
+        by_batch.setdefault(r.batch_id, []).append(r)
+    assert sorted(by_batch) == list(range(len(by_batch)))
+    totals = {b: sum(r.n_tok for r in rows) for b, rows in by_batch.items()}
+    last = max(by_batch)
+    for b, tot in totals.items():
+        if b != last:
+            assert tot >= 10 - (7 - 1)
+        assert tot <= 10 + 7 - 1
+    # boundary law: a doc starts a new batch iff its preceding cumsum
+    # crossed a budget multiple
+    rows = sorted(out, key=lambda r: r.doc_id)
+    before = 0
+    for r in rows:
+        assert r.batch_id == before // 10
+        before += r.n_tok
+    # seq_in_batch is 1..k in doc order
+    for rows in by_batch.values():
+        rows.sort(key=lambda r: r.doc_id)
+        assert [r.seq_in_batch for r in rows] == list(range(1, len(rows) + 1))
+
+
+def test_contaminated_docs_exact_hits(spark):
+    bench = spark.createDataFrame(
+        [(100, "a b c d e f g h")], "doc_id bigint, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "x a b c d e f g h y"),  # contains two 8-grams that hit once
+            (2, "totally different words here with no overlap at all"),
+            (3, "a b c d e f g h"),  # exact benchmark text
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: r.n_shared_grams for r in contaminated_docs(corpus, bench, n=8).collect()}
+    assert got == {1: 1, 3: 1}  # the shared gram is 'a b c d e f g h'
+
+
+def test_repetition_table_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "u v w x"), (3, "")],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: r for r in repetition_table(df, n=2).collect()}
+    # doc 1 grams: [a b, b a, a b, b a, a b] -> 5 total, 2 distinct, top 3
+    assert (got[1].n_grams, got[1].n_distinct, got[1].top_gram_count) == (5, 2, 3)
+    assert got[1].dup_ratio_e4 == (5 - 2) * 10000 // 5
+    assert (got[2].n_grams, got[2].n_distinct, got[2].top_gram_count) == (3, 3, 1)
+    assert got[2].dup_ratio_e4 == 0
+    # empty doc shingles to one empty gram
+    assert (got[3].n_grams, got[3].n_distinct) == (1, 1)
