@@ -170,3 +170,48 @@ def test_text_analysis_is_pure_scan_local_codegen(docs):
     plan = plan_of(out)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
     assert n_exchanges(plan) == 0, plan
+
+
+# --------------------------------------------- sampling / hygiene ops --
+
+def test_hash_sample_is_scan_local_no_shuffle(docs):
+    from ahnlich_spark.operators.sampling import hash_sample
+
+    plan = plan_of(hash_sample(docs.select("doc_id", "lang"), 0.25, salt="s"))
+    assert n_exchanges(plan) == 0, plan
+    assert "codegen id" in plan, plan  # filter runs inside WholeStageCodegen
+    # only the two projected columns reach the scan
+    assert "ReadSchema: struct<doc_id:bigint,lang:string>" in plan, plan
+
+
+def test_stratified_sample_is_scan_local_no_shuffle(docs):
+    from ahnlich_spark.operators.sampling import stratified_sample
+
+    plan = plan_of(
+        stratified_sample(docs.select("doc_id", "lang"), {"en": 0.5}, default_rate=0.1)
+    )
+    assert n_exchanges(plan) == 0, plan
+
+
+def test_pack_sequences_is_single_shuffle(spark, docs):
+    from ahnlich_spark.functions import text as X
+    from ahnlich_spark.operators.sampling import pack_sequences
+
+    df = docs.withColumn("n_tokens", X.token_count(F.col("text")))
+    plan = plan_of(pack_sequences(df, budget=256))
+    # one exchange on the pack key serves both windows (batch assignment
+    # and seq_in_batch share the source partitioning)
+    assert n_exchanges(plan) == 1, plan
+
+
+def test_contamination_broadcasts_benchmark_side(docs):
+    from ahnlich_spark.operators.contamination import contaminated_docs
+
+    out = contaminated_docs(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        n=8,
+    )
+    plan = plan_of(out)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
