@@ -1052,6 +1052,38 @@ def ann_ivf_topk(spark, sf_dir):
 
 # ================================================ events / windows ==
 
+def _events_ts_us_divisor(sf_dir: str) -> int:
+    """Raw-int64 -> microseconds divisor for the events ts column, read
+    from the parquet FOOTER (pyarrow) rather than guessed from data:
+    1000 for TIMESTAMP(NANOS) fixtures, 1 for TIMESTAMP(MICROS). The
+    fixture generator has shipped both precisions across rounds."""
+    import pyarrow.parquet as pq
+
+    t = str(
+        pq.ParquetFile(os.path.join(sf_dir, "events.parquet"))
+        .schema_arrow.field("ts")
+        .type
+    )
+    return 1000 if "[ns" in t else 1
+
+
+def _events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events table with an extra ``ts_us`` BIGINT column (microseconds
+    since epoch, UTC). Robust to BOTH reader outcomes for the ts column:
+    Spark's session caches the first inferred schema per path, so ts may
+    arrive as TIMESTAMP/TIMESTAMP_NTZ (normal read) or as raw INT64 (a
+    legacy-conf read elsewhere in the session). Downstream window math
+    is integer epoch arithmetic — timezone-free and identical in
+    DuckDB's epoch_us()."""
+    ev = _t(spark, sf_dir, "events")
+    if isinstance(ev.schema["ts"].dataType, T.LongType):
+        div = _events_ts_us_divisor(sf_dir)
+        ts_us = (F.col("ts") / div).cast("long") if div != 1 else F.col("ts").cast("long")
+    else:
+        ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return ev.withColumn("ts_us", ts_us)
+
+
 @register("events_hourly_rollup", """
 SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
        event_type,
@@ -1062,19 +1094,13 @@ FROM events GROUP BY 1, 2
 def events_hourly_rollup(spark, sf_dir):
     """Tumbling-window rollup (the batch face of the streaming module:
     the same plan runs under readStream + watermark in
-    ahnlich_spark/streaming). The events parquet stores TIMESTAMP(NANOS),
-    which Spark only reads via the nanosAsLong legacy conf — so the
-    window arithmetic is integer epoch math (timezone-free, identical in
-    both engines)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    try:
-        ev = _t(spark, sf_dir, "events")
-    finally:
-        spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
-    ns_per_hour = 3_600_000_000_000
+    ahnlich_spark/streaming). Window arithmetic is integer epoch-micros
+    math (timezone-free, identical in both engines)."""
+    ev = _events_us(spark, sf_dir)
+    us_per_hour = 3_600_000_000
     return (
         ev.groupBy(
-            (F.floor(F.col("ts") / ns_per_hour) * 3600).cast("long").alias("hour_epoch"),
+            (F.floor(F.col("ts_us") / us_per_hour) * 3600).cast("long").alias("hour_epoch"),
             "event_type",
         )
         .agg(F.count(F.lit(1)).alias("n"),
@@ -1119,26 +1145,24 @@ def streaming_hourly_rollup(spark, sf_dir):
         os.path.join(sf_dir, "events.parquet"),
         os.path.join(stream_dir, "events-0.parquet"),
     )
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    try:
-        stream = (
-            spark.readStream.schema(schema)
-            .parquet(stream_dir)
-            # data is us-precision; integer ns -> us keeps it exact
-            .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
-        )
-        rolled = hourly_rollup(stream, window="1 hour")
-        name = f"stream_rollup_{uuid.uuid4().hex[:8]}"
-        q = (
-            rolled.writeStream.outputMode("complete")
-            .format("memory")
-            .queryName(name)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    # The explicit LongType schema reads the raw int64; the footer
+    # decides the unit (micros vs nanos fixtures — see _events_us).
+    div = _events_ts_us_divisor(sf_dir)
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(stream_dir)
+        .withColumn("ts", F.timestamp_micros((F.col("ts") / div).cast("long")))
+    )
+    rolled = hourly_rollup(stream, window="1 hour")
+    name = f"stream_rollup_{uuid.uuid4().hex[:8]}"
+    q = (
+        rolled.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
     return spark.table(name).select(
         F.unix_timestamp("window_start").alias("hour_epoch"),
         "event_type",
@@ -1149,25 +1173,25 @@ def streaming_hourly_rollup(spark, sf_dir):
 
 @register("events_sessionization", """
 WITH e AS (
-  SELECT user_id, epoch_ns(ts) AS tns FROM events
+  SELECT user_id, epoch_us(ts) AS tus FROM events
 ),
 flagged AS (
-  SELECT user_id, tns,
-    CASE WHEN tns - lag(tns) OVER (PARTITION BY user_id ORDER BY tns)
-              > 1800000000000 OR
-              lag(tns) OVER (PARTITION BY user_id ORDER BY tns) IS NULL
+  SELECT user_id, tus,
+    CASE WHEN tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus)
+              > 1800000000 OR
+              lag(tus) OVER (PARTITION BY user_id ORDER BY tus) IS NULL
          THEN 1 ELSE 0 END AS new_session
   FROM e
 ),
 sessions AS (
-  SELECT user_id, tns,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY tns
+  SELECT user_id, tus,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY tus
                                 ROWS UNBOUNDED PRECEDING) AS session_id
   FROM flagged
 )
 SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
        count(*) AS n_events,
-       CAST((max(tns) - min(tns)) // 1000000000 AS BIGINT) AS duration_s
+       CAST((max(tus) - min(tus)) // 1000000 AS BIGINT) AS duration_s
 FROM sessions GROUP BY user_id, session_id
 """)
 def events_sessionization(spark, sf_dir):
@@ -1176,34 +1200,29 @@ def events_sessionization(spark, sf_dir):
     user_id serves BOTH window passes and the final aggregation (Spark
     reuses the partitioning); the 100 TB variant partitions input by
     user and runs identically, or streams via session_window()."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    try:
-        ev = _t(spark, sf_dir, "events")
-    finally:
-        spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
-    gap_ns = 30 * 60 * 1_000_000_000
-    w = Window.partitionBy("user_id").orderBy("ts")
-    flagged = ev.select("user_id", F.col("ts").alias("tns")).withColumn(
+    ev = _events_us(spark, sf_dir)
+    gap_us = 30 * 60 * 1_000_000
+    flagged = ev.select("user_id", F.col("ts_us").alias("tus")).withColumn(
         "new_session",
         F.when(
-            F.col("tns") - F.lag("tns").over(Window.partitionBy("user_id").orderBy("tns"))
-            > gap_ns, 1
+            F.col("tus") - F.lag("tus").over(Window.partitionBy("user_id").orderBy("tus"))
+            > gap_us, 1
         ).otherwise(
-            F.when(F.lag("tns").over(Window.partitionBy("user_id").orderBy("tns")).isNull(), 1)
+            F.when(F.lag("tus").over(Window.partitionBy("user_id").orderBy("tus")).isNull(), 1)
             .otherwise(0)
         ),
     )
     sessions = flagged.withColumn(
         "session_id",
         F.sum("new_session").over(
-            Window.partitionBy("user_id").orderBy("tns").rowsBetween(Window.unboundedPreceding, 0)
+            Window.partitionBy("user_id").orderBy("tus").rowsBetween(Window.unboundedPreceding, 0)
         ).cast("long"),
     )
     return sessions.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         # floor-division on both sides (duckdb CAST rounds, Spark's
         # truncates — floor is the portable choice)
-        F.floor((F.max("tns") - F.min("tns")) / F.lit(1_000_000_000))
+        F.floor((F.max("tus") - F.min("tus")) / F.lit(1_000_000))
         .cast("long").alias("duration_s"),
     )
 
@@ -1538,6 +1557,192 @@ def doc_repetition(spark, sf_dir):
     """Gopher-style intra-doc repetition: word-2-gram multiset totals
     and duplicate-gram ratio (integer e4)."""
     return X.repetition_table(_t(spark, sf_dir, "documents"), n=2)
+
+
+# --------------------------------------------- corpus text statistics --
+
+_VOCAB_SQL = """
+toks AS (
+  SELECT doc_id, lower(t) AS term
+  FROM documents, unnest(regexp_split_to_array(trim(text), '\\s+')) AS u(t)
+  WHERE trim(text) <> ''
+),
+per_doc AS (SELECT term, doc_id, count(*) AS cnt FROM toks GROUP BY 1, 2)
+"""
+
+
+@register("vocab_top_terms", f"""
+WITH {_VOCAB_SQL}
+SELECT term, CAST(sum(cnt) AS BIGINT) AS tf, CAST(count(*) AS BIGINT) AS doc_freq
+FROM per_doc GROUP BY term ORDER BY tf DESC, term LIMIT 50
+""")
+def vocab_top_terms_q(spark, sf_dir):
+    """Corpus vocabulary head: two-level aggregation (term,doc partial
+    counts -> term totals), bounded top-50. Map-side combine collapses
+    per-document repetition before the shuffle."""
+    from ahnlich_spark.operators.textstats import vocab_top_terms
+
+    return vocab_top_terms(_t(spark, sf_dir, "documents"), n=50)
+
+
+@register("tfidf_top_terms", f"""
+WITH {_VOCAB_SQL},
+dfreq AS (SELECT term, count(*) AS doc_freq FROM per_doc GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, p.term, cnt * ln(n_docs::DOUBLE / doc_freq) AS tfidf
+  FROM per_doc p JOIN dfreq d ON p.term = d.term, n),
+ranked AS (SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank_n FROM scored)
+SELECT doc_id, term, CAST(rank_n AS BIGINT) AS rank_n,
+       CAST(round(tfidf * 10000) AS BIGINT) AS tfidf_e4
+FROM ranked WHERE rank_n <= 3
+""")
+def tfidf_top_terms_q(spark, sf_dir):
+    """Top-3 salient terms per document by tf * ln(N/df): term-keyed
+    join (AQE splits the stopword skew) + WindowGroupLimit rank prune."""
+    from ahnlich_spark.operators.textstats import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
+@register("quality_filter_c4", f"""
+WITH t AS (SELECT doc_id, trim(text) AS text, {_TOKENS_SQL} AS ws FROM documents),
+m AS (
+  SELECT doc_id, text, len(ws) AS n_tok,
+         round(list_sum(list_transform(ws, w -> length(w))) * 100.0 / len(ws)) AS mlen_e2,
+         round(len(list_distinct(ws)) * 10000.0 / len(ws)) AS dratio_e4
+  FROM t)
+SELECT doc_id,
+  CAST(n_tok < 5 AS INT) AS f_short,
+  CAST(mlen_e2 < 300 OR mlen_e2 > 1000 AS INT) AS f_word_len,
+  CAST(NOT regexp_matches(text, '[.!?\"]$') AS INT) AS f_no_terminal,
+  CAST(contains(text, '{{') AS INT) AS f_brace,
+  CAST(contains(lower(text), 'lorem ipsum') AS INT) AS f_lorem,
+  CAST(dratio_e4 < 3000 AS INT) AS f_repetitive,
+  CAST((n_tok >= 5) AND (mlen_e2 BETWEEN 300 AND 1000)
+       AND regexp_matches(text, '[.!?\"]$') AND NOT contains(text, '{{')
+       AND NOT contains(lower(text), 'lorem ipsum')
+       AND dratio_e4 >= 3000 AS INT) AS keep
+FROM m
+""")
+def quality_filter_c4(spark, sf_dir):
+    """C4/Gopher rule-based document filter: per-rule rejection flags +
+    final keep decision, all scan-local codegen'd expressions."""
+    from ahnlich_spark.operators.textstats import c4_quality_flags
+
+    return c4_quality_flags(_t(spark, sf_dir, "documents"))
+
+
+@register("pii_scrub", r"""
+WITH s AS (
+  SELECT doc_id, text,
+    len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+    len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ipv4,
+    len(regexp_extract_all(text, '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b')) AS n_phone
+  FROM documents)
+SELECT doc_id, CAST(n_email AS BIGINT) AS n_email, CAST(n_ipv4 AS BIGINT) AS n_ipv4,
+       CAST(n_phone AS BIGINT) AS n_phone,
+       regexp_replace(regexp_replace(regexp_replace(text,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IPV4>', 'g'),
+         '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b', '<PHONE>', 'g') AS clean_text
+FROM s
+""")
+def pii_scrub_q(spark, sf_dir):
+    """PII redaction pass: count + replace email/IPv4/phone-shaped
+    substrings with typed placeholders (RE2-portable patterns, zero
+    shuffle)."""
+    from ahnlich_spark.operators.textstats import pii_scrub
+
+    return pii_scrub(_t(spark, sf_dir, "documents"))
+
+
+# ------------------------------------------------------------ as-of join --
+
+
+@register("asof_purchase_last_view", """
+WITH u AS (
+  SELECT user_id, ts, 0 AS tag, event_id AS tb,
+         struct_pack(ts := ts, eid := event_id) AS payload, NULL::BIGINT AS l_eid
+  FROM events WHERE event_type = 'view'
+  UNION ALL
+  SELECT user_id, ts, 1, 0, NULL, event_id FROM events WHERE event_type = 'purchase'
+), w AS (
+  SELECT *, last_value(payload IGNORE NULLS) OVER (
+    PARTITION BY user_id ORDER BY ts, tag, tb ROWS UNBOUNDED PRECEDING) AS m
+  FROM u)
+SELECT l_eid AS purchase_id, user_id, m.eid AS last_view_id,
+       epoch_us(ts) - epoch_us(m.ts) AS gap_us
+FROM w WHERE tag = 1
+""")
+def asof_purchase_last_view(spark, sf_dir):
+    """As-of join: each purchase paired with the same user's latest view
+    at-or-before it. Union-window formulation — ONE shuffle of |L|+|R|
+    rows, no quadratic range-join blow-up (operators/joins.py)."""
+    from ahnlich_spark.operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(
+        purchases, views, on="user_id", tiebreak="event_id",
+        right_cols=["event_id"],
+    )
+    return out.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("asof_event_id").alias("last_view_id"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("asof_ts").cast("timestamp"))
+        ).alias("gap_us"),
+    )
+
+
+# -------------------------------------------------------------- k-means --
+
+
+@register("embedding_kmeans", """
+WITH seeds AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+         embedding::DOUBLE[] AS c
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)
+),
+a1 AS (
+  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+      ORDER BY list_sum(list_transform(range(1, 65),
+          i -> (embedding[CAST(i AS INT)]::DOUBLE - c[CAST(i AS INT)])
+             * (embedding[CAST(i AS INT)]::DOUBLE - c[CAST(i AS INT)]))), cid) AS rn
+  FROM embeddings, seeds),
+means AS (
+  SELECT a1.cid, r.i, round(avg(e.embedding[CAST(r.i AS INT)]::DOUBLE), 6) AS mv
+  FROM a1 JOIN embeddings e USING (vec_id) CROSS JOIN range(1, 65) r(i)
+  WHERE a1.rn = 1 GROUP BY 1, 2),
+cents2 AS (
+  SELECT s.cid, COALESCE(m.c2, s.c) AS c
+  FROM seeds s LEFT JOIN
+    (SELECT cid, list(mv ORDER BY i) AS c2 FROM means GROUP BY cid) m USING (cid)),
+a2 AS (
+  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+      ORDER BY list_sum(list_transform(range(1, 65),
+          i -> (embedding[CAST(i AS INT)]::DOUBLE - c[CAST(i AS INT)])
+             * (embedding[CAST(i AS INT)]::DOUBLE - c[CAST(i AS INT)]))), cid) AS rn
+  FROM embeddings, cents2)
+SELECT vec_id, CAST(cid AS INT) AS cluster_id FROM a2 WHERE rn = 1
+""")
+def embedding_kmeans(spark, sf_dir):
+    """One Lloyd iteration of k=8 k-means with deterministic lowest-id
+    seeding: scan-local broadcast-literal argmin assign (zero shuffle),
+    per-(cluster,dim) mean update (one shuffle, k*dim driver rows),
+    re-assign. operators/cluster.kmeans_assign."""
+    from ahnlich_spark.operators.cluster import kmeans_assign
+
+    return kmeans_assign(_t(spark, sf_dir, "embeddings"), k=8, iters=1)
 
 
 # ------------------------------------------------------------- entry --

@@ -117,3 +117,93 @@ def dedup_clusters(
     return out.withColumn(
         "is_rep", (F.col("doc_id") == F.col("cluster_id")).cast("int")
     )
+
+
+# ---------------------------------------------------------------- k-means --
+
+def kmeans_assign(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """(vec_id, cluster_id): Lloyd's k-means assignment over an embedding
+    column with DETERMINISTIC seeding — the k rows with the smallest ids
+    are the initial centroids (no RNG: the result is a pure function of
+    the data, reproducible across runs and engines).
+
+    Each iteration is the classic two-scan Lloyd step, Spark-first:
+
+    - assign: centroids are a k-element literal broadcast into a
+      scan-local argmin expression (squared euclidean, fold over
+      ``zip_with`` — fully codegen'd, ZERO shuffle, no UDF);
+    - update: ``posexplode`` the assigned vectors and take per-
+      (cluster, dim) means — one shuffle with map-side partial
+      aggregation; the k x dim result (tiny, bounded by k*dim, not by
+      data size) is collected to the driver to build the next literal.
+
+    Per-dimension means are rounded to ``round_digits`` decimals before
+    re-broadcast so the centroid grid — and therefore every assignment
+    — is bit-identical regardless of float summation order.
+
+    Scale notes (100 TB): per iteration, one full scan + one shuffle of
+    n*dim skinny rows; the driver only ever holds k*dim doubles. Ties
+    in the argmin break toward the lowest cluster id.
+    """
+    seeds = (
+        emb.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.asc(id_col))
+        .limit(k)
+        .collect()
+    )
+    centroids = [[float(x) for x in r[vec_col]] for r in seeds]
+
+    def assign_col(cents):
+        vec = F.col(vec_col)
+        best_c = F.lit(0)
+        best_d = None
+        for cid, cent in enumerate(cents):
+            lit = F.array(*[F.lit(v).cast("double") for v in cent])
+            d = F.aggregate(
+                F.zip_with(vec.cast("array<double>"), lit, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            if best_d is None:
+                best_d = d
+            else:
+                better = d < best_d
+                best_c = F.when(better, F.lit(cid)).otherwise(best_c)
+                best_d = F.when(better, d).otherwise(best_d)
+        return best_c.cast("int")
+
+    assigned = emb.select(
+        F.col(id_col), F.col(vec_col), assign_col(centroids).alias("cluster_id")
+    )
+    for _ in range(iters):
+        dims = assigned.select(
+            "cluster_id", F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "v")
+        )
+        means = (
+            dims.groupBy("cluster_id", "pos")
+            .agg(F.round(F.avg("v"), round_digits).alias("m"))
+            .collect()
+        )
+        by_cluster = {}
+        for r in means:
+            by_cluster.setdefault(r["cluster_id"], {})[r["pos"]] = r["m"]
+        new_cents = []
+        for cid in range(len(centroids)):
+            if cid in by_cluster:
+                d = by_cluster[cid]
+                new_cents.append([d[p] for p in range(len(centroids[cid]))])
+            else:
+                new_cents.append(centroids[cid])  # empty cluster keeps its seed
+        centroids = new_cents
+        assigned = emb.select(
+            F.col(id_col), F.col(vec_col), assign_col(centroids).alias("cluster_id")
+        )
+
+    return assigned.select(id_col, "cluster_id")

@@ -1,0 +1,103 @@
+"""As-of (point-in-time) join: for every left row, the most recent
+right row with the same key at-or-before the left row's timestamp.
+
+This is the temporal join Spark lacks as a built-in (pandas has
+``merge_asof``; kdb/QuestDB have ``aj``). The naive formulation — a
+range join ``l JOIN r ON l.key = r.key AND r.ts <= l.ts`` plus a
+max-per-left dedup — explodes quadratically per key (every left row
+pairs with ALL earlier right rows before the dedup throws them away).
+
+The implementation here is the union-window formulation instead:
+
+1. tag right rows 0 and left rows 1, union them on (key, ts, tag),
+2. one window partitioned by key ordered by (ts, tag, right-tiebreak)
+   carries ``last_value(right_cols, ignoreNulls)`` forward,
+3. keep the left rows.
+
+Cost: ONE shuffle of |L| + |R| rows on the join key and a per-key sort
+— the same price as the groupBy it replaces, with no intermediate
+blow-up. Ties: a right row at exactly ts sorts BEFORE the left row
+(tag 0 < 1), so "at-or-before" is inclusive; among right rows with
+equal ts the highest tiebreak column wins deterministically.
+
+Reference parity: part of this repo's training-data-pipeline extension
+surface (the reference engine, deven96/ahnlich, has no joins at all —
+SURVEY.md §2.5).
+
+Scale notes (100 TB): the window is a single ROWS-frame running
+last_value — Spark evaluates it in one pass per partition after the
+sort, no buffering beyond the current row. Skewed keys (one user with
+millions of events) serialize within the key; salt the key upstream if
+a single key exceeds an executor's sort budget.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: Optional[Sequence[str]] = None,
+    tiebreak: Optional[str] = None,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Left as-of join. Every left row gains ``prefix + c`` for each c in
+    ``right_cols`` (and ``prefix + right_ts``), holding the values of
+    the latest right row with the same ``on`` key and
+    ``right.ts <= left.ts`` — NULL when no such row exists.
+
+    ``tiebreak`` (a right column, e.g. an event id) makes "latest"
+    deterministic among right rows sharing a timestamp: the greatest
+    tiebreak value wins.
+    """
+    right_cols = [c for c in (right_cols or right.columns) if c not in (on, right_ts)]
+    if tiebreak is not None and tiebreak not in right_cols:
+        right_cols = right_cols + [tiebreak]
+
+    # The carried payload: one struct so a single last_value() suffices
+    # regardless of how many right columns ride along.
+    payload = F.struct(
+        F.col(right_ts).cast("timestamp").alias("__ts"),
+        *[F.col(c).alias(c) for c in right_cols],
+    )
+    r = right.select(
+        F.col(on).alias("__key"),
+        F.col(right_ts).cast("timestamp").alias("__ts"),
+        F.lit(0).alias("__tag"),
+        (F.col(tiebreak) if tiebreak is not None else F.lit(0)).cast("long").alias("__tb"),
+        payload.alias("__payload"),
+    )
+    l = left.select(
+        F.col(on).alias("__key"),
+        F.col(left_ts).cast("timestamp").alias("__ts"),
+        F.lit(1).alias("__tag"),
+        F.lit(0).cast("long").alias("__tb"),
+        F.lit(None).cast(r.schema["__payload"].dataType).alias("__payload"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__left"),
+    )
+    r = r.withColumn("__left", F.lit(None).cast(l.schema["__left"].dataType))
+
+    unioned = r.unionByName(l)
+    w = (
+        Window.partitionBy("__key")
+        .orderBy(F.asc("__ts"), F.asc("__tag"), F.asc("__tb"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.withColumn(
+        "__match", F.last("__payload", ignorenulls=True).over(w)
+    ).filter(F.col("__tag") == 1)
+
+    out_cols = [F.col(f"__left.{c}").alias(c) for c in left.columns]
+    out_cols.append(F.col(f"__match.__ts").alias(f"{prefix}{right_ts}"))
+    out_cols.extend(
+        F.col(f"__match.{c}").alias(f"{prefix}{c}") for c in right_cols
+    )
+    return carried.select(*out_cols)

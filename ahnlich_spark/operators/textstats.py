@@ -1,0 +1,204 @@
+"""Corpus-level text statistics: vocabulary building, TF-IDF scoring,
+C4-style quality filtering, and PII scrubbing.
+
+These are the corpus-wide complements to the per-document scalar
+functions in ``functions/text.py`` — a training-data pipeline builds a
+vocabulary before fitting a tokenizer, ranks salient terms before
+topic-balancing a mixture, rule-filters junk documents (the C4/Gopher
+recipe), and scrubs PII before anything ships.
+
+Reference parity: part of this repo's training-data-pipeline extension
+surface (the reference engine, deven96/ahnlich, stops at store/query
+primitives).
+
+Scale notes (100 TB):
+- ``vocab_table`` is the canonical two-level aggregation: (term, doc)
+  partial counts first — map-side combine soaks up the per-document
+  repetition before anything shuffles — then a second combine by term.
+  Both aggregations are codegen'd HashAggregates; no Python, no
+  distinct over the raw token stream.
+- ``tfidf_top_terms`` joins per-doc term counts against the term
+  document-frequency table ON TERM. The join is skewed exactly where
+  idf is lowest (stopwords), so AQE skew-join splitting handles the
+  heavy keys and the WindowGroupLimit rank prune keeps only k rows per
+  document out of the window sort.
+- ``c4_quality_flags`` and ``pii_scrub`` are scan-local map expressions
+  (regex + higher-order array functions, all JVM-side): zero shuffle,
+  pushed column pruning, safe to run inline in an ingest pass.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ahnlich_spark.functions import text as X
+
+# ------------------------------------------------------------ vocabulary --
+
+
+def term_doc_counts(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(term, doc_id, cnt): lowercased whitespace terms with per-document
+    counts. The groupBy's map-side partial aggregation collapses each
+    document's repeated terms before the shuffle — the exploded token
+    stream itself never crosses the wire."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(X.tokens(F.col(text_col))).alias("tok"),
+    )
+    return (
+        toks.select("doc_id", F.lower(F.col("tok")).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def vocab_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(term, tf, doc_freq): corpus term frequency and document
+    frequency. Second-level combine over ``term_doc_counts`` — one more
+    single-key aggregation, still fully codegen'd."""
+    return term_doc_counts(df, text_col, id_col).groupBy("term").agg(
+        F.sum("cnt").cast("long").alias("tf"),
+        F.count(F.lit(1)).cast("long").alias("doc_freq"),
+    )
+
+
+def vocab_top_terms(
+    df: DataFrame, n: int = 50, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Top-n vocabulary by corpus frequency (ties broken by term asc) —
+    a bounded TakeOrderedAndProject over the vocab aggregate."""
+    return vocab_table(df, text_col, id_col).orderBy(
+        F.desc("tf"), F.asc("term")
+    ).limit(n)
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tf: int = 1,
+) -> DataFrame:
+    """(doc_id, term, rank_n, tfidf_e4): the k most salient terms per
+    document by tf * ln(N / doc_freq), rank ties broken by term asc.
+
+    N is the full document count (computed as a 1-row aggregate and
+    broadcast into the expression — no driver collect of data rows).
+    Scores are emitted e4-scaled so the cross-engine hash cannot be
+    flipped by float formatting."""
+    per_doc = term_doc_counts(df, text_col, id_col)
+    dfreq = per_doc.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
+
+    scored = (
+        per_doc.filter(F.col("cnt") >= min_tf)
+        .join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("cnt").cast("double")
+            * F.log(F.col("n_docs").cast("double") / F.col("doc_freq")),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank_n", F.row_number().over(w))
+        .filter(F.col("rank_n") <= k)
+        .select(
+            "doc_id",
+            "term",
+            F.col("rank_n").cast("long").alias("rank_n"),
+            F.round(F.col("tfidf") * 10000).cast("long").alias("tfidf_e4"),
+        )
+    )
+
+
+# ------------------------------------------------------ C4-style filter --
+
+# Rule thresholds follow the C4 cleaning recipe (Raffel et al. 2020,
+# "Exploring the Limits of Transfer Learning", appendix C) adapted to
+# whole-document granularity, plus Gopher's repetition rule
+# (Rae et al. 2021, table A1).
+C4_MIN_TOKENS = 5
+C4_MEAN_TOKEN_LEN_RANGE = (300, 1000)  # e2-scaled: 3.0 .. 10.0 chars
+C4_MIN_DISTINCT_RATIO_E4 = 3000  # Gopher-style repetition cutoff
+
+
+def c4_quality_flags(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, f_short, f_word_len, f_no_terminal, f_brace, f_lorem,
+    f_repetitive, keep): one INT flag per C4/Gopher rejection rule and
+    the final keep decision (1 = survives every rule). All flags are
+    emitted — a pipeline tuning its thresholds wants the rejection
+    histogram, not just the survivor set."""
+    text = F.col(text_col)
+    n_tok = X.token_count(text)
+    mlen = X.mean_token_len_e2(text)
+    dratio = X.distinct_token_ratio_e4(text)
+
+    f_short = (n_tok < C4_MIN_TOKENS).cast("int")
+    lo, hi = C4_MEAN_TOKEN_LEN_RANGE
+    f_word_len = ((mlen < lo) | (mlen > hi)).cast("int")
+    f_no_terminal = (~F.trim(text).rlike(r'[.!?"]$')).cast("int")
+    f_brace = text.contains("{").cast("int")
+    f_lorem = F.lower(text).contains("lorem ipsum").cast("int")
+    f_repetitive = (dratio < C4_MIN_DISTINCT_RATIO_E4).cast("int")
+
+    flags = [f_short, f_word_len, f_no_terminal, f_brace, f_lorem, f_repetitive]
+    keep = F.lit(1)
+    for f in flags:
+        keep = keep * (1 - f)
+
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        f_short.alias("f_short"),
+        f_word_len.alias("f_word_len"),
+        f_no_terminal.alias("f_no_terminal"),
+        f_brace.alias("f_brace"),
+        f_lorem.alias("f_lorem"),
+        f_repetitive.alias("f_repetitive"),
+        keep.cast("int").alias("keep"),
+    )
+
+
+# ------------------------------------------------------------ PII scrub --
+
+# Deliberately simple, RE2-compatible patterns (no lookarounds, no
+# backrefs) so the same regex runs in Spark (java.util.regex) and any
+# RE2-based oracle engine.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "phone": r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b",
+}
+
+
+def pii_scrub(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    kinds: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """(doc_id, n_email, n_ipv4, n_phone, clean_text): count and redact
+    PII-shaped substrings; each match is replaced with ``<KIND>``.
+    Pure scan-local regex work inside whole-stage codegen."""
+    kinds = list(kinds or PII_PATTERNS)
+    text = F.col(text_col)
+    cols = [F.col(id_col).alias("doc_id")]
+    clean = text
+    for kind in kinds:
+        pat = PII_PATTERNS[kind]
+        cols.append(
+            F.regexp_count(text, F.lit(pat)).cast("long").alias(f"n_{kind}")
+        )
+        clean = F.regexp_replace(clean, pat, f"<{kind.upper()}>")
+    cols.append(clean.alias("clean_text"))
+    return df.select(*cols)

@@ -49,6 +49,12 @@ BENCH_QUERIES = [
     "embedding_near_dup",
     "simhash_near_dup",
     "topk_per_label",
+    "vocab_top_terms",
+    "tfidf_top_terms",
+    "quality_filter_c4",
+    "pii_scrub",
+    "asof_purchase_last_view",
+    "embedding_kmeans",
     "sample_stratified",
     "pack_sequences",
     "decontaminate_ngrams",

@@ -44,3 +44,39 @@ def test_dedup_clusters_singletons_and_reps(spark):
     df = dedup_clusters(docs, pairs)
     per = df.groupBy("cluster_id").agg(F.sum("is_rep").alias("nrep")).collect()
     assert all(r.nrep == 1 for r in per)
+
+
+def test_kmeans_assign_deterministic_and_sane(spark):
+    from ahnlich_spark.operators.cluster import kmeans_assign
+
+    # two well-separated blobs around (0,0) and (10,10)
+    rows = [(i, [0.0 + i * 0.01, 0.0]) for i in range(10)]
+    rows += [(100 + i, [10.0, 10.0 + i * 0.01]) for i in range(10)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    out1 = {r["vec_id"]: r["cluster_id"]
+            for r in kmeans_assign(emb, k=2, iters=1).collect()}
+    out2 = {r["vec_id"]: r["cluster_id"]
+            for r in kmeans_assign(emb, k=2, iters=1).collect()}
+    assert out1 == out2  # pure function of the data
+    # seeds are the two lowest ids (both in blob A) but one Lloyd step
+    # separates the blobs: every blob-B point lands in one cluster,
+    # every blob-A point in the other
+    a = {out1[i] for i in range(10)}
+    b = {out1[100 + i] for i in range(10)}
+    assert len(a) == 1 and len(b) == 1 and a != b
+
+
+def test_kmeans_assign_plan_is_scan_local(spark):
+    """The assignment pass must be a scan-local projection — no join,
+    no shuffle: centroids ride in as literals."""
+    from ahnlich_spark.operators.cluster import kmeans_assign
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(8)],
+        "vec_id long, embedding array<float>",
+    )
+    out = kmeans_assign(emb, k=2, iters=0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Join" not in plan

@@ -20,14 +20,15 @@ from ahnlich_spark.streaming import (
 
 @pytest.fixture(scope="module")
 def events_batch(spark, sf_dir):
-    # the driver's events parquet is TIMESTAMP(NANOS); stage a copy with
-    # microsecond timestamps so both batch and file-stream reads agree
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    try:
-        raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    finally:
-        spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
-    staged = raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    # stage a copy with plain microsecond timestamps so batch and
+    # file-stream reads agree regardless of the fixture's ts precision
+    from ahnlich_spark.entry_queries import _events_us
+
+    staged = (
+        _events_us(spark, sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+        .drop("ts_us")
+    )
     d = tempfile.mkdtemp(prefix="ahnlich_events_")
     staged.coalesce(2).write.mode("overwrite").parquet(d)
     yield d

@@ -1,0 +1,112 @@
+"""Semantic tests for corpus text statistics: vocabulary, TF-IDF,
+C4-style quality filtering, PII scrubbing."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from ahnlich_spark.operators.textstats import (
+    c4_quality_flags,
+    pii_scrub,
+    tfidf_top_terms,
+    vocab_table,
+    vocab_top_terms,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_vocab_counts_tf_and_df(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "apple apple banana"),
+            (2, "Apple cherry"),
+            (3, ""),
+        ],
+    )
+    vocab = {r["term"]: (r["tf"], r["doc_freq"]) for r in vocab_table(docs).collect()}
+    # lowercased: 'apple' appears 3x over 2 docs; empty doc contributes nothing
+    assert vocab["apple"] == (3, 2)
+    assert vocab["banana"] == (1, 1)
+    assert vocab["cherry"] == (1, 1)
+    assert len(vocab) == 3
+
+
+def test_vocab_top_terms_order_and_tiebreak(spark):
+    docs = _docs(spark, [(1, "b b a a c")])
+    rows = vocab_top_terms(docs, n=2).collect()
+    # tf ties (a=2, b=2) break alphabetically
+    assert [r["term"] for r in rows] == ["a", "b"]
+
+
+def test_tfidf_ranks_distinctive_terms_first(spark):
+    # 'shared' is in every doc (idf = ln(1) = 0); 'rare' only in doc 1
+    docs = _docs(
+        spark,
+        [
+            (1, "shared rare rare"),
+            (2, "shared other"),
+            (3, "shared thing"),
+        ],
+    )
+    top = tfidf_top_terms(docs, k=1).collect()
+    by_doc = {r["doc_id"]: r for r in top}
+    assert by_doc[1]["term"] == "rare"
+    want = round(2 * math.log(3 / 1) * 10000)
+    assert by_doc[1]["tfidf_e4"] == want
+    # every doc got exactly one row
+    assert sorted(by_doc) == [1, 2, 3]
+
+
+def test_c4_flags_truth_table(spark):
+    good = "this sentence has plenty of reasonable looking english words inside it."
+    docs = _docs(
+        spark,
+        [
+            (1, good),
+            (2, "too short."),                       # < 5 tokens
+            (3, good[:-1]),                          # no terminal punctuation
+            (4, "code block { return x } inside it all day long today."),  # brace
+            (5, "Lorem ipsum dolor sit amet consectetur adipiscing elit today."),
+            (6, "word word word word word word word word word word."),     # repetitive
+        ],
+    )
+    rows = {r["doc_id"]: r.asDict() for r in c4_quality_flags(docs).collect()}
+    assert rows[1]["keep"] == 1
+    assert rows[2]["f_short"] == 1 and rows[2]["keep"] == 0
+    assert rows[3]["f_no_terminal"] == 1 and rows[3]["keep"] == 0
+    assert rows[4]["f_brace"] == 1 and rows[4]["keep"] == 0
+    assert rows[5]["f_lorem"] == 1 and rows[5]["keep"] == 0
+    assert rows[6]["f_repetitive"] == 1 and rows[6]["keep"] == 0
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "mail me at jane.doe+x@example.co or 555-123-4567 from 10.0.0.1"),
+            (2, "clean text with no identifiers at all"),
+        ],
+    )
+    rows = {r["doc_id"]: r.asDict() for r in pii_scrub(docs).collect()}
+    r1 = rows[1]
+    assert (r1["n_email"], r1["n_phone"], r1["n_ipv4"]) == (1, 1, 1)
+    assert "<EMAIL>" in r1["clean_text"]
+    assert "<PHONE>" in r1["clean_text"]
+    assert "<IPV4>" in r1["clean_text"]
+    assert "jane.doe" not in r1["clean_text"]
+    r2 = rows[2]
+    assert (r2["n_email"], r2["n_phone"], r2["n_ipv4"]) == (0, 0, 0)
+    assert r2["clean_text"] == "clean text with no identifiers at all"
+
+
+def test_vocab_plan_is_two_hash_aggregates(spark):
+    """Scale shape: the vocab aggregation must be HashAggregate pairs
+    (map-side partial + final), never a distinct over raw tokens."""
+    docs = _docs(spark, [(1, "a b c"), (2, "a b")])
+    plan = vocab_table(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" in plan
+    assert "Expand" not in plan  # no distinct-expansion
