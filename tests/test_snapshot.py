@@ -1,0 +1,139 @@
+"""Reference-snapshot migration: import both snapshot generations
+(flat + v2), export the v2 shape, round-trip losslessly."""
+
+import base64
+import json
+import os
+
+import pytest
+
+from ahnlich_spark.sources.snapshot import (
+    decode_metadata_value,
+    encode_metadata_value,
+    export_snapshot,
+    import_snapshot,
+)
+from ahnlich_spark.types import MetadataValue
+
+
+def _v2_doc():
+    return {
+        "db_version": 2,
+        "stores": {
+            "public": {
+                "fixture_store": {
+                    "cached_len": 3,
+                    "cached_size_bytes": 0,
+                    "dimension": 3,
+                    "id_to_value": {
+                        "11596182387809500963": [
+                            [0.5, 0.10000000149011612, 0.800000011920929],
+                            {"value": {"category": "str:fruit", "name": "str:item1"}},
+                        ],
+                        "15178017180037765037": [
+                            [0.20000000298023224, 0.699999988079071, 0.30000001192092896],
+                            {"value": {"category": "str:vegetable", "name": "str:item2"}},
+                        ],
+                        "17842696826220747248": [
+                            [0.8999999761581421, 0.4000000059604645, 0.20000000298023224],
+                            {"value": {"category": "str:grain", "name": "str:item3"}},
+                        ],
+                    },
+                    "non_linear_indices": {"algorithm_to_index": {"Hnsw": None}},
+                    "predicate_indices": {
+                        "allowed_predicates": ["category"],
+                        "inner": {},
+                    },
+                    "size_dirty": True,
+                }
+            }
+        },
+    }
+
+
+def test_import_v2_snapshot(engine, tmp_path):
+    p = tmp_path / "snap.json"
+    p.write_text(json.dumps(_v2_doc()))
+    counts = import_snapshot(engine, str(p))
+    assert counts == {"public/fixture_store": 3}
+
+    info = engine.get_store("fixture_store")
+    assert info.dimension == 3 and info.len == 3
+
+    from ahnlich_spark.operators.predicates import Equals
+
+    rows = engine.get_pred("fixture_store", Equals("category", "fruit")).collect()
+    assert len(rows) == 1
+    assert rows[0]["meta"]["name"]["s"] == "item1"
+    # ANN algorithm set carried into the catalog
+    assert engine.catalog.get_store("fixture_store").non_linear == ["hnsw"]
+
+
+def test_import_old_flat_snapshot_lands_in_public(engine, tmp_path):
+    flat = _v2_doc()["stores"]["public"]
+    p = tmp_path / "old.json"
+    p.write_text(json.dumps(flat))
+    counts = import_snapshot(engine, str(p))
+    assert counts == {"public/fixture_store": 3}
+    assert engine.get_store("fixture_store").len == 3
+
+
+def test_export_import_round_trip(engine, spark, warehouse, tmp_path):
+    engine.create_store("rt", dimension=2, predicates=["tag"])
+    engine.set(
+        "rt",
+        [
+            ([1.0, 2.0], {"tag": "a", "blob": MetadataValue.image(b"\x00\x01")}),
+            ([3.0, 4.0], {"tag": "b"}),
+        ],
+    )
+    p = tmp_path / "out.json"
+    assert export_snapshot(engine, str(p)) == 2
+
+    doc = json.loads(p.read_text())
+    assert doc["db_version"] == 2
+    body = doc["stores"]["public"]["rt"]
+    assert body["dimension"] == 2 and body["cached_len"] == 2
+    assert body["predicate_indices"]["allowed_predicates"] == ["tag"]
+    # inverted index derived from data: one id per tag value
+    inner = body["predicate_indices"]["inner"]["tag"]
+    assert set(inner) == {"str:a", "str:b"}
+    assert all(len(v) == 1 for v in inner.values())
+
+    # re-import into a fresh warehouse
+    import tempfile
+
+    from ahnlich_spark import Engine
+
+    eng2 = Engine(spark, tempfile.mkdtemp(prefix="ahnlich_wh2_"))
+    assert import_snapshot(eng2, str(p)) == {"public/rt": 2}
+    got = {
+        tuple(round(x, 4) for x in r["key"]): r["meta"]
+        for r in eng2.store_df("rt").collect()
+    }
+    assert got[(1.0, 2.0)]["blob"]["bin"] == b"\x00\x01"
+    assert got[(3.0, 4.0)]["tag"]["s"] == "b"
+
+
+def test_metadata_value_codec_round_trip():
+    for v in (
+        MetadataValue.raw_string("plain text"),
+        MetadataValue.image(b"\x89PNG\r\n"),
+        MetadataValue.audio(bytes(range(32))),
+    ):
+        tagged = encode_metadata_value(v.kind, v.s, v.bin)
+        back = decode_metadata_value(tagged)
+        assert back == v
+    with pytest.raises(ValueError):
+        decode_metadata_value("num:42")
+
+
+def test_reference_fixture_files_if_present(engine):
+    """Shape-compat smoke against the real reference fixtures when the
+    reference checkout is available (kept optional so the repo stays
+    standalone)."""
+    fx = "/root/reference/ahnlich/db/src/tests/fixtures/db_v2_snapshot.json"
+    if not os.path.exists(fx):
+        pytest.skip("reference fixtures not present")
+    counts = import_snapshot(engine, fx)
+    assert counts.get("public/fixture_store", 0) >= 3
