@@ -17,8 +17,10 @@ declarative Catalyst plan over the store's parquet snapshot:
 from __future__ import annotations
 
 import os
+import uuid
 from dataclasses import dataclass
-from typing import Iterable, List, Optional, Sequence, Tuple, Union
+from datetime import datetime, timezone
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple, Union
 
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -100,6 +102,12 @@ def _dir_size(path: str) -> int:
 class Engine:
     """The DB-service operation surface, Spark-first."""
 
+    # Per-warehouse connected-client registry (reference
+    # handler.rs:385-401 tracks gRPC connections; the Spark-first analog
+    # is Engine facades attached to a warehouse within this process —
+    # cross-process listing would live in the catalog file).
+    _clients: Dict[str, List[dict]] = {}
+
     def __init__(self, spark: SparkSession, warehouse: str):
         self.spark = spark
         self.catalog = Catalog(warehouse)
@@ -108,6 +116,21 @@ class Engine:
         # column scan on first use and valid for the version's lifetime
         # (writes bump the version, so stale entries simply never match)
         self._ann_cache: dict = {}
+        self._warehouse = warehouse
+        self._client_entry = {
+            "client_id": uuid.uuid4().hex,
+            "address": spark.sparkContext.applicationId,
+            "user": spark.sparkContext.sparkUser(),
+            "connected_at": datetime.now(timezone.utc).isoformat(),
+        }
+        Engine._clients.setdefault(warehouse, []).append(self._client_entry)
+
+    def close(self) -> None:
+        """Deregister this engine from the warehouse's client registry
+        (the reference drops a client on TCP disconnect)."""
+        entries = Engine._clients.get(self._warehouse, [])
+        if self._client_entry in entries:
+            entries.remove(self._client_entry)
 
     # ------------------------------------------------------------- DDL --
     def create_store(
@@ -698,10 +721,10 @@ class Engine:
         return "pong"
 
     def list_clients(self) -> List[dict]:
-        """Connected-clients registry (reference handler.rs:385-401) —
-        a single-process Spark session has no client sessions; the DSL
-        surface still answers the statement."""
-        return []
+        """Connected-clients registry (reference handler.rs:385-401):
+        every Engine facade attached to this warehouse in this process,
+        with client id / Spark application id / user / connect time."""
+        return [dict(e) for e in Engine._clients.get(self._warehouse, [])]
 
     def info_server(self) -> dict:
         from ahnlich_spark import __version__

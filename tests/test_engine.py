@@ -223,3 +223,22 @@ def test_derive_buckets_scales_with_size(spark):
     assert 1 <= nb_small <= nb_big <= 65536
     # a ~few-MB parquet should stay near a handful of buckets
     assert nb_big <= 64
+
+
+def test_list_clients_registry(spark, warehouse):
+    from ahnlich_spark import Engine
+
+    e1 = Engine(spark, warehouse)
+    e2 = Engine(spark, warehouse)
+    try:
+        clients = e1.list_clients()
+        assert len(clients) == 2
+        assert {c["client_id"] for c in clients} == {
+            e1._client_entry["client_id"], e2._client_entry["client_id"]
+        }
+        assert all(c["address"] == spark.sparkContext.applicationId for c in clients)
+        e2.close()
+        assert len(e1.list_clients()) == 1
+    finally:
+        e1.close()
+        e2.close()  # idempotent
