@@ -11,12 +11,16 @@ surface; the reference engine (deven96/ahnlich) has no corpus ops.
 
 Scale notes (100 TB):
 - Both sides explode to (gram, doc) pairs; the join key is the md5 of
-  the gram string, so long grams never shuffle — 16 bytes per edge.
+  the gram string (unhex'd to 16 binary bytes), so long grams never
+  shuffle — 16 bytes per edge.
+- The "distinct grams per document" semantics is enforced SCAN-LOCALLY
+  with ``array_distinct`` on the shingle array BEFORE the explode — a
+  per-row operation, NOT a global ``distinct()`` (which would shuffle
+  every (doc, gram) pair; at 100 TB that hidden shuffle dwarfs the join).
 - The benchmark side is small by construction (eval sets are MBs, the
   corpus is TBs): ``F.broadcast`` keeps the corpus un-shuffled — the
-  whole operator is scan + broadcast-hash-join + partial-agg groupBy.
-- Distinct grams per side first (semantics: distinct shared grams),
-  which also bounds the join fan-out on repetitive docs.
+  whole operator is scan + broadcast-hash-join + partial-agg groupBy,
+  and the only corpus shuffle is the final tiny per-doc hit count.
 """
 
 from __future__ import annotations
@@ -29,10 +33,13 @@ from ahnlich_spark.functions import text as X
 
 def _gram_table(df: DataFrame, n: int, text_col: str, id_col: str) -> DataFrame:
     return (
-        df.select(F.col(id_col).alias("did"), X.word_shingles(F.col(text_col), n).alias("gs"))
-        .select("did", F.explode("gs").alias("g"))
-        .select("did", F.md5("g").alias("gh"))
-        .distinct()
+        df.select(
+            F.col(id_col).alias("did"),
+            F.explode(
+                F.array_distinct(X.word_shingles(F.col(text_col), n))
+            ).alias("g"),
+        )
+        .select("did", F.unhex(F.md5("g")).alias("gh"))
     )
 
 

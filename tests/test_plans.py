@@ -215,3 +215,8 @@ def test_contamination_broadcasts_benchmark_side(docs):
     plan = plan_of(out)
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+    # the per-doc gram dedup is array_distinct BEFORE the explode —
+    # scan-local, so the only exchanges are the (small) benchmark-side
+    # distinct and the final per-doc hit count; a global distinct on
+    # corpus (doc, gram) pairs would add a third
+    assert n_exchanges(plan) <= 2, plan
