@@ -1227,6 +1227,88 @@ def events_sessionization(spark, sf_dir):
     )
 
 
+@register("streaming_sessionization", """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS tus FROM events
+),
+flagged AS (
+  SELECT user_id, tus,
+    CASE WHEN tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus)
+              > 1800000000 OR
+              lag(tus) OVER (PARTITION BY user_id ORDER BY tus) IS NULL
+         THEN 1 ELSE 0 END AS new_session
+  FROM e
+),
+sessions AS (
+  SELECT user_id, tus,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY tus
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, count(*) AS n_events,
+       CAST((max(tus) - min(tus)) // 1000000 AS BIGINT) AS duration_s
+FROM sessions GROUP BY user_id, session_id
+""")
+def streaming_sessionization(spark, sf_dir):
+    """Sessionization through Structured Streaming's native
+    ``session_window`` state operator (streaming/pipeline.
+    session_rollup) under Trigger.AvailableNow — checked against the
+    BATCH lag/running-sum sessionization oracle: the stream-native
+    session merge must reproduce the window-function answer exactly.
+    (session_window.end is last-ts + gap, so end - start - gap gives
+    the batch duration; the strictly-greater-than-gap boundary agrees
+    because a ts landing exactly on the exclusive end starts a new
+    session on both faces.)"""
+    import uuid
+
+    from ahnlich_spark.streaming.pipeline import session_rollup
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    stream_dir = tempfile.mkdtemp(prefix="ahnlich_stream_sess_")
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(stream_dir, "events-0.parquet"),
+    )
+    div = _events_ts_us_divisor(sf_dir)
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(stream_dir)
+        .withColumn("ts", F.timestamp_micros((F.col("ts") / div).cast("long")))
+    )
+    sessions = session_rollup(stream, gap="30 minutes")
+    name = f"stream_sessions_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessions.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    gap_us = 30 * 60 * 1_000_000
+    return spark.table(name).select(
+        "user_id",
+        "n_events",
+        F.floor(
+            (
+                F.unix_micros("session_end")
+                - F.unix_micros("session_start")
+                - F.lit(gap_us)
+            )
+            / F.lit(1_000_000)
+        ).cast("long").alias("duration_s"),
+    )
+
+
 # ================================================ multimodal stubs ==
 
 @register("multimodal_image_meta", """

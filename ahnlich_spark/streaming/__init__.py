@@ -12,6 +12,7 @@ from ahnlich_spark.streaming.pipeline import (
     hourly_rollup,
     read_events_stream,
     running_user_totals,
+    session_rollup,
     streaming_exact_dedup,
     streaming_set_ingest,
 )
@@ -21,6 +22,7 @@ __all__ = [
     "hourly_rollup",
     "read_events_stream",
     "running_user_totals",
+    "session_rollup",
     "streaming_exact_dedup",
     "streaming_set_ingest",
 ]

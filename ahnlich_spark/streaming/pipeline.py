@@ -80,6 +80,33 @@ def hourly_rollup(
     )
 
 
+def session_rollup(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Session-window rollup: one row per (user, session) with the
+    session bounds and event count — the STREAM-NATIVE face of the
+    batch lag/running-sum sessionization (entry_queries.
+    events_sessionization): ``session_window`` merges events whose gap
+    is under ``gap`` inside the state store, so an unbounded stream
+    sessionizes with bounded state, no window-function shuffle.
+
+    ``session_window.end`` is last-event-ts + gap (exclusive), so
+    ``end - start - gap`` equals the batch face's max(ts) - min(ts)."""
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark("ts", watermark)
+    return (
+        df.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def streaming_exact_dedup(
     docs: DataFrame, ts_col: Optional[str] = None, watermark: str = "1 hour"
 ) -> DataFrame:

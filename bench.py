@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "events_hourly_rollup",
     "events_sessionization",
     "streaming_hourly_rollup",
+    "streaming_sessionization",
     "lineitem_pricing_rollup",
     "orders_top_customers",
     "multimodal_image_meta",

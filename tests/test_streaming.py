@@ -142,3 +142,24 @@ def test_streaming_set_ingest_into_store(spark, engine):
     finally:
         shutil.rmtree(d, ignore_errors=True)
         shutil.rmtree(cp, ignore_errors=True)
+
+
+def test_session_rollup_stream_matches_batch(spark, events_batch):
+    """session_window under availableNow must reproduce the batch-face
+    sessions (same function, batch source) exactly."""
+    from ahnlich_spark.streaming import session_rollup
+
+    stream = read_events_stream(spark, events_batch)
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        session_rollup(stream)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.table(name).collect()
+    want = session_rollup(spark.read.parquet(events_batch)).collect()
+    key = lambda rs: sorted(
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"]) for r in rs
+    )
+    assert key(got) == key(want) and len(got) > 0
