@@ -1309,6 +1309,34 @@ def streaming_sessionization(spark, sf_dir):
     )
 
 
+@register("events_json_props", """
+SELECT event_type,
+       count(*) AS n,
+       CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(max(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS max_k,
+       CAST(count(CASE WHEN CAST(props->>'k' AS BIGINT) >= 50 THEN 1 END) AS BIGINT) AS n_high
+FROM events GROUP BY event_type
+""")
+def events_json_props(spark, sf_dir):
+    """Semi-structured extraction: parse the JSON ``props`` column with
+    a typed ``from_json`` schema (JVM-side, inside codegen — no
+    schema-inference pass, no Python) and aggregate the extracted field.
+    At 100 TB the parse is scan-local and the single groupBy on the
+    low-cardinality event_type carries map-side partial aggregation."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k BIGINT")["k"]
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.max("k").cast("long").alias("max_k"),
+            F.count(F.when(F.col("k") >= 50, 1)).cast("long").alias("n_high"),
+        )
+    )
+
+
 # ================================================ multimodal stubs ==
 
 @register("multimodal_image_meta", """

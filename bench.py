@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "pack_sequences",
     "decontaminate_ngrams",
     "doc_repetition",
+    "events_json_props",
     "events_hourly_rollup",
     "events_sessionization",
     "streaming_hourly_rollup",
