@@ -327,10 +327,11 @@ SELECT (SELECT count(*) FROM part WHERE p_brand = 'Brand#4') AS deleted_count,
 def del_pred(spark, sf_dir):
     store = _part_store(spark, sf_dir)
     cond = F.coalesce(compile_predicate(Equals("brand", "Brand#4")), F.lit(False))
-    deleted = store.filter(cond).count()
-    remaining = store.filter(~cond).count()
-    return spark.createDataFrame(
-        [(deleted, remaining)], "deleted_count long, remaining long"
+    # both counts from ONE scan (conditional aggregation) — the
+    # two-filter formulation paid the metadata-map construction twice
+    return store.select(
+        F.count(F.when(cond, 1)).cast("long").alias("deleted_count"),
+        F.count(F.when(~cond, 1)).cast("long").alias("remaining"),
     )
 
 
