@@ -1856,6 +1856,41 @@ def embedding_kmeans(spark, sf_dir):
     return kmeans_assign(_t(spark, sf_dir, "embeddings"), k=8, iters=1)
 
 
+# ------------------------------------------------- random projection --
+
+def _projection_oracle_sql(d_in: int = 64, d_out: int = 16, seed: int = 7) -> str:
+    """The oracle shares the Spark side's seeded sign matrix (both are
+    generated from the same md5-parity constant at import) and the same
+    LEFT-ASSOCIATIVE add chain, so the double math is bit-identical."""
+    from ahnlich_spark.functions.projection import sign_matrix
+
+    m = sign_matrix(d_in, d_out, seed)
+    exprs = []
+    for j in range(d_out):
+        terms = " + ".join(
+            f"embedding[{i + 1}]::DOUBLE * {float(m[i][j])}" for i in range(d_in)
+        )
+        exprs.append(f"CAST(round(({terms}) * 10000) AS BIGINT) AS p{j}")
+    return "SELECT vec_id, " + ", ".join(exprs) + " FROM embeddings"
+
+
+@register("embedding_project", _projection_oracle_sql())
+def embedding_project(spark, sf_dir):
+    """Johnson-Lindenstrauss sign projection 64-d -> 16-d — the
+    dimensionality-reduction stage in front of large-scale ANN (search
+    the small space, exact-rescore survivors). Seeded Achlioptas matrix,
+    d*d' fused multiply-adds per row inside whole-stage codegen, zero
+    shuffle (functions/projection.py)."""
+    from ahnlich_spark.functions.projection import project_expr, sign_matrix
+
+    emb = _t(spark, sf_dir, "embeddings")
+    outs = project_expr(F.col("embedding"), sign_matrix(64, 16, seed=7))
+    return emb.select(
+        F.col("vec_id"),
+        *[F.round(o * 10000).cast("long").alias(f"p{j}") for j, o in enumerate(outs)],
+    )
+
+
 # ------------------------------------------------------------- entry --
 
 def flagship(spark: SparkSession) -> DataFrame:

@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "pii_scrub",
     "asof_purchase_last_view",
     "embedding_kmeans",
+    "embedding_project",
     "sample_stratified",
     "pack_sequences",
     "decontaminate_ngrams",
