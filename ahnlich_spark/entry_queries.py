@@ -1891,6 +1891,72 @@ def embedding_project(spark, sf_dir):
     )
 
 
+def _projected_topk_oracle_sql(
+    d_in: int = 64, d_out: int = 16, seed: int = 7,
+    candidates: int = 128, k: int = 10,
+) -> str:
+    from ahnlich_spark.functions.projection import sign_matrix
+
+    m = sign_matrix(d_in, d_out, seed)
+
+    def p_exprs(arr: str):
+        cols = []
+        for j in range(d_out):
+            terms = " + ".join(
+                f"{arr}[{i + 1}]::DOUBLE * {float(m[i][j])}" for i in range(d_in)
+            )
+            cols.append(f"({terms})")
+        return cols
+
+    sp = p_exprs("embedding")
+    qp = p_exprs("qv")
+    pdist = " + ".join(
+        f"(p.p{j} - qp.qp{j}) * (p.p{j} - qp.qp{j})" for j in range(d_out)
+    )
+    exact = " + ".join(
+        f"(embedding[{i + 1}]::DOUBLE - qv[{i + 1}]) * "
+        f"(embedding[{i + 1}]::DOUBLE - qv[{i + 1}])"
+        for i in range(d_in)
+    )
+    return f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+proj AS (SELECT vec_id, embedding,
+         {', '.join(f'{e} AS p{j}' for j, e in enumerate(sp))}
+         FROM embeddings),
+qproj AS (SELECT {', '.join(f'{e} AS qp{j}' for j, e in enumerate(qp))} FROM q),
+cand AS (
+  SELECT p.vec_id, p.embedding
+  FROM proj p, qproj qp
+  ORDER BY {pdist}, p.vec_id LIMIT {candidates}),
+scored AS (SELECT vec_id, sqrt({exact}) AS dist FROM cand, q)
+SELECT vec_id,
+       CAST(row_number() OVER (ORDER BY dist, vec_id) AS BIGINT) AS rank_n,
+       CAST(round(dist * 10000) AS BIGINT) AS dist_e4
+FROM scored ORDER BY dist, vec_id LIMIT {k}
+"""
+
+
+@register("ann_project_topk", _projected_topk_oracle_sql())
+def ann_project_topk(spark, sf_dir):
+    """Two-stage ANN through the JL projection: rank in the 16-d
+    projected space (scan-local chain + bounded TakeOrderedAndProject,
+    no shuffle, no index artifact), exact-rescore the 128 survivors in
+    64-d. The oracle runs the SAME algorithm — candidate sets agree
+    because the projection chains are bit-identical across engines
+    (functions/projection.projected_top_k)."""
+    from ahnlich_spark.functions.projection import projected_top_k
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = _qvec(spark, sf_dir)
+    out = projected_top_k(emb, q, k=10, candidates=128, d_out=16, seed=7)
+    w = Window.orderBy(F.asc("dist"), F.asc("vec_id"))
+    return out.select(
+        "vec_id",
+        F.row_number().over(w).cast("long").alias("rank_n"),
+        F.round(F.col("dist") * 10000).cast("long").alias("dist_e4"),
+    )
+
+
 # ------------------------------------------------------------- entry --
 
 def flagship(spark: SparkSession) -> DataFrame:

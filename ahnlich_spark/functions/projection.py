@@ -56,6 +56,79 @@ def project_expr(vec: Column, matrix: List[List[int]]) -> List[Column]:
     return outs
 
 
+def project_query(vec, matrix: List[List[int]]) -> List[float]:
+    """Driver-side projection of a probe vector — the same
+    left-associative sum as ``project_expr`` (Python float arithmetic is
+    IEEE double, so the result is bit-identical to the executor/SQL
+    chains)."""
+    d_in, d_out = len(matrix), len(matrix[0])
+    out = []
+    for j in range(d_out):
+        acc = float(vec[0]) * float(matrix[0][j])
+        for i in range(1, d_in):
+            acc = acc + float(vec[i]) * float(matrix[i][j])
+        out.append(acc)
+    return out
+
+
+def projected_dist_expr(proj_cols: List[Column], q_proj: List[float]) -> Column:
+    """Squared distance in the projected space as a left-associative
+    add chain over (p_j - q_j)^2 — codegen'd, order-stable."""
+    acc = None
+    for c, q in zip(proj_cols, q_proj):
+        term = (c - F.lit(float(q))) * (c - F.lit(float(q)))
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def projected_top_k(
+    df,
+    query,
+    k: int = 10,
+    candidates: int = 128,
+    d_out: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 7,
+):
+    """Two-stage ANN via random projection: rank by squared distance in
+    the d_out-dim projected space (scan-local expression, bounded
+    TakeOrderedAndProject — no shuffle, no index artifact needed), keep
+    ``candidates`` survivors, exact-rescore them in the original space.
+
+    The JL guarantee makes the projected ordering a near-isometry, so a
+    modest candidate multiple of k recovers the exact top-k with high
+    probability; recall tunes with ``candidates`` exactly like IVF's
+    n_probe. Returns (id, dist) rows, ascending exact distance, id
+    tie-break. Deterministic end to end: seeded matrix, bit-stable
+    chains, (dist, id) orderings."""
+    import math
+
+    q = [float(x) for x in query]
+    m = sign_matrix(len(q), d_out, seed)
+    q_proj = project_query(q, m)
+    proj_cols = project_expr(F.col(vec_col), m)
+    pdist = projected_dist_expr(proj_cols, q_proj)
+
+    cand = (
+        df.select(F.col(id_col), F.col(vec_col), pdist.alias("_pdist"))
+        .orderBy(F.asc("_pdist"), F.asc(id_col))
+        .limit(candidates)
+    )
+    # exact rescore in the original space (left-assoc chain again)
+    exact = None
+    for i in range(len(q)):
+        term = (F.col(vec_col)[i].cast("double") - F.lit(q[i])) * (
+            F.col(vec_col)[i].cast("double") - F.lit(q[i])
+        )
+        exact = term if exact is None else exact + term
+    return (
+        cand.select(F.col(id_col), F.sqrt(exact).alias("dist"))
+        .orderBy(F.asc("dist"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def project_df(
     df,
     d_out: int = 16,

@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "asof_purchase_last_view",
     "embedding_kmeans",
     "embedding_project",
+    "ann_project_topk",
     "sample_stratified",
     "pack_sequences",
     "decontaminate_ngrams",

@@ -47,3 +47,46 @@ def test_projection_plan_scan_local(spark):
     plan = project_df(df, d_out=16)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_projected_topk_recall_vs_exact(spark):
+    """Two-stage projected search must recover the exact top-10 on
+    CLUSTERED data (what real embeddings look like). Isotropic gaussian
+    noise is the degenerate worst case — every pairwise distance
+    concentrates and no 16-d sketch can rank them (measured recall ~0.6
+    there; it tunes with ``candidates``, same dial as IVF n_probe)."""
+    import random
+
+    from ahnlich_spark.functions.projection import projected_top_k
+
+    rnd = random.Random(7)
+    cents = [[rnd.gauss(0, 5) for _ in range(64)] for _ in range(20)]
+    rows = [
+        (i, [c + rnd.gauss(0, 0.5) for c in cents[i % 20]]) for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = rows[0][1]
+
+    got = [r["vec_id"] for r in projected_top_k(df, q, k=10, candidates=128).collect()]
+
+    import math
+
+    def dist(a, b):
+        return math.sqrt(sum((float(x) - float(y)) ** 2 for x, y in zip(a, b)))
+
+    exact = sorted(rows, key=lambda r: (dist(r[1], q), r[0]))[:10]
+    exact_ids = [r[0] for r in exact]
+    recall = len(set(got) & set(exact_ids)) / 10
+    assert recall >= 0.9, (recall, got, exact_ids)
+
+
+def test_projected_topk_plan_no_shuffle(spark):
+    from ahnlich_spark.functions.projection import projected_top_k
+
+    df = spark.createDataFrame(
+        [(i, [float(i)] * 64) for i in range(50)], "vec_id long, embedding array<float>"
+    )
+    out = projected_top_k(df, [0.0] * 64, k=5, candidates=16)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange hashpartitioning" not in plan
