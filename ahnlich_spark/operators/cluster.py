@@ -37,12 +37,22 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+# Edge count below which the component computation runs as driver-side
+# union-find instead of iterative Spark rounds — the same crossover
+# philosophy as the engine's <= 4096 brute-force ANN shortcut
+# (hnsw/index.rs:24): after LSH pruning the dup graph is typically
+# minuscule relative to the corpus, and each distributed round costs
+# fixed job/checkpoint latency that dwarfs a tiny graph's actual work.
+SMALL_GRAPH_EDGES = 100_000
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "i",
     dst: str = "j",
     max_iter: int = 25,
     reliable: bool = False,
+    small_graph_edges: int = SMALL_GRAPH_EDGES,
 ) -> DataFrame:
     """(node, component) for every node that appears in ``pairs``;
     ``component`` is the smallest node id in its connected component.
@@ -58,6 +68,38 @@ def connected_components(
     # (possibly expensive) upstream pair pipeline is not recomputed per
     # round. Near-dup edge tables are tiny relative to the corpus.
     edges = _persist(edges, reliable)
+
+    # Small-graph shortcut: one bounded collect + driver union-find
+    # replaces diameter-many join rounds. The count is on the already-
+    # materialized edge table (no recompute); the result is identical —
+    # smallest node id per component — so callers cannot tell which
+    # path ran.
+    if small_graph_edges and edges.count() <= small_graph_edges:
+        spark = pairs.sparkSession
+        parent = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for row in edges.toLocalIterator():
+            a, b = row["a"], row["b"]
+            if a not in parent:
+                parent[a] = a
+            if b not in parent:
+                parent[b] = b
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by smaller id so the root IS the component min
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        rows = [(n, find(n)) for n in parent]
+        return spark.createDataFrame(rows, "node long, component long")
     # Half the labels never improve via in-edges (the component minimum
     # itself), so seed every endpoint with its own id once up front.
     labels = edges.select(F.col("a").alias("n")).distinct().select(

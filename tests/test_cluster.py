@@ -80,3 +80,27 @@ def test_kmeans_assign_plan_is_scan_local(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_connected_components_small_and_distributed_paths_agree(spark):
+    from ahnlich_spark.operators.cluster import connected_components
+
+    # two chains + a singleton-free triangle
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20)],
+        "i long, j long",
+    )
+    small = {
+        (r["node"], r["component"])
+        for r in connected_components(pairs).collect()
+    }
+    dist = {
+        (r["node"], r["component"])
+        for r in connected_components(pairs, small_graph_edges=0).collect()
+    }
+    assert small == dist
+    assert small == {
+        (1, 1), (2, 1), (3, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20),
+    }
