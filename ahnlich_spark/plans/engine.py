@@ -597,7 +597,10 @@ class Engine:
         # probe the STORE with the batch ids (never the reverse: the
         # store is the 100 TB side, the batch the small side); union the
         # semi-join hits with one marker row per batch id so total and
-        # updated come out of ONE job instead of two
+        # updated come out of ONE job instead of two. (A CollectMetrics/
+        # observe formulation would fold counting into the write job
+        # itself, but PySpark's Observation.get hits an intermittent
+        # toPyRow JVM assertion on this path — measured flaky, reverted.)
         batch_ids = batch_d.select("id")
         if small_batch:
             batch_ids = F.broadcast(batch_ids)
