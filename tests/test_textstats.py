@@ -110,3 +110,14 @@ def test_vocab_plan_is_two_hash_aggregates(spark):
     plan = vocab_table(docs)._jdf.queryExecution().executedPlan().toString()
     assert "HashAggregate" in plan
     assert "Expand" not in plan  # no distinct-expansion
+
+
+def test_tfidf_plan_prunes_window_topk(spark):
+    """Scale shape: the per-doc top-k must plan as a WindowGroupLimit
+    (rank prune before the full window sort materializes)."""
+    docs = _docs(spark, [(1, "a b c a"), (2, "b c d")])
+    plan = (
+        tfidf_top_terms(docs, k=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "WindowGroupLimit" in plan, plan
