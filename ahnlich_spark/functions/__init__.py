@@ -7,8 +7,12 @@ from ahnlich_spark.functions.similarity import (
     score_expr,
 )
 from ahnlich_spark.functions.hashing import store_key_id
+from ahnlich_spark.functions.projection import project_df, projected_top_k, sign_matrix
 
 __all__ = [
+    "project_df",
+    "projected_top_k",
+    "sign_matrix",
     "cosine_similarity",
     "dot_product",
     "euclidean_distance",
