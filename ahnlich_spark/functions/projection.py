@@ -42,43 +42,71 @@ def sign_matrix(d_in: int, d_out: int, seed: int = 7) -> List[List[int]]:
     ]
 
 
+def _sign_lit_array(signs: List[int]) -> Column:
+    """64 sign literals as ONE foldable expression (split of a string
+    literal, constant-folded to an array literal by the optimizer) —
+    keeps the analyzed tree ~10 nodes instead of 64 Literal nodes per
+    output dimension. A 16x64 projection written as explicit multiply-
+    add chains is >1000 expression nodes; Catalyst analysis + codegen
+    of that tree costs SECONDS per query, dwarfing the actual math."""
+    return F.split(F.lit(",".join(str(float(s)) for s in signs)), ",").cast(
+        "array<double>"
+    )
+
+
 def project_expr(vec: Column, matrix: List[List[int]]) -> List[Column]:
-    """One Column per output dimension: sum_i vec[i] * m[i][j], built as
-    a left-associative add chain (codegen'd, order-stable)."""
-    d_in, d_out = len(matrix), len(matrix[0])
+    """One Column per output dimension: sum_i vec[i] * m[i][j] as a
+    sequential fold over ``zip_with`` — the same left-to-right
+    summation order as SQL engines' ``list_sum(list_transform(...))``
+    (verified bit-identical against DuckDB), with a compact constant-
+    size expression tree per dimension."""
+    d_out = len(matrix[0])
     outs = []
+    vec_d = vec.cast("array<double>")
     for j in range(d_out):
-        acc = None
-        for i in range(d_in):
-            term = vec[i].cast("double") * F.lit(float(matrix[i][j]))
-            acc = term if acc is None else acc + term
-        outs.append(acc)
+        signs = _sign_lit_array([row[j] for row in matrix])
+        outs.append(
+            F.aggregate(
+                F.zip_with(vec_d, signs, lambda x, s: x * s),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        )
     return outs
 
 
 def project_query(vec, matrix: List[List[int]]) -> List[float]:
-    """Driver-side projection of a probe vector — the same
-    left-associative sum as ``project_expr`` (Python float arithmetic is
-    IEEE double, so the result is bit-identical to the executor/SQL
-    chains)."""
+    """Driver-side projection of a probe vector — the same sequential
+    fold as ``project_expr`` (Python float arithmetic is IEEE double,
+    so the result is bit-identical to the executor/SQL sums)."""
     d_in, d_out = len(matrix), len(matrix[0])
     out = []
     for j in range(d_out):
-        acc = float(vec[0]) * float(matrix[0][j])
-        for i in range(1, d_in):
+        acc = 0.0
+        for i in range(d_in):
             acc = acc + float(vec[i]) * float(matrix[i][j])
         out.append(acc)
     return out
 
 
+def _double_lit_array(values: List[float]) -> Column:
+    """Double literals as one foldable split-of-string expression (see
+    ``_sign_lit_array``); ``repr`` round-trips doubles exactly."""
+    return F.split(F.lit(",".join(repr(float(v)) for v in values)), ",").cast(
+        "array<double>"
+    )
+
+
 def projected_dist_expr(proj_cols: List[Column], q_proj: List[float]) -> Column:
-    """Squared distance in the projected space as a left-associative
-    add chain over (p_j - q_j)^2 — codegen'd, order-stable."""
-    acc = None
-    for c, q in zip(proj_cols, q_proj):
-        term = (c - F.lit(float(q))) * (c - F.lit(float(q)))
-        acc = term if acc is None else acc + term
-    return acc
+    """Squared distance in the projected space: sequential fold over
+    (p_j - q_j)^2 in dimension order — order-stable, compact tree."""
+    p_arr = F.array(*proj_cols)
+    q_arr = _double_lit_array(q_proj)
+    return F.aggregate(
+        F.zip_with(p_arr, q_arr, lambda p, q: (p - q) * (p - q)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
 
 
 def projected_top_k(
@@ -115,13 +143,16 @@ def projected_top_k(
         .orderBy(F.asc("_pdist"), F.asc(id_col))
         .limit(candidates)
     )
-    # exact rescore in the original space (left-assoc chain again)
-    exact = None
-    for i in range(len(q)):
-        term = (F.col(vec_col)[i].cast("double") - F.lit(q[i])) * (
-            F.col(vec_col)[i].cast("double") - F.lit(q[i])
-        )
-        exact = term if exact is None else exact + term
+    # exact rescore in the original space (same compact fold)
+    exact = F.aggregate(
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"),
+            _double_lit_array(q),
+            lambda x, qq: (x - qq) * (x - qq),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
     return (
         cand.select(F.col(id_col), F.sqrt(exact).alias("dist"))
         .orderBy(F.asc("dist"), F.asc(id_col))
