@@ -1957,6 +1957,53 @@ def ann_project_topk(spark, sf_dir):
     )
 
 
+@register("corpus_mixture", f"""
+WITH t AS (
+  SELECT source, lang,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+              ELSE len({_TOKENS_SQL}) END AS BIGINT) AS n_tok
+  FROM documents
+),
+g AS (
+  SELECT source, lang, count(*) AS n_docs, sum(n_tok) AS n_tokens
+  FROM t GROUP BY source, lang
+),
+tot AS (SELECT sum(n_tokens) AS total_tokens FROM g)
+SELECT source, lang, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_tokens * 1000000 // total_tokens AS BIGINT) AS token_share_e6
+FROM g, tot
+""")
+def corpus_mixture(spark, sf_dir):
+    """Domain/language mixture report: per (source, lang) document and
+    token totals plus each cell's share of the corpus token budget —
+    the table a pipeline consults before re-weighting its sampling
+    rates (the inputs to sampling.stratified_sample). One aggregation
+    with map-side combine; the total rides in as a 1-row broadcast
+    (exact integer share math, hash-portable)."""
+    docs = _t(spark, sf_dir, "documents")
+    g = (
+        docs.select("source", "lang", X.token_count(F.col("text")).alias("n_tok"))
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+    )
+    tot = g.select(F.sum("n_tokens").alias("total_tokens"))
+    return g.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        # integer div (not float floor-division): counts * 1e6 can pass
+        # 2^53 at real corpus sizes and double math would drop bits
+        F.expr("n_tokens * 1000000L div total_tokens")
+        .cast("long")
+        .alias("token_share_e6"),
+    )
+
+
 # ------------------------------------------------------------- entry --
 
 def flagship(spark: SparkSession) -> DataFrame:

@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "embedding_kmeans",
     "embedding_project",
     "ann_project_topk",
+    "corpus_mixture",
     "sample_stratified",
     "pack_sequences",
     "decontaminate_ngrams",
