@@ -113,8 +113,11 @@ def main() -> None:
 
     # best-of-N timed passes (criterion reports minima): the numbers
     # measure the PLAN, not transient host jitter — single-pass runs on
-    # this box swing up to 20x on identical code (JIT/GC/CPU-steal)
-    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
+    # this box swing up to 20x on identical code (JIT/GC/CPU-steal;
+    # measured: the same query 0.75s and 8.8s in back-to-back suite
+    # passes). Three passes damp multi-second steal events that two
+    # don't.
+    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
     timings = {}
     for _ in range(passes):
         for name in BENCH_QUERIES:
