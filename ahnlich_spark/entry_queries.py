@@ -2004,6 +2004,30 @@ def corpus_mixture(spark, sf_dir):
     )
 
 
+@register("doc_unigram_logprob", f"""
+WITH {_VOCAB_SQL},
+vocab AS (SELECT term, sum(cnt) AS tf FROM per_doc GROUP BY term),
+tot AS (SELECT sum(tf) AS total_tf FROM vocab),
+contrib AS (
+  SELECT p.doc_id, p.cnt,
+         CAST(round(p.cnt * ln(v.tf::DOUBLE / t.total_tf) * 1000000) AS BIGINT) AS lp_e6
+  FROM per_doc p JOIN vocab v ON p.term = v.term, tot t)
+SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+       CAST(sum(lp_e6) // sum(cnt) AS BIGINT) AS mean_logprob_e6
+FROM contrib GROUP BY doc_id
+""")
+def doc_unigram_logprob(spark, sf_dir):
+    """CCNet-style LM quality proxy: mean unigram log-prob per doc under
+    the corpus's own unigram distribution. Per-(doc,term) contributions
+    are e6-rounded BEFORE the integer sum so the result is exact under
+    any aggregation order (operators/textstats.unigram_logprob_scores).
+    NOTE: lowercased tokenization means docs whose every token is
+    unique corpus-wide still score (tf >= 1 guaranteed)."""
+    from ahnlich_spark.operators.textstats import unigram_logprob_scores
+
+    return unigram_logprob_scores(_t(spark, sf_dir, "documents"))
+
+
 # ------------------------------------------------------------- entry --
 
 def flagship(spark: SparkSession) -> DataFrame:

@@ -120,6 +120,49 @@ def tfidf_top_terms(
     )
 
 
+def unigram_logprob_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, n_tokens, mean_logprob_e6): per-document mean unigram
+    log-probability under the corpus's own unigram distribution — the
+    CCNet-style LM quality proxy (docs full of corpus-typical words
+    score high; gibberish and boilerplate-with-rare-junk score low).
+
+    Determinism discipline: each (doc, term) contribution
+    ``cnt * ln(tf_term / total_tf)`` is rounded to an e6-scaled BIGINT
+    BEFORE summation, so the per-document total is an integer sum —
+    exact under any aggregation order, hash-identical across engines
+    (a raw double SUM's order varies per run and per engine).
+
+    Scale: reuses the two-level ``term_doc_counts`` aggregation; the
+    per-term probability join is term-keyed (AQE splits stopword skew);
+    the final per-doc combine has map-side partial aggregation. The
+    1-row corpus total rides in as a broadcast."""
+    per_doc = term_doc_counts(df, text_col, id_col)
+    vocab = per_doc.groupBy("term").agg(F.sum("cnt").alias("tf"))
+    total = vocab.select(F.sum("tf").alias("total_tf"))
+
+    contrib = (
+        per_doc.join(vocab, "term")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "lp_e6",
+            F.round(
+                F.col("cnt")
+                * F.log(F.col("tf").cast("double") / F.col("total_tf"))
+                * 1_000_000
+            ).cast("long"),
+        )
+    )
+    # integer `div` (truncation toward zero): contributions are
+    # negative, and BIGINT // in DuckDB also truncates — measured, both
+    # engines agree on div, not on floor
+    return contrib.groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.expr("sum(lp_e6) div sum(cnt)").cast("long").alias("mean_logprob_e6"),
+    )
+
+
 # ------------------------------------------------------ C4-style filter --
 
 # Rule thresholds follow the C4 cleaning recipe (Raffel et al. 2020,

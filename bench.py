@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "pack_sequences",
     "decontaminate_ngrams",
     "doc_repetition",
+    "doc_unigram_logprob",
     "events_json_props",
     "events_hourly_rollup",
     "events_sessionization",

@@ -121,3 +121,24 @@ def test_tfidf_plan_prunes_window_topk(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_unigram_logprob_ranks_typical_docs_higher(spark):
+    from ahnlich_spark.operators.textstats import unigram_logprob_scores
+
+    # 'common common' docs dominate the corpus; doc 4 is all-rare
+    docs = _docs(
+        spark,
+        [
+            (1, "common common common words here"),
+            (2, "common common words here too"),
+            (3, "common words here again now"),
+            (4, "zxqv wkjh pqrs tuvw xyzab"),
+        ],
+    )
+    rows = {r["doc_id"]: r for r in unigram_logprob_scores(docs).collect()}
+    # every doc scored, token counts exact
+    assert rows[1]["n_tokens"] == 5 and rows[4]["n_tokens"] == 5
+    # corpus-typical docs score strictly higher (less negative)
+    assert rows[1]["mean_logprob_e6"] > rows[4]["mean_logprob_e6"]
+    assert all(r["mean_logprob_e6"] < 0 for r in rows.values())
