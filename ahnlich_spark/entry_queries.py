@@ -2028,6 +2028,45 @@ def doc_unigram_logprob(spark, sf_dir):
     return unigram_logprob_scores(_t(spark, sf_dir, "documents"))
 
 
+@register("get_sim_n_batch", """
+WITH p AS (SELECT vec_id AS probe_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 8),
+scored AS (
+  SELECT p.probe_id, e.vec_id,
+         list_cosine_similarity(e.embedding::DOUBLE[], p.qv) AS score
+  FROM embeddings e, p),
+ranked AS (
+  SELECT probe_id, vec_id,
+         CAST(row_number() OVER (PARTITION BY probe_id
+              ORDER BY score DESC, vec_id) AS BIGINT) AS rank_n,
+         CAST(round(score * 10000) AS BIGINT) AS score_e4
+  FROM scored)
+SELECT probe_id, vec_id, rank_n, score_e4 FROM ranked WHERE rank_n <= 5
+""")
+def get_sim_n_batch(spark, sf_dir):
+    """Batch GetSimN: 8 probe vectors answered by ONE plan — broadcast
+    probes x store scan, JVM-side scoring, WindowGroupLimit top-5 per
+    probe (operators/topk.top_k_batch). The store side is scanned once
+    regardless of probe count."""
+    from ahnlich_spark.operators.topk import top_k_batch
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qkey")
+    )
+    store = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("key"))
+    out = top_k_batch(
+        store, probes, metric="cosine_similarity", k=5,
+        precision="double", rank_col="rank_n",
+    )
+    return out.select(
+        F.col("qid").alias("probe_id"),
+        F.col("id").alias("vec_id"),
+        F.col("rank_n").cast("long").alias("rank_n"),
+        F.round(F.col("similarity") * 10000).cast("long").alias("score_e4"),
+    )
+
+
 # ------------------------------------------------------------- entry --
 
 def flagship(spark: SparkSession) -> DataFrame:

@@ -62,14 +62,21 @@ def top_k_batch(
     query_id_col: str = "qid",
     precision: str = "float",
     score_col: str = "similarity",
+    rank_col: Optional[str] = None,
 ) -> DataFrame:
-    """Top-k per query for a whole DataFrame of query vectors.
+    """Top-k per query for a whole DataFrame of query vectors — the
+    batch face of GetSimN (the reference answers one query per gRPC
+    request; a retrieval/eval pipeline asks thousands at once, and ONE
+    declarative plan serves them all).
 
     Broadcast the (small) query side over the (huge) store side, score
-    JVM-side, then per-query window top-k. At 100 TB the store never
-    shuffles: the only wide exchange is the per-query partial top-k
-    aggregation, whose size is O(#queries * k * partitions) after the
-    window's partial ranking — acceptable for ANN evaluation batches.
+    JVM-side, then per-query window top-k (WindowGroupLimit rank-prunes
+    to k rows per query before the sort materializes). At 100 TB the
+    store never shuffles: the only wide exchange is the per-query
+    partial top-k aggregation, whose size is O(#queries * k *
+    partitions) after the window's partial ranking.
+
+    ``rank_col`` keeps the per-query rank (1 = closest) in the output.
     """
     joined = df.crossJoin(F.broadcast(queries))
     score = S.score_expr(metric, F.col(key_col), F.col(query_key_col), precision)
@@ -80,8 +87,9 @@ def top_k_batch(
         Window.partitionBy(query_id_col)
         .orderBy(S.closeness(metric, F.col(score_col)).desc(), F.col(id_col).asc())
     )
-    return (
-        scored.withColumn("__rank", F.row_number().over(w))
-        .filter(F.col("__rank") <= k)
-        .drop("__rank")
+    out_rank = rank_col or "__rank"
+    out = (
+        scored.withColumn(out_rank, F.row_number().over(w))
+        .filter(F.col(out_rank) <= k)
     )
+    return out if rank_col else out.drop("__rank")

@@ -403,6 +403,51 @@ class Engine:
         meta = self.catalog.get_store(store, schema)
         return self._pred_filtered(meta, condition)
 
+    def get_sim_n_batch(
+        self,
+        store: str,
+        probes: Union[Sequence[Tuple[int, Sequence[float]]], DataFrame],
+        closest_n: int = 1,
+        algorithm: str = S.COSINE,
+        condition: Optional[Predicate] = None,
+        schema: str = PUBLIC_SCHEMA,
+        precision: str = "float",
+    ) -> DataFrame:
+        """Batch GetSimN: top-N per probe for a whole batch of probe
+        vectors in ONE plan (engine extension — the reference answers
+        one query per request; retrieval/eval pipelines ask thousands).
+        ``probes`` is a list of (probe_id, vector) or a DataFrame with
+        (qid, qkey) columns. Linear metrics only (the batch plan scores
+        every store row once per probe; per-probe ANN pruning goes
+        through ``get_sim_n``). Returns store columns + qid + rank_n +
+        the score, rank 1 = closest, ties by id ascending."""
+        from ahnlich_spark.operators.topk import top_k_batch
+
+        meta = self.catalog.get_store(store, schema)
+        if algorithm not in LINEAR_ALGOS:
+            raise ValueError(
+                f"get_sim_n_batch supports linear metrics, got {algorithm!r}"
+            )
+        if isinstance(probes, DataFrame):
+            probes_df = probes
+        else:
+            self._check_dims(meta, [v for _pid, v in probes])
+            rows = [
+                (int(pid), [float(x) for x in np.asarray(list(v), dtype=np.float32)])
+                for pid, v in probes
+            ]
+            probes_df = self.spark.createDataFrame(
+                rows, "qid long, qkey array<float>"
+            )
+        if condition is not None:
+            df = self._pred_filtered(meta, condition)
+        else:
+            df = read_store(self.spark, self.catalog, meta)
+        return top_k_batch(
+            df, probes_df, algorithm, closest_n,
+            precision=precision, rank_col="rank_n",
+        )
+
     def get_sim_n(
         self,
         store: str,

@@ -26,6 +26,7 @@ BENCH_QUERIES = [
     "get_sim_n_euclidean",
     "get_sim_n_dot",
     "get_sim_n_cosine_filtered",
+    "get_sim_n_batch",
     "ann_lsh_topk",
     "ann_ivf_topk",
     "get_key",

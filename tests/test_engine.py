@@ -242,3 +242,39 @@ def test_list_clients_registry(spark, warehouse):
     finally:
         e1.close()
         e2.close()  # idempotent
+
+
+def test_get_sim_n_batch_matches_per_probe(spark, engine):
+    from pyspark.sql import functions as F
+
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0]),
+        (2, [0.7, 0.7, 0.0]),
+        (3, [0.0, 0.0, 1.0]),
+    ]
+    engine.create_store("batchy", dimension=3)
+    engine.set("batchy", [(v, {"i": str(i)}) for i, v in vecs])
+
+    out = engine.get_sim_n_batch(
+        "batchy", [(i, v) for i, v in vecs[:2]], closest_n=2
+    ).collect()
+    by_probe = {}
+    for r in out:
+        by_probe.setdefault(r["qid"], []).append((r["rank_n"], r["id"]))
+    assert set(by_probe) == {0, 1} and all(len(v) == 2 for v in by_probe.values())
+    # each probe's batch answer == its single-probe answer
+    for pid, v in vecs[:2]:
+        single = [r["id"] for r in engine.get_sim_n("batchy", v, closest_n=2).collect()]
+        batch = [i for _rank, i in sorted(by_probe[pid])]
+        assert batch == single
+
+
+def test_get_sim_n_batch_plan_scans_store_once(spark, engine):
+    engine.create_store("batchp", dimension=3)
+    engine.set("batchp", [([float(i), 0.0, 0.0], None) for i in range(1, 6)])
+    out = engine.get_sim_n_batch("batchp", [(0, [1.0, 0.0, 0.0])], closest_n=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
