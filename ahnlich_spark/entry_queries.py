@@ -2067,6 +2067,164 @@ def get_sim_n_batch(spark, sf_dir):
     )
 
 
+@register("chunk_dedup", f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKENS_SQL} AS ws
+  FROM documents WHERE trim(text) <> ''
+),
+chunks AS (
+  SELECT doc_id,
+         md5(array_to_string(ws[(i-1)*16+1:(i-1)*16+16], ' ')) AS fp
+  FROM toks, unnest(range(1, 1 + CAST(ceil(len(ws)/16.0) AS BIGINT))) AS t(i)
+),
+per AS (SELECT fp, doc_id, count(*) AS c FROM chunks GROUP BY fp, doc_id),
+nd AS (SELECT fp, count(*) AS nd FROM per GROUP BY fp)
+SELECT per.doc_id AS doc_id,
+       CAST(sum(c) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN nd.nd >= 2 THEN c ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+       CAST(round(sum(CASE WHEN nd.nd >= 2 THEN c ELSE 0 END) * 10000.0 / sum(c)) AS BIGINT) AS dup_ratio_e4
+FROM per JOIN nd USING (fp)
+GROUP BY per.doc_id
+""")
+def chunk_dedup(spark, sf_dir):
+    """Cross-document duplicated-passage fraction (RefinedWeb-style):
+    aligned 16-token chunks fingerprinted scan-locally, two-level
+    (fp, doc) aggregation, fp-keyed join back — linear in corpus size,
+    no pairwise join (operators/dedup.chunk_dup_stats)."""
+    return D.chunk_dup_stats(_t(spark, sf_dir, "documents"), chunk_tokens=16)
+
+
+@register("events_purchase_view_window", """
+WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tus, event_type,
+                  CAST(round(value * 100) AS BIGINT) AS v_e2 FROM events),
+p AS (SELECT event_id, user_id, tus FROM e WHERE event_type = 'purchase'),
+v AS (SELECT user_id, tus, v_e2 FROM e WHERE event_type = 'view')
+SELECT p.event_id AS event_id, p.user_id AS user_id,
+       CAST(count(v.tus) AS BIGINT) AS n_views_1h,
+       CAST(coalesce(sum(v.v_e2), 0) AS BIGINT) AS sum_view_value_e2
+FROM p LEFT JOIN v
+  ON v.user_id = p.user_id
+ AND v.tus >= p.tus - 3600000000 AND v.tus < p.tus
+GROUP BY p.event_id, p.user_id
+""")
+def events_purchase_view_window(spark, sf_dir):
+    """Interval join: per purchase, how many views (and their value
+    total) the same user made in the strictly-preceding hour. The
+    DuckDB oracle is the naive range join; the Spark plan is the
+    union + RANGE-frame window (operators/joins.window_count_join) —
+    ONE shuffle of |L|+|R| rows, no intermediate pair table. Values are
+    e2-rounded per-row BEFORE summation so the total is an integer sum
+    (order-exact across engines)."""
+    from ahnlich_spark.operators.joins import window_count_join
+
+    ev = _events_us(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts_us",
+        F.round(F.col("value") * 100).cast("long").alias("v_e2"),
+    )
+    out = window_count_join(
+        purchases, views, on="user_id", window_us=3_600_000_000,
+        sum_col="v_e2", count_col="n_views_1h", sum_out="sum_view_value_e2",
+    )
+    return out.select(
+        "event_id", "user_id",
+        F.col("n_views_1h").cast("long").alias("n_views_1h"),
+        F.col("sum_view_value_e2").cast("long").alias("sum_view_value_e2"),
+    )
+
+
+@register("embedding_quantize_int8", """
+WITH q AS (
+  SELECT vec_id,
+         list_max(list_transform(embedding, v -> abs(v::DOUBLE))) AS s,
+         embedding FROM embeddings
+),
+c AS (
+  SELECT vec_id, s,
+         list_transform(embedding,
+           v -> CASE WHEN s = 0 THEN 0
+                ELSE CAST(round(v::DOUBLE * 127.0 / s) AS INT) END) AS codes,
+         embedding
+  FROM q
+)
+SELECT vec_id,
+  CAST(round(s * 1000000) AS BIGINT) AS maxabs_e6,
+  CAST(list_sum(list_transform(range(1, 1 + len(codes)),
+       i -> codes[i]::BIGINT * i)) AS BIGINT) AS code_checksum,
+  CAST(list_sum(list_transform(range(1, 1 + len(codes)),
+       i -> CAST(round(abs(codes[i]::DOUBLE * s / 127.0 - embedding[i]::DOUBLE) * 1e9) AS BIGINT)
+  )) AS BIGINT) AS recon_err_e9
+FROM c
+""")
+def embedding_quantize_int8(spark, sf_dir):
+    """Per-vector symmetric int8 quantization (4x smaller shuffles and
+    index artifacts for the similarity core): scale = max|v|, codes =
+    round(v*127/scale). Emits a position-weighted code checksum and an
+    order-exact e9-integer reconstruction error — all scan-local
+    codegen'd array ops, zero shuffle (functions/quantize.py)."""
+    from ahnlich_spark.functions import quantize as Q
+
+    emb = _t(spark, sf_dir, "embeddings")
+    vec = F.col("embedding")
+    s = Q.maxabs(vec)
+    d = emb.select("vec_id", vec.alias("embedding"), s.alias("s"))
+    codes = Q.int8_codes(F.col("embedding"), F.col("s"))
+    d = d.select("vec_id", "embedding", "s", codes.alias("codes"))
+    return d.select(
+        "vec_id",
+        F.round(F.col("s") * 1_000_000).cast("long").alias("maxabs_e6"),
+        Q.code_checksum(F.col("codes")).alias("code_checksum"),
+        Q.recon_err_e9(F.col("embedding"), F.col("codes"), F.col("s")).alias("recon_err_e9"),
+    )
+
+
+@register("doc_length_percentiles", """
+WITH d AS (
+  SELECT lang, n_chars, doc_id,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+)
+SELECT lang, CAST(max(n) AS BIGINT) AS n_docs,
+  CAST(max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN n_chars END) AS BIGINT) AS p50_chars,
+  CAST(max(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT) THEN n_chars END) AS BIGINT) AS p90_chars,
+  CAST(max(CASE WHEN rn = CAST(ceil(n * 0.99) AS BIGINT) THEN n_chars END) AS BIGINT) AS p99_chars
+FROM d GROUP BY lang
+""")
+def doc_length_percentiles(spark, sf_dir):
+    """Exact distributed discrete percentiles (p50/p90/p99 of document
+    length per language) via rank arithmetic — ONE shuffle on the group
+    key, a per-group sort, and a conditional aggregation; no
+    percentile_approx sketches (those are estimation, not contract) and
+    no driver-side collect. Tie-break by doc_id makes rank selection
+    deterministic."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.asc("n_chars"), F.asc("doc_id"))
+    wn = Window.partitionBy("lang")
+    d = docs.select(
+        "lang", "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+
+    def at(p):
+        return F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.col("n") * p).cast("long"), F.col("n_chars")
+            )
+        ).cast("long")
+
+    return d.groupBy("lang").agg(
+        F.max("n").cast("long").alias("n_docs"),
+        at(0.5).alias("p50_chars"),
+        at(0.9).alias("p90_chars"),
+        at(0.99).alias("p99_chars"),
+    )
+
+
 # ------------------------------------------------------------- entry --
 
 def flagship(spark: SparkSession) -> DataFrame:

@@ -578,3 +578,74 @@ def _embedding_pruned_pairs(
             )
 
     return pairs.mapInPandas(verify, "i long, j long, cos_e4 long")
+
+
+# ------------------------------------------------- cross-doc chunk dedup --
+
+
+def doc_chunk_table(
+    df: DataFrame,
+    chunk_tokens: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(did, fp): md5 fingerprint of every ALIGNED ``chunk_tokens``-token
+    passage of each document (tail shorter than a full chunk included).
+    Whitespace-only documents contribute no rows.
+
+    The chunking is pure scan-local array work (tokens -> sequence ->
+    slice -> md5) inside whole-stage codegen — the text itself never
+    shuffles, only 32-char fingerprints do."""
+    toks = X.tokens(F.col(text_col))
+    k = F.size(toks)
+    n_chunks = F.ceil(k / F.lit(chunk_tokens)).cast("int")
+    idx = F.when(k > 0, F.sequence(F.lit(0), n_chunks - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    chunks = F.transform(
+        idx,
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i * chunk_tokens + 1, chunk_tokens))),
+    )
+    return _fan_out(df).select(
+        F.col(id_col).alias("did"), F.explode(chunks).alias("fp")
+    )
+
+
+def chunk_dup_stats(
+    df: DataFrame,
+    chunk_tokens: int = 16,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_chunks, n_dup_chunks, dup_ratio_e4): the RefinedWeb /
+    CCNet-style CROSS-document duplicated-passage fraction — how much of
+    each document consists of aligned token chunks that also appear in
+    at least ``min_docs - 1`` OTHER documents. (``doc_repetition`` is
+    the within-doc complement.)
+
+    Plan shape at 100 TB: two-level aggregation over the chunk table —
+    (fp, did) partial counts absorb within-doc repeats map-side, then a
+    per-fp distinct-doc count; the fp-keyed join back is the only other
+    shuffle, and it carries fingerprints, not text. No pairwise join
+    anywhere: cost is linear in corpus size."""
+    ch = doc_chunk_table(df, chunk_tokens, text_col, id_col)
+    per = ch.groupBy("fp", "did").agg(F.count(F.lit(1)).alias("c"))
+    docs_per_fp = per.groupBy("fp").agg(F.count(F.lit(1)).alias("nd"))
+    dup_c = F.when(F.col("nd") >= min_docs, F.col("c")).otherwise(F.lit(0))
+    return (
+        per.join(docs_per_fp, "fp")
+        .groupBy("did")
+        .agg(
+            F.sum("c").cast("long").alias("n_chunks"),
+            F.sum(dup_c).cast("long").alias("n_dup_chunks"),
+        )
+        .select(
+            F.col("did").alias("doc_id"),
+            "n_chunks",
+            "n_dup_chunks",
+            F.round(F.col("n_dup_chunks") * 10000.0 / F.col("n_chunks"))
+            .cast("long")
+            .alias("dup_ratio_e4"),
+        )
+    )

@@ -39,6 +39,80 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def window_count_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    window_us: int,
+    left_ts_us: str = "ts_us",
+    right_ts_us: str = "ts_us",
+    count_col: str = "n_right",
+    sum_col: Optional[str] = None,
+    sum_out: str = "sum_right",
+) -> DataFrame:
+    """Interval (range) join as a windowed aggregation: every left row
+    gains ``count_col`` = number of right rows with the same ``on`` key
+    and ``right.ts in [left.ts - window_us, left.ts)`` — the strictly-
+    preceding sliding window — plus optionally ``sum_out`` = SUM of
+    ``sum_col`` over the same rows.
+
+    The naive formulation ``l JOIN r ON key AND r.ts BETWEEN l.ts - w
+    AND l.ts`` pairs every left row with every right row in the window
+    BEFORE aggregating — O(|L| * window_density) intermediate rows, a
+    blow-up Spark's join planner cannot prune. This implementation
+    unions the two sides and computes a running RANGE-frame aggregate
+    over integer epoch-microseconds instead:
+
+    1. tag right rows 0 / left rows 1, union on (key, ts_us, tag),
+    2. one window partitioned by key, ordered by ts_us, with frame
+       ``RANGE BETWEEN window_us PRECEDING AND 1 PRECEDING`` summing a
+       right-only indicator (and payload),
+    3. keep the left rows.
+
+    Cost: ONE shuffle of |L| + |R| rows on the key and a per-key sort —
+    no intermediate pair table at any scale. The range frame is evaluated
+    with two moving pointers per partition, O(n) per key.
+
+    Frame semantics: bounds are value-inclusive, so ``[-window_us, -1]``
+    over integer microseconds is exactly ``ts - w <= r.ts < ts``. Right
+    rows at the same microsecond as the left row are NOT counted
+    (strict past — no self-count when left and right are the same
+    table/row).
+    """
+    r = right.select(
+        F.col(on).alias("__key"),
+        F.col(right_ts_us).cast("long").alias("__tus"),
+        F.lit(1).cast("long").alias("__is_r"),
+        (F.col(sum_col) if sum_col is not None else F.lit(0)).cast("double").alias("__pay"),
+        F.lit(None).cast(
+            "struct<" + ",".join(f"`{c}`:{left.schema[c].dataType.simpleString()}" for c in left.columns) + ">"
+        ).alias("__left"),
+    )
+    l = left.select(
+        F.col(on).alias("__key"),
+        F.col(left_ts_us).cast("long").alias("__tus"),
+        F.lit(0).cast("long").alias("__is_r"),
+        F.lit(0.0).alias("__pay"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__left"),
+    )
+    w = (
+        Window.partitionBy("__key")
+        .orderBy(F.asc("__tus"))
+        .rangeBetween(-int(window_us), -1)
+    )
+    out = (
+        r.unionByName(l)
+        .withColumn("__n", F.coalesce(F.sum("__is_r").over(w), F.lit(0)))
+        .withColumn("__s", F.coalesce(F.sum(F.col("__pay") * F.col("__is_r")).over(w), F.lit(0.0)))
+        .filter(F.col("__left").isNotNull())
+    )
+    cols = [F.col(f"__left.{c}").alias(c) for c in left.columns]
+    cols.append(F.col("__n").alias(count_col))
+    if sum_col is not None:
+        cols.append(F.col("__s").alias(sum_out))
+    return out.select(*cols)
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -62,6 +62,10 @@ BENCH_QUERIES = [
     "sample_stratified",
     "pack_sequences",
     "decontaminate_ngrams",
+    "chunk_dedup",
+    "events_purchase_view_window",
+    "embedding_quantize_int8",
+    "doc_length_percentiles",
     "doc_repetition",
     "doc_unigram_logprob",
     "events_json_props",

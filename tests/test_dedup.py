@@ -171,3 +171,51 @@ def test_hot_bucket_cap_bounds_join_fanout(spark):
     assert n_un >= 40 * 39 // 2  # quadratic blow-up without the cap
     assert (100, 101) in got  # normal pairs survive
     assert not any(i < 100 and j < 100 for i, j in got)  # hot block dropped
+
+
+# ---------------------------------------------- cross-doc chunk dedup --
+
+from ahnlich_spark.operators.dedup import chunk_dup_stats
+
+
+def test_chunk_dup_stats_cross_doc(spark):
+    # chunk size 3: doc 1 = [A B C][D E F], doc 2 shares aligned chunk
+    # "A B C", doc 3 shares nothing, doc 4 is whitespace-only
+    df = spark.createDataFrame(
+        [
+            (1, "A B C D E F"),
+            (2, "A B C x y z"),
+            (3, "q w e r t y"),
+            (4, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in chunk_dup_stats(df, chunk_tokens=3).collect()}
+    assert out[1]["n_chunks"] == 2 and out[1]["n_dup_chunks"] == 1
+    assert out[1]["dup_ratio_e4"] == 5000
+    assert out[2]["n_chunks"] == 2 and out[2]["n_dup_chunks"] == 1
+    assert out[3]["n_chunks"] == 2 and out[3]["n_dup_chunks"] == 0
+    assert 4 not in out  # no tokens -> no chunks -> absent
+
+
+def test_chunk_dup_stats_within_doc_repeat_not_cross(spark):
+    # the same chunk twice WITHIN one doc is not a cross-doc dup
+    df = spark.createDataFrame(
+        [(1, "A B C A B C"), (2, "u v w x y z")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in chunk_dup_stats(df, chunk_tokens=3).collect()}
+    assert out[1]["n_chunks"] == 2 and out[1]["n_dup_chunks"] == 0
+
+
+def test_chunk_dup_tail_chunk_counts(spark):
+    # 4 tokens at chunk size 3 -> chunks [A B C] and tail [D]; the tail
+    # matches another doc's aligned first chunk only if identical text
+    df = spark.createDataFrame(
+        [(1, "A B C D"), (2, "D x y")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in chunk_dup_stats(df, chunk_tokens=3).collect()}
+    assert out[1]["n_chunks"] == 2
+    # tail "D" vs doc2's first chunk "D x y": different -> no dup
+    assert out[1]["n_dup_chunks"] == 0

@@ -64,3 +64,58 @@ def test_asof_join_single_shuffle(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+# ------------------------------------------------ window_count_join --
+
+from ahnlich_spark.operators.joins import window_count_join
+
+
+def _wcj_frames(spark):
+    left = spark.createDataFrame(
+        [
+            (100, 1, 10_000_000),  # window [10s-5s, 10s): rights at 6s, 9s
+            (101, 1, 5_000_000),   # window [0s, 5s): right at 4s only
+            (102, 1, 6_000_000),   # right at exactly 6s NOT counted (strict past)
+            (103, 2, 10_000_000),  # key with no rights
+        ],
+        "event_id long, user_id long, ts_us long",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, 4_000_000, 10),
+            (1, 6_000_000, 20),
+            (1, 9_000_000, 30),
+        ],
+        "user_id long, ts_us long, v long",
+    )
+    return left, right
+
+
+def test_window_count_join_semantics(spark):
+    left, right = _wcj_frames(spark)
+    out = {
+        r["event_id"]: r.asDict()
+        for r in window_count_join(
+            left, right, on="user_id", window_us=5_000_000,
+            sum_col="v", count_col="n", sum_out="s",
+        ).collect()
+    }
+    assert (out[100]["n"], out[100]["s"]) == (2, 50.0)  # 6s + 9s
+    assert (out[101]["n"], out[101]["s"]) == (1, 10.0)  # 4s only (>= 0s)
+    # a right row at exactly the left ts is excluded; 4s is within [1s, 6s)
+    assert (out[102]["n"], out[102]["s"]) == (1, 10.0)
+    assert (out[103]["n"], out[103]["s"]) == (0, 0.0)
+    # every left row survives exactly once
+    assert sorted(out) == [100, 101, 102, 103]
+
+
+def test_window_count_join_single_shuffle(spark):
+    """Scale shape: union + one range-frame window = ONE Exchange and no
+    join node — the naive range join would materialize |L| x density
+    intermediate pairs."""
+    left, right = _wcj_frames(spark)
+    out = window_count_join(left, right, on="user_id", window_us=5_000_000)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
