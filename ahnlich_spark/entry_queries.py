@@ -2225,6 +2225,86 @@ def doc_length_percentiles(spark, sf_dir):
     )
 
 
+def _pq_oracle_sql(k: int = 10, candidates: int = 128) -> str:
+    """DuckDB oracle for the PQ/ADC gate. Shares the Spark side's
+    trained codebooks as double literals (repr round-trips exactly);
+    every distance is the same left-associative chain, so encode, ADC
+    ranking and rescore agree bit-for-bit."""
+    from ahnlich_spark.operators.pq import train_codebooks
+
+    books = train_codebooks()
+    m, kc, dsub = books.shape
+
+    def store_chain(j: int, c: int) -> str:
+        return " + ".join(
+            f"(e.embedding[{j * dsub + i + 1}]::DOUBLE - {books[j][c][i]!r})"
+            f" * (e.embedding[{j * dsub + i + 1}]::DOUBLE - {books[j][c][i]!r})"
+            for i in range(dsub)
+        )
+
+    def q_chain(j: int, c: int) -> str:
+        return " + ".join(
+            f"(qv[{j * dsub + i + 1}]::DOUBLE - {books[j][c][i]!r})"
+            f" * (qv[{j * dsub + i + 1}]::DOUBLE - {books[j][c][i]!r})"
+            for i in range(dsub)
+        )
+
+    dlists = ",\n  ".join(
+        f"[{', '.join(store_chain(j, c) for c in range(kc))}] AS dl{j}"
+        for j in range(m)
+    )
+    codes = ", ".join(
+        f"(list_position(dl{j}, list_min(dl{j})) - 1) AS c{j}" for j in range(m)
+    )
+    adc = " + ".join(
+        f"([{', '.join(q_chain(j, c) for c in range(kc))}])[c{j} + 1]"
+        for j in range(m)
+    )
+    exact = " + ".join(
+        f"(embedding[{i + 1}]::DOUBLE - qv[{i + 1}]::DOUBLE)"
+        f" * (embedding[{i + 1}]::DOUBLE - qv[{i + 1}]::DOUBLE)"
+        for i in range(m * dsub)
+    )
+    return f"""
+WITH qd AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+d AS (SELECT e.vec_id, e.embedding, qd.qv,
+  {dlists}
+  FROM embeddings e, qd),
+enc AS (SELECT vec_id, embedding, qv, {codes} FROM d),
+adc AS (SELECT vec_id, embedding, qv, {adc} AS approx FROM enc),
+cand AS (SELECT vec_id, embedding, qv FROM adc
+         ORDER BY approx, vec_id LIMIT {candidates}),
+scored AS (SELECT vec_id, sqrt({exact}) AS dist FROM cand)
+SELECT vec_id,
+       CAST(row_number() OVER (ORDER BY dist, vec_id) AS BIGINT) AS rank_n,
+       CAST(round(dist * 10000) AS BIGINT) AS dist_e4
+FROM scored ORDER BY dist, vec_id LIMIT {k}
+"""
+
+
+@register("ann_pq_topk", _pq_oracle_sql())
+def ann_pq_topk(spark, sf_dir):
+    """Product-quantization ANN: 8x16 codebooks trained once on the
+    fixed sample corpus (operators/pq.train_codebooks — pure function
+    of that parquet, shared as literals with the oracle), scan-local
+    encode + ADC ranking (8 bytes of codes per row instead of 256 of
+    floats), bounded TakeOrderedAndProject, exact rescore of 128
+    survivors. The 100 TB path persists the code table as the index
+    artifact; here encode runs inline so the oracle can see it."""
+    from ahnlich_spark.operators.pq import pq_top_k, train_codebooks
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = _qvec(spark, sf_dir)
+    books = train_codebooks()
+    out = pq_top_k(emb, q, books, k=10, candidates=128)
+    w = Window.orderBy(F.asc("dist"), F.asc("vec_id"))
+    return out.select(
+        "vec_id",
+        F.row_number().over(w).cast("long").alias("rank_n"),
+        F.round(F.col("dist") * 10000).cast("long").alias("dist_e4"),
+    )
+
+
 # ------------------------------------------------------------- entry --
 
 def flagship(spark: SparkSession) -> DataFrame:

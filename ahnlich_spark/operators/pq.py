@@ -1,0 +1,198 @@
+"""Product quantization (PQ) with asymmetric-distance (ADC) search —
+the canonical 100 TB ANN compression: each d-dim f32 vector becomes m
+one-byte codes (one k-way codebook per d/m-dim subspace), a 32x storage
+and shuffle shrink at d=64/m=8, and queries rank candidates from a tiny
+per-query lookup table without touching the raw vectors.
+
+Determinism discipline (the repo-wide cross-engine contract):
+
+- Codebooks are trained ONCE, driver-side, on a bounded sample read in
+  vec_id order with plain numpy float64 Lloyd iterations seeded by the
+  lowest-id sample rows — a pure function of the training parquet, so
+  the Spark expressions and the DuckDB oracle can share the SAME
+  centroid literals (the pattern functions/projection.py established
+  for its sign matrix). Training on a fixed sample corpus then encoding
+  the full corpus is how PQ is deployed in practice (FAISS trains on a
+  sample, not the index set).
+- Every distance is a sequential left-associative fold — bit-identical
+  to SQL ``+`` chains and ``list_sum(list_transform(...))`` (verified
+  by the projection gates).
+- Code assignment ties break to the LOWEST centroid index in both
+  engines (``array_position`` / ``list_position`` return the first
+  match of the exact minimum double).
+
+Scale notes:
+- Encoding is scan-local whole-stage codegen: m*k compact folds per row
+  (foldable literal centroid arrays), zero shuffle, zero Python.
+- ADC search is a scan-local m-term chain over the code column plus a
+  bounded TakeOrderedAndProject — same shape as the linear GetSimN
+  scan, but reading 8 bytes per row instead of 256. The exact-rescore
+  stage touches only ``candidates`` full vectors.
+- At true scale, persist the (id, codes) table once (it IS the index
+  artifact) and scan it instead of re-encoding per query; the engine's
+  ANN artifact machinery (plans/engine.create_non_linear_algorithm_index)
+  shows the layout.
+
+Reference parity: the reference's approximate mode is HNSW/KD-tree
+(ahnlich/similarity/src/hnsw, kdtree.rs) over raw f32 vectors; PQ is
+this repo's scale-path extension for the same GetSimN contract.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Sequence
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# The fixed training corpus: PQ codebooks are a pure function of this
+# parquet (bounded sample, deterministic Lloyd), shared verbatim by the
+# Spark expressions and the DuckDB oracle literals.
+PQ_TRAIN_DIR = os.environ.get("AHNLICH_PQ_TRAIN_DIR", "/root/testdata/sf0.001")
+
+_CODEBOOK_CACHE: dict = {}
+
+
+def train_codebooks(
+    train_parquet: str | None = None,
+    m: int = 8,
+    k: int = 16,
+    sample: int = 512,
+    iters: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """(m, k, dsub) float64 codebooks from deterministic Lloyd on the
+    first ``sample`` vectors (by id) of the training parquet. No RNG:
+    init = the k lowest-id sample subvectors; empty clusters keep their
+    previous centroid; fixed iteration count."""
+    path = train_parquet or os.path.join(PQ_TRAIN_DIR, "embeddings.parquet")
+    key = (os.path.abspath(path), m, k, sample, iters)
+    if key in _CODEBOOK_CACHE:
+        return _CODEBOOK_CACHE[key]
+
+    import pyarrow.parquet as pq_mod
+
+    tbl = pq_mod.read_table(path, columns=[id_col, vec_col])
+    pdf = tbl.to_pandas().sort_values(id_col).head(sample)
+    X = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)).to_numpy())
+    d = X.shape[1]
+    assert d % m == 0, f"dim {d} not divisible by m={m}"
+    dsub = d // m
+
+    books = np.empty((m, k, dsub), dtype=np.float64)
+    for j in range(m):
+        sub = X[:, j * dsub : (j + 1) * dsub]
+        cent = sub[:k].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)  # lowest index on ties
+            for c in range(k):
+                members = sub[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books[j] = cent
+    _CODEBOOK_CACHE[key] = books
+    return books
+
+
+def _lit_doubles(values: Sequence[float]) -> Column:
+    """Foldable double-array literal (split-of-string; repr round-trips
+    doubles exactly) — keeps the expression tree compact."""
+    return F.split(F.lit(",".join(repr(float(v)) for v in values)), ",").cast(
+        "array<double>"
+    )
+
+
+def _subspace_dists(vec: Column, books: np.ndarray, j: int) -> List[Column]:
+    """k squared-distance folds between the j-th subvector and each
+    centroid of codebook j."""
+    m, k, dsub = books.shape
+    sub = F.slice(vec, j * dsub + 1, dsub).cast("array<double>")
+    return [
+        F.aggregate(
+            F.zip_with(sub, _lit_doubles(books[j][c]), lambda x, cc: (x - cc) * (x - cc)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        for c in range(k)
+    ]
+
+
+def encode_expr(vec: Column, books: np.ndarray) -> Column:
+    """ARRAY<INT>[m] of PQ codes: per subspace, the index (0-based) of
+    the nearest centroid, first-match tie-break."""
+    m = books.shape[0]
+    code_cols = []
+    for j in range(m):
+        darr = F.array(*_subspace_dists(vec, books, j))
+        code_cols.append((F.array_position(darr, F.array_min(darr)) - 1).cast("int"))
+    return F.array(*code_cols)
+
+
+def adc_lut(query: Sequence[float], books: np.ndarray) -> List[List[float]]:
+    """Per-query lookup table lut[j][c] = ||q_sub_j - centroid_jc||^2,
+    computed with the SAME sequential fold order as the executors (plain
+    Python float = IEEE double)."""
+    m, k, dsub = books.shape
+    lut: List[List[float]] = []
+    for j in range(m):
+        row = []
+        for c in range(k):
+            acc = 0.0
+            for i in range(dsub):
+                diff = float(query[j * dsub + i]) - float(books[j][c][i])
+                acc = acc + diff * diff
+            row.append(acc)
+        lut.append(row)
+    return lut
+
+
+def adc_dist_expr(codes: Column, lut: List[List[float]]) -> Column:
+    """Approximate squared distance: left-associative sum over
+    lut[j][codes[j]] — an m-term chain of array lookups, scan-local."""
+    acc: Column = F.lit(0.0)
+    for j, row in enumerate(lut):
+        acc = acc + F.element_at(_lit_doubles(row), F.element_at(codes, j + 1) + 1)
+    return acc
+
+
+def pq_top_k(
+    df: DataFrame,
+    query: Sequence[float],
+    books: np.ndarray,
+    k: int = 10,
+    candidates: int = 128,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Two-stage PQ/ADC search: encode scan-locally (or scan a persisted
+    code table), rank by ADC distance (bounded TakeOrderedAndProject),
+    exact-rescore the survivors in the original space. Returns (id,
+    dist) ascending, id tie-break."""
+    q = [float(x) for x in query]
+    codes = encode_expr(F.col(vec_col), books)
+    lut = adc_lut(q, books)
+    approx = adc_dist_expr(codes, lut)
+
+    cand = (
+        df.select(F.col(id_col), F.col(vec_col), approx.alias("_adc"))
+        .orderBy(F.asc("_adc"), F.asc(id_col))
+        .limit(candidates)
+    )
+    exact = F.aggregate(
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"),
+            _lit_doubles(q),
+            lambda x, qq: (x - qq) * (x - qq),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        cand.select(F.col(id_col), F.sqrt(exact).alias("dist"))
+        .orderBy(F.asc("dist"), F.asc(id_col))
+        .limit(k)
+    )

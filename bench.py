@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "embedding_kmeans",
     "embedding_project",
     "ann_project_topk",
+    "ann_pq_topk",
     "corpus_mixture",
     "sample_stratified",
     "pack_sequences",
