@@ -78,10 +78,18 @@ def train_codebooks(
     tbl = pq_mod.read_table(path, columns=[id_col, vec_col])
     pdf = tbl.to_pandas().sort_values(id_col).head(sample)
     X = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)).to_numpy())
+    books = lloyd_codebooks(X, m, k, iters)
+    _CODEBOOK_CACHE[key] = books
+    return books
+
+
+def lloyd_codebooks(X: np.ndarray, m: int, k: int, iters: int) -> np.ndarray:
+    """Deterministic per-subspace Lloyd: init = the first k sample
+    subvectors (caller supplies rows in a stable order), argmin ties to
+    the lowest centroid index, empty clusters keep their centroid."""
     d = X.shape[1]
     assert d % m == 0, f"dim {d} not divisible by m={m}"
     dsub = d // m
-
     books = np.empty((m, k, dsub), dtype=np.float64)
     for j in range(m):
         sub = X[:, j * dsub : (j + 1) * dsub]
@@ -94,8 +102,32 @@ def train_codebooks(
                 if len(members):
                     cent[c] = members.mean(axis=0)
         books[j] = cent
-    _CODEBOOK_CACHE[key] = books
     return books
+
+
+def train_codebooks_df(
+    df: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    sample: int = 4096,
+    iters: int = 10,
+    vec_col: str = "key",
+    id_col: str = "id",
+) -> np.ndarray | None:
+    """Codebooks from a bounded deterministic sample of a store
+    DataFrame (first ``sample`` rows by id — the engine's index-build
+    path; the same recipe as operators/ann.train_centroids). Returns
+    None when the store is empty or smaller than k."""
+    rows = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.asc(id_col))
+        .limit(sample)
+        .collect()
+    )
+    if len(rows) < k:
+        return None
+    X = np.stack([np.asarray(list(r[vec_col]), dtype=np.float64) for r in rows])
+    return lloyd_codebooks(X, m, k, iters)
 
 
 def _lit_doubles(values: Sequence[float]) -> Column:

@@ -49,7 +49,7 @@ from ahnlich_spark.types import (
 
 Entry = Tuple[Sequence[float], dict]
 
-NON_LINEAR_ALGOS = ("kdtree", "hnsw", "ivf")
+NON_LINEAR_ALGOS = ("kdtree", "hnsw", "ivf", "pq")
 LINEAR_ALGOS = (S.COSINE, S.DOT, S.EUCLIDEAN)
 
 # Reference crossover: accept lists <= 4096 are brute-forced even when an
@@ -66,6 +66,11 @@ ANN_DEFAULTS = {
     "kdtree": {"distance": "euclidean_distance"},
     "hnsw": dict(HNSW_DEFAULTS, n_planes=16, seed=7, hamming_radius=3),
     "ivf": {"n_clusters": 64, "n_probe": 8, "distance": "euclidean_distance", "seed": 7},
+    # pq: ADC over an embedded code column (operators/pq.py) — 32x
+    # smaller scan per query than raw f32 vectors; candidates = the
+    # exact-rescore budget (recall knob, like ivf n_probe)
+    "pq": {"m": 8, "k_centroids": 16, "candidates": 256, "iters": 10,
+           "sample": 4096, "distance": "euclidean_distance"},
 }
 
 
@@ -244,12 +249,18 @@ class Engine:
             if a not in NON_LINEAR_ALGOS:
                 raise ValueError(f"unknown non-linear algorithm {a!r}")
             if a not in meta.non_linear:
+                cfg = dict(ANN_DEFAULTS[a], **(config or {}))
+                if a == "pq" and meta.dimension % int(cfg.get("m", 8)) != 0:
+                    raise ValueError(
+                        f"pq requires dimension divisible by m={cfg.get('m', 8)}; "
+                        f"store dimension is {meta.dimension}"
+                    )
                 meta.non_linear.append(a)
-                meta.non_linear_config[a] = dict(ANN_DEFAULTS[a], **(config or {}))
+                meta.non_linear_config[a] = cfg
                 created += 1
         meta.non_linear = sorted(meta.non_linear)
         self.catalog.put_store(meta)
-        if created and meta.version > 0 and ({"hnsw", "ivf"} & set(meta.non_linear)):
+        if created and meta.version > 0 and ({"hnsw", "ivf", "pq"} & set(meta.non_linear)):
             df = read_store(self.spark, self.catalog, meta)
             self._write(meta, df)
         return created
@@ -306,6 +317,12 @@ class Engine:
                     "bucket", "_ann_bucket"
                 )
                 layout = "_ann_bucket"
+        if "pq" in meta.non_linear:
+            books = self._pq_codebooks(meta, df)
+            if books is not None:
+                from ahnlich_spark.operators.pq import encode_expr
+
+                df = df.withColumn("_ann_pqcode", encode_expr(F.col("key"), books))
         # indexed predicate keys: flat string copies of meta[k].s — the
         # physical effect of CreatePredIndex (map access gets no parquet
         # pushdown; these columns do, and files are clustered by them)
@@ -337,6 +354,29 @@ class Engine:
         )
         np.save(path, cents)
         return cents
+
+    def _pq_codebooks(self, meta: StoreMeta, df: Optional[DataFrame] = None):
+        """Load the persisted PQ codebooks; train + persist on first use
+        (bounded sample, deterministic Lloyd — operators/pq.py). Returns
+        None while the store is too small to train."""
+        path = self.catalog.store_aux_path(meta, "pq_codebooks.npy")
+        if os.path.exists(path):
+            return np.load(path)
+        if df is None:
+            return None
+        from ahnlich_spark.operators.pq import train_codebooks_df
+
+        cfg = meta.non_linear_config.get("pq", ANN_DEFAULTS["pq"])
+        books = train_codebooks_df(
+            df,
+            m=int(cfg.get("m", 8)),
+            k=int(cfg.get("k_centroids", 16)),
+            sample=int(cfg.get("sample", 4096)),
+            iters=int(cfg.get("iters", 10)),
+        )
+        if books is not None:
+            np.save(path, books)
+        return books
 
     def _ann_state(self, meta: StoreMeta, algorithm: str) -> dict:
         """Per-version index statistics for driver-side probe planning:
@@ -556,8 +596,52 @@ class Engine:
                 return top_k_similar(cands, search_input, metric, closest_n,
                                      precision=precision)
 
+        if algorithm == "pq" and "_ann_pqcode" in raw.columns:
+            books = self._pq_codebooks(meta)
+            if books is not None:
+                from ahnlich_spark.operators.pq import adc_dist_expr, adc_lut
+
+                q = [float(x) for x in search_input]
+                lut = adc_lut(q, books)
+                n_cand = max(4 * closest_n, int(cfg.get("candidates", 256)))
+                # ADC rank over the 8-byte code column (the raw vectors
+                # are never read in this stage), bounded top-n_cand,
+                # then exact rescore of the survivors under the
+                # configured metric
+                cands = (
+                    raw.withColumn("_adc", adc_dist_expr(F.col("_ann_pqcode"), lut))
+                    .orderBy(F.asc("_adc"), F.asc("id"))
+                    .limit(n_cand)
+                    .drop("_adc", *drop_cols)
+                )
+                return top_k_similar(cands, search_input, metric, closest_n,
+                                     precision=precision)
+
         # artifact missing (e.g. store predates the index): generic
         # on-the-fly path keeps answers correct, one rebuild makes it fast
+        if algorithm == "pq":
+            from ahnlich_spark.operators.pq import (
+                adc_dist_expr, adc_lut, encode_expr, train_codebooks_df,
+            )
+
+            books = self._pq_codebooks(meta)
+            if books is None:
+                books = train_codebooks_df(df, vec_col="key", id_col="id")
+            if books is None:
+                return top_k_similar(df, search_input, metric, closest_n,
+                                     precision=precision)
+            q = [float(x) for x in search_input]
+            lut = adc_lut(q, books)
+            n_cand = max(4 * closest_n, int(cfg.get("candidates", 256)))
+            cands = (
+                df.withColumn("_adc",
+                              adc_dist_expr(encode_expr(F.col("key"), books), lut))
+                .orderBy(F.asc("_adc"), F.asc("id"))
+                .limit(n_cand)
+                .drop("_adc")
+            )
+            return top_k_similar(cands, search_input, metric, closest_n,
+                                 precision=precision)
         from ahnlich_spark.operators.ann import ivf_top_k, lsh_top_k
 
         ann = ivf_top_k if algorithm == "ivf" else lsh_top_k

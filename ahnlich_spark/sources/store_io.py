@@ -43,7 +43,7 @@ MAX_BUCKETS = 65536
 #   _pred_<key>  STRING  flat copy of meta[<key>].s for an indexed
 #                        predicate key — map access gets no parquet
 #                        pushdown, a flat column does
-ANN_COLUMNS = ("_ann_sig", "_ann_sigp", "_ann_bucket")
+ANN_COLUMNS = ("_ann_sig", "_ann_sigp", "_ann_bucket", "_ann_pqcode")
 INTERNAL_PREFIXES = ("_ann_", "_pred_")
 
 

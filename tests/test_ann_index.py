@@ -51,7 +51,7 @@ def indexed_engine(spark, tmp_path_factory):
     eng.create_store("vecs", dimension=DIM)
     eng.set("vecs", _big_entries())
     # create AFTER data exists -> exercises the backfill rewrite
-    eng.create_non_linear_algorithm_index("vecs", ["hnsw", "ivf", "kdtree"])
+    eng.create_non_linear_algorithm_index("vecs", ["hnsw", "ivf", "kdtree", "pq"])
     return eng
 
 
@@ -122,6 +122,47 @@ def test_materialized_path_recall(indexed_engine, spark, algo, metric):
         recalls.append(len(approx & exact) / 50)
     avg = sum(recalls) / len(recalls)
     assert avg > 0.90, f"{algo}: avg recall {avg:.3f} ({recalls})"
+
+
+def test_pq_artifact_built_and_read(indexed_engine):
+    """PQ code column embedded in the store files, codebooks persisted,
+    and the query plan reads the stored codes (an encode recompute would
+    put m*k = 128 aggregate folds in the plan — the candidate stage must
+    carry only the ADC chain's element_at lookups)."""
+    eng = indexed_engine
+    meta = eng.catalog.get_store("vecs")
+    raw = eng.spark.read.parquet(eng.catalog.store_path(meta))
+    assert "_ann_pqcode" in raw.columns
+    assert os.path.exists(eng.catalog.store_aux_path(meta, "pq_codebooks.npy"))
+
+    q = VECS[7].tolist()
+    plan = plan_of(eng.get_sim_n("vecs", q, closest_n=10, algorithm="pq"))
+    assert "_ann_pqcode" in plan.split("ReadSchema")[1].split("\n")[0]
+    # rescore cosine/euclidean contributes <= 2 zip_with; encode would add 128
+    assert plan.count("zip_with") <= 2, plan
+
+
+def test_pq_recall(indexed_engine):
+    eng = indexed_engine
+    store = eng.store_df("vecs")
+    rng = np.random.RandomState(5)
+    recalls = []
+    for i in rng.choice(N, size=5, replace=False):
+        q = VECS[i].tolist()
+        approx = {r["id"] for r in eng.get_sim_n("vecs", q, 50, algorithm="pq").collect()}
+        exact = {r["id"] for r in top_k_similar(store, q, S.EUCLIDEAN, 50).collect()}
+        recalls.append(len(approx & exact) / 50)
+    avg = sum(recalls) / len(recalls)
+    assert avg > 0.80, f"pq: avg recall {avg:.3f} ({recalls})"
+
+
+def test_pq_dimension_guard(spark, tmp_path_factory):
+    from ahnlich_spark import Engine
+
+    eng = Engine(spark, str(tmp_path_factory.mktemp("pq_guard_wh")))
+    eng.create_store("odd", dimension=30)
+    with pytest.raises(ValueError, match="divisible"):
+        eng.create_non_linear_algorithm_index("odd", ["pq"])
 
 
 def test_kdtree_is_exact(indexed_engine):
