@@ -61,11 +61,12 @@ ALGORITHMS = {
     "kdtree": "kdtree",
     "hnsw": "hnsw",  # extension (see module docstring)
     "ivf": "ivf",  # extension: space-partitioned approximate search
+    "pq": "pq",  # extension: product-quantization ADC search
     "euclideandistance": "euclidean_distance",
     "cosinesimilarity": "cosine_similarity",
     "dotproductsimilarity": "dot_product",
 }
-NON_LINEAR = {"kdtree": "kdtree", "hnsw": "hnsw", "ivf": "ivf"}
+NON_LINEAR = {"kdtree": "kdtree", "hnsw": "hnsw", "ivf": "ivf", "pq": "pq"}
 PREPROCESS = ("nopreprocessing", "modelpreprocessing")
 PROVIDERS = ("coreml", "tensorrt", "directml", "cuda")
 

@@ -2305,6 +2305,44 @@ def ann_pq_topk(spark, sf_dir):
     )
 
 
+@register("corpus_export_roundtrip", """
+SELECT CAST(('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 8 AS INT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(sum(('0x' || substring(md5(text), 1, 12))::BIGINT) AS BIGINT) AS text_fp_sum
+FROM documents GROUP BY 1
+""")
+def corpus_export_roundtrip(spark, sf_dir):
+    """Training-corpus JSONL sink/source round-trip: export documents as
+    hash-sharded, id-sorted gzip JSONL (sources/corpus_io — one shuffle,
+    byte-stable shard files), read them back with an explicit schema,
+    and aggregate per shard. The oracle computes the same shard
+    assignment and per-shard totals from the source table directly, so
+    any row lost, duplicated or mangled by the write/read cycle flips a
+    count or the text-fingerprint sum."""
+    from ahnlich_spark.sources.corpus_io import read_jsonl_corpus, write_jsonl_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    out_dir = tempfile.mkdtemp(prefix="ahnlich_corpus_export_") + "/docs"
+    write_jsonl_corpus(docs, out_dir, n_shards=8)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    back = read_jsonl_corpus(spark, out_dir, schema)
+    text_fp = F.conv(F.substring(F.md5(F.col("text")), 1, 12), 16, 10).cast("long")
+    return back.groupBy(F.col("shard").cast("int").alias("shard")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.sum(text_fp).cast("long").alias("text_fp_sum"),
+    )
+
+
 # ------------------------------------------------------------- entry --
 
 def flagship(spark: SparkSession) -> DataFrame:

@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "events_purchase_view_window",
     "embedding_quantize_int8",
     "doc_length_percentiles",
+    "corpus_export_roundtrip",
     "doc_repetition",
     "doc_unigram_logprob",
     "events_json_props",
