@@ -650,7 +650,7 @@ def doc_lang_id(spark, sf_dir):
 
 
 @register("doc_fingerprint", """
-SELECT doc_id, md5(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS fp
+SELECT doc_id, md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
 FROM documents
 """)
 def doc_fingerprint(spark, sf_dir):
@@ -703,7 +703,7 @@ def doc_rolling_hash(spark, sf_dir):
 
 @register("dedup_exact", """
 SELECT min(doc_id) AS keep_id, count(*) AS n_dups
-FROM (SELECT doc_id, md5(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS fp FROM documents)
+FROM (SELECT doc_id, md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp FROM documents)
 GROUP BY fp
 """)
 def dedup_exact(spark, sf_dir):

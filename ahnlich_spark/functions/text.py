@@ -152,8 +152,12 @@ def lang_id_table(df, text_col: str = "text", id_col: str = "doc_id"):
 # ----------------------------------------------------------- fingerprints --
 
 def fingerprint_md5(text: Column) -> Column:
-    """Whitespace-normalized md5 fingerprint (portable across engines)."""
-    return F.md5(F.regexp_replace(F.trim(text), r"\s+", " "))
+    """Whitespace-normalized md5 fingerprint (portable across engines).
+    Collapse runs FIRST, then trim: SQL trim strips only spaces, so
+    trimming first would leave leading/trailing tabs/newlines behind as
+    a stray edge space ('b' vs '\\nb' fingerprinting differently — found
+    by the hypothesis dedup property, tests/test_properties.py)."""
+    return F.md5(F.trim(F.regexp_replace(text, r"\s+", " ")))
 
 
 def rolling_hash(text: Column, base: int = 257, mod: int = 1_000_000_007) -> Column:
