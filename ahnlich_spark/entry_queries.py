@@ -2343,6 +2343,104 @@ def corpus_export_roundtrip(spark, sf_dir):
     )
 
 
+@register("sample_per_group_topn", """
+WITH r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY ('0x' || substring(md5('grp' || doc_id::VARCHAR), 1, 15))::BIGINT,
+                    doc_id) AS rn
+  FROM documents
+)
+SELECT doc_id, lang, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 20
+""")
+def sample_per_group_topn(spark, sf_dir):
+    """Deterministic N-per-group sampling (reservoir-sampling's job,
+    minus the nondeterminism): rank rows inside each group by the md5
+    hash of their id and keep the first 20 — a pure function of the
+    ids, so the 'random' 20 docs per language are identical on any
+    cluster and any run. One shuffle on the group key; WindowGroupLimit
+    prunes beyond rank 20 before anything else moves."""
+    docs = _t(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("grp"), F.col("doc_id").cast("string"))), 1, 15),
+        16, 10,
+    ).cast("long")
+    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).cast("long").alias("rn"))
+        .filter(F.col("rn") <= 20)
+    )
+
+
+@register("events_funnel", """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS tus FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')
+),
+v AS (SELECT user_id, min(tus) AS t_view FROM e WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, min(tus) AS t_click
+      FROM e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.tus > v.t_view GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(tus) AS t_purchase
+      FROM e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.tus > c.t_click GROUP BY e.user_id)
+SELECT CAST(count(*) AS BIGINT) AS n_view,
+       CAST(count(t_click) AS BIGINT) AS n_view_click,
+       CAST(count(t_purchase) AS BIGINT) AS n_view_click_purchase,
+       CAST(coalesce(sum((t_purchase - t_view) // 1000000), 0) AS BIGINT) AS total_funnel_s
+FROM v LEFT JOIN c ON v.user_id = c.user_id
+       LEFT JOIN p ON v.user_id = p.user_id
+""")
+def events_funnel(spark, sf_dir):
+    """Ordered funnel (view -> later click -> later purchase), the
+    product-analytics staple. ONE shuffle on user_id feeds a single
+    conditional-aggregation pass: first view, first click AFTER that
+    view, first purchase AFTER that click, computed as three chained
+    conditional MINs inside one groupBy — no joins, no window, no
+    second shuffle (the oracle spells the same logic as three joined
+    subqueries)."""
+    ev = _events_us(spark, sf_dir)
+    e = ev.filter(F.col("event_type").isin("view", "click", "purchase")).select(
+        "user_id", "event_type", "ts_us"
+    )
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts_us"))).alias("t_view"),
+        F.sort_array(
+            F.collect_list(
+                F.when(F.col("event_type") == "click", F.col("ts_us"))
+            )
+        ).alias("clicks"),
+        F.sort_array(
+            F.collect_list(
+                F.when(F.col("event_type") == "purchase", F.col("ts_us"))
+            )
+        ).alias("purchases"),
+    )
+    t_click = F.filter(
+        F.col("clicks"), lambda t: t > F.col("t_view")
+    )[0]
+    per_user = (
+        per_user.filter(F.col("t_view").isNotNull())
+        .withColumn("t_click", t_click)
+        .withColumn(
+            "t_purchase",
+            F.filter(F.col("purchases"), lambda t: t > F.col("t_click"))[0],
+        )
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n_view"),
+        F.count("t_click").cast("long").alias("n_view_click"),
+        F.count("t_purchase").cast("long").alias("n_view_click_purchase"),
+        F.coalesce(
+            F.sum(
+                F.expr("(t_purchase - t_view) div 1000000")
+            ),
+            F.lit(0),
+        ).cast("long").alias("total_funnel_s"),
+    )
+
+
 # ------------------------------------------------------------- entry --
 
 def flagship(spark: SparkSession) -> DataFrame:

@@ -71,6 +71,8 @@ BENCH_QUERIES = [
     "doc_repetition",
     "doc_unigram_logprob",
     "events_json_props",
+    "events_funnel",
+    "sample_per_group_topn",
     "events_hourly_rollup",
     "events_sessionization",
     "streaming_hourly_rollup",
