@@ -1310,6 +1310,74 @@ def streaming_sessionization(spark, sf_dir):
     )
 
 
+@register("streaming_interval_join", """
+WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tus, event_type,
+                  CAST(round(value * 100) AS BIGINT) AS v_e2 FROM events),
+p AS (SELECT event_id, user_id, tus FROM e WHERE event_type = 'purchase'),
+v AS (SELECT user_id, tus, v_e2 FROM e WHERE event_type = 'view')
+SELECT p.event_id AS event_id, p.user_id AS user_id,
+       CAST(count(*) AS BIGINT) AS n_views_1h,
+       CAST(sum(v.v_e2) AS BIGINT) AS sum_view_value_e2
+FROM p JOIN v
+  ON v.user_id = p.user_id
+ AND v.tus >= p.tus - 3600000000 AND v.tus < p.tus
+GROUP BY p.event_id, p.user_id
+""")
+def streaming_interval_join(spark, sf_dir):
+    """The STREAMING face of events_purchase_view_window: a real
+    stream-stream time-interval self-join (streaming/pipeline.
+    purchase_view_interval_join) under Trigger.AvailableNow, append
+    mode — inner matches are emitted as soon as both rows arrive, so
+    the pair set equals the batch range join's exactly; the per-purchase
+    rollup happens batch-side over the sink table. The oracle is the
+    inner-join variant of the batch gate's SQL."""
+    import uuid
+
+    from ahnlich_spark.streaming.pipeline import purchase_view_interval_join
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    stream_dir = tempfile.mkdtemp(prefix="ahnlich_stream_ij_")
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(stream_dir, "events-0.parquet"),
+    )
+    div = _events_ts_us_divisor(sf_dir)
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(stream_dir)
+        .withColumn("ts", F.timestamp_micros((F.col("ts") / div).cast("long")))
+    )
+    pairs = purchase_view_interval_join(stream, window="1 hour")
+    name = f"stream_ij_{uuid.uuid4().hex[:8]}"
+    q = (
+        pairs.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("event_id", "user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_views_1h"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("sum_view_value_e2"),
+        )
+    )
+
+
 @register("events_json_props", """
 SELECT event_type,
        count(*) AS n,

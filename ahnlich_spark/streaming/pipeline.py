@@ -122,6 +122,48 @@ def streaming_exact_dedup(
     return with_fp.dropDuplicates(["fp"])
 
 
+def purchase_view_interval_join(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream time-interval self-join: every purchase paired with
+    the same user's views from the strictly-preceding ``window``. This
+    is Structured Streaming's interval-join state operator — each side
+    buffers rows only until the other side's watermark passes the join
+    range, so state is bounded by ``window + watermark`` regardless of
+    stream length.
+
+    INNER join on purpose: inner matches are emitted the moment both
+    rows have arrived (the watermark only EVICTS state), so under
+    Trigger.AvailableNow the emitted pairs are exactly the batch range
+    join's — bit-exact parity. (An outer join's null-padded rows are
+    emitted only when the watermark proves no match can come, which a
+    finite availableNow run never proves for the tail — the classic
+    streaming-tail gap; count the zero-view purchases batch-side.)
+
+    Works identically on a batch frame (withWatermark no-op'd)."""
+    p = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("p_ts")
+    )
+    v = events.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+        "value",
+    )
+    if p.isStreaming:
+        p = p.withWatermark("p_ts", watermark)
+        v = v.withWatermark("v_ts", watermark)
+    cond = (
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("v_ts") >= F.expr(f"p_ts - INTERVAL {window}"))
+        & (F.col("v_ts") < F.col("p_ts"))
+    )
+    return p.join(v, cond, "inner").select(
+        "event_id", "user_id", "p_ts", "v_ts", "value"
+    )
+
+
 def running_user_totals(events: DataFrame) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: per-user
     running (event count, value sum) maintained across micro-batches —

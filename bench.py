@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "events_sessionization",
     "streaming_hourly_rollup",
     "streaming_sessionization",
+    "streaming_interval_join",
     "lineitem_pricing_rollup",
     "orders_top_customers",
     "multimodal_image_meta",
