@@ -228,3 +228,77 @@ def pq_top_k(
         .orderBy(F.asc("dist"), F.asc(id_col))
         .limit(k)
     )
+
+
+def pq_top_k_batch(
+    df: DataFrame,
+    probes: Sequence[tuple],
+    books: np.ndarray,
+    k: int = 10,
+    candidates: int = 128,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    code_col: Optional[str] = None,
+    metric: str = "euclidean_distance",
+    precision: str = "double",
+    rank_col: str = "rank_n",
+) -> DataFrame:
+    """Batch PQ/ADC search: top-k per probe for a whole batch in ONE
+    plan. ``probes`` is a list of (probe_id, vector); each probe's ADC
+    lookup table is computed driver-side (m*k doubles — tiny) and rides
+    into the plan as broadcast DATA, so the store-side cost per probe is
+    m array lookups over the code column instead of a d-dim kernel — at
+    d=64/m=8 the candidate stage does 8 lookups per (row, probe) where
+    the linear batch does 64 multiply-adds, and reads 8 bytes per row
+    instead of 256.
+
+    Stages: broadcast (qid, lut, qkey) x code scan -> ADC via one
+    zip_with fold -> WindowGroupLimit keeps ``candidates`` per probe ->
+    exact rescore of survivors under ``metric`` -> top-k per probe.
+    The store never shuffles; the only wide exchange carries
+    O(#probes * candidates) rows.
+
+    ``code_col`` names a precomputed code column (the engine's persisted
+    ``_ann_pqcode`` artifact); when absent the codes are encoded
+    scan-locally from ``vec_col``."""
+    from ahnlich_spark.functions import similarity as S
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    rows = []
+    for pid, vec in probes:
+        q = [float(x) for x in vec]
+        rows.append((int(pid), q, adc_lut(q, books)))
+    probes_df = spark.createDataFrame(
+        rows, "qid long, qkey array<double>, lut array<array<double>>"
+    )
+
+    codes = F.col(code_col) if code_col else encode_expr(F.col(vec_col), books)
+    base = df.select(F.col(id_col), F.col(vec_col), codes.alias("_codes"))
+    joined = base.crossJoin(F.broadcast(probes_df))
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("_codes"),
+            F.col("lut"),
+            lambda c, row: F.element_at(row, c + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    wc = Window.partitionBy("qid").orderBy(F.asc("_adc"), F.asc(id_col))
+    cand = (
+        joined.withColumn("_adc", adc)
+        .withColumn("_crank", F.row_number().over(wc))
+        .filter(F.col("_crank") <= candidates)
+        .drop("_adc", "_crank", "_codes", "lut")
+    )
+    score = S.score_expr(metric, F.col(vec_col), F.col("qkey"), precision)
+    wr = Window.partitionBy("qid").orderBy(
+        S.closeness(metric, F.col("_score")).desc(), F.col(id_col).asc()
+    )
+    return (
+        cand.withColumn("_score", score)
+        .withColumn(rank_col, F.row_number().over(wr))
+        .filter(F.col(rank_col) <= k)
+        .select(F.col("qid"), F.col(id_col), F.col(rank_col), F.col("_score").alias("similarity"))
+    )

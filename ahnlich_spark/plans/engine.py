@@ -464,9 +464,12 @@ class Engine:
         from ahnlich_spark.operators.topk import top_k_batch
 
         meta = self.catalog.get_store(store, schema)
+        if algorithm == "pq" and condition is None:
+            return self._batch_pq(meta, probes, closest_n, precision)
         if algorithm not in LINEAR_ALGOS:
             raise ValueError(
-                f"get_sim_n_batch supports linear metrics, got {algorithm!r}"
+                f"get_sim_n_batch supports linear metrics (or 'pq' without "
+                f"a condition), got {algorithm!r}"
             )
         if isinstance(probes, DataFrame):
             probes_df = probes
@@ -486,6 +489,44 @@ class Engine:
         return top_k_batch(
             df, probes_df, algorithm, closest_n,
             precision=precision, rank_col="rank_n",
+        )
+
+    def _batch_pq(self, meta, probes, closest_n, precision) -> DataFrame:
+        """Batch ADC search over the persisted code artifact: the store
+        side is scanned once reading 8-byte codes, every probe's lookup
+        table rides in as broadcast data, survivors are exact-rescored
+        (operators/pq.pq_top_k_batch). Requires the pq index."""
+        from ahnlich_spark.operators.pq import pq_top_k_batch
+
+        if "pq" not in meta.non_linear:
+            raise errors.NonLinearIndexNotFound(
+                f"non-linear index 'pq' not created for {meta.schema}.{meta.name}"
+            )
+        cfg = meta.non_linear_config.get("pq", ANN_DEFAULTS["pq"])
+        if isinstance(probes, DataFrame):
+            probe_rows = [(r[0], list(r[1])) for r in probes.collect()]
+        else:
+            probe_rows = [(int(pid), [float(x) for x in v]) for pid, v in probes]
+        self._check_dims(meta, [v for _pid, v in probe_rows])
+        raw = read_store(self.spark, self.catalog, meta, canonical=False)
+        code_col = "_ann_pqcode" if "_ann_pqcode" in raw.columns else None
+        books = self._pq_codebooks(meta, raw if code_col is None else None)
+        if books is None:
+            from ahnlich_spark.operators.topk import top_k_batch
+
+            probes_df = self.spark.createDataFrame(
+                probe_rows, "qid long, qkey array<float>"
+            )
+            return top_k_batch(
+                read_store(self.spark, self.catalog, meta), probes_df,
+                cfg.get("distance", S.EUCLIDEAN), closest_n,
+                precision=precision, rank_col="rank_n",
+            )
+        return pq_top_k_batch(
+            raw, probe_rows, books, k=closest_n,
+            candidates=max(4 * closest_n, int(cfg.get("candidates", 256))),
+            vec_col="key", id_col="id", code_col=code_col,
+            metric=cfg.get("distance", S.EUCLIDEAN), precision=precision,
         )
 
     def get_sim_n(

@@ -76,3 +76,53 @@ def test_pq_candidate_plan_scan_local(spark):
     assert "BatchEvalPython" not in plan
     assert "Join" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_pq_batch_matches_single(spark, sf_dir):
+    """Batch ADC with one probe reproduces the single-probe pq_top_k id
+    ranking exactly (same codebooks, candidates, tie-breaks)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = P.train_codebooks()
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    single = [r["vec_id"] for r in P.pq_top_k(emb, q, books, k=10, candidates=64).collect()]
+    batch = P.pq_top_k_batch(
+        emb, [(0, q)], books, k=10, candidates=64,
+        metric="euclidean_distance",
+    )
+    got = [r["vec_id"] for r in batch.orderBy("rank_n").collect()]
+    assert got == single
+
+
+def test_pq_batch_multi_probe_self_rank1(spark, sf_dir):
+    """Every probe's rank-1 under euclidean ADC+rescore is itself."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = P.train_codebooks()
+    probes = [
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 6).collect()
+    ]
+    out = P.pq_top_k_batch(emb, probes, books, k=3, candidates=64)
+    top1 = {r["qid"]: r["vec_id"] for r in out.collect() if r["rank_n"] == 1}
+    assert top1 == {pid: pid for pid, _ in probes}
+
+
+def test_engine_batch_pq(spark, tmp_path_factory, sf_dir):
+    """Engine batch path over the persisted code artifact."""
+    from ahnlich_spark import Engine
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(300)
+    rows = emb.collect()
+    eng = Engine(spark, str(tmp_path_factory.mktemp("pq_batch_wh")))
+    eng.create_store("v", dimension=64)
+    eng.set("v", [(list(r["embedding"]), {"i": str(r["vec_id"])}) for r in rows])
+    eng.create_non_linear_algorithm_index("v", ["pq"])
+    probes = [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in rows[:4]]
+    out = eng.get_sim_n_batch("v", probes, closest_n=2, algorithm="pq").collect()
+    assert len(out) == 8
+    by_probe = {}
+    for r in out:
+        by_probe.setdefault(r["qid"], []).append(r)
+    for qid, rs in by_probe.items():
+        rk1 = [r for r in rs if r["rank_n"] == 1][0]
+        # rank-1 is the probe's own row (similarity/distance 0)
+        assert abs(rk1["similarity"]) < 1e-5
