@@ -581,6 +581,57 @@ def orders_top_customers(spark, sf_dir):
     )
 
 
+@register("regional_revenue", """
+SELECT r_name, n_name,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+         AS revenue_e4,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE s_nationkey = c_nationkey
+  AND o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-01-01'
+GROUP BY r_name, n_name
+""")
+def regional_revenue(spark, sf_dir):
+    """TPC-H Q5-shaped local-supplier revenue by region/nation: the
+    multi-join plan every warehouse runs. Shape discipline for 100 TB:
+    exactly ONE wide shuffle (lineitem x orders on l_orderkey — the two
+    fact tables); customer/supplier/nation/region are broadcast, the
+    date filter is pushed into the orders scan before the join, and the
+    same-nation predicate prunes fact rows before the aggregation. The
+    final groupBy input is already tiny."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    cust = F.broadcast(_t(spark, sf_dir, "customer"))
+    supp = F.broadcast(_t(spark, sf_dir, "supplier"))
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    region = F.broadcast(_t(spark, sf_dir, "region"))
+    e2 = lambda c: F.round(F.col(c) * 100).cast("long")
+    rev = e2("l_extendedprice") * (F.lit(100) - e2("l_discount"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("s_nationkey") == F.col("c_nationkey"))
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(rev).alias("revenue_e4"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+    )
+
+
 # ================================================== text analysis ==
 
 _TOKENS_SQL = "regexp_split_to_array(trim(text), '\\s+')"

@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "streaming_interval_join",
     "lineitem_pricing_rollup",
     "orders_top_customers",
+    "regional_revenue",
     "multimodal_image_meta",
     "multimodal_audio_meta",
     "ai_embed_binary",

@@ -220,3 +220,19 @@ def test_contamination_broadcasts_benchmark_side(docs):
     # distinct and the final per-doc hit count; a global distinct on
     # corpus (doc, gram) pairs would add a third
     assert n_exchanges(plan) <= 2, plan
+
+
+def test_regional_revenue_single_wide_shuffle(spark):
+    """The Q5-shaped multi-join must shuffle ONLY the fact-fact join
+    (lineitem x orders): every dimension join is a BroadcastHashJoin,
+    and the post-join aggregate adds at most the final (tiny) exchange."""
+    from ahnlich_spark.entry_queries import QUERIES
+
+    df = QUERIES["regional_revenue"](spark, "/root/testdata/sf0.001")
+    plan = plan_of(df)
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1, plan
+    # fact-fact exchange (x2 sides) + one aggregate exchange at most
+    assert n_exchanges(plan) <= 3, plan
+    # the date filter reaches the orders parquet scan
+    assert "PushedFilters" in plan and "o_orderdate" in plan.split("orders")[1]
