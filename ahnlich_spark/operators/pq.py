@@ -138,30 +138,47 @@ def _lit_doubles(values: Sequence[float]) -> Column:
     )
 
 
-def _subspace_dists(vec: Column, books: np.ndarray, j: int) -> List[Column]:
-    """k squared-distance folds between the j-th subvector and each
-    centroid of codebook j."""
+def _sql_lit_arr(vals: Sequence[float]) -> str:
+    """Foldable double-array literal in SQL text (same split-of-string
+    shape as ``_lit_doubles``)."""
+    return (
+        "CAST(split('"
+        + ",".join(repr(float(v)) for v in vals)
+        + "', ',') AS ARRAY<DOUBLE>)"
+    )
+
+
+def encode_expr(vec_name: str, books: np.ndarray) -> Column:
+    """ARRAY<INT>[m] of PQ codes for the column named ``vec_name``: per
+    subspace, the index (0-based) of the nearest centroid, first-match
+    tie-break.
+
+    Expression-tree economy, learned the hard way: the literal m*k
+    fold tree costs ~800 py4j round-trips to BUILD through the Column
+    API (~7 s driver time per query) and, even parsed from SQL text,
+    ~15k expression nodes for Catalyst to walk every optimization pass
+    (~3 s more). This version is a few DOZEN nodes: the whole codebook
+    rides in as one constant-folded ``from_json`` literal and the
+    per-subspace distance arrays are nested ``transform`` lambdas —
+    the distance array binds to a lambda variable, so the
+    array_position/array_min pair reads it without duplicating the
+    subtree. Same math, same fold order, bit-identical codes (the
+    encode unit test pins numpy-exact agreement; the gate's DuckDB
+    oracle pins cross-engine equality)."""
+    import json
+
     m, k, dsub = books.shape
-    sub = F.slice(vec, j * dsub + 1, dsub).cast("array<double>")
-    return [
-        F.aggregate(
-            F.zip_with(sub, _lit_doubles(books[j][c]), lambda x, cc: (x - cc) * (x - cc)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        for c in range(k)
-    ]
-
-
-def encode_expr(vec: Column, books: np.ndarray) -> Column:
-    """ARRAY<INT>[m] of PQ codes: per subspace, the index (0-based) of
-    the nearest centroid, first-match tie-break."""
-    m = books.shape[0]
-    code_cols = []
-    for j in range(m):
-        darr = F.array(*_subspace_dists(vec, books, j))
-        code_cols.append((F.array_position(darr, F.array_min(darr)) - 1).cast("int"))
-    return F.array(*code_cols)
+    bjson = json.dumps([[list(map(float, c)) for c in books[j]] for j in range(m)])
+    b_lit = f"from_json('{bjson}', 'array<array<array<double>>>')"
+    dists = (
+        f"transform(sequence(0, {m - 1}), j -> "
+        f"transform(element_at({b_lit}, j + 1), cent -> "
+        f"aggregate(zip_with(CAST(slice({vec_name}, j * {dsub} + 1, {dsub}) AS ARRAY<DOUBLE>), "
+        f"cent, (x, cc) -> (x - cc) * (x - cc)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)))"
+    )
+    return F.expr(
+        f"transform({dists}, darr -> CAST(array_position(darr, array_min(darr)) - 1 AS INT))"
+    )
 
 
 def adc_lut(query: Sequence[float], books: np.ndarray) -> List[List[float]]:
@@ -205,7 +222,7 @@ def pq_top_k(
     exact-rescore the survivors in the original space. Returns (id,
     dist) ascending, id tie-break."""
     q = [float(x) for x in query]
-    codes = encode_expr(F.col(vec_col), books)
+    codes = encode_expr(vec_col, books)
     lut = adc_lut(q, books)
     approx = adc_dist_expr(codes, lut)
 
@@ -273,7 +290,7 @@ def pq_top_k_batch(
         rows, "qid long, qkey array<double>, lut array<array<double>>"
     )
 
-    codes = F.col(code_col) if code_col else encode_expr(F.col(vec_col), books)
+    codes = F.col(code_col) if code_col else encode_expr(vec_col, books)
     base = df.select(F.col(id_col), F.col(vec_col), codes.alias("_codes"))
     joined = base.crossJoin(F.broadcast(probes_df))
     adc = F.aggregate(

@@ -322,7 +322,7 @@ class Engine:
             if books is not None:
                 from ahnlich_spark.operators.pq import encode_expr
 
-                df = df.withColumn("_ann_pqcode", encode_expr(F.col("key"), books))
+                df = df.withColumn("_ann_pqcode", encode_expr("key", books))
         # indexed predicate keys: flat string copies of meta[k].s — the
         # physical effect of CreatePredIndex (map access gets no parquet
         # pushdown; these columns do, and files are clustered by them)
@@ -676,7 +676,7 @@ class Engine:
             n_cand = max(4 * closest_n, int(cfg.get("candidates", 256)))
             cands = (
                 df.withColumn("_adc",
-                              adc_dist_expr(encode_expr(F.col("key"), books), lut))
+                              adc_dist_expr(encode_expr("key", books), lut))
                 .orderBy(F.asc("_adc"), F.asc("id"))
                 .limit(n_cand)
                 .drop("_adc")

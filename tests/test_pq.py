@@ -22,7 +22,7 @@ def test_encode_nearest_centroid(spark):
     got = {
         r["vec_id"]: r["codes"]
         for r in emb.select(
-            "vec_id", P.encode_expr(F.col("embedding"), books).alias("codes")
+            "vec_id", P.encode_expr("embedding", books).alias("codes")
         ).collect()
     }
     for r in emb.collect():
