@@ -1409,14 +1409,24 @@ def streaming_interval_join(spark, sf_dir):
     )
     pairs = purchase_view_interval_join(stream, window="1 hour")
     name = f"stream_ij_{uuid.uuid4().hex[:8]}"
-    q = (
-        pairs.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # a stream-stream join materializes FOUR state stores per shuffle
+    # partition (keyToNumValues/keyWithIndexToValue x both sides); at 32
+    # partitions that is 128 store instances of pure init overhead for a
+    # one-shot availableNow run. 8 partitions carry this data fine and
+    # the result is partitioning-independent.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            pairs.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return (
         spark.table(name)
         .groupBy("event_id", "user_id")
