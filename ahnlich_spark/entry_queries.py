@@ -2570,6 +2570,130 @@ def events_funnel(spark, sf_dir):
     )
 
 
+_BM25_TERMS = ("spark", "shuffle", "window")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def _bm25_oracle_sql(terms=_BM25_TERMS, k1=_BM25_K1, b=_BM25_B, k=20) -> str:
+    """DuckDB mirror of textstats.bm25_top_k — same tokenization (CASE
+    for the empty-doc dl), same left-associative float chains, same
+    literal constants via repr (bit-identical doubles)."""
+    ws = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+    tf_cols = ",\n    ".join(
+        f"CASE WHEN trim(text) = '' THEN 0.0 ELSE "
+        f"len(list_filter({ws}, w -> w = '{t}'))::DOUBLE END AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ", ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1.0 ELSE 0.0 END) AS df{i}"
+        for i in range(len(terms))
+    )
+    norm = f"{k1!r} * ({1.0 - b!r} + {b!r} * dl / (sum_dl / n_docs))"
+    score = "0.0"
+    for i in range(len(terms)):
+        idf = f"ln(1.0 + (n_docs - df{i} + 0.5) / (df{i} + 0.5))"
+        score += f" + {idf} * (tf{i} * {k1 + 1.0!r} / (tf{i} + {norm}))"
+    hit = " OR ".join(f"tf{i} > 0" for i in range(len(terms)))
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+    CASE WHEN trim(text) = '' THEN 0.0 ELSE len({ws})::DOUBLE END AS dl,
+    {tf_cols}
+  FROM documents
+),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, sum(dl) AS sum_dl, {df_cols} FROM base),
+scored AS (
+  SELECT doc_id, {score} AS score, ({hit}) AS hit FROM base, stats)
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank_n,
+       CAST(round(score * 1000000) AS BIGINT) AS score_e6
+FROM scored WHERE hit ORDER BY score DESC, doc_id LIMIT {k}
+"""
+
+
+@register("bm25_search", _bm25_oracle_sql())
+def bm25_search(spark, sf_dir):
+    """BM25 lexical retrieval for a literal 3-term query: per-term tf as
+    scan-local filtered-size columns (no explode, no join), corpus
+    stats as a 1-row broadcast, score as a left-associative chain,
+    bounded TakeOrderedAndProject — two corpus passes, zero corpus
+    shuffles (operators/textstats.bm25_top_k)."""
+    from ahnlich_spark.operators.textstats import bm25_top_k
+
+    return bm25_top_k(
+        _t(spark, sf_dir, "documents"), list(_BM25_TERMS), k=20,
+        k1=_BM25_K1, b=_BM25_B,
+    )
+
+
+@register("hybrid_search_rrf", f"""
+WITH bm AS ({_bm25_oracle_sql(k=50).replace('LIMIT 20', 'LIMIT 50')}),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+cos AS (
+  SELECT vec_id AS doc_id,
+         CAST(row_number() OVER (
+           ORDER BY list_cosine_similarity(embedding::DOUBLE[], qv) DESC, vec_id
+         ) AS BIGINT) AS rank_n
+  FROM embeddings, q ORDER BY rank_n LIMIT 50
+),
+fused AS (
+  SELECT coalesce(bm.doc_id, cos.doc_id) AS doc_id,
+         CAST(coalesce(1000000 // (60 + bm.rank_n), 0)
+            + coalesce(1000000 // (60 + cos.rank_n), 0) AS BIGINT) AS rrf_e6
+  FROM bm FULL OUTER JOIN cos ON bm.doc_id = cos.doc_id
+)
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY rrf_e6 DESC, doc_id) AS BIGINT) AS rank_n,
+       rrf_e6
+FROM fused ORDER BY rrf_e6 DESC, doc_id LIMIT 10
+""")
+def hybrid_search_rrf(spark, sf_dir):
+    """Hybrid retrieval by reciprocal-rank fusion: BM25 top-50 (lexical)
+    + cosine top-50 (dense, doc_id = vec_id) fused with the standard
+    RRF formula 1/(60 + rank), integer-scaled (1000000 div ...) so the
+    fusion is exact integer arithmetic. The two candidate lists are
+    top-k bounded BEFORE the full outer join, so the fusion join is
+    50x50 tiny regardless of corpus size — the scale shape of every
+    production hybrid-search stack."""
+    from ahnlich_spark.operators.textstats import bm25_top_k
+
+    bm = bm25_top_k(
+        _t(spark, sf_dir, "documents"), list(_BM25_TERMS), k=50,
+        k1=_BM25_K1, b=_BM25_B,
+    ).select("doc_id", F.col("rank_n").alias("r_bm"))
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = _qvec(spark, sf_dir)
+    scored = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        S.score_expr(
+            S.COSINE, F.col("embedding"), _qvec_lit_double(q), "double"
+        ).alias("cos"),
+    )
+    wc = Window.orderBy(F.desc("cos"), F.asc("doc_id"))
+    cos = (
+        scored.orderBy(F.desc("cos"), F.asc("doc_id")).limit(50)
+        .withColumn("r_cos", F.row_number().over(wc).cast("long"))
+        .select("doc_id", "r_cos")
+    )
+    rrf = (
+        bm.join(cos, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            (
+                F.coalesce(F.expr("1000000L div (60 + r_bm)"), F.lit(0))
+                + F.coalesce(F.expr("1000000L div (60 + r_cos)"), F.lit(0))
+            ).cast("long").alias("rrf_e6"),
+        )
+    )
+    wr = Window.orderBy(F.desc("rrf_e6"), F.asc("doc_id"))
+    return (
+        rrf.orderBy(F.desc("rrf_e6"), F.asc("doc_id")).limit(10)
+        .withColumn("rank_n", F.row_number().over(wr).cast("long"))
+        .select("doc_id", "rank_n", "rrf_e6")
+    )
+
+
 # ------------------------------------------------------------- entry --
 
 def flagship(spark: SparkSession) -> DataFrame:

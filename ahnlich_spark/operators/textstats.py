@@ -245,3 +245,83 @@ def pii_scrub(
         clean = F.regexp_replace(clean, pat, f"<{kind.upper()}>")
     cols.append(clean.alias("clean_text"))
     return df.select(*cols)
+
+
+# ------------------------------------------------------------- BM25 --
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: Sequence[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, score) BM25 relevance of every matching document for a
+    literal multi-term query — the classic lexical-retrieval scorer
+    (Robertson-Sparck Jones; the BM25+ idf ``ln(1 + (N - df + .5)/(df
+    + .5))``, never negative).
+
+    Plan economy for a bounded query (the only kind a search box
+    sends): NO explode, NO per-term join. Each term's tf is a
+    scan-local ``size(filter(tokens, w = term))`` column; corpus stats
+    (N, avgdl, per-term df) are ONE 1-row aggregate broadcast back; the
+    score is a left-associative chain over the terms. The whole plan is
+    scan -> 1-row agg -> broadcast -> scan -> top-k: two passes over
+    the corpus, zero shuffles of it.
+
+    Returns only docs containing at least one query term."""
+    toks = X.tokens(F.lower(F.col(text_col)))
+    dl = F.size(toks).cast("double")
+    tf_cols = [
+        F.size(F.filter(toks, lambda w: w == F.lit(t))).cast("double").alias(f"tf{i}")
+        for i, t in enumerate(query_terms)
+    ]
+    base = df.select(F.col(id_col).alias("doc_id"), dl.alias("dl"), *tf_cols)
+
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("double")).alias(f"df{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(stats))
+    avgdl = F.col("sum_dl") / F.col("n_docs")
+    norm = F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / avgdl)
+    score: Column = F.lit(0.0)
+    any_hit: Column = F.lit(False)
+    for i in range(len(query_terms)):
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col(f"df{i}") + F.lit(0.5)) / (F.col(f"df{i}") + F.lit(0.5))
+        )
+        score = score + idf * (
+            F.col(f"tf{i}") * F.lit(k1 + 1.0) / (F.col(f"tf{i}") + norm)
+        )
+        any_hit = any_hit | (F.col(f"tf{i}") > 0)
+    return scored.filter(any_hit).select("doc_id", score.alias("score"))
+
+
+def bm25_top_k(
+    df: DataFrame,
+    query_terms: Sequence[str],
+    k: int = 20,
+    **kw,
+) -> DataFrame:
+    """(doc_id, rank_n, score_e6): bounded BM25 top-k, score-desc with
+    doc_id tie-break, e6-scaled for cross-engine hashing."""
+    scored = bm25_scores(df, query_terms, **kw)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .withColumn("rank_n", F.row_number().over(w).cast("long"))
+        .select(
+            "doc_id",
+            "rank_n",
+            F.round(F.col("score") * 1_000_000).cast("long").alias("score_e6"),
+        )
+    )

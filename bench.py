@@ -52,6 +52,8 @@ BENCH_QUERIES = [
     "topk_per_label",
     "vocab_top_terms",
     "tfidf_top_terms",
+    "bm25_search",
+    "hybrid_search_rrf",
     "quality_filter_c4",
     "pii_scrub",
     "asof_purchase_last_view",
