@@ -2694,6 +2694,55 @@ def hybrid_search_rrf(spark, sf_dir):
     )
 
 
+@register("events_outliers", """
+WITH e AS (SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS v
+           FROM events),
+s AS (SELECT event_type, count(*) AS n, sum(v) AS s1, sum(v::HUGEINT * v) AS s2
+      FROM e GROUP BY event_type),
+f AS (
+  SELECT e.event_type, e.event_id,
+         ((s.n * e.v - s.s1)::HUGEINT * (s.n * e.v - s.s1)
+            > 9::HUGEINT * (s.n::HUGEINT * s.s2 - s.s1::HUGEINT * s.s1)) AS is_out
+  FROM e JOIN s ON e.event_type = s.event_type
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN is_out THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       CAST(min(CASE WHEN is_out THEN event_id END) AS BIGINT) AS first_outlier_id
+FROM f GROUP BY event_type
+""")
+def events_outliers(spark, sf_dir):
+    """Distributed 3-sigma outlier detection with EXACT arithmetic: on
+    e2-scaled values, (x - mean)^2 > 9 * variance cross-multiplies to
+    (n*x - s1)^2 > 9*(n*s2 - s1^2) — no float variance whose
+    partition-dependent summation order could flip a boundary. The
+    squares and second moments run in 128-bit exact types (Spark
+    DECIMAL(38,0), DuckDB HUGEINT): at corpus scale n*s2 passes 2^63
+    and silent BIGINT wraparound would corrupt the comparison. Plan:
+    one groupBy for per-type moments (tiny, broadcast back), one
+    scan-local flag pass, one final rollup."""
+    ev = _t(spark, sf_dir, "events")
+    dec = lambda c: c.cast("decimal(38,0)")
+    e = ev.select(
+        "event_id", "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    s = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s1"),
+        F.sum(dec(F.col("v") * F.col("v"))).alias("s2"),
+    )
+    j = e.join(F.broadcast(s), "event_type")
+    dev = dec(F.col("n") * F.col("v") - F.col("s1"))
+    rhs = F.lit(9) * (dec(F.col("n")) * F.col("s2") - dec(F.col("s1")) * dec(F.col("s1")))
+    is_out = (dev * dev) > rhs
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(is_out.cast("int")).cast("long").alias("n_outliers"),
+        F.min(F.when(is_out, F.col("event_id"))).cast("long").alias("first_outlier_id"),
+    )
+
+
 # ------------------------------------------------------------- entry --
 
 def flagship(spark: SparkSession) -> DataFrame:

@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "doc_unigram_logprob",
     "events_json_props",
     "events_funnel",
+    "events_outliers",
     "sample_per_group_topn",
     "events_hourly_rollup",
     "events_sessionization",
