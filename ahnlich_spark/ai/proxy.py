@@ -508,10 +508,13 @@ class AiEngine:
         condition: Optional[Predicate] = None,
         schema: str = PUBLIC_SCHEMA,
         preprocess_action: str = NO_PREPROCESSING,
+        precision: str = "float",
     ) -> DataFrame:
         binding = self._binding(store, schema)
         vec = self._embed_input(search_input, binding.query_model, preprocess_action)
-        out = self.engine.get_sim_n(store, vec, closest_n, algorithm, condition, schema)
+        out = self.engine.get_sim_n(
+            store, vec, closest_n, algorithm, condition, schema, precision=precision
+        )
         return self._to_store_input_frame(out, binding)
 
     def get_key(

@@ -2743,6 +2743,77 @@ def events_outliers(spark, sf_dir):
     )
 
 
+_AI_SIM_QUERY = "spark shuffle window query plan"
+
+
+def _ai_get_sim_n_oracle_sql(k: int = 10) -> str:
+    """Oracle for the full AI GetSimN path: recompute the stub
+    embeddings of every (doc_id-prefixed) document text in SQL, embed
+    the query driver-side and inline it as a literal, cosine top-k."""
+    from ahnlich_spark.ai.embedder import stub_embed
+
+    qv = stub_embed(_AI_SIM_QUERY, 384)
+    qlit = "[" + ", ".join(repr(float(x)) for x in qv) + "]::DOUBLE[]"
+    return f"""
+WITH d AS (SELECT doc_id, doc_id::VARCHAR || ' ' || text AS t FROM documents),
+sums AS (
+  SELECT doc_id,
+    COALESCE(list_sum(list_transform(range(1, length(t)+1),
+                                     j -> ascii(t[j]) * j)), 0) % 1000003 AS s1,
+    COALESCE(list_sum(list_transform(range(1, length(t)+1),
+                                     j -> ascii(t[j]))), 0) % 1000003 AS s2
+  FROM d),
+emb AS (
+  SELECT doc_id,
+         list_transform(range(1, 385),
+           i -> CAST(CAST(CAST((s1 * i + s2) % 2001 - 1000 AS DOUBLE) / 1000.0
+                AS REAL) AS DOUBLE)) AS e
+  FROM sums),
+scored AS (
+  SELECT doc_id AS did, list_cosine_similarity(e, {qlit}) AS score FROM emb)
+SELECT did,
+       CAST(row_number() OVER (ORDER BY score DESC, did) AS BIGINT) AS rank_n,
+       CAST(round(score * 10000) AS BIGINT) AS score_e4
+FROM scored ORDER BY score DESC, did LIMIT {k}
+"""
+
+
+@register("ai_get_sim_n", _ai_get_sim_n_oracle_sql())
+def ai_get_sim_n(spark, sf_dir):
+    """The FULL AI GetSimN path end-to-end (reference
+    handler.rs:339-425): bulk-ingest every document through the AI
+    proxy (executor-side Arrow-batched embedding, store_original
+    reserved key), embed the query text with the query model, forward
+    to DB GetSimN (cosine, double precision for the oracle), convert
+    results back to original-input rows. The oracle recomputes the
+    whole thing — stub embeddings of the same texts, literal query
+    embedding, cosine top-10 — from the documents table alone, so any
+    drift in embed -> store -> search -> convert flips the hash."""
+    from ahnlich_spark.ai import AiEngine
+    from ahnlich_spark.plans.engine import Engine
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.concat_ws(" ", F.col("doc_id").cast("string"), F.col("text")).alias("input"),
+        F.create_map(F.lit("did"), F.col("doc_id").cast("string")).alias("m"),
+    )
+    wh = tempfile.mkdtemp(prefix="ahnlich_gate_aisim_")
+    ai = AiEngine(Engine(spark, wh))
+    ai.create_store("aisim", query_model="all-minilm-l6-v2",
+                    index_model="all-minilm-l6-v2", store_original=True)
+    ai.set("aisim", docs, meta_col="m")
+    from ahnlich_spark.types import StoreInput
+
+    out = ai.get_sim_n("aisim", StoreInput.raw_string(_AI_SIM_QUERY), closest_n=10,
+                       algorithm="cosine_similarity", precision="double")
+    did = F.col("meta")["did"]["s"].cast("long")
+    w = Window.orderBy(F.desc("similarity"), F.asc(did))
+    return out.select(
+        did.alias("did"),
+        F.row_number().over(w).cast("long").alias("rank_n"),
+        F.round(F.col("similarity") * 10000).cast("long").alias("score_e4"),
+    )
+
+
 # ------------------------------------------------------------- entry --
 
 def flagship(spark: SparkSession) -> DataFrame:

@@ -35,6 +35,7 @@ BENCH_QUERIES = [
     "del_pred",
     "store_lifecycle_counts",
     "ai_convert_embeddings",
+    "ai_get_sim_n",
     "doc_token_count",
     "doc_bpe_token_count",
     "doc_quality",
