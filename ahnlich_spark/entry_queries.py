@@ -1207,14 +1207,21 @@ def streaming_hourly_rollup(spark, sf_dir):
     )
     rolled = hourly_rollup(stream, window="1 hour")
     name = f"stream_rollup_{uuid.uuid4().hex[:8]}"
-    q = (
-        rolled.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # 8 state partitions for the one-shot run: stateful-operator state
+    # stores are per-partition fixed cost, results partition-independent
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            rolled.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name).select(
         F.unix_timestamp("window_start").alias("hour_epoch"),
         "event_type",
@@ -1338,14 +1345,19 @@ def streaming_sessionization(spark, sf_dir):
     )
     sessions = session_rollup(stream, gap="30 minutes")
     name = f"stream_sessions_{uuid.uuid4().hex[:8]}"
-    q = (
-        sessions.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            sessions.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     gap_us = 30 * 60 * 1_000_000
     return spark.table(name).select(
         "user_id",
@@ -2755,7 +2767,8 @@ def _ai_get_sim_n_oracle_sql(k: int = 10) -> str:
     qv = stub_embed(_AI_SIM_QUERY, 384)
     qlit = "[" + ", ".join(repr(float(x)) for x in qv) + "]::DOUBLE[]"
     return f"""
-WITH d AS (SELECT doc_id, doc_id::VARCHAR || ' ' || text AS t FROM documents),
+WITH d AS (SELECT doc_id, doc_id::VARCHAR || ' ' || text AS t
+           FROM documents WHERE doc_id < 2000),
 sums AS (
   SELECT doc_id,
     COALESCE(list_sum(list_transform(range(1, length(t)+1),
@@ -2792,7 +2805,10 @@ def ai_get_sim_n(spark, sf_dir):
     from ahnlich_spark.ai import AiEngine
     from ahnlich_spark.plans.engine import Engine
 
-    docs = _t(spark, sf_dir, "documents").select(
+    # bounded ingest (doc_id < 2000): the gate exercises the PATH —
+    # embed -> write -> search -> convert — not bulk volume (ai_bulk_set
+    # covers tens of thousands of rows)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000).select(
         F.concat_ws(" ", F.col("doc_id").cast("string"), F.col("text")).alias("input"),
         F.create_map(F.lit("did"), F.col("doc_id").cast("string")).alias("m"),
     )
@@ -2811,6 +2827,30 @@ def ai_get_sim_n(spark, sf_dir):
         did.alias("did"),
         F.row_number().over(w).cast("long").alias("rank_n"),
         F.round(F.col("similarity") * 10000).cast("long").alias("score_e4"),
+    )
+
+
+@register("lang_id_confusion", f"""
+WITH pred AS ({_LANG_SQL})
+SELECT d.lang AS true_lang, p.pred_lang AS pred_lang,
+       CAST(count(*) AS BIGINT) AS n
+FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+GROUP BY d.lang, p.pred_lang
+""")
+def lang_id_confusion(spark, sf_dir):
+    """Classifier evaluation as a first-class pipeline op: the marker-
+    based language-ID predictions cross-tabulated against the labeled
+    ``lang`` column — the confusion matrix a data pipeline watches to
+    decide whether its cheap lang filter is leaking. Predictions come
+    from the same scaled aggregation as doc_lang_id; the join is on
+    doc_id (one shuffle) and the matrix itself is tiny."""
+    docs = _t(spark, sf_dir, "documents")
+    pred = X.lang_id_table(docs)
+    return (
+        docs.select("doc_id", F.col("lang").alias("true_lang"))
+        .join(pred, "doc_id")
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
 
 

@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "doc_bpe_token_count",
     "doc_quality",
     "doc_lang_id",
+    "lang_id_confusion",
     "doc_fingerprint",
     "doc_rolling_hash",
     "dedup_exact",
