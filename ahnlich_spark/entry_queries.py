@@ -2854,6 +2854,82 @@ def lang_id_confusion(spark, sf_dir):
     )
 
 
+@register("collocations_pmi", f"""
+WITH toks AS (
+  SELECT list_transform({_TOKENS_SQL}, w -> lower(w)) AS ws
+  FROM documents WHERE trim(text) <> ''
+),
+big AS (
+  SELECT ws[i] AS w1, ws[i+1] AS w2
+  FROM toks, unnest(range(1, len(ws))) AS t(i)
+),
+bc AS (SELECT w1, w2, count(*) AS c_ab FROM big GROUP BY w1, w2),
+uc AS (SELECT w1 AS w, count(*) AS c FROM big GROUP BY w1),
+tot AS (SELECT sum(c_ab) AS n FROM bc)
+SELECT w1, w2, CAST(c_ab AS BIGINT) AS c_ab,
+       CAST(round(ln(c_ab::DOUBLE * n / (u1.c::DOUBLE * u2.c)) * 1000000) AS BIGINT) AS pmi_e6
+FROM bc JOIN uc u1 ON bc.w1 = u1.w JOIN uc u2 ON bc.w2 = u2.w, tot
+WHERE c_ab >= 5
+ORDER BY pmi_e6 DESC, w1, w2 LIMIT 20
+""")
+def collocations_pmi(spark, sf_dir):
+    """Top bigram collocations by pointwise mutual information —
+    the classic phrase-mining pass (Church & Hanks 1990). First-token
+    marginals are used for BOTH sides of the PMI ratio (c(w) = bigrams
+    starting at w), so every count is a pure function of the bigram
+    table. Plan: scan-local bigram explode, two codegen'd aggregations,
+    term-keyed joins (AQE splits stopword skew), 1-row total broadcast,
+    bounded TakeOrdered. PMI is e6-rounded from an exact integer ratio
+    so both engines agree bit-for-bit."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.transform(X.tokens(F.col("text")), lambda w: F.lower(w))
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.struct(
+                F.element_at(toks, i + 1).alias("w1"),
+                F.element_at(toks, i + 2).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    big = (
+        _fan_out_docs(docs)
+        .select(F.explode(pairs).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
+    uc = big.groupBy(F.col("w1").alias("w")).agg(F.count(F.lit(1)).alias("c"))
+    tot = bc.select(F.sum("c_ab").alias("n"))
+    u1 = uc.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uc.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    return (
+        bc.filter(F.col("c_ab") >= 5)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1", "w2",
+            F.col("c_ab").cast("long").alias("c_ab"),
+            F.round(
+                F.log(
+                    F.col("c_ab").cast("double") * F.col("n")
+                    / (F.col("c1").cast("double") * F.col("c2"))
+                )
+                * 1_000_000
+            ).cast("long").alias("pmi_e6"),
+        )
+        .orderBy(F.desc("pmi_e6"), F.asc("w1"), F.asc("w2"))
+        .limit(20)
+    )
+
+
+def _fan_out_docs(df):
+    from ahnlich_spark.plans.layout import fan_out
+
+    return fan_out(df)
+
+
 # ------------------------------------------------------------- entry --
 
 def flagship(spark: SparkSession) -> DataFrame:

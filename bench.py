@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "vocab_top_terms",
     "tfidf_top_terms",
     "bm25_search",
+    "collocations_pmi",
     "hybrid_search_rrf",
     "quality_filter_c4",
     "pii_scrub",
