@@ -2930,6 +2930,94 @@ def _fan_out_docs(df):
     return fan_out(df)
 
 
+@register("events_gap_fill", """
+WITH e AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+         CAST(round(value * 100) AS BIGINT) AS v_e2
+  FROM events WHERE event_type IN ('purchase', 'signup')),
+bounds AS (SELECT min(h) AS h0, max(h) AS h1 FROM e),
+grid AS (
+  SELECT t.ty AS event_type, g.h AS h
+  FROM (SELECT unnest(['purchase', 'signup']) AS ty) t,
+       (SELECT unnest(generate_series(h0, h1)) AS h FROM bounds) g),
+agg AS (SELECT event_type, h, count(*) AS n, sum(v_e2) AS s
+        FROM e GROUP BY event_type, h)
+SELECT grid.event_type AS event_type,
+       CAST(grid.h * 3600 AS BIGINT) AS hour_epoch,
+       CAST(coalesce(agg.n, 0) AS BIGINT) AS n,
+       CAST(coalesce(agg.s, 0) AS BIGINT) AS sum_value_e2
+FROM grid LEFT JOIN agg ON grid.event_type = agg.event_type AND grid.h = agg.h
+""")
+def events_gap_fill(spark, sf_dir):
+    """Time-series resampling with gap fill: hourly totals per event
+    type with EVERY hour of the observed range present, zeros where no
+    events landed — the regularized series a downstream forecaster or
+    dashboard needs (a plain GROUP BY silently drops empty buckets).
+    The dense hour grid is generated from a 1-row bounds aggregate
+    (sequence + explode — rows are created executor-side, never
+    collected) and left-joined against the hourly rollup; at 100 TB the
+    grid is |types| x |hours| — tiny — and broadcast against the
+    aggregated (already small) side."""
+    ev = _events_us(spark, sf_dir).filter(
+        F.col("event_type").isin("purchase", "signup")
+    )
+    us_h = 3_600_000_000
+    e = ev.select(
+        "event_type",
+        F.expr(f"ts_us div {us_h}").alias("h"),
+        F.round(F.col("value") * 100).cast("long").alias("v_e2"),
+    )
+    agg = e.groupBy("event_type", "h").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v_e2").alias("s")
+    )
+    bounds = e.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = (
+        bounds.select(F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h"))
+        .crossJoin(
+            spark.createDataFrame(
+                [("purchase",), ("signup",)], "event_type string"
+            )
+        )
+    )
+    return (
+        grid.join(agg, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            (F.col("h") * 3600).cast("long").alias("hour_epoch"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+            F.coalesce(F.col("s"), F.lit(0)).cast("long").alias("sum_value_e2"),
+        )
+    )
+
+
+@register("sample_weighted_quality", f"""
+WITH q AS (
+  SELECT doc_id,
+    CASE WHEN trim(text) = '' THEN 0 ELSE
+      CAST(round(len(list_distinct({_TOKENS_SQL})) * 10000.0
+           / len({_TOKENS_SQL})) AS BIGINT) END AS dr_e4
+  FROM documents
+)
+SELECT doc_id, dr_e4
+FROM q
+WHERE ('0x' || substring(md5('wq' || doc_id::VARCHAR), 1, 15))::BIGINT % 1000000
+      < dr_e4 * 100
+""")
+def sample_weighted_quality(spark, sf_dir):
+    """Quality-proportional resampling: each document's keep probability
+    is its distinct-token ratio (repetitive docs downsampled, varied
+    docs kept) — the deterministic version of the importance-resampling
+    pass pipelines run after quality scoring. Scan-local integer
+    compare; same md5-uniform as hash_sample, so the draw is monotone
+    in the weight (operators/sampling.weighted_hash_sample)."""
+    from ahnlich_spark.operators.sampling import weighted_hash_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    dr = X.distinct_token_ratio_e4(F.col("text"))
+    scored = docs.select("doc_id", dr.cast("long").alias("dr_e4"))
+    return weighted_hash_sample(scored, F.col("dr_e4") * 100, salt="wq")
+
+
 # ------------------------------------------------------------- entry --
 
 def flagship(spark: SparkSession) -> DataFrame:

@@ -75,6 +75,22 @@ def stratified_sample(
     return df.filter(_hash_unit(F.col(id_col), salt) < thr)
 
 
+def weighted_hash_sample(
+    df: DataFrame,
+    rate_e6: Column,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Per-row deterministic Bernoulli keep with row-specific
+    probability ``rate_e6 / 1e6`` (quality-proportional resampling: keep
+    high-quality docs with certainty, downsample junk): row survives iff
+    md5(salt || id) mod 1e6 < rate_e6. Pure integers, scan-local, no
+    shuffle; the same (salt, id) draws ONE uniform shared by every
+    weighting, so raising a row's rate can only ADD it (monotone, like
+    the nested fixed-rate samples)."""
+    return df.filter(_hash_unit(F.col(id_col), salt) < rate_e6)
+
+
 def pack_sequences(
     df: DataFrame,
     budget: int,

@@ -66,6 +66,8 @@ BENCH_QUERIES = [
     "ann_pq_topk",
     "corpus_mixture",
     "sample_stratified",
+    "sample_weighted_quality",
+    "events_gap_fill",
     "pack_sequences",
     "decontaminate_ngrams",
     "chunk_dedup",
