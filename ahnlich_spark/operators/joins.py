@@ -175,3 +175,43 @@ def asof_join(
         F.col(f"__match.{c}").alias(f"{prefix}{c}") for c in right_cols
     )
     return carried.select(*out_cols)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    n_salts: int = 8,
+    how: str = "inner",
+    salt_source: Optional[str] = None,
+) -> DataFrame:
+    """Skew-safe equi-join: a hot key on the LEFT (one user with
+    millions of events, one boilerplate fingerprint) lands every one of
+    its rows in a single reducer under plain hash partitioning — the
+    straggler that decides the stage's wall time at 100 TB. Salting
+    splits each key across ``n_salts`` reducers: left rows get
+    ``salt = hash(row) % n_salts``; the right side is replicated once
+    per salt (an n_salts-way explode of the SMALL side only); the join
+    key becomes (key, salt). Results are identical to the plain join —
+    salting only changes row routing.
+
+    Use when the right side is per-key small but too big (or too
+    dynamic) to broadcast, and AQE's skew splitting can't kick in
+    (e.g. the skew is in a single in-memory stage, or the join feeds a
+    window that must see the key co-located anyway). For broadcast-able
+    right sides, ``F.broadcast`` is strictly better — no shuffle at
+    all.
+
+    ``salt_source`` names a left column to derive the salt from
+    (deterministic routing); default derives it from the whole row's
+    partition-local order, which is free and routing-only."""
+    if salt_source is not None:
+        salt = F.pmod(F.xxhash64(F.col(salt_source)), F.lit(n_salts))
+    else:
+        salt = F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
+    l = left.withColumn("__salt", salt.cast("int"))
+    r = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<int>"))
+    )
+    out = l.join(r, [on, "__salt"], how)
+    return out.drop("__salt")

@@ -119,3 +119,39 @@ def test_window_count_join_single_shuffle(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+# ------------------------------------------------------ salted_join --
+
+from ahnlich_spark.operators.joins import salted_join
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salting only changes routing: result multiset == plain join,
+    including a hot key carrying most rows."""
+    left = spark.createDataFrame(
+        [(i, 1 if i < 80 else i % 5) for i in range(100)], "row_id long, k long"
+    )
+    right = spark.createDataFrame(
+        [(1, "hot"), (2, "a"), (3, "b"), (4, "c")], "k long, tag string"
+    )
+    plain = sorted(
+        (r["row_id"], r["tag"]) for r in left.join(right, "k").collect()
+    )
+    salted = sorted(
+        (r["row_id"], r["tag"])
+        for r in salted_join(left, right, on="k", n_salts=4).collect()
+    )
+    assert salted == plain and len(plain) > 80
+
+
+def test_salted_join_key_is_composite(spark):
+    """The physical join key must include the salt — that IS the skew
+    split; and the left side must NOT be exploded (only the small right
+    side replicates)."""
+    left = spark.createDataFrame([(i, i % 3) for i in range(50)], "row_id long, k long")
+    right = spark.createDataFrame([(0, "x"), (1, "y")], "k long, tag string")
+    out = salted_join(left, right, on="k", n_salts=4, salt_source="row_id")
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "__salt" in plan
+    assert plan.count("Generate explode") == 1  # right side only
