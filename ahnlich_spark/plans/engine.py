@@ -645,12 +645,34 @@ class Engine:
                 q = [float(x) for x in search_input]
                 lut = adc_lut(q, books)
                 n_cand = max(4 * closest_n, int(cfg.get("candidates", 256)))
+                scan = raw
+                # IVF-PQ composition: when the store ALSO carries the
+                # ivf index, prune whole bucket partitions with the
+                # coarse quantizer BEFORE the ADC rank — the classic
+                # IVF-PQ layout (coarse cells for file pruning, fine
+                # codes for in-cell ranking). At 100 TB the scan then
+                # reads n_probe/n_clusters of the files, 8 bytes/row.
+                if "ivf" in meta.non_linear and "_ann_bucket" in raw.columns:
+                    cents = self._ivf_centroids(meta)
+                    ivf_state = self._ann_state(meta, "ivf")
+                    if cents is not None and "bucket_counts" in ivf_state:
+                        qv = np.asarray(q, dtype=np.float64)
+                        order = np.argsort(
+                            ((cents.astype(np.float64) - qv) ** 2).sum(axis=1)
+                        )
+                        ivf_cfg = meta.non_linear_config.get("ivf", ANN_DEFAULTS["ivf"])
+                        picked, _cum = A.choose_probes(
+                            order, ivf_state["bucket_counts"],
+                            int(ivf_cfg.get("n_probe", 8)), n_cand,
+                        )
+                        if picked is not None:
+                            scan = raw.filter(F.col("_ann_bucket").isin(picked))
                 # ADC rank over the 8-byte code column (the raw vectors
                 # are never read in this stage), bounded top-n_cand,
                 # then exact rescore of the survivors under the
                 # configured metric
                 cands = (
-                    raw.withColumn("_adc", adc_dist_expr(F.col("_ann_pqcode"), lut))
+                    scan.withColumn("_adc", adc_dist_expr(F.col("_ann_pqcode"), lut))
                     .orderBy(F.asc("_adc"), F.asc("id"))
                     .limit(n_cand)
                     .drop("_adc", *drop_cols)

@@ -183,3 +183,26 @@ def test_index_maintained_across_writes(indexed_engine):
     eng.set("vecs", [(probe, {"i": "new"})])
     top = eng.get_sim_n("vecs", probe, closest_n=1, algorithm="hnsw").collect()
     assert len(top) == 1 and abs(top[0]["similarity"] - 1.0) < 1e-6
+
+
+def test_ivf_pq_composed_partition_prune(indexed_engine):
+    """With BOTH ivf and pq indexes the pq query composes them: the
+    coarse quantizer prunes bucket partitions at the SCAN (partition
+    filter on _ann_bucket) and the ADC chain ranks only the survivors;
+    recall against exact stays >= 0.8."""
+    eng = indexed_engine
+    q = VECS[21].tolist()
+    top = eng.get_sim_n("vecs", q, closest_n=10, algorithm="pq")
+    plan = plan_of(top)
+    assert "_ann_bucket" in plan.split("PartitionFilters")[1].split("\n")[0]
+    assert "_ann_pqcode" in plan.split("ReadSchema")[1].split("\n")[0]
+
+    store = eng.store_df("vecs")
+    rng = np.random.RandomState(9)
+    recalls = []
+    for i in rng.choice(N, size=5, replace=False):
+        qq = VECS[i].tolist()
+        approx = {r["id"] for r in eng.get_sim_n("vecs", qq, 50, algorithm="pq").collect()}
+        exact = {r["id"] for r in top_k_similar(store, qq, S.EUCLIDEAN, 50).collect()}
+        recalls.append(len(approx & exact) / 50)
+    assert sum(recalls) / len(recalls) > 0.80, recalls
