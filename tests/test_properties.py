@@ -221,3 +221,79 @@ def test_int8_quantize_error_bound(spark, vec):
     )
     r = df.select(s.alias("s"), err.alias("e")).first()
     assert r["e"] <= r["s"] / 254.0 + 1e-9
+
+
+# -------------------------------------------- temporal join properties --
+
+events_lists = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),      # key
+        st.integers(min_value=0, max_value=50),     # ts (coarse -> collisions)
+        st.integers(min_value=0, max_value=9),      # payload
+    ),
+    min_size=0, max_size=20,
+)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(ls=events_lists, rs=events_lists, w=st.integers(min_value=1, max_value=10))
+def test_window_count_join_matches_bruteforce(spark, ls, rs, w):
+    """The RANGE-frame formulation equals the naive quadratic range
+    join: count/sum right rows with same key and ts in [lt - w, lt),
+    for arbitrary keys, duplicate timestamps, and empty sides."""
+    from ahnlich_spark.operators.joins import window_count_join
+
+    left = spark.createDataFrame(
+        [(i, k, t) for i, (k, t, _p) in enumerate(ls)] or [(0, -1, 0)],
+        "row_id long, k long, ts_us long",
+    )
+    right = spark.createDataFrame(
+        [(k, t, p) for (k, t, p) in rs] or [(-2, 0, 0)],
+        "k long, ts_us long, v long",
+    )
+    out = {
+        r["row_id"]: (r["n"], r["s"])
+        for r in window_count_join(
+            left, right, on="k", window_us=w, sum_col="v",
+            count_col="n", sum_out="s",
+        ).collect()
+    }
+    for i, (k, t, _p) in enumerate(ls):
+        want_rows = [p for (rk, rt, p) in rs if rk == k and t - w <= rt < t]
+        assert out[i] == (len(want_rows), float(sum(want_rows))), (i, k, t)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(ls=events_lists, rs=events_lists)
+def test_asof_join_matches_bruteforce(spark, ls, rs):
+    """asof_join equals the naive 'latest right at-or-before, greatest
+    tiebreak wins' rule for arbitrary keys and tied timestamps."""
+    import datetime as dt
+
+    from ahnlich_spark.operators.joins import asof_join
+
+    base = dt.datetime(2024, 1, 1)
+
+    def ts(t):
+        return base + dt.timedelta(seconds=t)
+
+    left = spark.createDataFrame(
+        [(i, k, ts(t)) for i, (k, t, _p) in enumerate(ls)] or [(0, -1, ts(0))],
+        "row_id long, k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(j, k, ts(t)) for j, (k, t, _p) in enumerate(rs)] or [(0, -2, ts(0))],
+        "rid long, k long, ts timestamp",
+    )
+    out = {
+        r["row_id"]: r["asof_rid"]
+        for r in asof_join(
+            left, right, on="k", tiebreak="rid", right_cols=["rid"]
+        ).collect()
+    }
+    for i, (k, t, _p) in enumerate(ls):
+        matches = [(rt, j) for j, (rk, rt, _q) in enumerate(rs) if rk == k and rt <= t]
+        want = max(matches)[1] if matches else None
+        assert out[i] == want, (i, k, t, matches)
