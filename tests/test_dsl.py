@@ -101,6 +101,9 @@ def test_index_ddl():
     assert parse_db_query("createnonlinearalgorithmindex (hnsw) in store2") == [
         ops.CreateNonLinearAlgorithmIndex(store="store2", algorithms=("hnsw",))
     ]
+    assert parse_db_query("createnonlinearalgorithmindex (pq) in store2") == [
+        ops.CreateNonLinearAlgorithmIndex(store="store2", algorithms=("pq",))
+    ]
     assert parse_db_query("DROPNONLINEARALGORITHMINDEX IF EXISTS (kdtree) in s1") == [
         ops.DropNonLinearAlgorithmIndex(
             store="s1", algorithms=("kdtree",), error_if_not_exists=False
