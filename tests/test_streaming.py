@@ -163,3 +163,33 @@ def test_session_rollup_stream_matches_batch(spark, events_batch):
         (r["user_id"], r["session_start"], r["session_end"], r["n_events"]) for r in rs
     )
     assert key(got) == key(want) and len(got) > 0
+
+
+def test_interval_join_batch_face_matches_window_count_join(spark, sf_dir):
+    """purchase_view_interval_join is one function for both sources: on
+    a BATCH frame its per-purchase pair counts must equal the
+    RANGE-frame window_count_join formulation (two totally different
+    plans — interval join vs union-window — one contract)."""
+    from pyspark.sql import functions as F
+
+    from ahnlich_spark.operators.joins import window_count_join
+    from ahnlich_spark.streaming.pipeline import purchase_view_interval_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    pairs = purchase_view_interval_join(ev, window="1 hour")
+    got = {
+        r["event_id"]: r["n"]
+        for r in pairs.groupBy("event_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+
+    evu = ev.withColumn("ts_us", F.unix_micros("ts"))
+    p = evu.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts_us")
+    v = evu.filter(F.col("event_type") == "view").select("user_id", "ts_us")
+    want = {
+        r["event_id"]: r["n_right"]
+        for r in window_count_join(p, v, on="user_id", window_us=3_600_000_000).collect()
+        if r["n_right"] > 0
+    }
+    assert got == want
