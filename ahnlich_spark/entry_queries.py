@@ -2378,15 +2378,15 @@ def _pq_oracle_sql(k: int = 10, candidates: int = 128) -> str:
 
     def store_chain(j: int, c: int) -> str:
         return " + ".join(
-            f"(e.embedding[{j * dsub + i + 1}]::DOUBLE - {books[j][c][i]!r})"
-            f" * (e.embedding[{j * dsub + i + 1}]::DOUBLE - {books[j][c][i]!r})"
+            f"(e.embedding[{j * dsub + i + 1}]::DOUBLE - {float(books[j][c][i])!r})"
+            f" * (e.embedding[{j * dsub + i + 1}]::DOUBLE - {float(books[j][c][i])!r})"
             for i in range(dsub)
         )
 
     def q_chain(j: int, c: int) -> str:
         return " + ".join(
-            f"(qv[{j * dsub + i + 1}]::DOUBLE - {books[j][c][i]!r})"
-            f" * (qv[{j * dsub + i + 1}]::DOUBLE - {books[j][c][i]!r})"
+            f"(qv[{j * dsub + i + 1}]::DOUBLE - {float(books[j][c][i])!r})"
+            f" * (qv[{j * dsub + i + 1}]::DOUBLE - {float(books[j][c][i])!r})"
             for i in range(dsub)
         )
 
@@ -2713,7 +2713,7 @@ s AS (SELECT event_type, count(*) AS n, sum(v) AS s1, sum(v::HUGEINT * v) AS s2
       FROM e GROUP BY event_type),
 f AS (
   SELECT e.event_type, e.event_id,
-         ((s.n * e.v - s.s1)::HUGEINT * (s.n * e.v - s.s1)
+         ((s.n::HUGEINT * e.v - s.s1) * (s.n::HUGEINT * e.v - s.s1)
             > 9::HUGEINT * (s.n::HUGEINT * s.s2 - s.s1::HUGEINT * s.s1)) AS is_out
   FROM e JOIN s ON e.event_type = s.event_type
 )
@@ -2745,7 +2745,9 @@ def events_outliers(spark, sf_dir):
         F.sum(dec(F.col("v") * F.col("v"))).alias("s2"),
     )
     j = e.join(F.broadcast(s), "event_type")
-    dev = dec(F.col("n") * F.col("v") - F.col("s1"))
+    # promote to decimal(38,0) BEFORE the multiply/subtract: n*v in
+    # BIGINT would wrap silently at scale while DuckDB raises
+    dev = dec(F.col("n")) * dec(F.col("v")) - dec(F.col("s1"))
     rhs = F.lit(9) * (dec(F.col("n")) * F.col("s2") - dec(F.col("s1")) * dec(F.col("s1")))
     is_out = (dev * dev) > rhs
     return j.groupBy("event_type").agg(

@@ -192,8 +192,10 @@ def salted_join(
     splits each key across ``n_salts`` reducers: left rows get
     ``salt = hash(row) % n_salts``; the right side is replicated once
     per salt (an n_salts-way explode of the SMALL side only); the join
-    key becomes (key, salt). Results are identical to the plain join —
-    salting only changes row routing.
+    key becomes (key, salt). For the supported join types (inner, left,
+    left_semi, left_anti) results are identical to the plain join —
+    salting only changes row routing. Right/full outer joins would emit
+    every unmatched right row once per salt, so they are rejected.
 
     Use when the right side is per-key small but too big (or too
     dynamic) to broadcast, and AQE's skew splitting can't kick in
@@ -205,6 +207,14 @@ def salted_join(
     ``salt_source`` names a left column to derive the salt from
     (deterministic routing); default derives it from the whole row's
     partition-local order, which is free and routing-only."""
+    allowed = {"inner", "left", "leftouter", "left_outer", "left_semi",
+               "leftsemi", "semi", "left_anti", "leftanti", "anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi/left_anti joins, got "
+            f"{how!r}: replicating the right side per salt would duplicate "
+            f"unmatched right rows under right/full outer semantics"
+        )
     if salt_source is not None:
         salt = F.pmod(F.xxhash64(F.col(salt_source)), F.lit(n_salts))
     else:

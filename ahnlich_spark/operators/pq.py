@@ -41,7 +41,7 @@ this repo's scale-path extension for the same GetSimN contract.
 from __future__ import annotations
 
 import os
-from typing import List, Sequence
+from typing import List, Optional, Sequence
 
 import numpy as np
 from pyspark.sql import Column, DataFrame

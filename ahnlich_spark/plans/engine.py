@@ -689,7 +689,12 @@ class Engine:
 
             books = self._pq_codebooks(meta)
             if books is None:
-                books = train_codebooks_df(df, vec_col="key", id_col="id")
+                books = train_codebooks_df(
+                    df, vec_col="key", id_col="id",
+                    m=int(cfg.get("m", 8)), k=int(cfg.get("k_centroids", 16)),
+                    sample=int(cfg.get("sample", 4096)),
+                    iters=int(cfg.get("iters", 10)),
+                )
             if books is None:
                 return top_k_similar(df, search_input, metric, closest_n,
                                      precision=precision)
