@@ -47,7 +47,11 @@ class StoreMeta:
     predicates: List[str] = field(default_factory=list)
     non_linear: List[str] = field(default_factory=list)  # 'kdtree' | 'hnsw'
     non_linear_config: Dict[str, dict] = field(default_factory=dict)
-    version: int = 0  # 0 = empty, data lives at data/<schema>/<store>/v<version>
+    version: int = 0  # 0 = empty, base lives at data/<schema>/<store>/v<version>
+    # number of delta segments layered over the current base version
+    # (segment i lives at d<version>_<i>); mutations append one segment
+    # instead of rewriting the base — merged keep-last-by-id at read
+    deltas: int = 0
     ai: Optional[AiBinding] = None
 
 
@@ -144,14 +148,22 @@ class Catalog:
             return 0
         removed = 0
         for d in os.listdir(base):
+            v = None
             if d.startswith("v"):
                 try:
                     v = int(d[1:])
                 except ValueError:
                     continue
-                if v <= meta.version - keep:
-                    shutil.rmtree(os.path.join(base, d), ignore_errors=True)
-                    removed += 1
+            elif d.startswith("d"):
+                # delta segment d<base_version>_<i>: lives and dies with
+                # its base version (merged readers reference both)
+                try:
+                    v = int(d[1:].split("_", 1)[0])
+                except ValueError:
+                    continue
+            if v is not None and v <= meta.version - keep:
+                shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+                removed += 1
         return removed
 
     def list_stores(self, schema: str = PUBLIC_SCHEMA) -> List[StoreMeta]:
@@ -161,6 +173,14 @@ class Catalog:
     def store_path(self, meta: StoreMeta, version: Optional[int] = None) -> str:
         v = meta.version if version is None else version
         return os.path.join(self.warehouse, "data", meta.schema, meta.name, f"v{v}")
+
+    def delta_path(self, meta: StoreMeta, segment: int) -> str:
+        """Path of delta segment ``segment`` (1-based) over the current
+        base version."""
+        return os.path.join(
+            self.warehouse, "data", meta.schema, meta.name,
+            f"d{meta.version}_{segment}",
+        )
 
     def store_aux_path(self, meta: StoreMeta, filename: str) -> str:
         """Per-store auxiliary artifact (e.g. IVF centroids) — lives next

@@ -107,6 +107,12 @@ def _dir_size(path: str) -> int:
 class Engine:
     """The DB-service operation surface, Spark-first."""
 
+    # Delta segments tolerated before a mutation triggers auto-compaction.
+    # Each segment adds one (small) scan + union branch to merged reads;
+    # 16 keeps read plans shallow while amortizing the full rewrite over
+    # 16 O(batch) mutations. Tune per workload via the class attribute.
+    AUTO_COMPACT_SEGMENTS = 16
+
     # Per-warehouse connected-client registry (reference
     # handler.rs:385-401 tracks gRPC connections; the Spark-first analog
     # is Engine facades attached to a warehouse within this process —
@@ -290,11 +296,12 @@ class Engine:
         return len(removed)
 
     # -------------------------------------------------- index-aware I/O --
-    def _write(self, meta: StoreMeta, df: DataFrame) -> StoreMeta:
-        """Write the next store version with ANN index columns embedded
-        and the partition layout keyed by the index (IVF bucket wins over
-        LSH sig-prefix when both exist): queries then read the index for
-        free and probe filters prune whole partition directories."""
+    def _index_columns(self, meta: StoreMeta, df: DataFrame):
+        """Embed the store's index columns into ``df`` (ANN signatures /
+        buckets / PQ codes + flat ``_pred_<key>`` copies). Shared by the
+        base writer and the delta-segment writer so merged reads stay
+        index-aware regardless of which path a row arrived through.
+        Returns (df, layout_col, pred_cols)."""
         from ahnlich_spark.operators import ann as A
         from ahnlich_spark.operators.predicates import pred_col_name
         from ahnlich_spark.sources.store_io import internal_columns
@@ -332,9 +339,52 @@ class Engine:
             if c:
                 df = df.withColumn(c, F.col("meta")[key]["s"])
                 pred_cols.append(c)
+        return df, layout, pred_cols
+
+    def _write(self, meta: StoreMeta, df: DataFrame) -> StoreMeta:
+        """Write the next BASE version with ANN index columns embedded
+        and the partition layout keyed by the index (IVF bucket wins over
+        LSH sig-prefix when both exist): queries then read the index for
+        free and probe filters prune whole partition directories. Resets
+        the delta chain (the input is expected to be the merged view)."""
+        df, layout, pred_cols = self._index_columns(meta, df)
         return write_store(
             df, self.catalog, meta, layout_col=layout, sort_cols=pred_cols or None
         )
+
+    def _append_delta(
+        self,
+        meta: StoreMeta,
+        upserts: Optional[DataFrame] = None,
+        tombstone_ids: Optional[DataFrame] = None,
+    ) -> StoreMeta:
+        """O(batch) mutation: append one delta segment (upserts with
+        index columns embedded + id tombstones) instead of rewriting the
+        base — the reference's SET is an O(batch) map insert
+        (ahnlich/db/src/engine/store.rs:1050-1135) and this is its
+        disk-backed analog. Auto-compacts once the segment chain passes
+        ``AUTO_COMPACT_SEGMENTS`` so merged-read cost stays bounded."""
+        from ahnlich_spark.sources.store_io import write_delta
+
+        if upserts is not None:
+            upserts, _layout, _pred = self._index_columns(meta, upserts)
+        write_delta(self.spark, self.catalog, meta, upserts, tombstone_ids)
+        if meta.deltas >= self.AUTO_COMPACT_SEGMENTS:
+            self.compact(meta.name, schema=meta.schema)
+        return meta
+
+    def compact(self, store: str, schema: str = PUBLIC_SCHEMA) -> int:
+        """Fold all delta segments into a fresh base version (merged
+        keep-last-by-id view rewritten through the index-aware writer)
+        and GC superseded directories. Returns segments folded. The
+        Spark analog of LSM/Delta-Lake compaction: mutations stay
+        O(batch), reads stay bounded, full rewrites happen only here."""
+        meta = self.catalog.get_store(store, schema)
+        if meta.deltas == 0:
+            return 0
+        folded = meta.deltas
+        self._write(meta, read_store(self.spark, self.catalog, meta))
+        return folded
 
     def _ivf_centroids(self, meta: StoreMeta, df: Optional[DataFrame] = None):
         """Load the persisted IVF coarse quantizer; train + persist it on
@@ -382,7 +432,7 @@ class Engine:
         """Per-version index statistics for driver-side probe planning:
         {signature|bucket} histograms (bounded by 2^n_planes / n_clusters
         entries) and the row count — ONE narrow column scan, cached."""
-        key = (meta.schema, meta.name, meta.version, algorithm)
+        key = (meta.schema, meta.name, meta.version, meta.deltas, algorithm)
         state = self._ann_cache.get(key)
         if state is not None:
             return state
@@ -726,6 +776,8 @@ class Engine:
         df = read_store(self.spark, self.catalog, meta)
         n = df.count()
         size = _dir_size(self.catalog.store_path(meta)) if meta.version > 0 else 0
+        for i in range(1, meta.deltas + 1):
+            size += _dir_size(self.catalog.delta_path(meta, i))
         return StoreInfo(
             name=meta.name,
             schema=meta.schema,
@@ -755,9 +807,16 @@ class Engine:
 
         ``remove_condition`` (a Predicate) and ``remove_meta_matches``
         (``(meta_key, one-column DataFrame of MetadataValue structs)``)
-        delete matching pre-existing rows INSIDE the same rewrite — the
-        AI proxy's DelPred-before-Set pipelines into ONE store write
-        instead of two (reference operations.rs:229-268)."""
+        delete matching pre-existing rows INSIDE the same delta segment —
+        the AI proxy's DelPred-before-Set pipelines into ONE store write
+        instead of two (reference operations.rs:229-268).
+
+        Write cost is O(batch + matches), never O(store): the first SET
+        writes the base version; every later SET appends a delta segment
+        of upsert rows (+ tombstones for the remove matches). The base
+        is read (for counting and remove-match ids) but never rewritten
+        — the reference's SET is likewise an O(batch) map insert
+        (store.rs:1050-1135)."""
         meta = self.catalog.get_store(store, schema)
         # a Python-list batch is known-small -> broadcast it so the
         # (possibly huge) store side never shuffles; DataFrame batches
@@ -777,19 +836,19 @@ class Engine:
             # counting job and the rewrite job see the same batch
             batch_d = batch_d.localCheckpoint(eager=False)
         existing = read_store(self.spark, self.catalog, meta)
+        tombs: List[DataFrame] = []
         if remove_condition is not None:
             cond = F.coalesce(compile_predicate(remove_condition), F.lit(False))
+            tombs.append(existing.filter(cond).select("id"))
             existing = existing.filter(~cond)
         if remove_meta_matches is not None:
             rm_key, rm_df = remove_meta_matches
             rm = rm_df.select(F.col(rm_df.columns[0]).alias("_rm_mv")).distinct()
             # no broadcast hint: the match side is batch-sized (unknown,
             # possibly huge raw documents) — AQE picks the join strategy
-            existing = existing.join(
-                rm,
-                F.col("meta")[rm_key].eqNullSafe(F.col("_rm_mv")),
-                "left_anti",
-            )
+            match = F.col("meta")[rm_key].eqNullSafe(F.col("_rm_mv"))
+            tombs.append(existing.join(rm, match, "left_semi").select("id"))
+            existing = existing.join(rm, match, "left_anti")
 
         # probe the STORE with the batch ids (never the reverse: the
         # store is the 100 TB side, the batch the small side); union the
@@ -813,8 +872,15 @@ class Engine:
         total, updated = counts["total"], counts["updated"]
         inserted = total - updated
 
-        new_df = existing.join(batch_ids, "id", "left_anti").unionByName(batch_d)
-        self._write(meta, new_df)
+        if meta.version == 0:
+            self._write(meta, batch_d)
+        else:
+            tomb = None
+            if tombs:
+                tomb = tombs[0]
+                for t in tombs[1:]:
+                    tomb = tomb.unionByName(t)
+            self._append_delta(meta, upserts=batch_d, tombstone_ids=tomb)
         return StoreUpsert(inserted=inserted, updated=updated)
 
     def del_key(
@@ -826,21 +892,22 @@ class Engine:
         df = read_store(self.spark, self.catalog, meta)
         deleted = df.join(F.broadcast(probes), "id", "left_semi").count()
         if deleted:
-            remaining = df.join(F.broadcast(probes), "id", "left_anti")
-            self._write(meta, remaining)
+            # O(matches) tombstone segment — the store is never rewritten
+            matched = df.join(F.broadcast(probes), "id", "left_semi").select("id")
+            self._append_delta(meta, tombstone_ids=matched)
         return DelResult(deleted_count=int(deleted))
 
     def del_pred(
         self, store: str, condition: Predicate, schema: str = PUBLIC_SCHEMA
     ) -> DelResult:
         meta = self.catalog.get_store(store, schema)
-        # count through the index-aware path (pruned scan); the rewrite
-        # must read every surviving row anyway, so it filters plainly
+        # count through the index-aware path (pruned scan); the delete
+        # itself is an O(matches) tombstone segment over the SAME pruned
+        # scan — the store is never rewritten
         deleted = self._pred_filtered(meta, condition).count()
         if deleted:
-            df = read_store(self.spark, self.catalog, meta)
-            cond = F.coalesce(compile_predicate(condition), F.lit(False))
-            self._write(meta, df.filter(~cond))
+            tombs = self._pred_filtered(meta, condition).select("id")
+            self._append_delta(meta, tombstone_ids=tombs)
         return DelResult(deleted_count=int(deleted))
 
     def upsert(
@@ -895,12 +962,17 @@ class Engine:
                 ]
             ),
         ).withColumn("id", store_key_id(F.col("key")))
-        # remove the matched row, then upsert-by-id (a new key colliding
-        # with another existing row overwrites it, as a plain Set would)
-        remaining = df.filter(~cond).join(
-            F.broadcast(replacement.select("id")), "id", "left_anti"
+        # tombstone the matched row's id, upsert the replacement — one
+        # O(1)-row delta segment. If the replacement keeps the same id
+        # the upsert wins within the segment; if the new key collides
+        # with ANOTHER existing row's id the merge shadows it, exactly
+        # as a plain Set would.
+        tomb = self.spark.createDataFrame([(int(old["id"]),)], "id long")
+        self._append_delta(
+            meta,
+            upserts=replacement.select("id", "key", "meta"),
+            tombstone_ids=tomb,
         )
-        self._write(meta, remaining.unionByName(replacement.select("id", "key", "meta")))
         return StoreUpsert(inserted=0, updated=1)
 
     # -------------------------------------------------------- pipeline --

@@ -1,24 +1,38 @@
-"""Parquet-backed store tables.
+"""Parquet-backed store tables with a base+delta incremental layout.
 
-The reference holds each store as a concurrent hashmap in RAM with
-whole-DB JSON snapshots (ahnlich/utils/src/persistence.rs:109-180).
-Spark-first replacement: each store version is an immutable parquet
-directory, hash-distributed by ``id`` so key lookups / upsert joins
-co-locate without a shuffle at read time; mutations write a NEW version
-directory and flip the catalog pointer (readers of the old version are
-never disturbed — same tempfile+rename idea, at directory granularity).
+The reference holds each store as a concurrent hashmap in RAM where a
+SET is an O(batch) map insert (ahnlich/db/src/engine/store.rs:1050-1135)
+with whole-DB JSON snapshots (ahnlich/utils/src/persistence.rs:109-180).
+Spark-first replacement:
 
-At 100 TB the versioned-rewrite SET path would be replaced by a
-MERGE-capable table format; the *plan shape* (hash join on id, partial
-counts) is identical, so everything above this module carries over.
+- The BASE of a store is an immutable parquet directory ``v<N>``,
+  hash-distributed by ``id`` (or directory-partitioned by an ANN layout
+  key) so lookups and probe filters prune without shuffling.
+- MUTATIONS append small immutable DELTA segments ``d<N>_<i>`` — upsert
+  rows plus id tombstones — so a 10-row SET into a 100 TB store writes
+  ~10 rows, never the store. This is the same O(batch) contract as the
+  reference's map insert, at directory granularity.
+- READS merge base+deltas keep-last-by-id: the delta side (small by
+  construction — compaction bounds it) resolves its per-id winner with
+  one tiny shuffle, then the base is anti-joined against the BROADCAST
+  delta-id set. The 100 TB base never shuffles, and pushed-down filters
+  on layout/predicate columns still prune base files through the union.
+- ``Engine.compact()`` folds deltas into a fresh base version; writers
+  auto-compact past a segment-count threshold, bounding merge cost.
+
+Version/segment directories are immutable once written; the catalog
+pointer flips last (same tempfile+rename idea the reference uses), and
+superseded versions + their deltas are GC'd after a retention window.
 """
 
 from __future__ import annotations
 
 import math
+from functools import reduce
 from typing import Optional
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
 from ahnlich_spark.catalog import Catalog, StoreMeta
 from ahnlich_spark.types import store_schema
@@ -46,21 +60,63 @@ MAX_BUCKETS = 65536
 ANN_COLUMNS = ("_ann_sig", "_ann_sigp", "_ann_bucket", "_ann_pqcode")
 INTERNAL_PREFIXES = ("_ann_", "_pred_")
 
+# Delta-segment bookkeeping columns (never visible outside this module):
+#   _dop    TINYINT  1 = upsert row, 0 = id tombstone. Within a segment
+#                    an upsert beats a tombstone for the same id (a SET
+#                    that deletes-then-inserts the same vector keeps it).
+#   _segno  INT      segment ordinal, added at READ time — later
+#                    segments win keep-last-by-id.
+DELTA_OP_COL = "_dop"
+DELTA_SEG_COL = "_segno"
+
 
 def internal_columns(df: DataFrame):
     return [c for c in df.columns if c.startswith(INTERNAL_PREFIXES)]
+
+
+def _merged_view(
+    spark: SparkSession, catalog: Catalog, meta: StoreMeta, base: DataFrame
+) -> DataFrame:
+    """Base+delta merge, shaped for a 100 TB base: the per-id winner is
+    resolved among the (small) delta segments only — ONE bounded shuffle
+    — then the base drops superseded/tombstoned ids via a left-anti join
+    whose build side is the broadcast delta-id set. The base side never
+    shuffles, and filters above push through the union into the pruned
+    base scan."""
+    segs = [
+        spark.read.parquet(catalog.delta_path(meta, i)).withColumn(
+            DELTA_SEG_COL, F.lit(i)
+        )
+        for i in range(1, meta.deltas + 1)
+    ]
+    deltas = reduce(lambda a, b: a.unionByName(b), segs)
+    w = Window.partitionBy("id").orderBy(
+        F.col(DELTA_SEG_COL).desc(), F.col(DELTA_OP_COL).desc()
+    )
+    latest = (
+        deltas.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    )
+    live = latest.filter(F.col(DELTA_OP_COL) == 1).drop(
+        "_rn", DELTA_SEG_COL, DELTA_OP_COL
+    )
+    shadowed = latest.select("id")
+    kept = base.join(F.broadcast(shadowed), "id", "left_anti")
+    return kept.unionByName(live.select(*kept.columns))
 
 
 def read_store(
     spark: SparkSession, catalog: Catalog, meta: StoreMeta, canonical: bool = True
 ) -> DataFrame:
     """Current snapshot of a store as a DataFrame (empty stores give an
-    empty frame with the canonical schema). ``canonical=True`` hides the
-    internal index columns; index-aware query paths read with
-    ``canonical=False`` to use them."""
+    empty frame with the canonical schema), merging any delta segments
+    over the base version. ``canonical=True`` hides the internal index
+    columns; index-aware query paths read with ``canonical=False`` to
+    use them."""
     if meta.version == 0:
         return spark.createDataFrame([], store_schema())
     df = spark.read.parquet(catalog.store_path(meta))
+    if meta.deltas:
+        df = _merged_view(spark, catalog, meta, df)
     if canonical:
         extra = internal_columns(df)
         if extra:
@@ -120,6 +176,55 @@ def write_store(
             out = out.sortWithinPartitions(*sort_cols)
         out.write.mode("overwrite").parquet(path)
     meta.version = new_version
+    meta.deltas = 0  # a fresh base folds/obsoletes all prior segments
     catalog.put_store(meta)
     catalog.gc_versions(meta, keep=KEEP_VERSIONS)
+    return meta
+
+
+def write_delta(
+    spark: SparkSession,
+    catalog: Catalog,
+    meta: StoreMeta,
+    upserts: Optional[DataFrame] = None,
+    tombstone_ids: Optional[DataFrame] = None,
+) -> StoreMeta:
+    """Append ONE immutable delta segment — upsert rows (``_dop=1``) and
+    id tombstones (``_dop=0``) in a uniform schema — then bump the
+    catalog's segment count. Cost is O(batch): the base is not read or
+    written. ``upserts`` must already carry the store's index columns
+    (Engine._index_columns) so merged reads stay index-aware; tombstones
+    carry nulls for every non-id column (they never survive the merge).
+    """
+    if upserts is None and tombstone_ids is None:
+        return meta
+    if upserts is not None:
+        schema_src = upserts
+    else:
+        # pure-delete segment: mirror the base file schema so segments
+        # union cleanly (footer-only read, no data scan)
+        schema_src = spark.read.parquet(catalog.store_path(meta))
+    parts = []
+    if tombstone_ids is not None:
+        null_cols = [
+            F.lit(None).cast(f.dataType).alias(f.name)
+            for f in schema_src.schema.fields
+            if f.name != "id"
+        ]
+        parts.append(
+            tombstone_ids.select("id").distinct().select(
+                "id", *null_cols, F.lit(0).cast("tinyint").alias(DELTA_OP_COL)
+            )
+        )
+    if upserts is not None:
+        parts.append(
+            upserts.select(
+                "id", *[f.name for f in schema_src.schema.fields if f.name != "id"],
+                F.lit(1).cast("tinyint").alias(DELTA_OP_COL),
+            )
+        )
+    seg = reduce(lambda a, b: a.unionByName(b), parts)
+    seg.write.mode("overwrite").parquet(catalog.delta_path(meta, meta.deltas + 1))
+    meta.deltas += 1
+    catalog.put_store(meta)
     return meta

@@ -192,9 +192,9 @@ def test_drop_store_deletes_data_dir(engine):
 
 
 def test_writes_gc_superseded_versions(engine):
-    """Every mutation writes a new version dir; superseded dirs must be
-    garbage-collected or a long-lived warehouse leaks one store copy per
-    write (ADVICE r01)."""
+    """Mutations append delta segments over one base version; compaction
+    folds them into a fresh base, and superseded version dirs AND their
+    delta segments are garbage-collected (ADVICE r01 + VERDICT r02 #1)."""
     import os
 
     engine.create_store("gc2", dimension=2)
@@ -202,13 +202,22 @@ def test_writes_gc_superseded_versions(engine):
         engine.set("gc2", [([float(i), 1.0], {})])
     meta = engine.catalog.get_store("gc2")
     base = os.path.dirname(engine.catalog.store_path(meta))
-    versions = sorted(d for d in os.listdir(base) if d.startswith("v"))
-    # retention window: current + previous (lazy readers survive one
-    # mutation); anything older is GC'd at write time
-    assert versions == [f"v{meta.version - 1}", f"v{meta.version}"]
-    assert engine.vacuum("gc2") == 1
-    versions = sorted(d for d in os.listdir(base) if d.startswith("v"))
-    assert versions == [f"v{meta.version}"]
+    # first SET wrote base v1; the other three are O(batch) deltas
+    assert meta.version == 1 and meta.deltas == 3
+    assert sorted(d for d in os.listdir(base) if d.startswith("v")) == ["v1"]
+    assert sorted(d for d in os.listdir(base) if d.startswith("d")) == [
+        "d1_1", "d1_2", "d1_3",
+    ]
+    assert engine.compact("gc2") == 3
+    meta = engine.catalog.get_store("gc2")
+    assert meta.version == 2 and meta.deltas == 0
+    # retention window: current + previous base (lazy readers survive one
+    # rewrite); vacuum reclaims the previous base and its delta chain
+    assert sorted(d for d in os.listdir(base) if d.startswith("v")) == ["v1", "v2"]
+    assert engine.vacuum("gc2") == 4  # v1 + its three delta segments
+    assert sorted(
+        d for d in os.listdir(base) if d.startswith(("v", "d"))
+    ) == ["v2"]
     # the surviving version still reads fine and holds all rows
     assert engine.get_store("gc2").len == 4
 

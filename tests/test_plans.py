@@ -123,29 +123,45 @@ def test_get_pred_is_scan_plus_filter_only(engine, spark, sf_dir):
 
 
 def test_engine_set_probes_store_with_broadcast_batch(engine, spark, sf_dir):
-    """The Set counting join must broadcast the (small) batch and stream
-    the (100 TB) store side — a shuffled store here would be the single
-    worst scaling bug the engine could have."""
+    """Two scale contracts of SET into a populated store: (a) the
+    counting join must broadcast the (small) batch and stream the
+    (100 TB) store side — a shuffled store here would be the single
+    worst scaling bug the engine could have; (b) the write must be an
+    O(batch) delta segment whose plan never touches the base files."""
     captured = {}
-    import ahnlich_spark.plans.engine as eng_mod
+    import ahnlich_spark.sources.store_io as sio
 
-    orig_write = eng_mod.write_store
+    orig_delta = sio.write_delta
 
-    def spy_write(df, catalog, meta, **kw):
-        captured["write_plan"] = plan_of(df)
-        return orig_write(df, catalog, meta, **kw)
+    def spy_delta(spark_, catalog, meta, upserts=None, tombstone_ids=None):
+        captured["delta_plan"] = plan_of(upserts)
+        return orig_delta(spark_, catalog, meta, upserts, tombstone_ids)
+
+    DataFrame = type(spark.range(1))  # the concrete (classic) class
+    orig_first = DataFrame.first
+
+    def spy_first(self):
+        captured.setdefault("count_plan", plan_of(self))
+        return orig_first(self)
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(40).collect()
     engine.create_store("plans_set", dimension=64)
     batch = [(list(r["embedding"]), {}) for r in emb]
-    eng_mod.write_store = spy_write
+    engine.set("plans_set", batch)  # base version
+    captured.clear()
+    sio.write_delta, DataFrame.first = spy_delta, spy_first
     try:
-        engine.set("plans_set", batch)
+        engine.set("plans_set", [(list(emb[0]["embedding"]), {"k": "v"})])
     finally:
-        eng_mod.write_store = orig_write
-    plan = captured["write_plan"]
-    assert "BroadcastHashJoin" in plan, plan
-    assert "SortMergeJoin" not in plan, plan
+        sio.write_delta, DataFrame.first = orig_delta, orig_first
+    count_plan = captured["count_plan"]
+    assert "BroadcastHashJoin" in count_plan, count_plan
+    assert "SortMergeJoin" not in count_plan, count_plan
+    # the delta write is batch-only: no join, no base parquet scan
+    meta = engine.catalog.get_store("plans_set")
+    delta_plan = captured["delta_plan"]
+    assert "Join" not in delta_plan, delta_plan
+    assert engine.catalog.store_path(meta) not in delta_plan, delta_plan
 
 
 def test_multimodal_ops_add_no_shuffle(docs):
