@@ -1102,6 +1102,199 @@ def ann_ivf_topk(spark, sf_dir):
     )
 
 
+# ====================================== ANN: engine pruned-path gates ==
+#
+# The ANN gates above fall into the reference's small-store brute-force
+# shortcut at oracle scale, so the driver's hash-match never saw the
+# engine's histogram-planned pruned reads (VERDICT r02 #2). These gates
+# FORCE the real pruned path by lowering the engine's (instance-config)
+# brute-force threshold, and the DuckDB oracle REPLICATES the entire
+# pipeline — build-side signatures / bucket assignment, driver-side
+# radius/probe planning, the candidate filter, and the exact rescore —
+# from shared deterministic constants (seeded hyperplanes; a coarse
+# quantizer trained on the FIXED corpus, the pq-gate trick). All dot
+# products are left-associative DOUBLE chains over f32-exact inputs, so
+# Spark codegen, the Python driver planner, and DuckDB agree bit-for-bit.
+
+_PRUNED_BF_THRESHOLD = 128  # the 500-row embeddings store must exceed this
+_PRUNED_K = 10
+_IVF_GATE_CLUSTERS = 32
+_IVF_GATE_PROBE = 4
+_GATE_DIM = 64
+
+
+def _gate_planes():
+    from ahnlich_spark.operators.ann import hyperplanes
+
+    # engine hnsw defaults: n_planes=16, seed=7 (plans/engine.ANN_DEFAULTS)
+    return hyperplanes(_GATE_DIM, 16, 7)
+
+
+def _ivf_gate_centroids():
+    """Deterministic coarse quantizer: plain Lloyd over full vectors
+    (operators/pq.train_codebooks with m=1) on the FIXED training
+    corpus — a pure function of that parquet, embedded as oracle
+    literals AND persisted for the engine's index build."""
+    from ahnlich_spark.operators.pq import train_codebooks
+
+    return train_codebooks(m=1, k=_IVF_GATE_CLUSTERS, sample=512, iters=10)[0]
+
+
+def _hnsw_gate_min_cand() -> int:
+    # mirrors plans/engine._ann_top_k: max(4k, threshold//8, ef_construction)
+    from ahnlich_spark.catalog import HNSW_DEFAULTS
+
+    return max(4 * _PRUNED_K, _PRUNED_BF_THRESHOLD // 8,
+               int(HNSW_DEFAULTS["ef_construction"]))
+
+
+def _dot_chain(arr: str, vals) -> str:
+    """Left-associative DOUBLE dot-product chain — the SQL twin of
+    functions/similarity.dot_product's aggregate fold."""
+    return " + ".join(
+        f"{arr}[{j + 1}]::DOUBLE * {float(v)!r}" for j, v in enumerate(vals)
+    )
+
+
+def _sqdist_chain(arr: str, vals) -> str:
+    return " + ".join(
+        f"({arr}[{j + 1}]::DOUBLE - {float(v)!r})"
+        f" * ({arr}[{j + 1}]::DOUBLE - {float(v)!r})"
+        for j, v in enumerate(vals)
+    )
+
+
+def _sig_sql(arr: str) -> str:
+    """The SQL twin of operators/ann.signature_expr (sign bits against
+    the seeded hyperplanes, OR'd into a BIGINT)."""
+    planes = _gate_planes()
+    bits = " + ".join(
+        f"(CASE WHEN ({_dot_chain(arr, p)}) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"CAST({bits} AS BIGINT)"
+
+
+def _pruned_lsh_oracle_sql() -> str:
+    """Replicates plans/engine._ann_top_k's hnsw branch: signatures,
+    Hamming histogram radius planning (r* = max(floor, the min_cand-th
+    smallest distance — identical to choose_radius's smallest radius
+    with a filled quota), ball filter, exact cosine rescore."""
+    min_cand = _hnsw_gate_min_cand()
+    floor_r = 3  # ANN_DEFAULTS['hnsw'] hamming_radius
+    return f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+qs AS (SELECT {_sig_sql('qv')} AS qsig FROM q),
+sigs AS (SELECT vec_id, embedding, {_sig_sql('embedding')} AS sig FROM embeddings),
+hd AS (SELECT vec_id, embedding, bit_count(xor(sig, qsig)) AS h FROM sigs, qs),
+rad AS (SELECT greatest({floor_r},
+          (SELECT h FROM hd ORDER BY h LIMIT 1 OFFSET {min_cand - 1})) AS r),
+scored AS (
+  SELECT vec_id, list_cosine_similarity(embedding::DOUBLE[], qv) AS score
+  FROM hd, rad, q WHERE h <= r)
+SELECT vec_id,
+       CAST(row_number() OVER (ORDER BY score DESC, vec_id) AS BIGINT) AS rank_n,
+       CAST(round(score*10000) AS BIGINT) AS score_e4
+FROM scored ORDER BY score DESC, vec_id LIMIT {_PRUNED_K}
+"""
+
+
+def _pruned_ivf_oracle_sql() -> str:
+    """Replicates the ivf branch: nearest-centroid assignment (argmin of
+    cnorm - 2*dot, numpy's first-min tie rule = list_indexof), probe
+    planning (first rn >= n_probe with cumulative count >= min_cand),
+    bucket filter, exact euclidean rescore."""
+    import numpy as np
+
+    cents = np.asarray(_ivf_gate_centroids(), dtype=np.float64)
+    cnorm = (cents * cents).sum(axis=1)
+    min_cand = max(4 * _PRUNED_K, _PRUNED_BF_THRESHOLD // 8)
+    dlist = ",\n    ".join(
+        f"({float(cnorm[c])!r} - 2.0 * ({_dot_chain('embedding', cents[c])}))"
+        for c in range(len(cents))
+    )
+    qd_rows = "\nUNION ALL\n".join(
+        f"SELECT {c} AS bucket, ({_sqdist_chain('qv', cents[c])}) AS qd FROM q"
+        for c in range(len(cents))
+    )
+    return f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+dists AS (SELECT vec_id, embedding, [{dlist}] AS dl FROM embeddings),
+assign AS (SELECT vec_id, embedding,
+                  list_indexof(dl, list_min(dl)) - 1 AS bucket FROM dists),
+counts AS (SELECT bucket, count(*) AS n FROM assign GROUP BY bucket),
+qd AS ({qd_rows}),
+ob AS (SELECT d.bucket, COALESCE(c.n, 0) AS n,
+              row_number() OVER (ORDER BY d.qd, d.bucket) AS rn
+       FROM qd d LEFT JOIN counts c USING (bucket)),
+cum AS (SELECT bucket, rn, SUM(n) OVER (ORDER BY rn) AS cumn FROM ob),
+chosen AS (SELECT MIN(rn) AS ci FROM cum
+           WHERE rn >= {_IVF_GATE_PROBE} AND cumn >= {min_cand}),
+picked AS (SELECT bucket FROM cum, chosen WHERE rn <= ci),
+cand AS (SELECT a.vec_id, a.embedding FROM assign a JOIN picked p USING (bucket)),
+scored AS (SELECT vec_id, list_distance(embedding::DOUBLE[], qv) AS score
+           FROM cand, q)
+SELECT vec_id,
+       CAST(row_number() OVER (ORDER BY score ASC, vec_id) AS BIGINT) AS rank_n,
+       CAST(round(score*10000) AS BIGINT) AS score_e4
+FROM scored ORDER BY score ASC, vec_id LIMIT {_PRUNED_K}
+"""
+
+
+def _pruned_engine(spark, sf_dir, algo, config=None, centroids=None):
+    import numpy as np
+
+    from ahnlich_spark.plans.engine import Engine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    wh = tempfile.mkdtemp(prefix="ahnlich_gate_")
+    eng = Engine(spark, wh)
+    eng.brute_force_threshold = _PRUNED_BF_THRESHOLD
+    eng.create_store("annp", dimension=_GATE_DIM)
+    eng.set("annp", emb.select(F.col("embedding").alias("key")))
+    if centroids is not None:
+        meta = eng.catalog.get_store("annp")
+        np.save(eng.catalog.store_aux_path(meta, "ivf_centroids.npy"),
+                np.asarray(centroids, dtype=np.float64))
+    eng.create_non_linear_algorithm_index("annp", [algo], config=config)
+    return eng
+
+
+def _pruned_gate_result(spark, sf_dir, eng, algo, metric):
+    q = _qvec(spark, sf_dir)
+    top = eng.get_sim_n("annp", q, closest_n=_PRUNED_K, algorithm=algo,
+                        precision="double")
+    emb = _t(spark, sf_dir, "embeddings")
+    ids = emb.select("vec_id", store_key_id(F.col("embedding")).alias("id"))
+    scored = top.join(ids, "id").select(
+        "vec_id", F.col("similarity").alias("score")
+    )
+    return _rank_topk(scored, metric, _PRUNED_K)
+
+
+@register("ann_pruned_lsh_topk", _pruned_lsh_oracle_sql())
+def ann_pruned_lsh_topk(spark, sf_dir):
+    """GetSimN('hnsw') through the engine's REAL pruned path — persisted
+    signature artifact, cached-histogram radius planning, partition-
+    pruned candidate read — with the brute-force shortcut disabled. The
+    oracle replicates the full pipeline, so a fallback to brute force
+    or a planner divergence breaks the hash."""
+    eng = _pruned_engine(spark, sf_dir, "hnsw")
+    return _pruned_gate_result(spark, sf_dir, eng, "hnsw", S.COSINE)
+
+
+@register("ann_pruned_ivf_topk", _pruned_ivf_oracle_sql())
+def ann_pruned_ivf_topk(spark, sf_dir):
+    """GetSimN('ivf') through the engine's pruned path with a
+    deterministic persisted coarse quantizer (fixed-corpus Lloyd)."""
+    eng = _pruned_engine(
+        spark, sf_dir, "ivf",
+        config={"n_clusters": _IVF_GATE_CLUSTERS, "n_probe": _IVF_GATE_PROBE},
+        centroids=_ivf_gate_centroids(),
+    )
+    return _pruned_gate_result(spark, sf_dir, eng, "ivf", S.EUCLIDEAN)
+
+
 # ================================================ events / windows ==
 
 def _events_ts_us_divisor(sf_dir: str) -> int:

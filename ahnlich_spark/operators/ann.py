@@ -53,20 +53,33 @@ def signature_expr(key: Column, planes: np.ndarray) -> Column:
     """Sign-bit signature of ARRAY<FLOAT> ``key`` as a BIGINT, JVM-side.
 
     One codegen'd dot product per plane; used at index-build time (the
-    per-row cost is paid once, not per query)."""
+    per-row cost is paid once, not per query). Accumulation is DOUBLE
+    with a left-associative fold: f32 inputs are exact in f64, so the
+    same chain is bit-reproducible by the driver (``signature_of``) and
+    by a SQL oracle — signatures become portable integers instead of
+    f32-summation-order artifacts."""
     from ahnlich_spark.types import vector_lit
 
     sig = F.lit(0).cast("long")
     for i, p in enumerate(planes):
-        d = S.dot_product(key, vector_lit(p), precision="float")
+        d = S.dot_product(key, vector_lit(p), precision="double")
         sig = sig + F.when(d >= 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
     return sig
 
 
 def signature_of(vec: Sequence[float], planes: np.ndarray) -> int:
-    v = np.asarray(list(vec), dtype=np.float32)
-    bits = (planes @ v) >= 0
-    return int(sum(1 << i for i, b in enumerate(bits) if b))
+    """Driver-side signature of one vector — the SAME left-associative
+    f64 chain as ``signature_expr`` (Python floats are IEEE doubles), so
+    the query signature agrees bit-for-bit with build-side signatures."""
+    v = [float(x) for x in np.asarray(list(vec), dtype=np.float32)]
+    sig = 0
+    for i, p in enumerate(planes):
+        acc = 0.0
+        for x, y in zip(v, p):
+            acc += x * float(y)
+        if acc >= 0:
+            sig |= 1 << i
+    return sig
 
 
 def build_signature_index(df: DataFrame, dim: int, n_planes: int = DEFAULT_N_PLANES,

@@ -122,6 +122,11 @@ class Engine:
     def __init__(self, spark: SparkSession, warehouse: str):
         self.spark = spark
         self.catalog = Catalog(warehouse)
+        # Reference crossover (hnsw/index.rs:24): stores at or below this
+        # size answer non-linear queries with the exact scan. Instance-
+        # configurable so tests/gates can force the PRUNED path on small
+        # fixtures (VERDICT r02 #2).
+        self.brute_force_threshold = BRUTE_FORCE_THRESHOLD
         # per-(schema, store, version, algo) index statistics: signature /
         # bucket histograms + row count, collected from ONE narrow
         # column scan on first use and valid for the version's lifetime
@@ -641,7 +646,7 @@ class Engine:
         from ahnlich_spark.sources.store_io import ANN_COLUMNS
 
         state = self._ann_state(meta, algorithm)
-        if state["count"] <= BRUTE_FORCE_THRESHOLD:
+        if state["count"] <= self.brute_force_threshold:
             return top_k_similar(df, search_input, metric, closest_n, precision=precision)
         raw = read_store(self.spark, self.catalog, meta, canonical=False)
         drop_cols = [c for c in raw.columns if c in ANN_COLUMNS]
@@ -654,7 +659,7 @@ class Engine:
             # the candidate list the search must fill before rescoring
             # (floored at the generic path's quota so defaults don't
             # under-collect; raise ef_construction to search wider)
-            min_cand = max(4 * closest_n, BRUTE_FORCE_THRESHOLD // 8,
+            min_cand = max(4 * closest_n, self.brute_force_threshold // 8,
                            int(cfg.get("ef_construction", 100)))
             hist = A.hamming_histogram(state["sig_counts"], qsig)
             radius, _cum = A.choose_radius(
@@ -676,7 +681,7 @@ class Engine:
             if cents is not None:
                 q = np.asarray(list(search_input), dtype=np.float64)
                 order = np.argsort(((cents.astype(np.float64) - q) ** 2).sum(axis=1))
-                min_cand = max(4 * closest_n, BRUTE_FORCE_THRESHOLD // 8)
+                min_cand = max(4 * closest_n, self.brute_force_threshold // 8)
                 picked, _cum = A.choose_probes(
                     order, state["bucket_counts"], int(cfg.get("n_probe", 8)), min_cand
                 )
@@ -764,7 +769,7 @@ class Engine:
 
         ann = ivf_top_k if algorithm == "ivf" else lsh_top_k
         return ann(df, search_input, metric=metric, k=closest_n, precision=precision,
-                   brute_force_threshold=BRUTE_FORCE_THRESHOLD)
+                   brute_force_threshold=self.brute_force_threshold)
 
     def list_stores(self, schema: str = PUBLIC_SCHEMA) -> List[StoreInfo]:
         return [self._store_info(m) for m in self.catalog.list_stores(schema)]
