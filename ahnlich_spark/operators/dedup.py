@@ -395,6 +395,7 @@ def embedding_near_dup_pairs(
     n_planes: int = 16,
     n_bands: int = 4,
     seed: int = 7,
+    max_bucket_size: Optional[int] = 1024,
 ) -> DataFrame:
     """Pairs (i < j) with cosine >= threshold over an embedding column.
     Returns (i, j, cos_e4) with cos_e4 = round-half-up(cos * 10^4).
@@ -412,13 +413,22 @@ def embedding_near_dup_pairs(
     blocks, each unordered block pair is one task computing a float64
     GEMM over Arrow batches. Each row is replicated ~B+1 times through
     ONE shuffle; bound memory by block_size. (Low thresholds make LSH
-    pruning meaningless — use exact=True there.)"""
+    pruning meaningless — use exact=True there.)
+
+    ``max_bucket_size`` caps LSH band buckets (drop_hot_buckets): a
+    degenerate corpus (many near-identical or zero vectors) lands one
+    giant bucket whose self-join is quadratic — the cap bounds candidate
+    fan-out to ~max_bucket_size^2/2 per bucket. Recall note: members of
+    a dropped bucket collide on SOME band with almost everything in it —
+    such mass-duplicate groups should be collapsed by exact dedup first;
+    pass ``max_bucket_size=None`` to disable the guard."""
     n = df.count()
     if exact is None:
         exact = n <= brute_force_threshold
     if not exact:
         return _embedding_pruned_pairs(
-            df, threshold, vec_col, id_col, n_planes, n_bands, seed
+            df, threshold, vec_col, id_col, n_planes, n_bands, seed,
+            max_bucket_size,
         )
     return _embedding_all_pairs(df, threshold, vec_col, id_col, block_size, n)
 
@@ -500,6 +510,7 @@ def _embedding_pruned_pairs(
     n_planes: int,
     n_bands: int,
     seed: int,
+    max_bucket_size: Optional[int] = 1024,
 ) -> DataFrame:
     """LSH-banded candidate generation + vectorized cosine verify.
 
@@ -507,7 +518,9 @@ def _embedding_pruned_pairs(
     1. signature: one Arrow-batched matmul adds a ``sig`` BIGINT per row
        (cheap, scan-local);
     2. bands: explode n_bands (band, bits) keys — the ONLY shuffle moves
-       (rid, band-key) pairs, never vectors;
+       (rid, band-key) pairs, never vectors; buckets over
+       ``max_bucket_size`` are dropped (drop_hot_buckets) so a
+       degenerate corpus cannot turn one bucket quadratic;
     3. candidates: per-bucket self-join, distinct (i, j);
     4. verify: join the two vectors back by rid and compute the exact
        cosine row-wise in numpy (mapInPandas) — work is O(candidates).
@@ -556,6 +569,7 @@ def _embedding_pruned_pairs(
     bands = sigd.select("rid", F.explode(F.array(*band_keys)).alias("bk")).select(
         "rid", F.col("bk.b").alias("b"), F.col("bk.v").alias("v")
     )
+    bands = drop_hot_buckets(bands, ["b", "v"], max_bucket_size)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(

@@ -106,9 +106,14 @@ def test_embedding_near_dup_pruned_matches_exact(spark):
     rows = [(i, v.tolist()) for i, v in enumerate(allv)]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
 
+    # cap disabled here: the 'far' filler is itself a mass near-identical
+    # cluster, which the default hot-bucket guard (rightly) drops — this
+    # test measures raw LSH recall; the guard has its own test below
     pruned = {
         (r["i"], r["j"]): r["cos_e4"]
-        for r in D.embedding_near_dup_pairs(df, threshold=0.95).collect()
+        for r in D.embedding_near_dup_pairs(
+            df, threshold=0.95, max_bucket_size=None
+        ).collect()
     }
     exact = {
         (r["i"], r["j"]): r["cos_e4"]
@@ -219,3 +224,44 @@ def test_chunk_dup_tail_chunk_counts(spark):
     assert out[1]["n_chunks"] == 2
     # tail "D" vs doc2's first chunk "D x y": different -> no dup
     assert out[1]["n_dup_chunks"] == 0
+
+
+@pytest.mark.parametrize("seed", [0, 5])
+def test_embedding_pruned_hot_bucket_cap(spark, seed):
+    """Adversarial corpus (VERDICT r02 #3): a mass-duplicate group whose
+    band buckets would each self-join quadratically. With the default
+    hot-bucket cap the degenerate group contributes ZERO candidate
+    pairs (its buckets are dropped), while ordinary near-dup pairs in
+    cool buckets are still found."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    hot = rng.normal(size=64)
+    planted = rng.normal(size=(20, 64))
+    rows = [(i, (hot + rng.normal(0, 1e-4, 64)).tolist()) for i in range(300)]
+    pid = 1000
+    planted_pairs = []
+    for p in planted:
+        rows.append((pid, p.tolist()))
+        rows.append((pid + 1, (p + rng.normal(0, 1e-3, 64)).tolist()))
+        planted_pairs.append((pid, pid + 1))
+        pid += 2
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    got = {
+        (r["i"], r["j"])
+        for r in D.embedding_near_dup_pairs(
+            df, threshold=0.95, exact=False, max_bucket_size=50
+        ).collect()
+    }
+    hot_pairs = {p for p in got if p[0] < 300 and p[1] < 300}
+    assert hot_pairs == set(), f"hot bucket leaked {len(hot_pairs)} pairs"
+    found = sum(1 for p in planted_pairs if p in got)
+    assert found >= len(planted_pairs) * 0.6, (found, len(planted_pairs))
+
+    # cap disabled -> the degenerate group floods the output (the bug
+    # the cap exists to prevent); sanity that the guard is load-bearing
+    uncapped = D.embedding_near_dup_pairs(
+        df, threshold=0.95, exact=False, max_bucket_size=None
+    )
+    assert uncapped.filter("i < 300 AND j < 300").count() > 40_000
