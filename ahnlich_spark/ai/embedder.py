@@ -82,25 +82,61 @@ def stub_embed(value: Union[str, bytes, None], dim: int) -> List[float]:
 
 _ORT_SESSIONS: dict = {}
 
+# The reference's ExecutionProvider enum (ahnlich/types/src/ai/
+# execution_provider.rs:5-10: TensorRt | Cuda | DirectMl | CoreMl),
+# mapped to the onnxruntime-python provider names its Rust `ort` crate
+# registers on the SessionBuilder (providers/ort/mod.rs:67-80). Keys are
+# normalized (case/underscore-insensitive) so both the enum names and
+# the proto wire names ("TENSOR_RT") resolve.
+EXECUTION_PROVIDERS = {
+    "tensorrt": "TensorrtExecutionProvider",
+    "cuda": "CUDAExecutionProvider",
+    "directml": "DmlExecutionProvider",
+    "coreml": "CoreMLExecutionProvider",
+    "cpu": "CPUExecutionProvider",
+}
 
-def _ort_session(model: str):  # pragma: no cover — needs onnxruntime
-    """One InferenceSession per (executor process, model) — the Spark
-    analog of the reference's per-model task thread
-    (ahnlich/ai/src/manager/mod.rs:361-470). Weights are looked up under
+
+def ort_providers(execution_provider: Union[str, None]) -> List[str]:
+    """Providers list an ONNX InferenceSession receives for a request's
+    ExecutionProvider. Mirrors the reference: the requested provider is
+    registered first and CPU stays as the fallback (providers/ort/
+    mod.rs:67-80 registers the accelerator, CPU is ort's implicit
+    default); None means CPU only. Unknown names error out like the
+    reference's enum decode failure, instead of silently degrading."""
+    if execution_provider is None:
+        return ["CPUExecutionProvider"]
+    key = execution_provider.replace("_", "").replace("-", "").lower()
+    if key not in EXECUTION_PROVIDERS:
+        raise ValueError(
+            f"unknown execution provider {execution_provider!r}; "
+            f"one of {sorted(EXECUTION_PROVIDERS)}"
+        )
+    name = EXECUTION_PROVIDERS[key]
+    return [name] if name == "CPUExecutionProvider" else [name, "CPUExecutionProvider"]
+
+
+def _ort_session(model: str, execution_provider: Union[str, None] = None):
+    """One InferenceSession per (executor process, model, provider) —
+    the Spark analog of the reference's per-(model, provider) session
+    cache (providers/ort/mod.rs:254, moka cache keyed by
+    InnerAIExecutionProvider). Weights are looked up under
     $AHNLICH_ONNX_DIR/<model>.onnx."""
     import os
 
     import onnxruntime as ort
 
-    sess = _ORT_SESSIONS.get(model)
+    key = (model, execution_provider)
+    sess = _ORT_SESSIONS.get(key)
     if sess is None:
         path = os.path.join(os.environ.get("AHNLICH_ONNX_DIR", "models"), f"{model}.onnx")
-        sess = ort.InferenceSession(path, providers=["CPUExecutionProvider"])
-        _ORT_SESSIONS[model] = sess
+        sess = ort.InferenceSession(path, providers=ort_providers(execution_provider))
+        _ORT_SESSIONS[key] = sess
     return sess
 
 
-def _ort_embed_batch(col, model: str, dim: int, kind: str):  # pragma: no cover
+def _ort_embed_batch(col, model: str, dim: int, kind: str,
+                     execution_provider: Union[str, None] = None):  # pragma: no cover
     """Real-inference skeleton: pad the batch to an int64 matrix, ONE
     session.run per Arrow batch, mean-pool a 3-D (token-level) output,
     L2-normalize. Drop weights in $AHNLICH_ONNX_DIR and this path runs;
@@ -109,7 +145,7 @@ def _ort_embed_batch(col, model: str, dim: int, kind: str):  # pragma: no cover
     import numpy as np
     import pandas as pd
 
-    sess = _ort_session(model)
+    sess = _ort_session(model, execution_provider)
     codes = [_codes_np(v) for v in col]
     width = max((len(c) for c in codes), default=1) or 1
     ids = np.zeros((len(codes), width), dtype=np.int64)
@@ -133,13 +169,18 @@ def _ort_embed_batch(col, model: str, dim: int, kind: str):  # pragma: no cover
 
 # ------------------------------------------------ Arrow-batched (hot) --
 
-def embed_pandas_udf(model: str, kind: str = "text"):
+def embed_pandas_udf(model: str, kind: str = "text",
+                     execution_provider: Union[str, None] = None):
     """Arrow-batched Pandas UDF — the plug-point where a real ONNX
     Runtime / sentence-transformers session would run (create the
     session once per executor, encode per batch). Falls back to the stub
-    featurizer when no runtime is importable (this container)."""
+    featurizer when no runtime is importable (this container).
+    ``execution_provider`` follows the reference's per-request enum
+    (TensorRT/CUDA/DirectML/CoreML) into the session's provider list."""
     if kind not in KINDS:
         raise ValueError(f"kind must be one of {KINDS}, got {kind!r}")
+    # validate the provider eagerly (driver-side), not inside the UDF
+    ort_providers(execution_provider)
     spec = get_model(model)
     dim = spec.embedding_size
 
@@ -154,7 +195,7 @@ def embed_pandas_udf(model: str, kind: str = "text"):
 
     def embed(col):
         if have_runtime:  # pragma: no cover — needs onnxruntime + weights
-            return _ort_embed_batch(col, model, dim, kind)
+            return _ort_embed_batch(col, model, dim, kind, execution_provider)
         import numpy as np
 
         # per-row digests (variable lengths), then ONE vectorized

@@ -234,6 +234,7 @@ class AiEngine:
         preprocess_action: str = NO_PREPROCESSING,
         input_col: str = "input",
         meta_col: Optional[str] = None,
+        execution_provider: Optional[str] = None,
     ) -> StoreUpsert:
         """AI Set. ``inputs`` is either a small list of (StoreInput,
         meta) pairs — embedded driver-side, DSL-sized — or a DataFrame
@@ -242,9 +243,13 @@ class AiEngine:
         fold the reference's DelPred-before-Set (re-setting the same
         original replaces the old entry, operations.rs:229-268) into
         ONE store rewrite."""
+        from ahnlich_spark.ai.embedder import ort_providers
+
+        ort_providers(execution_provider)  # validate eagerly (ref enum decode)
         if isinstance(inputs, DataFrame):
             return self._set_bulk(
-                store, inputs, schema, preprocess_action, input_col, meta_col
+                store, inputs, schema, preprocess_action, input_col, meta_col,
+                execution_provider,
             )
         binding = self._binding(store, schema)
         one_to_many = get_model(binding.index_model).one_to_many
@@ -290,6 +295,7 @@ class AiEngine:
         preprocess_action: str,
         input_col: str,
         meta_col: Optional[str],
+        execution_provider: Optional[str] = None,
     ) -> StoreUpsert:
         """Bulk AI Set: embed a DataFrame of raw inputs executor-side.
 
@@ -375,7 +381,8 @@ class AiEngine:
                 df.select(orig_mv.cast(META_VALUE_TYPE).alias("mv")),
             )
 
-        udf = embed_pandas_udf(binding.index_model, kind=kind)
+        udf = embed_pandas_udf(binding.index_model, kind=kind,
+                               execution_provider=execution_provider)
         batch = df.select(
             udf(raw).alias("key"), meta_expr.cast(META_MAP_TYPE).alias("meta")
         )
@@ -509,7 +516,11 @@ class AiEngine:
         schema: str = PUBLIC_SCHEMA,
         preprocess_action: str = NO_PREPROCESSING,
         precision: str = "float",
+        execution_provider: Optional[str] = None,
     ) -> DataFrame:
+        from ahnlich_spark.ai.embedder import ort_providers
+
+        ort_providers(execution_provider)  # validate eagerly (ref enum decode)
         binding = self._binding(store, schema)
         vec = self._embed_input(search_input, binding.query_model, preprocess_action)
         out = self.engine.get_sim_n(
@@ -548,6 +559,7 @@ class AiEngine:
         merge_metadata: bool = True,
         schema: str = PUBLIC_SCHEMA,
         preprocess_action: str = NO_PREPROCESSING,
+        execution_provider: Optional[str] = None,
     ) -> StoreUpsert:
         """Single-row conditional update with re-embedding
         (ahnlich/ai/src/engine/store.rs:433-498). The AI proxy always
@@ -555,6 +567,9 @@ class AiEngine:
         an input-only upsert must not wipe the row's user metadata — so
         merge is the default and the reserved original-input key is
         folded into the merge delta."""
+        from ahnlich_spark.ai.embedder import ort_providers
+
+        ort_providers(execution_provider)  # validate eagerly (ref enum decode)
         binding = self._binding(store, schema)
         new_key = None
         if new_input is not None:
@@ -565,7 +580,8 @@ class AiEngine:
         return self.engine.upsert(store, condition, new_key, new_value, merge_metadata, schema)
 
     def convert_store_input_to_embeddings(
-        self, df: DataFrame, model: str, input_col: str = "text", kind: str = "text"
+        self, df: DataFrame, model: str, input_col: str = "text",
+        kind: str = "text", execution_provider: Optional[str] = None,
     ) -> DataFrame:
         """Pure embedding call, no store (ai/query.rs:326-346): adds an
         ``embedding ARRAY<FLOAT>`` column via the Arrow-batched UDF."""
@@ -573,5 +589,6 @@ class AiEngine:
 
         from ahnlich_spark.ai.embedder import embed_pandas_udf
 
-        udf = embed_pandas_udf(model, kind=kind)
+        udf = embed_pandas_udf(model, kind=kind,
+                               execution_provider=execution_provider)
         return df.withColumn("embedding", udf(F.col(input_col)))

@@ -158,3 +158,71 @@ def test_one_to_many_bulk_matches_list_path(ai, spark):
     ka = sorted(tuple(x["key"]) for x in ai.engine.store_df("flist").collect())
     kb = sorted(tuple(x["key"]) for x in ai.engine.store_df("fbulk").collect())
     assert ka == kb
+
+
+# ----------------------------------------- ExecutionProvider plumbing --
+
+def test_ort_providers_truth_table():
+    """Reference enum (execution_provider.rs:5-10) -> onnxruntime
+    provider lists, requested accelerator first with CPU fallback
+    (providers/ort/mod.rs:67-80); both enum and proto wire names."""
+    from ahnlich_spark.ai.embedder import ort_providers
+
+    assert ort_providers(None) == ["CPUExecutionProvider"]
+    assert ort_providers("CPU") == ["CPUExecutionProvider"]
+    for name in ("TensorRT", "TENSOR_RT", "tensorrt"):
+        assert ort_providers(name) == [
+            "TensorrtExecutionProvider", "CPUExecutionProvider"]
+    for name in ("Cuda", "CUDA"):
+        assert ort_providers(name) == [
+            "CUDAExecutionProvider", "CPUExecutionProvider"]
+    for name in ("DirectML", "DIRECT_ML"):
+        assert ort_providers(name) == [
+            "DmlExecutionProvider", "CPUExecutionProvider"]
+    for name in ("CoreML", "CORE_ML"):
+        assert ort_providers(name) == [
+            "CoreMLExecutionProvider", "CPUExecutionProvider"]
+    with pytest.raises(ValueError):
+        ort_providers("vulkan")
+
+
+def test_ort_session_receives_provider_list(monkeypatch, tmp_path):
+    """_ort_session must forward the mapped provider list into the
+    InferenceSession constructor and cache per (model, provider)."""
+    import sys
+    import types as pytypes
+
+    from ahnlich_spark.ai import embedder
+
+    calls = []
+
+    class FakeSession:
+        def __init__(self, path, providers=None):
+            calls.append((path, tuple(providers)))
+
+    fake = pytypes.ModuleType("onnxruntime")
+    fake.InferenceSession = FakeSession
+    monkeypatch.setitem(sys.modules, "onnxruntime", fake)
+    monkeypatch.setenv("AHNLICH_ONNX_DIR", str(tmp_path))
+    monkeypatch.setattr(embedder, "_ORT_SESSIONS", {})
+
+    s1 = embedder._ort_session("all-minilm-l6-v2", "CUDA")
+    s2 = embedder._ort_session("all-minilm-l6-v2", "CUDA")   # cached
+    s3 = embedder._ort_session("all-minilm-l6-v2", None)     # new entry
+    assert s1 is s2 and s1 is not s3
+    assert [c[1] for c in calls] == [
+        ("CUDAExecutionProvider", "CPUExecutionProvider"),
+        ("CPUExecutionProvider",),
+    ]
+
+
+def test_ai_surface_rejects_unknown_provider(spark, warehouse):
+    from ahnlich_spark.ai.proxy import AiEngine
+    from ahnlich_spark.plans.engine import Engine
+    from ahnlich_spark.types import StoreInput
+
+    ai = AiEngine(Engine(spark, warehouse))
+    ai.create_store("epv", query_model="all-minilm-l6-v2",
+                    index_model="all-minilm-l6-v2")
+    with pytest.raises(ValueError, match="execution provider"):
+        ai.get_sim_n("epv", StoreInput.raw_string("hi"), execution_provider="npu")
