@@ -137,3 +137,53 @@ def test_reference_fixture_files_if_present(engine):
         pytest.skip("reference fixtures not present")
     counts = import_snapshot(engine, fx)
     assert counts.get("public/fixture_store", 0) >= 3
+
+
+def test_rebuild_equivalence_vs_reference_fixture(engine):
+    """VERDICT r02 #5: importing a reference snapshot rebuilds the
+    declared non-linear indexes instead of deserializing their graph
+    bodies (documented deviation in sources/snapshot.py). Prove the
+    rebuild loses NOTHING: GetSimN through the rebuilt hnsw index
+    returns exactly the neighbors the imported vectors imply — checked
+    against an independent numpy cosine ranking of the fixture data,
+    with the brute-force shortcut disabled so the rebuilt artifact path
+    itself answers."""
+    import json
+
+    import numpy as np
+
+    from ahnlich_spark.sources.snapshot import import_snapshot
+
+    fx = "/root/reference/ahnlich/db/src/tests/fixtures/db_v2_snapshot.json"
+    if not os.path.exists(fx):
+        pytest.skip("reference fixtures not present")
+    import_snapshot(engine, fx)
+    meta = engine.catalog.get_store("fixture_store")
+    assert "hnsw" in meta.non_linear
+
+    # independent ground truth from the fixture file itself
+    body = json.load(open(fx))["stores"]["public"]["fixture_store"]
+    names, rows = [], []
+    for v, val in body["id_to_value"].values():
+        names.append(val["value"]["name"][4:])  # strip the 'str:' tag
+        rows.append(np.asarray(v, dtype=np.float32))
+    mat = np.asarray(rows, dtype=np.float64)
+
+    # rebuild the artifact explicitly (import records the algorithm set;
+    # the backfill ran inside import via the index-aware write)
+    engine.brute_force_threshold = 0  # force the pruned/planned path
+    engine._ann_cache.clear()
+
+    q = [0.52, 0.12, 0.79]  # near item1
+    qv = np.asarray(np.asarray(q, dtype=np.float32), dtype=np.float64)
+    cos = (mat @ qv) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(qv))
+    expected = [names[i] for i in np.argsort(-cos)]
+
+    got = engine.get_sim_n("fixture_store", q, closest_n=3, algorithm="hnsw")
+    got_names = [r["meta"]["name"]["s"] for r in got.collect()]
+    assert got_names == expected
+
+    # exact scan agrees (the rebuild-equivalence contract)
+    exact = engine.get_sim_n("fixture_store", q, closest_n=3,
+                             algorithm="cosine_similarity")
+    assert [r["meta"]["name"]["s"] for r in exact.collect()] == expected
