@@ -287,3 +287,34 @@ def test_get_sim_n_batch_plan_scans_store_once(spark, engine):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "WindowGroupLimit" in plan, plan
     assert plan.count("Scan parquet") == 1, plan
+
+
+def test_hnsw_tunables_mapped_not_dropped(engine):
+    """Reference HNSW tunables (hnsw/mod.rs:285-296) map onto the LSH
+    analog (VERDICT r02 #7): m -> n_planes, extend_candidates -> wider
+    hamming_radius floor; explicit LSH knobs win; m0/keep_pruned are
+    recorded but inert."""
+    import pytest as _pytest
+
+    engine.create_store("tun1", dimension=4)
+    engine.create_non_linear_algorithm_index(
+        "tun1", ["hnsw"], config={"m": 24, "extend_candidates": True,
+                                  "m0": 48, "keep_pruned_connections": True})
+    cfg = engine.catalog.get_store("tun1").non_linear_config["hnsw"]
+    assert cfg["n_planes"] == 24
+    assert cfg["hamming_radius"] == 4  # default 3 + extend_candidates
+    assert cfg["m0"] == 48 and cfg["keep_pruned_connections"] is True
+
+    # explicit LSH knobs win over the mapped reference tunables
+    engine.create_store("tun2", dimension=4)
+    engine.create_non_linear_algorithm_index(
+        "tun2", ["hnsw"],
+        config={"m": 24, "n_planes": 12, "extend_candidates": True,
+                "hamming_radius": 2})
+    cfg = engine.catalog.get_store("tun2").non_linear_config["hnsw"]
+    assert cfg["n_planes"] == 12 and cfg["hamming_radius"] == 2
+
+    engine.create_store("tun3", dimension=4)
+    with _pytest.raises(ValueError, match="n_planes"):
+        engine.create_non_linear_algorithm_index("tun3", ["hnsw"],
+                                                 config={"m": 99})
