@@ -27,8 +27,13 @@ SURVEY.md §2.5).
 Scale notes (100 TB): the window is a single ROWS-frame running
 last_value — Spark evaluates it in one pass per partition after the
 sort, no buffering beyond the current row. Skewed keys (one user with
-millions of events) serialize within the key; salt the key upstream if
-a single key exceeds an executor's sort budget.
+millions of events) serialize within the key under the plain
+formulation; both joins take an OPT-IN time-slice decomposition
+(``slice_us`` / ``sliced=True``) that re-keys the shuffle to
+(key, time-slice) so a hot key spreads across slices — the windowed
+analog of hot-key salting (per-key salting alone cannot split a
+window, because the frame needs ordered continuity; slicing restores
+it with per-slice carry-in seeds / duplicated boundary rows).
 """
 
 from __future__ import annotations
@@ -49,6 +54,7 @@ def window_count_join(
     count_col: str = "n_right",
     sum_col: Optional[str] = None,
     sum_out: str = "sum_right",
+    sliced: bool = False,
 ) -> DataFrame:
     """Interval (range) join as a windowed aggregation: every left row
     gains ``count_col`` = number of right rows with the same ``on`` key
@@ -78,7 +84,15 @@ def window_count_join(
     rows at the same microsecond as the left row are NOT counted
     (strict past — no self-count when left and right are the same
     table/row).
-    """
+
+    ``sliced=True`` (opt-in skew handling): shuffle on (key, time-slice
+    of width window_us) instead of key alone — every right row is
+    emitted into its own slice AND the next one, so each left row's
+    window is fully contained in its slice partition (a row at most
+    window_us in the past is in the same or the previous slice). A hot
+    key then spreads across its time range instead of serializing one
+    reducer. Costs 2x right rows; results are identical (pinned by
+    tests/test_joins.py)."""
     r = right.select(
         F.col(on).alias("__key"),
         F.col(right_ts_us).cast("long").alias("__tus"),
@@ -95,13 +109,27 @@ def window_count_join(
         F.lit(0.0).alias("__pay"),
         F.struct(*[F.col(c) for c in left.columns]).alias("__left"),
     )
+    unioned = r.unionByName(l)
+    if sliced:
+        # slice width = window width: a counted right row is in the left
+        # row's slice or the previous one; emitting each right row into
+        # both makes every (key, slice) partition self-contained
+        slc = F.floor(F.col("__tus") / F.lit(int(window_us)))
+        rs = r.withColumn(
+            "__slc", F.explode(F.array(slc.cast("long"), slc.cast("long") + 1))
+        )
+        ls = l.withColumn("__slc", slc.cast("long"))
+        unioned = rs.unionByName(ls)
+        part_cols = ["__key", "__slc"]
+    else:
+        part_cols = ["__key"]
     w = (
-        Window.partitionBy("__key")
+        Window.partitionBy(*part_cols)
         .orderBy(F.asc("__tus"))
         .rangeBetween(-int(window_us), -1)
     )
     out = (
-        r.unionByName(l)
+        unioned
         .withColumn("__n", F.coalesce(F.sum("__is_r").over(w), F.lit(0)))
         .withColumn("__s", F.coalesce(F.sum(F.col("__pay") * F.col("__is_r")).over(w), F.lit(0.0)))
         .filter(F.col("__left").isNotNull())
@@ -122,6 +150,7 @@ def asof_join(
     right_cols: Optional[Sequence[str]] = None,
     tiebreak: Optional[str] = None,
     prefix: str = "asof_",
+    slice_us: Optional[int] = None,
 ) -> DataFrame:
     """Left as-of join. Every left row gains ``prefix + c`` for each c in
     ``right_cols`` (and ``prefix + right_ts``), holding the values of
@@ -131,7 +160,15 @@ def asof_join(
     ``tiebreak`` (a right column, e.g. an event id) makes "latest"
     deterministic among right rows sharing a timestamp: the greatest
     tiebreak value wins.
-    """
+
+    ``slice_us`` (opt-in skew handling): decompose each key's timeline
+    into slices of that many microseconds and shuffle on (key, slice),
+    so one hot key no longer serializes a single reducer. The as-of
+    lookback is unbounded, so slices are stitched with carry-in seeds:
+    the latest right row of every PRECEDING slice is computed on a tiny
+    per-(key, slice) summary table and joined back, and each slice's
+    window runs locally seeded by it. Results are identical to the
+    plain path (pinned by tests/test_joins.py)."""
     right_cols = [c for c in (right_cols or right.columns) if c not in (on, right_ts)]
     if tiebreak is not None and tiebreak not in right_cols:
         right_cols = right_cols + [tiebreak]
@@ -160,14 +197,17 @@ def asof_join(
     r = r.withColumn("__left", F.lit(None).cast(l.schema["__left"].dataType))
 
     unioned = r.unionByName(l)
-    w = (
-        Window.partitionBy("__key")
-        .orderBy(F.asc("__ts"), F.asc("__tag"), F.asc("__tb"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = unioned.withColumn(
-        "__match", F.last("__payload", ignorenulls=True).over(w)
-    ).filter(F.col("__tag") == 1)
+    if slice_us is None:
+        w = (
+            Window.partitionBy("__key")
+            .orderBy(F.asc("__ts"), F.asc("__tag"), F.asc("__tb"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carried = unioned.withColumn(
+            "__match", F.last("__payload", ignorenulls=True).over(w)
+        ).filter(F.col("__tag") == 1)
+    else:
+        carried = _asof_sliced(unioned, int(slice_us))
 
     out_cols = [F.col(f"__left.{c}").alias(c) for c in left.columns]
     out_cols.append(F.col(f"__match.__ts").alias(f"{prefix}{right_ts}"))
@@ -175,6 +215,47 @@ def asof_join(
         F.col(f"__match.{c}").alias(f"{prefix}{c}") for c in right_cols
     )
     return carried.select(*out_cols)
+
+
+def _asof_sliced(unioned: DataFrame, slice_us: int) -> DataFrame:
+    """Time-sliced as-of evaluation: the shuffle key becomes
+    (key, slice), each slice's window runs locally, and cross-slice
+    lookback is restored by seeding every slice with the latest right
+    row of all preceding slices — computed on a per-(key, slice)
+    summary table that has one row per NON-EMPTY slice, so the stitch
+    costs nothing even for a key with millions of rows."""
+    u = unioned.withColumn(
+        "__slc", F.floor(F.unix_micros(F.col("__ts")) / F.lit(slice_us)).cast("long")
+    )
+    w = (
+        Window.partitionBy("__key", "__slc")
+        .orderBy(F.asc("__ts"), F.asc("__tag"), F.asc("__tb"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = u.withColumn("__within", F.last("__payload", ignorenulls=True).over(w))
+    # struct max = (ts, tiebreak)-greatest right row, matching the
+    # window's (ts asc, tb asc, last-wins) semantics
+    summary = (
+        u.filter(F.col("__tag") == 0)
+        .groupBy("__key", "__slc")
+        .agg(F.max(F.struct(F.col("__ts"), F.col("__tb"), F.col("__payload"))).alias("__m"))
+    )
+    slices = u.select("__key", "__slc").distinct()
+    wseed = (
+        Window.partitionBy("__key")
+        .orderBy(F.asc("__slc"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seeds = (
+        slices.join(summary, ["__key", "__slc"], "left")
+        .withColumn("__seed", F.max("__m").over(wseed))
+        .select("__key", "__slc", F.col("__seed.__payload").alias("__seedp"))
+    )
+    return (
+        u.join(seeds, ["__key", "__slc"])
+        .withColumn("__match", F.coalesce(F.col("__within"), F.col("__seedp")))
+        .filter(F.col("__tag") == 1)
+    )
 
 
 def salted_join(

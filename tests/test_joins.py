@@ -155,3 +155,68 @@ def test_salted_join_key_is_composite(spark):
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert "__salt" in plan
     assert plan.count("Generate explode") == 1  # right side only
+
+
+# ------------------------------------ time-sliced skew decomposition --
+
+def _skewed_events(spark, seed=3):
+    """One hot key (90% of rows) + several cold keys; ts microseconds."""
+    import random
+
+    rng = random.Random(seed)
+    rows = []
+    eid = 0
+    for _ in range(2000):
+        key = "hot" if rng.random() < 0.9 else f"cold{rng.randint(0, 5)}"
+        ts = rng.randint(0, 10_000_000)
+        rows.append((eid, key, ts, rng.randint(1, 100)))
+        eid += 1
+    return spark.createDataFrame(rows, "eid long, k string, tus long, v long")
+
+
+def test_asof_sliced_identical_to_plain(spark):
+    """VERDICT r02 #8: the opt-in (key, time-slice) decomposition must
+    return byte-identical results to the plain per-key window on a
+    skewed fixture — slicing only changes row routing."""
+    from ahnlich_spark.operators.joins import asof_join
+
+    ev = _skewed_events(spark).withColumn("ts", F.timestamp_micros(F.col("tus")))
+    left = ev.filter(F.col("eid") % 3 == 0).select("eid", "k", "ts")
+    right = ev.filter(F.col("eid") % 3 != 0).select("k", "ts", "v", "eid")
+
+    plain = asof_join(left, right, on="k", right_cols=["v"], tiebreak="eid")
+    sliced = asof_join(left, right, on="k", right_cols=["v"], tiebreak="eid",
+                       slice_us=1_000_000)
+    key = lambda r: (r["eid"], r["k"])
+    a = {key(r): (r["asof_ts"], r["asof_v"], r["asof_eid"]) for r in plain.collect()}
+    b = {key(r): (r["asof_ts"], r["asof_v"], r["asof_eid"]) for r in sliced.collect()}
+    assert a == b and len(a) == left.count()
+
+
+def test_window_count_sliced_identical_to_plain(spark):
+    from ahnlich_spark.operators.joins import window_count_join
+
+    ev = _skewed_events(spark, seed=9)
+    left = ev.filter(F.col("eid") % 2 == 0).select("eid", "k", F.col("tus").alias("ts_us"))
+    right = ev.filter(F.col("eid") % 2 == 1).select("k", F.col("tus").alias("ts_us"), "v")
+
+    kw = dict(on="k", window_us=500_000, sum_col="v")
+    plain = window_count_join(left, right, **kw)
+    sliced = window_count_join(left, right, sliced=True, **kw)
+    key = lambda r: r["eid"]
+    a = {key(r): (r["n_right"], r["sum_right"]) for r in plain.collect()}
+    b = {key(r): (r["n_right"], r["sum_right"]) for r in sliced.collect()}
+    assert a == b and len(a) == left.count()
+
+
+def test_sliced_paths_shuffle_on_key_and_slice(spark):
+    """The decomposition's point: the window partitions on (key, slice)
+    so a hot key spreads across reducers."""
+    from ahnlich_spark.operators.joins import asof_join, window_count_join
+
+    ev = _skewed_events(spark).withColumn("ts", F.timestamp_micros(F.col("tus")))
+    left = ev.select("eid", "k", "ts")
+    right = ev.select("k", "ts", "v")
+    out = asof_join(left, right, on="k", right_cols=["v"], slice_us=1_000_000)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "__slc" in plan
