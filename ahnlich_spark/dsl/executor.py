@@ -137,7 +137,8 @@ class DslExecutor:
         if isinstance(op, ops.AiSet):
             entries = [(inp, _meta_dict(value)) for inp, value in op.entries]
             return ai.set(op.store, entries, schema=_schema(op.schema),
-                          preprocess_action=op.preprocess_action)
+                          preprocess_action=op.preprocess_action,
+                          execution_provider=op.execution_provider)
         if isinstance(op, ops.AiGetKey):
             return ai.get_key(op.store, list(op.inputs), schema=_schema(op.schema))
         if isinstance(op, ops.AiDelKey):
@@ -148,10 +149,12 @@ class DslExecutor:
                 kw["preprocess_action"] = op.preprocess_action
             return ai.get_sim_n(op.store, op.search_input, closest_n=op.closest_n,
                                 algorithm=op.algorithm, condition=op.condition,
-                                schema=_schema(op.schema), **kw)
+                                schema=_schema(op.schema),
+                                execution_provider=op.execution_provider, **kw)
         if isinstance(op, ops.AiUpsert):
             return ai.upsert(op.store, op.condition, new_input=op.new_input,
                              new_value=_meta_dict(op.new_value),
                              schema=_schema(op.schema),
-                             preprocess_action=op.preprocess_action)
+                             preprocess_action=op.preprocess_action,
+                             execution_provider=op.execution_provider)
         raise ValueError(f"unhandled op {type(op).__name__}")

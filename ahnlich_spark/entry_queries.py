@@ -337,6 +337,56 @@ def del_pred(spark, sf_dir):
 
 # =============================================== Set / Upsert lifecycle ==
 
+@register("store_incremental_mutations", """
+WITH s1 AS (SELECT vec_id, label FROM embeddings WHERE vec_id < 300),
+after_delkey AS (SELECT * FROM s1 WHERE vec_id NOT IN (10, 20)),
+after_delpred AS (SELECT * FROM after_delkey WHERE label <> 0),
+b2 AS (SELECT vec_id FROM embeddings WHERE vec_id >= 100 AND vec_id < 400)
+SELECT
+  (SELECT count(*) FROM s1)::BIGINT AS inserted1,
+  2::BIGINT AS deleted_keys,
+  (SELECT count(*) FROM after_delkey WHERE label = 0)::BIGINT AS deleted_pred,
+  (SELECT count(*) FROM b2
+    WHERE vec_id NOT IN (SELECT vec_id FROM after_delpred))::BIGINT AS inserted2,
+  (SELECT count(*) FROM b2
+    WHERE vec_id IN (SELECT vec_id FROM after_delpred))::BIGINT AS updated2,
+  (SELECT count(*) FROM (SELECT vec_id FROM after_delpred
+                         UNION SELECT vec_id FROM b2))::BIGINT AS store_len,
+  1::BIGINT AS base_version,
+  3::BIGINT AS delta_segments
+""")
+def store_incremental_mutations(spark, sf_dir):
+    """The full mutation chain through the base+delta layout (VERDICT
+    r02 #1): SET -> DelKey -> DelPred -> overlapping SET. The oracle
+    pins every count AND the physical layout contract itself — after
+    four mutations the base version is still 1 with exactly three delta
+    segments (first SET writes the base; every later mutation appends
+    O(batch) deltas, never a rewrite)."""
+    from ahnlich_spark.plans.engine import Engine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    wh = tempfile.mkdtemp(prefix="ahnlich_gate_")
+    eng = Engine(spark, wh)
+    eng.create_store("inc", dimension=64)
+    rows = {
+        r["vec_id"]: (list(r["embedding"]), {"label": str(r["label"])})
+        for r in emb.filter(F.col("vec_id") < 400).collect()
+    }
+    r1 = eng.set("inc", [rows[v] for v in sorted(rows) if v < 300])
+    dk = eng.del_key("inc", [rows[10][0], rows[20][0]])
+    dp = eng.del_pred("inc", Equals("label", "0"))
+    r2 = eng.set("inc", [rows[v] for v in sorted(rows) if 100 <= v < 400])
+    meta = eng.catalog.get_store("inc")
+    info = eng.get_store("inc")
+    return spark.createDataFrame(
+        [(r1.inserted, dk.deleted_count, dp.deleted_count,
+          r2.inserted, r2.updated, info.len, meta.version, meta.deltas)],
+        "inserted1 long, deleted_keys long, deleted_pred long, "
+        "inserted2 long, updated2 long, store_len long, "
+        "base_version long, delta_segments long",
+    )
+
+
 @register("store_lifecycle_counts", """
 SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 300)  AS inserted1,
        0::BIGINT                                             AS updated1,

@@ -317,3 +317,30 @@ def test_executor_ai_end_to_end(executor):
     top = results[2].result.collect()
     assert len(top) == 1 and round(top[0]["similarity"], 3) == 1.0
     assert results[3].result.count() == 1
+
+
+def test_execution_provider_reaches_proxy(spark, warehouse, monkeypatch):
+    """The DSL's EXECUTIONPROVIDER clause must flow through the executor
+    into the AI proxy call (it parsed but was dropped before r03)."""
+    from ahnlich_spark.ai.proxy import AiEngine
+    from ahnlich_spark.dsl import parse_ai_query
+    from ahnlich_spark.dsl.executor import DslExecutor
+    from ahnlich_spark.plans.engine import Engine
+
+    ai = AiEngine(Engine(spark, warehouse))
+    ai.create_store("dslp", query_model="all-minilm-l6-v2",
+                    index_model="all-minilm-l6-v2")
+    seen = {}
+    orig = AiEngine.get_sim_n
+
+    def spy(self, *a, **kw):
+        seen["execution_provider"] = kw.get("execution_provider")
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(AiEngine, "get_sim_n", spy)
+    (op,) = parse_ai_query(
+        "GETSIMN 2 WITH [hello] USING cosinesimilarity "
+        "EXECUTIONPROVIDER cuda IN dslp")
+    assert op.execution_provider == "cuda"
+    DslExecutor(ai.engine, ai)._run([op])
+    assert seen["execution_provider"] == "cuda"
