@@ -1301,12 +1301,15 @@ def _pruned_engine(spark, sf_dir, algo, config=None, centroids=None):
     eng = Engine(spark, wh)
     eng.brute_force_threshold = _PRUNED_BF_THRESHOLD
     eng.create_store("annp", dimension=_GATE_DIM)
-    eng.set("annp", emb.select(F.col("embedding").alias("key")))
+    # declare the index (and persist the quantizer) BEFORE the first
+    # SET: the empty-store DDL is catalog-only, so the single base write
+    # embeds the index columns + partition layout — no rebuild pass
+    eng.create_non_linear_algorithm_index("annp", [algo], config=config)
     if centroids is not None:
         meta = eng.catalog.get_store("annp")
         np.save(eng.catalog.store_aux_path(meta, "ivf_centroids.npy"),
                 np.asarray(centroids, dtype=np.float64))
-    eng.create_non_linear_algorithm_index("annp", [algo], config=config)
+    eng.set("annp", emb.select(F.col("embedding").alias("key")))
     return eng
 
 
