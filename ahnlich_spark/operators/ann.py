@@ -50,21 +50,46 @@ def hyperplanes(dim: int, n_planes: int = DEFAULT_N_PLANES, seed: int = DEFAULT_
 
 
 def signature_expr(key: Column, planes: np.ndarray) -> Column:
-    """Sign-bit signature of ARRAY<FLOAT> ``key`` as a BIGINT, JVM-side.
+    """Sign-bit signature of an ARRAY<FLOAT> column as a BIGINT,
+    JVM-side.
 
-    One codegen'd dot product per plane; used at index-build time (the
-    per-row cost is paid once, not per query). Accumulation is DOUBLE
-    with a left-associative fold: f32 inputs are exact in f64, so the
-    same chain is bit-reproducible by the driver (``signature_of``) and
-    by a SQL oracle — signatures become portable integers instead of
-    f32-summation-order artifacts."""
-    from ahnlich_spark.types import vector_lit
+    Accumulation is DOUBLE with a left-associative fold: f32 inputs are
+    exact in f64, so the same chain is bit-reproducible by the driver
+    (``signature_of``) and by a SQL oracle — signatures are portable
+    integers, not f32-summation-order artifacts.
 
-    sig = F.lit(0).cast("long")
-    for i, p in enumerate(planes):
-        d = S.dot_product(key, vector_lit(p), precision="double")
-        sig = sig + F.when(d >= 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
-    return sig
+    Built as ONE parsed SQL expression: the plane matrix rides in as a
+    constant-folded ``from_json`` literal and the n_planes dot products
+    are HOF transforms over it, so Catalyst walks a handful of nodes
+    instead of n_planes*dim py4j-built literals (each py4j Column call
+    costs ~10ms driver-side — building this per-plane took ~10s per
+    store write at n_planes=16, dim=64)."""
+    import json as _json
+
+    col = _column_sql(key)
+    pm = _json.dumps([[float(x) for x in p] for p in planes])
+    bits = _json.dumps([1 << i for i in range(len(planes))])
+    return F.expr(f"""
+aggregate(
+  zip_with(
+    transform(from_json('{pm}', 'array<array<double>>'),
+      p -> aggregate(zip_with({col}, p, (x, y) -> CAST(x AS DOUBLE) * y),
+                     CAST(0 AS DOUBLE), (a, x) -> a + x)),
+    from_json('{bits}', 'array<bigint>'),
+    (d, w) -> IF(d >= CAST(0 AS DOUBLE), w, 0L)),
+  0L, (a, x) -> a + x)
+""".strip())
+
+
+def _column_sql(key: Column) -> str:
+    """SQL text of a plain (possibly qualified) column reference — the
+    only shapes signature_expr is used with."""
+    if isinstance(key, str):
+        return f"`{key}`"
+    name = key._jc.toString()
+    if not all(part.replace("_", "").isalnum() for part in name.split(".")):
+        raise ValueError(f"signature_expr needs a plain column, got {name!r}")
+    return ".".join(f"`{p}`" for p in name.split("."))
 
 
 def signature_of(vec: Sequence[float], planes: np.ndarray) -> int:

@@ -895,15 +895,29 @@ class Engine:
         batch_ids = batch_d.select("id")
         if small_batch:
             batch_ids = F.broadcast(batch_ids)
-        hits = existing.join(batch_ids, "id", "left_semi").select(F.lit(1).alias("m"))
+        hits = existing.join(batch_ids, "id", "left_semi").select(
+            F.lit(1).alias("m"), F.lit(None).cast("int").alias("sz")
+        )
+        # dimension validation rides INSIDE the counting aggregation
+        # (batch rows carry size(key)) — no separate validation job, and
+        # the batch still fails as a whole before anything is written
         counts = (
-            hits.unionAll(batch_d.select(F.lit(0).alias("m")))
+            hits.unionAll(
+                batch_d.select(F.lit(0).alias("m"), F.size("key").alias("sz"))
+            )
             .agg(
                 F.count(F.when(F.col("m") == 0, 1)).alias("total"),
                 F.count(F.when(F.col("m") == 1, 1)).alias("updated"),
+                F.count(
+                    F.when((F.col("m") == 0) & (F.col("sz") != meta.dimension), 1)
+                ).alias("bad"),
             )
             .first()
         )
+        if counts["bad"]:
+            raise errors.DimensionMismatch(
+                f"batch contains vectors of wrong dimension (expect {meta.dimension})"
+            )
         total, updated = counts["total"], counts["updated"]
         inserted = total - updated
 
@@ -1066,11 +1080,8 @@ class Engine:
                 df = df.withColumn("_seq", F.monotonically_increasing_id())
             if "meta" not in df.columns:
                 df = df.withColumn("meta", F.lit(None).cast(META_MAP_TYPE))
-            bad = df.filter(F.size("key") != meta.dimension).limit(1).count()
-            if bad:
-                raise errors.DimensionMismatch(
-                    f"batch contains vectors of wrong dimension (expect {meta.dimension})"
-                )
+            # dimension validation happens inside set()'s counting job
+            # (one scan, whole batch fails before any write)
             df = df.select(
                 F.col("key").cast(T.ArrayType(T.FloatType(), True)).alias("key"),
                 F.col("meta").cast(META_MAP_TYPE).alias("meta"),

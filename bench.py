@@ -29,11 +29,14 @@ BENCH_QUERIES = [
     "get_sim_n_batch",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "ann_pruned_lsh_topk",
+    "ann_pruned_ivf_topk",
     "get_key",
     "get_pred_equals",
     "get_pred_nested",
     "del_pred",
     "store_lifecycle_counts",
+    "store_incremental_mutations",
     "ai_convert_embeddings",
     "ai_get_sim_n",
     "doc_token_count",

@@ -318,3 +318,15 @@ def test_hnsw_tunables_mapped_not_dropped(engine):
     with _pytest.raises(ValueError, match="n_planes"):
         engine.create_non_linear_algorithm_index("tun3", ["hnsw"],
                                                  config={"m": 99})
+
+
+def test_dataframe_batch_dimension_check(engine, spark):
+    """DataFrame batches validate dimension inside the counting job:
+    the whole batch fails, nothing is written."""
+    engine.create_store("dfdim", dimension=3)
+    bad = spark.createDataFrame(
+        [([1.0, 2.0, 3.0],), ([1.0, 2.0],)], "key array<float>"
+    )
+    with pytest.raises(errors.DimensionMismatch):
+        engine.set("dfdim", bad)
+    assert engine.get_store("dfdim").len == 0
