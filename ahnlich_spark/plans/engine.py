@@ -939,10 +939,15 @@ class Engine:
         self._check_dims(meta, keys)
         probes = self._keys_df(keys).select(store_key_id(F.col("key")).alias("id"))
         df = read_store(self.spark, self.catalog, meta)
-        deleted = df.join(F.broadcast(probes), "id", "left_semi").count()
+        # ONE store scan: pin the matched ids, count the pinned frame,
+        # tombstone from it (O(matches) segment — no rewrite, no rescan)
+        matched = (
+            df.join(F.broadcast(probes), "id", "left_semi")
+            .select("id")
+            .localCheckpoint(eager=True)
+        )
+        deleted = matched.count()
         if deleted:
-            # O(matches) tombstone segment — the store is never rewritten
-            matched = df.join(F.broadcast(probes), "id", "left_semi").select("id")
             self._append_delta(meta, tombstone_ids=matched)
         return DelResult(deleted_count=int(deleted))
 
@@ -950,13 +955,17 @@ class Engine:
         self, store: str, condition: Predicate, schema: str = PUBLIC_SCHEMA
     ) -> DelResult:
         meta = self.catalog.get_store(store, schema)
-        # count through the index-aware path (pruned scan); the delete
-        # itself is an O(matches) tombstone segment over the SAME pruned
-        # scan — the store is never rewritten
-        deleted = self._pred_filtered(meta, condition).count()
+        # ONE index-pruned scan pins the matched ids; count and the
+        # O(matches) tombstone segment both read the pinned frame —
+        # the store is never rewritten or rescanned
+        matched = (
+            self._pred_filtered(meta, condition)
+            .select("id")
+            .localCheckpoint(eager=True)
+        )
+        deleted = matched.count()
         if deleted:
-            tombs = self._pred_filtered(meta, condition).select("id")
-            self._append_delta(meta, tombstone_ids=tombs)
+            self._append_delta(meta, tombstone_ids=matched)
         return DelResult(deleted_count=int(deleted))
 
     def upsert(
