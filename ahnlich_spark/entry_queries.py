@@ -1958,6 +1958,67 @@ def sample_hash(spark, sf_dir):
     return hash_sample(docs, 0.25, salt="r2")
 
 
+@register("train_test_split", f"""
+WITH s AS (
+  SELECT doc_id,
+         CASE WHEN {_HASH_UNIT_SQL.format(salt='split')} < 50000
+              THEN 'test' ELSE 'train' END AS split
+  FROM documents)
+SELECT split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+       CAST(min(doc_id) AS BIGINT) AS min_id,
+       CAST(max(doc_id) AS BIGINT) AS max_id
+FROM s GROUP BY split
+""")
+def train_test_split(spark, sf_dir):
+    """Deterministic held-out split (5% test): scan-local md5-mod
+    assignment — disjoint, exhaustive, identical on any cluster, and
+    nested across rates (operators/sampling.train_test_split). The gate
+    emits per-split counts + an id checksum so a single moved row
+    breaks the hash."""
+    from ahnlich_spark.operators.sampling import train_test_split as tts
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return (
+        tts(docs, test_rate=0.05, salt="split")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+            F.min("doc_id").cast("long").alias("min_id"),
+            F.max("doc_id").cast("long").alias("max_id"),
+        )
+    )
+
+
+@register("doc_sliding_chunks", f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKENS_SQL} AS ws
+  FROM documents WHERE trim(text) <> ''
+),
+n AS (
+  SELECT doc_id, ws, len(ws) AS k,
+         CASE WHEN len(ws) <= 32 THEN 1
+              ELSE CAST(floor((len(ws) - 32 + 15) / 16.0) AS BIGINT) + 1
+         END AS nw
+  FROM toks)
+SELECT doc_id,
+       CAST(t.i - 1 AS BIGINT) AS chunk_idx,
+       CAST(len(ws[(t.i-1)*16+1:(t.i-1)*16+32]) AS BIGINT) AS n_tokens,
+       md5(array_to_string(ws[(t.i-1)*16+1:(t.i-1)*16+32], ' ')) AS fp
+FROM n, unnest(range(1, 1 + nw)) AS t(i)
+""")
+def doc_sliding_chunks(spark, sf_dir):
+    """Overlapping sliding-window chunking (32-token windows, stride
+    16) — the RAG/embedding-ingest shape. Pure scan-local array work in
+    whole-stage codegen: the text never shuffles, only (id, idx, fp)
+    rows flow out (operators/dedup.sliding_chunk_table)."""
+    return D.sliding_chunk_table(
+        _t(spark, sf_dir, "documents"), chunk_tokens=32, stride=16
+    )
+
+
 @register("sample_stratified", f"""
 SELECT doc_id, lang FROM documents
 WHERE {_HASH_UNIT_SQL.format(salt='mix')} <
@@ -2219,8 +2280,9 @@ def asof_purchase_last_view(spark, sf_dir):
 # -------------------------------------------------------------- k-means --
 
 
-@register("embedding_kmeans", """
-WITH seeds AS (
+# k=8, one Lloyd iteration, deterministic lowest-id seeding — shared by
+# the embedding_kmeans and semantic_dedup oracles
+_KMEANS_CTES = """seeds AS (
   SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
          embedding::DOUBLE[] AS c
   FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)
@@ -2244,8 +2306,13 @@ a2 AS (
       ORDER BY list_sum(list_transform(range(1, 65),
           i -> (embedding[CAST(i AS INT)]::DOUBLE - c[CAST(i AS INT)])
              * (embedding[CAST(i AS INT)]::DOUBLE - c[CAST(i AS INT)]))), cid) AS rn
-  FROM embeddings, cents2)
-SELECT vec_id, CAST(cid AS INT) AS cluster_id FROM a2 WHERE rn = 1
+  FROM embeddings, cents2),
+kasg AS (SELECT vec_id, CAST(cid AS INT) AS cluster_id FROM a2 WHERE rn = 1)"""
+
+
+@register("embedding_kmeans", f"""
+WITH {_KMEANS_CTES}
+SELECT vec_id, cluster_id FROM kasg
 """)
 def embedding_kmeans(spark, sf_dir):
     """One Lloyd iteration of k=8 k-means with deterministic lowest-id
@@ -2255,6 +2322,32 @@ def embedding_kmeans(spark, sf_dir):
     from ahnlich_spark.operators.cluster import kmeans_assign
 
     return kmeans_assign(_t(spark, sf_dir, "embeddings"), k=8, iters=1)
+
+
+@register("semantic_dedup", f"""
+WITH {_KMEANS_CTES},
+j AS (SELECT e.vec_id, a.cluster_id, e.embedding
+      FROM embeddings e JOIN kasg a USING (vec_id)),
+dups AS (
+  SELECT DISTINCT b.vec_id
+  FROM j a JOIN j b
+    ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+   AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45)
+SELECT j.vec_id, j.cluster_id,
+       CAST(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+FROM j LEFT JOIN dups d ON j.vec_id = d.vec_id
+""")
+def semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): k-means partitions, then each
+    cluster keeps the lowest-id representative of every near-identical
+    group (cosine >= 0.45 here). The oracle recomputes the full
+    deterministic pipeline — seeding, Lloyd step, within-cluster
+    pairwise cosine, dup marking (operators/cluster.semantic_dedup:
+    scan-local GEMM assign + one applyInPandas GEMM per cluster,
+    cluster-bounded work, never corpus-quadratic)."""
+    from ahnlich_spark.operators.cluster import semantic_dedup as sd
+
+    return sd(_t(spark, sf_dir, "embeddings"), k=8, iters=1, threshold=0.45)
 
 
 # ------------------------------------------------- random projection --

@@ -329,3 +329,58 @@ def kmeans_assign(
         assigned = assign(centroids)
 
     return assigned.select(id_col, "cluster_id")
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 1,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means partitions the corpus, then WITHIN each
+    cluster a row is a duplicate iff some lower-id member is
+    near-identical (cosine >= threshold). Returns
+    (id, cluster_id, is_dup) with is_dup in {0, 1}; keep = is_dup = 0
+    retains exactly one representative (the smallest id) per
+    near-identical group that k-means co-locates.
+
+    Scale shape: the clustering is kmeans_assign (scan-local GEMM
+    assign, k*dim driver state); the pairwise stage is ONE
+    applyInPandas GEMM per cluster — work is sum(|cluster|^2), bounded
+    by the clustering, never corpus-quadratic. At 100 TB pick k ~
+    corpus_size / target_cluster_size (SemDeDup uses k in the tens of
+    thousands); pairs that k-means separates are intentionally not
+    compared — that approximation IS the algorithm. For guaranteed-
+    recall near-dup pairs use dedup.embedding_near_dup_pairs instead.
+    """
+    import numpy as np
+    import pandas as pd
+
+    assign = kmeans_assign(emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    j = emb.select(id_col, vec_col).join(assign, id_col)
+    thr = float(threshold)
+
+    def mark(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        mat = np.stack(
+            pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)).to_numpy()
+        )
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = (mat @ mat.T) / (norms @ norms.T)
+        # duplicate iff ANY strictly-lower-id member is within threshold
+        is_dup = (np.tril(cos, -1) >= thr).any(axis=1)
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col].to_numpy(),
+                "cluster_id": pdf["cluster_id"].to_numpy(),
+                "is_dup": is_dup.astype("int64"),
+            }
+        )
+
+    return j.groupBy("cluster_id").applyInPandas(
+        mark, f"{id_col} long, cluster_id int, is_dup long"
+    )

@@ -638,6 +638,58 @@ def doc_chunk_table(
     )
 
 
+def sliding_chunk_table(
+    df: DataFrame,
+    chunk_tokens: int = 32,
+    stride: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Overlapping sliding-window chunks — the RAG/embedding-ingest
+    shape (stride < width keeps boundary context in two chunks, unlike
+    the ALIGNED chunks of doc_chunk_table). Emits one row per window:
+    (doc_id, chunk_idx, n_tokens, fp) where fp = md5 of the
+    space-joined window and chunk_idx counts windows from 0 at stride
+    steps; the final window starts at the last stride multiple below
+    len(tokens) so the tail is always covered. Whitespace-only docs
+    contribute no rows.
+
+    Scan-local array work inside whole-stage codegen: text never
+    shuffles; only (id, idx, 32-char fp) rows flow to the sink — the
+    chunker of a 100 TB corpus is pure map work."""
+    toks = X.tokens(F.col(text_col))
+    k = F.size(toks)
+    n = F.when(
+        k <= 0, F.lit(0)
+    ).when(
+        k <= chunk_tokens, F.lit(1)
+    ).otherwise(
+        F.floor((k - chunk_tokens + stride - 1) / F.lit(stride)).cast("int") + 1
+    )
+    idx = F.when(n > 0, F.sequence(F.lit(0), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    win = lambda i: F.slice(toks, i * stride + 1, chunk_tokens)
+    chunks = F.transform(
+        idx,
+        lambda i: F.struct(
+            i.alias("ci"),
+            F.size(win(i)).alias("nt"),
+            F.md5(F.concat_ws(" ", win(i))).alias("fp"),
+        ),
+    )
+    return (
+        _fan_out(df)
+        .select(F.col(id_col).alias("doc_id"), F.explode(chunks).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.ci").cast("long").alias("chunk_idx"),
+            F.col("c.nt").cast("long").alias("n_tokens"),
+            F.col("c.fp").alias("fp"),
+        )
+    )
+
+
 def chunk_dup_stats(
     df: DataFrame,
     chunk_tokens: int = 16,

@@ -55,6 +55,29 @@ def hash_sample(
     return df.filter(_hash_unit(F.col(id_col), salt) < int(round(rate * _SCALE)))
 
 
+def train_test_split(
+    df: DataFrame,
+    test_rate: float = 0.05,
+    id_col: str = "doc_id",
+    salt: str = "split",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic held-out split: every row gets a ``split`` column
+    ('test' iff md5(salt || id) mod 1e6 < test_rate * 1e6, else
+    'train'). Disjoint and exhaustive by construction; the SAME (salt,
+    test_rate) always yields the same split on any cluster, and growing
+    ``test_rate`` only MOVES rows train -> test (nested splits — a 5%%
+    test set is a subset of the 10%% one). Scan-local, zero shuffle —
+    the split of 100 TB costs one pass."""
+    thr = int(round(test_rate * _SCALE))
+    return df.withColumn(
+        split_col,
+        F.when(_hash_unit(F.col(id_col), salt) < thr, F.lit("test")).otherwise(
+            F.lit("train")
+        ),
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     rates: Dict[str, float],

@@ -64,16 +64,19 @@ BENCH_QUERIES = [
     "pii_scrub",
     "asof_purchase_last_view",
     "embedding_kmeans",
+    "semantic_dedup",
     "embedding_project",
     "ann_project_topk",
     "ann_pq_topk",
     "corpus_mixture",
     "sample_stratified",
+    "train_test_split",
     "sample_weighted_quality",
     "events_gap_fill",
     "pack_sequences",
     "decontaminate_ngrams",
     "chunk_dedup",
+    "doc_sliding_chunks",
     "events_purchase_view_window",
     "embedding_quantize_int8",
     "doc_length_percentiles",

@@ -134,3 +134,33 @@ def test_chain_graph_converges_in_log_rounds(spark):
     # the last alternation is the no-change fixpoint confirmation, so
     # productive alternations = total - 1 (~log2(10k) = 13.3)
     assert rounds["n"] - 2 <= 16, f"{rounds['n'] - 2} alternations"
+
+
+def test_semantic_dedup_keeps_lowest_id_representative(spark):
+    """Planted near-identical groups: exactly the lowest id of each
+    co-clustered group survives; distinct vectors are never marked."""
+    import numpy as np
+
+    from ahnlich_spark.operators.cluster import semantic_dedup
+
+    rng = np.random.RandomState(4)
+    base = rng.normal(size=(6, 16))
+    rows = []
+    vid = 0
+    groups = []
+    for b in base:
+        members = []
+        for _ in range(3):  # 3 near-identical copies per group
+            rows.append((vid, (b + rng.normal(0, 1e-3, 16)).tolist()))
+            members.append(vid)
+            vid += 1
+        groups.append(members)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in
+           semantic_dedup(df, k=4, iters=1, threshold=0.99).collect()}
+    assert len(out) == vid
+    for members in groups:
+        cids = {out[m]["cluster_id"] for m in members}
+        assert len(cids) == 1, "near-identical copies must co-cluster"
+        flags = [out[m]["is_dup"] for m in sorted(members)]
+        assert flags == [0, 1, 1], "keep exactly the lowest id"

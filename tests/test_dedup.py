@@ -265,3 +265,20 @@ def test_embedding_pruned_hot_bucket_cap(spark, seed):
         df, threshold=0.95, exact=False, max_bucket_size=None
     )
     assert uncapped.filter("i < 300 AND j < 300").count() > 40_000
+
+
+def test_sliding_chunk_table_coverage_and_overlap(spark):
+    """Every token position is covered; consecutive windows overlap by
+    chunk_tokens - stride; the tail window is included."""
+    rows = [(1, " ".join(f"t{i}" for i in range(50))), (2, "a b"), (3, "  ")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = D.sliding_chunk_table(df, chunk_tokens=32, stride=16).collect()
+    d1 = sorted((r["chunk_idx"], r["n_tokens"]) for r in out if r["doc_id"] == 1)
+    # 50 tokens, w=32, s=16 -> starts 0, 16, 32 (ceil((50-32)/16)+1 = 3)
+    assert d1 == [(0, 32), (1, 32), (2, 18)]
+    d2 = [(r["chunk_idx"], r["n_tokens"]) for r in out if r["doc_id"] == 2]
+    assert d2 == [(0, 2)]  # short doc -> one whole-doc window
+    assert not [r for r in out if r["doc_id"] == 3]  # whitespace-only
+    # identical windows of identical docs fingerprint identically
+    fp0 = {r["fp"] for r in out if r["doc_id"] == 1 and r["chunk_idx"] == 0}
+    assert len(fp0) == 1

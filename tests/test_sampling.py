@@ -108,3 +108,23 @@ def test_repetition_table_counts(spark):
     assert got[2].dup_ratio_e4 == 0
     # empty doc shingles to one empty gram
     assert (got[3].n_grams, got[3].n_distinct) == (1, 1)
+
+
+def test_train_test_split_disjoint_exhaustive_nested(spark):
+    from ahnlich_spark.operators.sampling import train_test_split
+
+    docs = spark.range(5000).selectExpr("id AS doc_id")
+    s5 = train_test_split(docs, test_rate=0.05, salt="s")
+    counts = {r["split"]: r["n"] for r in
+              s5.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 5000  # exhaustive, disjoint
+    assert 0 < counts.get("test", 0) < counts["train"]
+    # determinism
+    a = {r["doc_id"] for r in s5.filter("split = 'test'").collect()}
+    b = {r["doc_id"] for r in
+         train_test_split(docs, 0.05, salt="s").filter("split='test'").collect()}
+    assert a == b
+    # nesting: the 5% test set is a subset of the 10% one
+    t10 = {r["doc_id"] for r in
+           train_test_split(docs, 0.10, salt="s").filter("split='test'").collect()}
+    assert a <= t10 and len(t10) > len(a)
