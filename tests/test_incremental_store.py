@@ -201,3 +201,64 @@ def test_store_info_counts_delta_bytes(engine):
     sz_base = engine.get_store("incsz").size_in_bytes
     engine.set("incsz", [([2.0, 2.0], {})])
     assert engine.get_store("incsz").size_in_bytes > sz_base
+
+
+# ------------------------------- model-based mutation-sequence check --
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_VEC = st.tuples(st.integers(0, 3), st.integers(0, 3))  # 16 possible keys
+_TAG = st.sampled_from(["a", "b", "c"])
+_OP = st.one_of(
+    st.tuples(st.just("set"),
+              st.lists(st.tuples(_VEC, _TAG), min_size=1, max_size=4)),
+    st.tuples(st.just("delkey"), st.sets(_VEC, min_size=1, max_size=3)),
+    st.tuples(st.just("delpred"), _TAG),
+    st.tuples(st.just("compact"), st.none()),
+)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(ops=st.lists(_OP, min_size=2, max_size=6))
+def test_mutation_sequence_matches_dict_model(spark, ops):
+    """Any interleaving of Set / DelKey / DelPred / compact over the
+    base+delta layout must agree — per-op counts AND final contents —
+    with the reference's in-RAM map semantics (a plain Python dict,
+    vector is the key, keep-last within a batch)."""
+    import tempfile
+
+    from ahnlich_spark import Engine
+    from ahnlich_spark.operators.predicates import Equals
+
+    eng = Engine(spark, tempfile.mkdtemp(prefix="ahnlich_prop_"))
+    eng.create_store("m", dimension=2)
+    model = {}
+    for kind, arg in ops:
+        if kind == "set":
+            batch = [([float(a), float(b)], {"t": tag}) for (a, b), tag in arg]
+            dedup = {}
+            for (a, b), tag in arg:  # keep-last within batch
+                dedup[(float(a), float(b))] = tag
+            updated = sum(1 for v in dedup if v in model)
+            r = eng.set("m", batch)
+            assert (r.inserted, r.updated) == (len(dedup) - updated, updated)
+            model.update({v: t for v, t in dedup.items()})
+        elif kind == "delkey":
+            probes = [[float(a), float(b)] for a, b in arg]
+            expect = sum(1 for a, b in arg if (float(a), float(b)) in model)
+            assert eng.del_key("m", probes).deleted_count == expect
+            for a, b in arg:
+                model.pop((float(a), float(b)), None)
+        elif kind == "delpred":
+            expect = sum(1 for t in model.values() if t == arg)
+            assert eng.del_pred("m", Equals("t", arg)).deleted_count == expect
+            model = {v: t for v, t in model.items() if t != arg}
+        else:
+            eng.compact("m")
+    got = {
+        tuple(r["key"]): r["meta"]["t"]["s"]
+        for r in eng.store_df("m").collect()
+    }
+    assert got == model

@@ -193,3 +193,42 @@ def test_interval_join_batch_face_matches_window_count_join(spark, sf_dir):
         if r["n_right"] > 0
     }
     assert got == want
+
+
+def test_streaming_ingest_appends_deltas_not_rewrites(spark, engine):
+    """Each micro-batch after the first must land as an O(batch) delta
+    segment (base files untouched) — live ingest at 100 TB cannot
+    rewrite the store per trigger."""
+    import os
+
+    d = tempfile.mkdtemp(prefix="ahnlich_ingest2_")
+    cp = tempfile.mkdtemp(prefix="ahnlich_cp2_")
+    try:
+        engine.create_store("live2", dimension=2)
+        spark.createDataFrame([([1.0, 0.0],), ([0.0, 1.0],)], "key array<float>") \
+            .coalesce(1).write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema("key array<float>").parquet(d)
+        q = streaming_set_ingest(stream, engine, "live2", checkpoint=cp)
+        q.processAllAvailable()
+        meta = engine.catalog.get_store("live2")
+        base_path = engine.catalog.store_path(meta)
+        before = {
+            os.path.join(r, f): os.path.getsize(os.path.join(r, f))
+            for r, _d, fs in os.walk(base_path) for f in fs
+        }
+        # second micro-batch: new file in the source dir
+        spark.createDataFrame([([2.0, 2.0],)], "key array<float>") \
+            .coalesce(1).write.mode("append").parquet(d)
+        q.processAllAvailable()
+        q.stop()
+        meta = engine.catalog.get_store("live2")
+        assert meta.deltas >= 1, "micro-batch should append a delta segment"
+        after = {
+            os.path.join(r, f): os.path.getsize(os.path.join(r, f))
+            for r, _d, fs in os.walk(base_path) for f in fs
+        }
+        assert after == before, "base files must not be rewritten per trigger"
+        assert engine.get_store("live2").len == 3
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(cp, ignore_errors=True)
