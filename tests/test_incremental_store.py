@@ -262,3 +262,48 @@ def test_mutation_sequence_matches_dict_model(spark, ops):
         for r in eng.store_df("m").collect()
     }
     assert got == model
+
+
+def test_merged_read_broadcasts_delta_ids_no_base_shuffle(engine):
+    """The merge-on-read scale contract: the (100 TB) base side is
+    anti-joined against a BROADCAST delta-id set — a sort-merge join
+    here would shuffle the whole store on every read."""
+    import contextlib
+    import io
+
+    engine.create_store("incplan", dimension=4)
+    engine.set("incplan", [([float(i), 0.0, 0.0, 0.0], {}) for i in range(500)])
+    engine.set("incplan", [([9999.0, 0.0, 0.0, 0.0], {})])
+    meta = engine.catalog.get_store("incplan")
+    assert meta.deltas == 1
+    df = engine.store_df("incplan")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_pruned_ann_reads_merged_view(engine):
+    """Delta rows must be reachable through the PRUNED ANN path: the
+    planner's histograms re-collect per (version, deltas) and the
+    partition-pruned base read unions the (small) delta side."""
+    import numpy as np
+
+    rng = np.random.RandomState(6)
+    vecs = rng.normal(size=(600, 8)).astype(np.float32)
+    engine.create_store("incann", dimension=8, non_linear_indices=["hnsw"])
+    engine.set("incann", [(v.tolist(), {}) for v in vecs])
+    engine.brute_force_threshold = 64  # force the pruned path
+    probe = (rng.normal(size=8) * 3).astype(np.float32)
+    engine.set("incann", [(probe.tolist(), {"new": "yes"})])  # delta row
+    meta = engine.catalog.get_store("incann")
+    assert meta.deltas == 1
+    top = engine.get_sim_n("incann", probe.tolist(), closest_n=1,
+                           algorithm="hnsw").collect()
+    # the delta row IS its own nearest neighbor (Hamming distance 0 to
+    # the query -> always inside the probe ball)
+    assert len(top) == 1
+    assert list(top[0]["key"]) == [float(x) for x in probe]
