@@ -174,13 +174,41 @@ class Catalog:
         v = meta.version if version is None else version
         return os.path.join(self.warehouse, "data", meta.schema, meta.name, f"v{v}")
 
-    def delta_path(self, meta: StoreMeta, segment: int) -> str:
-        """Path of delta segment ``segment`` (1-based) over the current
-        base version."""
+    def delta_path(self, meta: StoreMeta, segment: int,
+                   version: Optional[int] = None) -> str:
+        """Path of delta segment ``segment`` (1-based) over the given
+        base version (default: current)."""
+        v = meta.version if version is None else version
         return os.path.join(
-            self.warehouse, "data", meta.schema, meta.name,
-            f"d{meta.version}_{segment}",
+            self.warehouse, "data", meta.schema, meta.name, f"d{v}_{segment}"
         )
+
+    def list_versions(self, meta: StoreMeta) -> List[tuple]:
+        """Retained snapshots on disk as sorted (base_version,
+        n_delta_segments) pairs — every (v, s <= n) is a readable
+        point-in-time state. Old versions survive one rewrite
+        (KEEP_VERSIONS) and die at vacuum; snapshots are immutable
+        while retained."""
+        base = os.path.join(self.warehouse, "data", meta.schema, meta.name)
+        if not os.path.isdir(base):
+            return []
+        versions: Dict[int, int] = {}
+        for d in os.listdir(base):
+            if d.startswith("v"):
+                try:
+                    versions.setdefault(int(d[1:]), 0)
+                except ValueError:
+                    continue
+        for d in os.listdir(base):
+            if d.startswith("d"):
+                try:
+                    v, s = d[1:].split("_", 1)
+                    v, s = int(v), int(s)
+                except ValueError:
+                    continue
+                if v in versions:
+                    versions[v] = max(versions[v], s)
+        return sorted(versions.items())
 
     def store_aux_path(self, meta: StoreMeta, filename: str) -> str:
         """Per-store auxiliary artifact (e.g. IVF centroids) — lives next

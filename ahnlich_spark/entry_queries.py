@@ -387,6 +387,64 @@ def store_incremental_mutations(spark, sf_dir):
     )
 
 
+@register("store_time_travel", """
+WITH snap AS (
+  SELECT 1 AS version, 0 AS segments, vec_id FROM embeddings WHERE vec_id < 150
+  UNION ALL
+  SELECT 1, 1, vec_id FROM embeddings WHERE vec_id < 250
+  UNION ALL
+  SELECT 1, 2, vec_id FROM embeddings WHERE vec_id < 250 AND vec_id NOT IN (0, 1)
+  UNION ALL
+  SELECT 2, 0, vec_id FROM embeddings WHERE vec_id < 250 AND vec_id NOT IN (0, 1)
+)
+SELECT CAST(version AS BIGINT) AS version, CAST(segments AS BIGINT) AS segments,
+       CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(vec_id) AS BIGINT) AS vid_sum
+FROM snap GROUP BY version, segments
+""")
+def store_time_travel(spark, sf_dir):
+    """Point-in-time reads over the immutable base+delta layout
+    (store_df(version=, segments=) — the Delta VERSION-AS-OF analog):
+    base SET, overlapping delta SET, tombstone delta, compaction; every
+    retained snapshot's contents are pinned by the oracle recomputing
+    the same states from the embeddings table."""
+    from ahnlich_spark.plans.engine import Engine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    wh = tempfile.mkdtemp(prefix="ahnlich_gate_tt_")
+    eng = Engine(spark, wh)
+    eng.create_store("tt", dimension=64)
+    mk = lambda lo, hi: emb.filter(
+        (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+    ).select(
+        F.col("embedding").alias("key"),
+        F.create_map(F.lit("vid"), _mv_str(F.col("vec_id"))).alias("meta"),
+    )
+    eng.set("tt", mk(0, 150))                      # base v1
+    eng.set("tt", mk(100, 250))                    # delta d1_1 (overlap updates)
+    probes = [list(r["embedding"]) for r in emb.filter(F.col("vec_id") < 2).collect()]
+    eng.del_key("tt", probes)                      # delta d1_2 (tombstones)
+    eng.compact("tt")                              # base v2
+    vid = F.col("meta")["vid"]["s"].cast("long")
+    parts = []
+    for ver, seg in ((1, 0), (1, 1), (1, 2), (2, 0)):
+        parts.append(
+            eng.store_df("tt", version=ver, segments=seg)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(vid).cast("long").alias("vid_sum"),
+            )
+            .select(
+                F.lit(ver).cast("long").alias("version"),
+                F.lit(seg).cast("long").alias("segments"),
+                "n_rows", "vid_sum",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 @register("store_lifecycle_counts", """
 SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 300)  AS inserted1,
        0::BIGINT                                             AS updated1,

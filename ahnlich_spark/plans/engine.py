@@ -490,9 +490,28 @@ class Engine:
         return state
 
     # ----------------------------------------------------------- reads --
-    def store_df(self, store: str, schema: str = PUBLIC_SCHEMA) -> DataFrame:
+    def store_df(
+        self,
+        store: str,
+        schema: str = PUBLIC_SCHEMA,
+        version: Optional[int] = None,
+        segments: Optional[int] = None,
+    ) -> DataFrame:
+        """The store as a DataFrame — current state by default, or a
+        retained point-in-time snapshot via ``version``/``segments``
+        (time travel over the immutable base+delta layout; see
+        ``list_versions`` for what is addressable). The engine analog of
+        Delta's VERSION AS OF: historical reads cost the same as current
+        ones because nothing is ever rewritten in place."""
         meta = self.catalog.get_store(store, schema)
-        return read_store(self.spark, self.catalog, meta)
+        return read_store(
+            self.spark, self.catalog, meta, version=version, segments=segments
+        )
+
+    def list_versions(self, store: str, schema: str = PUBLIC_SCHEMA):
+        """Retained (base_version, n_delta_segments) snapshots; every
+        (version, segments <= n) is readable through ``store_df``."""
+        return self.catalog.list_versions(self.catalog.get_store(store, schema))
 
     def get_key(
         self, store: str, keys: Sequence[Sequence[float]], schema: str = PUBLIC_SCHEMA

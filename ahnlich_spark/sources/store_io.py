@@ -105,15 +105,51 @@ def _merged_view(
 
 
 def read_store(
-    spark: SparkSession, catalog: Catalog, meta: StoreMeta, canonical: bool = True
+    spark: SparkSession,
+    catalog: Catalog,
+    meta: StoreMeta,
+    canonical: bool = True,
+    version: Optional[int] = None,
+    segments: Optional[int] = None,
 ) -> DataFrame:
-    """Current snapshot of a store as a DataFrame (empty stores give an
-    empty frame with the canonical schema), merging any delta segments
-    over the base version. ``canonical=True`` hides the internal index
+    """Snapshot of a store as a DataFrame (empty stores give an empty
+    frame with the canonical schema), merging any delta segments over
+    the base version. ``canonical=True`` hides the internal index
     columns; index-aware query paths read with ``canonical=False`` to
-    use them."""
-    if meta.version == 0:
+    use them.
+
+    TIME TRAVEL: ``version``/``segments`` read a RETAINED historical
+    snapshot — base ``version`` with its first ``segments`` delta
+    segments (both default to the current state). Version/segment dirs
+    are immutable once written, so a historical read is exactly as
+    consistent (and as cheap) as a current one; retention is governed
+    by KEEP_VERSIONS + vacuum."""
+    v = meta.version if version is None else int(version)
+    if v == 0:
         return spark.createDataFrame([], store_schema())
+    if version is not None and version != meta.version:
+        from dataclasses import replace as _replace
+
+        retained = dict(catalog.list_versions(meta))
+        if v not in retained:
+            raise ValueError(
+                f"version {v} of {meta.schema}.{meta.name} is not retained; "
+                f"available: {sorted(retained)}"
+            )
+        s = retained[v] if segments is None else int(segments)
+        if not 0 <= s <= retained[v]:
+            raise ValueError(
+                f"segments must be in [0, {retained[v]}] for version {v}, got {segments}"
+            )
+        meta = _replace(meta, version=v, deltas=s)
+    elif segments is not None:
+        from dataclasses import replace as _replace
+
+        if not 0 <= int(segments) <= meta.deltas:
+            raise ValueError(
+                f"segments must be in [0, {meta.deltas}], got {segments}"
+            )
+        meta = _replace(meta, deltas=int(segments))
     df = spark.read.parquet(catalog.store_path(meta))
     if meta.deltas:
         df = _merged_view(spark, catalog, meta, df)

@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "del_pred",
     "store_lifecycle_counts",
     "store_incremental_mutations",
+    "store_time_travel",
     "ai_convert_embeddings",
     "ai_get_sim_n",
     "doc_token_count",

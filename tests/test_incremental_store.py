@@ -307,3 +307,31 @@ def test_pruned_ann_reads_merged_view(engine):
     # the query -> always inside the probe ball)
     assert len(top) == 1
     assert list(top[0]["key"]) == [float(x) for x in probe]
+
+
+def test_time_travel_reads_retained_snapshots(engine):
+    """Every retained (version, segments) pair is a readable immutable
+    snapshot — the Delta-VERSION-AS-OF analog the layout gives for free."""
+    engine.create_store("tt", dimension=2)
+    engine.set("tt", [([1.0, 0.0], {"s": "v1"})])           # base v1
+    engine.set("tt", [([2.0, 0.0], {"s": "d1"})])           # v1 + d1
+    engine.del_key("tt", [[1.0, 0.0]])                      # v1 + d2
+    engine.compact("tt")                                    # base v2
+
+    assert engine.list_versions("tt") == [(1, 2), (2, 0)]
+    keys = lambda **kw: {tuple(r["key"]) for r in engine.store_df("tt", **kw).collect()}
+    assert keys() == {(2.0, 0.0)}
+    assert keys(version=1, segments=0) == {(1.0, 0.0)}
+    assert keys(version=1, segments=1) == {(1.0, 0.0), (2.0, 0.0)}
+    assert keys(version=1) == {(2.0, 0.0)}  # all segments of v1
+    assert keys(version=2) == {(2.0, 0.0)}
+
+    with pytest.raises(ValueError, match="not retained"):
+        engine.store_df("tt", version=99).collect()
+    with pytest.raises(ValueError, match="segments"):
+        engine.store_df("tt", version=1, segments=7).collect()
+    # vacuum reclaims history; old snapshots stop being addressable
+    engine.vacuum("tt")
+    assert engine.list_versions("tt") == [(2, 0)]
+    with pytest.raises(ValueError, match="not retained"):
+        engine.store_df("tt", version=1).collect()
