@@ -1397,6 +1397,66 @@ def _pruned_gate_result(spark, sf_dir, eng, algo, metric):
     return _rank_topk(scored, metric, _PRUNED_K)
 
 
+def _pruned_batch_oracle_sql(n_probes: int = 4, k: int = 5) -> str:
+    """Replicates Engine._batch_lsh: per-probe signature + radius
+    planning (same min_cand formula), per-probe Hamming balls over ONE
+    shared signature table, exact per-probe cosine top-k."""
+    min_cand = _hnsw_gate_min_cand()
+    floor_r = 3
+    return f"""
+WITH q AS (SELECT vec_id AS pid, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < {n_probes}),
+sigs AS (SELECT vec_id, embedding, {_sig_sql('embedding')} AS sig FROM embeddings),
+qs AS (SELECT pid, qv, {_sig_sql('qv')} AS qsig FROM q),
+hd AS (SELECT pid, qv, vec_id, embedding, bit_count(xor(sig, qsig)) AS h
+       FROM sigs, qs),
+rad AS (SELECT pid, greatest({floor_r}, max(CASE WHEN rn = {min_cand} THEN h END)) AS r
+        FROM (SELECT pid, h,
+                     row_number() OVER (PARTITION BY pid ORDER BY h) AS rn
+              FROM hd)
+        GROUP BY pid),
+scored AS (SELECT hd.pid, vec_id,
+                  list_cosine_similarity(embedding::DOUBLE[], qv) AS score
+           FROM hd JOIN rad ON hd.pid = rad.pid WHERE h <= r),
+ranked AS (SELECT pid, vec_id,
+                  CAST(row_number() OVER (PARTITION BY pid
+                       ORDER BY score DESC, vec_id) AS BIGINT) AS rank_n,
+                  CAST(round(score*10000) AS BIGINT) AS score_e4
+           FROM scored)
+SELECT CAST(pid AS BIGINT) AS probe_id, vec_id, rank_n, score_e4
+FROM ranked WHERE rank_n <= {k}
+"""
+
+
+@register("ann_pruned_batch_topk", _pruned_batch_oracle_sql())
+def ann_pruned_batch_topk(spark, sf_dir):
+    """Batch GetSimN through the PRUNED LSH path (Engine._batch_lsh):
+    per-probe Hamming balls planned driver-side, their sig-prefixes
+    unioned into ONE partition-pruned candidate scan, each probe's own
+    radius applied in a broadcast join — a whole retrieval batch costs
+    one pruned read. The oracle replicates every stage per probe."""
+    eng = _pruned_engine(spark, sf_dir, "hnsw")
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = [
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id") < 4).collect()
+    ]
+    out = eng.get_sim_n_batch("annp", probes, closest_n=5, algorithm="hnsw",
+                              precision="double")
+    ids = emb.select("vec_id", store_key_id(F.col("embedding")).alias("id"))
+    j = out.join(ids, "id")
+    w = Window.partitionBy("qid").orderBy(
+        F.col("similarity").desc(), F.col("vec_id").asc()
+    )
+    return (
+        j.withColumn("rank_n", F.row_number().over(w).cast("long"))
+        .select(
+            F.col("qid").alias("probe_id"), "vec_id", "rank_n",
+            SCORE_E4(F.col("similarity")).alias("score_e4"),
+        )
+    )
+
+
 @register("ann_pruned_lsh_topk", _pruned_lsh_oracle_sql())
 def ann_pruned_lsh_topk(spark, sf_dir):
     """GetSimN('hnsw') through the engine's REAL pruned path — persisted

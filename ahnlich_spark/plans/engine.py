@@ -570,10 +570,12 @@ class Engine:
         meta = self.catalog.get_store(store, schema)
         if algorithm == "pq" and condition is None:
             return self._batch_pq(meta, probes, closest_n, precision)
+        if algorithm == "hnsw" and condition is None:
+            return self._batch_lsh(meta, probes, closest_n, precision)
         if algorithm not in LINEAR_ALGOS:
             raise ValueError(
-                f"get_sim_n_batch supports linear metrics (or 'pq' without "
-                f"a condition), got {algorithm!r}"
+                f"get_sim_n_batch supports linear metrics (or 'pq'/'hnsw' "
+                f"without a condition), got {algorithm!r}"
             )
         if isinstance(probes, DataFrame):
             probes_df = probes
@@ -631,6 +633,88 @@ class Engine:
             candidates=max(4 * closest_n, int(cfg.get("candidates", 256))),
             vec_col="key", id_col="id", code_col=code_col,
             metric=cfg.get("distance", S.EUCLIDEAN), precision=precision,
+        )
+
+    def _batch_lsh(self, meta, probes, closest_n, precision) -> DataFrame:
+        """Batch ANN through the persisted LSH signature artifact: the
+        probe set's Hamming balls are planned driver-side per probe from
+        the cached histograms, their feasible sig-prefixes UNION into
+        ONE partition-pruned candidate scan, and a broadcast
+        nested-loop join applies each probe's own radius — the whole
+        batch costs one pruned read instead of #probes scans. Falls
+        back to the exact batch plan below the brute-force threshold or
+        when any probe's ball starves (matching the single-probe
+        contract)."""
+        from ahnlich_spark.operators import ann as A
+        from ahnlich_spark.operators.topk import top_k_batch
+
+        if "hnsw" not in meta.non_linear:
+            raise errors.NonLinearIndexNotFound(
+                f"non-linear index 'hnsw' not created for {meta.schema}.{meta.name}"
+            )
+        cfg = meta.non_linear_config.get("hnsw", ANN_DEFAULTS["hnsw"])
+        metric = cfg.get("distance", S.COSINE)
+        if isinstance(probes, DataFrame):
+            probe_rows = [(int(r[0]), list(r[1])) for r in probes.collect()]
+        else:
+            probe_rows = [(int(pid), [float(x) for x in v]) for pid, v in probes]
+        self._check_dims(meta, [v for _pid, v in probe_rows])
+        state = self._ann_state(meta, "hnsw")
+        raw = read_store(self.spark, self.catalog, meta, canonical=False)
+
+        def _exact():
+            probes_df = self.spark.createDataFrame(
+                [(pid, [float(x) for x in np.asarray(v, dtype=np.float32)])
+                 for pid, v in probe_rows],
+                "qid long, qkey array<float>",
+            )
+            return top_k_batch(
+                read_store(self.spark, self.catalog, meta), probes_df,
+                metric, closest_n, precision=precision, rank_col="rank_n",
+            )
+
+        if (
+            state["count"] <= self.brute_force_threshold
+            or "sig_counts" not in state
+            or "_ann_sig" not in raw.columns
+        ):
+            return _exact()
+        n_planes = int(cfg.get("n_planes", 16))
+        planes = A.hyperplanes(meta.dimension, n_planes, int(cfg.get("seed", 7)))
+        min_cand = max(4 * closest_n, self.brute_force_threshold // 8,
+                       int(cfg.get("ef_construction", 100)))
+        plan, prefixes = [], set()
+        for pid, vec in probe_rows:
+            qsig = A.signature_of(vec, planes)
+            hist = A.hamming_histogram(state["sig_counts"], qsig)
+            radius, _cum = A.choose_radius(
+                hist, min_cand, int(cfg.get("hamming_radius", 3)), n_planes
+            )
+            if radius is None:
+                return _exact()
+            plan.append((pid, [float(x) for x in np.asarray(vec, dtype=np.float32)],
+                         qsig, radius))
+            prefixes.update(A.feasible_prefixes(qsig, n_planes, radius))
+        cands = raw.filter(F.col("_ann_sigp").isin(sorted(prefixes)))
+        probes_df = self.spark.createDataFrame(
+            plan, "qid long, qkey array<float>, qsig long, qradius int"
+        )
+        j = cands.join(
+            F.broadcast(probes_df),
+            F.bit_count(F.col("_ann_sig").bitwiseXOR(F.col("qsig")))
+            <= F.col("qradius"),
+        )
+        score = S.score_expr(metric, F.col("key"), F.col("qkey"), precision)
+        scored = j.withColumn("similarity", score)
+        w = Window.partitionBy("qid").orderBy(
+            S.closeness(metric, F.col("similarity")).desc(), F.col("id").asc()
+        )
+        from ahnlich_spark.sources.store_io import internal_columns
+
+        return (
+            scored.withColumn("rank_n", F.row_number().over(w))
+            .filter(F.col("rank_n") <= closest_n)
+            .drop("qsig", "qradius", *internal_columns(scored))
         )
 
     def get_sim_n(

@@ -246,3 +246,32 @@ def test_pruned_gates_selfhit_and_shape(spark, gate):
     assert rows[0]["rank_n"] == 1
     # cosine self-sim 1.0 -> 10000; euclidean self-dist 0.0 -> 0
     assert rows[0]["score_e4"] in (10000, 0)
+
+
+def test_batch_lsh_one_pruned_scan_for_all_probes(spark):
+    """Engine._batch_lsh: the whole probe batch reads the store ONCE
+    through a partition-pruned scan (unioned prefixes) with per-probe
+    radii applied in a broadcast join — no per-probe scans, no
+    brute-force fallback."""
+    from ahnlich_spark import entry_queries as EQ
+
+    eng = EQ._pruned_engine(spark, "/root/testdata/sf0.001", "hnsw")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    probes = [(int(r["vec_id"]), list(r["embedding"]))
+              for r in emb.filter("vec_id < 4").collect()]
+    out = eng.get_sim_n_batch("annp", probes, closest_n=5,
+                              algorithm="hnsw", precision="double")
+    plan = plan_of(out)
+    assert "_ann_sigp" in plan.split("PartitionFilters")[1].split("\n")[0], plan
+    # exactly one file source in the whole plan (tree header + detail
+    # both print the node name, so count Location: lines)
+    assert plan.count("Location:") == 1, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    rows = out.collect()
+    assert len(rows) == 4 * 5
+    # every probe's own vector comes back at rank 1 (Hamming 0)
+    by_probe = {r["qid"]: r for r in rows if r["rank_n"] == 1}
+    for pid, vec in probes:
+        assert [float(x) for x in by_probe[pid]["key"]] == [
+            float(np.float32(x)) for x in vec
+        ]
