@@ -1307,30 +1307,37 @@ FROM scored ORDER BY score DESC, vec_id LIMIT {_PRUNED_K}
 """
 
 
-def _pruned_ivf_oracle_sql() -> str:
-    """Replicates the ivf branch: nearest-centroid assignment (argmin of
-    cnorm - 2*dot, numpy's first-min tie rule = list_indexof), probe
-    planning (first rn >= n_probe with cumulative count >= min_cand),
-    bucket filter, exact euclidean rescore."""
+def _ivf_assign_ctes():
+    """Shared nearest-centroid assignment + bucket-count CTEs (argmin
+    of cnorm - 2*dot, numpy's first-min tie rule = list_indexof)."""
     import numpy as np
 
     cents = np.asarray(_ivf_gate_centroids(), dtype=np.float64)
     cnorm = (cents * cents).sum(axis=1)
-    min_cand = max(4 * _PRUNED_K, _PRUNED_BF_THRESHOLD // 8)
     dlist = ",\n    ".join(
         f"({float(cnorm[c])!r} - 2.0 * ({_dot_chain('embedding', cents[c])}))"
         for c in range(len(cents))
     )
+    ctes = f"""dists AS (SELECT vec_id, embedding, [{dlist}] AS dl FROM embeddings),
+assign AS (SELECT vec_id, embedding,
+                  list_indexof(dl, list_min(dl)) - 1 AS bucket FROM dists),
+counts AS (SELECT bucket, count(*) AS n FROM assign GROUP BY bucket)"""
+    return cents, ctes
+
+
+def _pruned_ivf_oracle_sql() -> str:
+    """Replicates the ivf branch: nearest-centroid assignment, probe
+    planning (first rn >= n_probe with cumulative count >= min_cand),
+    bucket filter, exact euclidean rescore."""
+    cents, ctes = _ivf_assign_ctes()
+    min_cand = max(4 * _PRUNED_K, _PRUNED_BF_THRESHOLD // 8)
     qd_rows = "\nUNION ALL\n".join(
         f"SELECT {c} AS bucket, ({_sqdist_chain('qv', cents[c])}) AS qd FROM q"
         for c in range(len(cents))
     )
     return f"""
 WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
-dists AS (SELECT vec_id, embedding, [{dlist}] AS dl FROM embeddings),
-assign AS (SELECT vec_id, embedding,
-                  list_indexof(dl, list_min(dl)) - 1 AS bucket FROM dists),
-counts AS (SELECT bucket, count(*) AS n FROM assign GROUP BY bucket),
+{ctes},
 qd AS ({qd_rows}),
 ob AS (SELECT d.bucket, COALESCE(c.n, 0) AS n,
               row_number() OVER (ORDER BY d.qd, d.bucket) AS rn
@@ -1346,6 +1353,43 @@ SELECT vec_id,
        CAST(row_number() OVER (ORDER BY score ASC, vec_id) AS BIGINT) AS rank_n,
        CAST(round(score*10000) AS BIGINT) AS score_e4
 FROM scored ORDER BY score ASC, vec_id LIMIT {_PRUNED_K}
+"""
+
+
+def _pruned_batch_ivf_oracle_sql(n_probes: int = 4, k: int = 5) -> str:
+    """Replicates Engine._batch_ivf per probe: shared assignment table,
+    per-probe bucket ordering + quota planning, per-probe bucket
+    filter, exact euclidean top-k."""
+    cents, ctes = _ivf_assign_ctes()
+    min_cand = max(4 * k, _PRUNED_BF_THRESHOLD // 8)
+    qd_rows = "\nUNION ALL\n".join(
+        f"SELECT pid, qv, {c} AS bucket, ({_sqdist_chain('qv', cents[c])}) AS qd FROM q"
+        for c in range(len(cents))
+    )
+    return f"""
+WITH q AS (SELECT vec_id AS pid, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < {n_probes}),
+{ctes},
+qd AS ({qd_rows}),
+ob AS (SELECT d.pid, d.qv, d.bucket, COALESCE(c.n, 0) AS n,
+              row_number() OVER (PARTITION BY d.pid ORDER BY d.qd, d.bucket) AS rn
+       FROM qd d LEFT JOIN counts c USING (bucket)),
+cum AS (SELECT pid, qv, bucket, rn,
+               SUM(n) OVER (PARTITION BY pid ORDER BY rn) AS cumn FROM ob),
+chosen AS (SELECT pid, MIN(rn) AS ci FROM cum
+           WHERE rn >= {_IVF_GATE_PROBE} AND cumn >= {min_cand} GROUP BY pid),
+picked AS (SELECT cum.pid, cum.qv, cum.bucket
+           FROM cum JOIN chosen ON cum.pid = chosen.pid AND cum.rn <= chosen.ci),
+scored AS (SELECT p.pid, a.vec_id,
+                  list_distance(a.embedding::DOUBLE[], p.qv) AS score
+           FROM assign a JOIN picked p USING (bucket)),
+ranked AS (SELECT pid, vec_id,
+                  CAST(row_number() OVER (PARTITION BY pid
+                       ORDER BY score ASC, vec_id) AS BIGINT) AS rank_n,
+                  CAST(round(score*10000) AS BIGINT) AS score_e4
+           FROM scored)
+SELECT CAST(pid AS BIGINT) AS probe_id, vec_id, rank_n, score_e4
+FROM ranked WHERE rank_n <= {k}
 """
 
 
@@ -1447,6 +1491,38 @@ def ann_pruned_batch_topk(spark, sf_dir):
     j = out.join(ids, "id")
     w = Window.partitionBy("qid").orderBy(
         F.col("similarity").desc(), F.col("vec_id").asc()
+    )
+    return (
+        j.withColumn("rank_n", F.row_number().over(w).cast("long"))
+        .select(
+            F.col("qid").alias("probe_id"), "vec_id", "rank_n",
+            SCORE_E4(F.col("similarity")).alias("score_e4"),
+        )
+    )
+
+
+@register("ann_pruned_batch_ivf_topk", _pruned_batch_ivf_oracle_sql())
+def ann_pruned_batch_ivf_topk(spark, sf_dir):
+    """Batch GetSimN through the pruned IVF path (Engine._batch_ivf):
+    per-probe bucket sets planned driver-side, their union pruning
+    bucket partitions in ONE scan, per-probe membership via
+    array_contains in a broadcast join."""
+    eng = _pruned_engine(
+        spark, sf_dir, "ivf",
+        config={"n_clusters": _IVF_GATE_CLUSTERS, "n_probe": _IVF_GATE_PROBE},
+        centroids=_ivf_gate_centroids(),
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = [
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id") < 4).collect()
+    ]
+    out = eng.get_sim_n_batch("annp", probes, closest_n=5, algorithm="ivf",
+                              precision="double")
+    ids = emb.select("vec_id", store_key_id(F.col("embedding")).alias("id"))
+    j = out.join(ids, "id")
+    w = Window.partitionBy("qid").orderBy(
+        F.col("similarity").asc(), F.col("vec_id").asc()
     )
     return (
         j.withColumn("rank_n", F.row_number().over(w).cast("long"))

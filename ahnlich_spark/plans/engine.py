@@ -572,9 +572,11 @@ class Engine:
             return self._batch_pq(meta, probes, closest_n, precision)
         if algorithm == "hnsw" and condition is None:
             return self._batch_lsh(meta, probes, closest_n, precision)
+        if algorithm == "ivf" and condition is None:
+            return self._batch_ivf(meta, probes, closest_n, precision)
         if algorithm not in LINEAR_ALGOS:
             raise ValueError(
-                f"get_sim_n_batch supports linear metrics (or 'pq'/'hnsw' "
+                f"get_sim_n_batch supports linear metrics (or 'pq'/'hnsw'/'ivf' "
                 f"without a condition), got {algorithm!r}"
             )
         if isinstance(probes, DataFrame):
@@ -715,6 +717,83 @@ class Engine:
             scored.withColumn("rank_n", F.row_number().over(w))
             .filter(F.col("rank_n") <= closest_n)
             .drop("qsig", "qradius", *internal_columns(scored))
+        )
+
+    def _batch_ivf(self, meta, probes, closest_n, precision) -> DataFrame:
+        """Batch ANN through the persisted IVF artifact: per-probe probe
+        sets are planned driver-side (cached bucket histograms), their
+        UNION prunes bucket partitions in ONE scan, and a broadcast
+        join keeps each probe to its own buckets
+        (array_contains(qbuckets, _ann_bucket)). Same fallback contract
+        as the single-probe path."""
+        from ahnlich_spark.operators import ann as A
+        from ahnlich_spark.operators.topk import top_k_batch
+        from ahnlich_spark.sources.store_io import internal_columns
+
+        if "ivf" not in meta.non_linear:
+            raise errors.NonLinearIndexNotFound(
+                f"non-linear index 'ivf' not created for {meta.schema}.{meta.name}"
+            )
+        cfg = meta.non_linear_config.get("ivf", ANN_DEFAULTS["ivf"])
+        metric = cfg.get("distance", S.EUCLIDEAN)
+        if isinstance(probes, DataFrame):
+            probe_rows = [(int(r[0]), list(r[1])) for r in probes.collect()]
+        else:
+            probe_rows = [(int(pid), [float(x) for x in v]) for pid, v in probes]
+        self._check_dims(meta, [v for _pid, v in probe_rows])
+        state = self._ann_state(meta, "ivf")
+        raw = read_store(self.spark, self.catalog, meta, canonical=False)
+        cents = self._ivf_centroids(meta)
+
+        def _exact():
+            probes_df = self.spark.createDataFrame(
+                [(pid, [float(x) for x in np.asarray(v, dtype=np.float32)])
+                 for pid, v in probe_rows],
+                "qid long, qkey array<float>",
+            )
+            return top_k_batch(
+                read_store(self.spark, self.catalog, meta), probes_df,
+                metric, closest_n, precision=precision, rank_col="rank_n",
+            )
+
+        if (
+            state["count"] <= self.brute_force_threshold
+            or "bucket_counts" not in state
+            or "_ann_bucket" not in raw.columns
+            or cents is None
+        ):
+            return _exact()
+        min_cand = max(4 * closest_n, self.brute_force_threshold // 8)
+        n_probe = int(cfg.get("n_probe", 8))
+        plan, all_buckets = [], set()
+        c64 = cents.astype(np.float64)
+        for pid, vec in probe_rows:
+            q = np.asarray(vec, dtype=np.float64)
+            order = np.argsort(((c64 - q) ** 2).sum(axis=1))
+            picked, _cum = A.choose_probes(order, state["bucket_counts"],
+                                           n_probe, min_cand)
+            if picked is None:
+                return _exact()
+            plan.append((pid, [float(x) for x in np.asarray(vec, dtype=np.float32)],
+                         [int(b) for b in picked]))
+            all_buckets.update(picked)
+        cands = raw.filter(F.col("_ann_bucket").isin(sorted(all_buckets)))
+        probes_df = self.spark.createDataFrame(
+            plan, "qid long, qkey array<float>, qbuckets array<int>"
+        )
+        j = cands.join(
+            F.broadcast(probes_df),
+            F.array_contains(F.col("qbuckets"), F.col("_ann_bucket")),
+        )
+        score = S.score_expr(metric, F.col("key"), F.col("qkey"), precision)
+        scored = j.withColumn("similarity", score)
+        w = Window.partitionBy("qid").orderBy(
+            S.closeness(metric, F.col("similarity")).desc(), F.col("id").asc()
+        )
+        return (
+            scored.withColumn("rank_n", F.row_number().over(w))
+            .filter(F.col("rank_n") <= closest_n)
+            .drop("qbuckets", *internal_columns(scored))
         )
 
     def get_sim_n(
