@@ -275,3 +275,21 @@ def test_batch_lsh_one_pruned_scan_for_all_probes(spark):
         assert [float(x) for x in by_probe[pid]["key"]] == [
             float(np.float32(x)) for x in vec
         ]
+
+
+@pytest.mark.parametrize("algo", ["hnsw", "ivf"])
+def test_batch_path_matches_single_probe_path(indexed_engine, algo):
+    """The batch pruned path must return EXACTLY what the single-probe
+    pruned path returns for each probe — same planner formulas, same
+    candidate sets, same ranking."""
+    eng = indexed_engine
+    probes = [(int(i), VECS[i].tolist()) for i in (2, 17, 33)]
+    batch = eng.get_sim_n_batch("vecs", probes, closest_n=10, algorithm=algo)
+    by_probe = {}
+    for r in batch.collect():
+        by_probe.setdefault(r["qid"], []).append((r["rank_n"], r["id"]))
+    for pid, vec in probes:
+        single = [r["id"] for r in
+                  eng.get_sim_n("vecs", vec, closest_n=10, algorithm=algo).collect()]
+        got = [i for _rn, i in sorted(by_probe[pid])]
+        assert got == single, (algo, pid)
