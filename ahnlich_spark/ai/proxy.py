@@ -528,6 +528,37 @@ class AiEngine:
         )
         return self._to_store_input_frame(out, binding)
 
+    def get_sim_n_batch(
+        self,
+        store: str,
+        search_inputs: Sequence[StoreInput],
+        closest_n: int = 1,
+        algorithm: str = "cosine_similarity",
+        schema: str = PUBLIC_SCHEMA,
+        preprocess_action: str = NO_PREPROCESSING,
+        precision: str = "float",
+        execution_provider: Optional[str] = None,
+    ) -> DataFrame:
+        """Batch AI retrieval (engine extension — the reference answers
+        one GetSimN per request; eval/retrieval pipelines ask thousands):
+        every input embeds through the query model, the WHOLE batch is
+        answered by one engine plan (linear scoring, or the pruned
+        hnsw/ivf/pq batch paths when those indexes exist), and results
+        convert back to original-input rows. Output rows carry ``qid``
+        (the input's position in ``search_inputs``) + ``rank_n``."""
+        from ahnlich_spark.ai.embedder import ort_providers
+
+        ort_providers(execution_provider)  # validate eagerly (ref enum decode)
+        binding = self._binding(store, schema)
+        probes = [
+            (i, self._embed_input(inp, binding.query_model, preprocess_action))
+            for i, inp in enumerate(search_inputs)
+        ]
+        out = self.engine.get_sim_n_batch(
+            store, probes, closest_n, algorithm, None, schema, precision=precision
+        )
+        return self._to_store_input_frame(out, binding)
+
     def get_key(
         self, store: str, inputs: Sequence[StoreInput], schema: str = PUBLIC_SCHEMA
     ) -> DataFrame:

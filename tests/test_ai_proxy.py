@@ -223,3 +223,29 @@ def test_get_sim_n_without_store_original_passthrough(ai):
     ai.set("conv2", [(SI("abc"), {})])
     top = ai.get_sim_n("conv2", SI("abc"), closest_n=1).collect()
     assert "key" in top[0].asDict()  # vector rows pass through unchanged
+
+
+def test_ai_get_sim_n_batch_matches_single(spark, warehouse):
+    """Batch AI retrieval: per-input results equal the single-input
+    get_sim_n results, with qid identifying the input."""
+    from ahnlich_spark.ai.proxy import AiEngine
+    from ahnlich_spark.plans.engine import Engine
+    from ahnlich_spark.types import StoreInput
+
+    ai = AiEngine(Engine(spark, warehouse))
+    ai.create_store("batch", query_model="all-minilm-l6-v2",
+                    index_model="all-minilm-l6-v2")
+    docs = [f"document number {i} about topic {i % 3}" for i in range(30)]
+    ai.set("batch", [(StoreInput.raw_string(t), {"i": str(i)})
+                     for i, t in enumerate(docs)])
+    queries = [StoreInput.raw_string("document number 4 about topic 1"),
+               StoreInput.raw_string("totally different query text")]
+    batch = ai.get_sim_n_batch("batch", queries, closest_n=3)
+    by_q = {}
+    for r in batch.collect():
+        by_q.setdefault(r["qid"], []).append((r["rank_n"], r["input"]["s"]))
+    assert set(by_q) == {0, 1}
+    for qi, q in enumerate(queries):
+        single = [r["input"]["s"] for r in
+                  ai.get_sim_n("batch", q, closest_n=3).collect()]
+        assert [s for _rn, s in sorted(by_q[qi])] == single

@@ -297,3 +297,24 @@ def test_asof_join_matches_bruteforce(spark, ls, rs):
         matches = [(rt, j) for j, (rk, rt, _q) in enumerate(rs) if rk == k and rt <= t]
         want = max(matches)[1] if matches else None
         assert out[i] == want, (i, k, t, matches)
+
+
+def test_gate_cosine_threshold_margins_are_safe():
+    """Gates that compare cosine >= threshold across engines
+    (embedding_near_dup @0.45, semantic_dedup @0.45) rely on no pair
+    sitting ON the boundary: numpy-BLAS and DuckDB chain summation can
+    disagree by ~1e-13 in the last ulps. Guard the fixture margin at
+    >= 1e-6 so a future testdata change that narrows it fails HERE with
+    a diagnosis instead of as an opaque hash mismatch."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    for sf in ("0.001", "0.01", "0.1"):
+        t = pq.read_table(f"/root/testdata/sf{sf}/embeddings.parquet").to_pandas()
+        X = np.stack(t.embedding.map(lambda v: np.asarray(v, dtype=np.float64)))
+        n = np.linalg.norm(X, axis=1, keepdims=True)
+        C = (X @ X.T) / (n @ n.T)
+        vals = C[np.triu_indices(len(X), 1)]
+        for thr in (0.45,):
+            margin = np.abs(vals - thr).min()
+            assert margin >= 1e-6, (sf, thr, margin)
