@@ -335,3 +335,26 @@ def test_time_travel_reads_retained_snapshots(engine):
     assert engine.list_versions("tt") == [(2, 0)]
     with pytest.raises(ValueError, match="not retained"):
         engine.store_df("tt", version=1).collect()
+
+
+def test_pure_delete_delta_on_partitioned_store(engine):
+    """Tombstone-only segments on a store whose base is directory-
+    partitioned by an ANN layout key: the segment mirrors the base
+    schema (incl. the partition column) with nulls, and merged reads /
+    index queries stay correct."""
+    engine.create_store("incpd", dimension=4, non_linear_indices=["hnsw"])
+    engine.set(
+        "incpd", [([float(i), 1.0, 0.0, 0.0], {"i": str(i)}) for i in range(40)]
+    )
+    before = _files(engine.catalog.store_path(engine.catalog.get_store("incpd")))
+    assert engine.del_key("incpd", [[3.0, 1.0, 0.0, 0.0]]).deleted_count == 1
+    meta = engine.catalog.get_store("incpd")
+    assert meta.deltas == 1
+    assert _files(engine.catalog.store_path(meta)) == before
+    assert engine.get_store("incpd").len == 39
+    assert {k[0] for k in _rows(engine, "incpd")} == {
+        float(i) for i in range(40) if i != 3
+    }
+    top = engine.get_sim_n("incpd", [5.0, 1.0, 0.0, 0.0], closest_n=1,
+                           algorithm="hnsw").collect()
+    assert list(top[0]["key"]) == [5.0, 1.0, 0.0, 0.0]
