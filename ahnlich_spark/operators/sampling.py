@@ -66,8 +66,8 @@ def train_test_split(
     ('test' iff md5(salt || id) mod 1e6 < test_rate * 1e6, else
     'train'). Disjoint and exhaustive by construction; the SAME (salt,
     test_rate) always yields the same split on any cluster, and growing
-    ``test_rate`` only MOVES rows train -> test (nested splits — a 5%%
-    test set is a subset of the 10%% one). Scan-local, zero shuffle —
+    ``test_rate`` only MOVES rows train -> test (nested splits — a 5%
+    test set is a subset of the 10% one). Scan-local, zero shuffle —
     the split of 100 TB costs one pass."""
     thr = int(round(test_rate * _SCALE))
     return df.withColumn(

@@ -529,12 +529,18 @@ class Engine:
         store carries materialized predicate columns, a pushdown hint
         implied by the condition is conjoined so the parquet scan prunes
         row-groups/files; the full tagged filter keeps exactness."""
-        from ahnlich_spark.operators.predicates import pushdown_hint
+        from ahnlich_spark.operators.predicates import pred_col_name, pushdown_hint
         from ahnlich_spark.sources.store_io import internal_columns
 
         raw = read_store(self.spark, self.catalog, meta, canonical=False)
         cond = compile_predicate(condition)
-        hint = pushdown_hint(condition, set(raw.columns))
+        # only CURRENTLY indexed keys may hint: a dropped index leaves
+        # its stale _pred_ column in the base (null on newer delta rows)
+        # until compaction — consulting it would wrongly exclude them
+        indexed = {
+            c for c in (pred_col_name(k) for k in meta.predicates) if c
+        } & set(raw.columns)
+        hint = pushdown_hint(condition, indexed)
         if hint is not None:
             cond = hint & cond
         out = raw.filter(cond)
@@ -561,10 +567,13 @@ class Engine:
         vectors in ONE plan (engine extension — the reference answers
         one query per request; retrieval/eval pipelines ask thousands).
         ``probes`` is a list of (probe_id, vector) or a DataFrame with
-        (qid, qkey) columns. Linear metrics only (the batch plan scores
-        every store row once per probe; per-probe ANN pruning goes
-        through ``get_sim_n``). Returns store columns + qid + rank_n +
-        the score, rank 1 = closest, ties by id ascending."""
+        (qid, qkey) columns. Linear metrics score every store row once
+        per probe; ``algorithm='hnsw'|'ivf'|'pq'`` (condition-free)
+        route through the PRUNED batch paths — per-probe balls/buckets
+        planned driver-side, ONE partition-pruned candidate scan for the
+        whole batch. Conditions compose with linear metrics only.
+        Returns store columns + qid + rank_n + the score, rank 1 =
+        closest, ties by id ascending."""
         from ahnlich_spark.operators.topk import top_k_batch
 
         meta = self.catalog.get_store(store, schema)

@@ -234,12 +234,24 @@ def write_delta(
     """
     if upserts is None and tombstone_ids is None:
         return meta
+    # mirror the BASE file schema exactly (footer-only read): a dropped
+    # index can leave stale index columns in the base that fresh upserts
+    # no longer compute — those ride as nulls so merged reads union
+    # cleanly (the stale columns are dead weight until the next base
+    # rewrite clears them; queries never consult a dropped index)
+    schema_src = spark.read.parquet(catalog.store_path(meta))
     if upserts is not None:
-        schema_src = upserts
-    else:
-        # pure-delete segment: mirror the base file schema so segments
-        # union cleanly (footer-only read, no data scan)
-        schema_src = spark.read.parquet(catalog.store_path(meta))
+        have = set(upserts.columns)
+        missing_core = {"id", "key", "meta"} - have
+        if missing_core:
+            raise ValueError(f"delta upserts missing columns {sorted(missing_core)}")
+        upserts = upserts.select(
+            *[
+                F.col(f.name) if f.name in have
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in schema_src.schema.fields
+            ]
+        )
     parts = []
     if tombstone_ids is not None:
         null_cols = [

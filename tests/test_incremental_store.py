@@ -358,3 +358,29 @@ def test_pure_delete_delta_on_partitioned_store(engine):
     top = engine.get_sim_n("incpd", [5.0, 1.0, 0.0, 0.0], closest_n=1,
                            algorithm="hnsw").collect()
     assert list(top[0]["key"]) == [5.0, 1.0, 0.0, 0.0]
+
+
+def test_mutations_after_index_drop_still_merge(engine):
+    """Dropping an index leaves its stale columns in the base; later
+    delta segments must still merge (the segment mirrors the base
+    schema with nulls for columns it no longer computes)."""
+    from ahnlich_spark.operators.predicates import Equals
+
+    engine.create_store("incdrop", dimension=4, predicates=["g"],
+                        non_linear_indices=["hnsw"])
+    engine.set("incdrop", [([float(i), 0.0, 0.0, 0.0], {"g": str(i % 2)})
+                           for i in range(30)])
+    engine.drop_non_linear_algorithm_index("incdrop", ["hnsw"])
+    engine.drop_pred_index("incdrop", ["g"])
+    r = engine.set("incdrop", [([100.0, 0.0, 0.0, 0.0], {"g": "9"})])
+    assert (r.inserted, r.updated) == (1, 0)
+    assert engine.del_key("incdrop", [[0.0, 0.0, 0.0, 0.0]]).deleted_count == 1
+    assert engine.get_store("incdrop").len == 30
+    assert engine.get_pred("incdrop", Equals("g", "9")).count() == 1
+    # compaction clears the stale columns
+    engine.compact("incdrop")
+    from ahnlich_spark.sources.store_io import read_store
+
+    meta = engine.catalog.get_store("incdrop")
+    raw = read_store(engine.spark, engine.catalog, meta, canonical=False)
+    assert not [c for c in raw.columns if c.startswith("_ann_")]
