@@ -2186,6 +2186,48 @@ def train_test_split(spark, sf_dir):
     )
 
 
+@register("quality_decile_mix", f"""
+WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS ws FROM documents),
+q AS (SELECT doc_id,
+             CAST(round(len(list_distinct(ws)) * 10000.0 / len(ws)) AS BIGINT) AS qscore,
+             len(ws) AS nt
+      FROM toks),
+tiled AS (SELECT doc_id, qscore, nt,
+                 CAST(ntile(10) OVER (ORDER BY qscore, doc_id) AS BIGINT) AS decile
+          FROM q)
+SELECT decile,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nt) AS BIGINT) AS n_tokens,
+       CAST(min(qscore) AS BIGINT) AS min_q,
+       CAST(max(qscore) AS BIGINT) AS max_q
+FROM tiled GROUP BY decile
+""")
+def quality_decile_mix(spark, sf_dir):
+    """Curriculum-style quality binning: documents split into exact
+    deciles of the distinct-token quality score, per-decile doc/token
+    totals — the re-mixing input for quality-weighted training mixes.
+    The oracle is a window NTILE; the Spark side is
+    operators/sampling.exact_ntile — the DISTRIBUTED formulation (tiny
+    per-value count table + per-value windows + scan-local rank
+    arithmetic) that avoids the single-partition global-order window
+    entirely, with identical tie handling."""
+    from ahnlich_spark.operators.sampling import exact_ntile
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        X.distinct_token_ratio_e4(F.col("text")).cast("long").alias("qscore"),
+        X.token_count(F.col("text")).cast("long").alias("nt"),
+    )
+    tiled = exact_ntile(scored, 10, "qscore", "doc_id", out_col="decile")
+    return tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("nt").cast("long").alias("n_tokens"),
+        F.min("qscore").cast("long").alias("min_q"),
+        F.max("qscore").cast("long").alias("max_q"),
+    )
+
+
 @register("doc_sliding_chunks", f"""
 WITH toks AS (
   SELECT doc_id, {_TOKENS_SQL} AS ws

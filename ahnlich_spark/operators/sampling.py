@@ -147,3 +147,52 @@ def pack_sequences(
     )
     w2 = Window.partitionBy(pack_col, "batch_id").orderBy(id_col)
     return out.withColumn("seq_in_batch", F.row_number().over(w2))
+
+
+def exact_ntile(
+    df: DataFrame,
+    n_tiles: int,
+    value_col: str,
+    id_col: str,
+    out_col: str = "tile",
+) -> DataFrame:
+    """Exact SQL NTILE over the total order (value, id) WITHOUT a
+    global sort — the quality-binning / curriculum-mixing primitive
+    (bin a corpus into quality deciles, then re-mix per bin).
+
+    A window-NTILE serializes the whole table through one partition; at
+    corpus scale that is the job's wall clock. This formulation is
+    distributed end-to-end for BOUNDED-cardinality values (integer
+    quality scores, e4-scaled ratios — the scores pipelines actually
+    bin on):
+
+    1. per-value counts (one map-side-combined shuffle, <= cardinality
+       rows), cumulative-smaller via a window over that TINY table;
+    2. rank(row) = cum_smaller(value) + row_number within its value
+       (a window partitioned BY VALUE — distributed);
+    3. tile from rank with the standard NTILE base/remainder rule,
+       scan-local arithmetic.
+
+    Ties split by ``id_col`` order, exactly like
+    ``NTILE(n) OVER (ORDER BY value, id)``."""
+    n = df.count()
+    if n == 0:
+        return df.withColumn(out_col, F.lit(None).cast("long"))
+    base, rem = divmod(n, n_tiles)
+    counts = df.groupBy(value_col).count()
+    wcum = Window.orderBy(value_col).rowsBetween(Window.unboundedPreceding, -1)
+    cum = counts.select(
+        value_col, F.coalesce(F.sum("count").over(wcum), F.lit(0)).alias("_cum")
+    )
+    wv = Window.partitionBy(value_col).orderBy(id_col)
+    ranked = df.join(F.broadcast(cum), value_col).withColumn(
+        "_rank", F.col("_cum") + F.row_number().over(wv)
+    )
+    if base == 0:  # fewer rows than tiles: tile == rank
+        tile = F.col("_rank")
+    else:
+        big = rem * (base + 1)
+        tile = F.when(
+            F.col("_rank") <= big, F.ceil(F.col("_rank") / (base + 1))
+        ).otherwise(rem + F.ceil((F.col("_rank") - big) / base))
+    return ranked.withColumn(out_col, tile.cast("long")).drop("_cum", "_rank")

@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "corpus_mixture",
     "sample_stratified",
     "train_test_split",
+    "quality_decile_mix",
     "sample_weighted_quality",
     "events_gap_fill",
     "pack_sequences",

@@ -128,3 +128,40 @@ def test_train_test_split_disjoint_exhaustive_nested(spark):
     t10 = {r["doc_id"] for r in
            train_test_split(docs, 0.10, salt="s").filter("split='test'").collect()}
     assert a <= t10 and len(t10) > len(a)
+
+
+def test_exact_ntile_matches_window_ntile(spark):
+    """The distributed formulation must equal NTILE(n) OVER (ORDER BY
+    value, id) exactly — including tie splitting and the base/remainder
+    group sizes — on a fixture with heavy ties and n not divisible by
+    the tile count."""
+    import random
+
+    from ahnlich_spark.operators.sampling import exact_ntile
+
+    rng = random.Random(11)
+    rows = [(i, rng.randint(0, 7)) for i in range(103)]  # 103 % 10 = 3
+    df = spark.createDataFrame(rows, "doc_id long, v long")
+    got = {r["doc_id"]: r["tile"]
+           for r in exact_ntile(df, 10, "v", "doc_id").collect()}
+    want = {
+        r["doc_id"]: r["t"]
+        for r in df.selectExpr(
+            "doc_id", "ntile(10) OVER (ORDER BY v, doc_id) AS t"
+        ).collect()
+    }
+    assert got == want
+    # plan: the BIG side's window partitions by value (distributed);
+    # the only single-partition exchange feeds the tiny per-value
+    # count table (<= score cardinality rows), never the data table
+    plan = exact_ntile(df, 10, "v", "doc_id")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "hashpartitioning(v#" in plan, plan
+
+
+def test_exact_ntile_fewer_rows_than_tiles(spark):
+    from ahnlich_spark.operators.sampling import exact_ntile
+
+    df = spark.createDataFrame([(1, 5), (2, 5), (3, 1)], "doc_id long, v long")
+    got = {r["doc_id"]: r["tile"] for r in exact_ntile(df, 10, "v", "doc_id").collect()}
+    assert got == {3: 1, 1: 2, 2: 3}
