@@ -471,6 +471,15 @@ class Engine:
         state = self._ann_cache.get(key)
         if state is not None:
             return state
+        # evict superseded entries for this (store, algo): histograms
+        # are bounded per entry, but a long-lived engine mutating a
+        # store would otherwise accrete one per (version, deltas)
+        stale = [
+            k for k in self._ann_cache
+            if k[:2] == (meta.schema, meta.name) and k[4] == algorithm
+        ]
+        for k in stale:
+            del self._ann_cache[k]
         raw = read_store(self.spark, self.catalog, meta, canonical=False)
         if algorithm == "hnsw" and "_ann_sig" in raw.columns:
             counts = {
