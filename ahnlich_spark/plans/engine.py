@@ -585,6 +585,8 @@ class Engine:
         closest, ties by id ascending."""
         from ahnlich_spark.operators.topk import top_k_batch
 
+        if closest_n < 1:
+            raise ValueError("closest_n must be >= 1 (reference NonZeroUsize)")
         meta = self.catalog.get_store(store, schema)
         if algorithm == "pq" and condition is None:
             return self._batch_pq(meta, probes, closest_n, precision)
@@ -830,6 +832,8 @@ class Engine:
         require their index to exist (store.rs:324-326) and run the
         approximate path only above the brute-force threshold — exactly
         the reference's <=4096 accept-list shortcut."""
+        if closest_n < 1:
+            raise ValueError("closest_n must be >= 1 (reference NonZeroUsize)")
         meta = self.catalog.get_store(store, schema)
         self._check_dims(meta, [search_input])
         had_condition = condition is not None

@@ -293,3 +293,15 @@ def test_batch_path_matches_single_probe_path(indexed_engine, algo):
                   eng.get_sim_n("vecs", vec, closest_n=10, algorithm=algo).collect()]
         got = [i for _rn, i in sorted(by_probe[pid])]
         assert got == single, (algo, pid)
+
+
+def test_pq_and_ivf_maintained_across_delta_writes(indexed_engine):
+    """Delta upserts must carry pq codes and ivf buckets (not just LSH
+    signatures) so every index path sees post-index writes."""
+    eng = indexed_engine
+    probe = (_vectors(1, DIM, seed=123)[0] + 0.002).astype(np.float32).tolist()
+    eng.set("vecs", [(probe, {"i": "delta-new"})])
+    for algo in ("pq", "ivf"):
+        top = eng.get_sim_n("vecs", probe, closest_n=1, algorithm=algo).collect()
+        assert len(top) == 1, algo
+        assert list(top[0]["key"]) == [float(np.float32(x)) for x in probe], algo

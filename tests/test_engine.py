@@ -330,3 +330,12 @@ def test_dataframe_batch_dimension_check(engine, spark):
     with pytest.raises(errors.DimensionMismatch):
         engine.set("dfdim", bad)
     assert engine.get_store("dfdim").len == 0
+
+
+def test_closest_n_must_be_positive(engine, golden_store):
+    """Reference parity: closest_n is NonZeroUsize — zero is a request
+    decode error, not an empty result."""
+    with pytest.raises(ValueError, match="closest_n"):
+        engine.get_sim_n("g", [1.0, 0.0, 0.0], closest_n=0)
+    with pytest.raises(ValueError, match="closest_n"):
+        engine.get_sim_n_batch("g", [(0, [1.0, 0.0, 0.0])], closest_n=0)
