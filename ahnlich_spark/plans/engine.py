@@ -92,6 +92,13 @@ def _map_hnsw_tunables(cfg: dict, user: dict) -> dict:
       they are accepted and recorded for config round-trip but have no
       effect (documented in COVERAGE.md).
     """
+    # accept the proto wire field names too (HnswConfig:
+    # maximum_connections = m, maximum_connections_zero = m0)
+    if "maximum_connections" in user and "m" not in user:
+        user = dict(user, m=user["maximum_connections"])
+    if "maximum_connections_zero" in user and "m0" not in user:
+        user = dict(user, m0=user["maximum_connections_zero"])
+        cfg["m0"] = int(user["m0"])
     if "m" in user and "n_planes" not in user:
         n_planes = int(user["m"])
         if not 1 <= n_planes <= 62:
@@ -122,6 +129,10 @@ class StoreInfo:
     dimension: int
     predicates: Tuple[str, ...]
     non_linear: Tuple[str, ...]
+    # per-algorithm index configuration, echoed back like the
+    # reference's ListStores (server_tests.rs
+    # test_list_stores_returns_nonlinear_config)
+    non_linear_config: Dict[str, dict] = None
 
 
 def _dir_size(path: str) -> int:
@@ -185,7 +196,14 @@ class Engine:
         non_linear_indices: Iterable[str] = (),
         error_if_exists: bool = True,
         schema: str = PUBLIC_SCHEMA,
+        non_linear_config: Optional[Dict[str, dict]] = None,
     ) -> None:
+        """``non_linear_config`` maps algorithm name -> per-index
+        configuration overrides (the reference's CreateStore carries a
+        config per NonLinearIndex, e.g. HnswConfig ef_construction /
+        maximum_connections / extend_candidates —
+        types/src/db/query.rs); HNSW tunables map onto the LSH analog
+        exactly like CreateNonLinearAlgorithmIndex's config."""
         if dimension <= 0:
             raise ValueError("dimension must be a positive integer")
         self.catalog.ensure_schema(schema)
@@ -197,6 +215,13 @@ class Engine:
         for a in non_linear:
             if a not in NON_LINEAR_ALGOS:
                 raise ValueError(f"unknown non-linear algorithm {a!r}")
+        cfgs = {}
+        for a in non_linear:
+            user = (non_linear_config or {}).get(a, {})
+            cfg = dict(ANN_DEFAULTS[a], **user)
+            if a == "hnsw":
+                cfg = _map_hnsw_tunables(cfg, user)
+            cfgs[a] = cfg
         self.catalog.put_store(
             StoreMeta(
                 name=name,
@@ -204,7 +229,7 @@ class Engine:
                 dimension=int(dimension),
                 predicates=sorted(set(predicates)),
                 non_linear=non_linear,
-                non_linear_config={a: dict(ANN_DEFAULTS[a]) for a in non_linear},
+                non_linear_config=cfgs,
             )
         )
 
@@ -1025,6 +1050,7 @@ class Engine:
             dimension=meta.dimension,
             predicates=tuple(meta.predicates),
             non_linear=tuple(meta.non_linear),
+            non_linear_config={a: dict(c) for a, c in meta.non_linear_config.items()},
         )
 
     # ---------------------------------------------------------- writes --

@@ -339,3 +339,33 @@ def test_closest_n_must_be_positive(engine, golden_store):
         engine.get_sim_n("g", [1.0, 0.0, 0.0], closest_n=0)
     with pytest.raises(ValueError, match="closest_n"):
         engine.get_sim_n_batch("g", [(0, [1.0, 0.0, 0.0])], closest_n=0)
+
+
+def test_create_store_with_index_config_and_liststores_echo(engine):
+    """Reference parity (server_tests:
+    test_create_store_with_hnsw_configuration,
+    test_list_stores_returns_nonlinear_config): CreateStore accepts a
+    per-index config (incl. proto wire names maximum_connections/_zero)
+    and ListStores echoes the stored configuration back."""
+    engine.create_store(
+        "cfgstore", dimension=4, non_linear_indices=["hnsw", "kdtree"],
+        non_linear_config={"hnsw": {
+            "ef_construction": 150, "maximum_connections": 24,
+            "maximum_connections_zero": 48, "extend_candidates": True,
+            "keep_pruned_connections": True,
+        }},
+    )
+    info = engine.get_store("cfgstore")
+    assert info.non_linear == ("hnsw", "kdtree")
+    hc = info.non_linear_config["hnsw"]
+    assert hc["ef_construction"] == 150
+    assert hc["n_planes"] == 24          # maximum_connections -> m -> n_planes
+    assert hc["m0"] == 48
+    assert hc["hamming_radius"] == 4     # extend_candidates widened the floor
+    assert hc["keep_pruned_connections"] is True
+    listed = {s.name: s for s in engine.list_stores()}
+    assert listed["cfgstore"].non_linear_config["hnsw"] == hc
+    # duplicate index creation stays idempotent: 0 created, config kept
+    assert engine.create_non_linear_algorithm_index(
+        "cfgstore", ["hnsw"], config={"ef_construction": 500}) == 0
+    assert engine.get_store("cfgstore").non_linear_config["hnsw"]["ef_construction"] == 150
