@@ -72,3 +72,10 @@ class PreprocessingRequired(AhnlichError):
     is rejected (reference: FaceModelNoPreprocessingError for face
     models, AudioNoPreprocessingError for CLAP audio;
     ai/src/manager/mod.rs:160-175, 284-297)."""
+
+
+class MaxClientsReached(AhnlichError):
+    """The warehouse's client limit is exhausted (reference
+    --maximum-clients, default 512: excess connections are refused,
+    utils/src/cli.rs:117, server_tests
+    test_maximum_client_restriction_works)."""

@@ -158,7 +158,16 @@ class Engine:
     # cross-process listing would live in the catalog file).
     _clients: Dict[str, List[dict]] = {}
 
-    def __init__(self, spark: SparkSession, warehouse: str):
+    # Reference default --maximum-clients (utils/src/cli.rs:117).
+    MAX_CLIENTS = 512
+
+    def __init__(self, spark: SparkSession, warehouse: str,
+                 max_clients: Optional[int] = None):
+        limit = self.MAX_CLIENTS if max_clients is None else int(max_clients)
+        if len(Engine._clients.get(warehouse, [])) >= limit:
+            raise errors.MaxClientsReached(
+                f"warehouse {warehouse!r} already has {limit} connected clients"
+            )
         self.spark = spark
         self.catalog = Catalog(warehouse)
         # Reference crossover (hnsw/index.rs:24): stores at or below this

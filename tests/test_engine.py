@@ -369,3 +369,20 @@ def test_create_store_with_index_config_and_liststores_echo(engine):
     assert engine.create_non_linear_algorithm_index(
         "cfgstore", ["hnsw"], config={"ef_construction": 500}) == 0
     assert engine.get_store("cfgstore").non_linear_config["hnsw"]["ef_construction"] == 150
+
+
+def test_maximum_client_restriction(spark, warehouse):
+    """Reference parity: connections beyond --maximum-clients are
+    refused (server_tests test_maximum_client_restriction_works);
+    close() frees a slot."""
+    from ahnlich_spark import Engine
+
+    e1 = Engine(spark, warehouse, max_clients=2)
+    e2 = Engine(spark, warehouse, max_clients=2)
+    assert len(e1.list_clients()) == 2
+    with pytest.raises(errors.MaxClientsReached):
+        Engine(spark, warehouse, max_clients=2)
+    e2.close()
+    e3 = Engine(spark, warehouse, max_clients=2)  # freed slot reusable
+    assert len(e3.list_clients()) == 2
+    e1.close(); e3.close()
