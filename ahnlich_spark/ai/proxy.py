@@ -199,11 +199,19 @@ class AiEngine:
         spec = get_model(model)
         data = (inp.text or "") if inp.kind == KIND_RAW_STRING else (inp.bin or b"")
         if spec.one_to_many:
-            # query embedding for a face model: the FIRST detected face
-            # (reference query-side uses a single embedding to search)
+            # a face-model QUERY must contain exactly one face: several
+            # detections make the query embedding ambiguous and the
+            # reference rejects the request instead of picking one
+            # (buffalo_l_test.rs get_sim_n_multi_face_query_errors)
             from ahnlich_spark.operators.multimodal import detect_faces_stub
 
-            crop, _meta = detect_faces_stub(data)[0]
+            faces = detect_faces_stub(data)
+            if len(faces) != 1:
+                raise errors.AmbiguousFaceQuery(
+                    f"query image must contain exactly one face, detected "
+                    f"{len(faces)}"
+                )
+            crop, _meta = faces[0]
             return stub_embed(crop, spec.embedding_size)
         return stub_embed(data, spec.embedding_size)
 
@@ -558,6 +566,17 @@ class AiEngine:
             store, probes, closest_n, algorithm, None, schema, precision=precision
         )
         return self._to_store_input_frame(out, binding)
+
+    def get_pred(
+        self, store: str, condition: Predicate, schema: str = PUBLIC_SCHEMA
+    ) -> DataFrame:
+        """Predicate lookup with results converted back to ORIGINAL
+        inputs (reference AI GetPred returns GetEntry{StoreInput, value},
+        aiproxy_test test_ai_proxy_get_pred_succeeds)."""
+        binding = self._binding(store, schema)
+        return self._to_store_input_frame(
+            self.engine.get_pred(store, condition, schema), binding
+        )
 
     def get_key(
         self, store: str, inputs: Sequence[StoreInput], schema: str = PUBLIC_SCHEMA

@@ -51,20 +51,22 @@ class DslExecutor:
         return self._run(parse_db_query(text))
 
     def execute_ai(self, text: str) -> List[StatementResult]:
-        return self._run(parse_ai_query(text))
+        return self._run(parse_ai_query(text), ai_context=True)
 
-    def _run(self, parsed: Sequence[ops.DslOp]) -> List[StatementResult]:
+    def _run(self, parsed: Sequence[ops.DslOp],
+             ai_context: bool = False) -> List[StatementResult]:
         out: List[StatementResult] = []
         for op in parsed:
             try:
-                out.append(StatementResult(op=op, ok=True, result=self._dispatch(op)))
+                out.append(StatementResult(
+                    op=op, ok=True, result=self._dispatch(op, ai_context)))
             except Exception as e:  # record inline, keep going
                 out.append(StatementResult(op=op, ok=False,
                                            error=f"{type(e).__name__}: {e}"))
         return out
 
     # --------------------------------------------------------- dispatch --
-    def _dispatch(self, op: ops.DslOp) -> Any:
+    def _dispatch(self, op: ops.DslOp, ai_context: bool = False) -> Any:
         eng = self.engine
         if isinstance(op, ops.Ping):
             return eng.ping()
@@ -104,6 +106,11 @@ class DslExecutor:
         if isinstance(op, ops.DelKey):
             return eng.del_key(op.store, [list(k) for k in op.keys], schema=_schema(op.schema))
         if isinstance(op, ops.GetPred):
+            # AI-service GetPred converts results back to original inputs
+            # (reference aiproxy_test test_ai_proxy_get_pred_succeeds)
+            if ai_context and self.ai is not None:
+                return self.ai.get_pred(op.store, op.condition,
+                                        schema=_schema(op.schema))
             return eng.get_pred(op.store, op.condition, schema=_schema(op.schema))
         if isinstance(op, ops.DelPred):
             return eng.del_pred(op.store, op.condition, schema=_schema(op.schema))

@@ -79,3 +79,11 @@ class MaxClientsReached(AhnlichError):
     --maximum-clients, default 512: excess connections are refused,
     utils/src/cli.rs:117, server_tests
     test_maximum_client_restriction_works)."""
+
+
+class AmbiguousFaceQuery(AhnlichError):
+    """A similarity QUERY through a one-to-many (face) model must
+    contain exactly one face — multiple detections make the query
+    embedding ambiguous and are rejected rather than silently picking
+    one (reference buffalo_l_test.rs
+    test_buffalo_l_get_sim_n_multi_face_query_errors)."""

@@ -136,12 +136,27 @@ def test_one_to_many_reset_replaces_all_faces(ai):
 
 def test_one_to_many_get_sim_n_finds_faces(ai):
     ai.create_store("faces4", query_model="sface-yunet", index_model="sface-yunet")
-    imgs = [b"first image bytes", b"second image data x", b"third"]
+    # len % 3 == 0 -> exactly ONE detected face (valid query image)
+    single = b"abcdef"
+    imgs = [b"first image bytes", b"second image data x", single]
     ai.set("faces4", [(SI.image(b), {"n": str(i)}) for i, b in enumerate(imgs)])
-    # querying with an ingested image: its first-face embedding is in
-    # the store, so the top hit is exact
-    top = ai.get_sim_n("faces4", SI.image(imgs[0]), closest_n=1).collect()
+    # querying with an ingested single-face image: its face embedding is
+    # in the store, so the top hit is exact
+    top = ai.get_sim_n("faces4", SI.image(single), closest_n=1).collect()
     assert len(top) == 1 and abs(top[0]["similarity"] - 1.0) < 1e-6
+
+
+def test_one_to_many_multi_face_query_rejected(ai):
+    """Reference parity (buffalo_l_test
+    get_sim_n_multi_face_query_errors): a face-model QUERY with several
+    detected faces is ambiguous and must error, not silently pick one."""
+    from ahnlich_spark import errors
+
+    ai.create_store("faces5", query_model="sface-yunet", index_model="sface-yunet")
+    ai.set("faces5", [(SI.image(b"abcdef"), {})])
+    multi = b"first image bytes"  # 17 % 3 = 2 -> 3 detected faces
+    with pytest.raises(errors.AmbiguousFaceQuery, match="exactly one face"):
+        ai.get_sim_n("faces5", SI.image(multi), closest_n=1)
 
 
 def test_one_to_many_bulk_matches_list_path(ai, spark):

@@ -249,3 +249,31 @@ def test_ai_get_sim_n_batch_matches_single(spark, warehouse):
         single = [r["input"]["s"] for r in
                   ai.get_sim_n("batch", q, closest_n=3).collect()]
         assert [s for _rn, s in sorted(by_q[qi])] == single
+
+
+def test_ai_get_pred_returns_original_inputs(ai):
+    """Reference parity (aiproxy_test test_ai_proxy_get_pred_succeeds):
+    AI GetPred entries carry the ORIGINAL input, reserved key popped."""
+    from ahnlich_spark.operators.predicates import Equals
+
+    ai.create_store("predconv", query_model="all-minilm-l6-v2",
+                    index_model="all-minilm-l6-v2")
+    ai.set("predconv", [(SI("Jordan 3"), {"brand": "Nike"}),
+                        (SI("Air Force 1"), {"brand": "Nike"}),
+                        (SI("Samba"), {"brand": "Adidas"})])
+    rows = ai.get_pred("predconv", Equals("brand", "Nike")).collect()
+    assert {r["input"]["s"] for r in rows} == {"Jordan 3", "Air Force 1"}
+    assert all("_ahnlich_input_key" not in dict(r["meta"]) for r in rows)
+
+
+def test_dsl_ai_getpred_converts_originals(ai, spark):
+    from ahnlich_spark.dsl.executor import DslExecutor
+
+    ai.create_store("dslpred", query_model="all-minilm-l6-v2",
+                    index_model="all-minilm-l6-v2")
+    ai.set("dslpred", [(SI("hello"), {"t": "x"})])
+    ex = DslExecutor(ai.engine, ai)
+    (res,) = ex.execute_ai("GETPRED ((t = x)) IN dslpred")
+    assert res.ok, res.error
+    rows = res.result.collect()
+    assert rows and rows[0]["input"]["s"] == "hello"
