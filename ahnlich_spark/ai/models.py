@@ -20,6 +20,9 @@ class ModelSpec:
     max_tokens: int = 0       # text models: token budget
     image_size: int = 0       # image models: expected side length
     sample_rate: int = 0      # audio models: expected sample rate (Hz)
+    max_audio_ms: int = 0     # audio models: longest accepted clip
+                               # (CLAP rejects > 10s, reference
+                               # clap_test test_clap_audio_too_long_rejected)
     one_to_many: bool = False  # one input -> SEVERAL embeddings
                                # (face models; reference models.rs:37-77)
     requires_preprocessing: bool = False  # NoPreprocessing is rejected:
@@ -40,7 +43,7 @@ MODELS = {
         ModelSpec("clip-vit-b32-image", KIND_IMAGE, 512, image_size=224),
         ModelSpec("clip-vit-b32-text", KIND_RAW_STRING, 512, max_tokens=77),
         ModelSpec("clap-audio", KIND_AUDIO, 512, sample_rate=48000,
-                  requires_preprocessing=True),
+                  requires_preprocessing=True, max_audio_ms=10_000),
         ModelSpec("clap-text", KIND_RAW_STRING, 512, max_tokens=77),
         ModelSpec("jina-embeddings-v2-base-code", KIND_RAW_STRING, 768, max_tokens=8192),
         # Face models: one image -> one embedding PER DETECTED FACE

@@ -183,6 +183,13 @@ class AiEngine:
                     "NoPreprocessing cannot be honored (reference "
                     "AudioNoPreprocessingError)"
                 )
+            if spec.max_audio_ms:
+                dur = MM.probe_wav_duration_ms(inp.bin or b"")
+                if dur is not None and dur > spec.max_audio_ms:
+                    raise errors.AudioTooLong(
+                        f"Audio input is too long ({dur}ms); model {model!r} "
+                        f"accepts at most {spec.max_audio_ms}ms"
+                    )
             sr = MM.probe_wav_sample_rate(inp.bin or b"")
             if sr != spec.sample_rate:
                 return StoreInput.audio(

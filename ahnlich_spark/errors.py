@@ -87,3 +87,9 @@ class AmbiguousFaceQuery(AhnlichError):
     embedding ambiguous and are rejected rather than silently picking
     one (reference buffalo_l_test.rs
     test_buffalo_l_get_sim_n_multi_face_query_errors)."""
+
+
+class AudioTooLong(AhnlichError):
+    """The audio clip exceeds the model's duration limit (reference:
+    CLAP rejects inputs over 10000ms with 'Audio input is too long',
+    clap_test.rs test_clap_audio_too_long_rejected)."""

@@ -188,6 +188,28 @@ def probe_wav_sample_rate(buf: bytes):
     return None
 
 
+def probe_wav_duration_ms(buf: bytes):
+    """Audio duration in milliseconds from a RIFF/WAVE header (data
+    chunk bytes / fmt byte-rate), or None when not probeable — real
+    header arithmetic, no codec needed."""
+    b = bytes(buf or b"")
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    byte_rate = data_size = None
+    i = 12
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        size = _struct.unpack("<I", b[i + 4 : i + 8])[0]
+        if cid == b"fmt " and i + 24 <= len(b):
+            byte_rate = int(_struct.unpack("<I", b[i + 16 : i + 20])[0])
+        elif cid == b"data":
+            data_size = int(size)
+        i += 8 + size + (size & 1)
+    if not byte_rate or data_size is None:
+        return None
+    return int(round(data_size * 1000.0 / byte_rate))
+
+
 # ------------------------------------ preprocessing transforms (stubs) --
 
 def resize_image_stub(buf: bytes, width: int, height: int) -> bytes:

@@ -241,3 +241,28 @@ def test_ai_surface_rejects_unknown_provider(spark, warehouse):
                     index_model="all-minilm-l6-v2")
     with pytest.raises(ValueError, match="execution provider"):
         ai.get_sim_n("epv", StoreInput.raw_string("hi"), execution_provider="npu")
+
+
+def test_clap_audio_duration_limit(ai):
+    """Reference parity (clap_test too_long_rejected /
+    short_audio_accepted): CLAP rejects clips over 10000ms; shorter
+    clips pass through to preprocessing."""
+    import struct
+
+    from ahnlich_spark import errors
+
+    def wav(seconds, rate=48000):
+        data = b"\x00" * int(rate * 2 * seconds)
+        fmt = b"fmt " + struct.pack("<I", 16) + struct.pack(
+            "<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+        return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE" + fmt
+                + b"data" + struct.pack("<I", len(data)) + data)
+
+    ai.create_store("clapstore", query_model="clap-audio",
+                    index_model="clap-audio")
+    with pytest.raises(errors.AudioTooLong, match="too long"):
+        ai.set("clapstore", [(SI.audio(wav(12)), {})],
+               preprocess_action="modelpreprocessing")
+    r = ai.set("clapstore", [(SI.audio(wav(2)), {})],
+               preprocess_action="modelpreprocessing")
+    assert r.inserted == 1
