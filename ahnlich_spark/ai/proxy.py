@@ -199,20 +199,23 @@ class AiEngine:
         return inp
 
     def _embed_input(
-        self, inp: StoreInput, model: str, preprocess: str = NO_PREPROCESSING
+        self, inp: StoreInput, model: str, preprocess: str = NO_PREPROCESSING,
+        model_params: Optional[dict] = None,
     ) -> List[float]:
         self._validate_kind(inp, model)
         inp = self._preprocess_input(inp, model, preprocess)
         spec = get_model(model)
         data = (inp.text or "") if inp.kind == KIND_RAW_STRING else (inp.bin or b"")
         if spec.one_to_many:
-            # a face-model QUERY must contain exactly one face: several
-            # detections make the query embedding ambiguous and the
-            # reference rejects the request instead of picking one
+            # a face-model QUERY must contain exactly one face AFTER the
+            # request's confidence filter: several detections make the
+            # query embedding ambiguous and the reference rejects the
+            # request instead of picking one
             # (buffalo_l_test.rs get_sim_n_multi_face_query_errors)
             from ahnlich_spark.operators.multimodal import detect_faces_stub
 
-            faces = detect_faces_stub(data)
+            thr, attrs = self._face_params(model_params)
+            faces = detect_faces_stub(data, thr, attrs)
             if len(faces) != 1:
                 raise errors.AmbiguousFaceQuery(
                     f"query image must contain exactly one face, detected "
@@ -222,19 +225,32 @@ class AiEngine:
             return stub_embed(crop, spec.embedding_size)
         return stub_embed(data, spec.embedding_size)
 
-    def _expand_one_to_many(self, inp: StoreInput, model: str, preprocess: str):
+    def _expand_one_to_many(self, inp: StoreInput, model: str, preprocess: str,
+                            model_params: Optional[dict] = None):
         """(vector, face_metadata) per DETECTED face — the reference's
         ModelResponse::OneToMany (models.rs:51-57): one image yields
-        several embeddings, each carrying its detection metadata."""
+        several embeddings, each carrying its detection metadata.
+        ``model_params`` tunes the detector (confidence_threshold) and
+        enables the second-stage attribute model (attributes=genderage)."""
         from ahnlich_spark.operators.multimodal import detect_faces_stub
 
         self._validate_kind(inp, model)
         prep = self._preprocess_input(inp, model, preprocess)
         spec = get_model(model)
+        thr, attrs = self._face_params(model_params)
         out = []
-        for crop, fmeta in detect_faces_stub(prep.bin or b""):
+        for crop, fmeta in detect_faces_stub(prep.bin or b"", thr, attrs):
             out.append((stub_embed(crop, spec.embedding_size), fmeta))
         return out
+
+    @staticmethod
+    def _face_params(model_params):
+        """Reference model_params -> (confidence_threshold, attributes)
+        for the face pipeline (buffalo_l_test.rs optimized_face_params /
+        genderage_params); unknown keys pass through untouched like the
+        reference's HashMap."""
+        mp = model_params or {}
+        return float(mp.get("confidence_threshold", 0.0)), mp.get("attributes", "")
 
     @staticmethod
     def _input_mv(inp: StoreInput) -> MetadataValue:
@@ -250,6 +266,7 @@ class AiEngine:
         input_col: str = "input",
         meta_col: Optional[str] = None,
         execution_provider: Optional[str] = None,
+        model_params: Optional[dict] = None,
     ) -> StoreUpsert:
         """AI Set. ``inputs`` is either a small list of (StoreInput,
         meta) pairs — embedded driver-side, DSL-sized — or a DataFrame
@@ -264,7 +281,7 @@ class AiEngine:
         if isinstance(inputs, DataFrame):
             return self._set_bulk(
                 store, inputs, schema, preprocess_action, input_col, meta_col,
-                execution_provider,
+                execution_provider, model_params,
             )
         binding = self._binding(store, schema)
         one_to_many = get_model(binding.index_model).one_to_many
@@ -279,7 +296,7 @@ class AiEngine:
                 # one input -> one row PER DETECTED FACE, user metadata
                 # merged with per-face detection metadata
                 per_face = self._expand_one_to_many(
-                    inp, binding.index_model, preprocess_action
+                    inp, binding.index_model, preprocess_action, model_params
                 )
                 for vec, fmeta in per_face:
                     m = dict(meta or {})
@@ -311,6 +328,7 @@ class AiEngine:
         input_col: str,
         meta_col: Optional[str],
         execution_provider: Optional[str] = None,
+        model_params: Optional[dict] = None,
     ) -> StoreUpsert:
         """Bulk AI Set: embed a DataFrame of raw inputs executor-side.
 
@@ -330,7 +348,8 @@ class AiEngine:
         spec = get_model(binding.index_model)
         if spec.one_to_many:
             return self._set_bulk_one_to_many(
-                store, df, schema, preprocess_action, input_col, meta_col, binding, spec
+                store, df, schema, preprocess_action, input_col, meta_col,
+                binding, spec, model_params,
             )
         kind = "text" if spec.input_kind == KIND_RAW_STRING else "binary"
         raw = F.col(input_col).cast("string" if kind == "text" else "binary")
@@ -404,7 +423,8 @@ class AiEngine:
         return self.engine.set(store, batch, schema, remove_meta_matches=remove)
 
     def _set_bulk_one_to_many(
-        self, store, df, schema, preprocess_action, input_col, meta_col, binding, spec
+        self, store, df, schema, preprocess_action, input_col, meta_col,
+        binding, spec, model_params=None
     ) -> StoreUpsert:
         """Bulk OneToMany ingest: one mapInPandas pass expands each image
         into its per-face rows (preprocess -> detect -> embed, all
@@ -438,6 +458,7 @@ class AiEngine:
         dim = spec.embedding_size
         size = spec.image_size
         action = preprocess_action
+        thr, attrs = self._face_params(model_params)
 
         def expand(batches):
             import numpy as np
@@ -458,7 +479,7 @@ class AiEngine:
                         if action == MODEL_PREPROCESSING
                         else b
                     )
-                    for crop, fmeta in detect_faces_stub(content):
+                    for crop, fmeta in detect_faces_stub(content, thr, attrs):
                         m = dict(um)
                         m.update(fmeta)
                         origs.append(b)
@@ -532,12 +553,14 @@ class AiEngine:
         preprocess_action: str = NO_PREPROCESSING,
         precision: str = "float",
         execution_provider: Optional[str] = None,
+        model_params: Optional[dict] = None,
     ) -> DataFrame:
         from ahnlich_spark.ai.embedder import ort_providers
 
         ort_providers(execution_provider)  # validate eagerly (ref enum decode)
         binding = self._binding(store, schema)
-        vec = self._embed_input(search_input, binding.query_model, preprocess_action)
+        vec = self._embed_input(search_input, binding.query_model,
+                                preprocess_action, model_params)
         out = self.engine.get_sim_n(
             store, vec, closest_n, algorithm, condition, schema, precision=precision
         )
@@ -617,6 +640,7 @@ class AiEngine:
         schema: str = PUBLIC_SCHEMA,
         preprocess_action: str = NO_PREPROCESSING,
         execution_provider: Optional[str] = None,
+        model_params: Optional[dict] = None,
     ) -> StoreUpsert:
         """Single-row conditional update with re-embedding
         (ahnlich/ai/src/engine/store.rs:433-498). The AI proxy always
@@ -630,7 +654,8 @@ class AiEngine:
         binding = self._binding(store, schema)
         new_key = None
         if new_input is not None:
-            new_key = self._embed_input(new_input, binding.index_model, preprocess_action)
+            new_key = self._embed_input(new_input, binding.index_model,
+                                        preprocess_action, model_params)
             if binding.store_original:
                 new_value = dict(new_value or {})
                 new_value[AHNLICH_RESERVED_INPUT_KEY] = self._input_mv(new_input)
@@ -639,7 +664,10 @@ class AiEngine:
     def convert_store_input_to_embeddings(
         self, df: DataFrame, model: str, input_col: str = "text",
         kind: str = "text", execution_provider: Optional[str] = None,
+        model_params: Optional[dict] = None,
     ) -> DataFrame:
+        # model_params accepted for wire parity (ai/query.rs:344); the
+        # text/image embedding stub has no tunables to honor
         """Pure embedding call, no store (ai/query.rs:326-346): adds an
         ``embedding ARRAY<FLOAT>`` column via the Arrow-batched UDF."""
         from pyspark.sql import functions as F

@@ -242,17 +242,32 @@ def resample_audio_stub(buf: bytes, sample_rate: int) -> bytes:
     ).digest()
 
 
-def detect_faces_stub(buf: bytes):
+def detect_faces_stub(buf: bytes, confidence_threshold: float = 0.0,
+                      attributes: str = ""):
     """STUB face detection (real impl: YuNet / RetinaFace): a
-    deterministic 1-3 faces per image, each as (crop_bytes, bbox_meta).
+    deterministic 1-3 faces per image, each as (crop_bytes, face_meta).
     The crop is the source bytes + one marker byte per face index, so a
-    SQL oracle reproduces the downstream stub embedding exactly; the
-    bbox is derived from the content length."""
+    SQL oracle reproduces the downstream stub embedding exactly; bbox
+    and the per-face confidence are derived from the content length.
+
+    ``confidence_threshold`` / ``attributes`` mirror the reference's
+    per-request ``model_params`` (buffalo_l_test.rs
+    optimized_face_params / genderage_params): faces under the
+    threshold are dropped; ``attributes='genderage'`` runs the (stub)
+    second-stage attribute model and adds gender/age metadata."""
     b = bytes(buf or b"")
     k = 1 + len(b) % 3
     out = []
     for f in range(k):
+        conf = ((len(b) * (f + 3) + 11) % 97) / 96.0
+        if conf < float(confidence_threshold or 0.0):
+            continue
         crop = b + bytes([65 + f])  # 'A' + face index
         bbox = f"{(len(b) * (f + 1)) % 640},{(len(b) * 7 * (f + 1)) % 640},80,80"
-        out.append((crop, {"face_index": str(f), "bbox": bbox}))
+        meta = {"face_index": str(f), "bbox": bbox,
+                "confidence": f"{conf:.4f}"}
+        if attributes == "genderage":
+            meta["gender"] = "M" if (len(b) + f) % 2 == 0 else "F"
+            meta["age"] = str(18 + (len(b) * (f + 1)) % 50)
+        out.append((crop, meta))
     return out

@@ -266,3 +266,41 @@ def test_clap_audio_duration_limit(ai):
     r = ai.set("clapstore", [(SI.audio(wav(2)), {})],
                preprocess_action="modelpreprocessing")
     assert r.inserted == 1
+
+
+# --------------------------------------------------- model_params --
+
+def test_model_params_confidence_threshold_filters_faces(ai):
+    """Reference parity (buffalo_l_test optimized_face_params): the
+    request's confidence_threshold drops low-confidence detections
+    before ingest; the set counts reflect the surviving faces only."""
+    ai.create_store("fparam", query_model="sface-yunet",
+                    index_model="sface-yunet")
+    img = b"some image content!"  # 2 faces, stub confidences .708/.906
+    faces_all = detect_faces_stub(img)
+    faces_hi = detect_faces_stub(img, confidence_threshold=0.8)
+    assert len(faces_all) == 2 and len(faces_hi) == 1
+    r = ai.set("fparam", [(SI.image(img), {})],
+               model_params={"confidence_threshold": "0.8"})
+    assert r.inserted == 1
+    rows = ai.get_key("fparam", [SI.image(img)]).collect()
+    assert [r["meta"]["face_index"]["s"] for r in rows] == ["1"]
+    assert float(rows[0]["meta"]["confidence"]["s"]) >= 0.8
+
+
+def test_model_params_genderage_attributes(ai, spark):
+    """attributes=genderage runs the (stub) second-stage model and
+    attaches gender/age per face, on BOTH the list and bulk paths."""
+    ai.create_store("fga", query_model="sface-yunet", index_model="sface-yunet")
+    img = b"abcdef"  # single face
+    ai.set("fga", [(SI.image(img), {})],
+           model_params={"attributes": "genderage"})
+    rows = ai.get_key("fga", [SI.image(img)]).collect()
+    assert {"gender", "age"} <= set(dict(rows[0]["meta"]))
+
+    ai.create_store("fga2", query_model="sface-yunet", index_model="sface-yunet")
+    df = spark.createDataFrame([(img,)], "input binary")
+    ai.set("fga2", df, model_params={"attributes": "genderage"})
+    rows2 = ai.get_key("fga2", [SI.image(img)]).collect()
+    assert dict(rows2[0]["meta"])["gender"] == dict(rows[0]["meta"])["gender"]
+    assert dict(rows2[0]["meta"])["age"] == dict(rows[0]["meta"])["age"]
