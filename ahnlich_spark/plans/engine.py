@@ -556,6 +556,24 @@ class Engine:
         (version, segments <= n) is readable through ``store_df``."""
         return self.catalog.list_versions(self.catalog.get_store(store, schema))
 
+    def register_views(self, schema: str = PUBLIC_SCHEMA,
+                       prefix: str = "ahnlich_") -> List[str]:
+        """Expose every store in ``schema`` to Spark SQL as a temp view
+        ``<prefix><store>`` over its CURRENT merged state — the
+        Spark-native query door the reference (gRPC-only) cannot offer:
+        ``spark.sql("SELECT meta['label'].s, count(*) FROM
+        ahnlich_vecs GROUP BY 1")`` composes stores with any other
+        table. Views are lazy plans: re-register after mutations to see
+        a newer snapshot (a view pins the version it was built from,
+        which is exactly snapshot-consistent reads). Returns the view
+        names."""
+        names = []
+        for meta in self.catalog.list_stores(schema):
+            name = f"{prefix}{meta.name}"
+            read_store(self.spark, self.catalog, meta).createOrReplaceTempView(name)
+            names.append(name)
+        return names
+
     def get_key(
         self, store: str, keys: Sequence[Sequence[float]], schema: str = PUBLIC_SCHEMA
     ) -> DataFrame:

@@ -213,3 +213,42 @@ def streaming_set_ingest(stream: DataFrame, engine, store: str, schema: str = "p
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+def streaming_probe_search(
+    stream: DataFrame,
+    engine,
+    store: str,
+    sink_path: str,
+    closest_n: int = 5,
+    algorithm: str = "cosine_similarity",
+    schema: str = "public",
+    checkpoint: Optional[str] = None,
+    precision: str = "float",
+):
+    """Online retrieval: a STREAM of probe vectors answered continuously
+    against an engine store — the streaming face of the reference's
+    query loop (one gRPC GetSimN per request) with Spark's batching
+    economics: every micro-batch of probes becomes ONE
+    ``Engine.get_sim_n_batch`` plan (broadcast probes x one store scan,
+    or the pruned hnsw/ivf/pq batch paths when those indexes exist), so
+    a burst of thousands of queries costs one pruned read, not
+    thousands of scans.
+
+    ``stream`` needs (qid LONG, qkey ARRAY<FLOAT>) columns; results
+    append to ``sink_path`` as parquet carrying qid + rank_n + the
+    store row + score. Returns the StreamingQuery."""
+
+    def _answer(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        out = engine.get_sim_n_batch(
+            store, batch_df.select("qid", "qkey"), closest_n=closest_n,
+            algorithm=algorithm, schema=schema, precision=precision,
+        )
+        out.drop("qkey").write.mode("append").parquet(sink_path)
+
+    writer = stream.writeStream.foreachBatch(_answer).outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

@@ -386,3 +386,26 @@ def test_maximum_client_restriction(spark, warehouse):
     e3 = Engine(spark, warehouse, max_clients=2)  # freed slot reusable
     assert len(e3.list_clients()) == 2
     e1.close(); e3.close()
+
+
+def test_register_views_exposes_stores_to_sql(engine, spark):
+    """Stores double as Spark SQL tables: register_views publishes the
+    merged current state as temp views, queryable and joinable with any
+    other DataFrame/SQL source."""
+    engine.create_store("sqlv", dimension=2)
+    engine.set("sqlv", [([1.0, 0.0], {"label": "a"}), ([0.0, 1.0], {"label": "b"}),
+                        ([1.0, 1.0], {"label": "a"})])
+    names = engine.register_views()
+    assert "ahnlich_sqlv" in names
+    got = {
+        (r["l"], r["n"]) for r in spark.sql(
+            "SELECT meta['label'].s AS l, count(*) AS n "
+            "FROM ahnlich_sqlv GROUP BY 1").collect()
+    }
+    assert got == {("a", 2), ("b", 1)}
+    # the view pins the snapshot it was built from (snapshot isolation);
+    # re-registering shows the post-mutation state
+    engine.del_pred("sqlv", __import__("ahnlich_spark.operators.predicates",
+                                       fromlist=["Equals"]).Equals("label", "a"))
+    engine.register_views()
+    assert spark.sql("SELECT count(*) AS n FROM ahnlich_sqlv").first()["n"] == 1

@@ -232,3 +232,41 @@ def test_streaming_ingest_appends_deltas_not_rewrites(spark, engine):
     finally:
         shutil.rmtree(d, ignore_errors=True)
         shutil.rmtree(cp, ignore_errors=True)
+
+
+def test_streaming_probe_search_matches_batch(spark, engine):
+    """A stream of probe vectors answered per micro-batch through ONE
+    get_sim_n_batch plan must reproduce the batch answers exactly."""
+    import os
+
+    from ahnlich_spark.streaming.pipeline import streaming_probe_search
+
+    d = tempfile.mkdtemp(prefix="ahnlich_probes_")
+    sink = tempfile.mkdtemp(prefix="ahnlich_hits_")
+    cp = tempfile.mkdtemp(prefix="ahnlich_cp3_")
+    try:
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        engine.create_store("psearch", dimension=64)
+        engine.set("psearch", emb.select(emb.embedding.alias("key")))
+        probes = emb.filter("vec_id < 6").select(
+            emb.vec_id.alias("qid"), emb.embedding.alias("qkey"))
+        probes.coalesce(1).write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema("qid long, qkey array<float>").parquet(d)
+        q = streaming_probe_search(stream, engine, "psearch", sink,
+                                   closest_n=3, checkpoint=cp)
+        q.processAllAvailable()
+        q.stop()
+        got = {
+            (r["qid"], r["rank_n"], r["id"])
+            for r in spark.read.parquet(sink).collect()
+        }
+        want = {
+            (r["qid"], r["rank_n"], r["id"])
+            for r in engine.get_sim_n_batch(
+                "psearch", probes, closest_n=3).collect()
+        }
+        assert got == want and len(got) == 6 * 3
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(sink, ignore_errors=True)
+        shutil.rmtree(cp, ignore_errors=True)
