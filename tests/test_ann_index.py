@@ -305,3 +305,32 @@ def test_pq_and_ivf_maintained_across_delta_writes(indexed_engine):
         top = eng.get_sim_n("vecs", probe, closest_n=1, algorithm=algo).collect()
         assert len(top) == 1, algo
         assert list(top[0]["key"]) == [float(np.float32(x)) for x in probe], algo
+
+
+@pytest.mark.parametrize("cfg,floor", [
+    ({"m": 12, "ef_construction": 50}, 0.80),
+    ({"m": 16, "ef_construction": 100}, 0.90),
+    ({"m": 24, "ef_construction": 200, "extend_candidates": True}, 0.90),
+])
+def test_hnsw_recall_parameter_sweep(spark, tmp_path_factory, cfg, floor):
+    """Mirror of the reference's SIFT parameter-sweep recall assertions
+    (sift_dataset_validation.rs:138-188): recall@50 holds its floor
+    across HNSW configs, exercised through the reference tunables (m ->
+    n_planes, ef_construction = candidate quota, extend_candidates ->
+    wider radius floor) on the clustered fixture."""
+    from ahnlich_spark import Engine
+
+    eng = Engine(spark, str(tmp_path_factory.mktemp("sweep_wh")))
+    eng.create_store("sw", dimension=DIM)
+    eng.set("sw", _big_entries())
+    eng.create_non_linear_algorithm_index("sw", ["hnsw"], config=cfg)
+    store = eng.store_df("sw")
+    rng = np.random.RandomState(13)
+    recalls = []
+    for i in rng.choice(N, size=4, replace=False):
+        q = VECS[i].tolist()
+        approx = {r["id"] for r in eng.get_sim_n("sw", q, 50, algorithm="hnsw").collect()}
+        exact = {r["id"] for r in top_k_similar(store, q, S.COSINE, 50).collect()}
+        recalls.append(len(approx & exact) / 50)
+    avg = sum(recalls) / len(recalls)
+    assert avg >= floor, (cfg, avg, recalls)
