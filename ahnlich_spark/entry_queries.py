@@ -2032,6 +2032,62 @@ def ai_bulk_set(spark, sf_dir):
 # yields 1 + n%3 face crops = content + chr(65+f); the stub embedding of
 # each crop reduces to a digest pair the oracle reproduces (ASCII docs,
 # so byte codes == character codes). Distinct VECTORS are the store key.
+@register("ai_face_attributes", """
+WITH n AS (SELECT doc_id, length(text) AS n FROM documents WHERE doc_id < 500),
+faces AS (
+  SELECT doc_id, n, f,
+         ((n * (f + 3) + 11) % 97) / 96.0 AS conf,
+         18 + (n * (f + 1)) % 50 AS age,
+         CASE WHEN (n + f) % 2 = 0 THEN 'M' ELSE 'F' END AS gender
+  FROM n, range(3) r(f) WHERE f < 1 + n % 3
+),
+kept AS (SELECT * FROM faces WHERE conf >= 0.5)
+SELECT
+  CAST(count(*) AS BIGINT) AS n_faces,
+  CAST((SELECT count(*) FROM faces) AS BIGINT) AS n_detected,
+  CAST(sum(age) AS BIGINT) AS age_sum,
+  CAST(sum(CASE WHEN gender = 'M' THEN 1 ELSE 0 END) AS BIGINT) AS n_male,
+  CAST(sum(CAST(round(conf * 10000) AS BIGINT)) AS BIGINT) AS conf_e4_sum
+FROM kept
+""")
+def ai_face_attributes(spark, sf_dir):
+    """Per-request model_params through the bulk face pipeline
+    (reference buffalo_l genderage/confidence tests): documents ingested
+    as images with confidence_threshold=0.5 + attributes=genderage; the
+    gate aggregates the per-face metadata the (stub) two-stage pipeline
+    attached — detection counts before/after the confidence filter, age
+    sum, gender counts, e4 confidence sum — all pure functions of the
+    content the oracle recomputes."""
+    from ahnlich_spark.ai import AiEngine
+    from ahnlich_spark.plans.engine import Engine
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    imgs = docs.select(F.encode("text", "utf-8").alias("input"))
+    wh = tempfile.mkdtemp(prefix="ahnlich_gate_attr_")
+    ai = AiEngine(Engine(spark, wh))
+    ai.create_store("fattr", query_model="sface-yunet",
+                    index_model="sface-yunet", store_original=False)
+    ai.set("fattr", imgs,
+           model_params={"confidence_threshold": "0.5",
+                         "attributes": "genderage"})
+    st = ai.engine.store_df("fattr")
+    m = F.col("meta")
+    agg = st.agg(
+        F.count(F.lit(1)).cast("long").alias("n_faces"),
+        F.sum(m["age"]["s"].cast("long")).cast("long").alias("age_sum"),
+        F.sum((m["gender"]["s"] == "M").cast("int")).cast("long").alias("n_male"),
+        F.sum(F.round(m["confidence"]["s"].cast("double") * 10000).cast("long"))
+        .cast("long").alias("conf_e4_sum"),
+    )
+    n_detected = docs.select(
+        (F.lit(1) + F.length("text") % 3).alias("k")
+    ).agg(F.sum("k").cast("long").alias("d")).first()["d"]
+    return agg.select(
+        "n_faces", F.lit(int(n_detected)).cast("long").alias("n_detected"),
+        "age_sum", "n_male", "conf_e4_sum",
+    )
+
+
 @register("ai_one_to_many_faces", """
 WITH sums AS (
   SELECT length(text) AS n,

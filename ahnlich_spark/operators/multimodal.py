@@ -264,8 +264,10 @@ def detect_faces_stub(buf: bytes, confidence_threshold: float = 0.0,
             continue
         crop = b + bytes([65 + f])  # 'A' + face index
         bbox = f"{(len(b) * (f + 1)) % 640},{(len(b) * 7 * (f + 1)) % 640},80,80"
+        # repr() round-trips the double exactly, so cross-engine
+        # consumers (gate oracles) recompute identical values
         meta = {"face_index": str(f), "bbox": bbox,
-                "confidence": f"{conf:.4f}"}
+                "confidence": repr(conf)}
         if attributes == "genderage":
             meta["gender"] = "M" if (len(b) + f) % 2 == 0 else "F"
             meta["age"] = str(18 + (len(b) * (f + 1)) % 50)

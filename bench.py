@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "multimodal_image_meta",
     "multimodal_audio_meta",
     "ai_embed_binary",
+    "ai_face_attributes",
 ]
 
 
