@@ -702,9 +702,39 @@ class Engine:
                 cfg.get("distance", S.EUCLIDEAN), closest_n,
                 precision=precision, rank_col="rank_n",
             )
+        n_cand = max(4 * closest_n, int(cfg.get("candidates", 256)))
+        scan = raw
+        # IVF-PQ composition, batch face: when the store also carries the
+        # ivf index, the UNION of every probe's planned bucket set prunes
+        # partition directories before the ADC rank — extra buckets from
+        # other probes only widen a probe's candidate pool (recall can
+        # only improve), so correctness matches the unpruned scan.
+        if "ivf" in meta.non_linear and "_ann_bucket" in raw.columns:
+            from ahnlich_spark.operators import ann as A
+
+            cents = self._ivf_centroids(meta)
+            ivf_state = self._ann_state(meta, "ivf")
+            if cents is not None and "bucket_counts" in ivf_state:
+                ivf_cfg = meta.non_linear_config.get("ivf", ANN_DEFAULTS["ivf"])
+                c64 = cents.astype(np.float64)
+                buckets: set = set()
+                prunable = True
+                for _pid, vec in probe_rows:
+                    q = np.asarray(vec, dtype=np.float64)
+                    order = np.argsort(((c64 - q) ** 2).sum(axis=1))
+                    picked, _cum = A.choose_probes(
+                        order, ivf_state["bucket_counts"],
+                        int(ivf_cfg.get("n_probe", 8)), n_cand,
+                    )
+                    if picked is None:
+                        prunable = False
+                        break
+                    buckets.update(picked)
+                if prunable:
+                    scan = raw.filter(F.col("_ann_bucket").isin(sorted(buckets)))
         return pq_top_k_batch(
-            raw, probe_rows, books, k=closest_n,
-            candidates=max(4 * closest_n, int(cfg.get("candidates", 256))),
+            scan, probe_rows, books, k=closest_n,
+            candidates=n_cand,
             vec_col="key", id_col="id", code_col=code_col,
             metric=cfg.get("distance", S.EUCLIDEAN), precision=precision,
         )

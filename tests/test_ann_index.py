@@ -334,3 +334,19 @@ def test_hnsw_recall_parameter_sweep(spark, tmp_path_factory, cfg, floor):
         recalls.append(len(approx & exact) / 50)
     avg = sum(recalls) / len(recalls)
     assert avg >= floor, (cfg, avg, recalls)
+
+
+def test_batch_pq_composes_ivf_partition_prune(indexed_engine):
+    """Batch ADC with BOTH ivf and pq indexes: the union of per-probe
+    bucket sets prunes partitions at the scan, and recall vs exact
+    stays at the single-probe pq level."""
+    eng = indexed_engine
+    probes = [(int(i), VECS[i].tolist()) for i in (4, 40, 400)]
+    out = eng.get_sim_n_batch("vecs", probes, closest_n=10, algorithm="pq")
+    plan = plan_of(out)
+    assert "_ann_bucket" in plan.split("PartitionFilters")[1].split("\n")[0], plan
+    store = eng.store_df("vecs")
+    for pid, vec in probes:
+        got = {r["id"] for r in out.collect() if r["qid"] == pid}
+        exact = {r["id"] for r in top_k_similar(store, vec, S.EUCLIDEAN, 10).collect()}
+        assert len(got & exact) >= 7, (pid, len(got & exact))
