@@ -252,3 +252,20 @@ def test_regional_revenue_single_wide_shuffle(spark):
     assert n_exchanges(plan) <= 3, plan
     # the date filter reaches the orders parquet scan
     assert "PushedFilters" in plan and "o_orderdate" in plan.split("orders")[1]
+
+
+def test_new_scanlocal_ops_add_no_keyed_shuffle(spark, sf_dir):
+    """Round-3 scan-local operators never shuffle BY KEY: the split is
+    pure map work (zero exchanges); the sliding chunker allows only the
+    parallelism-restoring ROUND-ROBIN fan-out (layout.fan_out re-spreads
+    a few-file input before the explode — routing, not a keyed
+    exchange; on a well-partitioned 100 TB input it's a no-op)."""
+    from ahnlich_spark.operators.dedup import sliding_chunk_table
+    from ahnlich_spark.operators.sampling import train_test_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    split_plan = plan_of(train_test_split(docs.select("doc_id"), test_rate=0.05))
+    assert n_exchanges(split_plan) == 0, split_plan
+    chunk_plan = plan_of(sliding_chunk_table(docs, chunk_tokens=32, stride=16))
+    assert "hashpartitioning" not in chunk_plan, chunk_plan
+    assert n_exchanges(chunk_plan) <= 1, chunk_plan
