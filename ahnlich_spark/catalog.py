@@ -72,6 +72,13 @@ class Catalog:
                 self._data = json.load(f)
 
     # -- persistence ----------------------------------------------------
+    def reload(self) -> None:
+        """Re-read the catalog file from disk — picks up commits made by
+        OTHER Engine facades sharing this warehouse (write_delta's
+        segment-collision retry depends on seeing their pointer bump)."""
+        with open(self.path) as f:
+            self._data = json.load(f)
+
     def _flush(self) -> None:
         fd, tmp = tempfile.mkstemp(dir=self.warehouse, suffix=".catalog.tmp")
         with os.fdopen(fd, "w") as f:

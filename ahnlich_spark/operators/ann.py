@@ -251,8 +251,22 @@ def train_centroids(
     """IVF coarse quantizer: k-means on a driver-side sample (the
     standard IVF recipe — training is sample-based even at billions of
     rows; only ASSIGNMENT is distributed). Deterministic via fixed seed
-    and Lloyd iterations in float64."""
-    rows = df.select(key_col).limit(sample).collect()
+    and Lloyd iterations in float64.
+
+    The sample is HASH-ORDERED (top-``sample`` by xxhash64 of the
+    vector), not first-partitions: at 100 TB data is near-always
+    clustered on disk by source/date, so ``limit(N)`` would train the
+    quantizer on one biased slice and skew every bucket the pruned path
+    prunes by. orderBy+limit compiles to TakeOrdered — each partition
+    keeps its local top-``sample``, no global shuffle — and the result
+    is invariant to partition count/order (pinned by
+    test_ann_index.test_train_centroids_partition_invariant)."""
+    rows = (
+        df.select(key_col)
+        .orderBy(F.xxhash64(F.col(key_col)))
+        .limit(sample)
+        .collect()
+    )
     data = np.asarray([list(r[key_col]) for r in rows], dtype=np.float64)
     n_clusters = min(n_clusters, len(data))
     rng = np.random.RandomState(seed)
@@ -320,7 +334,7 @@ def ivf_top_k(
         base = assign_buckets(df, centroids)
 
     q = np.asarray(list(query_vector), dtype=np.float64)
-    order = np.argsort(((centroids.astype(np.float64) - q) ** 2).sum(axis=1))
+    order = np.argsort(((centroids.astype(np.float64) - q) ** 2).sum(axis=1), kind="stable")
     min_candidates = max(4 * k, brute_force_threshold // 8)
     # one histogram pass picks the probe width (same trick as the LSH
     # radius histogram — never re-evaluate assignment per attempt)

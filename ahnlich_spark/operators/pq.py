@@ -115,12 +115,15 @@ def train_codebooks_df(
     id_col: str = "id",
 ) -> np.ndarray | None:
     """Codebooks from a bounded deterministic sample of a store
-    DataFrame (first ``sample`` rows by id — the engine's index-build
-    path; the same recipe as operators/ann.train_centroids). Returns
-    None when the store is empty or smaller than k."""
+    DataFrame — the engine's index-build path. The sample is
+    HASH-ORDERED by xxhash64(id) (tie-broken by id, so fully
+    deterministic): ids are assigned in ingest order, so a first-N-by-id
+    sample is exactly the disk-clustered slice that biases a quantizer
+    at scale. orderBy+limit is TakeOrdered (per-partition top-N, no
+    shuffle). Returns None when the store is empty or smaller than k."""
     rows = (
         df.select(F.col(id_col), F.col(vec_col))
-        .orderBy(F.asc(id_col))
+        .orderBy(F.xxhash64(F.col(id_col)), F.asc(id_col))
         .limit(sample)
         .collect()
     )

@@ -174,7 +174,10 @@ def exact_ntile(
        scan-local arithmetic.
 
     Ties split by ``id_col`` order, exactly like
-    ``NTILE(n) OVER (ORDER BY value, id)``."""
+    ``NTILE(n) OVER (ORDER BY value, id)``. NULL values rank first
+    (Spark's ASC NULLS FIRST window order) and are kept — the count,
+    the cumulative table, and the join all treat NULL as one ordinary
+    (lowest) value, so no row vanishes and tile sizes stay exact."""
     n = df.count()
     if n == 0:
         return df.withColumn(out_col, F.lit(None).cast("long"))
@@ -182,11 +185,19 @@ def exact_ntile(
     counts = df.groupBy(value_col).count()
     wcum = Window.orderBy(value_col).rowsBetween(Window.unboundedPreceding, -1)
     cum = counts.select(
-        value_col, F.coalesce(F.sum("count").over(wcum), F.lit(0)).alias("_cum")
+        F.col(value_col).alias("_ntile_val"),
+        F.coalesce(F.sum("count").over(wcum), F.lit(0)).alias("_cum"),
     )
     wv = Window.partitionBy(value_col).orderBy(id_col)
-    ranked = df.join(F.broadcast(cum), value_col).withColumn(
-        "_rank", F.col("_cum") + F.row_number().over(wv)
+    # eqNullSafe: a NULL value must still find its cumulative row — a
+    # plain equi-join would silently drop NULL-valued rows while n
+    # counted them, skewing every tile boundary.
+    ranked = (
+        df.join(
+            F.broadcast(cum), F.col(value_col).eqNullSafe(F.col("_ntile_val"))
+        )
+        .drop("_ntile_val")
+        .withColumn("_rank", F.col("_cum") + F.row_number().over(wv))
     )
     if base == 0:  # fewer rows than tiles: tile == rank
         tile = F.col("_rank")

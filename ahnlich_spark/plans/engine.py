@@ -706,9 +706,12 @@ class Engine:
         scan = raw
         # IVF-PQ composition, batch face: when the store also carries the
         # ivf index, the UNION of every probe's planned bucket set prunes
-        # partition directories before the ADC rank — extra buckets from
-        # other probes only widen a probe's candidate pool (recall can
-        # only improve), so correctness matches the unpruned scan.
+        # partition directories before the ADC rank. Extra buckets from
+        # other probes only WIDEN a probe's candidate pool relative to
+        # per-probe IVF pruning (batch recall >= single-probe recall);
+        # a true neighbor outside the union is still missed, so recall
+        # vs the UNPRUNED ADC scan can be lower — same contract as the
+        # single-probe ivf+pq path.
         if "ivf" in meta.non_linear and "_ann_bucket" in raw.columns:
             from ahnlich_spark.operators import ann as A
 
@@ -721,7 +724,7 @@ class Engine:
                 prunable = True
                 for _pid, vec in probe_rows:
                     q = np.asarray(vec, dtype=np.float64)
-                    order = np.argsort(((c64 - q) ** 2).sum(axis=1))
+                    order = np.argsort(((c64 - q) ** 2).sum(axis=1), kind="stable")
                     picked, _cum = A.choose_probes(
                         order, ivf_state["bucket_counts"],
                         int(ivf_cfg.get("n_probe", 8)), n_cand,
@@ -871,7 +874,7 @@ class Engine:
         c64 = cents.astype(np.float64)
         for pid, vec in probe_rows:
             q = np.asarray(vec, dtype=np.float64)
-            order = np.argsort(((c64 - q) ** 2).sum(axis=1))
+            order = np.argsort(((c64 - q) ** 2).sum(axis=1), kind="stable")
             picked, _cum = A.choose_probes(order, state["bucket_counts"],
                                            n_probe, min_cand)
             if picked is None:
@@ -996,7 +999,7 @@ class Engine:
             cents = self._ivf_centroids(meta)
             if cents is not None:
                 q = np.asarray(list(search_input), dtype=np.float64)
-                order = np.argsort(((cents.astype(np.float64) - q) ** 2).sum(axis=1))
+                order = np.argsort(((cents.astype(np.float64) - q) ** 2).sum(axis=1), kind="stable")
                 min_cand = max(4 * closest_n, self.brute_force_threshold // 8)
                 picked, _cum = A.choose_probes(
                     order, state["bucket_counts"], int(cfg.get("n_probe", 8)), min_cand
@@ -1029,7 +1032,8 @@ class Engine:
                     if cents is not None and "bucket_counts" in ivf_state:
                         qv = np.asarray(q, dtype=np.float64)
                         order = np.argsort(
-                            ((cents.astype(np.float64) - qv) ** 2).sum(axis=1)
+                            ((cents.astype(np.float64) - qv) ** 2).sum(axis=1),
+                            kind="stable",
                         )
                         ivf_cfg = meta.non_linear_config.get("ivf", ANN_DEFAULTS["ivf"])
                         picked, _cum = A.choose_probes(

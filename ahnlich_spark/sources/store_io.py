@@ -272,7 +272,34 @@ def write_delta(
             )
         )
     seg = reduce(lambda a, b: a.unionByName(b), parts)
-    seg.write.mode("overwrite").parquet(catalog.delta_path(meta, meta.deltas + 1))
+    # Segment paths are immutable once written: commit with
+    # errorifexists so two Engine facades on the same warehouse (the
+    # MAX_CLIENTS registry explicitly supports this) can never clobber
+    # each other's committed segment. On collision, re-read the catalog
+    # pointer (the other writer bumped ``deltas``) and claim the next
+    # free number — the losing writer's rows land in a later segment,
+    # not on the floor.
+    for _attempt in range(16):
+        try:
+            seg.write.mode("errorifexists").parquet(
+                catalog.delta_path(meta, meta.deltas + 1)
+            )
+            break
+        except Exception as exc:  # AnalysisException: path already exists
+            if "already exists" not in str(exc):
+                raise
+            catalog.reload()
+            fresh = catalog.get_store(meta.name, meta.schema)
+            if fresh.deltas <= meta.deltas and fresh.version == meta.version:
+                # path exists but no committed pointer covers it: a
+                # crashed writer left a partial segment — surface it.
+                raise
+            meta = fresh
+    else:
+        raise RuntimeError(
+            f"write_delta: could not claim a delta segment for {meta.name} "
+            "after 16 attempts (concurrent writer storm)"
+        )
     meta.deltas += 1
     catalog.put_store(meta)
     return meta

@@ -384,3 +384,26 @@ def test_mutations_after_index_drop_still_merge(engine):
     meta = engine.catalog.get_store("incdrop")
     raw = read_store(engine.spark, engine.catalog, meta, canonical=False)
     assert not [c for c in raw.columns if c.startswith("_ann_")]
+
+
+def test_concurrent_facades_never_clobber_segments(spark, warehouse):
+    """Two Engine facades on one warehouse (the MAX_CLIENTS registry
+    supports exactly this) racing a delta write: the loser must claim
+    the NEXT segment number after a catalog reload, never silently
+    overwrite the winner's committed rows (ADVICE r03)."""
+    from ahnlich_spark import Engine
+
+    a = Engine(spark, warehouse)
+    a.create_store("race", dimension=4)
+    a.set("race", [([1.0, 0.0, 0.0, 0.0], {"w": "base"})])
+    b = Engine(spark, warehouse)  # loads catalog: version=1, deltas=0
+
+    a.set("race", [([2.0, 0.0, 0.0, 0.0], {"w": "a"})])   # claims d1_1
+    # b's in-memory meta still says deltas=0 -> it will try d1_1 too
+    b.set("race", [([3.0, 0.0, 0.0, 0.0], {"w": "b"})])   # must land in d1_2
+
+    fresh = Engine(spark, warehouse)
+    rows = {tuple(r["key"])[0]: (r["meta"] or {})["w"]["s"]
+            for r in fresh.store_df("race").collect()}
+    assert rows == {1.0: "base", 2.0: "a", 3.0: "b"}
+    assert fresh.catalog.get_store("race").deltas == 2

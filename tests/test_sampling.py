@@ -165,3 +165,24 @@ def test_exact_ntile_fewer_rows_than_tiles(spark):
     df = spark.createDataFrame([(1, 5), (2, 5), (3, 1)], "doc_id long, v long")
     got = {r["doc_id"]: r["tile"] for r in exact_ntile(df, 10, "v", "doc_id").collect()}
     assert got == {3: 1, 1: 2, 2: 3}
+
+
+def test_exact_ntile_keeps_null_values(spark):
+    """NULL-valued rows must survive the tiling (an equi-join would
+    silently drop them while n counted them) and rank FIRST, exactly
+    like NTILE(n) OVER (ORDER BY value ASC NULLS FIRST, id)."""
+    from ahnlich_spark.operators.sampling import exact_ntile
+
+    rows = [(i, None if i % 5 == 0 else i % 3) for i in range(23)]
+    df = spark.createDataFrame(rows, "doc_id long, v long")
+    out = exact_ntile(df, 4, "v", "doc_id").collect()
+    assert len(out) == 23, "no row may vanish"
+    got = {r["doc_id"]: r["tile"] for r in out}
+    want = {
+        r["doc_id"]: r["t"]
+        for r in df.selectExpr(
+            "doc_id",
+            "ntile(4) OVER (ORDER BY v ASC NULLS FIRST, doc_id) AS t",
+        ).collect()
+    }
+    assert got == want
