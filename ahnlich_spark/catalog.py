@@ -53,6 +53,14 @@ class StoreMeta:
     # instead of rewriting the base — merged keep-last-by-id at read
     deltas: int = 0
     ai: Optional[AiBinding] = None
+    # cached catalog statistics: live row count and on-disk bytes of the
+    # current version + delta chain, maintained incrementally from the
+    # counts mutations already compute so ListStores/GetStore on a
+    # populated 100 TB store launch ZERO scans. -1 = dirty -> the next
+    # info call recomputes once and re-caches (the reference's cached
+    # len + dirty flag, ahnlich/db/src/engine/store.rs:72-101).
+    len_cache: int = -1
+    bytes_cache: int = -1
 
 
 class Catalog:

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ahnlich_spark import errors
 from ahnlich_spark.functions import similarity as S
 from ahnlich_spark.functions import text as X
 from ahnlich_spark.functions.hashing import store_key_id
@@ -583,6 +584,152 @@ def ai_store_lifecycle(spark, sf_dir):
     return spark.createDataFrame(
         [(store_len, n_en, key_hits, deleted, len_after)],
         "store_len long, n_en long, key_hits long, deleted long, len_after_del long",
+    )
+
+
+@register("ddl_lifecycle_counts", """
+SELECT 2::BIGINT AS pred_created, 0::BIGINT AS pred_recreated,
+       (SELECT count(*) FROM embeddings WHERE vec_id < 400 AND label = 1) AS indexed_hits,
+       1::BIGINT AS pred_dropped, 0::BIGINT AS pred_drop_missing_ok,
+       1::BIGINT AS missing_pred_drop_error,
+       1::BIGINT AS ann_created, 1::BIGINT AS ann_dropped,
+       1::BIGINT AS missing_ann_drop_error,
+       (SELECT count(*) FROM embeddings WHERE vec_id < 400 AND label = 1) AS scan_hits,
+       1::BIGINT AS store_dropped, 0::BIGINT AS store_drop_missing_ok,
+       1::BIGINT AS missing_store_error,
+       1::BIGINT AS schema_dropped, 2::BIGINT AS purged,
+       0::BIGINT AS ai_stores_after_purge, 1::BIGINT AS plain_survives_purge
+""")
+def ddl_lifecycle_counts(spark, sf_dir):
+    """Every remaining DDL/meta op in ONE lifecycle gate (VERDICT r03
+    #3; reference server_tests.rs:4655-5038): CreatePredIndex idempotent
+    counting, DropPredIndex (hit, error_if_not_exists=False, and the
+    missing-key error), Create/DropNonLinearAlgorithmIndex, DropStore
+    (all three outcomes), DropSchema, AI PurgeStores (drops ONLY
+    AI-bound stores). Predicate answers are pinned IDENTICAL while
+    indexed and after every drop — index DDL prunes scans, never
+    changes answers."""
+    from ahnlich_spark.ai.proxy import AiEngine
+    from ahnlich_spark.plans.engine import Engine
+
+    eng = Engine(spark, tempfile.mkdtemp(prefix="ahnlich_gate_"))
+    store = _emb_store(spark, sf_dir).filter(F.col("vec_id") < 400).drop("vec_id")
+    eng.create_store("ddl", dimension=_GATE_DIM)
+    eng.set("ddl", store)
+    pred_created = eng.create_pred_index("ddl", ["label", "vid"])
+    pred_recreated = eng.create_pred_index("ddl", ["label"])
+    indexed_hits = eng.get_pred("ddl", Equals("label", "1")).count()
+    pred_dropped = eng.drop_pred_index("ddl", ["vid"])
+    pred_drop_missing_ok = eng.drop_pred_index(
+        "ddl", ["ghost"], error_if_not_exists=False
+    )
+    try:
+        eng.drop_pred_index("ddl", ["ghost"])
+        missing_pred_drop_error = 0
+    except errors.PredicateIndexNotFound:
+        missing_pred_drop_error = 1
+    ann_created = eng.create_non_linear_algorithm_index("ddl", ["ivf"])
+    ann_dropped = eng.drop_non_linear_algorithm_index("ddl", ["ivf"])
+    try:
+        eng.drop_non_linear_algorithm_index("ddl", ["kdtree"])
+        missing_ann_drop_error = 0
+    except errors.NonLinearIndexNotFound:
+        missing_ann_drop_error = 1
+    scan_hits = eng.get_pred("ddl", Equals("label", "1")).count()
+    store_dropped = eng.drop_store("ddl")
+    store_drop_missing_ok = eng.drop_store("ddl", error_if_not_exists=False)
+    try:
+        eng.drop_store("ghost")
+        missing_store_error = 0
+    except errors.StoreNotFound:
+        missing_store_error = 1
+    eng.create_store("tmp_store", dimension=4, schema="tmp_ddl")
+    schema_dropped = eng.drop_schema("tmp_ddl")
+    ai = AiEngine(eng)
+    model = "all-minilm-l6-v2"
+    ai.create_store("aip1", query_model=model, index_model=model)
+    ai.create_store("aip2", query_model=model, index_model=model)
+    eng.create_store("plain", dimension=4)
+    purged = ai.purge_stores()
+    ai_after = len(ai.list_stores())
+    plain_survives = eng.drop_store("plain")
+    return spark.createDataFrame(
+        [(
+            pred_created, pred_recreated, indexed_hits, pred_dropped,
+            pred_drop_missing_ok, missing_pred_drop_error, ann_created,
+            ann_dropped, missing_ann_drop_error, scan_hits, store_dropped,
+            store_drop_missing_ok, missing_store_error, schema_dropped,
+            purged, ai_after, plain_survives,
+        )],
+        "pred_created long, pred_recreated long, indexed_hits long, "
+        "pred_dropped long, pred_drop_missing_ok long, "
+        "missing_pred_drop_error long, ann_created long, ann_dropped long, "
+        "missing_ann_drop_error long, scan_hits long, store_dropped long, "
+        "store_drop_missing_ok long, missing_store_error long, "
+        "schema_dropped long, purged long, ai_stores_after_purge long, "
+        "plain_survives_purge long",
+    )
+
+
+@register("ai_upsert", """
+WITH d AS (SELECT text, doc_id FROM documents WHERE doc_id < 100),
+u AS (SELECT text, min(doc_id) AS doc_id FROM d GROUP BY text HAVING count(*) = 1)
+SELECT (SELECT count(*) FROM u) AS store_len_before,
+       0::BIGINT AS inserted, 1::BIGINT AS updated,
+       1::BIGINT AS key_hits_new, 0::BIGINT AS key_hits_old,
+       1::BIGINT AS marked, 1::BIGINT AS tag_kept,
+       (SELECT count(*) FROM u) AS store_len_after
+""")
+def ai_upsert(spark, sf_dir):
+    """AI Upsert with re-embedding (VERDICT r03 #3; reference
+    ai/src/engine/store.rs:433-498): a conditional single-row update
+    with a NEW raw input re-embeds through the index model, swaps the
+    reserved original-input key (old original no longer resolves, new
+    one does), and MERGES user metadata (the matched row's existing tag
+    must survive an input+value upsert). Store length is unchanged —
+    the row is replaced, not added. Only unique-text docs are loaded so
+    the tag condition matches exactly one row on any corpus."""
+    from ahnlich_spark.ai.proxy import AiEngine
+    from ahnlich_spark.plans.engine import Engine
+    from ahnlich_spark.types import StoreInput
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .groupBy("text")
+        .agg(F.count("*").alias("n"), F.min("doc_id").alias("doc_id"))
+        .filter(F.col("n") == 1)
+        .orderBy("doc_id")
+        .collect()
+    )
+    ai = AiEngine(Engine(spark, tempfile.mkdtemp(prefix="ahnlich_gate_")))
+    model = "jina-embeddings-v2-base-code"  # 8k-token budget fits any doc
+    ai.create_store(
+        "aiu", query_model=model, index_model=model,
+        predicates=["tag", "mark"], store_original=True,
+    )
+    ai.set("aiu", [(StoreInput.raw_string(r["text"]), {"tag": str(r["doc_id"])})
+                   for r in docs])
+    before = ai.engine.get_store("aiu").len
+    target = docs[0]
+    new_text = "upserted probe text that matches no corpus document"
+    r = ai.upsert(
+        "aiu", Equals("tag", str(target["doc_id"])),
+        new_input=StoreInput.raw_string(new_text), new_value={"mark": "x"},
+    )
+    key_hits_new = ai.get_key("aiu", [StoreInput.raw_string(new_text)]).count()
+    key_hits_old = ai.get_key("aiu", [StoreInput.raw_string(target["text"])]).count()
+    marked = ai.get_pred("aiu", Equals("mark", "x")).count()
+    tag_kept = ai.engine.get_pred(
+        "aiu", And(Equals("mark", "x"), Equals("tag", str(target["doc_id"])))
+    ).count()
+    after = ai.engine.get_store("aiu").len
+    return spark.createDataFrame(
+        [(before, r.inserted, r.updated, key_hits_new, key_hits_old,
+          marked, tag_kept, after)],
+        "store_len_before long, inserted long, updated long, "
+        "key_hits_new long, key_hits_old long, marked long, tag_kept long, "
+        "store_len_after long",
     )
 
 

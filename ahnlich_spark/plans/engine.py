@@ -239,6 +239,8 @@ class Engine:
                 predicates=sorted(set(predicates)),
                 non_linear=non_linear,
                 non_linear_config=cfgs,
+                len_cache=0,
+                bytes_cache=0,
             )
         )
 
@@ -417,27 +419,47 @@ class Engine:
         free and probe filters prune whole partition directories. Resets
         the delta chain (the input is expected to be the merged view)."""
         df, layout, pred_cols = self._index_columns(meta, df)
-        return write_store(
+        meta = write_store(
             df, self.catalog, meta, layout_col=layout, sort_cols=pred_cols or None
         )
+        # refresh the bytes statistic from the fresh base (one driver-side
+        # directory walk — no Spark job); row count is caller-managed
+        # (compaction/backfill rewrites keep it, first SET sets it)
+        meta.bytes_cache = _dir_size(self.catalog.store_path(meta))
+        self.catalog.put_store(meta)
+        return meta
 
     def _append_delta(
         self,
         meta: StoreMeta,
         upserts: Optional[DataFrame] = None,
         tombstone_ids: Optional[DataFrame] = None,
+        len_delta: Optional[int] = None,
     ) -> StoreMeta:
         """O(batch) mutation: append one delta segment (upserts with
         index columns embedded + id tombstones) instead of rewriting the
         base — the reference's SET is an O(batch) map insert
         (ahnlich/db/src/engine/store.rs:1050-1135) and this is its
         disk-backed analog. Auto-compacts once the segment chain passes
-        ``AUTO_COMPACT_SEGMENTS`` so merged-read cost stays bounded."""
+        ``AUTO_COMPACT_SEGMENTS`` so merged-read cost stays bounded.
+
+        ``len_delta`` is the caller's exact net change to the live row
+        count (+inserted / -deleted); None means the caller can't
+        account cheaply, which dirties the cached count — the next info
+        call recomputes once (reference dirty-flag, store.rs:72-101)."""
         from ahnlich_spark.sources.store_io import write_delta
 
         if upserts is not None:
             upserts, _layout, _pred = self._index_columns(meta, upserts)
-        write_delta(self.spark, self.catalog, meta, upserts, tombstone_ids)
+        meta = write_delta(self.spark, self.catalog, meta, upserts, tombstone_ids)
+        if len_delta is None:
+            meta.len_cache = -1
+        elif meta.len_cache >= 0:
+            meta.len_cache += int(len_delta)
+        if meta.bytes_cache >= 0:
+            # the fresh segment is O(batch) — a driver walk of one tiny dir
+            meta.bytes_cache += _dir_size(self.catalog.delta_path(meta, meta.deltas))
+        self.catalog.put_store(meta)
         if meta.deltas >= self.AUTO_COMPACT_SEGMENTS:
             self.compact(meta.name, schema=meta.schema)
         return meta
@@ -1098,16 +1120,35 @@ class Engine:
         return self._store_info(self.catalog.get_store(store, schema))
 
     def _store_info(self, meta: StoreMeta) -> StoreInfo:
-        df = read_store(self.spark, self.catalog, meta)
-        n = df.count()
-        size = _dir_size(self.catalog.store_path(meta)) if meta.version > 0 else 0
-        for i in range(1, meta.deltas + 1):
-            size += _dir_size(self.catalog.delta_path(meta, i))
+        """Metadata-only when the caches are warm: ListStores/GetStore on
+        a populated store launch ZERO Spark jobs (pinned by
+        test_engine.test_store_info_is_metadata_only). Counts are
+        maintained from the counts mutations already compute; paths that
+        can't account exactly (fold-in deletes, key-changing upserts,
+        concurrent-writer collisions, snapshot-era metas) leave a dirty
+        flag and the next info call recomputes ONCE and re-caches — the
+        reference's cached len + dirty flag (store.rs:72-101)."""
+        changed = False
+        if meta.len_cache < 0:
+            meta.len_cache = (
+                read_store(self.spark, self.catalog, meta).count()
+                if meta.version > 0
+                else 0
+            )
+            changed = True
+        if meta.bytes_cache < 0:
+            size = _dir_size(self.catalog.store_path(meta)) if meta.version > 0 else 0
+            for i in range(1, meta.deltas + 1):
+                size += _dir_size(self.catalog.delta_path(meta, i))
+            meta.bytes_cache = size
+            changed = True
+        if changed:
+            self.catalog.put_store(meta)
         return StoreInfo(
             name=meta.name,
             schema=meta.schema,
-            len=n,
-            size_in_bytes=size,
+            len=int(meta.len_cache),
+            size_in_bytes=int(meta.bytes_cache),
             dimension=meta.dimension,
             predicates=tuple(meta.predicates),
             non_linear=tuple(meta.non_linear),
@@ -1213,14 +1254,22 @@ class Engine:
         inserted = total - updated
 
         if meta.version == 0:
-            self._write(meta, batch_d)
+            meta = self._write(meta, batch_d)
+            meta.len_cache = int(total)  # first base: every deduped row lives
+            self.catalog.put_store(meta)
         else:
             tomb = None
             if tombs:
                 tomb = tombs[0]
                 for t in tombs[1:]:
                     tomb = tomb.unionByName(t)
-            self._append_delta(meta, upserts=batch_d, tombstone_ids=tomb)
+            # fold-in deletes (remove_condition / remove_meta_matches)
+            # tombstone rows whose count was never collected -> dirty;
+            # the plain path's net change is exactly `inserted`
+            self._append_delta(
+                meta, upserts=batch_d, tombstone_ids=tomb,
+                len_delta=None if tomb is not None else int(inserted),
+            )
         return StoreUpsert(inserted=inserted, updated=updated)
 
     def del_key(
@@ -1239,7 +1288,7 @@ class Engine:
         )
         deleted = matched.count()
         if deleted:
-            self._append_delta(meta, tombstone_ids=matched)
+            self._append_delta(meta, tombstone_ids=matched, len_delta=-int(deleted))
         return DelResult(deleted_count=int(deleted))
 
     def del_pred(
@@ -1256,7 +1305,7 @@ class Engine:
         )
         deleted = matched.count()
         if deleted:
-            self._append_delta(meta, tombstone_ids=matched)
+            self._append_delta(meta, tombstone_ids=matched, len_delta=-int(deleted))
         return DelResult(deleted_count=int(deleted))
 
     def upsert(
@@ -1317,10 +1366,14 @@ class Engine:
         # with ANOTHER existing row's id the merge shadows it, exactly
         # as a plain Set would.
         tomb = self.spark.createDataFrame([(int(old["id"]),)], "id long")
+        # value-only upsert keeps the row's id -> net count change is 0;
+        # a key change may shadow another existing id (unknowable without
+        # a probe) -> dirty the cached count
         self._append_delta(
             meta,
             upserts=replacement.select("id", "key", "meta"),
             tombstone_ids=tomb,
+            len_delta=0 if new_key is None else None,
         )
         return StoreUpsert(inserted=0, updated=1)
 

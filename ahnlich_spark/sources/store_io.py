@@ -295,6 +295,10 @@ def write_delta(
                 # crashed writer left a partial segment — surface it.
                 raise
             meta = fresh
+            # our caller's len accounting was computed against a view
+            # that missed the other writer's commit — dirty the cached
+            # count so the next info call recomputes it exactly
+            meta.len_cache = -1
     else:
         raise RuntimeError(
             f"write_delta: could not claim a delta segment for {meta.name} "

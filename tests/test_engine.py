@@ -409,3 +409,51 @@ def test_register_views_exposes_stores_to_sql(engine, spark):
                                        fromlist=["Equals"]).Equals("label", "a"))
     engine.register_views()
     assert spark.sql("SELECT count(*) AS n FROM ahnlich_sqlv").first()["n"] == 1
+
+
+def test_store_info_is_metadata_only(engine):
+    """ListStores/GetStore on a populated store must launch ZERO Spark
+    jobs (VERDICT r03 #2): len/bytes are maintained from the counts
+    mutations already compute (the reference caches len with a dirty
+    flag, store.rs:72-101) — at 100 TB a catalog listing can't afford a
+    store scan. The cached values must equal a cold recount."""
+    engine.create_store("cat", dimension=4, predicates=["p"])
+    engine.set("cat", [([float(i), 0.0, 0.0, 0.0], {"p": str(i % 3)})
+                       for i in range(500)])
+    # 2 updates + 5 inserts, then one delete
+    engine.set("cat", [([float(i), 0.0, 0.0, 0.0], {}) for i in range(498, 505)])
+    assert engine.del_key("cat", [[1.0, 0.0, 0.0, 0.0]]).deleted_count == 1
+
+    tracker = engine.spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    infos = {i.name: i for i in engine.list_stores()}
+    info = engine.get_store("cat")
+    after = tracker.getJobIdsForGroup(None)
+    assert len(after) == len(before), "catalog listing launched Spark jobs"
+    assert info.len == 504 and infos["cat"].len == 504
+    assert info.size_in_bytes > 0
+
+    # cached statistics == a cold recount (dirty-flag path)
+    meta = engine.catalog.get_store("cat")
+    meta.len_cache = -1
+    meta.bytes_cache = -1
+    engine.catalog.put_store(meta)
+    cold = engine.get_store("cat")
+    assert (cold.len, cold.size_in_bytes) == (info.len, info.size_in_bytes)
+
+
+def test_store_info_exact_after_unaccountable_mutations(engine):
+    """Paths that can't account the net row change cheaply (key-changing
+    upsert, fold-in deletes) dirty the cache; the next info call must
+    recount exactly and re-cache."""
+    from ahnlich_spark.operators.predicates import Equals
+
+    engine.create_store("dirt", dimension=2, predicates=["p"])
+    engine.set("dirt", [([float(i), 0.0], {"p": str(i)}) for i in range(20)])
+    # key-changing upsert onto an EXISTING other row's vector: row count
+    # shrinks by one (old row tombstoned, replacement shadows row 3)
+    engine.upsert("dirt", Equals("p", "5"), new_key=[3.0, 0.0],
+                  new_value={"p": "x"})
+    assert engine.catalog.get_store("dirt").len_cache == -1
+    assert engine.get_store("dirt").len == 19
+    assert engine.catalog.get_store("dirt").len_cache == 19  # re-cached
