@@ -2052,6 +2052,126 @@ def streaming_interval_join(spark, sf_dir):
     )
 
 
+@register("streaming_probe_search", """
+WITH p AS (SELECT vec_id AS probe_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 8),
+scored AS (
+  SELECT p.probe_id, e.vec_id,
+         list_cosine_similarity(e.embedding::DOUBLE[], p.qv) AS score
+  FROM embeddings e, p),
+ranked AS (
+  SELECT probe_id, vec_id,
+         CAST(row_number() OVER (PARTITION BY probe_id
+              ORDER BY score DESC, vec_id) AS BIGINT) AS rank_n,
+         CAST(round(score * 10000) AS BIGINT) AS score_e4
+  FROM scored)
+SELECT probe_id, vec_id, rank_n, score_e4 FROM ranked WHERE rank_n <= 5
+""")
+def streaming_probe_search_gate(spark, sf_dir):
+    """Online retrieval gate (VERDICT r03 #5): a STREAM of probe
+    vectors answered continuously against an engine store — each
+    micro-batch becomes ONE Engine.get_sim_n_batch plan, results land
+    in a parquet sink (streaming/pipeline.streaming_probe_search). The
+    oracle replays the same probes batch-wise: the streaming face must
+    produce bit-identical top-5 per probe."""
+    from ahnlich_spark.plans.engine import Engine
+    from ahnlich_spark.streaming.pipeline import streaming_probe_search
+
+    emb = _t(spark, sf_dir, "embeddings")
+    eng = Engine(spark, tempfile.mkdtemp(prefix="ahnlich_gate_"))
+    eng.create_store("sps", dimension=_GATE_DIM)
+    eng.set("sps", emb.select(F.col("embedding").alias("key")))
+
+    probes_dir = os.path.join(tempfile.mkdtemp(prefix="ahnlich_sps_"), "probes")
+    emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qkey")
+    ).coalesce(1).write.parquet(probes_dir)
+    sink = os.path.join(tempfile.mkdtemp(prefix="ahnlich_sps_"), "out")
+    stream = spark.readStream.schema("qid long, qkey array<float>").parquet(
+        probes_dir
+    )
+    q = streaming_probe_search(
+        stream, eng, "sps", sink, closest_n=5,
+        algorithm="cosine_similarity", precision="double",
+        checkpoint=tempfile.mkdtemp(prefix="ahnlich_sps_ckpt_"),
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    res = spark.read.parquet(sink)
+    ids = emb.select("vec_id", store_key_id(F.col("embedding")).alias("id"))
+    return res.join(ids, "id").select(
+        F.col("qid").alias("probe_id"),
+        "vec_id",
+        F.col("rank_n").cast("long").alias("rank_n"),
+        F.round(F.col("similarity") * 10000).cast("long").alias("score_e4"),
+    )
+
+
+@register("streaming_set_ingest", """
+SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 500) AS store_len,
+       (SELECT count(*) FROM embeddings WHERE vec_id < 200) AS n_src_a,
+       (SELECT count(*) FROM embeddings WHERE vec_id >= 200 AND vec_id < 500) AS n_src_b
+""")
+def streaming_set_ingest_gate(spark, sf_dir):
+    """foreachBatch store ingest gate (VERDICT r03 #5): two ORDERED
+    micro-batches (maxFilesPerTrigger=1, mtimes 60s apart) run through
+    Engine.set — the same vector-is-primary-key upsert path as the
+    batch API — so the 100-row overlap between batches ends tagged by
+    the LATER batch (last-write-wins across micro-batches), and the
+    final store is exactly the distinct vector set."""
+    import glob
+    import time
+
+    from ahnlich_spark.plans.engine import Engine
+    from ahnlich_spark.streaming.pipeline import streaming_set_ingest
+
+    emb = _t(spark, sf_dir, "embeddings")
+    src = tempfile.mkdtemp(prefix="ahnlich_ingest_")
+    a_dir, b_dir = os.path.join(src, "a"), os.path.join(src, "b")
+    emb.filter(F.col("vec_id") < 300).select(
+        "embedding", F.lit("a").alias("src")
+    ).coalesce(1).write.parquet(a_dir)
+    emb.filter((F.col("vec_id") >= 200) & (F.col("vec_id") < 500)).select(
+        "embedding", F.lit("b").alias("src")
+    ).coalesce(1).write.parquet(b_dir)
+    watch = os.path.join(src, "watch")
+    os.makedirs(watch)
+    fa = glob.glob(os.path.join(a_dir, "part-*.parquet"))[0]
+    fb = glob.glob(os.path.join(b_dir, "part-*.parquet"))[0]
+    now = time.time()
+    os.utime(fa, (now - 60, now - 60))  # a strictly before b
+    os.utime(fb, (now, now))
+    os.symlink(fa, os.path.join(watch, "batch-a.parquet"))
+    os.symlink(fb, os.path.join(watch, "batch-b.parquet"))
+
+    stream = (
+        spark.readStream.schema("embedding array<float>, src string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(watch)
+        .select(
+            F.col("embedding").alias("key"),
+            F.create_map(F.lit("src"), _mv_str(F.col("src"))).alias("meta"),
+        )
+    )
+    eng = Engine(spark, tempfile.mkdtemp(prefix="ahnlich_gate_"))
+    eng.create_store("ing", dimension=_GATE_DIM)
+    q = streaming_set_ingest(
+        stream, eng, "ing",
+        checkpoint=tempfile.mkdtemp(prefix="ahnlich_ingest_ckpt_"),
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    store_len = eng.get_store("ing").len
+    n_a = eng.get_pred("ing", Equals("src", "a")).count()
+    n_b = eng.get_pred("ing", Equals("src", "b")).count()
+    return spark.createDataFrame(
+        [(store_len, n_a, n_b)],
+        "store_len long, n_src_a long, n_src_b long",
+    )
+
+
 @register("events_json_props", """
 SELECT event_type,
        count(*) AS n,

@@ -176,6 +176,99 @@ def choose_probes(order, bucket_counts: dict, n_probe: int, min_candidates: int)
     return None, cum
 
 
+# --------------------------------------- distributed probe planning --
+# Above the engine's BATCH_PLAN_THRESHOLD the per-probe planning loop
+# moves OFF the driver: the same histograms/centroids (small by
+# construction) broadcast into Arrow-batched pandas UDFs over the probe
+# frame, each executor plans its slice with the IDENTICAL per-probe
+# logic (choose_probes / choose_radius on the same statistics), and
+# only the bounded union of buckets/prefixes (<= n_clusters / 2^PREFIX
+# _BITS values) ever returns to the driver. A million-probe batch costs
+# the driver one tiny distinct-collect instead of a million argsorts.
+
+def plan_ivf_buckets_udf(centroids: np.ndarray, bucket_counts: dict,
+                         n_probe: int, min_candidates: int, dim: int):
+    """pandas UDF ``qkey -> array<int>`` of planned bucket ids (NULL for
+    a starved probe — the caller falls back to the exact batch plan).
+    Bit-parity with the driver loop: float64 centroid distances,
+    stable argsort, same choose_probes widening."""
+    import pandas as pd
+
+    c64 = np.ascontiguousarray(centroids, dtype=np.float64)
+    counts = {int(k): v for k, v in bucket_counts.items()}
+
+    def plan(keys):
+        out = []
+        for v in keys:
+            q = np.asarray(list(v), dtype=np.float64)
+            if q.shape[0] != dim:
+                raise ValueError(
+                    f"probe dimension {q.shape[0]} != store dimension {dim}"
+                )
+            order = np.argsort(((c64 - q) ** 2).sum(axis=1), kind="stable")
+            picked, _cum = choose_probes(order, counts, n_probe, min_candidates)
+            out.append(None if picked is None else [int(b) for b in picked])
+        return pd.Series(out, dtype=object)
+
+    plan.__annotations__ = {"keys": pd.Series, "return": pd.Series}
+    return F.pandas_udf(T.ArrayType(T.IntegerType()))(plan)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (numpy<2 has no bitwise_count)."""
+    x = x.astype(np.uint64, copy=True)
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + (
+        (x >> np.uint64(2)) & np.uint64(0x3333333333333333)
+    )
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return (x * np.uint64(0x0101010101010101)) >> np.uint64(56)
+
+
+def plan_lsh_balls_udf(planes: np.ndarray, sig_counts: dict,
+                       min_candidates: int, min_radius: int, n_planes: int,
+                       prefix_bits: int = PREFIX_BITS):
+    """pandas UDF ``qkey -> struct(qsig, qradius, qprefixes)`` planning
+    one Hamming ball per probe executor-side (NULL qradius = starved).
+    Signatures use the exact ``signature_of`` chain (build/query parity);
+    the per-probe histogram is one vectorized popcount + bincount over
+    the broadcast signature table."""
+    import pandas as pd
+
+    sigs = np.fromiter((int(s) for s in sig_counts), dtype=np.uint64,
+                       count=len(sig_counts))
+    cnts = np.fromiter((float(c) for c in sig_counts.values()),
+                       dtype=np.float64, count=len(sig_counts))
+
+    def plan(keys):
+        qsig_o, rad_o, pref_o = [], [], []
+        for v in keys:
+            qsig = signature_of(v, planes)
+            d = _popcount64(np.bitwise_xor(sigs, np.uint64(qsig))).astype(np.int64)
+            hist = np.bincount(d, weights=cnts, minlength=n_planes + 1)
+            cum, radius = 0.0, None
+            for r in range(n_planes + 1):
+                cum += hist[r] if r < len(hist) else 0.0
+                if r >= min_radius and cum >= min_candidates:
+                    radius = r
+                    break
+            qsig_o.append(qsig)
+            rad_o.append(radius)
+            pref_o.append(
+                None if radius is None
+                else [int(p) for p in
+                      feasible_prefixes(qsig, n_planes, radius, prefix_bits)]
+            )
+        return pd.DataFrame(
+            {"qsig": qsig_o, "qradius": rad_o, "qprefixes": pref_o}
+        )
+
+    plan.__annotations__ = {"keys": pd.Series, "return": pd.DataFrame}
+    return F.pandas_udf(
+        "qsig long, qradius int, qprefixes array<int>"
+    )(plan)
+
+
 def lsh_top_k(
     df: DataFrame,
     query_vector: Sequence[float],

@@ -152,6 +152,22 @@ class Engine:
     # 16 O(batch) mutations. Tune per workload via the class attribute.
     AUTO_COMPACT_SEGMENTS = 16
 
+    # Probe batches above this size skip the driver-side per-probe
+    # planning loop (VERDICT r03 #4): hnsw/ivf plan DISTRIBUTIVELY —
+    # the cached histograms/centroids broadcast into pandas-UDF
+    # planners over the probe frame, and only the bounded union of
+    # buckets/prefixes returns to the driver — while pq chunks its
+    # LUT-building loop. Below it the driver loop is faster (no extra
+    # job); answers are identical either side (parity-pinned).
+    BATCH_PLAN_THRESHOLD = 10_000
+
+    # Full LSH signature histograms are collected only up to this many
+    # planes; beyond (2^n_planes can exceed any driver) planning runs on
+    # a fixed-size hash-ordered signature SAMPLE scaled to the store
+    # count — ball-mass estimates, exact data filter (VERDICT r03 #6).
+    SIG_HISTOGRAM_MAX_PLANES = 24
+    SIG_HISTOGRAM_SAMPLE = 65_536
+
     # Per-warehouse connected-client registry (reference
     # handler.rs:385-401 tracks gRPC connections; the Spark-first analog
     # is Engine facades attached to a warehouse within this process —
@@ -538,11 +554,39 @@ class Engine:
             del self._ann_cache[k]
         raw = read_store(self.spark, self.catalog, meta, canonical=False)
         if algorithm == "hnsw" and "_ann_sig" in raw.columns:
-            counts = {
-                int(r[0]): int(r[1])
-                for r in raw.groupBy("_ann_sig").count().collect()
-            }
-            state = {"sig_counts": counts, "count": sum(counts.values())}
+            cfg = meta.non_linear_config.get("hnsw", ANN_DEFAULTS["hnsw"])
+            n_planes = int(cfg.get("n_planes", 16))
+            if n_planes <= self.SIG_HISTOGRAM_MAX_PLANES:
+                counts = {
+                    int(r[0]): int(r[1])
+                    for r in raw.groupBy("_ann_sig").count().collect()
+                }
+                state = {"sig_counts": counts, "count": sum(counts.values())}
+            else:
+                # wide signatures: the full histogram is O(min(rows,
+                # 2^n_planes)) driver memory — unbounded at scale. Plan
+                # from a fixed-size hash-ordered signature sample scaled
+                # to the store count: radius choice becomes an estimate
+                # (the candidate filter stays the exact
+                # bit_count(sig^qsig) <= radius), driver memory stays
+                # <= SIG_HISTOGRAM_SAMPLE entries whatever the store is.
+                total = raw.count()
+                samp = (
+                    raw.select("id", "_ann_sig")
+                    .orderBy(F.xxhash64(F.col("id")))
+                    .limit(self.SIG_HISTOGRAM_SAMPLE)
+                    .collect()
+                )
+                hist: Dict[int, int] = {}
+                for r in samp:
+                    s = int(r["_ann_sig"])
+                    hist[s] = hist.get(s, 0) + 1
+                scale = total / max(1, len(samp))
+                state = {
+                    "sig_counts": {s: c * scale for s, c in hist.items()},
+                    "count": total,
+                    "sampled": True,
+                }
         elif algorithm == "ivf" and "_ann_bucket" in raw.columns:
             counts = {
                 int(r[0]): int(r[1])
@@ -725,6 +769,32 @@ class Engine:
                 precision=precision, rank_col="rank_n",
             )
         n_cand = max(4 * closest_n, int(cfg.get("candidates", 256)))
+        # Bound driver planning AND the per-probe LUT broadcast
+        # (VERDICT r03 #4): above BATCH_PLAN_THRESHOLD the batch is
+        # processed in threshold-size chunks — each chunk is one pruned
+        # scan with its own bounded LUT set; results union. ADC LUTs are
+        # inherently per-probe driver artifacts (m*k doubles each), so
+        # chunking is the honest bound here, unlike hnsw/ivf whose
+        # planning moves fully executor-side.
+        step = self.BATCH_PLAN_THRESHOLD
+        if len(probe_rows) > step:
+            out = None
+            for i in range(0, len(probe_rows), step):
+                part = self._batch_pq_chunk(
+                    meta, probe_rows[i:i + step], closest_n, precision,
+                    raw, code_col, books, cfg, n_cand,
+                )
+                out = part if out is None else out.unionByName(part)
+            return out
+        return self._batch_pq_chunk(
+            meta, probe_rows, closest_n, precision, raw, code_col, books,
+            cfg, n_cand,
+        )
+
+    def _batch_pq_chunk(self, meta, probe_rows, closest_n, precision,
+                        raw, code_col, books, cfg, n_cand) -> DataFrame:
+        from ahnlich_spark.operators.pq import pq_top_k_batch
+
         scan = raw
         # IVF-PQ composition, batch face: when the store also carries the
         # ivf index, the UNION of every probe's planned bucket set prunes
@@ -766,14 +836,16 @@ class Engine:
 
     def _batch_lsh(self, meta, probes, closest_n, precision) -> DataFrame:
         """Batch ANN through the persisted LSH signature artifact: the
-        probe set's Hamming balls are planned driver-side per probe from
-        the cached histograms, their feasible sig-prefixes UNION into
-        ONE partition-pruned candidate scan, and a broadcast
-        nested-loop join applies each probe's own radius — the whole
-        batch costs one pruned read instead of #probes scans. Falls
-        back to the exact batch plan below the brute-force threshold or
-        when any probe's ball starves (matching the single-probe
-        contract)."""
+        probe set's Hamming balls are planned per probe from the cached
+        histograms — a driver loop below BATCH_PLAN_THRESHOLD, a
+        distributed pandas-UDF planner above it (only the bounded
+        prefix union, <= 2^PREFIX_BITS values, returns to the driver;
+        VERDICT r03 #4) — their feasible sig-prefixes UNION into ONE
+        partition-pruned candidate scan, and a broadcast nested-loop
+        join applies each probe's own radius — the whole batch costs
+        one pruned read instead of #probes scans. Falls back to the
+        exact batch plan below the brute-force threshold or when any
+        probe's ball starves (matching the single-probe contract)."""
         from ahnlich_spark.operators import ann as A
         from ahnlich_spark.operators.topk import top_k_batch
 
@@ -783,19 +855,15 @@ class Engine:
             )
         cfg = meta.non_linear_config.get("hnsw", ANN_DEFAULTS["hnsw"])
         metric = cfg.get("distance", S.COSINE)
-        if isinstance(probes, DataFrame):
-            probe_rows = [(int(r[0]), list(r[1])) for r in probes.collect()]
-        else:
-            probe_rows = [(int(pid), [float(x) for x in v]) for pid, v in probes]
-        self._check_dims(meta, [v for _pid, v in probe_rows])
+        is_df = isinstance(probes, DataFrame)
+        n_probes = probes.count() if is_df else len(probes)
         state = self._ann_state(meta, "hnsw")
         raw = read_store(self.spark, self.catalog, meta, canonical=False)
 
         def _exact():
-            probes_df = self.spark.createDataFrame(
-                [(pid, [float(x) for x in np.asarray(v, dtype=np.float32)])
-                 for pid, v in probe_rows],
-                "qid long, qkey array<float>",
+            probes_df = self._probes_src(probes).select(
+                F.col("qid").cast("long").alias("qid"),
+                F.col("qkey").cast("array<float>").alias("qkey"),
             )
             return top_k_batch(
                 read_store(self.spark, self.catalog, meta), probes_df,
@@ -812,22 +880,56 @@ class Engine:
         planes = A.hyperplanes(meta.dimension, n_planes, int(cfg.get("seed", 7)))
         min_cand = max(4 * closest_n, self.brute_force_threshold // 8,
                        int(cfg.get("ef_construction", 100)))
-        plan, prefixes = [], set()
-        for pid, vec in probe_rows:
-            qsig = A.signature_of(vec, planes)
-            hist = A.hamming_histogram(state["sig_counts"], qsig)
-            radius, _cum = A.choose_radius(
-                hist, min_cand, int(cfg.get("hamming_radius", 3)), n_planes
+
+        if n_probes > self.BATCH_PLAN_THRESHOLD:
+            planner = A.plan_lsh_balls_udf(
+                planes, state["sig_counts"], min_cand,
+                int(cfg.get("hamming_radius", 3)), n_planes,
             )
-            if radius is None:
+            planned = (
+                self._probes_src(probes)
+                .select(
+                    F.col("qid").cast("long").alias("qid"),
+                    F.col("qkey").cast("array<float>").alias("qkey"),
+                    planner(F.col("qkey")).alias("_plan"),
+                )
+                .select("qid", "qkey", "_plan.qsig", "_plan.qradius",
+                        "_plan.qprefixes")
+                .localCheckpoint(eager=True)  # plan once, reuse twice
+            )
+            pset = {
+                r["p"]
+                for r in planned.select(F.explode_outer("qprefixes").alias("p"))
+                .distinct()
+                .collect()
+            }
+            if None in pset:  # >=1 starved probe: exact for the whole batch
                 return _exact()
-            plan.append((pid, [float(x) for x in np.asarray(vec, dtype=np.float32)],
-                         qsig, radius))
-            prefixes.update(A.feasible_prefixes(qsig, n_planes, radius))
-        cands = raw.filter(F.col("_ann_sigp").isin(sorted(prefixes)))
-        probes_df = self.spark.createDataFrame(
-            plan, "qid long, qkey array<float>, qsig long, qradius int"
-        )
+            cands = raw.filter(F.col("_ann_sigp").isin(sorted(pset)))
+            probes_df = planned.drop("qprefixes")
+        else:
+            probe_rows = (
+                [(int(r[0]), list(r[1])) for r in probes.collect()] if is_df
+                else [(int(pid), [float(x) for x in v]) for pid, v in probes]
+            )
+            self._check_dims(meta, [v for _pid, v in probe_rows])
+            plan, prefixes = [], set()
+            for pid, vec in probe_rows:
+                qsig = A.signature_of(vec, planes)
+                hist = A.hamming_histogram(state["sig_counts"], qsig)
+                radius, _cum = A.choose_radius(
+                    hist, min_cand, int(cfg.get("hamming_radius", 3)), n_planes
+                )
+                if radius is None:
+                    return _exact()
+                plan.append((pid,
+                             [float(x) for x in np.asarray(vec, dtype=np.float32)],
+                             qsig, radius))
+                prefixes.update(A.feasible_prefixes(qsig, n_planes, radius))
+            cands = raw.filter(F.col("_ann_sigp").isin(sorted(prefixes)))
+            probes_df = self.spark.createDataFrame(
+                plan, "qid long, qkey array<float>, qsig long, qradius int"
+            )
         j = cands.join(
             F.broadcast(probes_df),
             F.bit_count(F.col("_ann_sig").bitwiseXOR(F.col("qsig")))
@@ -846,13 +948,29 @@ class Engine:
             .drop("qsig", "qradius", *internal_columns(scored))
         )
 
+    def _probes_src(self, probes) -> DataFrame:
+        """Probe batch as a raw (qid, qkey) frame WITHOUT driver
+        materialization — the distributed planners' input. Vectors stay
+        at their original precision (planning parity with the driver
+        loop, which also plans on unrounded values)."""
+        if isinstance(probes, DataFrame):
+            return probes
+        return self.spark.createDataFrame(
+            [(int(pid), [float(x) for x in v]) for pid, v in probes],
+            "qid long, qkey array<double>",
+        )
+
     def _batch_ivf(self, meta, probes, closest_n, precision) -> DataFrame:
         """Batch ANN through the persisted IVF artifact: per-probe probe
-        sets are planned driver-side (cached bucket histograms), their
-        UNION prunes bucket partitions in ONE scan, and a broadcast
-        join keeps each probe to its own buckets
-        (array_contains(qbuckets, _ann_bucket)). Same fallback contract
-        as the single-probe path."""
+        sets are planned from the cached bucket histograms — a driver
+        loop below BATCH_PLAN_THRESHOLD, a distributed pandas-UDF
+        planner above it (only the bounded bucket union, <= n_clusters
+        values, returns to the driver; VERDICT r03 #4) — their UNION
+        prunes bucket partitions in ONE scan, and a broadcast join keeps
+        each probe to its own buckets (array_contains(qbuckets,
+        _ann_bucket)). Same fallback contract as the single-probe path;
+        answers are identical either side of the threshold
+        (parity-pinned by test_ann_index)."""
         from ahnlich_spark.operators import ann as A
         from ahnlich_spark.operators.topk import top_k_batch
         from ahnlich_spark.sources.store_io import internal_columns
@@ -863,20 +981,16 @@ class Engine:
             )
         cfg = meta.non_linear_config.get("ivf", ANN_DEFAULTS["ivf"])
         metric = cfg.get("distance", S.EUCLIDEAN)
-        if isinstance(probes, DataFrame):
-            probe_rows = [(int(r[0]), list(r[1])) for r in probes.collect()]
-        else:
-            probe_rows = [(int(pid), [float(x) for x in v]) for pid, v in probes]
-        self._check_dims(meta, [v for _pid, v in probe_rows])
+        is_df = isinstance(probes, DataFrame)
+        n_probes = probes.count() if is_df else len(probes)
         state = self._ann_state(meta, "ivf")
         raw = read_store(self.spark, self.catalog, meta, canonical=False)
         cents = self._ivf_centroids(meta)
 
         def _exact():
-            probes_df = self.spark.createDataFrame(
-                [(pid, [float(x) for x in np.asarray(v, dtype=np.float32)])
-                 for pid, v in probe_rows],
-                "qid long, qkey array<float>",
+            probes_df = self._probes_src(probes).select(
+                F.col("qid").cast("long").alias("qid"),
+                F.col("qkey").cast("array<float>").alias("qkey"),
             )
             return top_k_batch(
                 read_store(self.spark, self.catalog, meta), probes_df,
@@ -892,22 +1006,49 @@ class Engine:
             return _exact()
         min_cand = max(4 * closest_n, self.brute_force_threshold // 8)
         n_probe = int(cfg.get("n_probe", 8))
-        plan, all_buckets = [], set()
-        c64 = cents.astype(np.float64)
-        for pid, vec in probe_rows:
-            q = np.asarray(vec, dtype=np.float64)
-            order = np.argsort(((c64 - q) ** 2).sum(axis=1), kind="stable")
-            picked, _cum = A.choose_probes(order, state["bucket_counts"],
-                                           n_probe, min_cand)
-            if picked is None:
+
+        if n_probes > self.BATCH_PLAN_THRESHOLD:
+            planner = A.plan_ivf_buckets_udf(
+                cents, state["bucket_counts"], n_probe, min_cand, meta.dimension
+            )
+            planned = self._probes_src(probes).select(
+                F.col("qid").cast("long").alias("qid"),
+                F.col("qkey").cast("array<float>").alias("qkey"),
+                planner(F.col("qkey")).alias("qbuckets"),
+            ).localCheckpoint(eager=True)  # plan once, reuse twice
+            bset = {
+                r["b"]
+                for r in planned.select(F.explode_outer("qbuckets").alias("b"))
+                .distinct()
+                .collect()
+            }
+            if None in bset:  # >=1 starved probe: exact for the whole batch
                 return _exact()
-            plan.append((pid, [float(x) for x in np.asarray(vec, dtype=np.float32)],
-                         [int(b) for b in picked]))
-            all_buckets.update(picked)
-        cands = raw.filter(F.col("_ann_bucket").isin(sorted(all_buckets)))
-        probes_df = self.spark.createDataFrame(
-            plan, "qid long, qkey array<float>, qbuckets array<int>"
-        )
+            cands = raw.filter(F.col("_ann_bucket").isin(sorted(bset)))
+            probes_df = planned
+        else:
+            probe_rows = (
+                [(int(r[0]), list(r[1])) for r in probes.collect()] if is_df
+                else [(int(pid), [float(x) for x in v]) for pid, v in probes]
+            )
+            self._check_dims(meta, [v for _pid, v in probe_rows])
+            plan, all_buckets = [], set()
+            c64 = cents.astype(np.float64)
+            for pid, vec in probe_rows:
+                q = np.asarray(vec, dtype=np.float64)
+                order = np.argsort(((c64 - q) ** 2).sum(axis=1), kind="stable")
+                picked, _cum = A.choose_probes(order, state["bucket_counts"],
+                                               n_probe, min_cand)
+                if picked is None:
+                    return _exact()
+                plan.append((pid,
+                             [float(x) for x in np.asarray(vec, dtype=np.float32)],
+                             [int(b) for b in picked]))
+                all_buckets.update(picked)
+            cands = raw.filter(F.col("_ann_bucket").isin(sorted(all_buckets)))
+            probes_df = self.spark.createDataFrame(
+                plan, "qid long, qkey array<float>, qbuckets array<int>"
+            )
         j = cands.join(
             F.broadcast(probes_df),
             F.array_contains(F.col("qbuckets"), F.col("_ann_bucket")),

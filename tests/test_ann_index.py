@@ -386,3 +386,96 @@ def test_train_codebooks_df_partition_invariant(spark):
     a = train_codebooks_df(df.repartition(1), m=4, k=8, sample=700)
     b = train_codebooks_df(df.orderBy(F.desc("id")).repartition(7), m=4, k=8, sample=700)
     assert a is not None and np.array_equal(a, b)
+
+
+def test_batch_planning_distributed_parity(indexed_engine):
+    """Answers must be IDENTICAL either side of BATCH_PLAN_THRESHOLD:
+    the distributed pandas-UDF planners run the same choose_probes /
+    choose_radius logic on the same cached statistics as the driver
+    loop (VERDICT r03 #4), so flipping the threshold must not change a
+    single (qid, id, rank) for hnsw OR ivf."""
+    eng = indexed_engine
+    probes = [(i, VECS[i * 7].tolist()) for i in range(30)]
+    for algo in ("hnsw", "ivf"):
+        eng.BATCH_PLAN_THRESHOLD = 10_000  # driver loop
+        a = {(r["qid"], r["rank_n"]): r["id"]
+             for r in eng.get_sim_n_batch("vecs", probes, closest_n=5,
+                                          algorithm=algo).collect()}
+        eng.BATCH_PLAN_THRESHOLD = 1  # distributed planners
+        try:
+            b = {(r["qid"], r["rank_n"]): r["id"]
+                 for r in eng.get_sim_n_batch("vecs", probes, closest_n=5,
+                                              algorithm=algo).collect()}
+        finally:
+            del eng.BATCH_PLAN_THRESHOLD  # back to the class default
+        assert a == b, algo
+        assert len(a) == 30 * 5
+
+
+def test_batch_pq_chunked_parity(indexed_engine):
+    eng = indexed_engine
+    probes = [(i, VECS[i * 5].tolist()) for i in range(24)]
+    a = {(r["qid"], r["rank_n"]): r["id"]
+         for r in eng.get_sim_n_batch("vecs", probes, closest_n=3,
+                                      algorithm="pq").collect()}
+    eng.BATCH_PLAN_THRESHOLD = 7  # force 4 chunks
+    try:
+        b = {(r["qid"], r["rank_n"]): r["id"]
+             for r in eng.get_sim_n_batch("vecs", probes, closest_n=3,
+                                          algorithm="pq").collect()}
+    finally:
+        del eng.BATCH_PLAN_THRESHOLD
+    assert a == b and len(a) == 24 * 3
+
+
+def test_huge_probe_batch_completes(spark, tmp_path_factory):
+    """A probe batch far above the planning threshold must complete
+    without unbounded driver work: planning runs executor-side and only
+    the bounded bucket union returns to the driver (100k-probe smoke,
+    VERDICT r03 #4)."""
+    from ahnlich_spark import Engine
+
+    rng = np.random.RandomState(41)
+    dim, n = 8, 1500
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    eng = Engine(spark, str(tmp_path_factory.mktemp("huge_wh")))
+    eng.brute_force_threshold = 64  # tiny candidate quotas
+    eng.create_store("hp", dimension=dim)
+    eng.create_non_linear_algorithm_index("hp", ["ivf"])
+    eng.set("hp", [(v.tolist(), {}) for v in vecs])
+
+    n_probes = 100_000
+    pvecs = vecs[rng.randint(0, n, size=n_probes)]
+    probes_df = spark.createDataFrame(
+        [(i, pvecs[i].tolist()) for i in range(n_probes)],
+        "qid long, qkey array<float>",
+    )
+    out = eng.get_sim_n_batch("hp", probes_df, closest_n=1, algorithm="ivf")
+    assert out.groupBy().count().first()[0] == n_probes
+
+
+def test_wide_signature_histogram_is_bounded(spark, tmp_path_factory):
+    """n_planes > SIG_HISTOGRAM_MAX_PLANES: the driver must never
+    collect the full signature histogram (2^32 possible entries) —
+    planning runs on a fixed-size hash-ordered sample scaled to the
+    store count, and the pruned path still answers with decent recall
+    (VERDICT r03 #6)."""
+    from ahnlich_spark import Engine
+
+    eng = Engine(spark, str(tmp_path_factory.mktemp("wide_wh")))
+    eng.create_store("wide", dimension=DIM,
+                     non_linear_indices=["hnsw"],
+                     non_linear_config={"hnsw": {"n_planes": 32}})
+    eng.set("wide", _big_entries())
+    meta = eng.catalog.get_store("wide")
+    state = eng._ann_state(meta, "hnsw")
+    assert state.get("sampled") is True
+    assert len(state["sig_counts"]) <= Engine.SIG_HISTOGRAM_SAMPLE
+    assert state["count"] == N
+
+    q = VECS[11].tolist()
+    approx = {r["id"] for r in
+              eng.get_sim_n("wide", q, closest_n=10, algorithm="hnsw").collect()}
+    exact = {r["id"] for r in
+             top_k_similar(eng.store_df("wide"), q, S.COSINE, 10).collect()}
+    assert len(approx & exact) >= 8, len(approx & exact)
