@@ -75,6 +75,11 @@ class _Cursor:
     def __init__(self, text: str):
         self.text = text
         self.i = 0
+        # position right after the last successfully MATCHED token —
+        # whitespace skipped by a failed try_* does not move it. The
+        # trailing-junk error span starts here (pest invalid_statement
+        # starts at whitespace* after the last matched rule).
+        self.mark = 0
 
     # -------------------------------------------------------- primitives --
     def ws(self) -> None:
@@ -98,11 +103,13 @@ class _Cursor:
         if not self.text.startswith(ch, self.i):
             raise self.error(repr(ch))
         self.i += len(ch)
+        self.mark = self.i
 
     def try_lit(self, ch: str) -> bool:
         self.ws()
         if self.text.startswith(ch, self.i):
             self.i += len(ch)
+            self.mark = self.i
             return True
         return False
 
@@ -123,6 +130,7 @@ class _Cursor:
         if pos < len(self.text) and (self.text[pos].isalnum() or self.text[pos] == "_"):
             return False
         self.i = pos
+        self.mark = pos
         return True
 
     def kw(self, *words: str) -> None:
@@ -135,6 +143,7 @@ class _Cursor:
         if not m:
             raise self.error(what)
         self.i = m.end()
+        self.mark = self.i
         return m.group(0)
 
     def try_regex(self, pattern: re.Pattern) -> Optional[str]:
@@ -143,6 +152,7 @@ class _Cursor:
         if not m:
             return None
         self.i = m.end()
+        self.mark = self.i
         return m.group(0)
 
     # ------------------------------------------------------ grammar bits --
@@ -180,6 +190,7 @@ class _Cursor:
             except ValueError:
                 raise DslSyntaxError(f"invalid hex literal {m.group(0)!r}") from None
             self.i = m.end()
+            self.mark = self.i
             return MetadataValue.image(data) if m.group("tag") == "x" else MetadataValue.audio(data)
         raw = self.regex(_RAW, "metadata value")
         return MetadataValue.raw_string(raw)
@@ -554,12 +565,38 @@ def _ai_inputs(cur: _Cursor) -> Tuple[StoreInput, ...]:
 
 
 def _parse(text: str, stmt_parser) -> List[ops.DslOp]:
-    cur = _Cursor(text)
+    """Statements are parsed per ``;``-segment so syntax errors carry
+    the reference's span semantics (DslError::UnexpectedSpan, pinned by
+    tests/test_dsl_golden.py against dsl/src/tests/{db,ai}.rs): a
+    statement that fails to parse spans its whole segment (pest's
+    invalid_statement catch-all, syntax.pest:182), trailing junk after
+    a valid statement spans from the last matched token to the
+    segment end (the trailing ``(invalid_statement)?`` in rules like
+    drop_store, syntax.pest:56)."""
     out: List[ops.DslOp] = []
-    while not cur.eof():
-        out.append(stmt_parser(cur))
-        if not cur.try_lit(";") and not cur.eof():
-            raise cur.error("';' or end of input")
+    n = len(text)
+    seg_start = 0
+    while seg_start <= n:
+        semi = text.find(";", seg_start)
+        seg_end = semi if semi != -1 else n
+        seg = text[seg_start:seg_end]
+        if seg.strip():
+            cur = _Cursor(seg)
+            try:
+                op = stmt_parser(cur)
+            except DslSyntaxError as e:
+                raise DslSyntaxError(
+                    str(e), span=(seg_start, seg_end)
+                ) from None
+            if not cur.eof():
+                raise DslSyntaxError(
+                    f"trailing input in statement: {seg[cur.mark:]!r}",
+                    span=(seg_start + cur.mark, seg_end),
+                )
+            out.append(op)
+        if semi == -1:
+            break
+        seg_start = semi + 1
     return out
 
 

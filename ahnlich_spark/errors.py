@@ -58,7 +58,16 @@ class TokenExceeded(AhnlichError):
 
 
 class DslSyntaxError(AhnlichError):
-    pass
+    """``span`` carries the (start, end) byte offsets of the offending
+    region within the original query string, mirroring the reference's
+    ``DslError::UnexpectedSpan`` (ahnlich/dsl/src/error.rs): a statement
+    that fails to parse spans its whole ``;``-segment (pest's
+    invalid_statement catch-all), trailing junk after a valid statement
+    spans from the last matched token to the segment end."""
+
+    def __init__(self, msg: str, span=None):
+        super().__init__(msg)
+        self.span = span
 
 
 class ImageDimensionsMismatch(AhnlichError):

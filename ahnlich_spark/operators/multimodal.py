@@ -29,6 +29,13 @@ try:  # pragma: no cover — codec libs absent in this container
 except ImportError:
     _HAVE_CODECS = False
 
+try:  # pragma: no cover — audio lib absent in this container
+    import soundfile  # noqa: F401
+
+    _HAVE_AUDIO = True
+except ImportError:
+    _HAVE_AUDIO = False
+
 MEDIA_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -54,6 +61,31 @@ def _decode_stub_image(buf: bytes) -> tuple:
     return (n, 64 + n % 577, 64 + (n * 7) % 417, 3, "stub")
 
 
+def _decode_real_image(buf: bytes) -> tuple:  # pragma: no cover — realdeps
+    """REAL decode (PIL): same tuple shape as the stub. Exercised by the
+    ``realdeps`` pytest tier the moment PIL is importable."""
+    import io
+
+    import PIL.Image
+
+    b = bytes(buf or b"")
+    with PIL.Image.open(io.BytesIO(b)) as im:
+        return (len(b), int(im.width), int(im.height),
+                len(im.getbands()), (im.format or "unknown").lower())
+
+
+def _decode_real_audio(buf: bytes) -> tuple:  # pragma: no cover — realdeps
+    """REAL decode (soundfile): same tuple shape as the stub."""
+    import io
+
+    import soundfile as sf
+
+    b = bytes(buf or b"")
+    data, sr = sf.read(io.BytesIO(b), always_2d=True)
+    n_samples = int(data.shape[0])
+    return (len(b), int(sr), n_samples, n_samples * 1000 // int(sr))
+
+
 def _decode_stub_audio(buf: bytes) -> tuple:
     n = len(buf or b"")
     sr = 16000
@@ -61,14 +93,19 @@ def _decode_stub_audio(buf: bytes) -> tuple:
     return (n, sr, n_samples, n_samples * 1000 // sr)
 
 
-def image_metadata(df: DataFrame, id_col: str = "media_id", content_col: str = "content") -> DataFrame:
-    """Decode image headers per Arrow batch (mapInPandas; narrow)."""
+def image_metadata(df: DataFrame, id_col: str = "media_id", content_col: str = "content",
+                   codecs: bool = False) -> DataFrame:
+    """Decode image headers per Arrow batch (mapInPandas; narrow).
+    ``codecs=True`` runs the REAL PIL decode (requires PIL on the
+    executors — the ``realdeps`` pytest tier); the default keeps the
+    deterministic stub so synthetic fixtures stay oracle-pinned."""
+    if codecs and not _HAVE_CODECS:
+        raise RuntimeError("codecs=True requires PIL (pip install pillow)")
+    decode = _decode_real_image if codecs else _decode_stub_image
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if _HAVE_CODECS:  # pragma: no cover
-                raise NotImplementedError("real PIL decode path not wired in this container")
-            meta = pdf[content_col].map(_decode_stub_image)
+            meta = pdf[content_col].map(decode)
             yield pd.DataFrame(
                 {
                     "media_id": pdf[id_col],
@@ -83,12 +120,17 @@ def image_metadata(df: DataFrame, id_col: str = "media_id", content_col: str = "
     return df.select(id_col, content_col).mapInPandas(op, IMAGE_META_SCHEMA)
 
 
-def audio_metadata(df: DataFrame, id_col: str = "media_id", content_col: str = "content") -> DataFrame:
+def audio_metadata(df: DataFrame, id_col: str = "media_id", content_col: str = "content",
+                   codecs: bool = False) -> DataFrame:
+    """``codecs=True`` = REAL soundfile decode (realdeps tier); default
+    keeps the deterministic stub (oracle-pinned fixtures)."""
+    if codecs and not _HAVE_AUDIO:
+        raise RuntimeError("codecs=True requires soundfile")
+    decode = _decode_real_audio if codecs else _decode_stub_audio
+
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if _HAVE_CODECS:  # pragma: no cover
-                raise NotImplementedError("real audio decode path not wired")
-            meta = pdf[content_col].map(_decode_stub_audio)
+            meta = pdf[content_col].map(decode)
             yield pd.DataFrame(
                 {
                     "media_id": pdf[id_col],
@@ -218,8 +260,6 @@ def resize_image_stub(buf: bytes, width: int, height: int) -> bytes:
     source — downstream embedding sees resized-content bytes, and
     probe_image_dims() reads back the new dims, exactly like a real
     re-encode would behave."""
-    if _HAVE_CODECS:  # pragma: no cover
-        raise NotImplementedError("real PIL resize path not wired in this container")
     import hashlib
 
     ihdr = _struct.pack(">II", width, height)
@@ -228,11 +268,43 @@ def resize_image_stub(buf: bytes, width: int, height: int) -> bytes:
     ).digest()
 
 
+def resize_image_real(buf: bytes, width: int, height: int) -> bytes:  # pragma: no cover — realdeps
+    """REAL resize: PIL decode -> resize -> PNG re-encode. Same contract
+    as the stub (probe_image_dims reads back the target dims)."""
+    import io
+
+    import PIL.Image
+
+    with PIL.Image.open(io.BytesIO(bytes(buf or b""))) as im:
+        out = io.BytesIO()
+        im.resize((width, height)).save(out, format="PNG")
+        return out.getvalue()
+
+
+def resample_audio_real(buf: bytes, sample_rate: int) -> bytes:  # pragma: no cover — realdeps
+    """REAL resample: soundfile decode -> linear-interp resample ->
+    WAV re-encode at the target rate (probe_wav_sample_rate reads it)."""
+    import io
+
+    import numpy as np
+    import soundfile as sf
+
+    data, sr = sf.read(io.BytesIO(bytes(buf or b"")), always_2d=True)
+    if sr != sample_rate:
+        n_out = max(1, int(round(data.shape[0] * sample_rate / sr)))
+        xs = np.linspace(0.0, data.shape[0] - 1, n_out)
+        data = np.stack(
+            [np.interp(xs, np.arange(data.shape[0]), data[:, c])
+             for c in range(data.shape[1])], axis=1,
+        )
+    out = io.BytesIO()
+    sf.write(out, data, sample_rate, format="WAV")
+    return out.getvalue()
+
+
 def resample_audio_stub(buf: bytes, sample_rate: int) -> bytes:
     """STUB resample (real impl: decode -> resample -> mel): RIFF/WAVE
     header at the target rate + source digest."""
-    if _HAVE_CODECS:  # pragma: no cover
-        raise NotImplementedError("real audio resample path not wired in this container")
     import hashlib
 
     fmt = b"fmt " + _struct.pack("<I", 16) + _struct.pack("<HHIIHH", 1, 1, sample_rate,
