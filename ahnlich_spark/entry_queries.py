@@ -733,6 +733,96 @@ def ai_upsert(spark, sf_dir):
     )
 
 
+@register("mmr_rerank_topk", """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+cand AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         list_cosine_similarity(embedding::DOUBLE[], (SELECT qv FROM q)) AS rel
+  FROM embeddings ORDER BY rel DESC, vec_id ASC LIMIT 50),
+p1 AS (SELECT vec_id, rel AS score FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
+p2 AS (
+  SELECT c.vec_id,
+         0.7 * c.rel - 0.3 * list_cosine_similarity(
+             c.v, (SELECT v FROM cand WHERE vec_id = (SELECT vec_id FROM p1))
+         ) AS score
+  FROM cand c WHERE c.vec_id <> (SELECT vec_id FROM p1)
+  ORDER BY score DESC, c.vec_id LIMIT 1),
+p3 AS (
+  SELECT c.vec_id,
+         0.7 * c.rel - 0.3 * greatest(
+             list_cosine_similarity(c.v, (SELECT v FROM cand WHERE vec_id = (SELECT vec_id FROM p1))),
+             list_cosine_similarity(c.v, (SELECT v FROM cand WHERE vec_id = (SELECT vec_id FROM p2)))
+         ) AS score
+  FROM cand c
+  WHERE c.vec_id NOT IN (SELECT vec_id FROM p1 UNION SELECT vec_id FROM p2)
+  ORDER BY score DESC, c.vec_id LIMIT 1),
+p4 AS (
+  SELECT c.vec_id,
+         0.7 * c.rel - 0.3 * greatest(
+             list_cosine_similarity(c.v, (SELECT v FROM cand WHERE vec_id = (SELECT vec_id FROM p1))),
+             list_cosine_similarity(c.v, (SELECT v FROM cand WHERE vec_id = (SELECT vec_id FROM p2))),
+             list_cosine_similarity(c.v, (SELECT v FROM cand WHERE vec_id = (SELECT vec_id FROM p3)))
+         ) AS score
+  FROM cand c
+  WHERE c.vec_id NOT IN (SELECT vec_id FROM p1 UNION SELECT vec_id FROM p2
+                         UNION SELECT vec_id FROM p3)
+  ORDER BY score DESC, c.vec_id LIMIT 1)
+SELECT vec_id, 1::BIGINT AS rank_n, CAST(round(score * 10000) AS BIGINT) AS score_e4 FROM p1
+UNION ALL SELECT vec_id, 2, CAST(round(score * 10000) AS BIGINT) FROM p2
+UNION ALL SELECT vec_id, 3, CAST(round(score * 10000) AS BIGINT) FROM p3
+UNION ALL SELECT vec_id, 4, CAST(round(score * 10000) AS BIGINT) FROM p4
+""")
+def mmr_rerank_topk(spark, sf_dir):
+    """MMR diverse re-ranking (operators/mmr.py, Carbonell & Goldstein
+    SIGIR'98): the greedy recurrence IS oracle-able for fixed k — the
+    oracle unrolls the four picks as chained argmax CTEs (each step's
+    objective = 0.7*rel - 0.3*max cosine to the already-picked set,
+    lowest-vec_id tie-break), exactly the driver-stage numpy greedy.
+    Candidate stage is the distributed exact cosine top-50. lam=0.7
+    (not 0.5): the query vector is itself in the fixture corpus, and at
+    lam=0.5 every post-first-pick objective collapses to exactly zero
+    (max_sim == rel), leaving pure float-noise ordering no two engines
+    agree on."""
+    from ahnlich_spark.operators.mmr import mmr_rerank
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = mmr_rerank(emb, _qvec(spark, sf_dir), k=4, candidates=50, lam=0.7)
+    return out.select(
+        "vec_id",
+        F.col("rank_n").cast("long").alias("rank_n"),
+        F.round(F.col("mmr_score") * 10000).cast("long").alias("score_e4"),
+    )
+
+
+@register("salted_join_orders_customers", """
+SELECT c.c_mktsegment AS mktsegment,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_e2
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1
+""")
+def salted_join_orders_customers(spark, sf_dir):
+    """Skew-safe salted join's IDENTITY contract as a gate: splitting
+    each key across 8 salted reducers (right side replicated per salt)
+    must produce exactly the plain inner join — salting changes row
+    routing, never results (operators/joins.salted_join). The oracle is
+    the unsalted SQL join."""
+    from ahnlich_spark.operators.joins import salted_join
+
+    orders = _t(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "ck")
+    cust = _t(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "ck")
+    j = salted_join(orders, cust, on="ck", n_salts=8)
+    return (
+        j.groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("revenue_e2"),
+        )
+    )
+
+
 # ================================================== AI: embeddings ==
 
 @register("ai_convert_embeddings", """
