@@ -733,6 +733,90 @@ def ai_upsert(spark, sf_dir):
     )
 
 
+@register("streaming_dedup", """
+SELECT (SELECT count(DISTINCT md5(text)) FROM documents) AS n_unique,
+       (SELECT count(*) FROM documents) AS n_input
+""")
+def streaming_dedup(spark, sf_dir):
+    """Streaming exact dedup (streaming/pipeline.streaming_exact_dedup):
+    first-occurrence pass-through by content fingerprint over a document
+    STREAM — the dedup state a live ingest pipeline holds. The oracle is
+    the batch distinct-fingerprint count (which row of a duplicate set
+    survives is a stream race; the fingerprint-level facts are exact)."""
+    import uuid
+
+    from ahnlich_spark.streaming.pipeline import streaming_exact_dedup
+
+    stream_dir = tempfile.mkdtemp(prefix="ahnlich_sdedup_")
+    os.symlink(
+        os.path.join(sf_dir, "documents.parquet"),
+        os.path.join(stream_dir, "docs-0.parquet"),
+    )
+    stream = (
+        spark.readStream
+        .schema("doc_id long, text string, lang string, source string, n_chars long")
+        .parquet(stream_dir)
+    )
+    name = f"sdedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_exact_dedup(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_input = _t(spark, sf_dir, "documents").count()
+    return spark.table(name).agg(
+        F.count_distinct(F.col("fp")).alias("n_unique"),
+        F.lit(n_input).cast("long").alias("n_input"),
+    )
+
+
+@register("store_change_feed", """
+SELECT (SELECT count(*) FROM embeddings WHERE vec_id >= 300 AND vec_id < 310) AS n_insert,
+       (SELECT count(*) FROM embeddings WHERE vec_id >= 295 AND vec_id < 300) + 1 AS n_update,
+       3::BIGINT AS n_delete,
+       (SELECT count(*) FROM embeddings WHERE vec_id < 300) AS len_from,
+       (SELECT count(*) FROM embeddings WHERE vec_id < 310) - 3 AS len_to
+""")
+def store_change_feed(spark, sf_dir):
+    """Change data feed over the base+delta store (Delta-CDF analog,
+    sources/store_io.read_changes): after a mutation chain (overlapping
+    SET, DelKey, re-SET) the NET per-id changes between the first base
+    and the current state classify as insert/update/delete, and the
+    FROM-length plus inserts minus deletes reconstructs the TO-length —
+    the O(changes) incremental-refresh contract a 100 TB downstream
+    pipeline depends on."""
+    from ahnlich_spark.plans.engine import Engine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    eng = Engine(spark, tempfile.mkdtemp(prefix="ahnlich_gate_"))
+    eng.create_store("cdf", dimension=_GATE_DIM)
+    eng.set("cdf", emb.filter(F.col("vec_id") < 300)
+            .select(F.col("embedding").alias("key")))
+    eng.set("cdf", emb.filter((F.col("vec_id") >= 295) & (F.col("vec_id") < 310))
+            .select(F.col("embedding").alias("key")))
+    probes = [list(r["embedding"]) for r in
+              emb.filter(F.col("vec_id") < 3).collect()]
+    eng.del_key("cdf", probes)
+    five = [list(r["embedding"]) for r in
+            emb.filter(F.col("vec_id") == 5).collect()]
+    eng.set("cdf", [(five[0], {"touched": "yes"})])
+
+    ch = eng.store_changes("cdf", from_version=1, from_segments=0)
+    counts = {r["change_type"]: r["n"] for r in
+              ch.groupBy("change_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    len_from = eng.store_df("cdf", version=1, segments=0).count()
+    len_to = eng.get_store("cdf").len
+    return spark.createDataFrame(
+        [(counts.get("insert", 0), counts.get("update", 0),
+          counts.get("delete", 0), len_from, len_to)],
+        "n_insert long, n_update long, n_delete long, len_from long, len_to long",
+    )
+
+
 @register("mmr_rerank_topk", """
 WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
 cand AS (

@@ -622,6 +622,28 @@ class Engine:
         (version, segments <= n) is readable through ``store_df``."""
         return self.catalog.list_versions(self.catalog.get_store(store, schema))
 
+    def store_changes(
+        self,
+        store: str,
+        from_version: int,
+        from_segments: int = 0,
+        to_version: Optional[int] = None,
+        to_segments: Optional[int] = None,
+        schema: str = PUBLIC_SCHEMA,
+    ) -> DataFrame:
+        """Change data feed: the NET per-id changes between two retained
+        snapshots as (id, key, meta, change_type in insert|update|
+        delete) — the base+delta layout's Delta-CDF analog. Incremental
+        downstream refresh reads O(changes), never two full snapshots;
+        compaction/backfill version bumps contribute zero logical
+        changes (sources/store_io.read_changes)."""
+        from ahnlich_spark.sources.store_io import read_changes
+
+        return read_changes(
+            self.spark, self.catalog, self.catalog.get_store(store, schema),
+            from_version, from_segments, to_version, to_segments,
+        )
+
     def register_views(self, schema: str = PUBLIC_SCHEMA,
                        prefix: str = "ahnlich_") -> List[str]:
         """Expose every store in ``schema`` to Spark SQL as a temp view

@@ -33,6 +33,7 @@ from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ahnlich_spark.catalog import Catalog, StoreMeta
 from ahnlich_spark.types import store_schema
@@ -158,6 +159,119 @@ def read_store(
         if extra:
             df = df.drop(*extra)
     return df
+
+
+def read_changes(
+    spark: SparkSession,
+    catalog: Catalog,
+    meta: StoreMeta,
+    from_version: int,
+    from_segments: int = 0,
+    to_version: Optional[int] = None,
+    to_segments: Optional[int] = None,
+) -> DataFrame:
+    """Change data feed between two retained snapshots — the base+delta
+    layout's analog of Delta Lake's CDF, and the piece an incremental
+    downstream pipeline needs at 100 TB: refreshing a derived table
+    after a day of mutations costs O(changes), never a diff of two full
+    snapshots.
+
+    Returns the NET change per id in (from_version, from_segments] ..
+    (to_version, to_segments] as canonical rows plus ``change_type`` in
+    {insert, update, delete}: the delta segments in the range (each
+    O(batch), immutable) union with keep-last-by-id exactly like the
+    merged read, and one broadcast-probed scan of the FROM snapshot
+    classifies insert-vs-update, drops no-op tombstones, and supplies
+    the PRE-IMAGE payload for delete rows. The big
+    side never shuffles. Version bumps (compaction / index backfill)
+    fold-but-preserve content, so a range spanning them chains the old
+    version's remaining retained segments with the new version's —
+    zero logical changes from the rewrite itself."""
+    if to_version is None:
+        to_version = meta.version
+    if to_segments is None:
+        to_segments = meta.deltas if to_version == meta.version else None
+    retained = dict(catalog.list_versions(meta))
+    if to_version == meta.version:
+        retained[meta.version] = meta.deltas
+    for v, s in ((from_version, from_segments), (to_version, to_segments)):
+        if v not in retained:
+            raise ValueError(
+                f"version {v} of {meta.schema}.{meta.name} is not retained; "
+                f"available: {sorted(retained)}"
+            )
+        if s is None or not 0 <= s <= retained[v]:
+            raise ValueError(
+                f"segments must be in [0, {retained[v]}] for version {v}, got {s}"
+            )
+    if (from_version, from_segments) > (to_version, to_segments):
+        raise ValueError("change range must run forward in time")
+    for v in range(from_version + 1, to_version):
+        if v not in retained:
+            raise ValueError(
+                f"intermediate version {v} is not retained — vacuumed ranges "
+                "cannot be replayed (widen KEEP_VERSIONS or feed from a "
+                "fresher snapshot)"
+            )
+
+    out_schema = T.StructType(
+        list(store_schema().fields)
+        + [T.StructField("change_type", T.StringType(), False)]
+    )
+    seg_paths = []
+    for v in range(from_version, to_version + 1):
+        lo = from_segments if v == from_version else 0
+        hi = to_segments if v == to_version else retained[v]
+        seg_paths += [catalog.delta_path(meta, i, version=v)
+                      for i in range(lo + 1, hi + 1)]
+    if not seg_paths:
+        return spark.createDataFrame([], out_schema)
+
+    segs = [
+        spark.read.parquet(p).withColumn(DELTA_SEG_COL, F.lit(n))
+        for n, p in enumerate(seg_paths, start=1)
+    ]
+    deltas = reduce(lambda a, b: a.unionByName(b), segs)
+    w = Window.partitionBy("id").orderBy(
+        F.col(DELTA_SEG_COL).desc(), F.col(DELTA_OP_COL).desc()
+    )
+    net = (
+        deltas.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("id", "key", "meta", DELTA_OP_COL)
+    )
+    # classify against the FROM snapshot: scan it ONCE, probe with the
+    # broadcast net-change id set (small by construction), broadcast
+    # the tiny matched slice back — the snapshot never shuffles. The
+    # matched slice doubles as the PRE-IMAGE: delete rows carry the
+    # deleted row's last content, not null tombstone payloads.
+    base_a = read_store(
+        spark, catalog, meta, version=from_version, segments=from_segments
+    )
+    pre = base_a.join(F.broadcast(net.select("id")), "id", "inner").select(
+        "id",
+        F.col("key").alias("_pre_key"),
+        F.col("meta").alias("_pre_meta"),
+        F.lit(True).alias("_in_from"),
+    )
+    marked = net.join(F.broadcast(pre), "id", "left")
+    change = (
+        F.when((F.col(DELTA_OP_COL) == 1) & F.col("_in_from").isNotNull(),
+               F.lit("update"))
+        .when(F.col(DELTA_OP_COL) == 1, F.lit("insert"))
+        .when(F.col("_in_from").isNotNull(), F.lit("delete"))
+    )  # op=0 on an id absent from the FROM snapshot: no-op tombstone
+    is_del = F.col(DELTA_OP_COL) == 0
+    return (
+        marked.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select(
+            "id",
+            F.when(is_del, F.col("_pre_key")).otherwise(F.col("key")).alias("key"),
+            F.when(is_del, F.col("_pre_meta")).otherwise(F.col("meta")).alias("meta"),
+            "change_type",
+        )
+    )
 
 
 def derive_buckets(df: DataFrame) -> int:

@@ -407,3 +407,76 @@ def test_concurrent_facades_never_clobber_segments(spark, warehouse):
             for r in fresh.store_df("race").collect()}
     assert rows == {1.0: "base", 2.0: "a", 3.0: "b"}
     assert fresh.catalog.get_store("race").deltas == 2
+
+
+def test_store_changes_net_per_id(engine):
+    """Change feed between two snapshots: net per-id classification
+    (insert / update / delete), no-op tombstones dropped, and applying
+    the changes to the FROM snapshot reconstructs the TO snapshot
+    exactly (the incremental-refresh contract)."""
+    engine.create_store("cdf", dimension=2)
+    engine.set("cdf", [([float(i), 0.0], {"v": "base"}) for i in range(20)])
+    # d1: 3 updates (5,6,7) + 2 inserts (100, 101)
+    engine.set("cdf", [([float(i), 0.0], {"v": "d1"}) for i in (5, 6, 7, 100, 101)])
+    # d2: delete 2 existing + update one of d1's inserts
+    engine.del_key("cdf", [[1.0, 0.0], [2.0, 0.0]])
+    engine.set("cdf", [([100.0, 0.0], {"v": "d2"})])
+
+    ch = engine.store_changes("cdf", from_version=1, from_segments=0)
+    got = {(tuple(r["key"])[0], r["change_type"]): dict(r["meta"] or {}).get("v")
+           for r in ch.collect()}
+    types = {}
+    for (k, t), v in got.items():
+        types.setdefault(t, set()).add(k)
+    assert types["update"] == {5.0, 6.0, 7.0}
+    assert types["insert"] == {100.0, 101.0}
+    assert types["delete"] == {1.0, 2.0}
+    # net winner: id 100 inserted in d1, re-set in d2 -> ONE insert row
+    # carrying d2's value
+    assert got[(100.0, "insert")]["s"] == "d2"
+    # delete rows carry the PRE-IMAGE payload (Delta-CDF style)
+    assert got[(1.0, "delete")]["s"] == "base"
+    assert ch.count() == 7
+
+    # reconstruction: (FROM snapshot - deletes - update ids) + new rows
+    # == TO snapshot, the incremental-refresh contract
+    a = {k[0] for r in engine.store_df("cdf", version=1, segments=0).collect()
+         for k in [tuple(r["key"])]}
+    b = {k[0] for r in engine.store_df("cdf").collect()
+         for k in [tuple(r["key"])]}
+    ins = {k for (k, t) in got if t == "insert"}
+    del_ = {k for (k, t) in got if t == "delete"}
+    assert (a - del_) | ins == b
+
+
+def test_store_changes_span_compaction(engine):
+    """A change range spanning a compaction (version bump) chains the
+    old version's retained segments with the new version's — the
+    rewrite itself contributes zero logical changes."""
+    engine.create_store("cdfc", dimension=2)
+    engine.set("cdfc", [([float(i), 0.0], {}) for i in range(10)])
+    engine.set("cdfc", [([50.0, 0.0], {})])        # v1 d1: insert
+    engine.compact("cdfc")                          # -> v2, folds d1
+    engine.set("cdfc", [([51.0, 0.0], {})])        # v2 d1: insert
+    engine.del_key("cdfc", [[0.0, 0.0]])            # v2 d2: delete
+
+    ch = engine.store_changes("cdfc", from_version=1, from_segments=0)
+    got = {(tuple(r["key"])[0], r["change_type"]) for r in ch.collect()}
+    assert got == {(50.0, "insert"), (51.0, "insert"), (0.0, "delete")}
+    # and a range that starts AFTER v1's segment sees only v2's changes
+    ch2 = engine.store_changes("cdfc", from_version=1, from_segments=1)
+    got2 = {(tuple(r["key"])[0], r["change_type"]) for r in ch2.collect()}
+    assert got2 == {(51.0, "insert"), (0.0, "delete")}
+    # empty range -> empty frame with the change schema
+    empty = engine.store_changes("cdfc", from_version=2,
+                                 from_segments=2)
+    assert empty.count() == 0 and "change_type" in empty.columns
+
+
+def test_store_changes_rejects_vacuumed_range(engine):
+    import pytest as _pytest
+
+    engine.create_store("cdfv", dimension=2)
+    engine.set("cdfv", [([1.0, 0.0], {})])
+    with _pytest.raises(ValueError, match="not retained"):
+        engine.store_changes("cdfv", from_version=99)
