@@ -2374,6 +2374,135 @@ def events_json_props(spark, sf_dir):
     )
 
 
+@register("shipping_priority_topn", """
+SELECT l_orderkey,
+       CAST(epoch(o_orderdate) AS BIGINT) AS orderdate_epoch,
+       o_orderpriority,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+         AS revenue_e4
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate  > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue_e4 DESC, l_orderkey LIMIT 10
+""")
+def shipping_priority_topn(spark, sf_dir):
+    """TPC-H Q3-shaped shipping priority: unshipped revenue of one
+    market segment's orders, top-10. Scale shape: both date filters and
+    the segment filter push into the scans BEFORE the single
+    lineitem x orders shuffle; customer broadcasts; the top-10 is
+    TakeOrdered over the aggregated (small) frame."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    cust = F.broadcast(
+        _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    )
+    e2 = lambda c: F.round(F.col(c) * 100).cast("long")
+    rev = e2("l_extendedprice") * (F.lit(100) - e2("l_discount"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).alias("revenue_e4"))
+        .select(
+            "l_orderkey",
+            F.unix_timestamp("o_orderdate").alias("orderdate_epoch"),
+            "o_orderpriority",
+            "revenue_e4",
+        )
+        .orderBy(F.desc("revenue_e4"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register("promo_revenue_share", """
+SELECT CAST(sum(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                          * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                     ELSE 0 END) AS BIGINT) AS promo_e4,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+         AS total_e4,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-04-01'
+""")
+def promo_revenue_share(spark, sf_dir):
+    """TPC-H Q14-shaped promotion revenue: conditional aggregation over
+    a lineitem x part join. Scale shape: the date filter pushes into the
+    lineitem scan, part BROADCASTS (the dimension side), and the
+    map-side-combined aggregate means nothing wide ever shuffles. The
+    promo/total split ships as two exact integers — the consumer
+    derives the ratio without either engine doing inexact division."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    part = F.broadcast(_t(spark, sf_dir, "part"))
+    e2 = lambda c: F.round(F.col(c) * 100).cast("long")
+    rev = e2("l_extendedprice") * (F.lit(100) - e2("l_discount"))
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0)))
+            .alias("promo_e4"),
+            F.sum(rev).alias("total_e4"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register("returned_item_customers", """
+SELECT c_custkey, c_name, n_name,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+         AS revenue_e4,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-04-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue_e4 DESC, c_custkey LIMIT 20
+""")
+def returned_item_customers(spark, sf_dir):
+    """TPC-H Q10-shaped returned-item report: customers who returned
+    the most revenue in a quarter. Scale shape: the return-flag and
+    date filters push to the fact scans before the one fact-fact
+    shuffle; customer/nation broadcast; top-20 is TakeOrdered over the
+    aggregated frame."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    cust = F.broadcast(_t(spark, sf_dir, "customer"))
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    e2 = lambda c: F.round(F.col(c) * 100).cast("long")
+    rev = e2("l_extendedprice") * (F.lit(100) - e2("l_discount"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).alias("revenue_e4"), F.count(F.lit(1)).alias("n_items"))
+        .orderBy(F.desc("revenue_e4"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
 # ================================================ multimodal stubs ==
 
 @register("multimodal_image_meta", """

@@ -480,3 +480,23 @@ def test_store_changes_rejects_vacuumed_range(engine):
     engine.set("cdfv", [([1.0, 0.0], {})])
     with _pytest.raises(ValueError, match="not retained"):
         engine.store_changes("cdfv", from_version=99)
+
+
+def test_store_changes_plan_never_shuffles_snapshot(engine):
+    """CDF scale contract: the FROM snapshot (the 100 TB side) is
+    probed with BROADCAST joins only — a sort-merge join would shuffle
+    the whole store to classify a handful of changes."""
+    import contextlib
+    import io
+
+    engine.create_store("cdfplan", dimension=4)
+    engine.set("cdfplan", [([float(i), 0.0, 0.0, 0.0], {}) for i in range(500)])
+    engine.set("cdfplan", [([9999.0, 0.0, 0.0, 0.0], {})])
+    engine.del_key("cdfplan", [[3.0, 0.0, 0.0, 0.0]])
+    ch = engine.store_changes("cdfplan", from_version=1, from_segments=0)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        ch.explain("formatted")
+    plan = buf.getvalue()
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastExchange") >= 2, plan  # id probe + pre-image
