@@ -103,6 +103,16 @@ BENCH_QUERIES = [
     "multimodal_audio_meta",
     "ai_embed_binary",
     "ai_face_attributes",
+    # round 4 additions with a real data-plan cost profile. The other
+    # new gates (ddl_lifecycle_counts, ai_upsert, streaming_*) are
+    # job-count/trigger-latency bound — flat in data — and stay
+    # correctness-only so the bench keeps measuring plans, not latency.
+    "store_change_feed",
+    "mmr_rerank_topk",
+    "salted_join_orders_customers",
+    "shipping_priority_topn",
+    "promo_revenue_share",
+    "returned_item_customers",
 ]
 
 

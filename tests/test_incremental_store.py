@@ -263,6 +263,34 @@ def test_mutation_sequence_matches_dict_model(spark, ops):
     }
     assert got == model
 
+    # change-feed apply contract over the SAME random sequence: for any
+    # end state, applying store_changes(base-of-current-version ..
+    # current) to that base snapshot must reconstruct the final model,
+    # with every row classified consistently (insert ∉ base, update ∈
+    # base carrying the post-image, delete ∈ base carrying the
+    # PRE-image)
+    meta = eng.catalog.get_store("m")
+    if meta.version >= 1:
+        base_state = {
+            tuple(r["key"]): r["meta"]["t"]["s"]
+            for r in eng.store_df("m", version=meta.version, segments=0).collect()
+        }
+        rebuilt = dict(base_state)
+        for r in eng.store_changes("m", from_version=meta.version,
+                                   from_segments=0).collect():
+            k, t = tuple(r["key"]), r["change_type"]
+            if t == "insert":
+                assert k not in base_state
+                rebuilt[k] = r["meta"]["t"]["s"]
+            elif t == "update":
+                assert k in base_state
+                rebuilt[k] = r["meta"]["t"]["s"]
+            else:
+                assert t == "delete" and k in base_state
+                assert r["meta"]["t"]["s"] == base_state[k]  # pre-image
+                rebuilt.pop(k)
+        assert rebuilt == model
+
 
 def test_merged_read_broadcasts_delta_ids_no_base_shuffle(engine):
     """The merge-on-read scale contract: the (100 TB) base side is
