@@ -2503,6 +2503,142 @@ def returned_item_customers(spark, sf_dir):
     )
 
 
+@register("order_priority_exists", """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem li
+              WHERE li.l_orderkey = o.o_orderkey
+                AND li.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+""")
+def order_priority_exists(spark, sf_dir):
+    """TPC-H Q4-shaped priority check: orders in a one-year window with
+    at least one lineitem shipped >60 days after the order date —
+    EXISTS expressed as a LEFT SEMI join so each qualifying order
+    counts ONCE however many late items it has. Scale shape: the date
+    window prunes the orders scan before the semi-join's single
+    shuffle, and the semi-join short-circuits per key (no lineitem
+    fan-out survives into the aggregation)."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register("dormant_rich_customers", """
+WITH pos AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS tot
+             FROM customer WHERE c_acctbal > 0)
+SELECT c_nationkey,
+       CAST(count(*) AS BIGINT) AS numcust,
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents
+FROM customer c, pos
+WHERE CAST(round(c_acctbal * 100) AS BIGINT) * pos.n > pos.tot
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-07-01')
+GROUP BY c_nationkey ORDER BY c_nationkey
+""")
+def dormant_rich_customers(spark, sf_dir):
+    """TPC-H Q22-shaped dormancy analysis: above-average-balance
+    customers with NO order in the last 13 months of the dataset,
+    rolled up by nation. Two classic subquery shapes, Spark-first:
+    the scalar subquery (average positive balance) is a 1-row aggregate
+    cross-broadcast into the filter as an exact integer cross-
+    multiplication (bal_cents * n > tot_cents — no division, no float
+    threshold to drift cross-engine), and NOT EXISTS is a LEFT ANTI
+    join against the date-pruned orders scan. Scale shape: the anti
+    join is the only customer-keyed shuffle; the orders side arrives
+    pre-filtered to the recent window."""
+    cust = _t(spark, sf_dir, "customer").withColumn(
+        "bal_cents", F.round(F.col("c_acctbal") * 100).cast("long")
+    )
+    pos = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("bal_cents").alias("tot"),
+    )
+    recent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-07-01").cast("timestamp")
+    ).select("o_custkey")
+    return (
+        cust.join(F.broadcast(pos))
+        .filter(F.col("bal_cents") * F.col("n") > F.col("tot"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("numcust"),
+            F.sum("bal_cents").alias("acctbal_cents"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+@register("small_quantity_revenue", """
+WITH li AS (SELECT l.l_partkey, CAST(l.l_quantity AS BIGINT) AS qty,
+                   CAST(round(l.l_extendedprice * 100) AS BIGINT) AS price_cents
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE p.p_brand = 'Brand#3'),
+ag AS (SELECT l_partkey, CAST(sum(qty) AS BIGINT) AS sum_qty,
+              CAST(count(*) AS BIGINT) AS cnt
+       FROM li GROUP BY l_partkey)
+SELECT CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(li.price_cents) AS BIGINT) AS revenue_cents
+FROM li JOIN ag USING (l_partkey)
+WHERE 5 * li.qty * ag.cnt < ag.sum_qty
+""")
+def small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17-shaped small-quantity revenue: lineitems of one brand
+    whose quantity is below 20% of that part's average quantity. The
+    correlated scalar subquery (per-part average) becomes an aggregate-
+    join: ONE per-part aggregation over the brand's lineitems, joined
+    back to the same frame, with the 0.2*avg threshold as the exact
+    integer cross-multiplication 5*qty*cnt < sum_qty (quantities are
+    integral — no float average crosses an engine boundary). Scale
+    shape: the brand filter broadcasts part into the lineitem scan
+    first, so both the aggregation and the join-back touch only the
+    brand's ~0.4% slice; the per-part aggregate (one row per brand
+    part) broadcasts into the join-back, leaving a single shuffle."""
+    parts = F.broadcast(
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#3")
+        .select("p_partkey")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .join(parts, F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "l_partkey",
+            F.col("l_quantity").cast("long").alias("qty"),
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_cents"),
+        )
+    )
+    ag = li.groupBy("l_partkey").agg(
+        F.sum("qty").alias("sum_qty"), F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    return (
+        li.join(F.broadcast(ag), "l_partkey")
+        .filter(F.lit(5) * F.col("qty") * F.col("cnt") < F.col("sum_qty"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum("price_cents").alias("revenue_cents"),
+        )
+    )
+
+
 # ================================================ multimodal stubs ==
 
 @register("multimodal_image_meta", """
@@ -3018,6 +3154,34 @@ def vocab_top_terms_q(spark, sf_dir):
     from ahnlich_spark.operators.textstats import vocab_top_terms
 
     return vocab_top_terms(_t(spark, sf_dir, "documents"), n=50)
+
+
+@register("heavy_hitters_terms", """
+WITH toks AS (
+  SELECT lower(t) AS value
+  FROM documents, unnest(regexp_split_to_array(trim(text), '\\s+')) AS u(t)
+  WHERE trim(text) <> ''
+)
+SELECT value, CAST(count(*) AS BIGINT) AS cnt
+FROM toks GROUP BY value ORDER BY cnt DESC, value LIMIT 20
+""")
+def heavy_hitters_terms(spark, sf_dir):
+    """Exact top-20 corpus terms WITHOUT a vocabulary shuffle: per-
+    partition Misra-Gries summaries (mapInPandas, O(capacity) memory)
+    nominate candidates, one semi-joined aggregation counts exactly
+    those, and the N/(capacity+1) certificate proves the head equals
+    the exhaustive groupBy's (operators/sketches.py). The oracle IS
+    that exhaustive groupBy — the two-pass sketch plan must land on
+    identical values and exact counts. At 100 TB this is the vocab-head
+    query that never carries singleton tokens across the wire."""
+    from ahnlich_spark.operators.sketches import heavy_hitters
+
+    terms = (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(X.tokens(F.col("text"))).alias("tok"))
+        .select(F.lower(F.col("tok")).alias("value"))
+    )
+    return heavy_hitters(terms, "value", k=20, capacity=64, verify=True)
 
 
 @register("tfidf_top_terms", f"""

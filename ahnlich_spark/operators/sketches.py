@@ -1,0 +1,186 @@
+"""Bounded-memory frequency sketches: mergeable Misra-Gries heavy
+hitters with an exact verification pass.
+
+A 100 TB corpus cannot afford ``GROUP BY term`` over its full token
+stream when only the frequency head is wanted: the shuffle carries the
+entire vocabulary (URLs, hashes, typos — billions of singleton keys)
+just to throw it away at the final top-k. The classic fix is a two-pass
+*candidates → exact counts* plan built on the Misra-Gries (MG) summary
+[Misra & Gries 1982; mergeable form: Agarwal et al., PODS 2012]:
+
+pass 1 (candidates)
+    Each input partition streams its values through an MG summary of
+    ``capacity`` counters (``mapInPandas``; O(capacity) memory per
+    partition, never O(distinct)). MG invariant: any value whose count
+    within a partition exceeds ``n_p / (capacity+1)`` survives that
+    partition's summary. Pigeonhole across partitions: any value with
+    GLOBAL count > ``N / (capacity+1)`` must exceed the local threshold
+    somewhere, so the union of partition summaries is a superset of
+    every global heavy hitter.
+
+pass 2 (exact)
+    One aggregation counts ONLY the candidate values: the token stream
+    is semi-joined against the (broadcast) candidate set before the
+    groupBy, so the shuffle carries at most ``capacity × partitions``
+    distinct keys instead of the vocabulary. Counts are exact, not
+    estimates — MG's undercounting never reaches the output.
+
+exactness certificate
+    The k-th exact candidate count is compared against the global
+    non-candidate ceiling ``N / (capacity+1)``: strictly above it, no
+    non-candidate can displace (or tie into) the returned top-k, so the
+    result provably equals the full ``GROUP BY``'s top-k. ``verify=True``
+    turns a failed certificate into an error instead of a silent
+    approximation.
+
+Reference parity: part of this repo's training-data-pipeline extension
+surface (the reference engine, deven96/ahnlich, stops at store/query
+primitives); the vocabulary twin ``operators/textstats.vocab_table``
+is the exhaustive-shuffle formulation this sketch replaces at scale.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["mg_summary_merge", "heavy_hitter_candidates", "heavy_hitters"]
+
+
+def mg_summary_merge(counter: dict, batch_counts, capacity: int) -> dict:
+    """Fold ``batch_counts`` (an iterable of (value, count)) into an MG
+    summary of at most ``capacity`` counters. This is the *mergeable
+    summaries* formulation (Agarwal et al. 2012): add the incoming
+    counts, then if more than ``capacity`` counters remain, subtract the
+    (capacity+1)-th largest count from every counter and drop the
+    non-positive ones. Each reduction subtracts equally from all
+    counters, so the undercount of any value after folding n items
+    total is at most n/(capacity+1) — the survival guarantee in the
+    module docstring follows."""
+    for v, c in batch_counts:
+        counter[v] = counter.get(v, 0) + int(c)
+    if len(counter) > capacity:
+        cut = sorted(counter.values(), reverse=True)[capacity]
+        counter = {v: c - cut for v, c in counter.items() if c > cut}
+    return counter
+
+
+def heavy_hitter_candidates(
+    df: DataFrame, value_col: str, capacity: int = 4096
+) -> DataFrame:
+    """Pass 1: per-partition MG summaries. Returns (value, mg_est,
+    part_rows) — one row per surviving counter plus the partition's own
+    row total folded onto its first summary row (part_rows is summed
+    downstream to recover N without a second scan of the input).
+
+    Scale shape: a single ``mapInPandas`` over the input's NATURAL
+    partitioning — no shuffle, no repartition — emitting at most
+    ``capacity`` rows per partition whatever the partition holds."""
+    if capacity < 1:
+        raise ValueError("capacity must be >= 1")
+    cap = int(capacity)
+
+    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counter: dict = {}
+        n_rows = 0
+        pruned = False
+        for pdf in batches:
+            col = pdf[value_col].dropna()
+            n_rows += len(col)
+            # vectorized pre-aggregation: value_counts collapses the
+            # batch before the per-value Python loop, so the loop runs
+            # over the batch's DISTINCT values only
+            vc = col.value_counts()
+            before = len(set(counter).union(vc.index))
+            counter = mg_summary_merge(counter, vc.items(), cap)
+            # a reduction step can only SHRINK the union of supports:
+            # if it never fires, the summary holds every distinct value
+            pruned = pruned or len(counter) < before
+        if not counter:
+            if n_rows:  # all-null partition still contributes to N
+                yield pd.DataFrame(
+                    {"value": pd.Series([None], dtype=object),
+                     "mg_est": [0], "part_rows": [n_rows],
+                     "pruned": [pruned]}
+                )
+            return
+        vals = list(counter)
+        yield pd.DataFrame(
+            {
+                "value": vals,
+                "mg_est": [counter[v] for v in vals],
+                "part_rows": [n_rows] + [0] * (len(vals) - 1),
+                "pruned": [pruned] + [False] * (len(vals) - 1),
+            }
+        )
+
+    src = df.select(F.col(value_col).cast("string").alias(value_col))
+    return src.mapInPandas(
+        summarize, schema="value string, mg_est long, part_rows long, pruned boolean"
+    )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    value_col: str,
+    k: int = 50,
+    capacity: int = 4096,
+    verify: bool = True,
+) -> DataFrame:
+    """Exact top-``k`` most frequent values of ``df[value_col]`` without
+    a full-vocabulary shuffle: MG candidates (pass 1), exact counts of
+    candidates only (pass 2), certificate that the k-th count clears
+    the non-candidate ceiling N/(capacity+1).
+
+    Returns (value, cnt) with cnt the EXACT global count, ordered
+    cnt desc, value asc — identical to the exhaustive
+    ``GROUP BY value ORDER BY count(*) DESC, value LIMIT k`` whenever
+    the certificate holds. With ``verify=True`` (default) a failed
+    certificate raises ValueError naming the capacity that would have
+    sufficed, rather than returning a silently unproven head.
+
+    The k result rows (plus two scalars) are the only driver-side
+    materialization; the candidate set itself stays distributed and is
+    broadcast by Spark into the semi-join."""
+    summaries = heavy_hitter_candidates(df, value_col, capacity)
+    # cache: pass 2 reads the candidate values, the certificate reads N
+    summaries = summaries.localCheckpoint(eager=False)
+    cand = summaries.filter(F.col("value").isNotNull()).select("value").distinct()
+    src = df.select(F.col(value_col).cast("string").alias("value"))
+    exact = (
+        src.join(F.broadcast(cand), "value", "left_semi")
+        .groupBy("value")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    top = exact.orderBy(F.desc("cnt"), F.asc("value")).limit(int(k))
+    if not verify:
+        return top
+    rows = top.collect()
+    stats = summaries.agg(
+        F.sum("part_rows").alias("n"), F.max("pruned").alias("pruned")
+    ).first()
+    total = stats["n"] or 0
+    any_pruned = bool(stats["pruned"])
+    ceiling = total / (capacity + 1)
+    # no partition ever reduced its summary -> candidates == all distinct
+    # values and the top-k is unconditionally the exhaustive answer;
+    # otherwise the k-th count must strictly clear the ceiling (a tie at
+    # the ceiling could let an unseen value share rank k), and a short
+    # result (< k rows) cannot be certified at all — any pruned-away
+    # singleton would deserve one of the empty slots.
+    certified = not any_pruned or (
+        len(rows) == int(k) and float(rows[-1]["cnt"]) > ceiling
+    )
+    if not certified:
+        worst = float(rows[-1]["cnt"]) if rows else 1.0
+        need = int(total // worst) + 1
+        raise ValueError(
+            f"heavy_hitters: cannot certify exactness — rank-{len(rows)} "
+            f"count {worst:.0f} does not clear the non-candidate ceiling "
+            f"N/(capacity+1) = {ceiling:.1f}; retry with capacity >= {need}"
+        )
+    spark = df.sparkSession
+    return spark.createDataFrame(rows, schema=top.schema)

@@ -113,6 +113,10 @@ BENCH_QUERIES = [
     "shipping_priority_topn",
     "promo_revenue_share",
     "returned_item_customers",
+    "heavy_hitters_terms",
+    "order_priority_exists",
+    "dormant_rich_customers",
+    "small_quantity_revenue",
 ]
 
 

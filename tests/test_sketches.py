@@ -1,0 +1,132 @@
+"""Misra-Gries heavy hitters: exactness vs the exhaustive groupBy,
+survival guarantee under real pruning, and certificate refusal.
+
+The operator's claim is sharp — *provably exact* top-k with O(capacity)
+memory per partition — so the tests force the regime where the summary
+actually prunes (distinct >> capacity) and compare against the
+full-shuffle answer, then force the regime where no proof is possible
+(flat counts, tiny capacity) and demand a refusal instead of a wrong
+answer."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ahnlich_spark.operators.sketches import (
+    heavy_hitter_candidates,
+    heavy_hitters,
+    mg_summary_merge,
+)
+
+
+def _zipf_df(spark, n_head=8, head_count=400, n_tail=3000):
+    """A skewed value stream: a few very hot head values + a long tail
+    of near-singletons, shuffled across 8 partitions."""
+    head = [(f"hot_{i}",) for i in range(n_head) for _ in range(head_count - 10 * i)]
+    tail = [(f"tail_{i}",) for i in range(n_tail) for _ in range(1 + i % 3)]
+    df = spark.createDataFrame(head + tail, "value string")
+    return df.repartition(8, F.xxhash64("value"))
+
+
+def _exhaustive_topk(df, k):
+    return (
+        df.groupBy("value")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("value"))
+        .limit(k)
+        .collect()
+    )
+
+
+def test_mg_merge_undercount_bound():
+    """Pure-summary property: after folding n items through capacity c,
+    every value's estimate undercounts its true count by at most
+    n/(c+1), and any value with true count > n/(c+1) survives."""
+    import random
+
+    rng = random.Random(11)
+    stream = [rng.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(5000)]
+    stream += ["HH"] * 400  # one genuine heavy hitter
+    rng.shuffle(stream)
+    true = {}
+    for v in stream:
+        true[v] = true.get(v, 0) + 1
+    cap = 8
+    counter = {}
+    for i in range(0, len(stream), 250):  # arbitrary batch boundaries
+        batch = {}
+        for v in stream[i : i + 250]:
+            batch[v] = batch.get(v, 0) + 1
+        counter = mg_summary_merge(counter, batch.items(), cap)
+    assert len(counter) <= cap
+    bound = len(stream) / (cap + 1)
+    for v, est in counter.items():
+        assert true[v] - est <= bound + 1e-9
+    for v, c in true.items():
+        if c > bound:
+            assert v in counter, f"heavy value {v} (count {c}) pruned"
+
+
+def test_heavy_hitters_exact_under_pruning(spark):
+    """capacity 64 << ~3000 distinct values: the per-partition summaries
+    genuinely prune, yet the certified top-k equals the exhaustive
+    groupBy top-k, counts included."""
+    df = _zipf_df(spark)
+    cand = heavy_hitter_candidates(df, "value", capacity=64)
+    stats = cand.agg(F.max("pruned").alias("p"), F.count(F.lit(1)).alias("rows")).first()
+    assert stats["p"] is True, "fixture too small: summaries never pruned"
+    assert stats["rows"] <= 64 * df.rdd.getNumPartitions() + 8
+    got = heavy_hitters(df, "value", k=8, capacity=64, verify=True).collect()
+    want = _exhaustive_topk(df, 8)
+    assert [(r["value"], r["cnt"]) for r in got] == [
+        (r["value"], r["cnt"]) for r in want
+    ]
+
+
+def test_heavy_hitters_matches_without_verify(spark):
+    got = heavy_hitters(_zipf_df(spark), "value", k=5, capacity=64,
+                        verify=False).collect()
+    want = _exhaustive_topk(_zipf_df(spark), 5)
+    assert [(r["value"], r["cnt"]) for r in got] == [
+        (r["value"], r["cnt"]) for r in want
+    ]
+
+
+def test_heavy_hitters_refuses_uncertifiable(spark):
+    """Flat distribution + capacity far below distinct: rank-k cannot
+    clear the N/(capacity+1) ceiling, so verify must raise (naming a
+    sufficient capacity) instead of returning an unproven head."""
+    flat = spark.createDataFrame(
+        [(f"v{i}",) for i in range(800) for _ in range(3)], "value string"
+    ).repartition(8, F.xxhash64("value"))
+    with pytest.raises(ValueError, match="capacity >= "):
+        heavy_hitters(flat, "value", k=10, capacity=16, verify=True)
+
+
+def test_heavy_hitters_no_pruning_is_unconditional(spark):
+    """When no partition ever reduces (capacity >= distinct), the result
+    is certified even if rank-k sits below the ceiling — the candidate
+    set IS the vocabulary. Short results (< k rows) are fine here too."""
+    small = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 2, "value string"
+    )
+    got = heavy_hitters(small, "value", k=10, capacity=1024, verify=True).collect()
+    assert [(r["value"], r["cnt"]) for r in got] == [("a", 5), ("b", 3), ("c", 2)]
+
+
+def test_heavy_hitters_ignores_nulls(spark):
+    df = spark.createDataFrame(
+        [("a",), (None,), ("a",), (None,), ("b",)], "value string"
+    )
+    got = heavy_hitters(df, "value", k=2, capacity=8, verify=True).collect()
+    assert [(r["value"], r["cnt"]) for r in got] == [("a", 2), ("b", 1)]
+
+
+def test_candidate_pass_never_shuffles(spark):
+    """Scale pin: pass 1 runs on the input's natural partitioning — the
+    physical plan of the summary frame contains no Exchange."""
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 50).cast("string").alias("value")
+    )
+    plan = heavy_hitter_candidates(df, "value", capacity=32)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Exchange" not in plan
