@@ -1877,6 +1877,103 @@ def ann_pruned_ivf_topk(spark, sf_dir):
     return _pruned_gate_result(spark, sf_dir, eng, "ivf", S.EUCLIDEAN)
 
 
+def _ann_mut_oracle_sql() -> str:
+    """The pruned-LSH pipeline of _pruned_lsh_oracle_sql, but over the
+    POST-MUTATION store state: label-7 rows DelPred'd away, 40 negated
+    vectors Set afterwards (vec_id+1000, exact f32 negation). Radius
+    planning runs on the final state's signature histogram — exactly
+    what the engine's (version, deltas)-keyed stats cache must
+    recompute after the delta segments land. The sentinel row (-1, 0,
+    store_len) additionally pins the metadata-only length accounting
+    across an indexed store's delete + insert chain."""
+    min_cand = _hnsw_gate_min_cand()
+    return f"""
+WITH orig AS (SELECT vec_id, embedding FROM embeddings WHERE label <> 7),
+negd AS (SELECT vec_id + 1000 AS vec_id,
+                list_transform(embedding, x -> -x) AS embedding
+         FROM embeddings WHERE vec_id < 40),
+final AS (SELECT * FROM orig UNION ALL SELECT * FROM negd),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+qs AS (SELECT {_sig_sql('qv')} AS qsig FROM q),
+sigs AS (SELECT vec_id, embedding, {_sig_sql('embedding')} AS sig FROM final),
+hd AS (SELECT vec_id, embedding, bit_count(xor(sig, qsig)) AS h FROM sigs, qs),
+rad AS (SELECT greatest(3,
+          (SELECT h FROM hd ORDER BY h LIMIT 1 OFFSET {min_cand - 1})) AS r),
+scored AS (
+  SELECT vec_id, list_cosine_similarity(embedding::DOUBLE[], qv) AS score
+  FROM hd, rad, q WHERE h <= r),
+topk AS (
+  SELECT vec_id,
+         CAST(row_number() OVER (ORDER BY score DESC, vec_id) AS BIGINT) AS rank_n,
+         CAST(round(score*10000) AS BIGINT) AS score_e4
+  FROM scored ORDER BY score DESC, vec_id LIMIT {_PRUNED_K})
+SELECT * FROM topk
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(0 AS BIGINT),
+       (SELECT CAST(count(*) AS BIGINT) FROM final)
+"""
+
+
+_ANN_MUT_ENGINES: dict = {}
+
+
+@register("ann_after_mutations", _ann_mut_oracle_sql())
+def ann_after_mutations(spark, sf_dir):
+    """The staleness trap at 100 TB: an ANN index built ONCE, then the
+    store mutates — DelPred tombstones ~10% of rows, a later Set
+    appends 40 brand-new vectors as an O(batch) delta segment. The
+    pruned GetSimN must see the final state: delta rows carry their own
+    _ann_sig/_ann_sigp columns (Engine._index_columns runs on the delta
+    write path), tombstoned rows drop out of the merged read, and the
+    radius-planning histogram recomputes because the stats cache is
+    keyed on (version, deltas). The oracle replicates the whole pruned
+    pipeline over the post-mutation state, so a stale histogram, a
+    sig-less delta row, or an undead tombstone all break the hash —
+    not just degrade recall."""
+    from ahnlich_spark.plans.engine import Engine
+
+    ckey = (id(spark.sparkContext), os.path.abspath(sf_dir))
+    eng = _ANN_MUT_ENGINES.get(ckey)
+    if eng is None:
+        emb_rows = _t(spark, sf_dir, "embeddings").collect()
+        eng = Engine(spark, tempfile.mkdtemp(prefix="ahnlich_gate_"))
+        eng.brute_force_threshold = _PRUNED_BF_THRESHOLD
+        eng.create_store("annm", dimension=_GATE_DIM, predicates=["label"])
+        eng.create_non_linear_algorithm_index("annm", ["hnsw"])
+        eng.set("annm", [
+            (list(r["embedding"]), {"label": str(r["label"])}) for r in emb_rows
+        ])
+        eng.del_pred("annm", Equals("label", "7"))
+        eng.set("annm", [
+            ([-float(x) for x in r["embedding"]], {"label": "neg"})
+            for r in emb_rows if r["vec_id"] < 40
+        ])
+        _ANN_MUT_ENGINES[ckey] = eng
+
+    q = _qvec(spark, sf_dir)
+    top = eng.get_sim_n("annm", q, closest_n=_PRUNED_K, algorithm="hnsw",
+                        precision="double")
+    emb = _t(spark, sf_dir, "embeddings")
+    neg_key = F.transform(F.col("embedding"), lambda x: -x)
+    ids = emb.filter(F.col("label") != 7).select(
+        "vec_id", store_key_id(F.col("embedding")).alias("id")
+    ).unionByName(
+        emb.filter(F.col("vec_id") < 40).select(
+            (F.col("vec_id") + 1000).alias("vec_id"),
+            store_key_id(neg_key).alias("id"),
+        )
+    )
+    scored = top.join(ids, "id").select(
+        "vec_id", F.col("similarity").alias("score")
+    )
+    ranked = _rank_topk(scored, S.COSINE, _PRUNED_K)
+    sentinel = spark.createDataFrame(
+        [(-1, 0, int(eng.get_store("annm").len))],
+        "vec_id long, rank_n long, score_e4 long",
+    )
+    return ranked.unionByName(sentinel)
+
+
 # ================================================ events / windows ==
 
 def _events_ts_us_divisor(sf_dir: str) -> int:
