@@ -123,12 +123,72 @@ def heavy_hitter_candidates(
     )
 
 
+def merge_summaries(summaries: DataFrame, capacity: int, fan_in: int = 256) -> DataFrame:
+    """Tree-merge per-partition MG summaries down to ONE summary of at
+    most ``capacity`` counters. Mergeability (Agarwal et al. 2012) is
+    exact: merging two capacity-c summaries and re-reducing to c keeps
+    the global guarantee (count > N/(c+1) -> survives), so the merged
+    support is a valid — and always-broadcastable — candidate set.
+
+    Scale shape: with p input partitions the raw candidate union is
+    O(capacity * p) rows, which at 100k-partition scale outgrows a
+    broadcast. Two rounds of grouped pandas merges (fan_in groups, then
+    one) bound every task at O(capacity * fan_in) rows and return a
+    frame of <= capacity candidates, independent of p."""
+    cap = int(capacity)
+
+    def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counter: dict = {}
+        pruned = False
+        for pdf in batches:
+            pruned = pruned or bool(pdf["pruned"].any())
+            live = pdf[pdf["value"].notna()]
+            before = len(set(counter).union(live["value"]))
+            counter = mg_summary_merge(
+                counter, zip(live["value"], live["mg_est"]), cap
+            )
+            pruned = pruned or len(counter) < before
+        if counter:
+            vals = list(counter)
+            yield pd.DataFrame(
+                {
+                    "value": vals,
+                    "mg_est": [counter[v] for v in vals],
+                    "pruned": [pruned] + [False] * (len(vals) - 1),
+                }
+            )
+        elif pruned:
+            yield pd.DataFrame(
+                {"value": pd.Series([None], dtype=object),
+                 "mg_est": [0], "pruned": [True]}
+            )
+
+    out_schema = "value string, mg_est long, pruned boolean"
+    lvl1 = (
+        summaries.select("value", "mg_est", "pruned")
+        .repartition(int(fan_in), F.crc32(F.col("value")))
+        .mapInPandas(fold, schema=out_schema)
+    )
+    # second round: every per-group summary collapses into one summary.
+    # The fan-in round partitions by VALUE hash, so each value's
+    # counters all meet in one group and estimates stay additive. The
+    # survival guarantee holds across the whole merge DAG by the
+    # standard potential argument: every reduction step subtracts its
+    # cut from > capacity counters, consuming > cut*(capacity+1) of the
+    # stream's total mass N, so the summed undercount of ANY value is
+    # <= N/(capacity+1) no matter how many rounds fire. The ``pruned``
+    # flag ORs across partitions AND merge rounds, so the caller's
+    # no-pruning-anywhere shortcut stays sound."""
+    return lvl1.coalesce(1).mapInPandas(fold, schema=out_schema)
+
+
 def heavy_hitters(
     df: DataFrame,
     value_col: str,
     k: int = 50,
     capacity: int = 4096,
     verify: bool = True,
+    max_broadcast_candidates: int = 4_000_000,
 ) -> DataFrame:
     """Exact top-``k`` most frequent values of ``df[value_col]`` without
     a full-vocabulary shuffle: MG candidates (pass 1), exact counts of
@@ -144,11 +204,21 @@ def heavy_hitters(
 
     The k result rows (plus two scalars) are the only driver-side
     materialization; the candidate set itself stays distributed and is
-    broadcast by Spark into the semi-join."""
+    broadcast by Spark into the semi-join. The raw candidate union is
+    O(capacity × partitions); past ``max_broadcast_candidates`` it is
+    first tree-merged (``merge_summaries``) into a single ≤ capacity
+    summary — always broadcastable, same N/(capacity+1) guarantee —
+    before the semi-join."""
     summaries = heavy_hitter_candidates(df, value_col, capacity)
     # cache: pass 2 reads the candidate values, the certificate reads N
     summaries = summaries.localCheckpoint(eager=False)
-    cand = summaries.filter(F.col("value").isNotNull()).select("value").distinct()
+    n_parts = df.rdd.getNumPartitions()
+    merged = None
+    if int(capacity) * max(1, n_parts) > int(max_broadcast_candidates):
+        merged = merge_summaries(summaries, capacity).localCheckpoint(eager=False)
+        cand = merged.filter(F.col("value").isNotNull()).select("value")
+    else:
+        cand = summaries.filter(F.col("value").isNotNull()).select("value").distinct()
     src = df.select(F.col(value_col).cast("string").alias("value"))
     exact = (
         src.join(F.broadcast(cand), "value", "left_semi")
@@ -164,6 +234,10 @@ def heavy_hitters(
     ).first()
     total = stats["n"] or 0
     any_pruned = bool(stats["pruned"])
+    if merged is not None:
+        any_pruned = any_pruned or bool(
+            merged.agg(F.max("pruned")).first()[0]
+        )
     ceiling = total / (capacity + 1)
     # no partition ever reduced its summary -> candidates == all distinct
     # values and the top-k is unconditionally the exhaustive answer;

@@ -82,6 +82,28 @@ def test_heavy_hitters_exact_under_pruning(spark):
     ]
 
 
+def test_heavy_hitters_merged_candidates_path(spark):
+    """max_broadcast_candidates=1 forces the tree-merge path: the
+    candidate set collapses to ONE <= capacity summary (broadcastable at
+    any partition count) and the certified top-k still equals the
+    exhaustive answer — the merge DAG keeps the N/(capacity+1) bound."""
+    from ahnlich_spark.operators.sketches import merge_summaries
+
+    df = _zipf_df(spark)
+    got = heavy_hitters(df, "value", k=8, capacity=64, verify=True,
+                        max_broadcast_candidates=1).collect()
+    want = _exhaustive_topk(df, 8)
+    assert [(r["value"], r["cnt"]) for r in got] == [
+        (r["value"], r["cnt"]) for r in want
+    ]
+    cand = heavy_hitter_candidates(df, "value", capacity=64)
+    merged = merge_summaries(cand, 64).collect()
+    assert len(merged) <= 64
+    assert any(r["pruned"] for r in merged)  # ~3000 distinct through cap 64
+    hot = {r["value"] for r in merged}
+    assert {f"hot_{i}" for i in range(8)} <= hot  # heavy head survives the DAG
+
+
 def test_heavy_hitters_matches_without_verify(spark):
     got = heavy_hitters(_zipf_df(spark), "value", k=5, capacity=64,
                         verify=False).collect()
