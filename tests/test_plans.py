@@ -269,3 +269,30 @@ def test_new_scanlocal_ops_add_no_keyed_shuffle(spark, sf_dir):
     chunk_plan = plan_of(sliding_chunk_table(docs, chunk_tokens=32, stride=16))
     assert "hashpartitioning" not in chunk_plan, chunk_plan
     assert n_exchanges(chunk_plan) <= 1, chunk_plan
+
+
+def test_subquery_gates_join_strategies(spark):
+    """The round-4 subquery-algebra gates keep their intended physical
+    shapes: EXISTS runs as a semi join with the date window pushed to
+    the orders scan; NOT EXISTS as an anti join with the recency filter
+    pushed to orders; the Q17 aggregate-join broadcasts both the brand
+    part list and the per-part aggregate (no sort-merge join anywhere —
+    the only exchanges are aggregations)."""
+    from ahnlich_spark.entry_queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+
+    q4 = plan_of(QUERIES["order_priority_exists"](spark, sf))
+    assert "LeftSemi" in q4, q4
+    assert "o_orderdate" in q4.split("PushedFilters")[1].split("\n")[0], q4
+
+    q22 = plan_of(QUERIES["dormant_rich_customers"](spark, sf))
+    assert "LeftAnti" in q22, q22
+    assert "o_orderdate" in q22[q22.index("orders"):].split("PushedFilters")[1].split(
+        "\n"
+    )[0], q22
+
+    q17 = plan_of(QUERIES["small_quantity_revenue"](spark, sf))
+    assert q17.count("BroadcastHashJoin") >= 3, q17
+    assert "SortMergeJoin" not in q17, q17
+    assert "p_brand" in q17, q17
