@@ -2443,6 +2443,73 @@ def streaming_set_ingest_gate(spark, sf_dir):
     )
 
 
+@register("streaming_change_feed", """
+WITH s1 AS (SELECT vec_id, label FROM embeddings WHERE vec_id < 300),
+after_delkey AS (SELECT * FROM s1 WHERE vec_id NOT IN (10, 20)),
+after_delpred AS (SELECT * FROM after_delkey WHERE label <> 0),
+b2 AS (SELECT vec_id FROM embeddings WHERE vec_id >= 100 AND vec_id < 400)
+SELECT
+  3::BIGINT AS n_segments,
+  (SELECT count(*) FROM b2)::BIGINT AS upserts,
+  (2 + (SELECT count(*) FROM after_delkey WHERE label = 0))::BIGINT AS deletes,
+  (SELECT count(*) FROM (SELECT vec_id FROM after_delpred
+                         UNION SELECT vec_id FROM b2))::BIGINT AS folded_len,
+  (SELECT count(*) FROM (SELECT vec_id FROM after_delpred
+                         UNION SELECT vec_id FROM b2))::BIGINT AS store_len
+""")
+def streaming_change_feed(spark, sf_dir):
+    """LIVE CDC: the store_incremental_mutations chain (SET -> DelKey ->
+    DelPred -> overlapping SET) tailed through
+    Engine.store_changes_stream — the file-source stream over committed
+    delta segments. The gate pins (a) the feed's shape: exactly one
+    segment per post-base mutation, upsert/delete op totals; (b) its
+    SUFFICIENCY: folding the streamed ops over the base snapshot in
+    (base_version, segment) order reproduces the engine's merged state
+    (folded_len == store_len == the oracle's set algebra). The fold
+    below is driver-side over this gate's ~300 ops; a production
+    consumer folds per micro-batch with the identical keep-last rule
+    (tests/test_streaming.py pins that equivalence row-for-row)."""
+    from ahnlich_spark.plans.engine import Engine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    eng = Engine(spark, tempfile.mkdtemp(prefix="ahnlich_gate_"))
+    eng.create_store("chg", dimension=_GATE_DIM, predicates=["label"])
+    rows = {
+        r["vec_id"]: (list(r["embedding"]), {"label": str(r["label"])})
+        for r in emb.filter(F.col("vec_id") < 400).collect()
+    }
+    eng.set("chg", [rows[v] for v in sorted(rows) if v < 300])
+    eng.del_key("chg", [rows[10][0], rows[20][0]])
+    eng.del_pred("chg", Equals("label", "0"))
+    eng.set("chg", [rows[v] for v in sorted(rows) if 100 <= v < 400])
+
+    import uuid
+
+    qname = f"chg_feed_{uuid.uuid4().hex[:8]}"
+    q = (
+        eng.store_changes_stream("chg")
+        .writeStream.format("memory").queryName(qname)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ahnlich_cdc_"))
+        .outputMode("append").start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    feed = spark.sql(f"select * from {qname}").collect()
+
+    segs = {(r["base_version"], r["segment"]) for r in feed}
+    ups = sum(1 for r in feed if r["op"] == "upsert")
+    dels = sum(1 for r in feed if r["op"] == "delete")
+    folded = {r["id"] for r in eng.store_df("chg", version=1, segments=0)
+              .select("id").collect()}
+    for r in sorted(feed, key=lambda r: (r["base_version"], r["segment"])):
+        (folded.discard if r["op"] == "delete" else folded.add)(r["id"])
+    return spark.createDataFrame(
+        [(len(segs), ups, dels, len(folded), int(eng.get_store("chg").len))],
+        "n_segments long, upserts long, deletes long, "
+        "folded_len long, store_len long",
+    )
+
+
 @register("events_json_props", """
 SELECT event_type,
        count(*) AS n,

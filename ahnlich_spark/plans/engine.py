@@ -644,6 +644,25 @@ class Engine:
             from_version, from_segments, to_version, to_segments,
         )
 
+    def store_changes_stream(
+        self,
+        store: str,
+        schema: str = PUBLIC_SCHEMA,
+        max_files_per_trigger: Optional[int] = None,
+    ) -> DataFrame:
+        """LIVE change data feed: a streaming DataFrame tailing the
+        store's committed delta segments (raw upsert/delete ops with
+        (base_version, segment) commit coordinates) — replays the
+        retained backlog, then follows new mutations per micro-batch.
+        See streaming/pipeline.store_changes_stream for semantics and
+        the retention caveat."""
+        from ahnlich_spark.streaming.pipeline import store_changes_stream
+
+        return store_changes_stream(
+            self.spark, self.catalog, store, schema=schema,
+            max_files_per_trigger=max_files_per_trigger,
+        )
+
     def register_views(self, schema: str = PUBLIC_SCHEMA,
                        prefix: str = "ahnlich_") -> List[str]:
         """Expose every store in ``schema`` to Spark SQL as a temp view

@@ -252,3 +252,74 @@ def streaming_probe_search(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+def store_changes_stream(
+    spark: SparkSession,
+    catalog,
+    store: str,
+    schema: str = "public",
+    max_files_per_trigger: Optional[int] = None,
+) -> DataFrame:
+    """Change data feed as a LIVE stream: tail the store's immutable
+    delta segments as mutations commit them — the streaming face of
+    ``Engine.store_changes`` and the piece a continuously-maintained
+    downstream table needs at 100 TB (a derived index, a replica, a
+    feature store) without polling snapshots.
+
+    Built on the file source over the base+delta layout
+    (``sources/store_io.py``): every mutation appends one O(batch)
+    segment directory ``d<version>_<n>``, so a ``readStream`` glob over
+    ``d*_*`` discovers exactly the committed mutations, oldest first,
+    including the backlog that predates the stream (a consumer starting
+    late replays retained history, then tails). Emitted rows are the
+    raw CDC ops in canonical store schema:
+
+    - ``op``          'upsert' (post-image in key/meta) or 'delete'
+                      (id only; payload columns are null — pre-images
+                      need the batch ``store_changes`` against a
+                      retained snapshot)
+    - ``base_version``/``segment``  the commit coordinates parsed from
+                      the segment path: a downstream merge orders ops
+                      exactly like the engine's own keep-last-by-id
+                      merged read, across micro-batch boundaries.
+
+    Classification into insert-vs-update is deliberately NOT done here:
+    it requires probing a consistent FROM snapshot, which is a batch
+    concern (``Engine.store_changes``) — a stream consumer folding ops
+    in (base_version, segment) order reaches the same net state, pinned
+    by tests/test_streaming.py.
+
+    Retention caveat: segment dirs are GC'd with their base version
+    (``KEEP_VERSIONS``); a consumer must keep up within the retention
+    window or restart from a snapshot + fresh feed, exactly like Delta
+    Lake's CDF.
+    """
+    import os
+
+    from ahnlich_spark.sources.store_io import DELTA_OP_COL
+
+    meta = catalog.get_store(store, schema)
+    base = os.path.dirname(catalog.store_path(meta))
+    # segment files mirror the BASE schema plus the op column (see
+    # store_io.write_delta) — footer-only read, no data scan
+    file_schema = T.StructType(
+        list(spark.read.parquet(catalog.store_path(meta)).schema.fields)
+        + [T.StructField(DELTA_OP_COL, T.ByteType())]
+    )
+    reader = spark.readStream.schema(file_schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    raw = reader.parquet(os.path.join(base, "d*_*"))
+    seg_re = r"/d(\d+)_(\d+)/[^/]+$"
+    fname = F.input_file_name()
+    return raw.select(
+        "id",
+        "key",
+        "meta",
+        F.when(F.col(DELTA_OP_COL) == 0, F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+        F.regexp_extract(fname, seg_re, 1).cast("int").alias("base_version"),
+        F.regexp_extract(fname, seg_re, 2).cast("int").alias("segment"),
+    )

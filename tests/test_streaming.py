@@ -270,3 +270,58 @@ def test_streaming_probe_search_matches_batch(spark, engine):
         shutil.rmtree(d, ignore_errors=True)
         shutil.rmtree(sink, ignore_errors=True)
         shutil.rmtree(cp, ignore_errors=True)
+
+
+def test_store_changes_stream_tails_mutations(spark, engine):
+    """The live CDC feed: replay the retained backlog, then follow new
+    mutations; folding ops in (base_version, segment) order must
+    reproduce the engine's own merged state."""
+    from ahnlich_spark.operators.predicates import Equals
+
+    cp = tempfile.mkdtemp(prefix="ahnlich_cdc_cp_")
+    try:
+        engine.create_store("cdc", dimension=2, predicates=["t"])
+        engine.set("cdc", [([1.0, 0.0], {"t": "a"}), ([0.0, 1.0], {"t": "b"}),
+                           ([1.0, 1.0], {"t": "b"})])           # base v1
+        engine.del_pred("cdc", Equals("t", "a"))                 # d1_1
+        feed = engine.store_changes_stream("cdc")
+        q = (
+            feed.writeStream.format("memory").queryName("cdc_feed")
+            .option("checkpointLocation", cp).outputMode("append").start()
+        )
+        q.processAllAvailable()
+        backlog = spark.sql("select * from cdc_feed").collect()
+        # backlog = the one committed delta segment (base rows are NOT
+        # changes): a single delete tombstone with null payload
+        assert [(r["op"], r["base_version"], r["segment"]) for r in backlog] == [
+            ("delete", 1, 1)
+        ]
+        assert backlog[0]["key"] is None and backlog[0]["meta"] is None
+
+        # live mutations AFTER the stream started
+        engine.set("cdc", [([0.0, 1.0], {"t": "c"}), ([2.0, 2.0], {"t": "c"})])
+        engine.del_key("cdc", [[1.0, 1.0]])
+        q.processAllAvailable()
+        q.stop()
+        rows = spark.sql("select * from cdc_feed").collect()
+        ops = sorted((r["base_version"], r["segment"], r["op"]) for r in rows)
+        assert ops == [(1, 1, "delete"), (1, 2, "upsert"), (1, 2, "upsert"),
+                       (1, 3, "delete")]
+
+        # fold the feed in commit order (deletes carry only the id) ->
+        # must equal the engine's own merged read
+        folded = {}
+        for r in engine.store_df("cdc", version=1, segments=0).collect():
+            folded[r["id"]] = (tuple(r["key"]), r["meta"]["t"]["s"])
+        for r in sorted(rows, key=lambda r: (r["base_version"], r["segment"])):
+            if r["op"] == "delete":
+                folded.pop(r["id"], None)
+            else:
+                folded[r["id"]] = (tuple(r["key"]), r["meta"]["t"]["s"])
+        want = {
+            r["id"]: (tuple(r["key"]), r["meta"]["t"]["s"])
+            for r in engine.store_df("cdc").collect()
+        }
+        assert folded == want
+    finally:
+        shutil.rmtree(cp, ignore_errors=True)
