@@ -41,6 +41,7 @@ from ahnlich_spark.operators.topk import top_k_similar
 from ahnlich_spark.sources.store_io import read_store, write_store
 from ahnlich_spark.types import (
     META_MAP_TYPE,
+    META_MAP_TYPE_RELAXED,
     MetadataValue,
     meta_map,
     store_schema,
@@ -661,6 +662,66 @@ class Engine:
         return store_changes_stream(
             self.spark, self.catalog, store, schema=schema,
             max_files_per_trigger=max_files_per_trigger,
+        )
+
+    def apply_changes(
+        self, store: str, changes: DataFrame, schema: str = PUBLIC_SCHEMA
+    ) -> StoreMeta:
+        """CDC consumer: apply a batch of change rows — ``op`` in
+        {upsert, delete} plus the canonical (id, key, meta) columns, as
+        produced by ``store_changes_stream`` (or ``store_changes`` with
+        change_type mapped to ops) — to THIS store. One O(changes)
+        delta segment lands, exactly like a native mutation: upserts
+        re-derive their id from the portable key hash and carry the
+        target store's OWN index columns (a replica keeps its own
+        indexes current), deletes tombstone by id.
+
+        When the batch carries (base_version, segment) commit
+        coordinates it is netted keep-last per id FIRST, so a
+        micro-batch spanning several source segments folds to one op
+        per id in commit order — the same rule the merged read applies.
+        This is the replication primitive: feed + apply_changes in a
+        foreachBatch (streaming/pipeline.streaming_apply_changes) keeps
+        a second warehouse's store converging to the source, pinned
+        row-for-row by tests/test_streaming.py. The cached row count is
+        dirtied (exact accounting would need a probe scan; the next
+        info call recounts once)."""
+        meta = self.catalog.get_store(store, schema)
+        cols = set(changes.columns)
+        if not {"op", "id", "key", "meta"} <= cols:
+            raise ValueError(
+                "apply_changes needs (op, id, key, meta) columns, got "
+                f"{sorted(cols)}"
+            )
+        if {"base_version", "segment"} <= cols:
+            w = Window.partitionBy("id").orderBy(
+                F.col("base_version").desc(), F.col("segment").desc(),
+                # within one segment an upsert beats its own tombstone,
+                # mirroring store_io's merged-read tie rule
+                (F.col("op") == "upsert").desc(),
+            )
+            changes = (
+                changes.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        ups = changes.filter(F.col("op") == "upsert").select("key", "meta")
+        ups = ups.select(
+            store_key_id(F.col("key")).alias("id"),
+            F.col("key").cast(T.ArrayType(T.FloatType())),
+            "meta",
+        )
+        dels = changes.filter(F.col("op") == "delete").select("id")
+        # ONE counting job decides which sides exist; empty sides stay
+        # None so the delta writer skips them
+        ops = {r["op"]: r["count"] for r in changes.groupBy("op").count().collect()}
+        if not ops:
+            return meta
+        return self._append_delta(
+            meta,
+            upserts=ups if ops.get("upsert") else None,
+            tombstone_ids=dels if ops.get("delete") else None,
+            len_delta=None,
         )
 
     def register_views(self, schema: str = PUBLIC_SCHEMA,
@@ -1614,12 +1675,12 @@ class Engine:
             if "_seq" not in df.columns:
                 df = df.withColumn("_seq", F.monotonically_increasing_id())
             if "meta" not in df.columns:
-                df = df.withColumn("meta", F.lit(None).cast(META_MAP_TYPE))
+                df = df.withColumn("meta", F.lit(None).cast(META_MAP_TYPE_RELAXED))
             # dimension validation happens inside set()'s counting job
             # (one scan, whole batch fails before any write)
             df = df.select(
                 F.col("key").cast(T.ArrayType(T.FloatType(), True)).alias("key"),
-                F.col("meta").cast(META_MAP_TYPE).alias("meta"),
+                F.col("meta").cast(META_MAP_TYPE_RELAXED).alias("meta"),
                 "_seq",
             )
         else:

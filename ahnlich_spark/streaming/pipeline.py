@@ -323,3 +323,30 @@ def store_changes_stream(
         F.regexp_extract(fname, seg_re, 1).cast("int").alias("base_version"),
         F.regexp_extract(fname, seg_re, 2).cast("int").alias("segment"),
     )
+
+
+def streaming_apply_changes(
+    feed: DataFrame,
+    engine,
+    store: str,
+    schema: str = "public",
+    checkpoint: Optional[str] = None,
+):
+    """Replication sink: each micro-batch of a ``store_changes_stream``
+    feed applied to a (usually different-warehouse) replica store via
+    ``Engine.apply_changes`` — one O(batch) delta segment per trigger,
+    netted keep-last per id in source commit order, index columns
+    recomputed for the REPLICA's own index set. Feed + this sink is
+    continuous store replication: the replica's merged state converges
+    to the source's after every drained trigger (pinned row-for-row in
+    tests/test_streaming.py). Returns the StreamingQuery."""
+
+    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        engine.apply_changes(store, batch_df, schema=schema)
+
+    writer = feed.writeStream.foreachBatch(_sink).outputMode("append")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

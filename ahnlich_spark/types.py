@@ -39,6 +39,23 @@ META_VALUE_TYPE = T.StructType(
 
 META_MAP_TYPE = T.MapType(T.StringType(), META_VALUE_TYPE, valueContainsNull=False)
 
+# Cast-target twin with every nullability constraint relaxed: Spark
+# refuses to CAST a nullable struct field onto a NOT-NULL one, and any
+# frame read back from parquet (store round-trips, CDC feeds) arrives
+# all-nullable — so ingest paths cast to this shape and rely on the
+# writers for actual non-null discipline.
+META_MAP_TYPE_RELAXED = T.MapType(
+    T.StringType(),
+    T.StructType(
+        [
+            T.StructField("kind", T.StringType(), True),
+            T.StructField("s", T.StringType(), True),
+            T.StructField("bin", T.BinaryType(), True),
+        ]
+    ),
+    valueContainsNull=True,
+)
+
 STORE_INPUT_TYPE = T.StructType(
     [
         T.StructField("kind", T.StringType(), False),

@@ -325,3 +325,53 @@ def test_store_changes_stream_tails_mutations(spark, engine):
         assert folded == want
     finally:
         shutil.rmtree(cp, ignore_errors=True)
+
+
+def test_streaming_replication_converges(spark, engine):
+    """End-to-end replication: source mutations -> live CDC feed ->
+    apply_changes into a SECOND warehouse. After draining, the replica's
+    merged state equals the source's exactly (ids, keys, metadata) —
+    including net deletes folded across segments — and replica
+    mutations landed as O(batch) delta segments, not base rewrites."""
+    import tempfile as tf
+
+    from ahnlich_spark import Engine
+    from ahnlich_spark.operators.predicates import Equals
+    from ahnlich_spark.streaming.pipeline import streaming_apply_changes
+
+    cp = tempfile.mkdtemp(prefix="ahnlich_repl_cp_")
+    try:
+        engine.create_store("src", dimension=2, predicates=["t"])
+        engine.set("src", [([1.0, 0.0], {"t": "a"}), ([0.0, 1.0], {"t": "b"}),
+                           ([2.0, 2.0], {"t": "b"})])          # base v1
+        replica = Engine(spark, tf.mkdtemp(prefix="ahnlich_replica_wh_"))
+        replica.create_store("dst", dimension=2, predicates=["t"])
+        # seed the replica from the base snapshot (changes feed carries
+        # only post-base mutations)
+        base = engine.store_df("src", version=1, segments=0)
+        replica.set("dst", base.select("key", "meta"))
+
+        engine.del_pred("src", Equals("t", "a"))                # d1_1
+        engine.set("src", [([0.0, 1.0], {"t": "c"}), ([5.0, 5.0], {"t": "d"})])
+        engine.del_key("src", [[2.0, 2.0]])                     # d1_3
+
+        q = streaming_apply_changes(
+            engine.store_changes_stream("src"), replica, "dst", checkpoint=cp
+        )
+        q.processAllAvailable()
+        q.stop()
+
+        def state(eng, name):
+            return {
+                r["id"]: (tuple(r["key"]), dict((k, v["s"]) for k, v in r["meta"].items()))
+                for r in eng.store_df(name).collect()
+            }
+
+        assert state(replica, "dst") == state(engine, "src")
+        assert replica.catalog.get_store("dst").version == 1  # no rewrites
+        assert replica.catalog.get_store("dst").deltas >= 1
+        # replica indexes its own pred column for the replicated rows
+        got = replica.get_pred("dst", Equals("t", "c")).collect()
+        assert len(got) == 1 and list(got[0]["key"]) == [0.0, 1.0]
+    finally:
+        shutil.rmtree(cp, ignore_errors=True)
