@@ -1201,6 +1201,41 @@ def dedup_wordset(spark, sf_dir):
     return D.wordset_dedup_groups(_t(spark, sf_dir, "documents"))
 
 
+@register("dedup_keep_best", f"""
+WITH scored AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct({_TOKENS_SQL})), chr(31))) AS fp,
+         CAST(round(len(list_distinct({_TOKENS_SQL})) * 10000.0
+                    / len({_TOKENS_SQL})) AS BIGINT) AS score_e4
+  FROM documents),
+ranked AS (
+  SELECT doc_id, score_e4,
+         row_number() OVER (PARTITION BY fp ORDER BY score_e4 DESC, doc_id) AS rn,
+         count(*) OVER (PARTITION BY fp) AS n_dups
+  FROM scored)
+SELECT doc_id AS keep_id, CAST(n_dups AS BIGINT) AS n_dups, score_e4
+FROM ranked WHERE rn = 1
+""")
+def dedup_keep_best(spark, sf_dir):
+    """Quality-aware duplicate retention: within each wordset-duplicate
+    group keep the member with the best distinct-token ratio (ties ->
+    lowest id) — the policy a production pipeline uses instead of
+    keep-first. One group-key shuffle serves rank and group size
+    together (operators/dedup.keep_best_representative)."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        X.wordset_fingerprint(F.col("text")).alias("fp"),
+        X.distinct_token_ratio_e4(F.col("text")).alias("score_e4"),
+    )
+    best = D.keep_best_representative(scored, "fp", "score_e4", "doc_id")
+    return best.select(
+        F.col("doc_id").alias("keep_id"),
+        F.col("n_dups").cast("long"),
+        "score_e4",
+    )
+
+
 _SHINGLES_SQL = f"""
 words AS (SELECT doc_id, {_TOKENS_SQL} AS ws FROM documents),
 sh AS (

@@ -25,7 +25,7 @@ from __future__ import annotations
 from fractions import Fraction
 from typing import Optional
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ahnlich_spark.functions import text as X
@@ -727,4 +727,32 @@ def chunk_dup_stats(
             .cast("long")
             .alias("dup_ratio_e4"),
         )
+    )
+
+
+def keep_best_representative(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    id_col: str = "doc_id",
+    count_col: str = "n_dups",
+) -> DataFrame:
+    """One row per duplicate group: the member with the HIGHEST score,
+    ties broken by lowest id — the retention policy a real training-data
+    pipeline wants (keep the cleanest duplicate, not the first-seen
+    one), generalizing the keep-lowest-id rule of the *_dedup_groups
+    functions. Adds ``count_col`` with the group size.
+
+    Scale shape: ONE shuffle on the group key serves both window
+    functions (the rank and the group count share the partitioning);
+    no join back to the input, no second pass."""
+    w_rank = Window.partitionBy(group_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    w_grp = Window.partitionBy(group_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w_rank))
+        .withColumn(count_col, F.count(F.lit(1)).over(w_grp))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
     )

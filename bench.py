@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "promo_revenue_share",
     "returned_item_customers",
     "heavy_hitters_terms",
+    "dedup_keep_best",
     "order_priority_exists",
     "dormant_rich_customers",
     "small_quantity_revenue",

@@ -282,3 +282,20 @@ def test_sliding_chunk_table_coverage_and_overlap(spark):
     # identical windows of identical docs fingerprint identically
     fp0 = {r["fp"] for r in out if r["doc_id"] == 1 and r["chunk_idx"] == 0}
     assert len(fp0) == 1
+
+
+def test_keep_best_representative_policy(spark):
+    """Highest score wins its group; ties break to the lowest id; the
+    group size rides along — all from one group-key shuffle."""
+    from ahnlich_spark.operators.dedup import keep_best_representative
+
+    df = spark.createDataFrame(
+        [(1, "g1", 50), (2, "g1", 90), (3, "g1", 90),
+         (4, "g2", 10), (5, "g3", 0), (6, "g3", 0)],
+        "doc_id long, fp string, score long",
+    )
+    got = {
+        r["fp"]: (r["doc_id"], r["n_dups"], r["score"])
+        for r in keep_best_representative(df, "fp", "score").collect()
+    }
+    assert got == {"g1": (2, 3, 90), "g2": (4, 1, 10), "g3": (5, 2, 0)}
