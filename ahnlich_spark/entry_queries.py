@@ -3113,6 +3113,36 @@ def sample_hash(spark, sf_dir):
     return hash_sample(docs, 0.25, salt="r2")
 
 
+_MIX_WEIGHTS = {"src0": 5, "src1": 3, "src2": 2}
+
+
+@register("corpus_rebalance", f"""
+WITH tgt(source, w) AS (VALUES {", ".join(f"('{g}', {w})" for g, w in sorted(_MIX_WEIGHTS.items()))}),
+avail AS (
+  SELECT d.source, CAST(sum(n_chars) AS HUGEINT) AS a, t.w::HUGEINT AS w
+  FROM documents d JOIN tgt t USING (source) GROUP BY d.source, t.w),
+tstar AS (SELECT min(a * {sum(_MIX_WEIGHTS.values())} // w) AS T FROM avail),
+thr AS (SELECT source, (T * w * 1000000) // ({sum(_MIX_WEIGHTS.values())} * a) AS thr
+        FROM avail, tstar)
+SELECT doc_id, d.source, CAST(n_chars AS BIGINT) AS n_chars
+FROM documents d JOIN thr USING (source)
+WHERE {_HASH_UNIT_SQL.format(salt='mix')} < thr
+""")
+def corpus_rebalance(spark, sf_dir):
+    """Mixture rebalancing: downsample the corpus so kept char-weight
+    shares of src0/src1/src2 track 5:3:2 (every other source dropped,
+    binding group kept whole, nothing upsampled). Thresholds are
+    integer-exact (Python bigint == the oracle's HUGEINT arithmetic)
+    and the row filter is the scan-local nested-sample hash unit —
+    operators/sampling.rebalance_to_mixture."""
+    from ahnlich_spark.operators.sampling import rebalance_to_mixture
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return rebalance_to_mixture(
+        docs, _MIX_WEIGHTS, group_col="source", weight_col="n_chars"
+    )
+
+
 @register("train_test_split", f"""
 WITH s AS (
   SELECT doc_id,

@@ -207,3 +207,69 @@ def exact_ntile(
             F.col("_rank") <= big, F.ceil(F.col("_rank") / (base + 1))
         ).otherwise(rem + F.ceil((F.col("_rank") - big) / base))
     return ranked.withColumn(out_col, tile.cast("long")).drop("_cum", "_rank")
+
+
+def rebalance_to_mixture(
+    df: DataFrame,
+    weights: dict,
+    group_col: str = "source",
+    weight_col: Optional[str] = None,
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Downsample a corpus to TARGET mixture shares — the consumer of
+    the `corpus_mixture` report: given integer target parts per group
+    (e.g. {web: 5, code: 3, wiki: 2}), keep a deterministic hash-sample
+    of each group sized so the kept groups' expected weight shares are
+    proportional to the targets. Groups absent from ``weights`` are
+    dropped; no group is ever UPsampled — the binding group (the one
+    whose availability runs out first relative to its target) is kept
+    whole and every other group is thinned to match it.
+
+    All rate math is integer-exact and cluster-invariant: with
+    W = sum(weights), a_g = available weight of group g (row count, or
+    ``weight_col`` summed — e.g. token counts for token-share targets),
+
+        T        = min_g floor(a_g * W / w_g)        (achievable total)
+        thr_g    = floor(T * w_g * 10^6 / (W * a_g)) (per-group keep rate)
+
+    and a row survives iff md5(salt || id) mod 10^6 < thr_g — the same
+    nested-sample hash unit as ``hash_sample``, so rebalanced corpora
+    are reproducible on any cluster and across engines (the gate's
+    DuckDB oracle re-derives the identical thresholds in HUGEINT).
+
+    Scale shape: ONE tiny aggregation (len(weights) rows) plans the
+    thresholds; the filter itself is scan-local (a literal-map lookup +
+    hash compare, no shuffle, no join). Realized shares fluctuate
+    around the target with hash-sampling variance O(1/sqrt(rows)) per
+    group — at corpus scale that is the noise floor, and determinism is
+    what the downstream run needs."""
+    if not weights:
+        raise ValueError("weights must name at least one group")
+    if any(int(w) <= 0 for w in weights.values()):
+        raise ValueError("target weights must be positive integers")
+    wsum = sum(int(w) for w in weights.values())
+    wt = F.lit(1) if weight_col is None else F.col(weight_col)
+    avail = {
+        r["g"]: int(r["a"])
+        for r in df.filter(F.col(group_col).isin(list(weights)))
+        .select(F.col(group_col).alias("g"), wt.cast("long").alias("a"))
+        .groupBy("g")
+        .agg(F.sum("a").alias("a"))
+        .collect()
+    }
+    empty = sorted(set(weights) - set(avail))
+    if empty:
+        raise ValueError(
+            f"target groups with no available data: {empty} — a mixture "
+            "containing them is unachievable without upsampling"
+        )
+    total = min(avail[g] * wsum // int(w) for g, w in weights.items())
+    thr = {
+        g: (total * int(w) * _SCALE) // (wsum * avail[g])
+        for g, w in weights.items()
+    }
+    lookup = F.create_map(
+        *[F.lit(x) for pair in thr.items() for x in pair]
+    )[F.col(group_col)]
+    return df.filter(_hash_unit(F.col(id_col), salt) < lookup)

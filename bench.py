@@ -116,6 +116,7 @@ BENCH_QUERIES = [
     "returned_item_customers",
     "heavy_hitters_terms",
     "dedup_keep_best",
+    "corpus_rebalance",
     "order_priority_exists",
     "dormant_rich_customers",
     "small_quantity_revenue",

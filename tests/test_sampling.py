@@ -186,3 +186,36 @@ def test_exact_ntile_keeps_null_values(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_rebalance_to_mixture_binding_group_and_shares(spark):
+    """The binding group survives whole; others thin toward the target
+    ratio; absent target groups raise; non-target groups are dropped."""
+    import pytest
+
+    from ahnlich_spark.operators.sampling import rebalance_to_mixture
+
+    rows = (
+        [(i, "a", 10) for i in range(100)]          # weight 1000
+        + [(1000 + i, "b", 10) for i in range(900)] # weight 9000
+        + [(5000 + i, "junk", 10) for i in range(50)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    out = rebalance_to_mixture(
+        df, {"a": 1, "b": 1}, weight_col="n_chars"
+    ).groupBy("source").count().collect()
+    got = {r["source"]: r["count"] for r in out}
+    assert set(got) == {"a", "b"}, got          # junk dropped
+    assert got["a"] == 100                       # binding group intact
+    # b thinned to ~ a's weight: hash variance around 100 rows
+    assert 60 <= got["b"] <= 140, got
+    # deterministic: the same call returns identical rows
+    ids1 = sorted(r["doc_id"] for r in rebalance_to_mixture(
+        df, {"a": 1, "b": 1}, weight_col="n_chars").collect())
+    ids2 = sorted(r["doc_id"] for r in rebalance_to_mixture(
+        df, {"a": 1, "b": 1}, weight_col="n_chars").collect())
+    assert ids1 == ids2
+    with pytest.raises(ValueError, match="no available data"):
+        rebalance_to_mixture(df, {"a": 1, "nope": 1}, weight_col="n_chars")
+    with pytest.raises(ValueError, match="positive"):
+        rebalance_to_mixture(df, {"a": 0}, weight_col="n_chars")
