@@ -297,14 +297,18 @@ def store_changes_stream(
     """
     import os
 
-    from ahnlich_spark.sources.store_io import DELTA_OP_COL
+    from ahnlich_spark.sources.store_io import DELTA_OP_COL, store_schema
 
     meta = catalog.get_store(store, schema)
     base = os.path.dirname(catalog.store_path(meta))
-    # segment files mirror the BASE schema plus the op column (see
-    # store_io.write_delta) — footer-only read, no data scan
+    # segment files mirror the base schema (canonical columns + any
+    # index columns) plus the op column (store_io.write_delta); only
+    # the canonical subset is selected here, and parquet reads ignore
+    # file columns absent from the supplied schema — so the CANONICAL
+    # schema works for every store, including one whose base version
+    # hasn't been written yet (stream opened before the first SET)
     file_schema = T.StructType(
-        list(spark.read.parquet(catalog.store_path(meta)).schema.fields)
+        list(store_schema().fields)
         + [T.StructField(DELTA_OP_COL, T.ByteType())]
     )
     reader = spark.readStream.schema(file_schema)

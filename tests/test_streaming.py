@@ -375,3 +375,29 @@ def test_streaming_replication_converges(spark, engine):
         assert len(got) == 1 and list(got[0]["key"]) == [0.0, 1.0]
     finally:
         shutil.rmtree(cp, ignore_errors=True)
+
+
+def test_store_changes_stream_before_first_set(spark, engine):
+    """The feed must open on a store whose BASE hasn't been written yet
+    (catalog-only DDL) and pick up the very first post-base mutation."""
+    cp = tempfile.mkdtemp(prefix="ahnlich_cdc0_cp_")
+    try:
+        engine.create_store("cdc0", dimension=2)
+        feed = engine.store_changes_stream("cdc0")   # no base version yet
+        q = (
+            feed.writeStream.format("memory").queryName("cdc0_feed")
+            .option("checkpointLocation", cp).outputMode("append").start()
+        )
+        q.processAllAvailable()
+        assert spark.sql("select count(*) from cdc0_feed").first()[0] == 0
+        engine.set("cdc0", [([1.0, 2.0], {})])       # base v1 — not a change
+        engine.set("cdc0", [([3.0, 4.0], {})])       # d1_1
+        q.processAllAvailable()
+        q.stop()
+        rows = spark.sql("select * from cdc0_feed").collect()
+        assert [(r["op"], r["base_version"], r["segment"]) for r in rows] == [
+            ("upsert", 1, 1)
+        ]
+        assert list(rows[0]["key"]) == [3.0, 4.0]
+    finally:
+        shutil.rmtree(cp, ignore_errors=True)
