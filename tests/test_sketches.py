@@ -152,3 +152,47 @@ def test_candidate_pass_never_shuffles(spark):
     plan = heavy_hitter_candidates(df, "value", capacity=32)._jdf.queryExecution(
     ).executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_mg_merge_mergeability_property():
+    """Hypothesis: for ANY stream, ANY batch split, ANY capacity — the
+    folded summary never exceeds capacity, undercounts any value by at
+    most n/(capacity+1), and retains every value whose true count
+    clears that bound. This is the survival guarantee heavy_hitters'
+    exactness certificate stands on."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        stream=st.lists(st.integers(min_value=0, max_value=30), max_size=400),
+        cap=st.integers(min_value=1, max_value=12),
+        cut=st.data(),
+    )
+    def check(stream, cap, cut):
+        bounds = sorted(
+            cut.draw(st.lists(st.integers(0, len(stream)), max_size=5))
+        )
+        pieces, prev = [], 0
+        for b in bounds + [len(stream)]:
+            pieces.append(stream[prev:b])
+            prev = b
+        true = {}
+        for v in stream:
+            true[v] = true.get(v, 0) + 1
+        counter = {}
+        for piece in pieces:
+            batch = {}
+            for v in piece:
+                batch[v] = batch.get(v, 0) + 1
+            counter = mg_summary_merge(counter, batch.items(), cap)
+        assert len(counter) <= cap
+        bound = len(stream) / (cap + 1)
+        for v, est in counter.items():
+            assert est <= true[v]
+            assert true[v] - est <= bound + 1e-9
+        for v, c in true.items():
+            if c > bound:
+                assert v in counter
+
+    check()
