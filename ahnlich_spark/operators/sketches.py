@@ -178,7 +178,7 @@ def merge_summaries(summaries: DataFrame, capacity: int, fan_in: int = 256) -> D
     # stream's total mass N, so the summed undercount of ANY value is
     # <= N/(capacity+1) no matter how many rounds fire. The ``pruned``
     # flag ORs across partitions AND merge rounds, so the caller's
-    # no-pruning-anywhere shortcut stays sound."""
+    # no-pruning-anywhere shortcut stays sound.
     return lvl1.coalesce(1).mapInPandas(fold, schema=out_schema)
 
 
