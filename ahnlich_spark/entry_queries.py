@@ -1969,6 +1969,34 @@ SELECT CAST(-1 AS BIGINT), CAST(0 AS BIGINT),
 _ANN_MUT_ENGINES: dict = {}
 
 
+def _ann_mut_engine(spark, sf_dir):
+    """The shared post-mutation indexed store: full SET, DelPred of
+    label 7, delta SET of 40 negated vectors. Cached per (SparkContext,
+    sf_dir) — the mutation chain is fixture setup; the gates that share
+    it measure reads over the resulting state."""
+    from ahnlich_spark.plans.engine import Engine
+
+    ckey = (id(spark.sparkContext), os.path.abspath(sf_dir))
+    eng = _ANN_MUT_ENGINES.get(ckey)
+    if eng is not None:
+        return eng
+    emb_rows = _t(spark, sf_dir, "embeddings").collect()
+    eng = Engine(spark, tempfile.mkdtemp(prefix="ahnlich_gate_"))
+    eng.brute_force_threshold = _PRUNED_BF_THRESHOLD
+    eng.create_store("annm", dimension=_GATE_DIM, predicates=["label"])
+    eng.create_non_linear_algorithm_index("annm", ["hnsw"])
+    eng.set("annm", [
+        (list(r["embedding"]), {"label": str(r["label"])}) for r in emb_rows
+    ])
+    eng.del_pred("annm", Equals("label", "7"))
+    eng.set("annm", [
+        ([-float(x) for x in r["embedding"]], {"label": "neg"})
+        for r in emb_rows if r["vec_id"] < 40
+    ])
+    _ANN_MUT_ENGINES[ckey] = eng
+    return eng
+
+
 @register("ann_after_mutations", _ann_mut_oracle_sql())
 def ann_after_mutations(spark, sf_dir):
     """The staleness trap at 100 TB: an ANN index built ONCE, then the
@@ -1982,26 +2010,7 @@ def ann_after_mutations(spark, sf_dir):
     pipeline over the post-mutation state, so a stale histogram, a
     sig-less delta row, or an undead tombstone all break the hash —
     not just degrade recall."""
-    from ahnlich_spark.plans.engine import Engine
-
-    ckey = (id(spark.sparkContext), os.path.abspath(sf_dir))
-    eng = _ANN_MUT_ENGINES.get(ckey)
-    if eng is None:
-        emb_rows = _t(spark, sf_dir, "embeddings").collect()
-        eng = Engine(spark, tempfile.mkdtemp(prefix="ahnlich_gate_"))
-        eng.brute_force_threshold = _PRUNED_BF_THRESHOLD
-        eng.create_store("annm", dimension=_GATE_DIM, predicates=["label"])
-        eng.create_non_linear_algorithm_index("annm", ["hnsw"])
-        eng.set("annm", [
-            (list(r["embedding"]), {"label": str(r["label"])}) for r in emb_rows
-        ])
-        eng.del_pred("annm", Equals("label", "7"))
-        eng.set("annm", [
-            ([-float(x) for x in r["embedding"]], {"label": "neg"})
-            for r in emb_rows if r["vec_id"] < 40
-        ])
-        _ANN_MUT_ENGINES[ckey] = eng
-
+    eng = _ann_mut_engine(spark, sf_dir)
     q = _qvec(spark, sf_dir)
     top = eng.get_sim_n("annm", q, closest_n=_PRUNED_K, algorithm="hnsw",
                         precision="double")
@@ -2024,6 +2033,30 @@ def ann_after_mutations(spark, sf_dir):
         "vec_id long, rank_n long, score_e4 long",
     )
     return ranked.unionByName(sentinel)
+
+
+@register("store_sql_door", """
+WITH final AS (
+  SELECT CAST(label AS VARCHAR) AS label FROM embeddings WHERE label <> 7
+  UNION ALL
+  SELECT 'neg' FROM embeddings WHERE vec_id < 40
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n
+FROM final GROUP BY label ORDER BY label
+""")
+def store_sql_door(spark, sf_dir):
+    """The Spark-native door the reference (gRPC-only) cannot offer:
+    ``register_views`` exposes a store's CURRENT merged state to Spark
+    SQL, here aggregated per metadata label over the POST-MUTATION
+    fixture — deleted label-7 rows must be gone from the view and the
+    delta-written 'neg' rows present, straight through ``spark.sql``.
+    Pins view registration end-to-end, not just the Python API."""
+    eng = _ann_mut_engine(spark, sf_dir)
+    eng.register_views()
+    return spark.sql(
+        "SELECT meta['label'].s AS label, count(*) AS n "
+        "FROM ahnlich_annm GROUP BY label ORDER BY label"
+    )
 
 
 # ================================================ events / windows ==
