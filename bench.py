@@ -34,6 +34,7 @@ BENCH_QUERIES = [
     "ann_pruned_batch_topk",
     "ann_pruned_batch_ivf_topk",
     "ann_after_mutations",
+    "store_sql_door",
     "get_key",
     "get_pred_equals",
     "get_pred_nested",

@@ -401,3 +401,19 @@ def test_store_changes_stream_before_first_set(spark, engine):
         assert list(rows[0]["key"]) == [3.0, 4.0]
     finally:
         shutil.rmtree(cp, ignore_errors=True)
+
+
+def test_apply_changes_validates_and_noops(spark, engine):
+    import pytest
+
+    engine.create_store("ac", dimension=2)
+    engine.set("ac", [([1.0, 1.0], {})])
+    with pytest.raises(ValueError, match="apply_changes needs"):
+        engine.apply_changes("ac", spark.createDataFrame([("x",)], "op string"))
+    before = engine.catalog.get_store("ac").deltas
+    empty = spark.createDataFrame(
+        [], "op string, id long, key array<float>, meta map<string,"
+        "struct<kind:string,s:string,bin:binary>>"
+    )
+    engine.apply_changes("ac", empty)  # no segment for an empty batch
+    assert engine.catalog.get_store("ac").deltas == before
