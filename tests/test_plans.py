@@ -296,3 +296,20 @@ def test_subquery_gates_join_strategies(spark):
     assert q17.count("BroadcastHashJoin") >= 3, q17
     assert "SortMergeJoin" not in q17, q17
     assert "p_brand" in q17, q17
+
+
+def test_rebalance_filter_is_scan_local(spark, sf_dir):
+    """Mixture rebalancing: after the one tiny planning aggregation the
+    kept-rows filter is pure map work — literal-map threshold lookup +
+    hash compare, zero exchanges, no join."""
+    from ahnlich_spark.operators.sampling import rebalance_to_mixture
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "n_chars"
+    )
+    out = rebalance_to_mixture(
+        docs, {"src0": 5, "src1": 3, "src2": 2}, weight_col="n_chars"
+    )
+    plan = plan_of(out)
+    assert n_exchanges(plan) == 0, plan
+    assert "Join" not in plan, plan
