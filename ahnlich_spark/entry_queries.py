@@ -4081,6 +4081,121 @@ FROM scored ORDER BY dist, vec_id LIMIT {k}
 """
 
 
+def _ivfpq_residual_oracle_sql(k: int = 10, n_probe: int = 4,
+                               candidates: int = 128) -> str:
+    """DuckDB oracle for residual IVF-PQ: probe selection by the exact
+    (q-c)^2 fold, residual encode against each candidate row's OWN
+    bucket centroid, per-bucket query LUTs, exact rescore — every chain
+    left-associative and shared as literals with the Spark side."""
+    import numpy as np
+
+    from ahnlich_spark.operators.pq import train_codebooks_residual
+
+    cents = np.asarray(_ivf_gate_centroids(), dtype=np.float64)
+    books = train_codebooks_residual(cents)
+    m, kc, dsub = books.shape
+    _cents_assign, assign_ctes = _ivf_assign_ctes()
+
+    qd_rows = "\nUNION ALL\n".join(
+        f"SELECT {b} AS bucket, ({_sqdist_chain('qv', cents[b])}) AS qd FROM q"
+        for b in range(len(cents))
+    )
+    cent_rows = "\nUNION ALL\n".join(
+        f"SELECT {b} AS bucket, "
+        f"[{', '.join(repr(float(x)) for x in cents[b])}]::DOUBLE[] AS cent"
+        for b in range(len(cents))
+    )
+
+    def store_chain(j: int, c: int) -> str:
+        return " + ".join(
+            f"((embedding[{j * dsub + i + 1}]::DOUBLE - cent[{j * dsub + i + 1}])"
+            f" - {float(books[j][c][i])!r})"
+            f" * ((embedding[{j * dsub + i + 1}]::DOUBLE - cent[{j * dsub + i + 1}])"
+            f" - {float(books[j][c][i])!r})"
+            for i in range(dsub)
+        )
+
+    def q_chain(j: int, c: int) -> str:
+        return " + ".join(
+            f"((qv[{j * dsub + i + 1}]::DOUBLE - cent[{j * dsub + i + 1}])"
+            f" - {float(books[j][c][i])!r})"
+            f" * ((qv[{j * dsub + i + 1}]::DOUBLE - cent[{j * dsub + i + 1}])"
+            f" - {float(books[j][c][i])!r})"
+            for i in range(dsub)
+        )
+
+    dlists = ",\n  ".join(
+        f"[{', '.join(store_chain(j, c) for c in range(kc))}] AS dl{j}"
+        for j in range(m)
+    )
+    codes = ", ".join(
+        f"(list_position(dl{j}, list_min(dl{j})) - 1) AS c{j}" for j in range(m)
+    )
+    adc = " + ".join(
+        f"([{', '.join(q_chain(j, c) for c in range(kc))}])[c{j} + 1]"
+        for j in range(m)
+    )
+    exact = " + ".join(
+        f"(embedding[{i + 1}]::DOUBLE - qv[{i + 1}]::DOUBLE)"
+        f" * (embedding[{i + 1}]::DOUBLE - qv[{i + 1}]::DOUBLE)"
+        for i in range(m * dsub)
+    )
+    return f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+{assign_ctes},
+qd AS ({qd_rows}),
+picked AS (SELECT bucket FROM qd ORDER BY qd, bucket LIMIT {n_probe}),
+cents_tbl AS ({cent_rows}),
+cand0 AS (SELECT a.vec_id, a.embedding, ct.cent, q.qv
+          FROM assign a JOIN picked p USING (bucket)
+          JOIN cents_tbl ct USING (bucket), q),
+d AS (SELECT vec_id, embedding, qv, cent,
+  {dlists}
+  FROM cand0),
+enc AS (SELECT vec_id, embedding, qv, cent, {codes} FROM d),
+adc AS (SELECT vec_id, embedding, qv, {adc} AS approx FROM enc),
+cand AS (SELECT vec_id, embedding, qv FROM adc
+         ORDER BY approx, vec_id LIMIT {candidates}),
+scored AS (SELECT vec_id, sqrt({exact}) AS dist FROM cand)
+SELECT vec_id,
+       CAST(row_number() OVER (ORDER BY dist, vec_id) AS BIGINT) AS rank_n,
+       CAST(round(dist * 10000) AS BIGINT) AS dist_e4
+FROM scored ORDER BY dist, vec_id LIMIT {k}
+"""
+
+
+@register("ann_ivfpq_residual_topk", _ivfpq_residual_oracle_sql())
+def ann_ivfpq_residual_topk(spark, sf_dir):
+    """Residual IVF-PQ (the FAISS IVFPQ composition): the coarse
+    quantizer prunes to the query's 4 nearest buckets, candidates are
+    ADC-ranked from 8-byte RESIDUAL codes (encoded against each row's
+    own bucket centroid — residuals concentrate near the origin, so the
+    same code budget quantizes them tighter than raw vectors), and the
+    survivors rescore exactly. The oracle replays probe selection,
+    per-bucket residual encode, per-bucket LUTs and the rescore, so a
+    divergence anywhere in the composition breaks the hash
+    (operators/pq.ivfpq_residual_top_k)."""
+    import numpy as np
+
+    from ahnlich_spark.operators.pq import (
+        ivfpq_residual_top_k,
+        train_codebooks_residual,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = _qvec(spark, sf_dir)
+    cents = np.asarray(_ivf_gate_centroids(), dtype=np.float64)
+    books = train_codebooks_residual(cents)
+    out = ivfpq_residual_top_k(emb, q, cents, books, k=10, n_probe=4,
+                               candidates=128)
+    w = Window.orderBy(F.asc("dist"), F.asc("vec_id"))
+    return out.select(
+        "vec_id",
+        F.row_number().over(w).cast("long").alias("rank_n"),
+        F.round(F.col("dist") * 10000).cast("long").alias("dist_e4"),
+    )
+
+
 @register("ann_pq_topk", _pq_oracle_sql())
 def ann_pq_topk(spark, sf_dir):
     """Product-quantization ANN: 8x16 codebooks trained once on the

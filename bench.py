@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "embedding_project",
     "ann_project_topk",
     "ann_pq_topk",
+    "ann_ivfpq_residual_topk",
     "corpus_mixture",
     "sample_stratified",
     "train_test_split",

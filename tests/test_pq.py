@@ -126,3 +126,86 @@ def test_engine_batch_pq(spark, tmp_path_factory, sf_dir):
         rk1 = [r for r in rs if r["rank_n"] == 1][0]
         # rank-1 is the probe's own row (similarity/distance 0)
         assert abs(rk1["similarity"]) < 1e-5
+
+
+def test_ivfpq_residual_full_probe_is_exact(spark, sf_dir):
+    """With every bucket probed and an unbounded candidate stage the
+    residual pipeline must return the exact top-k — any deviation means
+    the residual encode/ADC chain itself is broken, not the pruning."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from ahnlich_spark.operators.pq import (
+        ivfpq_residual_top_k,
+        train_codebooks,
+        train_codebooks_residual,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 1).first()["embedding"]]
+    cents = train_codebooks(m=1, k=32, sample=512, iters=10)[0]
+    books = train_codebooks_residual(cents)
+    got = [r["vec_id"] for r in ivfpq_residual_top_k(
+        emb, q, cents, books, k=10, n_probe=len(cents), candidates=10**6
+    ).collect()]
+    qlit = F.array(*[F.lit(x) for x in q])
+    exact = [r["vec_id"] for r in emb.select(
+        "vec_id",
+        F.sqrt(F.aggregate(
+            F.zip_with(F.col("embedding").cast("array<double>"), qlit,
+                       lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, v: acc + v)).alias("d"),
+    ).orderBy("d", "vec_id").limit(10).collect()]
+    assert got == exact
+
+
+def test_ivfpq_residual_recall_floor(spark, sf_dir):
+    """Pruned config (n_probe=8/32, 128 candidates): recall@10 holds a
+    floor on the fixture — the quality contract of the composition."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from ahnlich_spark.operators.pq import (
+        ivfpq_residual_top_k,
+        train_codebooks,
+        train_codebooks_residual,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = train_codebooks(m=1, k=32, sample=512, iters=10)[0]
+    books = train_codebooks_residual(cents)
+    hits = total = 0
+    for probe_id in (0, 7, 23):
+        q = [float(x) for x in
+             emb.filter(F.col("vec_id") == probe_id).first()["embedding"]]
+        got = {r["vec_id"] for r in ivfpq_residual_top_k(
+            emb, q, cents, books, k=10, n_probe=8, candidates=128).collect()}
+        qlit = F.array(*[F.lit(x) for x in q])
+        exact = {r["vec_id"] for r in emb.select(
+            "vec_id",
+            F.sqrt(F.aggregate(
+                F.zip_with(F.col("embedding").cast("array<double>"), qlit,
+                           lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0), lambda acc, v: acc + v)).alias("d"),
+        ).orderBy("d", "vec_id").limit(10).collect()}
+        hits += len(got & exact)
+        total += 10
+    assert hits / total >= 0.7, hits / total
+
+
+def test_residual_codebooks_deterministic_and_distinct():
+    """Residual training is a pure function of (corpus, centroids) and
+    genuinely differs from raw-vector codebooks."""
+    import numpy as np
+
+    from ahnlich_spark.operators.pq import (
+        train_codebooks,
+        train_codebooks_residual,
+    )
+
+    cents = train_codebooks(m=1, k=32, sample=512, iters=10)[0]
+    a = train_codebooks_residual(cents)
+    b = train_codebooks_residual(cents)
+    assert np.array_equal(a, b)
+    raw = train_codebooks()
+    assert a.shape == raw.shape and not np.array_equal(a, raw)
