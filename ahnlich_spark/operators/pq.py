@@ -454,3 +454,84 @@ def ivfpq_residual_top_k(
         .orderBy(F.asc("dist"), F.asc(id_col))
         .limit(k)
     )
+
+
+def train_codebooks_residual_df(
+    df: DataFrame,
+    centroids: np.ndarray,
+    m: int = 8,
+    k: int = 16,
+    sample: int = 4096,
+    iters: int = 10,
+    vec_col: str = "key",
+    id_col: str = "id",
+) -> np.ndarray | None:
+    """Residual codebooks from a store DataFrame — the engine's
+    index-build path for ``{"pq": {"residual": true}}``. Same
+    hash-ordered deterministic sample as ``train_codebooks_df``; each
+    sample vector is assigned to its coarse bucket (the cnorm - 2 x.c
+    rule ``ann.assign_buckets`` applies at scan time) and the Lloyd
+    trainer sees x - c_bucket(x). Returns None below k rows."""
+    rows = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.xxhash64(F.col(id_col)), F.asc(id_col))
+        .limit(sample)
+        .collect()
+    )
+    if len(rows) < k:
+        return None
+    X = np.stack([np.asarray(list(r[vec_col]), dtype=np.float64) for r in rows])
+    cents = np.asarray(centroids, dtype=np.float64)
+    cnorm = (cents * cents).sum(axis=1)
+    assign = (cnorm[None, :] - 2.0 * (X @ cents.T)).argmin(axis=1)
+    return lloyd_codebooks(X - cents[assign], m, k, iters)
+
+
+def residual_encode_expr(
+    vec_name: str,
+    centroids: np.ndarray,
+    books: np.ndarray,
+    bucket_col: str = "_ann_bucket",
+) -> Column:
+    """PQ codes of the RESIDUAL (vector - its own bucket centroid):
+    the centroid table rides in as one constant-folded literal indexed
+    by the bucket column, so encode stays scan-local whole-stage
+    codegen with zero joins."""
+    import json
+
+    cents_json = json.dumps([[float(x) for x in c] for c in np.asarray(centroids)])
+    cents_lit = f"from_json('{cents_json}', 'array<array<double>>')"
+    resid = (
+        f"zip_with(CAST({vec_name} AS ARRAY<DOUBLE>), "
+        f"element_at({cents_lit}, {bucket_col} + 1), (x, c) -> x - c)"
+    )
+    return encode_expr(resid, books)
+
+
+def residual_adc_expr(
+    query: Sequence[float],
+    centroids: np.ndarray,
+    books: np.ndarray,
+    codes_col: str = "_ann_pqcode",
+    bucket_col: str = "_ann_bucket",
+) -> Column:
+    """Approximate distance for residual codes: the query's per-bucket
+    LUT table (n_buckets x m x k doubles — a few KB) rides in as ONE
+    literal; each row picks its bucket's LUT by index and sums the m
+    code lookups. Works with or without bucket pruning upstream, since
+    every bucket's LUT is present."""
+    import json
+
+    cents = np.asarray(centroids, dtype=np.float64)
+    q = [float(x) for x in query]
+    luts = []
+    for b in range(len(cents)):
+        qr = [q[i] - float(cents[b][i]) for i in range(len(q))]
+        luts.append(adc_lut(qr, books))
+    lut_json = json.dumps(luts)
+    lut_lit = f"from_json('{lut_json}', 'array<array<array<double>>>')"
+    return F.expr(
+        f"aggregate(zip_with(element_at({lut_lit}, {bucket_col} + 1), "
+        f"{codes_col}, (lrow, cd) -> element_at(lrow, cd + 1)), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )

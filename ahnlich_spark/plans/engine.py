@@ -352,6 +352,12 @@ class Engine:
                 meta.non_linear.append(a)
                 meta.non_linear_config[a] = cfg
                 created += 1
+        pq_cfg = meta.non_linear_config.get("pq")
+        if pq_cfg and pq_cfg.get("residual") and "ivf" not in meta.non_linear:
+            raise ValueError(
+                "pq residual=true needs the ivf coarse quantizer on the same "
+                "store (residuals are taken against the row's bucket centroid)"
+            )
         meta.non_linear = sorted(meta.non_linear)
         self.catalog.put_store(meta)
         if created and meta.version > 0 and ({"hnsw", "ivf", "pq"} & set(meta.non_linear)):
@@ -415,9 +421,20 @@ class Engine:
         if "pq" in meta.non_linear:
             books = self._pq_codebooks(meta, df)
             if books is not None:
-                from ahnlich_spark.operators.pq import encode_expr
+                from ahnlich_spark.operators.pq import (
+                    encode_expr,
+                    residual_encode_expr,
+                )
 
-                df = df.withColumn("_ann_pqcode", encode_expr("key", books))
+                pq_cfg = meta.non_linear_config.get("pq", ANN_DEFAULTS["pq"])
+                if pq_cfg.get("residual") and "_ann_bucket" in df.columns:
+                    cents = self._ivf_centroids(meta, df)
+                    df = df.withColumn(
+                        "_ann_pqcode",
+                        residual_encode_expr("key", cents, books),
+                    )
+                else:
+                    df = df.withColumn("_ann_pqcode", encode_expr("key", books))
         # indexed predicate keys: flat string copies of meta[k].s — the
         # physical effect of CreatePredIndex (map access gets no parquet
         # pushdown; these columns do, and files are clustered by them)
@@ -522,16 +539,34 @@ class Engine:
             return np.load(path)
         if df is None:
             return None
-        from ahnlich_spark.operators.pq import train_codebooks_df
+        from ahnlich_spark.operators.pq import (
+            train_codebooks_df,
+            train_codebooks_residual_df,
+        )
 
         cfg = meta.non_linear_config.get("pq", ANN_DEFAULTS["pq"])
-        books = train_codebooks_df(
-            df,
-            m=int(cfg.get("m", 8)),
-            k=int(cfg.get("k_centroids", 16)),
-            sample=int(cfg.get("sample", 4096)),
-            iters=int(cfg.get("iters", 10)),
-        )
+        if cfg.get("residual"):
+            # FAISS IVFPQ recipe: train on coarse-quantizer residuals —
+            # same code budget, tighter quantization (operators/pq.py)
+            cents = self._ivf_centroids(meta, df)
+            if cents is None:
+                return None
+            books = train_codebooks_residual_df(
+                df,
+                cents,
+                m=int(cfg.get("m", 8)),
+                k=int(cfg.get("k_centroids", 16)),
+                sample=int(cfg.get("sample", 4096)),
+                iters=int(cfg.get("iters", 10)),
+            )
+        else:
+            books = train_codebooks_df(
+                df,
+                m=int(cfg.get("m", 8)),
+                k=int(cfg.get("k_centroids", 16)),
+                sample=int(cfg.get("sample", 4096)),
+                iters=int(cfg.get("iters", 10)),
+            )
         if books is not None:
             np.save(path, books)
         return books
@@ -859,6 +894,12 @@ class Engine:
         raw = read_store(self.spark, self.catalog, meta, canonical=False)
         code_col = "_ann_pqcode" if "_ann_pqcode" in raw.columns else None
         books = self._pq_codebooks(meta, raw if code_col is None else None)
+        if cfg.get("residual"):
+            # residual batch would broadcast a per-probe x per-bucket LUT
+            # table (probes * n_clusters * m * k doubles — unbounded in
+            # the batch size); until that ships, answer the batch with
+            # the EXACT scan — strictly more accurate, never wrong
+            books = None
         if books is None:
             from ahnlich_spark.operators.topk import top_k_batch
 
@@ -1279,10 +1320,15 @@ class Engine:
         if algorithm == "pq" and "_ann_pqcode" in raw.columns:
             books = self._pq_codebooks(meta)
             if books is not None:
-                from ahnlich_spark.operators.pq import adc_dist_expr, adc_lut
+                from ahnlich_spark.operators.pq import (
+                    adc_dist_expr,
+                    adc_lut,
+                    residual_adc_expr,
+                )
 
                 q = [float(x) for x in search_input]
-                lut = adc_lut(q, books)
+                residual = bool(cfg.get("residual")) and "_ann_bucket" in raw.columns
+                lut = None if residual else adc_lut(q, books)
                 n_cand = max(4 * closest_n, int(cfg.get("candidates", 256)))
                 scan = raw
                 # IVF-PQ composition: when the store ALSO carries the
@@ -1310,9 +1356,16 @@ class Engine:
                 # ADC rank over the 8-byte code column (the raw vectors
                 # are never read in this stage), bounded top-n_cand,
                 # then exact rescore of the survivors under the
-                # configured metric
+                # configured metric. Residual mode looks codes up in the
+                # query's per-bucket LUT table (ONE literal, a few KB) —
+                # codes were taken against each row's bucket centroid.
+                if residual:
+                    cents = self._ivf_centroids(meta)
+                    adc = residual_adc_expr(q, cents, books)
+                else:
+                    adc = adc_dist_expr(F.col("_ann_pqcode"), lut)
                 cands = (
-                    scan.withColumn("_adc", adc_dist_expr(F.col("_ann_pqcode"), lut))
+                    scan.withColumn("_adc", adc)
                     .orderBy(F.asc("_adc"), F.asc("id"))
                     .limit(n_cand)
                     .drop("_adc", *drop_cols)

@@ -479,3 +479,87 @@ def test_wide_signature_histogram_is_bounded(spark, tmp_path_factory):
     exact = {r["id"] for r in
              top_k_similar(eng.store_df("wide"), q, S.COSINE, 10).collect()}
     assert len(approx & exact) >= 8, len(approx & exact)
+
+
+@pytest.fixture(scope="module")
+def residual_engine(spark, tmp_path_factory):
+    """Store with the ivf+pq RESIDUAL composition (FAISS IVFPQ): codes
+    are taken against each row's bucket centroid."""
+    from ahnlich_spark import Engine
+
+    eng = Engine(spark, str(tmp_path_factory.mktemp("resid_wh")))
+    eng.brute_force_threshold = 64
+    eng.create_store("rv", dimension=DIM)
+    eng.create_non_linear_algorithm_index(
+        "rv", ["ivf", "pq"],
+        config={"residual": True, "n_clusters": 12, "n_probe": 6},
+    )
+    eng.set("rv", _big_entries())
+    return eng
+
+
+def test_residual_requires_ivf(spark, tmp_path_factory):
+    from ahnlich_spark import Engine
+
+    eng = Engine(spark, str(tmp_path_factory.mktemp("resid_guard")))
+    eng.create_store("g", dimension=DIM)
+    with pytest.raises(ValueError, match="residual"):
+        eng.create_non_linear_algorithm_index("g", ["pq"], config={"residual": True})
+
+
+def test_residual_ivfpq_recall_and_plan(residual_engine):
+    """The residual pq path must (a) prune bucket partitions at the
+    scan, (b) rank from the persisted residual codes without re-encoding,
+    (c) hold a recall floor against the exact scan."""
+    eng = residual_engine
+    store = eng.store_df("rv")
+    hits = total = 0
+    for i in (3, 41, 97):
+        q = VECS[i].tolist()
+        top = eng.get_sim_n("rv", q, closest_n=10, algorithm="pq")
+        if i == 3:
+            plan = plan_of(top)
+            assert "_ann_bucket" in plan.split("PartitionFilters")[1].split("\n")[0]
+            assert "_ann_pqcode" in plan.split("ReadSchema")[1].split("\n")[0]
+        got = {r["id"] for r in top.collect()}
+        exact = {r["id"] for r in
+                 top_k_similar(store, q, S.EUCLIDEAN, 10).collect()}
+        hits += len(got & exact)
+        total += 10
+    assert hits / total >= 0.8, hits / total
+
+
+def test_residual_codes_maintained_across_delta_writes(residual_engine):
+    """A post-index Set must encode the delta rows' residual codes
+    against their own buckets — the new vector is findable through the
+    residual pq path."""
+    eng = residual_engine
+    probe = (_vectors(1, DIM, seed=321)[0] + 0.002).astype(np.float32).tolist()
+    eng.set("rv", [(probe, {"i": "resid-delta"})])
+    top = eng.get_sim_n("rv", probe, closest_n=1, algorithm="pq").collect()
+    assert len(top) == 1
+    assert list(top[0]["key"]) == [float(np.float32(x)) for x in probe]
+
+
+def test_residual_batch_falls_back_exact(residual_engine):
+    """Until residual batch LUT tables ship, algorithm='pq' batches on a
+    residual store answer with the EXACT scan — per-probe results equal
+    top_k_batch ground truth."""
+    from ahnlich_spark.operators.topk import top_k_batch
+
+    eng = residual_engine
+    probes = [(i, VECS[i].tolist()) for i in range(3)]
+    out = eng.get_sim_n_batch("rv", probes, closest_n=5, algorithm="pq")
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["qid"], []).append((r["rank_n"], r["id"]))
+    probes_df = residual_engine.spark.createDataFrame(
+        [(int(p), [float(x) for x in v]) for p, v in probes],
+        "qid long, qkey array<float>",
+    )
+    want = {}
+    for r in top_k_batch(eng.store_df("rv"), probes_df, S.EUCLIDEAN, 5,
+                         rank_col="rank_n").collect():
+        want.setdefault(r["qid"], []).append((r["rank_n"], r["id"]))
+    assert {k: sorted(v) for k, v in got.items()} == {
+        k: sorted(v) for k, v in want.items()}
