@@ -1222,8 +1222,9 @@ def dedup_wordset(spark, sf_dir):
 WITH scored AS (
   SELECT doc_id,
          md5(array_to_string(list_sort(list_distinct({_TOKENS_SQL})), chr(31))) AS fp,
-         CAST(round(len(list_distinct({_TOKENS_SQL})) * 10000.0
-                    / len({_TOKENS_SQL})) AS BIGINT) AS score_e4
+         CAST(CASE WHEN trim(text) = '' THEN 0
+              ELSE round(len(list_distinct({_TOKENS_SQL})) * 10000.0
+                         / len({_TOKENS_SQL})) END AS BIGINT) AS score_e4
   FROM documents),
 ranked AS (
   SELECT doc_id, score_e4,
@@ -3172,7 +3173,11 @@ avail AS (
   SELECT d.source, CAST(sum(n_chars) AS HUGEINT) AS a, t.w::HUGEINT AS w
   FROM documents d JOIN tgt t USING (source) GROUP BY d.source, t.w),
 tstar AS (SELECT min(a * {sum(_MIX_WEIGHTS.values())} // w) AS T FROM avail),
-thr AS (SELECT source, (T * w * 1000000) // ({sum(_MIX_WEIGHTS.values())} * a) AS thr
+thr AS (SELECT source,
+               CASE WHEN a * {sum(_MIX_WEIGHTS.values())} // w = T
+                    THEN 1000000
+                    ELSE (T * w * 1000000) // ({sum(_MIX_WEIGHTS.values())} * a)
+               END AS thr
         FROM avail, tstar)
 SELECT doc_id, d.source, CAST(n_chars AS BIGINT) AS n_chars
 FROM documents d JOIN thr USING (source)

@@ -419,24 +419,14 @@ def ivfpq_residual_top_k(
         f"element_at({cents_lit}, bucket + 1), (x, c) -> x - c)"
     )
     codes = encode_expr(resid_sql, books)
-
-    luts = []
-    for b in picked:
-        qr = [q[i] - float(cents[b][i]) for i in range(len(q))]
-        luts.append(adc_lut(qr, books))
-    lut_json = json.dumps(luts)
-    lut_lit = f"from_json('{lut_json}', 'array<array<array<double>>>')"
-    picked_lit = f"from_json('{json.dumps([int(b) for b in picked])}', 'array<int>')"
-    adc_sql = (
-        f"aggregate(zip_with(element_at({lut_lit}, "
-        f"CAST(array_position({picked_lit}, bucket) AS INT)), _codes, "
-        f"(lrow, cd) -> element_at(lrow, cd + 1)), "
-        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    adc = residual_adc_expr(
+        q, cents, books, codes_col="_codes", bucket_col="bucket",
+        buckets=picked,
     )
 
     cand = (
         dfb.withColumn("_codes", codes)
-        .select(F.col(id_col), F.col(vec_col), F.expr(adc_sql).alias("_adc"))
+        .select(F.col(id_col), F.col(vec_col), adc.alias("_adc"))
         .orderBy(F.asc("_adc"), F.asc(id_col))
         .limit(candidates)
     )
@@ -514,24 +504,34 @@ def residual_adc_expr(
     books: np.ndarray,
     codes_col: str = "_ann_pqcode",
     bucket_col: str = "_ann_bucket",
+    buckets: Optional[Sequence[int]] = None,
 ) -> Column:
     """Approximate distance for residual codes: the query's per-bucket
-    LUT table (n_buckets x m x k doubles — a few KB) rides in as ONE
-    literal; each row picks its bucket's LUT by index and sums the m
-    code lookups. Works with or without bucket pruning upstream, since
-    every bucket's LUT is present."""
+    LUT table rides in as ONE literal; each row picks its bucket's LUT
+    by index and sums the m code lookups. With ``buckets`` (a pruned
+    scan's probe set) only those LUTs ship — n_probe x m x k doubles —
+    and rows dispatch by position in the probe list; without it the
+    full n_buckets table ships so any row's bucket resolves. Callers
+    passing ``buckets`` must have filtered the scan to exactly that
+    set (a stray bucket would index slot 0 and error out loudly)."""
     import json
 
     cents = np.asarray(centroids, dtype=np.float64)
     q = [float(x) for x in query]
+    blist = list(range(len(cents))) if buckets is None else [int(b) for b in buckets]
     luts = []
-    for b in range(len(cents)):
+    for b in blist:
         qr = [q[i] - float(cents[b][i]) for i in range(len(q))]
         luts.append(adc_lut(qr, books))
     lut_json = json.dumps(luts)
     lut_lit = f"from_json('{lut_json}', 'array<array<array<double>>>')"
+    if buckets is None:
+        slot = f"{bucket_col} + 1"
+    else:
+        picked_lit = f"from_json('{json.dumps(blist)}', 'array<int>')"
+        slot = f"CAST(array_position({picked_lit}, {bucket_col}) AS INT)"
     return F.expr(
-        f"aggregate(zip_with(element_at({lut_lit}, {bucket_col} + 1), "
+        f"aggregate(zip_with(element_at({lut_lit}, {slot}), "
         f"{codes_col}, (lrow, cd) -> element_at(lrow, cd + 1)), "
         f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
     )

@@ -231,7 +231,10 @@ def rebalance_to_mixture(
     ``weight_col`` summed — e.g. token counts for token-share targets),
 
         T        = min_g floor(a_g * W / w_g)        (achievable total)
-        thr_g    = floor(T * w_g * 10^6 / (W * a_g)) (per-group keep rate)
+        thr_g    = 10^6 for binding groups (those attaining T — kept
+                   whole by construction, not merely up to the floor
+                   division's remainder), else
+                   floor(T * w_g * 10^6 / (W * a_g))
 
     and a row survives iff md5(salt || id) mod 10^6 < thr_g — the same
     nested-sample hash unit as ``hash_sample``, so rebalanced corpora
@@ -264,12 +267,29 @@ def rebalance_to_mixture(
             f"target groups with no available data: {empty} — a mixture "
             "containing them is unachievable without upsampling"
         )
-    total = min(avail[g] * wsum // int(w) for g, w in weights.items())
-    thr = {
-        g: (total * int(w) * _SCALE) // (wsum * avail[g])
-        for g, w in weights.items()
-    }
+    thr = mixture_thresholds(avail, weights)
     lookup = F.create_map(
         *[F.lit(x) for pair in thr.items() for x in pair]
     )[F.col(group_col)]
     return df.filter(_hash_unit(F.col(id_col), salt) < lookup)
+
+
+def mixture_thresholds(avail: dict, weights: dict) -> dict:
+    """Per-group keep thresholds (units of 1/_SCALE) for
+    ``rebalance_to_mixture``: T = min_g floor(a_g*W/w_g) is the
+    achievable total; a BINDING group (one attaining that min) gets
+    threshold _SCALE exactly — kept whole by contract, not merely up to
+    the floor division's remainder — and every other group gets
+    floor(T*w_g*_SCALE / (W*a_g)), which is strictly below _SCALE.
+    Pure integer function shared with the gate oracle's HUGEINT
+    arithmetic and unit-tested directly on non-divisible cases."""
+    wsum = sum(int(w) for w in weights.values())
+    total = min(avail[g] * wsum // int(w) for g, w in weights.items())
+    return {
+        g: (
+            _SCALE
+            if avail[g] * wsum // int(w) == total
+            else (total * int(w) * _SCALE) // (wsum * avail[g])
+        )
+        for g, w in weights.items()
+    }

@@ -378,7 +378,20 @@ class Engine:
         if missing and error_if_not_exists:
             raise errors.NonLinearIndexNotFound(f"non-linear index not found: {missing}")
         removed = [a for a in algorithms if a in meta.non_linear]
-        meta.non_linear = sorted(set(meta.non_linear) - set(algorithms))
+        survivors = set(meta.non_linear) - set(algorithms)
+        pq_cfg = meta.non_linear_config.get("pq")
+        if ("ivf" in removed and "pq" in survivors
+                and pq_cfg and pq_cfg.get("residual")):
+            # residual codes are taken against ivf bucket centroids —
+            # without them the code column is undecodable and later
+            # writes would encode garbage; make the caller drop pq too
+            # (or first)
+            raise ValueError(
+                "cannot drop 'ivf' while the residual 'pq' index remains: "
+                "residual codes decode against the ivf centroids — drop "
+                "'pq' in the same call or beforehand"
+            )
+        meta.non_linear = sorted(survivors)
         for a in removed:
             meta.non_linear_config.pop(a, None)
         self.catalog.put_store(meta)
@@ -703,13 +716,17 @@ class Engine:
         self, store: str, changes: DataFrame, schema: str = PUBLIC_SCHEMA
     ) -> StoreMeta:
         """CDC consumer: apply a batch of change rows — ``op`` in
-        {upsert, delete} plus the canonical (id, key, meta) columns, as
-        produced by ``store_changes_stream`` (or ``store_changes`` with
-        change_type mapped to ops) — to THIS store. One O(changes)
-        delta segment lands, exactly like a native mutation: upserts
-        re-derive their id from the portable key hash and carry the
-        target store's OWN index columns (a replica keeps its own
-        indexes current), deletes tombstone by id.
+        {upsert, delete} (``store_changes_stream`` output) or the batch
+        feed's change_type vocabulary {insert, update, delete}
+        (``store_changes`` output, accepted directly: insert/update are
+        both upserts here) plus the canonical (id, key, meta) columns —
+        to THIS store. Any other op value raises; silently dropping
+        unrecognized rows would let a replica diverge without a trace.
+        One O(changes) delta segment lands, exactly like a native
+        mutation: upserts re-derive their id from the portable key hash,
+        are dimension-validated like ``set`` (whole batch fails before
+        any write), and carry the target store's OWN index columns (a
+        replica keeps its own indexes current); deletes tombstone by id.
 
         When the batch carries (base_version, segment) commit
         coordinates it is netted keep-last per id FIRST, so a
@@ -728,6 +745,13 @@ class Engine:
                 "apply_changes needs (op, id, key, meta) columns, got "
                 f"{sorted(cols)}"
             )
+        # normalize the two accepted vocabularies BEFORE netting, so an
+        # 'insert' ranks as the upsert it is in the within-segment rule
+        changes = changes.withColumn(
+            "op",
+            F.when(F.col("op").isin("insert", "update"), F.lit("upsert"))
+            .otherwise(F.col("op")),
+        )
         if {"base_version", "segment"} <= cols:
             w = Window.partitionBy("id").orderBy(
                 F.col("base_version").desc(), F.col("segment").desc(),
@@ -747,9 +771,31 @@ class Engine:
             "meta",
         )
         dels = changes.filter(F.col("op") == "delete").select("id")
-        # ONE counting job decides which sides exist; empty sides stay
-        # None so the delta writer skips them
-        ops = {r["op"]: r["count"] for r in changes.groupBy("op").count().collect()}
+        # ONE counting job decides which sides exist AND validates the
+        # whole batch — op vocabulary and upsert key dimension — before
+        # anything is written (the same fail-first contract as set())
+        stats = changes.groupBy("op").agg(
+            F.count(F.lit(1)).alias("count"),
+            F.count(
+                F.when(
+                    (F.col("op") == "upsert")
+                    & (F.size(F.col("key")) != int(meta.dimension)),
+                    1,
+                )
+            ).alias("bad_dim"),
+        ).collect()
+        ops = {r["op"]: r["count"] for r in stats}
+        unknown = sorted(set(ops) - {"upsert", "delete"})
+        if unknown:
+            raise ValueError(
+                f"apply_changes: unrecognized op values {unknown} — expected "
+                "upsert/delete (or insert/update from store_changes)"
+            )
+        if any(r["bad_dim"] for r in stats):
+            raise errors.DimensionMismatch(
+                f"store {meta.schema}.{meta.name} expects dimension "
+                f"{meta.dimension}; change batch carries other sizes"
+            )
         if not ops:
             return meta
         return self._append_delta(
@@ -1331,16 +1377,21 @@ class Engine:
                 lut = None if residual else adc_lut(q, books)
                 n_cand = max(4 * closest_n, int(cfg.get("candidates", 256)))
                 scan = raw
+                picked = None
                 # IVF-PQ composition: when the store ALSO carries the
                 # ivf index, prune whole bucket partitions with the
                 # coarse quantizer BEFORE the ADC rank — the classic
                 # IVF-PQ layout (coarse cells for file pruning, fine
                 # codes for in-cell ranking). At 100 TB the scan then
                 # reads n_probe/n_clusters of the files, 8 bytes/row.
-                if "ivf" in meta.non_linear and "_ann_bucket" in raw.columns:
-                    cents = self._ivf_centroids(meta)
+                cents = (
+                    self._ivf_centroids(meta)
+                    if ("ivf" in meta.non_linear and "_ann_bucket" in raw.columns)
+                    else None
+                )
+                if cents is not None:
                     ivf_state = self._ann_state(meta, "ivf")
-                    if cents is not None and "bucket_counts" in ivf_state:
+                    if "bucket_counts" in ivf_state:
                         qv = np.asarray(q, dtype=np.float64)
                         order = np.argsort(
                             ((cents.astype(np.float64) - qv) ** 2).sum(axis=1),
@@ -1357,11 +1408,18 @@ class Engine:
                 # are never read in this stage), bounded top-n_cand,
                 # then exact rescore of the survivors under the
                 # configured metric. Residual mode looks codes up in the
-                # query's per-bucket LUT table (ONE literal, a few KB) —
-                # codes were taken against each row's bucket centroid.
+                # query's per-bucket LUT table (ONE literal — only the
+                # picked buckets' LUTs when the scan is pruned) — codes
+                # were taken against each row's bucket centroid.
                 if residual:
-                    cents = self._ivf_centroids(meta)
-                    adc = residual_adc_expr(q, cents, books)
+                    if cents is None:
+                        # residual flag set but the ivf artifact is gone
+                        # (index dropped out from under the flag by an
+                        # older tree): answers stay correct via the
+                        # exact scan rather than decoding garbage
+                        return top_k_similar(df, search_input, metric,
+                                             closest_n, precision=precision)
+                    adc = residual_adc_expr(q, cents, books, buckets=picked)
                 else:
                     adc = adc_dist_expr(F.col("_ann_pqcode"), lut)
                 cands = (

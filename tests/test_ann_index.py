@@ -563,3 +563,13 @@ def test_residual_batch_falls_back_exact(residual_engine):
         want.setdefault(r["qid"], []).append((r["rank_n"], r["id"]))
     assert {k: sorted(v) for k, v in got.items()} == {
         k: sorted(v) for k, v in want.items()}
+
+
+def test_residual_store_refuses_dropping_ivf_alone(residual_engine):
+    """The coarse quantizer cannot be dropped out from under residual
+    codes (they decode against its centroids); dropping both together
+    is fine."""
+    eng = residual_engine
+    with pytest.raises(ValueError, match="residual"):
+        eng.drop_non_linear_algorithm_index("rv", ["ivf"])
+    assert set(eng.catalog.get_store("rv").non_linear) >= {"ivf", "pq"}

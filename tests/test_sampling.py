@@ -219,3 +219,22 @@ def test_rebalance_to_mixture_binding_group_and_shares(spark):
         rebalance_to_mixture(df, {"a": 1, "nope": 1}, weight_col="n_chars")
     with pytest.raises(ValueError, match="positive"):
         rebalance_to_mixture(df, {"a": 0}, weight_col="n_chars")
+
+
+def test_mixture_thresholds_binding_group_whole_on_nondivisible():
+    """The binding group's threshold must be EXACTLY _SCALE even when
+    floor(a*W/w)*w does not divide back cleanly — the 'kept whole'
+    contract cannot leak rows to floor-division remainders."""
+    from ahnlich_spark.operators.sampling import _SCALE, mixture_thresholds
+
+    # a*W/w_a = 10*10/7 -> T = 14; old floor formula gave 980000
+    thr = mixture_thresholds({"a": 10, "b": 5000}, {"a": 7, "b": 3})
+    assert thr["a"] == _SCALE
+    assert thr["b"] < _SCALE
+    # divisible case unchanged; ALL groups binding when symmetric
+    thr = mixture_thresholds({"a": 100, "b": 100}, {"a": 1, "b": 1})
+    assert thr == {"a": _SCALE, "b": _SCALE}
+    # non-binding thresholds keep proportionality: b thinned toward
+    # a's achievable total
+    thr = mixture_thresholds({"a": 1000, "b": 9000}, {"a": 1, "b": 1})
+    assert thr["a"] == _SCALE and abs(thr["b"] - _SCALE * 1000 / 9000) <= 1

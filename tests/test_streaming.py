@@ -417,3 +417,28 @@ def test_apply_changes_validates_and_noops(spark, engine):
     )
     engine.apply_changes("ac", empty)  # no segment for an empty batch
     assert engine.catalog.get_store("ac").deltas == before
+
+
+def test_apply_changes_vocabulary_and_dimension_guards(spark, engine):
+    """insert/update (store_changes vocabulary) apply as upserts; truly
+    unknown ops raise instead of silently dropping; wrong-dimension
+    upserts fail the whole batch before any write."""
+    import pytest
+
+    from ahnlich_spark import errors
+
+    engine.create_store("acv", dimension=2)
+    engine.set("acv", [([1.0, 1.0], {})])
+    mk = lambda rows: spark.createDataFrame(
+        rows, "op string, id long, key array<float>, meta map<string,"
+        "struct<kind:string,s:string,bin:binary>>"
+    )
+    engine.apply_changes("acv", mk([("insert", 0, [2.0, 2.0], None),
+                                    ("update", 0, [1.0, 1.0], None)]))
+    assert engine.get_store("acv").len == 2
+    before = engine.catalog.get_store("acv").deltas
+    with pytest.raises(ValueError, match="unrecognized op"):
+        engine.apply_changes("acv", mk([("bogus", 0, [3.0, 3.0], None)]))
+    with pytest.raises(errors.DimensionMismatch):
+        engine.apply_changes("acv", mk([("upsert", 0, [1.0, 2.0, 3.0], None)]))
+    assert engine.catalog.get_store("acv").deltas == before  # nothing written
