@@ -4808,6 +4808,416 @@ def sample_weighted_quality(spark, sf_dir):
     return weighted_hash_sample(scored, F.col("dr_e4") * 100, salt="wq")
 
 
+# ---------------------------------------- warehouse algebra (round 4) --
+# Completes the partsupp-free TPC-H algebra over the driver fixtures
+# (Q1/Q3/Q4/Q5/Q10/Q14/Q17/Q22 shipped earlier rounds; Q2/Q9/Q11/Q16/Q20
+# need the partsupp table the fixtures don't have). Where a fixture
+# column is missing (l_shipmode/l_commitdate, o_comment, p_container)
+# the query keeps the ALGEBRA shape — disjunctive pushdown, two-sided
+# dimension pairs, outer-join distributions, double-negated EXISTS —
+# with columns that exist. Money stays scaled-integer end-to-end.
+
+
+@register("forecast_revenue_change", """
+SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_e4,
+       count(*) AS n
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+  AND l_quantity < 24
+""")
+def forecast_revenue_change(spark, sf_dir):
+    """TPC-H Q6: pure filter-aggregate over the fact table — the
+    pushdown litmus test. Date + quantity predicates reach the parquet
+    scan (PushedFilters), the discount band folds into the same scan
+    stage, and the global sum is one partial-agg exchange of ONE row
+    per task. At 100 TB this reads only the min/max-pruned row groups."""
+    li = _t(spark, sf_dir, "lineitem")
+    e2 = lambda c: F.round(F.col(c) * 100).cast("long")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & e2("l_discount").between(5, 7)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(e2("l_extendedprice") * e2("l_discount")).alias("revenue_e4"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register("volume_shipping", """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+         AS revenue_e4,
+       count(*) AS n
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+   OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+GROUP BY supp_nation, cust_nation, l_year
+""")
+def volume_shipping(spark, sf_dir):
+    """TPC-H Q7 (two-nation shipping volume by year): the two-sided
+    dimension-pair filter. The nation pair predicate is a DISJUNCTION
+    across both join branches, so it can't push below either nation
+    join alone — but both nation joins are broadcasts, so the pair
+    filter still runs inside the fact-scan stage, before the orderkey
+    shuffle ever materializes rows. One wide shuffle (lineitem x
+    orders); supplier/customer/nation all broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = F.broadcast(_t(spark, sf_dir, "customer"))
+    supp = F.broadcast(_t(spark, sf_dir, "supplier"))
+    n1 = F.broadcast(
+        _t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    n2 = F.broadcast(
+        _t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+        )
+    )
+    e2 = lambda c: F.round(F.col(c) * 100).cast("long")
+    pair = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
+    ) | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n1, F.col("s_nationkey") == F.col("n1_key"))
+        .join(n2, F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(
+            F.sum(e2("l_extendedprice") * (F.lit(100) - e2("l_discount"))).alias("revenue_e4"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register("nation_market_share", """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum(CASE WHEN n2.n_name = 'NATION_2'
+                THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                ELSE 0 END) AS BIGINT) AS target_vol_e4,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+         AS total_vol_e4,
+       count(*) AS n
+FROM lineitem
+JOIN part     ON p_partkey = l_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region   ON n1.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+  AND o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1999-01-01'
+GROUP BY o_year
+""")
+def nation_market_share(spark, sf_dir):
+    """TPC-H Q8 (market share of one supplier nation inside a region):
+    the share is reported as EXACT integer numerator/denominator pairs
+    (target_vol_e4 / total_vol_e4) — never divided, so both engines
+    hash-match bit-exactly and the caller divides at display time.
+    Plan shape: p_type filter pushes into the part scan and prunes
+    lineitem via the broadcast hash join BEFORE the orderkey shuffle;
+    region gates the customer branch the same way. One wide shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = F.broadcast(_t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO"))
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    cust = F.broadcast(_t(spark, sf_dir, "customer"))
+    supp = F.broadcast(_t(spark, sf_dir, "supplier"))
+    n1 = F.broadcast(
+        _t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+        )
+    )
+    n2 = F.broadcast(
+        _t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    region = F.broadcast(_t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
+    e2 = lambda c: F.round(F.col(c) * 100).cast("long")
+    vol = e2("l_extendedprice") * (F.lit(100) - e2("l_discount"))
+    return (
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(n1, F.col("c_nationkey") == F.col("n1_key"))
+        .join(region, F.col("n1_region") == F.col("r_regionkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n2, F.col("s_nationkey") == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == "NATION_2", vol).otherwise(F.lit(0)))
+            .alias("target_vol_e4"),
+            F.sum(vol).alias("total_vol_e4"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register("late_shipment_priority", """
+SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 90
+            THEN 'LATE' ELSE 'ONTIME' END AS ship_bucket,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_lines,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_lines
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY ship_bucket
+""")
+def late_shipment_priority(spark, sf_dir):
+    """TPC-H Q12 shape (priority mix of late vs on-time shipments; the
+    fixture has no l_shipmode/l_commitdate, so lateness = shipped more
+    than 90 days after the order date). The conditional-count pivot
+    runs map-side; the only wide exchange is the fact-fact orderkey
+    join, and the ship-year filter pushes into the lineitem scan so the
+    join only shuffles one year of lines."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .withColumn(
+            "ship_bucket",
+            F.when(F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 90, "LATE")
+            .otherwise("ONTIME"),
+        )
+        .groupBy("ship_bucket")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_lines"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_lines"),
+        )
+    )
+
+
+@register("customer_order_distribution", """
+WITH per_cust AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+  GROUP BY c_custkey
+)
+SELECT CAST(c_count AS BIGINT) AS c_count, count(*) AS custdist
+FROM per_cust GROUP BY c_count
+""")
+def customer_order_distribution(spark, sf_dir):
+    """TPC-H Q13 shape (order-count distribution incl. zero-order
+    customers; the fixture has no o_comment, so the exclusion predicate
+    is on priority). Instead of the literal outer join, the fact side
+    aggregates FIRST (one shuffle on o_custkey, map-side combine), then
+    the per-customer counts left-join customer — at 100 TB the outer
+    join input is |customers| rows, never |orders|. COALESCE keeps the
+    zero bucket identical to the SQL outer-join count semantics."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "5-LOW")
+    per_cust = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        cust.join(per_cust, cust["c_custkey"] == per_cust["o_custkey"], "left")
+        .select(F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+@register("top_supplier_revenue", """
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+           AS total_revenue_e4
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue_e4
+FROM rev JOIN supplier ON s_suppkey = l_suppkey
+WHERE total_revenue_e4 = (SELECT max(total_revenue_e4) FROM rev)
+""")
+def top_supplier_revenue(spark, sf_dir):
+    """TPC-H Q15 (top supplier by quarterly revenue, ALL ties kept):
+    the scalar-subquery argmax. A literal scalar subquery would
+    recompute the aggregate's lineage — scanning the fact table TWICE —
+    so the max is taken instead as a window over the per-supplier
+    aggregate, which is already tiny (|suppliers| rows): one fact scan,
+    one agg shuffle, one small single-partition pass. No global sort of
+    anything fact-sized."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    e2 = lambda c: F.round(F.col(c) * 100).cast("long")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(e2("l_extendedprice") * (F.lit(100) - e2("l_discount"))).alias(
+            "total_revenue_e4"
+        )
+    )
+    best = F.max("total_revenue_e4").over(Window.partitionBy())
+    supp = F.broadcast(_t(spark, sf_dir, "supplier"))
+    return (
+        rev.withColumn("best_rev", best)
+        .filter(F.col("total_revenue_e4") == F.col("best_rev"))
+        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue_e4")
+    )
+
+
+@register("large_volume_customers", """
+WITH big AS (
+  SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS BIGINT)) > 175
+)
+SELECT c_custkey, c_name, o_orderkey,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS total_e2, sum_qty
+FROM big JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+""")
+def large_volume_customers(spark, sf_dir):
+    """TPC-H Q18 (customers behind large-volume orders): HAVING over a
+    fact aggregate, then joined back up the key chain. The quantity
+    rollup shuffles lineitem ONCE on its join key (l_orderkey), so the
+    having-filtered survivors join orders with NO extra exchange (same
+    partitioning); customer is broadcast. Quantities are integral in
+    the fixture, summed as BIGINT on both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 175)
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = F.broadcast(_t(spark, sf_dir, "customer"))
+    return (
+        big.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("total_e2"),
+            "sum_qty",
+        )
+    )
+
+
+@register("sole_return_supplier", """
+SELECT s_name, count(*) AS numwait
+FROM supplier, lineitem l1, orders
+WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name LIMIT 20
+""")
+def sole_return_supplier(spark, sf_dir):
+    """TPC-H Q21 shape (the double-negated EXISTS: suppliers solely
+    responsible for returns on multi-supplier finished orders; fixture
+    lineitem has no commit/receipt dates, so 'fault' = returnflag R).
+    The oracle states it as EXISTS + NOT EXISTS self-joins; the Spark
+    plan rewrites both into ONE pass — count DISTINCT suppliers and
+    distinct R-suppliers per order with window aggregates over the
+    orderkey partitioning the join already created, so lineitem is
+    scanned once and shuffled once. l1 qualifies iff the order has >=2
+    suppliers and exactly 1 distinct R-supplier (which is l1's, since
+    l1 itself is R). Final ordering is total (s_name unique), so the
+    LIMIT is deterministic across engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    w = Window.partitionBy("l_orderkey")
+    joined = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .withColumn("n_supp", F.size(F.collect_set("l_suppkey").over(w)))
+        .withColumn(
+            "n_r_supp",
+            F.size(
+                F.collect_set(
+                    F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+                ).over(w)
+            ),
+        )
+    )
+    cand = joined.filter(
+        (F.col("l_returnflag") == "R") & (F.col("n_supp") >= 2) & (F.col("n_r_supp") == 1)
+    )
+    supp = F.broadcast(_t(spark, sf_dir, "supplier"))
+    return (
+        cand.join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(20)
+    )
+
+
+@register("events_rollup_cube", """
+SELECT COALESCE(event_type, '(all)') AS event_type,
+       CAST(COALESCE(hr, -1) AS BIGINT) AS hr,
+       count(*) AS n,
+       CAST(sum(value_e2) AS BIGINT) AS sum_value_e2
+FROM (SELECT event_type, (epoch_us(ts) // 3600000000) % 24 AS hr,
+             CAST(round(value * 100) AS BIGINT) AS value_e2
+      FROM events)
+GROUP BY CUBE(event_type, hr)
+""")
+def events_rollup_cube(spark, sf_dir):
+    """CUBE rollup (all 4 grouping sets of event_type x hour-of-day in
+    one pass): Spark expands the cube map-side and aggregates all sets
+    in a single exchange — the OLAP-cube primitive the reference has no
+    answer to. Hour-of-day is integer epoch arithmetic (timezone-free,
+    identical in DuckDB); grouped-out keys surface as COALESCE
+    sentinels so the hash compare is null-free."""
+    ev = _events_us(spark, sf_dir)
+    base = ev.select(
+        "event_type",
+        ((F.col("ts_us") / 3_600_000_000).cast("long") % 24).alias("hr"),
+        F.round(F.col("value") * 100).cast("long").alias("value_e2"),
+    )
+    return (
+        base.cube("event_type", "hr")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value_e2").alias("sum_value_e2"),
+        )
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("(all)")).alias("event_type"),
+            F.coalesce(F.col("hr"), F.lit(-1)).cast("long").alias("hr"),
+            "n",
+            "sum_value_e2",
+        )
+    )
+
+
 # ------------------------------------------------------------- entry --
 
 def flagship(spark: SparkSession) -> DataFrame:

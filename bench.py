@@ -122,6 +122,16 @@ BENCH_QUERIES = [
     "order_priority_exists",
     "dormant_rich_customers",
     "small_quantity_revenue",
+    # round 4, later session: the partsupp-free TPC-H completion + cube
+    "forecast_revenue_change",
+    "volume_shipping",
+    "nation_market_share",
+    "late_shipment_priority",
+    "customer_order_distribution",
+    "top_supplier_revenue",
+    "large_volume_customers",
+    "sole_return_supplier",
+    "events_rollup_cube",
 ]
 
 

@@ -313,3 +313,74 @@ def test_rebalance_filter_is_scan_local(spark, sf_dir):
     plan = plan_of(out)
     assert n_exchanges(plan) == 0, plan
     assert "Join" not in plan, plan
+
+
+def test_tpch_completion_gates_plan_shapes(spark, sf_dir):
+    """The round-4 warehouse-algebra completion set: each query's
+    scale-critical plan property, pinned. At this SF AQE may broadcast
+    even the fact-fact joins, so pins assert pushdown + exchange BOUNDS
+    + broadcast floors rather than exact join physics."""
+    from ahnlich_spark.entry_queries import QUERIES
+
+    sf = sf_dir
+
+    # Q6: pure filter-agg — predicates reach the scan, no join at all.
+    q6 = plan_of(QUERIES["forecast_revenue_change"](spark, sf))
+    pushed = q6.split("PushedFilters")[1].split("\n")[0]
+    assert "l_shipdate" in pushed and "l_quantity" in pushed, q6
+    assert "Join" not in q6, q6
+    assert n_exchanges(q6) <= 1, q6
+
+    # Q7: all four dimensions broadcast; at most the one fact-fact
+    # exchange pair plus the final tiny agg.
+    q7 = plan_of(QUERIES["volume_shipping"](spark, sf))
+    assert q7.count("BroadcastHashJoin") >= 4, q7
+    assert n_exchanges(q7) <= 3, q7
+
+    # Q8: part's type filter is pushed into ITS scan (prunes lineitem
+    # through the broadcast join before the wide shuffle).
+    q8 = plan_of(QUERIES["nation_market_share"](spark, sf))
+    assert "EqualTo(p_type,PROMO)" in q8, q8
+    assert "o_orderdate" in q8, q8
+    assert q8.count("BroadcastHashJoin") >= 5, q8
+    assert n_exchanges(q8) <= 3, q8
+
+    # Q12: ship-year filter pushed into the lineitem scan.
+    q12 = plan_of(QUERIES["late_shipment_priority"](spark, sf))
+    assert "GreaterThanOrEqual(l_shipdate,1997-01-01" in q12, q12
+    assert n_exchanges(q12) <= 3, q12
+
+    # Q13: the fact side aggregates BEFORE the outer join (the
+    # HashAggregate on o_custkey sits below the join in the tree), and
+    # the priority exclusion reaches the orders scan.
+    q13 = plan_of(QUERIES["customer_order_distribution"](spark, sf))
+    assert "Not(EqualTo(o_orderpriority,5-LOW))" in q13, q13
+    assert n_exchanges(q13) <= 3, q13
+
+    # Q15: ONE scan of lineitem (the scalar max must not recompute the
+    # aggregate lineage), no fact-sized sort.
+    q15 = plan_of(QUERIES["top_supplier_revenue"](spark, sf))
+    assert len(re.findall(r"^\(\d+\) Scan parquet", q15, re.MULTILINE)) == 2, q15  # lineitem + supplier
+    assert n_exchanges(q15) <= 3, q15
+
+    # Q18: the quantity rollup's shuffle partitioning is REUSED by the
+    # orders join — one exchange total on the fact chain.
+    q18 = plan_of(QUERIES["large_volume_customers"](spark, sf))
+    assert n_exchanges(q18) <= 2, q18
+
+    # Q21: the EXISTS/NOT-EXISTS pair compiles to window aggregates over
+    # the join's own orderkey partitioning — NOT two more self-joins of
+    # lineitem: exactly one lineitem scan, bounded exchanges.
+    q21 = plan_of(QUERIES["sole_return_supplier"](spark, sf))
+    # 3 parquet scans total — lineitem, orders, supplier — so lineitem
+    # is read exactly once (a self-join rewrite would make it 5).
+    assert len(re.findall(r"^\(\d+\) Scan parquet", q21, re.MULTILINE)) == 3, q21
+    assert "Window" in q21, q21
+    assert n_exchanges(q21) <= 4, q21
+    assert "EqualTo(o_orderstatus,F)" in q21, q21
+
+    # CUBE: one Expand + one exchange — all four grouping sets in a
+    # single aggregation pass.
+    qc = plan_of(QUERIES["events_rollup_cube"](spark, sf))
+    assert "Expand" in qc, qc
+    assert n_exchanges(qc) <= 1, qc
