@@ -1875,6 +1875,79 @@ def ann_pruned_batch_topk(spark, sf_dir):
     )
 
 
+def _recall_eval_oracle_sql(n_probes: int = 8, k: int = 5) -> str:
+    """Replays BOTH faces the recall harness compares: the pruned batch
+    LSH pipeline (exactly _pruned_batch_oracle_sql's stages) and the
+    exact per-probe cosine top-k, then counts the intersection."""
+    min_cand = _hnsw_gate_min_cand()
+    floor_r = 3
+    return f"""
+WITH q AS (SELECT vec_id AS pid, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < {n_probes}),
+sigs AS (SELECT vec_id, embedding, {_sig_sql('embedding')} AS sig FROM embeddings),
+qs AS (SELECT pid, qv, {_sig_sql('qv')} AS qsig FROM q),
+hd AS (SELECT pid, qv, vec_id, embedding, bit_count(xor(sig, qsig)) AS h
+       FROM sigs, qs),
+rad AS (SELECT pid, greatest({floor_r}, max(CASE WHEN rn = {min_cand} THEN h END)) AS r
+        FROM (SELECT pid, h,
+                     row_number() OVER (PARTITION BY pid ORDER BY h) AS rn
+              FROM hd)
+        GROUP BY pid),
+pr_scored AS (SELECT hd.pid, vec_id,
+                     list_cosine_similarity(embedding::DOUBLE[], qv) AS score
+              FROM hd JOIN rad ON hd.pid = rad.pid WHERE h <= r),
+pruned AS (SELECT pid, vec_id FROM (
+             SELECT pid, vec_id,
+                    row_number() OVER (PARTITION BY pid
+                         ORDER BY score DESC, vec_id) AS rn
+             FROM pr_scored) WHERE rn <= {k}),
+ex_scored AS (SELECT q.pid, e.vec_id,
+                     list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS score
+              FROM embeddings e, q),
+exact AS (SELECT pid, vec_id FROM (
+            SELECT pid, vec_id,
+                   row_number() OVER (PARTITION BY pid
+                        ORDER BY score DESC, vec_id) AS rn
+            FROM ex_scored) WHERE rn <= {k})
+SELECT CAST(e.pid AS BIGINT) AS probe_id,
+       CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(sum(CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hits
+FROM exact e LEFT JOIN pruned p ON e.pid = p.pid AND e.vec_id = p.vec_id
+GROUP BY e.pid
+"""
+
+
+@register("ann_recall_eval", _recall_eval_oracle_sql())
+def ann_recall_eval(spark, sf_dir):
+    """The retrieval-quality evaluation loop as a first-class operator
+    (reference parity: sift_dataset_validation.rs asserts recall >= 0.9
+    for tuned HNSW): run the SAME probe batch through the pruned LSH
+    path and the exact scan, join the two k-sets per probe, report
+    recall as exact integer (n_hits, n_exact) pairs. Evaluation adds no
+    store scan of its own — both inputs are k x batch rows — so the
+    harness costs the same at 100 TB as at 100 MB once the two searches
+    have run (operators/evaluation.recall_at_k)."""
+    from ahnlich_spark.operators.evaluation import recall_at_k
+
+    eng = _pruned_engine(spark, sf_dir, "hnsw")
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = [
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id") < 8).collect()
+    ]
+    pruned = eng.get_sim_n_batch("annp", probes, closest_n=5, algorithm="hnsw",
+                                 precision="double")
+    exact = eng.get_sim_n_batch("annp", probes, closest_n=5, algorithm=S.COSINE,
+                                precision="double")
+    rec = recall_at_k(exact, pruned)
+    return rec.select(
+        F.col("qid").cast("long").alias("probe_id"),
+        F.col("n_exact").cast("long").alias("n_exact"),
+        F.col("n_hits").cast("long").alias("n_hits"),
+    )
+
+
 @register("ann_pruned_batch_ivf_topk", _pruned_batch_ivf_oracle_sql())
 def ann_pruned_batch_ivf_topk(spark, sf_dir):
     """Batch GetSimN through the pruned IVF path (Engine._batch_ivf):

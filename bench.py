@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     "large_volume_customers",
     "sole_return_supplier",
     "events_rollup_cube",
+    "ann_recall_eval",
 ]
 
 

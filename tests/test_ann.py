@@ -95,3 +95,22 @@ def test_small_store_is_exact(spark):
     approx = [r["id"] for r in lsh_top_k(df, q, metric=S.COSINE, k=10).collect()]
     exact = [r["id"] for r in top_k_similar(df, q, S.COSINE, 10).collect()]
     assert approx == exact  # brute-force shortcut: identical, ordered
+
+
+def test_recall_at_k_counts(spark):
+    """recall_at_k: per-probe intersection counts, exact-side base —
+    identical sets give n_hits == n_exact, disjoint give 0, and an
+    approx side MISSING a probe entirely still reports that probe."""
+    from ahnlich_spark.operators.evaluation import recall_at_k
+
+    exact = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (1, 7), (1, 8), (2, 4)],
+        "qid long, id long",
+    )
+    approx = spark.createDataFrame(
+        [(0, 2), (0, 3), (0, 99), (1, 5), (1, 6)],  # probe 2 absent
+        "qid long, id long",
+    )
+    rows = {r["qid"]: (r["n_exact"], r["n_hits"])
+            for r in recall_at_k(exact, approx).collect()}
+    assert rows == {0: (3, 2), 1: (2, 0), 2: (1, 0)}
