@@ -2482,6 +2482,90 @@ def streaming_interval_join(spark, sf_dir):
     )
 
 
+@register("streaming_late_data", """
+WITH wma AS (SELECT max(epoch_us(ts)) - 3600000000 AS wm
+             FROM events WHERE event_id % 3 = 0),
+wmf AS (SELECT max(epoch_us(ts)) - 3600000000 AS wm FROM events),
+admitted AS (
+  SELECT ts, event_type FROM events WHERE event_id % 3 < 2
+  UNION ALL
+  SELECT ts, event_type FROM events, wma
+  WHERE event_id % 3 = 2
+    AND (epoch_us(ts) // 3600000000 + 1) * 3600000000 > wma.wm
+)
+SELECT CAST(epoch_us(ts) // 3600000000 * 3600 AS BIGINT) AS hour_epoch,
+       event_type, count(*) AS n
+FROM admitted, wmf
+WHERE (epoch_us(ts) // 3600000000 + 1) * 3600000000 <= wmf.wm
+GROUP BY 1, 2
+""")
+def streaming_late_data(spark, sf_dir):
+    """Watermark LATE-DATA semantics, gate-pinned: an append-mode
+    hourly rollup over three ORDERED micro-batches (thirds of events by
+    event_id mod 3), 1-hour watermark. Spark's stateful operators use
+    TWO watermarks per batch (empirically pinned on this engine
+    version): late rows in batch N are filtered against the PREVIOUS
+    batch's eviction watermark (max event time through batch N-2 minus
+    delay), while state eviction/emission uses the current one (through
+    batch N-1). For 3 batches that means: batches 0-1 admit everything
+    (their late-filter watermark is still epoch 0), batch 2 drops rows
+    whose window closed before max(batch0) - 1h, and append emits
+    exactly the windows closed under the FINAL watermark (global max -
+    1h, advanced once more by the trailing no-data batch). The oracle
+    computes that admit/emit set in closed form — if the engine's
+    late-row or eviction rule drifts, the hash breaks."""
+    import glob
+    import time
+    import uuid
+
+    ev = _events_us(spark, sf_dir).select("event_id", "ts_us", "event_type")
+    src = tempfile.mkdtemp(prefix="ahnlich_late_")
+    files = []
+    for i in range(3):
+        d = os.path.join(src, f"b{i}")
+        ev.filter(F.col("event_id") % 3 == i).select(
+            "ts_us", "event_type"
+        ).coalesce(1).write.parquet(d)
+        files.append(glob.glob(os.path.join(d, "part-*.parquet"))[0])
+    watch = os.path.join(src, "watch")
+    os.makedirs(watch)
+    now = time.time()
+    for i, f in enumerate(files):
+        os.utime(f, (now - 180 + 60 * i, now - 180 + 60 * i))
+        os.symlink(f, os.path.join(watch, f"batch-{i}.parquet"))
+
+    stream = (
+        spark.readStream.schema("ts_us long, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(watch)
+        .select(F.timestamp_micros(F.col("ts_us")).alias("ts"), "event_type")
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    name = f"late_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(name).select(
+        F.unix_timestamp(F.col("w.start")).cast("long").alias("hour_epoch"),
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+    )
+
+
 @register("streaming_probe_search", """
 WITH p AS (SELECT vec_id AS probe_id, embedding::DOUBLE[] AS qv
            FROM embeddings WHERE vec_id < 8),
