@@ -5375,6 +5375,67 @@ def events_rollup_cube(spark, sf_dir):
     )
 
 
+def _pagerank_oracle_sql(iterations: int = 3, damping_e2: int = 85) -> str:
+    """Unrolled integer-PageRank CTE chain over the supplier-customer
+    co-occurrence graph — the SQL twin of operators/graph.pagerank
+    (same teleport/damping floor-division at every step)."""
+    tp = (1_000_000_000 * (100 - damping_e2)) // 100
+    ctes = ["""pairs AS (SELECT DISTINCT l_suppkey AS s, o_custkey AS c
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+edges AS (SELECT s * 2 AS src, c * 2 + 1 AS dst FROM pairs
+          UNION ALL SELECT c * 2 + 1, s * 2 FROM pairs),
+nodes AS (SELECT DISTINCT src AS node FROM edges
+          UNION SELECT DISTINCT dst FROM edges),
+outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS rank_e9 FROM nodes)"""]
+    for i in range(1, iterations + 1):
+        ctes.append(f"""c{i} AS (SELECT e.dst AS node, sum(r.rank_e9 // d.outdeg) AS received
+  FROM edges e JOIN r{i-1} r ON e.src = r.node JOIN outdeg d ON e.src = d.src
+  GROUP BY e.dst),
+r{i} AS (SELECT n.node,
+         CAST({tp} + ({damping_e2} * COALESCE(c.received, 0)) // 100 AS BIGINT)
+           AS rank_e9
+  FROM nodes n LEFT JOIN c{i} c ON n.node = c.node)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT CAST(node AS BIGINT) AS node, rank_e9 FROM r{iterations}"
+    )
+
+
+@register("graph_pagerank", _pagerank_oracle_sql())
+def graph_pagerank(spark, sf_dir):
+    """Iterative importance propagation (PageRank, 3 rounds) over the
+    bipartite supplier-customer co-occurrence graph: distinct
+    (supplier, customer) pairs sharing an order, symmetrized so no node
+    dangles. All rank math is e9 fixed-point with floor division —
+    bit-identical across engines at every iteration — and each round is
+    ONE shuffle (contributions grouped by destination) with the
+    |V|-sized rank table broadcast (operators/graph.pagerank). The
+    reference has no graph surface; a training-data pipeline uses this
+    shape for domain-authority weighting of crawled sources."""
+    from ahnlich_spark.operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    pairs = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(F.col("l_suppkey").alias("s"), F.col("o_custkey").alias("c"))
+        .distinct()
+    )
+    fwd = pairs.select(
+        (F.col("s") * 2).alias("src"), (F.col("c") * 2 + 1).alias("dst")
+    )
+    rev = pairs.select(
+        (F.col("c") * 2 + 1).alias("src"), (F.col("s") * 2).alias("dst")
+    )
+    edges = fwd.unionAll(rev)
+    ranks = pagerank(edges, iterations=3, damping_e2=85)
+    return ranks.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("rank_e9").cast("long").alias("rank_e9"),
+    )
+
+
 # ------------------------------------------------------------- entry --
 
 def flagship(spark: SparkSession) -> DataFrame:

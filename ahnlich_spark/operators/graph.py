@@ -1,0 +1,91 @@
+"""Iterative graph algorithms over edge DataFrames.
+
+The near-dup clustering operator (operators/cluster.py) already covers
+connected components; this module adds importance propagation —
+PageRank — the canonical *iterative* analytics shape: a fixed number of
+join + aggregate rounds where round N's output is round N+1's input.
+
+Scale shape: each iteration is ONE shuffle (contributions grouped by
+destination). Ranks are |V|-sized — always the small side — so the
+edges × ranks join broadcasts the ranks at any corpus size where |V|
+fits an executor (and falls back to a keyed shuffle join under AQE when
+it doesn't). Edges are scanned once per iteration from their cached/
+materialized form; nothing driver-side grows with the graph.
+
+Determinism discipline (cross-engine oracle contract): all rank math is
+scaled-integer with floor division — contribution = rank div out_degree,
+next = teleport + damping * sum(contributions) div 100 — so Spark and
+any ANSI-SQL engine produce bit-identical BIGINT ranks at every
+iteration; no float ever enters the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+RANK_SCALE = 1_000_000_000  # ranks are e9 fixed-point BIGINTs
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping_e2: int = 85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Unnormalized integer PageRank over a directed edge list.
+
+    Every node starts at RANK_SCALE; each round every node sends
+    ``rank div out_degree`` along each out-edge and is re-scored as
+    ``RANK_SCALE * (100 - damping_e2) div 100  +
+    damping_e2 * sum(received) div 100``. Nodes with no out-edges
+    (dangling) keep only the teleport term — callers who need the
+    classic redistribution should symmetrize the edge list first
+    (undirected graphs have no dangling nodes by construction).
+
+    Returns (node, rank_e9). The iteration count is fixed and small by
+    contract (importance ranking converges geometrically; pipelines run
+    3-10 rounds), so the plan is ``iterations`` chained shuffles — each
+    round one groupBy(dst) — with the out-degree table computed once.
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    if not (0 < damping_e2 < 100):
+        raise ValueError("damping_e2 must be in (0, 100)")
+
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # exact Python-int teleport mass — never a float division
+    teleport = (RANK_SCALE * (100 - damping_e2)) // 100
+
+    ranks = nodes.select("node", F.lit(RANK_SCALE).cast("long").alias("rank_e9"))
+    for _ in range(iterations):
+        contrib = (
+            e.join(F.broadcast(ranks), e["src"] == ranks["node"])
+            .join(F.broadcast(outdeg), "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank_e9 div outdeg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("received"))
+        )
+        ranks = (
+            nodes.join(F.broadcast(contrib), "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport).cast("long")
+                    + F.expr(
+                        f"({damping_e2} * coalesce(received, 0L)) div 100"
+                    ).cast("long")
+                ).alias("rank_e9"),
+            )
+        )
+    return ranks

@@ -133,6 +133,7 @@ BENCH_QUERIES = [
     "sole_return_supplier",
     "events_rollup_cube",
     "ann_recall_eval",
+    "graph_pagerank",
 ]
 
 
