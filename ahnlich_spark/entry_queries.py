@@ -4358,6 +4358,153 @@ def ann_ivfpq_residual_topk(spark, sf_dir):
     )
 
 
+def _ivfpq_residual_batch_oracle_sql(n_probes: int = 4, k: int = 5,
+                                     n_probe: int = 4,
+                                     candidates: int = 128) -> str:
+    """Batch twin of _ivfpq_residual_oracle_sql: the SAME probe-pick /
+    residual-encode / per-bucket-LUT / rescore chains, partitioned by
+    probe id — each probe's candidate pool is restricted to its OWN
+    picked buckets (the residual batch contract: no union widening)."""
+    import numpy as np
+
+    from ahnlich_spark.operators.pq import train_codebooks_residual
+
+    cents = np.asarray(_ivf_gate_centroids(), dtype=np.float64)
+    books = train_codebooks_residual(cents)
+    m, kc, dsub = books.shape
+    _cents_assign, assign_ctes = _ivf_assign_ctes()
+
+    qd_rows = "\nUNION ALL\n".join(
+        f"SELECT pid, qv, {b} AS bucket, ({_sqdist_chain('qv', cents[b])}) AS qd FROM q"
+        for b in range(len(cents))
+    )
+    cent_rows = "\nUNION ALL\n".join(
+        f"SELECT {b} AS bucket, "
+        f"[{', '.join(repr(float(x)) for x in cents[b])}]::DOUBLE[] AS cent"
+        for b in range(len(cents))
+    )
+
+    def store_chain(j: int, c: int) -> str:
+        return " + ".join(
+            f"((embedding[{j * dsub + i + 1}]::DOUBLE - cent[{j * dsub + i + 1}])"
+            f" - {float(books[j][c][i])!r})"
+            f" * ((embedding[{j * dsub + i + 1}]::DOUBLE - cent[{j * dsub + i + 1}])"
+            f" - {float(books[j][c][i])!r})"
+            for i in range(dsub)
+        )
+
+    def q_chain(j: int, c: int) -> str:
+        return " + ".join(
+            f"((qv[{j * dsub + i + 1}]::DOUBLE - cent[{j * dsub + i + 1}])"
+            f" - {float(books[j][c][i])!r})"
+            f" * ((qv[{j * dsub + i + 1}]::DOUBLE - cent[{j * dsub + i + 1}])"
+            f" - {float(books[j][c][i])!r})"
+            for i in range(dsub)
+        )
+
+    dlists = ",\n  ".join(
+        f"[{', '.join(store_chain(j, c) for c in range(kc))}] AS dl{j}"
+        for j in range(m)
+    )
+    codes = ", ".join(
+        f"(list_position(dl{j}, list_min(dl{j})) - 1) AS c{j}" for j in range(m)
+    )
+    adc = " + ".join(
+        f"([{', '.join(q_chain(j, c) for c in range(kc))}])[c{j} + 1]"
+        for j in range(m)
+    )
+    exact = " + ".join(
+        f"(embedding[{i + 1}]::DOUBLE - qv[{i + 1}]::DOUBLE)"
+        f" * (embedding[{i + 1}]::DOUBLE - qv[{i + 1}]::DOUBLE)"
+        for i in range(m * dsub)
+    )
+    return f"""
+WITH q AS (SELECT vec_id AS pid, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < {n_probes}),
+{assign_ctes},
+qd AS ({qd_rows}),
+picked AS (SELECT pid, qv, bucket FROM (
+             SELECT pid, qv, bucket,
+                    row_number() OVER (PARTITION BY pid
+                         ORDER BY qd, bucket) AS rn
+             FROM qd) WHERE rn <= {n_probe}),
+cents_tbl AS ({cent_rows}),
+cand0 AS (SELECT p.pid, p.qv, a.vec_id, a.embedding, ct.cent
+          FROM assign a JOIN picked p USING (bucket)
+          JOIN cents_tbl ct USING (bucket)),
+d AS (SELECT pid, qv, vec_id, embedding, cent,
+  {dlists}
+  FROM cand0),
+enc AS (SELECT pid, qv, vec_id, embedding, cent, {codes} FROM d),
+adc AS (SELECT pid, qv, vec_id, embedding, {adc} AS approx FROM enc),
+cand AS (SELECT pid, qv, vec_id, embedding FROM (
+           SELECT pid, qv, vec_id, embedding,
+                  row_number() OVER (PARTITION BY pid
+                       ORDER BY approx, vec_id) AS crn
+           FROM adc) WHERE crn <= {candidates}),
+scored AS (SELECT pid, vec_id, sqrt({exact}) AS dist FROM cand)
+SELECT CAST(pid AS BIGINT) AS probe_id, vec_id,
+       CAST(row_number() OVER (PARTITION BY pid
+            ORDER BY dist, vec_id) AS BIGINT) AS rank_n,
+       CAST(round(dist * 10000) AS BIGINT) AS dist_e4
+FROM scored
+QUALIFY rank_n <= {k}
+"""
+
+
+@register("ann_ivfpq_residual_batch_topk", _ivfpq_residual_batch_oracle_sql())
+def ann_ivfpq_residual_batch_topk(spark, sf_dir):
+    """Batch residual IVF-PQ: a 4-probe batch answered in ONE plan —
+    each probe ships its own picked buckets' residual LUTs as broadcast
+    data, the store-side code scan reads the union of the picked sets
+    once, and the join restricts every probe to exactly its own buckets
+    (so per-probe answers equal the single-probe pruned path; the
+    engine face's batch==single parity is pinned in test_ann_index).
+    The oracle replays the whole composition per probe
+    (operators/pq.pq_top_k_batch_residual)."""
+    import numpy as np
+
+    from ahnlich_spark.operators.ann import assign_buckets
+    from ahnlich_spark.operators.pq import (
+        _probe_buckets,
+        pq_top_k_batch_residual,
+        residual_encode_expr,
+        train_codebooks_residual,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = np.asarray(_ivf_gate_centroids(), dtype=np.float64)
+    books = train_codebooks_residual(cents)
+    probes = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 4).collect()
+    ]
+    planned = [
+        (pid, vec, _probe_buckets(vec, cents, 4)) for pid, vec in probes
+    ]
+    union = sorted({b for _p, _v, bs in planned for b in bs})
+    scan = (
+        assign_buckets(emb, cents, key_col="embedding")
+        .filter(F.col("bucket").isin(union))
+        .withColumn(
+            "_codes",
+            residual_encode_expr("embedding", cents, books, bucket_col="bucket"),
+        )
+    )
+    out = pq_top_k_batch_residual(
+        scan, planned, cents, books, k=5, candidates=128,
+        vec_col="embedding", id_col="vec_id",
+        code_col="_codes", bucket_col="bucket",
+        metric=S.EUCLIDEAN, precision="double",
+    )
+    return out.select(
+        F.col("qid").cast("long").alias("probe_id"),
+        "vec_id",
+        F.col("rank_n").cast("long").alias("rank_n"),
+        F.round(F.col("similarity") * 10000).cast("long").alias("dist_e4"),
+    )
+
+
 @register("ann_pq_topk", _pq_oracle_sql())
 def ann_pq_topk(spark, sf_dir):
     """Product-quantization ANN: 8x16 codebooks trained once on the

@@ -535,3 +535,99 @@ def residual_adc_expr(
         f"{codes_col}, (lrow, cd) -> element_at(lrow, cd + 1)), "
         f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
     )
+
+
+def pq_top_k_batch_residual(
+    df: DataFrame,
+    probes: Sequence[tuple],
+    centroids: np.ndarray,
+    books: np.ndarray,
+    k: int = 10,
+    candidates: int = 128,
+    vec_col: str = "key",
+    id_col: str = "id",
+    code_col: str = "_ann_pqcode",
+    bucket_col: str = "_ann_bucket",
+    metric: str = "euclidean_distance",
+    precision: str = "double",
+    rank_col: str = "rank_n",
+) -> DataFrame:
+    """Batch residual-IVF-PQ search: top-k per probe in ONE plan over a
+    store carrying residual codes (codes taken against each row's own
+    bucket centroid).
+
+    ``probes`` is a list of (probe_id, vector, picked_buckets): each
+    probe ships its OWN per-bucket LUT table (len(picked) x m x k
+    doubles) as broadcast data, and the join condition restricts every
+    probe to exactly its picked bucket set — so per-probe results are
+    IDENTICAL to the single-probe pruned path (the non-residual batch
+    widens pools to the bucket union; residual dispatch can't, and
+    therefore doesn't). The caller prunes the scan to the union of all
+    picked sets and bounds the batch so the LUT payload stays a
+    broadcast-sized artifact (the engine chunks by total bucket count).
+
+    Stages: broadcast (qid, qkey, buckets, luts) x bucket-pruned code
+    scan -> join on array_contains(buckets, bucket) -> ADC as one
+    zip_with fold against the bucket's LUT slot -> per-probe candidate
+    window -> exact rescore under ``metric`` -> top-k per probe. The
+    store side reads 8-byte codes + a bucket int per row, never
+    shuffles, and is scanned once for the whole batch.
+    """
+    from pyspark.sql import Window
+
+    from ahnlich_spark.functions import similarity as S
+
+    spark = df.sparkSession
+    cents = np.asarray(centroids, dtype=np.float64)
+    rows = []
+    for pid, vec, picked in probes:
+        q = [float(x) for x in vec]
+        blist = [int(b) for b in picked]
+        luts = []
+        for b in blist:
+            qr = [q[i] - float(cents[b][i]) for i in range(len(q))]
+            luts.append(adc_lut(qr, books))
+        rows.append((int(pid), q, blist, luts))
+    probes_df = spark.createDataFrame(
+        rows,
+        "qid long, qkey array<double>, buckets array<int>, "
+        "luts array<array<array<double>>>",
+    )
+
+    base = df.select(
+        F.col(id_col), F.col(vec_col),
+        F.col(code_col).alias("_codes"),
+        F.col(bucket_col).cast("int").alias("_bkt"),
+    )
+    joined = base.join(
+        F.broadcast(probes_df),
+        F.array_contains(F.col("buckets"), F.col("_bkt")),
+    )
+    lut_row = F.element_at(
+        F.col("luts"), F.array_position(F.col("buckets"), F.col("_bkt")).cast("int")
+    )
+    adc = F.aggregate(
+        F.zip_with(lut_row, F.col("_codes"), lambda row, c: F.element_at(row, c + 1)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    wc = Window.partitionBy("qid").orderBy(F.asc("_adc"), F.asc(id_col))
+    cand = (
+        joined.withColumn("_adc", adc)
+        .withColumn("_crank", F.row_number().over(wc))
+        .filter(F.col("_crank") <= candidates)
+        .drop("_adc", "_crank", "_codes", "_bkt", "buckets", "luts")
+    )
+    score = S.score_expr(metric, F.col(vec_col), F.col("qkey"), precision)
+    wr = Window.partitionBy("qid").orderBy(
+        S.closeness(metric, F.col("_score")).desc(), F.col(id_col).asc()
+    )
+    return (
+        cand.withColumn("_score", score)
+        .withColumn(rank_col, F.row_number().over(wr))
+        .filter(F.col(rank_col) <= k)
+        .select(
+            F.col("qid"), F.col(id_col), F.col(rank_col),
+            F.col("_score").alias("similarity"),
+        )
+    )

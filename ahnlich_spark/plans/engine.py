@@ -941,11 +941,10 @@ class Engine:
         code_col = "_ann_pqcode" if "_ann_pqcode" in raw.columns else None
         books = self._pq_codebooks(meta, raw if code_col is None else None)
         if cfg.get("residual"):
-            # residual batch would broadcast a per-probe x per-bucket LUT
-            # table (probes * n_clusters * m * k doubles — unbounded in
-            # the batch size); until that ships, answer the batch with
-            # the EXACT scan — strictly more accurate, never wrong
-            books = None
+            return self._batch_pq_residual(
+                meta, probe_rows, closest_n, precision, raw, cfg,
+                books if code_col else None,
+            )
         if books is None:
             from ahnlich_spark.operators.topk import top_k_batch
 
@@ -979,6 +978,77 @@ class Engine:
             meta, probe_rows, closest_n, precision, raw, code_col, books,
             cfg, n_cand,
         )
+
+    def _batch_pq_residual(self, meta, probe_rows, closest_n, precision,
+                           raw, cfg, books) -> DataFrame:
+        """Batch face of the residual IVF-PQ index: per-probe bucket
+        sets planned driver-side with the SAME stable-argsort +
+        choose_probes rule as the single-probe path, every probe's
+        per-bucket LUT table shipped as broadcast data, the scan pruned
+        to the bucket union, and each probe's candidates restricted to
+        its OWN picked set by the join condition — so per-probe answers
+        are identical to #probes single get_sim_n calls at the cost of
+        ONE pruned scan. The LUT payload is len(picked) plain-LUT
+        equivalents per probe, so the batch is chunked at
+        BATCH_PLAN_THRESHOLD // max_buckets_per_probe to keep every
+        broadcast bounded. Falls back to the exact batch scan when any
+        piece of the composed artifact (codes column, codebooks,
+        centroids, bucket histogram) is missing — correct, never
+        wrong."""
+        from ahnlich_spark.operators import ann as A
+        from ahnlich_spark.operators.pq import pq_top_k_batch_residual
+        from ahnlich_spark.operators.topk import top_k_batch
+
+        cents = (
+            self._ivf_centroids(meta)
+            if ("ivf" in meta.non_linear and "_ann_bucket" in raw.columns)
+            else None
+        )
+        state = self._ann_state(meta, "ivf") if cents is not None else {}
+        if books is None or cents is None or "bucket_counts" not in state:
+            probes_df = self.spark.createDataFrame(
+                probe_rows, "qid long, qkey array<float>"
+            )
+            return top_k_batch(
+                read_store(self.spark, self.catalog, meta), probes_df,
+                cfg.get("distance", S.EUCLIDEAN), closest_n,
+                precision=precision, rank_col="rank_n",
+            )
+        n_cand = max(4 * closest_n, int(cfg.get("candidates", 256)))
+        ivf_cfg = meta.non_linear_config.get("ivf", ANN_DEFAULTS["ivf"])
+        n_probe = int(ivf_cfg.get("n_probe", 8))
+        c64 = cents.astype(np.float64)
+        planned = []
+        for pid, vec in probe_rows:
+            q = np.asarray(vec, dtype=np.float64)
+            order = np.argsort(((c64 - q) ** 2).sum(axis=1), kind="stable")
+            picked, _cum = A.choose_probes(
+                order, state["bucket_counts"], n_probe, n_cand
+            )
+            if picked is None:
+                # quota unfillable from the histogram: this probe scans
+                # every bucket (full LUT table), same as the single-probe
+                # buckets=None contract
+                picked = [int(b) for b in order]
+            planned.append((int(pid), [float(x) for x in vec],
+                            [int(b) for b in picked]))
+        union = sorted({b for _p, _v, bs in planned for b in bs})
+        scan = (
+            raw if len(union) >= len(c64)
+            else raw.filter(F.col("_ann_bucket").isin(union))
+        )
+        per_probe = max(len(bs) for _p, _v, bs in planned)
+        step = max(1, self.BATCH_PLAN_THRESHOLD // max(1, per_probe))
+        out = None
+        for i in range(0, len(planned), step):
+            part = pq_top_k_batch_residual(
+                scan, planned[i:i + step], c64, books,
+                k=closest_n, candidates=n_cand,
+                vec_col="key", id_col="id",
+                metric=cfg.get("distance", S.EUCLIDEAN), precision=precision,
+            )
+            out = part if out is None else out.unionByName(part)
+        return out
 
     def _batch_pq_chunk(self, meta, probe_rows, closest_n, precision,
                         raw, code_col, books, cfg, n_cand) -> DataFrame:

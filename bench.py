@@ -134,6 +134,7 @@ BENCH_QUERIES = [
     "events_rollup_cube",
     "ann_recall_eval",
     "graph_pagerank",
+    "ann_ivfpq_residual_batch_topk",
 ]
 
 

@@ -541,28 +541,41 @@ def test_residual_codes_maintained_across_delta_writes(residual_engine):
     assert list(top[0]["key"]) == [float(np.float32(x)) for x in probe]
 
 
-def test_residual_batch_falls_back_exact(residual_engine):
-    """Until residual batch LUT tables ship, algorithm='pq' batches on a
-    residual store answer with the EXACT scan — per-probe results equal
-    top_k_batch ground truth."""
-    from ahnlich_spark.operators.topk import top_k_batch
-
+def test_residual_batch_matches_single_probe_pruned(residual_engine):
+    """Residual batch face (one pruned scan for the whole batch): each
+    probe dispatches ONLY its own picked buckets' LUTs, so per-probe
+    answers — ids AND ranks — are identical to #probes single
+    get_sim_n calls through the pruned residual path. The scan is
+    bucket-partition-pruned, and chunked planning (threshold forced to
+    1 probe per chunk) returns the same answers."""
     eng = residual_engine
-    probes = [(i, VECS[i].tolist()) for i in range(3)]
-    out = eng.get_sim_n_batch("rv", probes, closest_n=5, algorithm="pq")
+    probes = [(i, VECS[i].tolist()) for i in range(4)]
+    out = eng.get_sim_n_batch("rv", probes, closest_n=5, algorithm="pq",
+                              precision="double")
+    plan = plan_of(out)
+    assert "_ann_bucket" in plan.split("PartitionFilters")[1].split("\n")[0], plan
     got = {}
     for r in out.collect():
         got.setdefault(r["qid"], []).append((r["rank_n"], r["id"]))
-    probes_df = residual_engine.spark.createDataFrame(
-        [(int(p), [float(x) for x in v]) for p, v in probes],
-        "qid long, qkey array<float>",
-    )
+
     want = {}
-    for r in top_k_batch(eng.store_df("rv"), probes_df, S.EUCLIDEAN, 5,
-                         rank_col="rank_n").collect():
-        want.setdefault(r["qid"], []).append((r["rank_n"], r["id"]))
-    assert {k: sorted(v) for k, v in got.items()} == {
-        k: sorted(v) for k, v in want.items()}
+    for pid, v in probes:
+        rows = eng.get_sim_n("rv", v, closest_n=5, algorithm="pq",
+                             precision="double").collect()
+        want[pid] = [(rk, r["id"]) for rk, r in enumerate(rows, start=1)]
+    assert got == want
+
+    prev = eng.BATCH_PLAN_THRESHOLD
+    eng.BATCH_PLAN_THRESHOLD = 1  # instance attr shadows the class attr
+    try:
+        chunked = {}
+        for r in eng.get_sim_n_batch("rv", probes, closest_n=5,
+                                     algorithm="pq",
+                                     precision="double").collect():
+            chunked.setdefault(r["qid"], []).append((r["rank_n"], r["id"]))
+    finally:
+        eng.BATCH_PLAN_THRESHOLD = prev
+    assert chunked == want
 
 
 def test_residual_store_refuses_dropping_ivf_alone(residual_engine):
