@@ -37,8 +37,12 @@ def recall_at_k(
     evaluation cost is independent of corpus size.
     """
     e = exact.select(F.col(probe_col).alias("_p"), F.col(id_col).alias("_i"))
+    # distinct: a duplicated (probe, id) on the approx side (e.g. a
+    # union of chunked result frames) must not fan out the join and
+    # inflate both counts
     a = (
         approx.select(F.col(probe_col).alias("_p"), F.col(id_col).alias("_i"))
+        .distinct()
         .withColumn("_hit", F.lit(1))
     )
     return (

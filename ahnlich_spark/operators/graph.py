@@ -6,17 +6,25 @@ PageRank — the canonical *iterative* analytics shape: a fixed number of
 join + aggregate rounds where round N's output is round N+1's input.
 
 Scale shape: each iteration is ONE shuffle (contributions grouped by
-destination). Ranks are |V|-sized — always the small side — so the
-edges × ranks join broadcasts the ranks at any corpus size where |V|
-fits an executor (and falls back to a keyed shuffle join under AQE when
-it doesn't). Edges are scanned once per iteration from their cached/
-materialized form; nothing driver-side grows with the graph.
+destination). Ranks are |V|-sized — the small side of every join — and
+are broadcast when ``broadcast_ranks=True`` (the default, right
+whenever |V| fits an executor); for graphs whose node table outgrows
+the broadcast limit pass ``broadcast_ranks=False`` and the joins run
+keyed, letting AQE pick the strategy per stage (an explicit broadcast
+hint is honored unconditionally by Spark, so it must be OFF, not
+demoted, at that scale). The edge list is materialized once up front
+(localCheckpoint) so the iterative lineage references the stored edges,
+not a re-execution of however expensive a pipeline produced them.
 
 Determinism discipline (cross-engine oracle contract): all rank math is
 scaled-integer with floor division — contribution = rank div out_degree,
 next = teleport + damping * sum(contributions) div 100 — so Spark and
 any ANSI-SQL engine produce bit-identical BIGINT ranks at every
-iteration; no float ever enters the loop.
+iteration; no float ever enters the loop. Bound: ``damping_e2 *
+received`` must stay under 2^63, i.e. total rank mass below ~1e17
+(about 1e8 nodes all feeding one hub) — far past any real corpus, but
+past it DuckDB errors loudly while non-ANSI Spark would wrap, so runs
+at that scale should set spark.sql.ansi.enabled.
 """
 
 from __future__ import annotations
@@ -33,6 +41,7 @@ def pagerank(
     damping_e2: int = 85,
     src_col: str = "src",
     dst_col: str = "dst",
+    broadcast_ranks: bool = True,
 ) -> DataFrame:
     """Unnormalized integer PageRank over a directed edge list.
 
@@ -48,13 +57,24 @@ def pagerank(
     contract (importance ranking converges geometrically; pipelines run
     3-10 rounds), so the plan is ``iterations`` chained shuffles — each
     round one groupBy(dst) — with the out-degree table computed once.
+
+    ``broadcast_ranks`` hints the |V|-sized rank/degree/contribution
+    tables into broadcast joins; set it False for graphs whose node
+    table exceeds executor broadcast limits and the joins run keyed.
     """
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
     if not (0 < damping_e2 < 100):
         raise ValueError("damping_e2 must be in (0, 100)")
 
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    # materialize the edge list once: the iterative lineage references
+    # these stored rows `iterations`-plus times (contrib each round,
+    # nodes, outdeg) — without this, an expensive upstream pipeline
+    # (a fact-fact join, a dedup pass) would re-execute per reference
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint()
+    small = F.broadcast if broadcast_ranks else (lambda df: df)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -67,8 +87,8 @@ def pagerank(
     ranks = nodes.select("node", F.lit(RANK_SCALE).cast("long").alias("rank_e9"))
     for _ in range(iterations):
         contrib = (
-            e.join(F.broadcast(ranks), e["src"] == ranks["node"])
-            .join(F.broadcast(outdeg), "src")
+            e.join(small(ranks), e["src"] == ranks["node"])
+            .join(small(outdeg), "src")
             .select(
                 F.col("dst").alias("node"),
                 F.expr("rank_e9 div outdeg").alias("c"),
@@ -77,7 +97,7 @@ def pagerank(
             .agg(F.sum("c").alias("received"))
         )
         ranks = (
-            nodes.join(F.broadcast(contrib), "node", "left")
+            nodes.join(small(contrib), "node", "left")
             .select(
                 "node",
                 (

@@ -498,6 +498,26 @@ def residual_encode_expr(
     return encode_expr(resid, books)
 
 
+def residual_luts(
+    query: Sequence[float],
+    centroids: np.ndarray,
+    books: np.ndarray,
+    buckets: Sequence[int],
+) -> List[List[List[float]]]:
+    """One ADC lookup table per bucket, for the query's RESIDUAL
+    against that bucket's centroid — the single construction both the
+    single-probe literal dispatch (residual_adc_expr) and the batch
+    broadcast table (pq_top_k_batch_residual) share, so the two faces
+    can never drift on fold order or dtype."""
+    cents = np.asarray(centroids, dtype=np.float64)
+    q = [float(x) for x in query]
+    luts = []
+    for b in buckets:
+        qr = [q[i] - float(cents[int(b)][i]) for i in range(len(q))]
+        luts.append(adc_lut(qr, books))
+    return luts
+
+
 def residual_adc_expr(
     query: Sequence[float],
     centroids: np.ndarray,
@@ -517,12 +537,8 @@ def residual_adc_expr(
     import json
 
     cents = np.asarray(centroids, dtype=np.float64)
-    q = [float(x) for x in query]
     blist = list(range(len(cents))) if buckets is None else [int(b) for b in buckets]
-    luts = []
-    for b in blist:
-        qr = [q[i] - float(cents[b][i]) for i in range(len(q))]
-        luts.append(adc_lut(qr, books))
+    luts = residual_luts(query, cents, books, blist)
     lut_json = json.dumps(luts)
     lut_lit = f"from_json('{lut_json}', 'array<array<array<double>>>')"
     if buckets is None:
@@ -581,13 +597,11 @@ def pq_top_k_batch_residual(
     cents = np.asarray(centroids, dtype=np.float64)
     rows = []
     for pid, vec, picked in probes:
-        q = [float(x) for x in vec]
         blist = [int(b) for b in picked]
-        luts = []
-        for b in blist:
-            qr = [q[i] - float(cents[b][i]) for i in range(len(q))]
-            luts.append(adc_lut(qr, books))
-        rows.append((int(pid), q, blist, luts))
+        rows.append((
+            int(pid), [float(x) for x in vec], blist,
+            residual_luts(vec, cents, books, blist),
+        ))
     probes_df = spark.createDataFrame(
         rows,
         "qid long, qkey array<double>, buckets array<int>, "

@@ -991,21 +991,16 @@ class Engine:
         ONE pruned scan. The LUT payload is len(picked) plain-LUT
         equivalents per probe, so the batch is chunked at
         BATCH_PLAN_THRESHOLD // max_buckets_per_probe to keep every
-        broadcast bounded. Falls back to the exact batch scan when any
-        piece of the composed artifact (codes column, codebooks,
-        centroids, bucket histogram) is missing — correct, never
-        wrong."""
+        broadcast bounded. Falls back to the exact batch scan below the
+        brute-force threshold (matching the single-probe shortcut, so
+        batch == singles holds on small stores too) and when any piece
+        of the composed artifact (codes column, codebooks, centroids,
+        bucket histogram) is missing — correct, never wrong."""
         from ahnlich_spark.operators import ann as A
         from ahnlich_spark.operators.pq import pq_top_k_batch_residual
         from ahnlich_spark.operators.topk import top_k_batch
 
-        cents = (
-            self._ivf_centroids(meta)
-            if ("ivf" in meta.non_linear and "_ann_bucket" in raw.columns)
-            else None
-        )
-        state = self._ann_state(meta, "ivf") if cents is not None else {}
-        if books is None or cents is None or "bucket_counts" not in state:
+        def _exact():
             probes_df = self.spark.createDataFrame(
                 probe_rows, "qid long, qkey array<float>"
             )
@@ -1014,6 +1009,20 @@ class Engine:
                 cfg.get("distance", S.EUCLIDEAN), closest_n,
                 precision=precision, rank_col="rank_n",
             )
+
+        cents = (
+            self._ivf_centroids(meta)
+            if ("ivf" in meta.non_linear and "_ann_bucket" in raw.columns)
+            else None
+        )
+        state = self._ann_state(meta, "ivf") if cents is not None else {}
+        if books is None or cents is None or "bucket_counts" not in state:
+            return _exact()
+        # same small-store shortcut as the single-probe _ann_top_k (and
+        # the lsh/ivf batch faces): below the threshold both faces
+        # answer exactly, keeping batch == #probes singles everywhere
+        if state.get("count", 0) <= self.brute_force_threshold:
+            return _exact()
         n_cand = max(4 * closest_n, int(cfg.get("candidates", 256)))
         ivf_cfg = meta.non_linear_config.get("ivf", ANN_DEFAULTS["ivf"])
         n_probe = int(ivf_cfg.get("n_probe", 8))
@@ -1032,17 +1041,20 @@ class Engine:
                 picked = [int(b) for b in order]
             planned.append((int(pid), [float(x) for x in vec],
                             [int(b) for b in picked]))
-        union = sorted({b for _p, _v, bs in planned for b in bs})
-        scan = (
-            raw if len(union) >= len(c64)
-            else raw.filter(F.col("_ann_bucket").isin(union))
-        )
         per_probe = max(len(bs) for _p, _v, bs in planned)
         step = max(1, self.BATCH_PLAN_THRESHOLD // max(1, per_probe))
         out = None
         for i in range(0, len(planned), step):
+            chunk = planned[i:i + step]
+            # prune to THIS chunk's bucket union — chunks touching few
+            # buckets must not pay for the whole batch's footprint
+            union = sorted({b for _p, _v, bs in chunk for b in bs})
+            scan = (
+                raw if len(union) >= len(c64)
+                else raw.filter(F.col("_ann_bucket").isin(union))
+            )
             part = pq_top_k_batch_residual(
-                scan, planned[i:i + step], c64, books,
+                scan, chunk, c64, books,
                 k=closest_n, candidates=n_cand,
                 vec_col="key", id_col="id",
                 metric=cfg.get("distance", S.EUCLIDEAN), precision=precision,

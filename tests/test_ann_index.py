@@ -586,3 +586,33 @@ def test_residual_store_refuses_dropping_ivf_alone(residual_engine):
     with pytest.raises(ValueError, match="residual"):
         eng.drop_non_linear_algorithm_index("rv", ["ivf"])
     assert set(eng.catalog.get_store("rv").non_linear) >= {"ivf", "pq"}
+
+
+def test_residual_batch_small_store_exact_shortcut(residual_engine):
+    """Below the brute-force threshold BOTH residual faces answer
+    exactly (the code-review r4 regression: the batch face must apply
+    the same small-store shortcut as single-probe _ann_top_k, or
+    batch==singles breaks exactly where users least expect it)."""
+    from ahnlich_spark.operators.topk import top_k_batch
+
+    eng = residual_engine
+    probes = [(i, VECS[i].tolist()) for i in range(3)]
+    prev = eng.brute_force_threshold
+    eng.brute_force_threshold = 10**9  # instance attr: store is "small"
+    try:
+        out = eng.get_sim_n_batch("rv", probes, closest_n=5, algorithm="pq",
+                                  precision="double")
+        got = {}
+        for r in out.collect():
+            got.setdefault(r["qid"], set()).add((r["rank_n"], r["id"]))
+        probes_df = eng.spark.createDataFrame(
+            [(int(p), [float(x) for x in v]) for p, v in probes],
+            "qid long, qkey array<float>",
+        )
+        want = {}
+        for r in top_k_batch(eng.store_df("rv"), probes_df, S.EUCLIDEAN, 5,
+                             precision="double", rank_col="rank_n").collect():
+            want.setdefault(r["qid"], set()).add((r["rank_n"], r["id"]))
+        assert got == want
+    finally:
+        eng.brute_force_threshold = prev
