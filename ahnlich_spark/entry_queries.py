@@ -5583,6 +5583,95 @@ def graph_pagerank(spark, sf_dir):
     )
 
 
+def _dup_span_ctes(w: int = 16) -> str:
+    """Shared oracle CTE chain for the exact-substring span gates:
+    stride-1 window fingerprints -> corpus-wide duplicate stats with the
+    canonical (first) occurrence -> removable occurrences -> maximal
+    runs. Mirrors operators/dedup.duplicate_spans step for step."""
+    return f"""
+toks AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                             ELSE {_TOKENS_SQL} END AS ws
+         FROM documents),
+occ AS (
+  SELECT doc_id, i - 1 AS pos, md5(array_to_string(ws[i:i+{w}-1], ' ')) AS fp
+  FROM toks, unnest(range(1, len(ws) - {w} + 2)) AS t(i)
+  WHERE len(ws) >= {w}
+),
+stats AS (SELECT fp, count(*) AS n_occ,
+                 min(struct_pack(d := doc_id, p := pos)) AS m
+          FROM occ GROUP BY fp),
+rem AS (
+  SELECT occ.doc_id, occ.pos FROM occ JOIN stats USING (fp)
+  WHERE n_occ >= 2 AND NOT (occ.doc_id = m.d AND occ.pos = m.p)
+),
+runs AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) = pos - 1
+              THEN 0 ELSE 1 END AS nr
+  FROM rem
+),
+rid AS (SELECT doc_id, pos,
+               sum(nr) OVER (PARTITION BY doc_id ORDER BY pos) AS run
+        FROM runs),
+spans AS (
+  SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+         CAST(max(pos) + {w} AS BIGINT) AS span_end,
+         CAST(count(*) AS BIGINT) AS n_windows
+  FROM rid GROUP BY doc_id, run
+)"""
+
+
+@register("dup_span_detect", f"""
+WITH {_dup_span_ctes(16)}
+SELECT doc_id, span_start, span_end, n_windows FROM spans
+""")
+def dup_span_detect(spark, sf_dir):
+    """Exact-substring duplicate spans (the distributed ExactSubstr
+    shape, Lee et al. 2022): every stride-1 16-token window duplicated
+    corpus-wide, minus the canonical first occurrence, merged into
+    maximal per-doc spans. Linear plan: one fp shuffle + fp join-back +
+    one doc-keyed window over the (tiny) duplicate slice — no pairwise
+    join, text never shuffles (operators/dedup.duplicate_spans)."""
+    return D.duplicate_spans(_t(spark, sf_dir, "documents"), window_tokens=16)
+
+
+@register("dup_span_strip", f"""
+WITH {_dup_span_ctes(16)},
+cov AS (SELECT DISTINCT doc_id, p FROM spans,
+        unnest(range(span_start, span_end)) AS t(p)),
+tk AS (SELECT doc_id, ws[i] AS tok, i - 1 AS p
+       FROM toks, unnest(range(1, len(ws) + 1)) AS t(i)),
+remcnt AS (SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY doc_id),
+keptagg AS (
+  SELECT tk.doc_id,
+         md5(array_to_string(list(tk.tok ORDER BY tk.p), ' ')) AS clean_fp
+  FROM tk LEFT JOIN cov ON tk.doc_id = cov.doc_id AND tk.p = cov.p
+  WHERE cov.p IS NULL
+  GROUP BY tk.doc_id
+)
+SELECT toks.doc_id AS doc_id,
+       CAST(len(ws) AS BIGINT) AS n_tokens,
+       CAST(coalesce(n_removed, 0) AS BIGINT) AS n_removed,
+       coalesce(clean_fp, md5('')) AS clean_fp
+FROM toks
+LEFT JOIN remcnt USING (doc_id)
+LEFT JOIN keptagg ON toks.doc_id = keptagg.doc_id
+""")
+def dup_span_strip(spark, sf_dir):
+    """Corpus cleaning by span removal: strip every duplicated 16-token
+    span (first occurrence retained corpus-wide), per-position coverage
+    so overlapping gap-runs never double-count. Output keeps the
+    cleaned text as a fingerprint (md5) so the gate rows stay skinny
+    while still pinning the exact reconstruction
+    (operators/dedup.strip_duplicate_spans)."""
+    out = D.strip_duplicate_spans(
+        _t(spark, sf_dir, "documents"), window_tokens=16
+    )
+    return out.select(
+        "doc_id", "n_tokens", "n_removed", F.md5(F.col("clean_text")).alias("clean_fp")
+    )
+
+
 # ------------------------------------------------------------- entry --
 
 def flagship(spark: SparkSession) -> DataFrame:

@@ -730,6 +730,151 @@ def chunk_dup_stats(
     )
 
 
+def duplicate_window_occurrences(
+    df: DataFrame,
+    window_tokens: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(did, pos, fp): md5 fingerprint of EVERY stride-1
+    ``window_tokens``-token window of each document (``pos`` is the
+    0-based token index of the window start). Documents shorter than one
+    window emit no rows — they cannot contain a duplicated span of that
+    length.
+
+    Unlike ``doc_chunk_table`` (aligned chunks, a statistics primitive),
+    the stride-1 table sees every token-aligned passage, so a substring
+    duplicated ACROSS documents is caught regardless of where it starts —
+    the primitive behind exact-substring dedup (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better": remove
+    repeated >=50-token spans; the reference corpus here uses 16).
+
+    Scale shape: one output row per token (the stride-1 fan-out is a
+    constant factor, not quadratic), produced scan-locally inside
+    whole-stage codegen; only (id, pos, 32-char fp) rows ever leave the
+    scan — the text itself never shuffles."""
+    toks = X.tokens(F.col(text_col))
+    k = F.size(toks)
+    w = window_tokens
+    starts = F.when(k >= w, F.sequence(F.lit(0), k - w)).otherwise(
+        F.array().cast("array<int>")
+    )
+    wins = F.transform(
+        starts,
+        lambda p: F.struct(
+            p.alias("pos"),
+            F.md5(F.concat_ws(" ", F.slice(toks, p + 1, w))).alias("fp"),
+        ),
+    )
+    return (
+        _fan_out(df)
+        .select(F.col(id_col).alias("did"), F.explode(wins).alias("o"))
+        .select("did", F.col("o.pos").cast("long").alias("pos"), F.col("o.fp").alias("fp"))
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    window_tokens: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Maximal duplicated token spans with first-occurrence retention —
+    the distributed ExactSubstr shape: every stride-1 window whose
+    fingerprint occurs >= 2 times corpus-wide is a duplicate occurrence,
+    EXCEPT the canonical one (the lexicographically smallest (doc_id,
+    pos) occurrence keeps its copy). Consecutive duplicate window starts
+    within a doc merge into one maximal span.
+
+    Returns (doc_id, span_start, span_end, n_windows): token indices,
+    ``span_end`` exclusive (= last duplicate window start + window
+    size). Spans from DIFFERENT runs may overlap when duplicate starts
+    are separated by a gap < window_tokens; ``strip_duplicate_spans``
+    handles that with per-position coverage.
+
+    Plan shape at 100 TB: the occurrence table (linear in token count)
+    shuffles once on fp for the duplicate-stats aggregation, joins back
+    on fp (skinny 32-char keys), and the surviving duplicate occurrences
+    — a tiny fraction of the corpus — take one (doc)-keyed window pass
+    for the run merge. No pairwise join anywhere."""
+    occ = duplicate_window_occurrences(df, window_tokens, text_col, id_col)
+    stats = occ.groupBy("fp").agg(
+        F.count(F.lit(1)).alias("n_occ"),
+        F.min(F.struct(F.col("did"), F.col("pos"))).alias("m"),
+    )
+    removable = (
+        occ.join(stats, "fp")
+        .filter(
+            (F.col("n_occ") >= 2)
+            & ~((F.col("did") == F.col("m.did")) & (F.col("pos") == F.col("m.pos")))
+        )
+        .select("did", "pos")
+    )
+    w_doc = Window.partitionBy("did").orderBy("pos")
+    runs = removable.withColumn(
+        "_new_run",
+        F.when(F.lag("pos").over(w_doc) == F.col("pos") - 1, F.lit(0)).otherwise(F.lit(1)),
+    ).withColumn("_run", F.sum("_new_run").over(w_doc))
+    return (
+        runs.groupBy("did", "_run")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(window_tokens)).alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select(
+            F.col("did").alias(id_col),
+            F.col("span_start").cast("long").alias("span_start"),
+            F.col("span_end").cast("long").alias("span_end"),
+            F.col("n_windows").cast("long").alias("n_windows"),
+        )
+    )
+
+
+def strip_duplicate_spans(
+    df: DataFrame,
+    window_tokens: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Remove every duplicated span (keeping the corpus-wide first
+    occurrence of each window) and return the cleaned corpus:
+    (id, n_tokens, n_removed, clean_text). A token is removed iff it is
+    covered by at least one removable span — overlapping spans from
+    gap-separated runs are handled by per-position coverage, so the
+    same token is never double-counted.
+
+    Scale shape: the span table (tiny — duplicated passages only) is
+    aggregated to one array per affected doc and joined back by id;
+    Spark plans that as a broadcast join when the span side is small
+    (the common case). Token filtering is scan-local array work — the
+    corpus text still never shuffles."""
+    spans = duplicate_spans(df, window_tokens, text_col, id_col)
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct(F.col("span_start").alias("s"), F.col("span_end").alias("e"))).alias(
+            "_spans"
+        )
+    )
+    toks = X.tokens(F.col(text_col))
+    covered = lambda i: F.exists(
+        F.col("_spans"), lambda sp: (sp["s"] <= i) & (i < sp["e"])
+    )
+    kept = F.filter(toks, lambda _x, i: ~covered(i.cast("long")))
+    out = df.join(per_doc, id_col, "left").withColumn(
+        "_spans",
+        F.coalesce(
+            F.col("_spans"),
+            F.array().cast("array<struct<s:long,e:long>>"),
+        ),
+    )
+    return out.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        (F.size(toks) - F.size(kept)).cast("long").alias("n_removed"),
+        F.concat_ws(" ", kept).alias("clean_text"),
+    )
+
+
 def keep_best_representative(
     df: DataFrame,
     group_col: str,

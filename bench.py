@@ -135,6 +135,8 @@ BENCH_QUERIES = [
     "ann_recall_eval",
     "graph_pagerank",
     "ann_ivfpq_residual_batch_topk",
+    "dup_span_detect",
+    "dup_span_strip",
 ]
 
 

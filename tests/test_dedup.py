@@ -299,3 +299,78 @@ def test_keep_best_representative_policy(spark):
         for r in keep_best_representative(df, "fp", "score").collect()
     }
     assert got == {"g1": (2, 3, 90), "g2": (4, 1, 10), "g3": (5, 2, 0)}
+
+
+# ------------------------------------------------- duplicate spans --
+
+@pytest.fixture(scope="module")
+def span_docs(spark):
+    rows = [
+        (0, "a b c d e f g h"),          # canonical copy of everything
+        (1, "x x c d e f y z"),          # shares the "c d e f" window
+        (2, "q w e r"),                  # unique 4-token doc
+        (3, "a b c d e f g h"),          # exact dup of 0 -> fully removable
+        (4, ""),                         # empty
+        (5, "one two"),                  # shorter than one window
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_duplicate_spans_first_occurrence_kept(span_docs):
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_windows"])
+        for r in D.duplicate_spans(span_docs, window_tokens=4).collect()
+    }
+    # doc 0 is canonical for every window it holds -> no spans; doc 3 is
+    # a full duplicate (5 consecutive removable starts -> one maximal
+    # span covering all 8 tokens); doc 1 duplicates exactly one window.
+    assert got == {(1, 2, 6, 1), (3, 0, 8, 5)}
+
+
+def test_strip_duplicate_spans_reconstruction(span_docs):
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["clean_text"])
+        for r in D.strip_duplicate_spans(span_docs, window_tokens=4).collect()
+    }
+    assert got[0] == (8, 0, "a b c d e f g h")
+    assert got[1] == (8, 4, "x x y z")
+    assert got[2] == (4, 0, "q w e r")
+    assert got[3] == (8, 8, "")
+    assert got[4] == (0, 0, "")
+    assert got[5] == (2, 0, "one two")
+
+
+def test_duplicate_spans_overlapping_runs_cover_once(spark):
+    # Removable starts 0 and 2 (gap < window) -> two spans (0,4) and
+    # (2,6) that OVERLAP; stripping must count covered positions once.
+    rows = [
+        (1, "p q r s z1 z2 z3 z4"),      # canonical "p q r s"
+        (2, "r s t u k1 k2 k3 k4"),      # canonical "r s t u"
+        (9, "p q r s t u v w x y"),      # duplicates both, at 0 and 2
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in D.duplicate_spans(df, window_tokens=4).collect()
+    }
+    assert spans == {(9, 0, 4), (9, 2, 6)}
+    stripped = {
+        r["doc_id"]: (r["n_removed"], r["clean_text"])
+        for r in D.strip_duplicate_spans(df, window_tokens=4).collect()
+    }
+    assert stripped[9] == (6, "v w x y")
+    assert stripped[1] == (0, "p q r s z1 z2 z3 z4")
+    assert stripped[2] == (0, "r s t u k1 k2 k3 k4")
+
+
+def test_duplicate_spans_partition_order_invariant(span_docs):
+    base = sorted(
+        tuple(r) for r in D.duplicate_spans(span_docs, window_tokens=4).collect()
+    )
+    shuffled = sorted(
+        tuple(r)
+        for r in D.duplicate_spans(
+            span_docs.repartition(7), window_tokens=4
+        ).collect()
+    )
+    assert base == shuffled and len(base) == 2
