@@ -5672,6 +5672,53 @@ def dup_span_strip(spark, sf_dir):
     )
 
 
+@register("dedup_incremental", f"""
+WITH {_SHINGLES_SQL},
+shh AS (
+  SELECT did, ('0x' || substring(md5(s), 1, 15))::BIGINT % 1000000007 AS hb
+  FROM sh
+),
+mh AS (
+  SELECT did, seed,
+         min(({_MINHASH_A_SQL}[seed+1] * hb + {_MINHASH_B_SQL}[seed+1]) % 1000000007) AS h
+  FROM shh, range(16) t(seed) GROUP BY did, seed
+),
+sig AS (SELECT did, list(h ORDER BY seed) AS sig FROM mh GROUP BY did),
+bands AS (
+  SELECT did, unnest(list_transform(range(8),
+      b -> b::VARCHAR || '|' || sig[2*b+1]::VARCHAR || '|' || sig[2*b+2]::VARCHAR)) AS band
+  FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.did AS i, b.did AS j,
+         CAST(CASE WHEN b.did % 5 <> 0 THEN 1 ELSE 0 END AS BIGINT) AS j_in_corpus
+  FROM bands a JOIN bands b ON a.band = b.band
+  WHERE a.did % 5 = 0 AND (b.did % 5 <> 0 OR a.did < b.did)
+),
+inter AS (
+  SELECT c.i, c.j, c.j_in_corpus, count(*) AS inter
+  FROM cand c JOIN sh a ON a.did = c.i JOIN sh b ON b.did = c.j AND a.s = b.s
+  GROUP BY 1, 2, 3
+)
+SELECT i, j, j_in_corpus, inter, ni, nj
+FROM inter
+JOIN (SELECT did AS i, nsh AS ni FROM sizes) USING (i)
+JOIN (SELECT did AS j, nsh AS nj FROM sizes) USING (j)
+WHERE 2 * inter >= (ni + nj - inter)
+""")
+def dedup_incremental(spark, sf_dir):
+    """Production ingest dedup: an incoming batch (doc_id % 5 == 0)
+    checked against the historical corpus AND itself — band collisions
+    are batch x corpus and batch x batch only, the corpus is never
+    self-joined, and corpus text is re-shingled only for the candidate
+    docs that actually collided
+    (operators/dedup.minhash_lsh_incremental_pairs)."""
+    docs = _t(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    return D.minhash_lsh_incremental_pairs(batch, corpus, threshold=0.5)
+
+
 # ------------------------------------------------------------- entry --
 
 def flagship(spark: SparkSession) -> DataFrame:

@@ -185,12 +185,8 @@ def drop_hot_buckets(
     return bands.join(F.broadcast(hot), list(key_cols), "left_anti")
 
 
-def _band_candidates(
-    sig: DataFrame,
-    n_bands: int,
-    rows_per_band: int,
-    max_bucket_size: Optional[int] = None,
-) -> DataFrame:
+def _band_table(sig: DataFrame, n_bands: int, rows_per_band: int) -> DataFrame:
+    """(did, band) LSH band keys from a signature table."""
     band_cols = [
         F.concat_ws(
             "|",
@@ -202,9 +198,16 @@ def _band_candidates(
         )
         for b in range(n_bands)
     ]
-    bands = sig.select(
-        "did", F.explode(F.array(*band_cols)).alias("band")
-    )
+    return sig.select("did", F.explode(F.array(*band_cols)).alias("band"))
+
+
+def _band_candidates(
+    sig: DataFrame,
+    n_bands: int,
+    rows_per_band: int,
+    max_bucket_size: Optional[int] = None,
+) -> DataFrame:
+    bands = _band_table(sig, n_bands, rows_per_band)
     bands = drop_hot_buckets(bands, ("band",), max_bucket_size)
     a, b = bands.alias("a"), bands.alias("b")
     return (
@@ -247,6 +250,98 @@ def minhash_lsh_dedup_pairs(
         .join(sizes.withColumnRenamed("did", "j").withColumnRenamed("nsh", "nj"), "j")
         .filter(F.lit(den) * F.col("inter") >= F.lit(num) * (F.col("ni") + F.col("nj") - F.col("inter")))
         .select("i", "j", "inter", "ni", "nj")
+    )
+
+
+def minhash_lsh_incremental_pairs(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    threshold: float = 0.5,
+    n_hashes: int = 16,
+    n_bands: int = 8,
+    rows_per_band: int = 2,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket_size: Optional[int] = None,
+    corpus_sig: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Incremental near-dup: an incoming BATCH checked against the
+    HISTORICAL corpus (and against itself) — the production ingest
+    shape. Candidates are batch x corpus and batch x batch band
+    collisions only; the corpus is NEVER self-joined, so each ingest
+    costs O(batch) shingling + a band join, not a corpus-wide rerun.
+
+    Ids must be disjoint across the two inputs. Returns
+    (i, j, j_in_corpus, inter, ni, nj): ``i`` is always a batch doc,
+    ``j`` is the matched corpus doc (``j_in_corpus`` = 1) or a batch
+    peer with ``i < j`` (= 0); Jaccard >= threshold verified by exact
+    integer cross-multiplication like ``minhash_lsh_dedup_pairs``.
+
+    Scale design: pass ``corpus_sig`` (the persisted output of
+    ``minhash_signature_table`` for the corpus — the artifact a real
+    pipeline maintains across ingests) and the corpus TEXT is scanned
+    only to re-shingle the candidate docs (semi-join on the tiny
+    candidate id set); without it the corpus is signature-scanned once.
+    The exact-verify join therefore touches batch shingles + candidate
+    corpus shingles only."""
+    sh_new = _shingle_table(new_df, text_col, id_col, shingle_n)
+    sig_new = _signature_aggregate(sh_new, n_hashes)
+    if corpus_sig is None:
+        corpus_sig = minhash_signature_table(
+            corpus_df, n_hashes, shingle_n, text_col, id_col
+        )
+    bands_new = _band_table(sig_new, n_bands, rows_per_band).withColumn(
+        "_new", F.lit(1)
+    )
+    bands_old = _band_table(corpus_sig, n_bands, rows_per_band).withColumn(
+        "_new", F.lit(0)
+    )
+    bands_all = drop_hot_buckets(
+        bands_new.unionByName(bands_old), ("band",), max_bucket_size
+    )
+    a = bands_all.filter(F.col("_new") == 1).alias("a")
+    b = bands_all.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & ((F.col("b._new") == 0) | (F.col("a.did") < F.col("b.did"))),
+        )
+        .select(
+            F.col("a.did").alias("i"),
+            F.col("b.did").alias("j"),
+            (F.lit(1) - F.col("b._new")).cast("long").alias("j_in_corpus"),
+        )
+        .distinct()
+    )
+    # re-shingle ONLY the corpus docs that actually collided: the
+    # candidate id set is tiny, so the semi-join prunes the corpus scan
+    # down to the handful of docs the verify join needs.
+    cand_old_ids = cands.filter(F.col("j_in_corpus") == 1).select(
+        F.col("j").alias(id_col)
+    ).distinct()
+    sh_old_cand = _shingle_table(
+        corpus_df.join(cand_old_ids, id_col, "left_semi"),
+        text_col, id_col, shingle_n,
+    )
+    sh_verify = sh_new.unionByName(sh_old_cand)
+    av, bv = sh_new.alias("av"), sh_verify.alias("bv")
+    inter = (
+        cands.join(av, cands["i"] == F.col("av.did"))
+        .join(bv, (cands["j"] == F.col("bv.did")) & (F.col("av.sh") == F.col("bv.sh")))
+        .groupBy("i", "j", "j_in_corpus")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sizes_new = sig_new.select(F.col("did"), F.col("nsh"))
+    sizes_all = sizes_new.unionByName(corpus_sig.select("did", "nsh"))
+    frac = Fraction(threshold).limit_denominator(10**6)
+    num, den = frac.numerator, frac.denominator
+    return (
+        inter.join(sizes_new.withColumnRenamed("did", "i").withColumnRenamed("nsh", "ni"), "i")
+        .join(sizes_all.withColumnRenamed("did", "j").withColumnRenamed("nsh", "nj"), "j")
+        .filter(F.lit(den) * F.col("inter") >= F.lit(num) * (F.col("ni") + F.col("nj") - F.col("inter")))
+        .select("i", "j", "j_in_corpus", "inter", "ni", "nj")
     )
 
 

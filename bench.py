@@ -137,6 +137,7 @@ BENCH_QUERIES = [
     "ann_ivfpq_residual_batch_topk",
     "dup_span_detect",
     "dup_span_strip",
+    "dedup_incremental",
 ]
 
 

@@ -374,3 +374,60 @@ def test_duplicate_spans_partition_order_invariant(span_docs):
         ).collect()
     )
     assert base == shuffled and len(base) == 2
+
+
+# -------------------------------------------- incremental minhash --
+
+@pytest.fixture(scope="module")
+def incr_corpus(spark):
+    rows = [
+        (100, "the quick brown fox jumps over the lazy dog tonight again"),
+        (101, "completely different corpus content about spark shuffles"),
+        (102, "the quick brown fox jumps over the lazy dog tonight again"),  # corpus-internal dup
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def incr_batch(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog tonight again"),   # dup of 100/102
+        (2, "the quick brown fox jumps over the lazy dog tonight maybe"),   # near-dup of 1
+        (3, "unrelated incoming document with fresh tokens only"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_incremental_pairs_scope(incr_batch, incr_corpus):
+    got = {
+        (r["i"], r["j"], r["j_in_corpus"])
+        for r in D.minhash_lsh_incremental_pairs(
+            incr_batch, incr_corpus, threshold=0.5
+        ).collect()
+    }
+    # batch x corpus hits for both corpus copies; batch x batch with
+    # i < j; the corpus-internal pair (100, 102) must NOT appear.
+    assert (1, 100, 1) in got and (1, 102, 1) in got
+    assert (1, 2, 0) in got
+    assert all(i in (1, 2, 3) for i, _, _ in got)
+    assert (100, 102, 1) not in got and (100, 102, 0) not in got
+
+
+def test_incremental_pairs_with_persisted_signatures(incr_batch, incr_corpus):
+    """Passing the persisted corpus signature artifact must give the
+    identical result set (the production path: corpus text is only
+    re-shingled for colliding candidate docs)."""
+    sig = D.minhash_signature_table(incr_corpus)
+    base = sorted(
+        tuple(r)
+        for r in D.minhash_lsh_incremental_pairs(
+            incr_batch, incr_corpus, threshold=0.5
+        ).collect()
+    )
+    with_sig = sorted(
+        tuple(r)
+        for r in D.minhash_lsh_incremental_pairs(
+            incr_batch, incr_corpus, threshold=0.5, corpus_sig=sig
+        ).collect()
+    )
+    assert base == with_sig and len(base) >= 3
