@@ -5719,6 +5719,44 @@ def dedup_incremental(spark, sf_dir):
     return D.minhash_lsh_incremental_pairs(batch, corpus, threshold=0.5)
 
 
+@register("distinct_kmv", f"""
+WITH words AS (SELECT source, {_TOKENS_SQL} AS ws FROM documents),
+shs AS (
+  SELECT DISTINCT source, ('0x' || substring(md5(s), 1, 11))::BIGINT AS h FROM (
+    SELECT source, unnest(
+      CASE WHEN len(ws) >= 3
+           THEN list_transform(range(1, len(ws)-1),
+                               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+           ELSE [array_to_string(ws, ' ')] END) AS s
+    FROM words)
+),
+rk AS (SELECT source, h,
+              row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+       FROM shs)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_sketch,
+       CAST(max(h) AS BIGINT) AS kth_min,
+       CAST(CASE WHEN count(*) < 64 THEN count(*)
+                 ELSE (63 * 17592186044416) // max(h) END AS BIGINT) AS est_distinct
+FROM rk WHERE rn <= 64
+GROUP BY source
+""")
+def distinct_kmv(spark, sf_dir):
+    """Per-source distinct-shingle cardinality via the KMV sketch:
+    k = 64 smallest md5-derived 44-bit hashes per group, estimator
+    (k-1)*2^44 div h_k — deterministic integer order statistics, so
+    unlike HyperLogLog the estimate is bit-identical across engines.
+    O(k) state per group vs count(DISTINCT)'s O(distinct), mergeable
+    across corpus slices (operators/sketches.kmv_distinct)."""
+    from ahnlich_spark.operators.sketches import kmv_distinct
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select(
+        "source", F.explode(X.word_shingles(F.col("text"), 3)).alias("sh")
+    )
+    return kmv_distinct(sh, "sh", ["source"], k=64)
+
+
 # ------------------------------------------------------------- entry --
 
 def flagship(spark: SparkSession) -> DataFrame:

@@ -47,7 +47,20 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["mg_summary_merge", "heavy_hitter_candidates", "heavy_hitters"]
+__all__ = [
+    "mg_summary_merge",
+    "heavy_hitter_candidates",
+    "heavy_hitters",
+    "kmv_distinct",
+    "kmv_minima",
+    "KMV_HASH_BITS",
+]
+
+# 44-bit hash space: (k-1) << 44 stays far inside BIGINT for any sane k,
+# so the estimator is pure integer math on BOTH engines (no HUGEINT, no
+# float). 2^44 ~ 1.8e13 hash slots — collision-negligible for the
+# sketch sizes a cardinality estimate tolerates anyway.
+KMV_HASH_BITS = 44
 
 
 def mg_summary_merge(counter: dict, batch_counts, capacity: int) -> dict:
@@ -258,3 +271,82 @@ def heavy_hitters(
         )
     spark = df.sparkSession
     return spark.createDataFrame(rows, schema=top.schema)
+
+
+def kmv_minima(hashes: DataFrame, group_cols, k: int, n_salts: int = 64) -> DataFrame:
+    """Each group's k smallest distinct ``_h`` values — the sketch STATE.
+    This is what a pipeline persists per slice: minima tables of
+    disjoint slices union (then re-take k) into the whole-corpus sketch
+    without rescanning values. Two window levels keep every task
+    bounded: per (group, _h % n_salts) first — no single task ever
+    sorts a whole group's distinct set — then per group over the
+    surviving <= n_salts * k rows."""
+    from pyspark.sql import Window
+
+    group_cols = list(group_cols)
+    w_salt = Window.partitionBy(*group_cols, F.col("_h") % n_salts).orderBy("_h")
+    local = (
+        hashes.withColumn("_rn", F.row_number().over(w_salt))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+    w_grp = Window.partitionBy(*group_cols).orderBy("_h")
+    return (
+        local.withColumn("_rn", F.row_number().over(w_grp))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def kmv_distinct(
+    df: DataFrame,
+    value_col: str,
+    group_cols,
+    k: int = 64,
+    n_salts: int = 64,
+) -> DataFrame:
+    """Per-group distinct-count estimation via the KMV (k minimum
+    values) sketch [Bar-Yossef et al. 2002; Beyer et al., SIGMOD 2007]:
+    hash every value into a 44-bit space, keep each group's k SMALLEST
+    distinct hashes, and estimate |distinct| from the k-th minimum —
+    ``(k-1) * 2^44 div h_k``. Groups with fewer than k distinct values
+    return their EXACT count (the sketch saw everything).
+
+    Deterministic by construction — the hash is md5-derived, the k
+    minima are order statistics, and the estimator is integer floor
+    division — so two engines (or two cluster runs) agree bit-for-bit,
+    unlike HyperLogLog implementations. Standard error is ~1/sqrt(k-2)
+    (~13% at k=64, ~4% at k=512).
+
+    Scale shape: ONE distinct-aggregation on (group, hash) with map-side
+    partial dedup carries 8-byte hashes, never values; the k-minima are
+    taken in two window levels — per (group, hash % n_salts) first, so
+    no single task ever sorts a whole group's distinct set, then per
+    group over the surviving <= n_salts * k rows. Unlike
+    ``count(DISTINCT)`` the final state per group is O(k), and sketches
+    of disjoint slices MERGE (union the minima, re-take k) — the
+    incremental/streaming property exact counting lacks.
+
+    Returns (group_cols..., n_sketch, kth_min, est_distinct).
+    """
+    group_cols = list(group_cols)
+    h = F.conv(F.substring(F.md5(F.col(value_col).cast("string")), 1, 11), 16, 10).cast("long")
+    dist = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, h.alias("_h"))
+        .distinct()
+    )
+    top = kmv_minima(dist, group_cols, k, n_salts)
+    two_b = 1 << KMV_HASH_BITS
+    return top.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_sketch"),
+        F.max("_h").cast("long").alias("kth_min"),
+    ).select(
+        *group_cols,
+        "n_sketch",
+        "kth_min",
+        F.when(F.col("n_sketch") < k, F.col("n_sketch"))
+        .otherwise(F.expr(f"CAST({k - 1} AS BIGINT) * {two_b} div kth_min"))
+        .cast("long")
+        .alias("est_distinct"),
+    )

@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "dup_span_detect",
     "dup_span_strip",
     "dedup_incremental",
+    "distinct_kmv",
 ]
 
 
