@@ -5757,6 +5757,42 @@ def distinct_kmv(spark, sf_dir):
     return kmv_distinct(sh, "sh", ["source"], k=64)
 
 
+@register("decontaminate_semantic", """
+WITH b AS (SELECT vec_id AS bid, embedding::DOUBLE[] AS e
+           FROM embeddings WHERE vec_id % 4 = 0),
+     c AS (SELECT vec_id, embedding::DOUBLE[] AS e
+           FROM embeddings WHERE vec_id % 4 <> 0)
+SELECT c.vec_id AS vec_id, CAST(count(*) AS BIGINT) AS n_hits,
+       CAST(round(max(list_cosine_similarity(c.e, b.e)) * 1000000) AS BIGINT)
+         AS max_cos_e6
+FROM c JOIN b ON list_cosine_similarity(c.e, b.e) >= 0.45
+GROUP BY c.vec_id
+""")
+def decontaminate_semantic(spark, sf_dir):
+    """Embedding-level benchmark decontamination: corpus vectors
+    cosine-close (>= 0.45) to any held-out benchmark vector are
+    flagged — the paraphrase-leakage complement of the 8-gram
+    `decontaminate_ngrams` gate. Bench side broadcasts; the corpus
+    never shuffles for the comparison, and only the (rare) matches
+    reach the per-doc aggregation
+    (operators/contamination.semantic_contaminated)."""
+    from ahnlich_spark.operators.contamination import semantic_contaminated
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("key")
+    )
+    bench = emb.filter(F.col("vec_id") % 4 == 0)
+    corpus = emb.filter(F.col("vec_id") % 4 != 0)
+    out = semantic_contaminated(
+        corpus, bench, threshold=0.45, id_col="vec_id", vec_col="key"
+    )
+    return out.select(
+        "vec_id",
+        "n_hits",
+        F.round(F.col("max_cos") * 1000000).cast("long").alias("max_cos_e6"),
+    )
+
+
 # ------------------------------------------------------------- entry --
 
 def flagship(spark: SparkSession) -> DataFrame:

@@ -62,3 +62,45 @@ def contaminated_docs(
         .filter(F.col("n_shared_grams") >= min_hits)
         .select(F.col("did").alias("doc_id"), "n_shared_grams")
     )
+
+
+def semantic_contaminated(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "id",
+    vec_col: str = "key",
+    precision: str = "double",
+) -> DataFrame:
+    """Embedding-level decontamination: flag corpus rows whose vector is
+    cosine-similar (>= threshold) to ANY benchmark vector — catching the
+    paraphrased/translated eval leakage n-gram matching misses (the
+    SemDeDup / D4 companion step to ``contaminated_docs``).
+
+    Returns (id, n_hits, max_cos) for contaminated rows only.
+
+    Scale shape: the benchmark side is small by construction (eval sets
+    are thousands of vectors), so it BROADCASTS and the corpus never
+    shuffles for the comparison — a broadcast nested-loop join whose
+    predicate is the codegen'd cosine fold, emitting ONLY matching
+    pairs. The per-doc aggregation then shuffles just the matches
+    (contamination is rare by definition), not the corpus. For a large
+    benchmark side, pre-prune with the LSH machinery of
+    ``dedup.embedding_near_dup_pairs`` instead.
+    """
+    from ahnlich_spark.functions import similarity as S
+
+    b = benchmark.select(
+        F.col(id_col).alias("_bid"), F.col(vec_col).alias("_bvec")
+    )
+    cos = S.cosine_similarity(F.col(vec_col), F.col("_bvec"), precision)
+    hits = corpus.select(F.col(id_col), F.col(vec_col)).join(
+        F.broadcast(b), cos >= F.lit(threshold)
+    )
+    return (
+        hits.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hits"),
+            F.max(cos).alias("max_cos"),
+        )
+    )

@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     "dup_span_strip",
     "dedup_incremental",
     "distinct_kmv",
+    "decontaminate_semantic",
 ]
 
 

@@ -238,3 +238,46 @@ def test_mixture_thresholds_binding_group_whole_on_nondivisible():
     # a's achievable total
     thr = mixture_thresholds({"a": 1000, "b": 9000}, {"a": 1, "b": 1})
     assert thr["a"] == _SCALE and abs(thr["b"] - _SCALE * 1000 / 9000) <= 1
+
+
+# ------------------------------------------- semantic contamination --
+
+def test_semantic_contaminated_hits_and_scope(spark):
+    from ahnlich_spark.operators.contamination import semantic_contaminated
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),      # exact match of bench 100
+            (2, [0.9, 0.1, 0.0]),      # close to bench 100
+            (3, [0.0, 0.0, 1.0]),      # orthogonal to all bench
+            (4, [0.7, 0.7, 0.0]),      # close to 100 AND 101
+        ],
+        "id long, key array<double>",
+    )
+    bench = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0]), (101, [0.0, 1.0, 0.0])],
+        "id long, key array<double>",
+    )
+    got = {
+        r["id"]: (r["n_hits"], round(r["max_cos"], 6))
+        for r in semantic_contaminated(corpus, bench, threshold=0.6).collect()
+    }
+    assert set(got) == {1, 2, 4}          # 3 is clean and absent
+    assert got[1] == (1, 1.0)
+    assert got[2][0] == 1
+    assert got[4][0] == 2                 # hit both benchmark vectors
+
+
+def test_semantic_contaminated_broadcasts_bench(spark):
+    from ahnlich_spark.operators.contamination import semantic_contaminated
+    from tests.test_plans import plan_of
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(50)], "id long, key array<double>"
+    )
+    bench = spark.createDataFrame(
+        [(100, [1.0, 0.0])], "id long, key array<double>"
+    )
+    plan = plan_of(semantic_contaminated(corpus, bench, threshold=0.9))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
