@@ -5793,6 +5793,46 @@ def decontaminate_semantic(spark, sf_dir):
     )
 
 
+_PRICE_BANDS = [
+    ("budget", 0, 5_000_000),
+    ("mid", 5_000_000, 10_000_000),
+    ("upper_mid", 10_000_000, 20_000_000),
+    ("premium", 20_000_000, 35_000_000),
+    ("luxury", 35_000_000, 100_000_000),
+]
+
+_PRICE_BANDS_SQL = ", ".join(f"('{n}', {lo}, {hi})" for n, lo, hi in _PRICE_BANDS)
+
+
+@register("orders_price_bands", f"""
+WITH bands(band, lo, hi) AS (VALUES {_PRICE_BANDS_SQL}),
+o AS (SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS v_e2
+      FROM orders)
+SELECT band, CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(v_e2) AS BIGINT) AS sum_price_e2
+FROM o JOIN bands ON v_e2 >= lo AND v_e2 < hi
+GROUP BY band
+""")
+def orders_price_bands(spark, sf_dir):
+    """Range-band lookup: every order priced into its band via the
+    bucket-grid decomposition — a broadcast HASH join on the bucket key
+    with a residual range predicate, not the O(|bands|)-per-row
+    nested-loop theta join Spark would otherwise plan. Fact side never
+    shuffles for the lookup (operators/joins.range_lookup_join)."""
+    from ahnlich_spark.operators.joins import range_lookup_join
+
+    bands = spark.createDataFrame(_PRICE_BANDS, "band string, lo long, hi long")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v_e2"),
+    )
+    joined = range_lookup_join(o, bands, "v_e2", granularity=5_000_000)
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("v_e2").cast("long").alias("sum_price_e2"),
+    )
+
+
 # ------------------------------------------------------------- entry --
 
 def flagship(spark: SparkSession) -> DataFrame:

@@ -306,3 +306,62 @@ def salted_join(
     )
     out = l.join(r, [on, "__salt"], how)
     return out.drop("__salt")
+
+
+def range_lookup_join(
+    facts: DataFrame,
+    bands: DataFrame,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    granularity: int = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Map each fact row's integer value into the band whose
+    ``[lo, hi)`` range contains it — the IP-geolocation / price-band /
+    latency-bucket lookup shape.
+
+    The naive formulation is a non-equi theta join: Spark plans it as a
+    BroadcastNestedLoopJoin that evaluates EVERY band predicate per fact
+    row — O(|bands|) work per row, ruinous when the band table has
+    thousands of entries. This operator decomposes ranges onto a bucket
+    grid instead: each band replicates to every ``granularity``-sized
+    bucket it overlaps, facts compute their bucket scan-locally, and the
+    join becomes a broadcast HASH join on the bucket key with a residual
+    range predicate — O(bands-per-bucket) ~ O(1) per row, zero shuffle
+    of the fact side, whatever the band count.
+
+    ``granularity`` defaults to the smallest band width (one tiny
+    aggregation job on the band side — the metadata a real pipeline
+    would cache with the band table). Values and bounds must be
+    integral (use scaled-integer money/time like the rest of this
+    repo). ``how`` = "inner" or "left" (keep unmatched facts with NULL
+    band columns). Bands are expected non-overlapping; if they overlap,
+    a fact joins every band that contains it.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    if granularity is None:
+        row = bands.select(
+            F.min(F.col(hi_col) - F.col(lo_col)).alias("g")
+        ).collect()[0]
+        granularity = max(int(row["g"] or 1), 1)
+    g = int(granularity)
+    if g < 1:
+        raise ValueError("granularity must be >= 1")
+    b = bands.withColumn(
+        "_bk",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / g).cast("long"),
+                F.floor((F.col(hi_col) - 1) / g).cast("long"),
+            )
+        ),
+    )
+    f = facts.withColumn("_bk", F.floor(F.col(value_col) / g).cast("long"))
+    cond = (
+        (f["_bk"] == b["_bk"])
+        & (F.col(value_col) >= F.col(lo_col))
+        & (F.col(value_col) < F.col(hi_col))
+    )
+    return f.join(F.broadcast(b), cond, how).drop("_bk")

@@ -140,6 +140,7 @@ BENCH_QUERIES = [
     "dedup_incremental",
     "distinct_kmv",
     "decontaminate_semantic",
+    "orders_price_bands",
 ]
 
 

@@ -220,3 +220,80 @@ def test_sliced_paths_shuffle_on_key_and_slice(spark):
     out = asof_join(left, right, on="k", right_cols=["v"], slice_us=1_000_000)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "__slc" in plan
+
+
+# -------------------------------------------------- range lookup --
+
+def test_range_lookup_join_matches_theta_join(spark):
+    from ahnlich_spark.operators.joins import range_lookup_join
+
+    facts = spark.createDataFrame(
+        [(i, v) for i, v in enumerate([0, 5, 9, 10, 17, 25, 99, 100, 250])],
+        "fid long, v long",
+    )
+    bands = spark.createDataFrame(
+        [("a", 0, 10), ("b", 10, 50), ("c", 100, 200)],
+        "band string, lo long, hi long",
+    )
+    got = sorted(
+        (r["fid"], r["band"])
+        for r in range_lookup_join(facts, bands, "v").collect()
+    )
+    naive = sorted(
+        (r["fid"], r["band"])
+        for r in facts.join(
+            bands, (F.col("v") >= F.col("lo")) & (F.col("v") < F.col("hi"))
+        ).collect()
+    )
+    assert got == naive
+    # boundary discipline: v=10 joins band b (lo inclusive), not a
+    # (hi exclusive); v=250 matches nothing
+    assert (3, "b") in got and all(fid != 8 for fid, _ in got)
+
+
+def test_range_lookup_join_left_and_overlap(spark):
+    from ahnlich_spark.operators.joins import range_lookup_join
+
+    facts = spark.createDataFrame([(1, 5), (2, 500)], "fid long, v long")
+    bands = spark.createDataFrame(
+        [("x", 0, 10), ("y", 3, 8)], "band string, lo long, hi long"
+    )
+    got = sorted(
+        (r["fid"], r["band"])
+        for r in range_lookup_join(facts, bands, "v", how="left").collect()
+    )
+    # overlapping bands both match; the unmatched fact survives with NULL
+    assert got == [(1, "x"), (1, "y"), (2, None)]
+
+
+def test_range_lookup_join_plans_hash_join(spark):
+    from ahnlich_spark.operators.joins import range_lookup_join
+    from tests.test_plans import plan_of
+
+    facts = spark.createDataFrame(
+        [(i, i * 7 % 1000) for i in range(100)], "fid long, v long"
+    )
+    bands = spark.createDataFrame(
+        [(f"b{i}", i * 100, (i + 1) * 100) for i in range(10)],
+        "band string, lo long, hi long",
+    )
+    plan = plan_of(range_lookup_join(facts, bands, "v", granularity=100))
+    # the whole point: an equi hash join on the bucket key, NOT the
+    # nested-loop theta join (O(|bands|) predicate evals per fact row)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_range_lookup_join_derives_granularity(spark):
+    from ahnlich_spark.operators.joins import range_lookup_join
+
+    facts = spark.createDataFrame([(1, 42), (2, 170)], "fid long, v long")
+    bands = spark.createDataFrame(
+        [("narrow", 40, 45), ("wide", 100, 200)],
+        "band string, lo long, hi long",
+    )
+    got = sorted(
+        (r["fid"], r["band"])
+        for r in range_lookup_join(facts, bands, "v").collect()
+    )
+    assert got == [(1, "narrow"), (2, "wide")]
