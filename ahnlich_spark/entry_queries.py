@@ -5833,6 +5833,53 @@ def orders_price_bands(spark, sf_dir):
     )
 
 
+def _knn_graph_oracle_sql(d_in: int = 64, n_bits: int = 8, seed: int = 7, k: int = 3) -> str:
+    """Replays the FULL knn_graph pipeline: seeded sign projection (the
+    exact left-associative chains of the Spark side), sign-bit bucket,
+    bucket self-join, exact cosine, per-node top-k."""
+    from ahnlich_spark.functions.projection import sign_matrix
+
+    m = sign_matrix(d_in, n_bits, seed)
+    bucket_terms = []
+    for j in range(n_bits):
+        terms = " + ".join(
+            f"embedding[{i + 1}]::DOUBLE * {float(m[i][j])}" for i in range(d_in)
+        )
+        bucket_terms.append(f"(CASE WHEN ({terms}) >= 0 THEN {1 << j} ELSE 0 END)")
+    bucket = " + ".join(bucket_terms)
+    return f"""
+WITH nodes AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS vec,
+                      ({bucket}) AS bk
+               FROM embeddings),
+pairs AS (
+  SELECT a.nid AS i, b.nid AS j, list_cosine_similarity(a.vec, b.vec) AS cos
+  FROM nodes a JOIN nodes b ON a.bk = b.bk AND a.nid <> b.nid
+),
+rk AS (SELECT i, j, cos,
+              row_number() OVER (PARTITION BY i ORDER BY cos DESC, j ASC) AS rank_n
+       FROM pairs)
+SELECT i, j, CAST(rank_n AS BIGINT) AS rank_n,
+       CAST(round(cos * 1000000) AS BIGINT) AS cos_e6
+FROM rk WHERE rank_n <= {k}
+"""
+
+
+@register("knn_graph_lsh", _knn_graph_oracle_sql())
+def knn_graph_lsh(spark, sf_dir):
+    """Approximate k-NN graph: sign-LSH buckets (seeded JL projection,
+    scan-local) -> bucket self-join -> exact cosine -> per-node top-3
+    window. The SemDeDup/label-propagation input primitive; no
+    all-pairs stage — per-bucket fan-out is occupancy-bounded
+    (operators/cluster.knn_graph)."""
+    from ahnlich_spark.operators.cluster import knn_graph
+
+    out = knn_graph(_t(spark, sf_dir, "embeddings"), k=3, n_sign_bits=8)
+    return out.select(
+        "i", "j", "rank_n",
+        F.round(F.col("cos") * 1000000).cast("long").alias("cos_e6"),
+    )
+
+
 # ------------------------------------------------------------- entry --
 
 def flagship(spark: SparkSession) -> DataFrame:

@@ -384,3 +384,72 @@ def semantic_dedup(
     return j.groupBy("cluster_id").applyInPandas(
         mark, f"{id_col} long, cluster_id int, is_dup long"
     )
+
+
+def knn_graph(
+    df: DataFrame,
+    k: int = 3,
+    n_sign_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    d_in: int = 64,
+    seed: int = 7,
+    precision: str = "double",
+) -> DataFrame:
+    """Approximate k-nearest-neighbor GRAPH over an embedding column —
+    the input primitive for SemDeDup-style clustering, label
+    propagation, and diversity analysis. Each vector's candidate set is
+    its sign-LSH bucket (the ``n_sign_bits`` signs of a seeded
+    Johnson-Lindenstrauss projection); exact cosine ranks the bucket,
+    a per-node window keeps the top ``k``.
+
+    Returns (i, j, rank_n, cos): directed edges i -> its rank-n
+    neighbor, ``rank_n`` 1-based, ties broken by ascending j. Nodes
+    alone in their bucket emit no edges (no candidates — raise recall
+    with fewer sign bits or a second seed band).
+
+    Determinism/portability: the projection is the repo's seeded
+    Achlioptas sign matrix with LEFT-ASSOCIATIVE add chains —
+    bit-identical in any engine — so the buckets, and therefore the
+    whole graph, replay exactly in SQL (the ``knn_graph_lsh`` gate's
+    DuckDB oracle recomputes everything from the parquet).
+
+    Scale shape: projection and bucketing are scan-local codegen (zero
+    shuffle); the self-join shuffles on the bucket key only, and
+    per-bucket fan-out is bounded by bucket occupancy (~n/2^bits on
+    centered data — size ``n_sign_bits`` to the corpus; cap hot buckets
+    with ``dedup.drop_hot_buckets`` before joining at extreme scale).
+    The top-k window shares the bucket join's partitioning profile; no
+    all-pairs stage anywhere."""
+    from ahnlich_spark.functions import similarity as S
+    from ahnlich_spark.functions.projection import project_expr, sign_matrix
+
+    outs = project_expr(F.col(vec_col), sign_matrix(d_in, n_sign_bits, seed))
+    bucket = None
+    for j, o in enumerate(outs):
+        bit = F.when(o >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else (bucket + bit)
+    nodes = df.select(
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).alias("vec"),
+        bucket.cast("long").alias("_bucket"),
+    )
+    a, b = nodes.alias("a"), nodes.alias("b")
+    cos = S.cosine_similarity(F.col("a.vec"), F.col("b.vec"), precision)
+    pairs = a.join(
+        b,
+        (F.col("a._bucket") == F.col("b._bucket"))
+        & (F.col("a.nid") != F.col("b.nid")),
+    ).select(
+        F.col("a.nid").alias("i"),
+        F.col("b.nid").alias("j"),
+        cos.alias("cos"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("i").orderBy(F.col("cos").desc(), F.col("j").asc())
+    return (
+        pairs.withColumn("rank_n", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank_n") <= k)
+        .select("i", "j", "rank_n", "cos")
+    )

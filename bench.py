@@ -141,6 +141,7 @@ BENCH_QUERIES = [
     "distinct_kmv",
     "decontaminate_semantic",
     "orders_price_bands",
+    "knn_graph_lsh",
 ]
 
 

@@ -164,3 +164,71 @@ def test_semantic_dedup_keeps_lowest_id_representative(spark):
         assert len(cids) == 1, "near-identical copies must co-cluster"
         flags = [out[m]["is_dup"] for m in sorted(members)]
         assert flags == [0, 1, 1], "keep exactly the lowest id"
+
+
+# ------------------------------------------------------ kNN graph --
+
+def test_knn_graph_twin_vectors_rank_first(spark):
+    """Identical vectors share a bucket by construction and must be each
+    other's rank-1 neighbor with cosine 1."""
+    import random
+
+    from ahnlich_spark.operators.cluster import knn_graph
+
+    rng = random.Random(11)
+    base = [[rng.uniform(-1, 1) for _ in range(8)] for _ in range(20)]
+    rows = [(i, v) for i, v in enumerate(base)]
+    rows.append((100, list(base[0])))  # twin of node 0
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    g = knn_graph(df, k=2, n_sign_bits=4, d_in=8)
+    got = {(r["i"], r["rank_n"]): (r["j"], round(r["cos"], 9)) for r in g.collect()}
+    assert got[(0, 1)] == (100, 1.0)
+    assert got[(100, 1)] == (0, 1.0)
+
+
+def test_knn_graph_shape_and_bucket_scope(spark):
+    import random
+
+    from ahnlich_spark.functions.projection import project_query, sign_matrix
+    from ahnlich_spark.operators.cluster import knn_graph
+
+    rng = random.Random(3)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    edges = knn_graph(df, k=3, n_sign_bits=3, d_in=8).collect()
+    per_node = {}
+    for r in edges:
+        per_node.setdefault(r["i"], []).append((r["rank_n"], r["cos"], r["j"]))
+    m = sign_matrix(8, 3, 7)
+    bucket = {
+        i: sum(
+            (1 << j) if p >= 0 else 0
+            for j, p in enumerate(project_query(v, m))
+        )
+        for i, v in rows
+    }
+    for i, lst in per_node.items():
+        lst.sort()
+        # ranks are 1..n with n <= k, cos non-increasing, neighbors come
+        # from the node's own bucket only
+        assert [r for r, _, _ in lst] == list(range(1, len(lst) + 1))
+        assert all(lst[a][1] >= lst[a + 1][1] for a in range(len(lst) - 1))
+        assert all(bucket[j] == bucket[i] for _, _, j in lst)
+
+
+def test_knn_graph_partition_order_invariant(spark):
+    import random
+
+    from ahnlich_spark.operators.cluster import knn_graph
+
+    rng = random.Random(5)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = sorted((r["i"], r["rank_n"], r["j"]) for r in knn_graph(df, k=2, n_sign_bits=3, d_in=8).collect())
+    b = sorted(
+        (r["i"], r["rank_n"], r["j"])
+        for r in knn_graph(df.repartition(9), k=2, n_sign_bits=3, d_in=8).collect()
+    )
+    assert a == b and len(a) > 0
