@@ -5880,6 +5880,69 @@ def knn_graph_lsh(spark, sf_dir):
     )
 
 
+@register("events_rolling_window", """
+WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tus,
+                  CAST(round(value * 100) AS BIGINT) AS v_e2 FROM events)
+SELECT event_id, user_id,
+       CAST(count(*) OVER w AS BIGINT) AS n_24h,
+       CAST(sum(v_e2) OVER w AS BIGINT) AS sum_val_e2_24h
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY tus
+             RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+""")
+def events_rolling_window(spark, sf_dir):
+    """Trailing-24h per-user activity features on every event (count +
+    value sum) — ONE RANGE-frame window shuffle on the user key, no
+    range self-join, no pair table
+    (operators/joins.rolling_window_features)."""
+    from ahnlich_spark.operators.joins import rolling_window_features
+
+    ev = _events_us(spark, sf_dir).select(
+        "event_id", "user_id", "ts_us",
+        F.round(F.col("value") * 100).cast("long").alias("v_e2"),
+    )
+    out = rolling_window_features(
+        ev, "user_id", "ts_us", 86_400_000_000,
+        sum_col="v_e2", count_out="n_24h", sum_out="sum_val_e2_24h",
+    )
+    return out.select("event_id", "user_id", "n_24h", "sum_val_e2_24h")
+
+
+@register("label_centroids", """
+WITH el AS (SELECT label, embedding FROM embeddings),
+comp AS (
+  SELECT label, i - 1 AS pos,
+         CAST(round(embedding[i]::DOUBLE * 1000000) AS BIGINT) + 1000000 AS c_off
+  FROM el, unnest(range(1, len(embedding) + 1)) AS t(i)
+)
+SELECT label, CAST(pos AS BIGINT) AS pos,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST((sum(c_off) // count(*)) - 1000000 AS BIGINT) AS centroid_e6
+FROM comp GROUP BY label, pos
+""")
+def label_centroids(spark, sf_dir):
+    """Per-label embedding centroids in exact integer math: each
+    component e6-rounds BEFORE summation, so the BIGINT sums (and the
+    floor-divided means) are order-exact on any partitioning/engine —
+    no float accumulation anywhere. Components are offset to a
+    non-negative domain before the integer division, where Spark's
+    truncating ``div`` and SQL floor division agree. posexplode + one
+    (label, pos) aggregation with map-side combine; the class-prototype
+    primitive for centroid classifiers and IVF warm starts."""
+    emb = _t(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "label", F.posexplode(F.col("embedding")).alias("pos", "x")
+    ).select(
+        "label",
+        F.col("pos").cast("long").alias("pos"),
+        (F.round(F.col("x").cast("double") * 1000000).cast("long") + 1000000).alias("c_off"),
+    )
+    return comp.groupBy("label", "pos").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        (F.expr("sum(c_off) div count(*)") - 1000000).cast("long").alias("centroid_e6"),
+    )
+
+
 # ------------------------------------------------------------- entry --
 
 def flagship(spark: SparkSession) -> DataFrame:

@@ -365,3 +365,38 @@ def range_lookup_join(
         & (F.col(value_col) < F.col(hi_col))
     )
     return f.join(F.broadcast(b), cond, how).drop("_bk")
+
+
+def rolling_window_features(
+    df: DataFrame,
+    key_col: str,
+    time_col: str,
+    window_us: int,
+    sum_col: str = None,
+    count_out: str = "n_window",
+    sum_out: str = "sum_window",
+) -> DataFrame:
+    """Per-row trailing-window features: for every event, the count (and
+    optional sum) of the SAME key's events in ``[t - window_us, t]`` —
+    the fraud/abuse/engagement feature-engineering shape ("events by
+    this user in the last 24 h").
+
+    One RANGE-frame window over integer epoch-micros = ONE shuffle on
+    the key, no self-join, no pair table (the naive formulation is the
+    O(rows x window-occupancy) range self-join). Frame bounds are
+    inclusive at both ends and tie rows (equal timestamps) are frame
+    peers — semantics identical to SQL ``RANGE BETWEEN w PRECEDING AND
+    CURRENT ROW``, so any engine replays it."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(time_col).cast("long"))
+        .rangeBetween(-int(window_us), 0)
+    )
+    out = df.withColumn(count_out, F.count(F.lit(1)).over(w).cast("long"))
+    if sum_col is not None:
+        out = out.withColumn(
+            sum_out, F.coalesce(F.sum(sum_col).over(w), F.lit(0)).cast("long")
+        )
+    return out

@@ -142,6 +142,8 @@ BENCH_QUERIES = [
     "decontaminate_semantic",
     "orders_price_bands",
     "knn_graph_lsh",
+    "events_rolling_window",
+    "label_centroids",
 ]
 
 

@@ -297,3 +297,41 @@ def test_range_lookup_join_derives_granularity(spark):
         for r in range_lookup_join(facts, bands, "v").collect()
     )
     assert got == [(1, "narrow"), (2, "wide")]
+
+
+# ----------------------------------------------- rolling features --
+
+def test_rolling_window_features_counts(spark):
+    from ahnlich_spark.operators.joins import rolling_window_features
+
+    rows = [
+        # user 1: ts 0, 50, 100, 210 — window 100 us inclusive both ends
+        (1, 1, 0, 10), (2, 1, 50, 20), (3, 1, 100, 30), (4, 1, 210, 40),
+        # user 2: one event
+        (5, 2, 60, 5),
+        # user 1: tie timestamps are frame PEERS (both count at t=300)
+        (6, 1, 300, 1), (7, 1, 300, 2),
+    ]
+    df = spark.createDataFrame(rows, "eid long, uid long, t long, v long")
+    got = {
+        r["eid"]: (r["n_window"], r["sum_window"])
+        for r in rolling_window_features(df, "uid", "t", 100, sum_col="v").collect()
+    }
+    assert got[1] == (1, 10)
+    assert got[2] == (2, 30)
+    assert got[3] == (3, 60)      # 0, 50, 100 all within [0, 100]
+    assert got[4] == (1, 40)      # 110..210: only itself
+    assert got[5] == (1, 5)
+    # peers see each other, and event 4 (t=210) is inside [200, 300]
+    assert got[6] == (3, 43) and got[7] == (3, 43)
+
+
+def test_rolling_window_single_shuffle(spark):
+    from ahnlich_spark.operators.joins import rolling_window_features
+    from tests.test_plans import n_exchanges, plan_of
+
+    df = spark.createDataFrame(
+        [(i, i % 5, i * 10, i) for i in range(100)], "eid long, uid long, t long, v long"
+    )
+    plan = plan_of(rolling_window_features(df, "uid", "t", 50, sum_col="v"))
+    assert n_exchanges(plan) == 1, plan
