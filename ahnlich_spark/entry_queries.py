@@ -5833,10 +5833,10 @@ def orders_price_bands(spark, sf_dir):
     )
 
 
-def _knn_graph_oracle_sql(d_in: int = 64, n_bits: int = 8, seed: int = 7, k: int = 3) -> str:
-    """Replays the FULL knn_graph pipeline: seeded sign projection (the
-    exact left-associative chains of the Spark side), sign-bit bucket,
-    bucket self-join, exact cosine, per-node top-k."""
+def _knn_graph_cte_sql(d_in: int = 64, n_bits: int = 8, seed: int = 7) -> str:
+    """CTE chain replaying the knn_graph pipeline: seeded sign
+    projection (the exact left-associative chains of the Spark side),
+    sign-bit bucket, bucket self-join, exact cosine, per-node ranks."""
     from ahnlich_spark.functions.projection import sign_matrix
 
     m = sign_matrix(d_in, n_bits, seed)
@@ -5848,19 +5848,24 @@ def _knn_graph_oracle_sql(d_in: int = 64, n_bits: int = 8, seed: int = 7, k: int
         bucket_terms.append(f"(CASE WHEN ({terms}) >= 0 THEN {1 << j} ELSE 0 END)")
     bucket = " + ".join(bucket_terms)
     return f"""
-WITH nodes AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS vec,
-                      ({bucket}) AS bk
-               FROM embeddings),
-pairs AS (
+knn_nodes AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS vec,
+                     ({bucket}) AS bk
+              FROM embeddings),
+knn_pairs AS (
   SELECT a.nid AS i, b.nid AS j, list_cosine_similarity(a.vec, b.vec) AS cos
-  FROM nodes a JOIN nodes b ON a.bk = b.bk AND a.nid <> b.nid
+  FROM knn_nodes a JOIN knn_nodes b ON a.bk = b.bk AND a.nid <> b.nid
 ),
-rk AS (SELECT i, j, cos,
-              row_number() OVER (PARTITION BY i ORDER BY cos DESC, j ASC) AS rank_n
-       FROM pairs)
+knn_rk AS (SELECT i, j, cos,
+                  row_number() OVER (PARTITION BY i ORDER BY cos DESC, j ASC) AS rank_n
+           FROM knn_pairs)"""
+
+
+def _knn_graph_oracle_sql(d_in: int = 64, n_bits: int = 8, seed: int = 7, k: int = 3) -> str:
+    return f"""
+WITH {_knn_graph_cte_sql(d_in, n_bits, seed)}
 SELECT i, j, CAST(rank_n AS BIGINT) AS rank_n,
        CAST(round(cos * 1000000) AS BIGINT) AS cos_e6
-FROM rk WHERE rank_n <= {k}
+FROM knn_rk WHERE rank_n <= {k}
 """
 
 
@@ -5940,6 +5945,60 @@ def label_centroids(spark, sf_dir):
     return comp.groupBy("label", "pos").agg(
         F.count(F.lit(1)).cast("long").alias("n_vecs"),
         (F.expr("sum(c_off) div count(*)") - 1000000).cast("long").alias("centroid_e6"),
+    )
+
+
+def _label_prop_oracle_sql(rounds: int = 3, k: int = 3) -> str:
+    ctes = [
+        _knn_graph_cte_sql().lstrip("\n"),
+        f"edges AS (SELECT i AS src, j AS dst FROM knn_rk WHERE rank_n <= {k})",
+        "seeds AS (SELECT vec_id AS node, label AS slab FROM embeddings WHERE vec_id % 10 = 0)",
+        """gnodes AS (SELECT DISTINCT node FROM (
+  SELECT src AS node FROM edges UNION ALL
+  SELECT dst FROM edges UNION ALL
+  SELECT node FROM seeds))""",
+        "l0 AS (SELECT g.node, s.slab AS lab FROM gnodes g LEFT JOIN seeds s USING (node))",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""
+v{r} AS (SELECT e.src AS node, l.lab, count(*) AS c
+  FROM edges e JOIN l{r-1} l ON e.dst = l.node WHERE l.lab IS NOT NULL
+  GROUP BY 1, 2),
+b{r} AS (SELECT node, lab FROM (
+  SELECT node, lab, row_number() OVER (PARTITION BY node ORDER BY c DESC, lab ASC) AS rn
+  FROM v{r}) WHERE rn = 1),
+l{r} AS (SELECT l.node, COALESCE(s.slab, b.lab, l.lab) AS lab
+  FROM l{r-1} l LEFT JOIN b{r} b USING (node) LEFT JOIN seeds s USING (node))""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT CAST(node AS BIGINT) AS node, CAST(lab AS BIGINT) AS label
+FROM l{rounds} WHERE lab IS NOT NULL"""
+    )
+
+
+@register("graph_label_propagation", _label_prop_oracle_sql())
+def graph_label_propagation(spark, sf_dir):
+    """Semi-supervised corpus labeling: 10% of vectors keep their
+    audited label (seeds); 3 synchronous rounds spread labels across
+    the k-NN graph — each node adopts the deterministic MODE of its
+    neighbors' labels (count desc, smallest label), seeds never move.
+    Each round is one edge-vs-labels join + one vote aggregation + one
+    |V|-bounded argmax window (operators/graph.label_propagation over
+    cluster.knn_graph edges)."""
+    from ahnlich_spark.operators.cluster import knn_graph
+    from ahnlich_spark.operators.graph import label_propagation
+
+    emb = _t(spark, sf_dir, "embeddings")
+    g = knn_graph(emb, k=3, n_sign_bits=8)
+    edges = g.select(F.col("i").alias("src"), F.col("j").alias("dst"))
+    seeds = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("node"), F.col("label")
+    )
+    out = label_propagation(edges, seeds, iterations=3)
+    return out.filter(F.col("label").isNotNull()).select(
+        F.col("node").cast("long").alias("node"),
+        F.col("label").cast("long").alias("label"),
     )
 
 

@@ -109,3 +109,80 @@ def pagerank(
             )
         )
     return ranks
+
+
+def label_propagation(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+    label_col: str = "label",
+    broadcast_labels: bool = True,
+) -> DataFrame:
+    """Synchronous label propagation (semi-supervised classification
+    over a graph): seed nodes carry fixed labels; every round, each
+    node adopts the MODE of its out-neighbors' current labels (vote
+    count desc, then smallest label — fully deterministic), seeds never
+    change, and nodes whose neighbors are all unlabeled keep their
+    current label. After ``iterations`` rounds, returns (node, label)
+    for every node of the graph or seed set (label NULL if never
+    reached).
+
+    The training-data use: spread trusted quality/domain/topic labels
+    from a small audited seed set across the near-dup or k-NN graph —
+    e.g. ``cluster.knn_graph`` edges — to label the whole corpus.
+
+    Scale shape: each round is one join of the edge list against the
+    |V|-sized label table (broadcast by default, keyed when
+    ``broadcast_labels=False``) + one (node, label) vote aggregation
+    with map-side combine + one |V|-bounded argmax window. The label
+    table is localCheckpoint'd per round so the lineage stays flat.
+    Votes are integer counts — any SQL engine replays every round
+    bit-for-bit."""
+    from pyspark.sql import Window
+
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint()
+    small = F.broadcast if broadcast_labels else (lambda df: df)
+    s = seeds.select(
+        F.col(node_col).alias("node"), F.col(label_col).alias("_seed")
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .union(s.select("node"))
+        .distinct()
+    )
+    labels = nodes.join(small(s), "node", "left").select(
+        "node", F.col("_seed").alias("lab")
+    ).localCheckpoint()
+    w = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("lab").asc())
+    for _ in range(iterations):
+        votes = (
+            e.join(
+                small(labels.filter(F.col("lab").isNotNull())),
+                e["dst"] == F.col("node"),
+            )
+            .groupBy(F.col("src").alias("node"), "lab")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        best = (
+            votes.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("node", F.col("lab").alias("_best"))
+        )
+        labels = (
+            labels.join(small(best), "node", "left")
+            .join(small(s), "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("_seed"), F.col("_best"), F.col("lab")).alias("lab"),
+            )
+            .localCheckpoint()
+        )
+    return labels.select("node", F.col("lab").alias(label_col))

@@ -144,6 +144,7 @@ BENCH_QUERIES = [
     "knn_graph_lsh",
     "events_rolling_window",
     "label_centroids",
+    "graph_label_propagation",
 ]
 
 

@@ -41,3 +41,55 @@ def test_rejects_bad_params(spark):
         pagerank(df, iterations=0)
     with pytest.raises(ValueError):
         pagerank(df, damping_e2=100)
+
+
+# ------------------------------------------------ label propagation --
+
+from ahnlich_spark.operators.graph import label_propagation
+
+
+def _lp(spark, edges, seeds, iterations):
+    e = spark.createDataFrame(edges, "src long, dst long")
+    s = spark.createDataFrame(seeds, "node long, label string")
+    out = label_propagation(e, s, iterations=iterations)
+    return {r["node"]: r["label"] for r in out.collect()}
+
+
+def test_label_propagation_chain_spread(spark):
+    # seed at one end of a chain; labels advance one hop per round
+    # (votes flow along OUT-edges: node adopts its out-neighbors' mode)
+    edges = [(1, 0), (2, 1), (3, 2)]
+    got1 = _lp(spark, edges, [(0, "good")], 1)
+    assert got1 == {0: "good", 1: "good", 2: None, 3: None}
+    got3 = _lp(spark, edges, [(0, "good")], 3)
+    assert got3 == {0: "good", 1: "good", 2: "good", 3: "good"}
+
+
+def test_label_propagation_mode_and_tiebreak(spark):
+    # node 10 sees two "a" voters and one "b" -> mode a; node 20 sees a
+    # 1-1 tie -> smallest label wins deterministically
+    edges = [(10, 1), (10, 2), (10, 3), (20, 4), (20, 5)]
+    seeds = [(1, "a"), (2, "a"), (3, "b"), (4, "z"), (5, "b")]
+    got = _lp(spark, edges, seeds, 1)
+    assert got[10] == "a"
+    assert got[20] == "b"
+
+
+def test_label_propagation_seeds_never_move(spark):
+    # seed 0 is bombarded by differently-labeled neighbors but holds
+    edges = [(0, 1), (0, 2)]
+    seeds = [(0, "keep"), (1, "other"), (2, "other")]
+    got = _lp(spark, edges, seeds, 3)
+    assert got[0] == "keep"
+
+
+def test_label_propagation_relabels_non_seeds(spark):
+    # a non-seed's label is RE-evaluated each round (standard LPA):
+    # node 5 first adopts "x" from 6, then flips when 6's own label
+    # stays fixed but 5 gains two "y" neighbors via round-2 spread
+    edges = [(5, 6), (5, 7), (5, 8), (7, 9), (8, 9)]
+    seeds = [(6, "x"), (9, "y")]
+    got1 = _lp(spark, edges, seeds, 1)
+    assert got1[5] == "x" and got1[7] == "y" and got1[8] == "y"
+    got2 = _lp(spark, edges, seeds, 2)
+    assert got2[5] == "y"   # 2 votes y (7, 8) vs 1 vote x (6)
