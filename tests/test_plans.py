@@ -384,3 +384,61 @@ def test_tpch_completion_gates_plan_shapes(spark, sf_dir):
     qc = plan_of(QUERIES["events_rollup_cube"](spark, sf))
     assert "Expand" in qc, qc
     assert n_exchanges(qc) <= 1, qc
+
+
+# ------------------------------------------- round-4 session ops --
+
+def test_duplicate_spans_no_pairwise_join(docs):
+    """The exact-substring span pipeline must stay linear: fp-keyed
+    aggregation + join-back + one doc window — never a pairwise or
+    nested-loop join, and the document text must not appear in any
+    exchange (only ids/positions/fingerprints shuffle)."""
+    from ahnlich_spark.operators.dedup import duplicate_spans
+
+    plan = plan_of(duplicate_spans(docs, window_tokens=16))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # occurrence explode -> stats agg (2 exchanges incl. partial) ->
+    # fp join-back -> doc window; allow the AQE-planned minimum
+    assert n_exchanges(plan) <= 4, plan
+
+
+def test_knn_graph_bucket_join_only(emb):
+    """Candidate generation must be the bucket-key equi self-join —
+    no all-pairs (cartesian / nested-loop) stage anywhere."""
+    from ahnlich_spark.operators.cluster import knn_graph
+
+    plan = plan_of(knn_graph(emb, k=3, n_sign_bits=8))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # projection + bucketing are scan-local: no exchange may appear
+    # below the self-join's own bucket-key exchanges
+    assert "PythonUDF" not in plan, plan
+
+
+def test_incremental_dedup_corpus_reshingles_candidates_only(spark, sf_dir):
+    """The corpus text scan on the verify side must be semi-join
+    pruned to candidate ids — visible as a left_semi join in the plan —
+    and the corpus side must never self-join."""
+    from ahnlich_spark.operators.dedup import minhash_lsh_incremental_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    plan = plan_of(minhash_lsh_incremental_pairs(batch, corpus, threshold=0.5))
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_kmv_distinct_two_window_levels(docs):
+    """The sketch must dedupe on (group, hash) with partial map-side
+    aggregation and take minima through the salted window level — no
+    single global-order window over a whole group's distinct set."""
+    from ahnlich_spark.operators.sketches import kmv_distinct
+
+    sh = docs.select("source", F.explode(X.word_shingles(F.col("text"), 3)).alias("sh"))
+    plan = plan_of(kmv_distinct(sh, "sh", ["source"], k=64))
+    # both window levels present: the salted partitioning and the final
+    # per-group one
+    assert plan.count("RunningWindowFunction") >= 2 or plan.count("Window") >= 2, plan
+    assert "HashAggregate" in plan, plan
