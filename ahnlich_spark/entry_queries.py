@@ -6002,6 +6002,92 @@ def graph_label_propagation(spark, sf_dir):
     )
 
 
+@register("streaming_incremental_dedup", f"""
+WITH {_SHINGLES_SQL},
+shh AS (
+  SELECT did, ('0x' || substring(md5(s), 1, 15))::BIGINT % 1000000007 AS hb
+  FROM sh
+),
+mh AS (
+  SELECT did, seed,
+         min(({_MINHASH_A_SQL}[seed+1] * hb + {_MINHASH_B_SQL}[seed+1]) % 1000000007) AS h
+  FROM shh, range(16) t(seed) GROUP BY did, seed
+),
+sig AS (SELECT did, list(h ORDER BY seed) AS sig FROM mh GROUP BY did),
+bands AS (
+  SELECT did, unnest(list_transform(range(8),
+      b -> b::VARCHAR || '|' || sig[2*b+1]::VARCHAR || '|' || sig[2*b+2]::VARCHAR)) AS band
+  FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.did AS i, b.did AS j,
+         CAST(CASE WHEN b.did % 5 <> 0
+                     OR (a.did % 10 = 5 AND b.did % 10 = 0)
+                   THEN 1 ELSE 0 END AS BIGINT) AS j_in_corpus
+  FROM bands a JOIN bands b ON a.band = b.band
+  WHERE a.did % 5 = 0
+    AND ( b.did % 5 <> 0
+          OR (a.did % 10 = 0 AND b.did % 10 = 0 AND a.did < b.did)
+          OR (a.did % 10 = 5 AND b.did % 10 = 0)
+          OR (a.did % 10 = 5 AND b.did % 10 = 5 AND a.did < b.did) )
+),
+inter AS (
+  SELECT c.i, c.j, c.j_in_corpus, count(*) AS inter
+  FROM cand c JOIN sh a ON a.did = c.i JOIN sh b ON b.did = c.j AND a.s = b.s
+  GROUP BY 1, 2, 3
+)
+SELECT i, j, j_in_corpus, inter, ni, nj
+FROM inter
+JOIN (SELECT did AS i, nsh AS ni FROM sizes) USING (i)
+JOIN (SELECT did AS j, nsh AS nj FROM sizes) USING (j)
+WHERE 2 * inter >= (ni + nj - inter)
+""")
+def streaming_incremental_dedup_gate(spark, sf_dir):
+    """Live ingest dedup: two ORDERED micro-batches of incoming docs
+    (doc_id%10==0 first, then %10==5) near-dup-checked on arrival
+    against the historical corpus (%5!=0) PLUS every earlier batch,
+    then folded into the maintained signature index. The oracle
+    computes the arrival-order candidate algebra in closed form —
+    j_in_corpus records whether the match was already indexed when i
+    arrived (streaming/pipeline.streaming_incremental_dedup)."""
+    import glob
+    import time
+
+    from ahnlich_spark.streaming.pipeline import streaming_incremental_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    src = tempfile.mkdtemp(prefix="ahnlich_sincr_")
+    a_dir, b_dir = os.path.join(src, "a"), os.path.join(src, "b")
+    docs.filter(F.col("doc_id") % 10 == 0).select("doc_id", "text").coalesce(
+        1
+    ).write.parquet(a_dir)
+    docs.filter(F.col("doc_id") % 10 == 5).select("doc_id", "text").coalesce(
+        1
+    ).write.parquet(b_dir)
+    watch = os.path.join(src, "watch")
+    os.makedirs(watch)
+    fa = glob.glob(os.path.join(a_dir, "part-*.parquet"))[0]
+    fb = glob.glob(os.path.join(b_dir, "part-*.parquet"))[0]
+    now = time.time()
+    os.utime(fa, (now - 60, now - 60))  # batch a strictly before b
+    os.utime(fb, (now, now))
+    os.symlink(fa, os.path.join(watch, "batch-a.parquet"))
+    os.symlink(fb, os.path.join(watch, "batch-b.parquet"))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(watch)
+    )
+    q, drain = streaming_incremental_dedup(stream, corpus, threshold=0.5)
+    q.processAllAvailable()
+    q.stop()
+    return spark.createDataFrame(
+        drain(), "i long, j long, j_in_corpus long, inter long, ni long, nj long"
+    )
+
+
 # ------------------------------------------------------------- entry --
 
 def flagship(spark: SparkSession) -> DataFrame:

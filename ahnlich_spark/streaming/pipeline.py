@@ -354,3 +354,74 @@ def streaming_apply_changes(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+def streaming_incremental_dedup(
+    doc_stream: DataFrame,
+    corpus_df: DataFrame,
+    corpus_sig: Optional[DataFrame] = None,
+    threshold: float = 0.5,
+    n_hashes: int = 16,
+    n_bands: int = 8,
+    rows_per_band: int = 2,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    checkpoint: Optional[str] = None,
+):
+    """Live ingest dedup: each micro-batch of incoming documents is
+    near-dup-checked against the corpus AS OF ITS ARRIVAL (historical
+    corpus + every earlier micro-batch) and against itself, then folded
+    into the maintained signature index — the streaming face of
+    ``operators/dedup.minhash_lsh_incremental_pairs`` and exactly what a
+    production crawler pipeline runs: dedup on arrival, index grows,
+    the corpus is never rescanned.
+
+    State maintained across batches (localCheckpoint'd so lineage stays
+    flat): the signature/size table (the persisted KMV-style artifact —
+    O(n_docs) skinny rows, not text) and the corpus id+text table (only
+    ever read through a candidate-id semi-join, so each batch's text
+    scan is O(collisions)).
+
+    Returns ``(query, drain)``: a StreamingQuery and a zero-arg callable
+    producing the accumulated pair rows as
+    [(i, j, j_in_corpus, inter, ni, nj), ...] once the stream is
+    processed — ``j_in_corpus`` = 1 when the matched doc was already in
+    the index when ``i`` arrived (historical corpus or an earlier
+    batch), 0 for a same-batch peer."""
+    from ahnlich_spark.operators import dedup as D
+
+    kw = dict(
+        threshold=threshold,
+        n_hashes=n_hashes,
+        n_bands=n_bands,
+        rows_per_band=rows_per_band,
+        shingle_n=shingle_n,
+        text_col=text_col,
+        id_col=id_col,
+    )
+    if corpus_sig is None:
+        corpus_sig = D.minhash_signature_table(
+            corpus_df, n_hashes, shingle_n, text_col, id_col
+        )
+    state = {
+        "corpus": corpus_df.select(id_col, text_col).localCheckpoint(),
+        "sig": corpus_sig.localCheckpoint(),
+        "rows": [],
+    }
+
+    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+        b = batch_df.select(id_col, text_col).localCheckpoint()
+        pairs = D.minhash_lsh_incremental_pairs(
+            b, state["corpus"], corpus_sig=state["sig"], **kw
+        )
+        state["rows"].extend(tuple(r) for r in pairs.collect())
+        state["sig"] = state["sig"].unionByName(
+            D.minhash_signature_table(b, n_hashes, shingle_n, text_col, id_col)
+        ).localCheckpoint()
+        state["corpus"] = state["corpus"].unionByName(b).localCheckpoint()
+
+    writer = doc_stream.writeStream.foreachBatch(_sink).outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start(), (lambda: list(state["rows"]))

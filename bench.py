@@ -145,6 +145,7 @@ BENCH_QUERIES = [
     "events_rolling_window",
     "label_centroids",
     "graph_label_propagation",
+    "streaming_incremental_dedup",
 ]
 
 

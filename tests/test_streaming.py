@@ -442,3 +442,58 @@ def test_apply_changes_vocabulary_and_dimension_guards(spark, engine):
     with pytest.raises(errors.DimensionMismatch):
         engine.apply_changes("acv", mk([("upsert", 0, [1.0, 2.0, 3.0], None)]))
     assert engine.catalog.get_store("acv").deltas == before  # nothing written
+
+
+# ------------------------------------- streaming incremental dedup --
+
+def test_streaming_incremental_dedup_arrival_order(spark, tmp_path):
+    """A doc arriving in batch 2 must match batch-1 docs as CORPUS
+    (j_in_corpus=1), its own batch peers as batch (0), and the result
+    must equal the closed-form arrival-order algebra."""
+    import glob
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from ahnlich_spark.operators import dedup as D
+    from ahnlich_spark.streaming.pipeline import streaming_incremental_dedup
+
+    base = "the quick brown fox jumps over the lazy dog tonight again"
+    corpus = spark.createDataFrame(
+        [(101, base), (102, "totally unrelated historical content here")],
+        "doc_id long, text string",
+    )
+    batch_a = [(10, base + " x")]                       # near-dup of 101
+    batch_b = [(20, base + " y"), (21, base + " y z")]  # dups of 101/10/each other
+    a_dir, b_dir = str(tmp_path / "a"), str(tmp_path / "b")
+    spark.createDataFrame(batch_a, "doc_id long, text string").coalesce(1).write.parquet(a_dir)
+    spark.createDataFrame(batch_b, "doc_id long, text string").coalesce(1).write.parquet(b_dir)
+    watch = str(tmp_path / "watch")
+    os.makedirs(watch)
+    fa = glob.glob(os.path.join(a_dir, "part-*.parquet"))[0]
+    fb = glob.glob(os.path.join(b_dir, "part-*.parquet"))[0]
+    now = time.time()
+    os.utime(fa, (now - 60, now - 60))
+    os.utime(fb, (now, now))
+    os.symlink(fa, os.path.join(watch, "b0.parquet"))
+    os.symlink(fb, os.path.join(watch, "b1.parquet"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(watch)
+    )
+    q, drain = streaming_incremental_dedup(stream, corpus, threshold=0.5)
+    q.processAllAvailable()
+    q.stop()
+    got = {(i, j): jic for i, j, jic, *_ in drain()}
+    # batch A vs historical corpus
+    assert got[(10, 101)] == 1
+    # batch B vs historical corpus AND vs batch A (both count as corpus
+    # at B's arrival), vs each other as batch peers
+    assert got[(20, 101)] == 1 and got[(21, 101)] == 1
+    assert got[(20, 10)] == 1 and got[(21, 10)] == 1
+    assert got[(20, 21)] == 0
+    # nothing pairs i from the corpus side, and 102 never matches
+    assert all(i in (10, 20, 21) for i, _ in got)
+    assert all(j != 102 for _, j in got)
