@@ -1281,6 +1281,27 @@ JOIN (SELECT did AS j, nsh AS nj FROM sizes) USING (j)
 WHERE 2 * inter >= (ni + nj - inter)
 """
 
+# shingle-hash -> 16-seed universal-hash minima -> signature list ->
+# 8 x 2-row band keys: the ONE replay of operators/dedup's
+# _signature_aggregate algebra, shared by every minhash oracle so a
+# coefficient or band-format change cannot silently diverge one copy
+_MINHASH_BANDS_SQL = f"""
+shh AS (
+  SELECT did, ('0x' || substring(md5(s), 1, 15))::BIGINT % 1000000007 AS hb
+  FROM sh
+),
+mh AS (
+  SELECT did, seed,
+         min(({_MINHASH_A_SQL}[seed+1] * hb + {_MINHASH_B_SQL}[seed+1]) % 1000000007) AS h
+  FROM shh, range(16) t(seed) GROUP BY did, seed
+),
+sig AS (SELECT did, list(h ORDER BY seed) AS sig FROM mh GROUP BY did),
+bands AS (
+  SELECT did, unnest(list_transform(range(8),
+      b -> b::VARCHAR || '|' || sig[2*b+1]::VARCHAR || '|' || sig[2*b+2]::VARCHAR)) AS band
+  FROM sig
+)"""
+
 
 @register("ngram_jaccard_pairs", f"""
 WITH {_SHINGLES_SQL},
@@ -1298,21 +1319,7 @@ def ngram_jaccard_pairs(spark, sf_dir):
 
 @register("minhash_lsh_pairs", f"""
 WITH {_SHINGLES_SQL},
-shh AS (
-  SELECT did, ('0x' || substring(md5(s), 1, 15))::BIGINT % 1000000007 AS hb
-  FROM sh
-),
-mh AS (
-  SELECT did, seed,
-         min(({_MINHASH_A_SQL}[seed+1] * hb + {_MINHASH_B_SQL}[seed+1]) % 1000000007) AS h
-  FROM shh, range(16) t(seed) GROUP BY did, seed
-),
-sig AS (SELECT did, list(h ORDER BY seed) AS sig FROM mh GROUP BY did),
-bands AS (
-  SELECT did, unnest(list_transform(range(8),
-      b -> b::VARCHAR || '|' || sig[2*b+1]::VARCHAR || '|' || sig[2*b+2]::VARCHAR)) AS band
-  FROM sig
-),
+{_MINHASH_BANDS_SQL},
 cand AS (
   SELECT DISTINCT a.did AS i, b.did AS j
   FROM bands a JOIN bands b ON a.band = b.band AND a.did < b.did
@@ -1335,21 +1342,7 @@ def minhash_lsh_pairs(spark, sf_dir):
 
 @register("dedup_clusters", f"""
 WITH RECURSIVE {_SHINGLES_SQL},
-shh AS (
-  SELECT did, ('0x' || substring(md5(s), 1, 15))::BIGINT % 1000000007 AS hb
-  FROM sh
-),
-mh AS (
-  SELECT did, seed,
-         min(({_MINHASH_A_SQL}[seed+1] * hb + {_MINHASH_B_SQL}[seed+1]) % 1000000007) AS h
-  FROM shh, range(16) t(seed) GROUP BY did, seed
-),
-sig AS (SELECT did, list(h ORDER BY seed) AS sig FROM mh GROUP BY did),
-bands AS (
-  SELECT did, unnest(list_transform(range(8),
-      b -> b::VARCHAR || '|' || sig[2*b+1]::VARCHAR || '|' || sig[2*b+2]::VARCHAR)) AS band
-  FROM sig
-),
+{_MINHASH_BANDS_SQL},
 cand AS (
   SELECT DISTINCT a.did AS i, b.did AS j
   FROM bands a JOIN bands b ON a.band = b.band AND a.did < b.did
@@ -5674,21 +5667,7 @@ def dup_span_strip(spark, sf_dir):
 
 @register("dedup_incremental", f"""
 WITH {_SHINGLES_SQL},
-shh AS (
-  SELECT did, ('0x' || substring(md5(s), 1, 15))::BIGINT % 1000000007 AS hb
-  FROM sh
-),
-mh AS (
-  SELECT did, seed,
-         min(({_MINHASH_A_SQL}[seed+1] * hb + {_MINHASH_B_SQL}[seed+1]) % 1000000007) AS h
-  FROM shh, range(16) t(seed) GROUP BY did, seed
-),
-sig AS (SELECT did, list(h ORDER BY seed) AS sig FROM mh GROUP BY did),
-bands AS (
-  SELECT did, unnest(list_transform(range(8),
-      b -> b::VARCHAR || '|' || sig[2*b+1]::VARCHAR || '|' || sig[2*b+2]::VARCHAR)) AS band
-  FROM sig
-),
+{_MINHASH_BANDS_SQL},
 cand AS (
   SELECT DISTINCT a.did AS i, b.did AS j,
          CAST(CASE WHEN b.did % 5 <> 0 THEN 1 ELSE 0 END AS BIGINT) AS j_in_corpus
@@ -6004,21 +5983,7 @@ def graph_label_propagation(spark, sf_dir):
 
 @register("streaming_incremental_dedup", f"""
 WITH {_SHINGLES_SQL},
-shh AS (
-  SELECT did, ('0x' || substring(md5(s), 1, 15))::BIGINT % 1000000007 AS hb
-  FROM sh
-),
-mh AS (
-  SELECT did, seed,
-         min(({_MINHASH_A_SQL}[seed+1] * hb + {_MINHASH_B_SQL}[seed+1]) % 1000000007) AS h
-  FROM shh, range(16) t(seed) GROUP BY did, seed
-),
-sig AS (SELECT did, list(h ORDER BY seed) AS sig FROM mh GROUP BY did),
-bands AS (
-  SELECT did, unnest(list_transform(range(8),
-      b -> b::VARCHAR || '|' || sig[2*b+1]::VARCHAR || '|' || sig[2*b+2]::VARCHAR)) AS band
-  FROM sig
-),
+{_MINHASH_BANDS_SQL},
 cand AS (
   SELECT DISTINCT a.did AS i, b.did AS j,
          CAST(CASE WHEN b.did % 5 <> 0

@@ -429,6 +429,19 @@ def knn_graph(
     for j, o in enumerate(outs):
         bit = F.when(o >= 0, F.lit(1 << j)).otherwise(F.lit(0))
         bucket = bit if bucket is None else (bucket + bit)
+    # A vector shorter/longer than d_in would NULL every projection
+    # (zip_with pads), drop every row into bucket 0, and silently turn
+    # the bucket join into an all-pairs cross — fail loudly instead.
+    bucket = F.when(
+        F.size(F.col(vec_col)) != d_in,
+        F.raise_error(
+            F.concat(
+                F.lit("knn_graph: vector length "),
+                F.size(F.col(vec_col)).cast("string"),
+                F.lit(f" != d_in={int(d_in)}"),
+            )
+        ).cast("long"),
+    ).otherwise(bucket)
     nodes = df.select(
         F.col(id_col).alias("nid"),
         F.col(vec_col).alias("vec"),

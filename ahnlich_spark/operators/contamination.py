@@ -94,13 +94,18 @@ def semantic_contaminated(
         F.col(id_col).alias("_bid"), F.col(vec_col).alias("_bvec")
     )
     cos = S.cosine_similarity(F.col(vec_col), F.col("_bvec"), precision)
-    hits = corpus.select(F.col(id_col), F.col(vec_col)).join(
-        F.broadcast(b), cos >= F.lit(threshold)
+    # project the cosine ONCE in the join output: the BNLJ predicate
+    # already paid for it; re-evaluating the 3-fold inside the agg would
+    # double the array traversals and drag _bvec through the shuffle
+    hits = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .join(F.broadcast(b), cos >= F.lit(threshold))
+        .select(id_col, cos.alias("_cos"))
     )
     return (
         hits.groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_hits"),
-            F.max(cos).alias("max_cos"),
+            F.max("_cos").alias("max_cos"),
         )
     )

@@ -932,12 +932,21 @@ def strip_duplicate_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Remove every duplicated span (keeping the corpus-wide first
-    occurrence of each window) and return the cleaned corpus:
+    """Remove every duplicated span and return the cleaned corpus:
     (id, n_tokens, n_removed, clean_text). A token is removed iff it is
     covered by at least one removable span — overlapping spans from
     gap-separated runs are handled by per-position coverage, so the
     same token is never double-counted.
+
+    Retention is per-WINDOW, not per-passage: each duplicated window's
+    canonical (corpus-wide first) occurrence is never itself removable,
+    but its tokens can still be stripped when a DIFFERENT removable
+    window's span overlaps them — so a passage whose canonical
+    occurrences interlock with removable ones may survive nowhere
+    intact (the standard ExactSubstr caveat — Lee et al. 2022's
+    original even strips EVERY copy, canonical included). The
+    guarantee that does hold: a canonical window whose tokens no
+    removable span covers survives verbatim.
 
     Scale shape: the span table (tiny — duplicated passages only) is
     aggregated to one array per affected doc and joined back by id;

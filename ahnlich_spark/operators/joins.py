@@ -349,16 +349,24 @@ def range_lookup_join(
     g = int(granularity)
     if g < 1:
         raise ValueError("granularity must be >= 1")
+    # exact integer floor division: (c - pmod(c, g)) is a multiple of g,
+    # so truncating `div` equals floor(c / g) for NEGATIVE values too.
+    # F.floor(col / g) would round-trip through double and misbucket
+    # 64-bit values at or above 2^53 — silently dropping them from the
+    # hash join before the residual predicate could catch it.
+    def _fdiv(c):
+        c = F.col(c) if isinstance(c, str) else c
+        c = c.cast("long")
+        num = c - F.pmod(c, F.lit(g))  # exact multiple of g -> div == floor
+        return F.call_function("div", num, F.lit(g))
+
     b = bands.withColumn(
         "_bk",
         F.explode(
-            F.sequence(
-                F.floor(F.col(lo_col) / g).cast("long"),
-                F.floor((F.col(hi_col) - 1) / g).cast("long"),
-            )
+            F.sequence(_fdiv(lo_col), _fdiv(F.col(hi_col) - 1))
         ),
     )
-    f = facts.withColumn("_bk", F.floor(F.col(value_col) / g).cast("long"))
+    f = facts.withColumn("_bk", _fdiv(value_col))
     cond = (
         (f["_bk"] == b["_bk"])
         & (F.col(value_col) >= F.col(lo_col))

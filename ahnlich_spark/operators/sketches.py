@@ -280,10 +280,22 @@ def kmv_minima(hashes: DataFrame, group_cols, k: int, n_salts: int = 64) -> Data
     without rescanning values. Two window levels keep every task
     bounded: per (group, _h % n_salts) first — no single task ever
     sorts a whole group's distinct set — then per group over the
-    surviving <= n_salts * k rows."""
+    surviving <= n_salts * k rows.
+
+    Input rows are deduplicated on (group, _h) first: minima tables of
+    two ROW-disjoint slices still share hashes for values that occur in
+    both (e.g. a common shingle), and keeping the duplicate through the
+    row_number windows would shrink the k-th minimum and inflate the
+    estimate. The dedup is keyed exactly like the windows, so for
+    already-distinct input it adds a partial aggregate but NO extra
+    exchange."""
     from pyspark.sql import Window
 
     group_cols = list(group_cols)
+    # full-row distinct == (group, _h) dedup: the input contract is
+    # exactly those columns (and unlike dropDuplicates(subset) it
+    # accepts Column-typed group expressions)
+    hashes = hashes.distinct()
     w_salt = Window.partitionBy(*group_cols, F.col("_h") % n_salts).orderBy("_h")
     local = (
         hashes.withColumn("_rn", F.row_number().over(w_salt))
@@ -331,11 +343,10 @@ def kmv_distinct(
     """
     group_cols = list(group_cols)
     h = F.conv(F.substring(F.md5(F.col(value_col).cast("string")), 1, 11), 16, 10).cast("long")
-    dist = (
-        df.filter(F.col(value_col).isNotNull())
-        .select(*group_cols, h.alias("_h"))
-        .distinct()
+    dist = df.filter(F.col(value_col).isNotNull()).select(
+        *group_cols, h.alias("_h")
     )
+    # kmv_minima dedupes (group, _h) — the ONE distinct aggregation
     top = kmv_minima(dist, group_cols, k, n_salts)
     two_b = 1 << KMV_HASH_BITS
     return top.groupBy(*group_cols).agg(

@@ -27,6 +27,10 @@ from pyspark.sql import types as T
 
 from ahnlich_spark.functions import text as X
 
+# streaming_incremental_dedup: compact the lazily-unioned state parts
+# once the list (and thus the union plan) grows past this many pieces
+_COMPACT_PARTS = 64
+
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -377,11 +381,23 @@ def streaming_incremental_dedup(
     production crawler pipeline runs: dedup on arrival, index grows,
     the corpus is never rescanned.
 
-    State maintained across batches (localCheckpoint'd so lineage stays
-    flat): the signature/size table (the persisted KMV-style artifact —
-    O(n_docs) skinny rows, not text) and the corpus id+text table (only
-    ever read through a candidate-id semi-join, so each batch's text
-    scan is O(collisions)).
+    State maintained across batches: the signature/size table (the
+    persisted KMV-style artifact — O(n_docs) skinny rows, not text) and
+    the corpus id+text table (only ever read through a candidate-id
+    semi-join, so each batch's text scan is O(collisions)). Each
+    trigger localCheckpoints ONLY its own batch's pieces and keeps them
+    in a parts list unioned lazily — the accumulated index is never
+    re-materialized per trigger (that would be quadratic over the
+    stream's life); past ``_COMPACT_PARTS`` parts the list is compacted
+    into one checkpoint so the union plan stays bounded.
+
+    The dedup state lives in driver memory, NOT in a streaming state
+    store, so a restart cannot honor Spark's checkpoint contract (the
+    source would skip committed batches whose signatures the fresh
+    state never saw, silently admitting their near-duplicates) —
+    passing ``checkpoint`` therefore raises. Restart-safe ingest dedup
+    is the batch operator ``minhash_lsh_incremental_pairs`` driven from
+    a persisted signature table.
 
     Returns ``(query, drain)``: a StreamingQuery and a zero-arg callable
     producing the accumulated pair rows as
@@ -389,8 +405,19 @@ def streaming_incremental_dedup(
     processed — ``j_in_corpus`` = 1 when the matched doc was already in
     the index when ``i`` arrived (historical corpus or an earlier
     batch), 0 for a same-batch peer."""
+    from functools import reduce
+
     from ahnlich_spark.operators import dedup as D
 
+    if checkpoint:
+        raise ValueError(
+            "streaming_incremental_dedup keeps its dedup state in driver "
+            "memory; a checkpointLocation would skip committed batches on "
+            "restart while the state resets, silently admitting their "
+            "near-duplicates. Drive the batch operator "
+            "minhash_lsh_incremental_pairs from a persisted signature "
+            "table for restart-safe ingest dedup."
+        )
     kw = dict(
         threshold=threshold,
         n_hashes=n_hashes,
@@ -405,23 +432,32 @@ def streaming_incremental_dedup(
             corpus_df, n_hashes, shingle_n, text_col, id_col
         )
     state = {
-        "corpus": corpus_df.select(id_col, text_col).localCheckpoint(),
-        "sig": corpus_sig.localCheckpoint(),
+        "corpus_parts": [corpus_df.select(id_col, text_col).localCheckpoint()],
+        "sig_parts": [corpus_sig.localCheckpoint()],
         "rows": [],
     }
 
+    def _union(parts):
+        return reduce(lambda x, y: x.unionByName(y), parts)
+
     def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+        # checkpoint ONLY this batch's pieces; prior parts are already
+        # materialized, so the lazy union's lineage stays flat and the
+        # per-trigger write cost is O(batch), not O(accumulated index)
         b = batch_df.select(id_col, text_col).localCheckpoint()
         pairs = D.minhash_lsh_incremental_pairs(
-            b, state["corpus"], corpus_sig=state["sig"], **kw
+            b, _union(state["corpus_parts"]), corpus_sig=_union(state["sig_parts"]), **kw
         )
         state["rows"].extend(tuple(r) for r in pairs.collect())
-        state["sig"] = state["sig"].unionByName(
-            D.minhash_signature_table(b, n_hashes, shingle_n, text_col, id_col)
-        ).localCheckpoint()
-        state["corpus"] = state["corpus"].unionByName(b).localCheckpoint()
+        state["sig_parts"].append(
+            D.minhash_signature_table(
+                b, n_hashes, shingle_n, text_col, id_col
+            ).localCheckpoint()
+        )
+        state["corpus_parts"].append(b)
+        for key in ("sig_parts", "corpus_parts"):
+            if len(state[key]) > _COMPACT_PARTS:
+                state[key] = [_union(state[key]).localCheckpoint()]
 
     writer = doc_stream.writeStream.foreachBatch(_sink).outputMode("update")
-    if checkpoint:
-        writer = writer.option("checkpointLocation", checkpoint)
     return writer.start(), (lambda: list(state["rows"]))

@@ -186,6 +186,20 @@ def test_knn_graph_twin_vectors_rank_first(spark):
     assert got[(100, 1)] == (0, 1.0)
 
 
+def test_knn_graph_dimension_mismatch_raises(spark):
+    """A vector shorter than d_in would NULL every projection and drop
+    all rows into bucket 0 (an all-pairs join) — it must error loudly."""
+    import pytest
+
+    from ahnlich_spark.operators.cluster import knn_graph
+
+    df = spark.createDataFrame(
+        [(0, [1.0] * 8), (1, [1.0] * 4)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="!= d_in=8"):
+        knn_graph(df, k=1, n_sign_bits=2, d_in=8).collect()
+
+
 def test_knn_graph_shape_and_bucket_scope(spark):
     import random
 

@@ -251,6 +251,27 @@ def test_range_lookup_join_matches_theta_join(spark):
     assert (3, "b") in got and all(fid != 8 for fid, _ in got)
 
 
+def test_range_lookup_join_beyond_double_precision(spark):
+    """Bucket keys are exact integer floor division: 64-bit values at or
+    above 2^53 (where doubles round) must land in their true band, and
+    negatives must floor (not truncate toward zero)."""
+    from ahnlich_spark.operators.joins import range_lookup_join
+
+    big = 1 << 60
+    facts = spark.createDataFrame(
+        [(1, big + 1), (2, big + 2), (3, -5)], "fid long, v long"
+    )
+    bands = spark.createDataFrame(
+        [("in", big, big + 2), ("out", big + 2, big + 4), ("neg", -7, -2)],
+        "band string, lo long, hi long",
+    )
+    got = sorted(
+        (r["fid"], r["band"])
+        for r in range_lookup_join(facts, bands, "v", granularity=3).collect()
+    )
+    assert got == [(1, "in"), (2, "out"), (3, "neg")]
+
+
 def test_range_lookup_join_left_and_overlap(spark):
     from ahnlich_spark.operators.joins import range_lookup_join
 

@@ -240,17 +240,22 @@ def test_kmv_merge_property(spark):
     two tables, re-take k minima — the result must equal the k minima
     computed over the whole data. This is the property that lets a
     pipeline maintain per-slice sketches and combine them without
-    rescanning values."""
+    rescanning values. The slices are ROW-disjoint but share ~500
+    common values (the realistic doc-partitioned case: a shingle seen
+    in both slices hashes identically in each minima table) — the
+    merge must dedupe those shared hashes, not double-count them."""
     from ahnlich_spark.operators.sketches import kmv_minima
 
-    rows = [(0, f"item-{i}") for i in range(2000)]
-    df = spark.createDataFrame(rows, "g int, v string")
+    rows = [(0, f"item-{i % 1500}", i) for i in range(2000)]
+    df = spark.createDataFrame(rows, "g int, v string, rid int")
     hashed = df.select(
         "g",
+        "rid",
         F.conv(F.substring(F.md5(F.col("v")), 1, 11), 16, 10).cast("long").alias("_h"),
-    ).distinct()
-    half1 = hashed.filter(F.col("_h") % 2 == 0)
-    half2 = hashed.filter(F.col("_h") % 2 == 1)
+    )
+    half1 = hashed.filter(F.col("rid") < 1000).drop("rid")
+    half2 = hashed.filter(F.col("rid") >= 1000).drop("rid")
+    hashed = hashed.drop("rid")
     slice_minima = kmv_minima(half1, ["g"], k=48).unionAll(
         kmv_minima(half2, ["g"], k=48)
     )
