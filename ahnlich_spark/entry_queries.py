@@ -5736,6 +5736,53 @@ def distinct_kmv(spark, sf_dir):
     return kmv_distinct(sh, "sh", ["source"], k=64)
 
 
+@register("quantile_histogram_events", """
+WITH v AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v_e2
+  FROM events WHERE value IS NOT NULL
+),
+b AS (
+  SELECT event_type, v_e2 // 250 AS bin, CAST(count(*) AS BIGINT) AS cnt
+  FROM v GROUP BY 1, 2
+),
+c AS (
+  SELECT event_type, bin, cnt,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+         sum(cnt) OVER (PARTITION BY event_type) AS n
+  FROM b
+),
+q AS (SELECT unnest([500000, 900000, 990000]) AS q_e6),
+hit AS (
+  SELECT event_type, q_e6, min(bin) AS bin, max(n) AS n
+  FROM c CROSS JOIN q
+  WHERE cum >= greatest(1, (q_e6 * n + 999999) // 1000000)
+  GROUP BY 1, 2
+)
+SELECT event_type, CAST(q_e6 AS BIGINT) AS q_e6, CAST(n AS BIGINT) AS n,
+       CAST(bin AS BIGINT) AS bin, CAST(bin * 250 AS BIGINT) AS lo,
+       CAST((bin + 1) * 250 AS BIGINT) AS hi
+FROM hit
+""")
+def quantile_histogram_events(spark, sf_dir):
+    """Per-event-type p50/p90/p99 of the cent-scaled value via the
+    mergeable fixed-grid histogram sketch
+    (operators/sketches.histogram_summary + histogram_quantiles):
+    state is O(bins) per group and additive across slices/batches —
+    the deterministic alternative to percentile_approx whose answer is
+    bit-identical on any engine and any merge order. The quantile lies
+    in [lo, hi) by construction (one-bin error bound)."""
+    from ahnlich_spark.operators.sketches import (
+        histogram_quantiles,
+        histogram_summary,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("v_e2")
+    )
+    summ = histogram_summary(ev, "v_e2", ["event_type"], bin_width=250)
+    return histogram_quantiles(summ, [0.5, 0.9, 0.99], ["event_type"], bin_width=250)
+
+
 @register("decontaminate_semantic", """
 WITH b AS (SELECT vec_id AS bid, embedding::DOUBLE[] AS e
            FROM embeddings WHERE vec_id % 4 = 0),

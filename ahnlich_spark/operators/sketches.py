@@ -54,6 +54,8 @@ __all__ = [
     "kmv_distinct",
     "kmv_minima",
     "KMV_HASH_BITS",
+    "histogram_summary",
+    "histogram_quantiles",
 ]
 
 # 44-bit hash space: (k-1) << 44 stays far inside BIGINT for any sane k,
@@ -360,4 +362,108 @@ def kmv_distinct(
         .otherwise(F.expr(f"CAST({k - 1} AS BIGINT) * {two_b} div kth_min"))
         .cast("long")
         .alias("est_distinct"),
+    )
+
+
+# ------------------------------------------------------------------
+# Mergeable histogram quantile sketch
+# ------------------------------------------------------------------
+
+def _bin_of(c, width: int):
+    """Exact integer floor division of a BIGINT column by ``width`` —
+    never routed through double (2^53 rounding) and floor (not
+    truncate-toward-zero) for negative values."""
+    c = (F.col(c) if isinstance(c, str) else c).cast("long")
+    num = c - F.pmod(c, F.lit(int(width)))
+    return F.call_function("div", num, F.lit(int(width)))
+
+
+def histogram_summary(
+    df: DataFrame,
+    value_col: str,
+    group_cols,
+    bin_width: int,
+) -> DataFrame:
+    """Per-group fixed-grid histogram — the mergeable STATE of the
+    quantile sketch: (group..., bin, cnt) where ``bin`` =
+    floor(value / bin_width) in exact integer math. Values must be
+    integral (use the repo's scaled-integer discipline, e.g. cents).
+
+    Merge rule: summaries of arbitrary (even overlapping-in-value)
+    slices UNION then re-sum per (group, bin) — counts are additive, so
+    the merged summary equals the summary of the concatenated data.
+    That is what ``count(DISTINCT)``-style exact quantiles lack: the
+    state per group is O(value_range / bin_width), independent of row
+    count, and a streaming pipeline can fold each batch's summary into
+    a running one.
+
+    Scale shape: ONE groupBy with map-side partial aggregation; the
+    shuffle carries (group, bin) keys — bounded by the grid, not the
+    data. NULL values are excluded (SQL aggregate semantics).
+    """
+    group_cols = list(group_cols)
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*group_cols, _bin_of(value_col, bin_width).alias("bin"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def histogram_quantiles(
+    summary: DataFrame,
+    qs,
+    group_cols,
+    bin_width: int,
+) -> DataFrame:
+    """Quantile estimates from a ``histogram_summary`` (or any union of
+    summaries — pass the union straight in; bins are re-summed here).
+    For each group and each q the q-quantile's bin is the FIRST bin (in
+    ascending order) whose running count reaches ``ceil(q * n)`` — the
+    rank-based lower quantile, exactly SQL's
+    ``min(v) over the rows with cume_dist >= q`` on binned data.
+
+    Returns (group..., q_e6, n, bin, lo, hi): the true q-quantile of
+    the sketched data lies in ``[lo, hi)`` = [bin*w, (bin+1)*w) — a
+    guaranteed error bound of one ``bin_width``, deterministic (pure
+    integer arithmetic: rank = ceil-division on e6-scaled q), and
+    bit-identical across engines — unlike t-digest/GK implementations
+    whose estimates depend on merge order.
+
+    Scale shape: the summary is tiny (grid-bounded), so the cumulative
+    window and the q cross-join are metadata-scale work whatever the
+    original row count.
+    """
+    from pyspark.sql import Window
+
+    group_cols = list(group_cols)
+    w = int(bin_width)
+    agg = summary.groupBy(*group_cols, "bin").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+    win = Window.partitionBy(*group_cols).orderBy("bin")
+    cum = agg.withColumn("cum", F.sum("cnt").over(win)).withColumn(
+        "n", F.sum("cnt").over(Window.partitionBy(*group_cols))
+    )
+    q_rows = [(int(round(q * 1_000_000)),) for q in qs]
+    spark = summary.sparkSession
+    q_df = spark.createDataFrame(q_rows, "q_e6 long")
+    # rank = ceil(q_e6 * n / 1e6), clamped to >= 1 (q=0 -> first row)
+    rank = F.greatest(
+        F.lit(1).cast("long"),
+        F.call_function(
+            "div", F.col("q_e6") * F.col("n") + F.lit(999_999), F.lit(1_000_000)
+        ),
+    )
+    hit = cum.crossJoin(F.broadcast(q_df)).filter(F.col("cum") >= rank)
+    return (
+        hit.groupBy(*group_cols, "q_e6")
+        .agg(F.min("bin").alias("bin"), F.max("n").alias("n"))
+        .select(
+            *group_cols,
+            "q_e6",
+            "n",
+            F.col("bin").cast("long").alias("bin"),
+            (F.col("bin") * w).cast("long").alias("lo"),
+            ((F.col("bin") + 1) * w).cast("long").alias("hi"),
+        )
     )

@@ -146,6 +146,7 @@ BENCH_QUERIES = [
     "label_centroids",
     "graph_label_propagation",
     "streaming_incremental_dedup",
+    "quantile_histogram_events",
 ]
 
 

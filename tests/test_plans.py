@@ -442,3 +442,25 @@ def test_kmv_distinct_two_window_levels(docs):
     # per-group one
     assert plan.count("RunningWindowFunction") >= 2 or plan.count("Window") >= 2, plan
     assert "HashAggregate" in plan, plan
+
+
+def test_histogram_sketch_single_shuffle_summary(spark):
+    """The histogram summary is ONE hash aggregation with map-side
+    partials (bins computed scan-locally, no window, no join); the
+    quantile extraction broadcasts the q table so the only joins are
+    broadcast ones over the grid-bounded summary."""
+    from ahnlich_spark.operators.sketches import (
+        histogram_quantiles,
+        histogram_summary,
+    )
+
+    df = spark.range(0, 10_000).select(
+        (F.col("id") % 4).alias("g"), (F.col("id") * 37 % 9973).alias("v")
+    )
+    summ = histogram_summary(df, "v", ["g"], bin_width=100)
+    p = plan_of(summ)
+    assert n_exchanges(p) == 1, p
+    assert "Join" not in p and "Window" not in p, p
+    pq = plan_of(histogram_quantiles(summ, [0.5, 0.9], ["g"], 100))
+    assert "BroadcastNestedLoopJoin" in pq, pq  # the tiny q cross join
+    assert "SortMergeJoin" not in pq and "CartesianProduct" not in pq, pq

@@ -262,3 +262,62 @@ def test_kmv_merge_property(spark):
     merged = sorted(r["_h"] for r in kmv_minima(slice_minima, ["g"], k=48).collect())
     whole = sorted(r["_h"] for r in kmv_minima(hashed, ["g"], k=48).collect())
     assert merged == whole and len(whole) == 48
+
+
+# ------------------------------------------- histogram quantiles --
+
+from ahnlich_spark.operators.sketches import histogram_quantiles, histogram_summary
+
+
+def test_histogram_quantiles_within_one_bin_of_exact(spark):
+    """The sketched quantile's [lo, hi) bin must contain the exact
+    rank-based quantile value."""
+    import random
+
+    rng = random.Random(5)
+    vals = [rng.randint(0, 10_000) for _ in range(5000)]
+    df = spark.createDataFrame([(0, v) for v in vals], "g int, v long")
+    summ = histogram_summary(df, "v", ["g"], bin_width=100)
+    got = {
+        r["q_e6"]: r
+        for r in histogram_quantiles(summ, [0.5, 0.9, 0.99], ["g"], 100).collect()
+    }
+    srt = sorted(vals)
+    for q in (0.5, 0.9, 0.99):
+        import math
+
+        exact = srt[max(1, math.ceil(q * len(vals))) - 1]
+        r = got[int(q * 1e6)]
+        assert r["lo"] <= exact < r["hi"], (q, exact, dict(r.asDict()))
+        assert r["n"] == len(vals)
+
+
+def test_histogram_summary_merge_equals_whole(spark):
+    """Summaries of row-slices union+re-sum into the whole-data summary:
+    quantiles from merged slice sketches == quantiles computed whole."""
+    import random
+
+    rng = random.Random(9)
+    rows = [(i % 2, rng.randint(-500, 1500)) for i in range(4000)]
+    df = spark.createDataFrame(rows, "g int, v long")
+    s1 = histogram_summary(df.filter(F.col("v") % 3 == 0), "v", ["g"], 50)
+    s2 = histogram_summary(df.filter(F.col("v") % 3 != 0), "v", ["g"], 50)
+    merged = histogram_quantiles(s1.unionByName(s2), [0.25, 0.75], ["g"], 50)
+    whole = histogram_quantiles(
+        histogram_summary(df, "v", ["g"], 50), [0.25, 0.75], ["g"], 50
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+
+
+def test_histogram_bins_exact_beyond_double_and_negative(spark):
+    """Binning is exact integer floor division: values past 2^53 and
+    negative values land in their true bins."""
+    big = 1 << 60
+    df = spark.createDataFrame(
+        [(0, big + 1), (0, big + 6), (0, -3)], "g int, v long"
+    )
+    summ = {
+        r["bin"]: r["cnt"]
+        for r in histogram_summary(df, "v", ["g"], bin_width=5).collect()
+    }
+    assert summ == {(big + 1) // 5: 1, (big + 6) // 5: 1, -1: 1}
