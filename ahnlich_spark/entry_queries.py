@@ -1340,9 +1340,11 @@ def minhash_lsh_pairs(spark, sf_dir):
     return D.minhash_lsh_dedup_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
 
 
-@register("dedup_clusters", f"""
-WITH RECURSIVE {_SHINGLES_SQL},
-{_MINHASH_BANDS_SQL},
+# LSH candidates -> exact-verified pairs -> symmetric edges -> recursive
+# transitive closure -> min-label component per node: the shared replay
+# of the near-dup clustering (operators/cluster.dedup_clusters) used by
+# every oracle that consumes cluster ids
+_CLUSTER_COMP_SQL = """
 cand AS (
   SELECT DISTINCT a.did AS i, b.did AS j
   FROM bands a JOIN bands b ON a.band = b.band AND a.did < b.did
@@ -1364,7 +1366,13 @@ walk AS (
   UNION
   SELECT w.n, e.b FROM walk w JOIN edges e ON e.a = w.m WHERE e.b <> w.n
 ),
-comp AS (SELECT n, least(n, min(m)) AS component FROM walk GROUP BY n)
+comp AS (SELECT n, least(n, min(m)) AS component FROM walk GROUP BY n)"""
+
+
+@register("dedup_clusters", f"""
+WITH RECURSIVE {_SHINGLES_SQL},
+{_MINHASH_BANDS_SQL},
+{_CLUSTER_COMP_SQL}
 SELECT d.doc_id,
        coalesce(c.component, d.doc_id) AS cluster_id,
        CASE WHEN coalesce(c.component, d.doc_id) = d.doc_id THEN 1 ELSE 0 END AS is_rep
@@ -1381,6 +1389,40 @@ def dedup_clusters_q(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     pairs = D.minhash_lsh_dedup_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
     return _dc(docs, pairs.select("i", "j"))
+
+
+@register("split_leakage_safe", f"""
+WITH RECURSIVE {_SHINGLES_SQL},
+{_MINHASH_BANDS_SQL},
+{_CLUSTER_COMP_SQL},
+assigned AS (
+  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c ON c.n = d.doc_id
+)
+SELECT doc_id, cluster_id,
+       CASE WHEN ('0x' || substring(md5('leak' || CAST(cluster_id AS VARCHAR)), 1, 15))::BIGINT
+                 % 1000000 < 250000
+            THEN 'test' ELSE 'train' END AS split
+FROM assigned
+""")
+def split_leakage_safe(spark, sf_dir):
+    """Leakage-safe held-out split: hash the near-dup CLUSTER id, not
+    the document id, so a duplicated passage can never sit in train
+    while its twin sits in test — the eval-contamination failure mode
+    of naive row-hash splits. Composition: minhash-LSH pairs ->
+    connected components (operators/cluster.dedup_clusters) ->
+    sampling.train_test_split keyed on cluster_id. Same determinism
+    contract as every split here: (salt, rate) pins the assignment on
+    any engine, and growing the rate only moves whole clusters."""
+    from ahnlich_spark.operators.cluster import dedup_clusters as _dc
+    from ahnlich_spark.operators.sampling import train_test_split
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    pairs = D.minhash_lsh_dedup_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+    clusters = _dc(docs, pairs.select("i", "j")).select("doc_id", "cluster_id")
+    return train_test_split(
+        clusters, test_rate=0.25, id_col="cluster_id", salt="leak"
+    )
 
 
 # SimHash oracle: the fingerprint math is pure integer/md5 arithmetic, so

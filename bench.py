@@ -147,6 +147,7 @@ BENCH_QUERIES = [
     "graph_label_propagation",
     "streaming_incremental_dedup",
     "quantile_histogram_events",
+    "split_leakage_safe",
 ]
 
 

@@ -281,3 +281,23 @@ def test_semantic_contaminated_broadcasts_bench(spark):
     plan = plan_of(semantic_contaminated(corpus, bench, threshold=0.9))
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_group_keyed_split_never_straddles(spark):
+    """Splitting on a GROUP key (near-dup cluster id) puts every member
+    of a group on the same side — the leakage-safety property the
+    split_leakage_safe gate composes with real LSH clusters."""
+    from ahnlich_spark.operators.sampling import train_test_split
+
+    df = spark.createDataFrame(
+        [(i, i // 3) for i in range(300)], "doc_id long, cluster_id long"
+    )
+    out = train_test_split(df, test_rate=0.3, id_col="cluster_id", salt="leak")
+    per_cluster = out.groupBy("cluster_id").agg(
+        F.countDistinct("split").alias("ns")
+    ).collect()
+    assert all(r["ns"] == 1 for r in per_cluster)
+    assert {r["split"] for r in out.select("split").distinct().collect()} == {
+        "train",
+        "test",
+    }
