@@ -5740,7 +5740,10 @@ def dedup_incremental(spark, sf_dir):
     return D.minhash_lsh_incremental_pairs(batch, corpus, threshold=0.5)
 
 
-@register("distinct_kmv", f"""
+# whole-corpus per-source KMV replay — shared by the batch gate and the
+# streaming fold gate (KMV merge is order-free, so the streamed state
+# must equal this closed form exactly)
+_KMV_SOURCE_ORACLE = f"""
 WITH words AS (SELECT source, {_TOKENS_SQL} AS ws FROM documents),
 shs AS (
   SELECT DISTINCT source, ('0x' || substring(md5(s), 1, 11))::BIGINT AS h FROM (
@@ -5761,7 +5764,10 @@ SELECT source,
                  ELSE (63 * 17592186044416) // max(h) END AS BIGINT) AS est_distinct
 FROM rk WHERE rn <= 64
 GROUP BY source
-""")
+"""
+
+
+@register("distinct_kmv", _KMV_SOURCE_ORACLE)
 def distinct_kmv(spark, sf_dir):
     """Per-source distinct-shingle cardinality via the KMV sketch:
     k = 64 smallest md5-derived 44-bit hashes per group, estimator
@@ -5823,6 +5829,47 @@ def quantile_histogram_events(spark, sf_dir):
     )
     summ = histogram_summary(ev, "v_e2", ["event_type"], bin_width=250)
     return histogram_quantiles(summ, [0.5, 0.9, 0.99], ["event_type"], bin_width=250)
+
+
+@register("streaming_kmv_distinct", _KMV_SOURCE_ORACLE)
+def streaming_kmv_distinct_gate(spark, sf_dir):
+    """Live cardinality monitoring: documents stream in two ORDERED
+    micro-batches (doc_id % 2 == 0 first, then the rest); each batch's
+    per-source shingle k-minima FOLD into the running sketch state.
+    Because KMV merge is order-free, the final streamed state must be
+    bit-identical to the whole-corpus sketch — the oracle replays that
+    closed form (streaming/pipeline.streaming_kmv_distinct)."""
+    import glob
+    import time
+
+    from ahnlich_spark.streaming.pipeline import streaming_kmv_distinct
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select(
+        "source", F.explode(X.word_shingles(F.col("text"), 3)).alias("sh"), "doc_id"
+    )
+    src = tempfile.mkdtemp(prefix="ahnlich_skmv_")
+    a_dir, b_dir = os.path.join(src, "a"), os.path.join(src, "b")
+    sh.filter(F.col("doc_id") % 2 == 0).select("source", "sh").coalesce(1).write.parquet(a_dir)
+    sh.filter(F.col("doc_id") % 2 != 0).select("source", "sh").coalesce(1).write.parquet(b_dir)
+    watch = os.path.join(src, "watch")
+    os.makedirs(watch)
+    fa = glob.glob(os.path.join(a_dir, "part-*.parquet"))[0]
+    fb = glob.glob(os.path.join(b_dir, "part-*.parquet"))[0]
+    now = time.time()
+    os.utime(fa, (now - 60, now - 60))
+    os.utime(fb, (now, now))
+    os.symlink(fa, os.path.join(watch, "batch-a.parquet"))
+    os.symlink(fb, os.path.join(watch, "batch-b.parquet"))
+    stream = (
+        spark.readStream.schema("source string, sh string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(watch)
+    )
+    q, drain, _m = streaming_kmv_distinct(stream, ["source"], "sh", k=64)
+    q.processAllAvailable()
+    q.stop()
+    return drain()
 
 
 @register("decontaminate_semantic", """

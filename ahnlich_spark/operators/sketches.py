@@ -53,6 +53,8 @@ __all__ = [
     "heavy_hitters",
     "kmv_distinct",
     "kmv_minima",
+    "kmv_hash",
+    "kmv_estimate",
     "KMV_HASH_BITS",
     "histogram_summary",
     "histogram_quantiles",
@@ -344,14 +346,28 @@ def kmv_distinct(
     Returns (group_cols..., n_sketch, kth_min, est_distinct).
     """
     group_cols = list(group_cols)
-    h = F.conv(F.substring(F.md5(F.col(value_col).cast("string")), 1, 11), 16, 10).cast("long")
     dist = df.filter(F.col(value_col).isNotNull()).select(
-        *group_cols, h.alias("_h")
+        *group_cols, kmv_hash(F.col(value_col)).alias("_h")
     )
     # kmv_minima dedupes (group, _h) — the ONE distinct aggregation
-    top = kmv_minima(dist, group_cols, k, n_salts)
+    return kmv_estimate(kmv_minima(dist, group_cols, k, n_salts), group_cols, k)
+
+
+def kmv_hash(c) -> "F.Column":
+    """The sketch's 44-bit md5-derived value hash — exposed so batch
+    and streaming producers hash identically."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 11), 16, 10).cast("long")
+
+
+def kmv_estimate(minima: DataFrame, group_cols, k: int) -> DataFrame:
+    """Estimates from a k-minima table (``kmv_minima`` output or any
+    fold of slice minima): (group..., n_sketch, kth_min, est_distinct).
+    Groups whose sketch never filled (n_sketch < k) report their EXACT
+    distinct count."""
+    group_cols = list(group_cols)
     two_b = 1 << KMV_HASH_BITS
-    return top.groupBy(*group_cols).agg(
+    return minima.groupBy(*group_cols).agg(
         F.count(F.lit(1)).cast("long").alias("n_sketch"),
         F.max("_h").cast("long").alias("kth_min"),
     ).select(

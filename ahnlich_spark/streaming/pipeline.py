@@ -461,3 +461,65 @@ def streaming_incremental_dedup(
 
     writer = doc_stream.writeStream.foreachBatch(_sink).outputMode("update")
     return writer.start(), (lambda: list(state["rows"]))
+
+
+def streaming_kmv_distinct(
+    value_stream: DataFrame,
+    group_cols,
+    value_col: str,
+    k: int = 64,
+    n_salts: int = 64,
+    initial_minima: Optional[DataFrame] = None,
+):
+    """Live per-group distinct-cardinality monitoring: each micro-batch
+    hashes its values, takes its own k-minima, and FOLDS them into the
+    running minima state (union + re-take k) — the sketch-merge
+    property of ``operators/sketches.kmv_minima`` doing exactly what it
+    exists for. Because merge order never changes a KMV sketch, the
+    state after any prefix of batches is bit-identical to the batch
+    sketch over the same rows — pinned by the
+    ``streaming_kmv_distinct`` gate, whose oracle replays the
+    whole-data sketch in SQL.
+
+    State is O(k x groups) rows, re-materialized per trigger — bounded
+    by the sketch, not the stream, so no compaction machinery is
+    needed (unlike ``streaming_incremental_dedup``'s growing index).
+    ``initial_minima`` seeds the fold from a persisted sketch (the
+    warm-start a monitoring pipeline resumes from). Like the other
+    driver-state sinks here, the fold is not Spark-checkpoint-safe;
+    persist ``drain_minima()`` output and re-seed instead.
+
+    Returns ``(query, drain, drain_minima)``: ``drain()`` gives the
+    current (group..., n_sketch, kth_min, est_distinct) estimates,
+    ``drain_minima()`` the raw minima STATE to persist for the next
+    session.
+    """
+    from ahnlich_spark.operators import sketches as SK
+
+    group_cols = list(group_cols)
+    state = {
+        "minima": (
+            initial_minima.localCheckpoint() if initial_minima is not None else None
+        )
+    }
+
+    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+        bh = batch_df.filter(F.col(value_col).isNotNull()).select(
+            *group_cols, SK.kmv_hash(F.col(value_col)).alias("_h")
+        )
+        bm = SK.kmv_minima(bh, group_cols, k, n_salts)
+        if state["minima"] is not None:
+            bm = state["minima"].unionByName(bm)
+            bm = SK.kmv_minima(bm, group_cols, k, n_salts)
+        state["minima"] = bm.localCheckpoint()
+
+    def drain_minima() -> DataFrame:
+        if state["minima"] is None:
+            raise ValueError("no batch processed and no initial_minima seeded")
+        return state["minima"]
+
+    def drain() -> DataFrame:
+        return SK.kmv_estimate(drain_minima(), group_cols, k)
+
+    q = value_stream.writeStream.foreachBatch(_sink).outputMode("update").start()
+    return q, drain, drain_minima

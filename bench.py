@@ -148,6 +148,7 @@ BENCH_QUERIES = [
     "streaming_incremental_dedup",
     "quantile_histogram_events",
     "split_leakage_safe",
+    "streaming_kmv_distinct",
 ]
 
 

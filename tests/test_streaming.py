@@ -497,3 +497,58 @@ def test_streaming_incremental_dedup_arrival_order(spark, tmp_path):
     # nothing pairs i from the corpus side, and 102 never matches
     assert all(i in (10, 20, 21) for i, _ in got)
     assert all(j != 102 for _, j in got)
+
+
+def test_streaming_kmv_fold_matches_batch(spark, tmp_path):
+    """Folding per-batch k-minima into running state (with a warm-start
+    seed) must reproduce the one-shot batch sketch over all rows —
+    KMV merge is order-free, so the match is exact, not approximate."""
+    import os
+    import time
+
+    from ahnlich_spark.operators.sketches import (
+        kmv_distinct,
+        kmv_hash,
+        kmv_minima,
+    )
+    from ahnlich_spark.streaming.pipeline import streaming_kmv_distinct
+
+    rows = [(f"g{i % 3}", f"val-{i % 700}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "g string, v string")
+    seed_df = df.limit(500)
+    first = df.filter(F.abs(F.xxhash64("v")) % 3 == 0)
+    second = df.subtract(first)
+
+    seed = kmv_minima(
+        seed_df.select("g", kmv_hash(F.col("v")).alias("_h")), ["g"], k=32
+    )
+    a_dir, b_dir = str(tmp_path / "a"), str(tmp_path / "b")
+    first.coalesce(1).write.parquet(a_dir)
+    second.coalesce(1).write.parquet(b_dir)
+    watch = str(tmp_path / "watch")
+    os.makedirs(watch)
+    import glob
+
+    fa = glob.glob(os.path.join(a_dir, "part-*.parquet"))[0]
+    fb = glob.glob(os.path.join(b_dir, "part-*.parquet"))[0]
+    now = time.time()
+    os.utime(fa, (now - 60, now - 60))
+    os.utime(fb, (now, now))
+    os.symlink(fa, os.path.join(watch, "a.parquet"))
+    os.symlink(fb, os.path.join(watch, "b.parquet"))
+    stream = (
+        spark.readStream.schema("g string, v string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(watch)
+    )
+    q, drain, drain_minima = streaming_kmv_distinct(
+        stream, ["g"], "v", k=32, initial_minima=seed
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(map(tuple, drain().collect()))
+    want = sorted(
+        map(tuple, kmv_distinct(seed_df.unionAll(df), "v", ["g"], k=32).collect())
+    )
+    assert got == want and len(got) == 3
+    assert drain_minima().count() <= 3 * 32
