@@ -1340,11 +1340,9 @@ def minhash_lsh_pairs(spark, sf_dir):
     return D.minhash_lsh_dedup_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
 
 
-# LSH candidates -> exact-verified pairs -> symmetric edges -> recursive
-# transitive closure -> min-label component per node: the shared replay
-# of the near-dup clustering (operators/cluster.dedup_clusters) used by
-# every oracle that consumes cluster ids
-_CLUSTER_COMP_SQL = """
+# LSH candidates -> exact-verified near-dup pairs: the shared replay of
+# operators/dedup.minhash_lsh_dedup_pairs' output edge list
+_VERIFIED_PAIRS_SQL = """
 cand AS (
   SELECT DISTINCT a.did AS i, b.did AS j
   FROM bands a JOIN bands b ON a.band = b.band AND a.did < b.did
@@ -1359,7 +1357,13 @@ pairs AS (
   JOIN (SELECT did AS i, nsh AS ni FROM sizes) USING (i)
   JOIN (SELECT did AS j, nsh AS nj FROM sizes) USING (j)
   WHERE 2 * inter >= (ni + nj - inter)
-),
+)"""
+
+# ... -> symmetric edges -> recursive transitive closure -> min-label
+# component per node: the shared replay of the near-dup clustering
+# (operators/cluster.dedup_clusters) used by every oracle that
+# consumes cluster ids
+_CLUSTER_COMP_SQL = _VERIFIED_PAIRS_SQL + """,
 edges AS (SELECT i AS a, j AS b FROM pairs UNION SELECT j AS a, i AS b FROM pairs),
 walk AS (
   SELECT a AS n, b AS m FROM edges
@@ -5829,6 +5833,58 @@ def quantile_histogram_events(spark, sf_dir):
     )
     summ = histogram_summary(ev, "v_e2", ["event_type"], bin_width=250)
     return histogram_quantiles(summ, [0.5, 0.9, 0.99], ["event_type"], bin_width=250)
+
+
+@register("graph_triangles", f"""
+WITH {_SHINGLES_SQL},
+{_MINHASH_BANDS_SQL},
+{_VERIFIED_PAIRS_SQL},
+und AS (
+  SELECT DISTINCT least(i, j) AS a, greatest(i, j) AS b FROM pairs WHERE i <> j
+),
+deg AS (
+  SELECT n, count(*) AS deg
+  FROM (SELECT a AS n FROM und UNION ALL SELECT b AS n FROM und)
+  GROUP BY n
+),
+o AS (
+  SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u0.a < u0.b)
+              THEN u0.a ELSE u0.b END AS u,
+         CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u0.a < u0.b)
+              THEN u0.b ELSE u0.a END AS v,
+         CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u0.a < u0.b)
+              THEN db.deg ELSE da.deg END AS dv
+  FROM und u0 JOIN deg da ON da.n = u0.a JOIN deg db ON db.n = u0.b
+),
+wedges AS (
+  SELECT e1.u, e1.v AS v1, e2.v AS v2
+  FROM o e1 JOIN o e2 ON e1.u = e2.u
+  WHERE e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v)
+),
+tri AS (
+  SELECT w.u, w.v1, w.v2 FROM wedges w
+  WHERE EXISTS (SELECT 1 FROM o WHERE o.u = w.v1 AND o.v = w.v2)
+),
+corners AS (
+  SELECT u AS node FROM tri
+  UNION ALL SELECT v1 FROM tri
+  UNION ALL SELECT v2 FROM tri
+)
+SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM corners GROUP BY node
+""")
+def graph_triangles(spark, sf_dir):
+    """Per-document triangle participation in the near-dup graph —
+    triangles are the tight duplicate cliques (three docs pairwise
+    similar) that cluster-level counting hides. Exact compact-forward
+    counting (operators/graph.triangle_count): degree-ordered edge
+    orientation generates every wedge at its lowest-degree corner, one
+    semi-join closes it — per-node fan-out O(sqrt(m)), no hub blow-up,
+    no CartesianProduct. Pure comparison algebra, replayed row-for-row
+    by the oracle."""
+    from ahnlich_spark.operators.graph import triangle_count
+
+    pairs = D.minhash_lsh_dedup_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+    return triangle_count(pairs, src="i", dst="j")
 
 
 @register("streaming_kmv_distinct", _KMV_SOURCE_ORACLE)

@@ -186,3 +186,77 @@ def label_propagation(
             .localCheckpoint()
         )
     return labels.select("node", F.col("lab").alias(label_col))
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Exact per-node triangle participation over an undirected edge
+    list — the clustering-coefficient / community-density primitive
+    (spam rings in link graphs, tightly-knit source clusters in a crawl
+    corpus). Input edges may be directed/duplicated; they are
+    canonicalized (a < b, distinct, self-loops dropped) first.
+
+    Algorithm: degree-ordered orientation (compact-forward). Each
+    undirected edge points from the endpoint that is SMALLER under
+    (degree, id) order to the larger, so every wedge (u -> v, u -> w)
+    is generated at its lowest-degree corner — per-node fan-out is
+    bounded by out-degree <= O(sqrt(m)) on any graph, the classic fix
+    for the hub blow-up an id-ordered a<b<c join suffers (a low-id hub
+    would pair all its neighbors). One join closes each wedge against
+    the oriented edge (v, w). Every triangle is counted exactly once,
+    then credited to all three corners.
+
+    Scale shape: degree table = one aggregation of the edge list; the
+    wedge join and the closing join shuffle on single node keys; no
+    CartesianProduct anywhere. Pure integer/comparison algebra — any
+    SQL engine replays it row-for-row (gate ``graph_triangles``).
+
+    Returns (node, n_tri), one row per node in >= 1 triangle.
+    """
+    a, b = F.col(src), F.col(dst)
+    und = (
+        edges.filter(a != b)
+        .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("n"))
+        .unionAll(und.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    da = deg.select(F.col("n").alias("a"), F.col("deg").alias("dega"))
+    db = deg.select(F.col("n").alias("b"), F.col("deg").alias("degb"))
+    lower_first = (F.col("dega") < F.col("degb")) | (
+        (F.col("dega") == F.col("degb")) & (F.col("a") < F.col("b"))
+    )
+    o = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+            F.when(lower_first, F.col("dega")).otherwise(F.col("degb")).alias("du"),
+            F.when(lower_first, F.col("degb")).otherwise(F.col("dega")).alias("dv"),
+        )
+    )
+    e1 = o.select("u", F.col("v").alias("v1"), F.col("dv").alias("d1"))
+    e2 = o.select("u", F.col("v").alias("v2"), F.col("dv").alias("d2"))
+    wedge_order = (F.col("d1") < F.col("d2")) | (
+        (F.col("d1") == F.col("d2")) & (F.col("v1") < F.col("v2"))
+    )
+    wedges = e1.join(e2, "u").filter(wedge_order)
+    tri = wedges.join(
+        o.select(F.col("u").alias("v1"), F.col("v").alias("v2")),
+        ["v1", "v2"],
+        "left_semi",
+    ).select("u", "v1", "v2")
+    corners = (
+        tri.select(F.col("u").alias("node"))
+        .unionAll(tri.select(F.col("v1").alias("node")))
+        .unionAll(tri.select(F.col("v2").alias("node")))
+    )
+    return corners.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tri")
+    )

@@ -149,6 +149,7 @@ BENCH_QUERIES = [
     "quantile_histogram_events",
     "split_leakage_safe",
     "streaming_kmv_distinct",
+    "graph_triangles",
 ]
 
 

@@ -93,3 +93,53 @@ def test_label_propagation_relabels_non_seeds(spark):
     assert got1[5] == "x" and got1[7] == "y" and got1[8] == "y"
     got2 = _lp(spark, edges, seeds, 2)
     assert got2[5] == "y"   # 2 votes y (7, 8) vs 1 vote x (6)
+
+
+# ------------------------------------------------- triangle count --
+
+def test_triangle_count_k4(spark):
+    """K4 has 4 triangles; every node sits in 3. Directed duplicates,
+    reversed edges, and self-loops must not change the answer."""
+    from ahnlich_spark.operators.graph import triangle_count
+
+    edges = [(a, b) for a in range(4) for b in range(4) if a != b]
+    edges += [(0, 0), (1, 2), (2, 1)]  # noise: self-loop + dups
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["n_tri"] for r in triangle_count(df).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    """Random graph vs itertools brute force, including a hub node that
+    would blow up an id-ordered enumeration."""
+    import itertools
+    import random
+
+    from ahnlich_spark.operators.graph import triangle_count
+
+    rng = random.Random(21)
+    nodes = list(range(30))
+    und = {tuple(sorted(rng.sample(nodes, 2))) for _ in range(120)}
+    und |= {(0, n) for n in nodes[1:20]}  # hub
+    adj = set(und)
+    want = {}
+    for x, y, z in itertools.combinations(nodes, 3):
+        if (x, y) in adj and (y, z) in adj and (x, z) in adj:
+            for n in (x, y, z):
+                want[n] = want.get(n, 0) + 1
+    df = spark.createDataFrame(list(und), "src long, dst long")
+    got = {r["node"]: r["n_tri"] for r in triangle_count(df).collect()}
+    assert got == want and sum(want.values()) % 3 == 0
+
+
+def test_triangle_count_partition_order_invariant(spark):
+    from ahnlich_spark.operators.graph import triangle_count
+
+    import random
+
+    rng = random.Random(4)
+    edges = [tuple(sorted(rng.sample(range(40), 2))) for _ in range(200)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    a = sorted(map(tuple, triangle_count(df).collect()))
+    b = sorted(map(tuple, triangle_count(df.repartition(17)).collect()))
+    assert a == b and len(a) > 0

@@ -464,3 +464,17 @@ def test_histogram_sketch_single_shuffle_summary(spark):
     pq = plan_of(histogram_quantiles(summ, [0.5, 0.9], ["g"], 100))
     assert "BroadcastNestedLoopJoin" in pq, pq  # the tiny q cross join
     assert "SortMergeJoin" not in pq and "CartesianProduct" not in pq, pq
+
+
+def test_triangle_count_no_cartesian(spark):
+    """Triangle counting must stay keyed joins end-to-end: no
+    CartesianProduct / BroadcastNestedLoopJoin even on a hub-heavy
+    graph (the degree-ordered orientation exists precisely so the hub
+    never self-joins)."""
+    from ahnlich_spark.operators.graph import triangle_count
+
+    df = spark.range(0, 500).select(
+        (F.col("id") % 97).alias("src"), ((F.col("id") * 31 + 7) % 97).alias("dst")
+    )
+    p = plan_of(triangle_count(df))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
