@@ -3470,6 +3470,37 @@ def quality_decile_mix(spark, sf_dir):
     )
 
 
+@register("quality_filter_per_lang", f"""
+WITH toks AS (SELECT doc_id, lang, {_TOKENS_SQL} AS ws FROM documents),
+q AS (SELECT doc_id, lang,
+             CAST(round(len(list_distinct(ws)) * 10000.0 / len(ws)) AS BIGINT) AS qscore
+      FROM toks),
+tiled AS (SELECT doc_id, lang, qscore,
+                 CAST(ntile(4) OVER (PARTITION BY lang ORDER BY qscore, doc_id) AS BIGINT) AS q4
+          FROM q)
+SELECT doc_id, lang, qscore FROM tiled WHERE q4 = 4
+""")
+def quality_filter_per_lang(spark, sf_dir):
+    """Per-language quality thresholding: keep each LANGUAGE's top
+    quality quartile — score distributions differ by language, so a
+    single global cut over-prunes low-resource languages (the standard
+    per-stratum quality-filter shape). Spark side is the grouped
+    exact_ntile: a PARTITION BY lang window would push each whole
+    language through one task (the head language is half the corpus);
+    the per-(lang, value) count formulation keeps every stage
+    distributed with identical tie handling."""
+    from ahnlich_spark.operators.sampling import exact_ntile
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        X.distinct_token_ratio_e4(F.col("text")).cast("long").alias("qscore"),
+    )
+    tiled = exact_ntile(scored, 4, "qscore", "doc_id", out_col="q4", group_cols=["lang"])
+    return tiled.filter(F.col("q4") == 4).select("doc_id", "lang", "qscore")
+
+
 @register("doc_sliding_chunks", f"""
 WITH toks AS (
   SELECT doc_id, {_TOKENS_SQL} AS ws

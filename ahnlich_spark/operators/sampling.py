@@ -155,65 +155,83 @@ def exact_ntile(
     value_col: str,
     id_col: str,
     out_col: str = "tile",
+    group_cols=None,
 ) -> DataFrame:
     """Exact SQL NTILE over the total order (value, id) WITHOUT a
     global sort — the quality-binning / curriculum-mixing primitive
-    (bin a corpus into quality deciles, then re-mix per bin).
+    (bin a corpus into quality deciles, then re-mix per bin). With
+    ``group_cols`` the tiling is per group, exactly
+    ``NTILE(n) OVER (PARTITION BY group ORDER BY value, id)`` — the
+    per-language quality-threshold shape, where a window formulation
+    would put EACH WHOLE GROUP through one task (English = half the
+    corpus = half the corpus in one sort).
 
-    A window-NTILE serializes the whole table through one partition; at
-    corpus scale that is the job's wall clock. This formulation is
-    distributed end-to-end for BOUNDED-cardinality values (integer
-    quality scores, e4-scaled ratios — the scores pipelines actually
-    bin on):
+    A window-NTILE serializes the whole table (or group) through one
+    partition; at corpus scale that is the job's wall clock. This
+    formulation is distributed end-to-end for BOUNDED-cardinality
+    values (integer quality scores, e4-scaled ratios — the scores
+    pipelines actually bin on):
 
-    1. per-value counts (one map-side-combined shuffle, <= cardinality
-       rows), cumulative-smaller via a window over that TINY table;
+    1. per-(group, value) counts (one map-side-combined shuffle,
+       <= cardinality rows), cumulative-smaller + group total via
+       windows over that TINY table;
     2. rank(row) = cum_smaller(value) + row_number within its value
-       (a window partitioned BY VALUE — distributed);
-    3. tile from rank with the standard NTILE base/remainder rule,
-       scan-local arithmetic.
+       (a window partitioned BY (group, VALUE) — distributed);
+    3. tile from rank with the standard NTILE base/remainder rule —
+       pure integer arithmetic (ceil via (a+b-1) div b), scan-local.
 
-    Ties split by ``id_col`` order, exactly like
-    ``NTILE(n) OVER (ORDER BY value, id)``. NULL values rank first
-    (Spark's ASC NULLS FIRST window order) and are kept — the count,
-    the cumulative table, and the join all treat NULL as one ordinary
-    (lowest) value, so no row vanishes and tile sizes stay exact.
+    Ties split by ``id_col`` order. NULL values rank first (Spark's ASC
+    NULLS FIRST window order) and are kept — the count, the cumulative
+    table, and the join all treat NULL as one ordinary (lowest) value,
+    so no row vanishes and tile sizes stay exact.
 
-    The input is evaluated THREE times (total count, per-value counts,
-    the ranked join), so it is lazily localCheckpoint'd first:
-    expression-heavy inputs (tokenized quality scores) pay their scan
-    once and the two re-reads hit the materialized blocks — at sf0.1
-    this cut the quality-decile gate ~3x."""
+    The input is evaluated twice (per-value counts, the ranked join),
+    so it is lazily localCheckpoint'd first: expression-heavy inputs
+    (tokenized quality scores) pay their scan once and the re-read hits
+    the materialized blocks — at sf0.1 this cut the quality-decile
+    gate ~3x."""
+    group_cols = list(group_cols or [])
     df = df.localCheckpoint(eager=False)
-    n = df.count()
-    if n == 0:
-        return df.withColumn(out_col, F.lit(None).cast("long"))
-    base, rem = divmod(n, n_tiles)
-    counts = df.groupBy(value_col).count()
-    wcum = Window.orderBy(value_col).rowsBetween(Window.unboundedPreceding, -1)
+    gc = [F.col(c) for c in group_cols]
+    counts = df.groupBy(*gc, value_col).count()
+    wcum = (
+        Window.partitionBy(*group_cols)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wtot = Window.partitionBy(*group_cols)
     cum = counts.select(
+        *[F.col(c).alias(f"_ntile_g_{c}") for c in group_cols],
         F.col(value_col).alias("_ntile_val"),
         F.coalesce(F.sum("count").over(wcum), F.lit(0)).alias("_cum"),
+        F.sum("count").over(wtot).alias("_n"),
     )
-    wv = Window.partitionBy(value_col).orderBy(id_col)
-    # eqNullSafe: a NULL value must still find its cumulative row — a
-    # plain equi-join would silently drop NULL-valued rows while n
-    # counted them, skewing every tile boundary.
+    wv = Window.partitionBy(*group_cols, value_col).orderBy(id_col)
+    # eqNullSafe throughout: a NULL value (or NULL group key) must still
+    # find its cumulative row — a plain equi-join would silently drop
+    # those rows while _n counted them, skewing every tile boundary.
+    cond = F.col(value_col).eqNullSafe(F.col("_ntile_val"))
+    for c in group_cols:
+        cond = cond & F.col(c).eqNullSafe(F.col(f"_ntile_g_{c}"))
     ranked = (
-        df.join(
-            F.broadcast(cum), F.col(value_col).eqNullSafe(F.col("_ntile_val"))
-        )
-        .drop("_ntile_val")
+        df.join(F.broadcast(cum), cond)
+        .drop("_ntile_val", *[f"_ntile_g_{c}" for c in group_cols])
         .withColumn("_rank", F.col("_cum") + F.row_number().over(wv))
     )
-    if base == 0:  # fewer rows than tiles: tile == rank
-        tile = F.col("_rank")
-    else:
-        big = rem * (base + 1)
-        tile = F.when(
-            F.col("_rank") <= big, F.ceil(F.col("_rank") / (base + 1))
-        ).otherwise(rem + F.ceil((F.col("_rank") - big) / base))
-    return ranked.withColumn(out_col, tile.cast("long")).drop("_cum", "_rank")
+
+    def _idiv(a, b):
+        return F.call_function("div", a, b)
+
+    base = _idiv(F.col("_n"), F.lit(int(n_tiles)))
+    rem = F.col("_n") % n_tiles
+    big = rem * (base + 1)
+    r = F.col("_rank")
+    tile = F.when(base == 0, r).otherwise(  # fewer rows than tiles
+        F.when(r <= big, _idiv(r + base, base + 1)).otherwise(
+            rem + _idiv(r - big + base - 1, base)
+        )
+    )
+    return ranked.withColumn(out_col, tile.cast("long")).drop("_cum", "_rank", "_n")
 
 
 def rebalance_to_mixture(

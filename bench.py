@@ -150,6 +150,7 @@ BENCH_QUERIES = [
     "split_leakage_safe",
     "streaming_kmv_distinct",
     "graph_triangles",
+    "quality_filter_per_lang",
 ]
 
 

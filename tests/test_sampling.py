@@ -301,3 +301,30 @@ def test_group_keyed_split_never_straddles(spark):
         "train",
         "test",
     }
+
+
+def test_exact_ntile_grouped_matches_window_ntile(spark):
+    """Per-group tiling == NTILE(n) OVER (PARTITION BY g ORDER BY v, id),
+    including uneven group sizes, ties, NULL values and a NULL group."""
+    import random
+
+    from ahnlich_spark.operators.sampling import exact_ntile
+
+    rng = random.Random(13)
+    rows = [
+        (i, ["en", "fr", "de", None][i % 4] if i % 17 else None,
+         rng.randint(0, 30) if i % 11 else None)
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, g string, v long")
+    got = {
+        (r["doc_id"]): r["tile"]
+        for r in exact_ntile(df, 4, "v", "doc_id", group_cols=["g"]).collect()
+    }
+    want = {
+        r["doc_id"]: r["t"]
+        for r in df.selectExpr(
+            "doc_id", "ntile(4) OVER (PARTITION BY g ORDER BY v, doc_id) AS t"
+        ).collect()
+    }
+    assert got == want and len(got) == 500
