@@ -5918,6 +5918,39 @@ def graph_triangles(spark, sf_dir):
     return triangle_count(pairs, src="i", dst="j")
 
 
+@register("cms_term_freq", f"""
+WITH toks AS (SELECT {_TOKENS_SQL} AS ws FROM documents),
+w AS (SELECT unnest(ws) AS v FROM toks),
+buck AS (
+  SELECT r, ('0x' || substring(md5('cms' || r || '|' || v), 1, 15))::BIGINT % 64 AS bucket
+  FROM w, range(4) t(r)
+),
+sk AS (SELECT r, bucket, count(*) AS cnt FROM buck GROUP BY 1, 2),
+probes AS (SELECT DISTINCT v FROM w),
+pb AS (
+  SELECT v, r, ('0x' || substring(md5('cms' || r || '|' || v), 1, 15))::BIGINT % 64 AS bucket
+  FROM probes, range(4) t(r)
+)
+SELECT v AS value, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est
+FROM pb LEFT JOIN sk USING (r, bucket) GROUP BY v
+""")
+def cms_term_freq(spark, sf_dir):
+    """Point term-frequency estimates from a Count-Min sketch
+    (operators/sketches.cms_table / cms_estimate): 4 x 64 counters —
+    deliberately narrow so collisions happen and the oracle pins the
+    EXACT overestimates, not just lucky equality. The structure a
+    pipeline consults for arbitrary-key frequencies (join-skew probes,
+    crawl-domain rates) without shuffling the vocabulary: one
+    grid-keyed aggregation builds it, slices merge additively."""
+    from ahnlich_spark.operators.sketches import cms_estimate, cms_table
+
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(F.explode(X.tokens(F.col("text"))).alias("v"))
+    sk = cms_table(words, "v", depth=4, width=64)
+    probes = words.distinct()
+    return cms_estimate(sk, probes, "v", depth=4, width=64)
+
+
 @register("streaming_kmv_distinct", _KMV_SOURCE_ORACLE)
 def streaming_kmv_distinct_gate(spark, sf_dir):
     """Live cardinality monitoring: documents stream in two ORDERED

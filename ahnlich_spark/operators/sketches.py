@@ -58,6 +58,8 @@ __all__ = [
     "KMV_HASH_BITS",
     "histogram_summary",
     "histogram_quantiles",
+    "cms_table",
+    "cms_estimate",
 ]
 
 # 44-bit hash space: (k-1) << 44 stays far inside BIGINT for any sane k,
@@ -482,4 +484,115 @@ def histogram_quantiles(
             (F.col("bin") * w).cast("long").alias("lo"),
             ((F.col("bin") + 1) * w).cast("long").alias("hi"),
         )
+    )
+
+
+# ------------------------------------------------------------------
+# Count-Min sketch
+# ------------------------------------------------------------------
+
+def _cms_bucket(c, row: int, width: int):
+    """Row-salted md5 bucket for the CM sketch — 60-bit positive hash
+    mod width, deterministic and replayable in any SQL engine."""
+    c = F.col(c) if isinstance(c, str) else c
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"cms{row}|"), c.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    return (h % int(width)).cast("long")
+
+
+def cms_table(
+    df: DataFrame,
+    value_col: str,
+    group_cols=(),
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Count-Min sketch [Cormode & Muthukrishnan 2005] of a value
+    stream: ``depth`` hash rows of ``width`` counters each — the
+    bounded-state structure answering "how often did THIS key occur?"
+    for ARBITRARY keys, where Misra-Gries only answers for the head.
+    The pipeline uses: estimate join-key frequencies before choosing a
+    salting strategy, rate-limit crawl domains, spot stuffed n-grams —
+    all without ever shuffling the key vocabulary.
+
+    Returns (group..., row, bucket, cnt) — at most depth x width rows
+    per group whatever the stream length. Merge rule: sketches of any
+    slices union then re-sum per (group, row, bucket); counts are
+    additive, so the merged sketch equals the sketch of the
+    concatenated stream (streaming-foldable like the KMV/histogram
+    sketches here).
+
+    Scale shape: ONE aggregation; the depth-way explode happens
+    scan-locally and map-side combine collapses each partition's
+    contribution to <= depth x width rows before the shuffle, whose key
+    space is the fixed grid, never the vocabulary. Deterministic:
+    row-salted md5 buckets — two engines build identical tables.
+    """
+    group_cols = list(group_cols)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(r).cast("long").alias("row"),
+                _cms_bucket(value_col, r, width).alias("bucket"),
+            )
+            for r in range(int(depth))
+        ]
+    )
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, F.explode(rows).alias("_rb"))
+        .select(*group_cols, F.col("_rb.row").alias("row"), F.col("_rb.bucket").alias("bucket"))
+        .groupBy(*group_cols, "row", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    value_col: str,
+    group_cols=(),
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Point-frequency estimates for ``probes`` rows from a
+    ``cms_table`` (or any union of them — re-summed here): the minimum
+    of the key's ``depth`` bucket counters. Classic CM guarantee:
+    NEVER an underestimate; overestimate bounded by collisions
+    (<= e/width x stream length with probability 1 - e^-depth per
+    probe). Returns (group..., value, est).
+
+    Scale shape: the probe side replicates depth-fold scan-locally and
+    joins the grid-bounded sketch on (group, row, bucket) — Spark
+    broadcasts whichever side is small; nothing touches the original
+    stream."""
+    group_cols = list(group_cols)
+    agg = sketch.groupBy(*group_cols, "row", "bucket").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(r).cast("long").alias("row"),
+                _cms_bucket(value_col, r, width).alias("bucket"),
+            )
+            for r in range(int(depth))
+        ]
+    )
+    p = (
+        probes.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, F.col(value_col).alias("value"), F.explode(rows).alias("_rb"))
+        .select(
+            *group_cols,
+            "value",
+            F.col("_rb.row").alias("row"),
+            F.col("_rb.bucket").alias("bucket"),
+        )
+    )
+    joined = p.join(agg, group_cols + ["row", "bucket"], "left")
+    return joined.groupBy(*group_cols, "value").agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est")
     )

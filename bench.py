@@ -151,6 +151,7 @@ BENCH_QUERIES = [
     "streaming_kmv_distinct",
     "graph_triangles",
     "quality_filter_per_lang",
+    "cms_term_freq",
 ]
 
 

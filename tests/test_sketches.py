@@ -321,3 +321,55 @@ def test_histogram_bins_exact_beyond_double_and_negative(spark):
         for r in histogram_summary(df, "v", ["g"], bin_width=5).collect()
     }
     assert summ == {(big + 1) // 5: 1, (big + 6) // 5: 1, -1: 1}
+
+
+# ------------------------------------------------- count-min sketch --
+
+from ahnlich_spark.operators.sketches import cms_estimate, cms_table
+
+
+def test_cms_never_underestimates_and_exact_when_wide(spark):
+    import random
+
+    rng = random.Random(3)
+    vals = [f"k{rng.randint(0, 200)}" for _ in range(4000)]
+    true = {}
+    for v in vals:
+        true[v] = true.get(v, 0) + 1
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    probes = spark.createDataFrame([(v,) for v in true], "v string")
+    # narrow sketch: collisions certain -> est >= true always
+    sk = cms_table(df, "v", depth=4, width=32)
+    got = {r["value"]: r["est"] for r in
+           cms_estimate(sk, probes, "v", depth=4, width=32).collect()}
+    assert all(got[v] >= c for v, c in true.items())
+    # wide sketch: 201 keys into 4 x 4096 -> w.h.p. some row is
+    # collision-free per key; with 4 independent rows the min is exact
+    # for this fixture (deterministic hashes, so this is a regression
+    # pin, not a probabilistic assertion)
+    sk2 = cms_table(df, "v", depth=4, width=4096)
+    got2 = {r["value"]: r["est"] for r in
+            cms_estimate(sk2, probes, "v", depth=4, width=4096).collect()}
+    assert got2 == true
+
+
+def test_cms_merge_equals_whole(spark):
+    df = spark.createDataFrame(
+        [(f"t{i % 50}", i) for i in range(2000)], "v string, rid int"
+    )
+    s1 = cms_table(df.filter(F.col("rid") < 800), "v", width=64)
+    s2 = cms_table(df.filter(F.col("rid") >= 800), "v", width=64)
+    probes = df.select("v").distinct()
+    merged = cms_estimate(s1.unionByName(s2), probes, "v", width=64)
+    whole = cms_estimate(cms_table(df, "v", width=64), probes, "v", width=64)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+
+
+def test_cms_table_bounded_and_single_shuffle(spark):
+    from tests.test_plans import n_exchanges, plan_of
+
+    df = spark.range(0, 5000).select(F.concat(F.lit("u"), (F.col("id") % 997)).alias("v"))
+    sk = cms_table(df, "v", depth=4, width=64)
+    assert sk.count() <= 4 * 64
+    p = plan_of(sk)
+    assert n_exchanges(p) == 1 and "Join" not in p, p
