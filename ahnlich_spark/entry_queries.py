@@ -5918,6 +5918,36 @@ def graph_triangles(spark, sf_dir):
     return triangle_count(pairs, src="i", dst="j")
 
 
+@register("vocab_growth_curve", f"""
+WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS ws FROM documents),
+terms AS (SELECT doc_id, unnest(ws) AS term FROM toks),
+firsts AS (SELECT term, min(doc_id) AS first_id FROM terms GROUP BY term),
+newt AS (
+  SELECT first_id // 100 AS bucket, CAST(count(*) AS BIGINT) AS new_terms
+  FROM firsts GROUP BY 1
+),
+dp AS (
+  SELECT doc_id // 100 AS bucket, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY 1
+)
+SELECT CAST(dp.bucket AS BIGINT) AS bucket, n_docs,
+       CAST(coalesce(new_terms, 0) AS BIGINT) AS new_terms,
+       CAST(sum(coalesce(new_terms, 0)) OVER (ORDER BY dp.bucket) AS BIGINT) AS cum_terms
+FROM dp LEFT JOIN newt ON newt.bucket = dp.bucket
+""")
+def vocab_growth_curve(spark, sf_dir):
+    """Heaps-law vocabulary saturation: the corpus ingested in doc-id
+    order, 100 docs per bucket; each term counts toward the bucket of
+    its FIRST occurrence, so the whole curve is one vocabulary
+    aggregation plus a running sum over the tiny bucket table — no
+    iterative prefix scans (operators/textstats.vocab_growth). The
+    marginal-novelty signal that tells curation when more crawl stops
+    paying."""
+    from ahnlich_spark.operators.textstats import vocab_growth
+
+    return vocab_growth(_t(spark, sf_dir, "documents"), bucket_docs=100)
+
+
 @register("cms_term_freq", f"""
 WITH toks AS (SELECT {_TOKENS_SQL} AS ws FROM documents),
 w AS (SELECT unnest(ws) AS v FROM toks),

@@ -325,3 +325,69 @@ def bm25_top_k(
             F.round(F.col("score") * 1_000_000).cast("long").alias("score_e6"),
         )
     )
+
+
+def vocab_growth(
+    df: DataFrame,
+    bucket_docs: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Vocabulary growth curve (the Heaps-law saturation measurement):
+    ingest the corpus in ``id_col`` order, bucketed ``bucket_docs``
+    documents at a time, and report how much NEW vocabulary each bucket
+    contributes — the marginal-novelty signal that tells a curation
+    pipeline when additional crawl slices stop paying for themselves.
+
+    Exact formulation without any iterative prefix scan: a term's
+    contribution lands entirely in the bucket of its FIRST occurrence
+    (min doc id per term), so new-terms-per-bucket is ONE vocabulary
+    aggregation, and the cumulative curve is a running sum over the
+    tiny bucket table. Buckets use exact integer floor division of the
+    id — portable to any engine.
+
+    Returns (bucket, n_docs, new_terms, cum_terms): bucket =
+    id div bucket_docs, ``n_docs`` the documents in it, ``new_terms``
+    first-occurrence vocabulary, ``cum_terms`` the distinct-vocabulary
+    size after the bucket. Buckets with docs but no new terms still
+    appear (n_docs > 0, new_terms = 0).
+
+    Scale shape: the term aggregation is the unavoidable vocabulary
+    shuffle (exact first-occurrence needs it — for an approximate curve
+    at extreme scale feed bucket slices to ``sketches.kmv_distinct``
+    and difference the estimates); everything after operates on
+    O(buckets) rows. The doc-count aggregation is scan-local-keyed and
+    cheap."""
+    w = int(bucket_docs)
+    if w < 1:
+        raise ValueError("bucket_docs must be >= 1")
+    c = F.col(id_col).cast("long")
+    bucket = F.call_function(
+        "div", c - F.pmod(c, F.lit(w)), F.lit(w)
+    ).alias("bucket")
+    firsts = (
+        df.select(c.alias("_id"), F.explode(X.tokens(F.col(text_col))).alias("term"))
+        .groupBy("term")
+        .agg(F.min("_id").alias("first_id"))
+    )
+    fc = F.col("first_id")
+    new_terms = (
+        firsts.select(
+            F.call_function("div", fc - F.pmod(fc, F.lit(w)), F.lit(w)).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("new_terms"))
+    )
+    docs_per = df.select(bucket).groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    wcum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        docs_per.join(new_terms, "bucket", "left")
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            "n_docs",
+            F.coalesce("new_terms", F.lit(0)).cast("long").alias("new_terms"),
+        )
+        .withColumn("cum_terms", F.sum("new_terms").over(wcum).cast("long"))
+    )

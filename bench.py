@@ -152,6 +152,7 @@ BENCH_QUERIES = [
     "graph_triangles",
     "quality_filter_per_lang",
     "cms_term_freq",
+    "vocab_growth_curve",
 ]
 
 

@@ -142,3 +142,37 @@ def test_unigram_logprob_ranks_typical_docs_higher(spark):
     # corpus-typical docs score strictly higher (less negative)
     assert rows[1]["mean_logprob_e6"] > rows[4]["mean_logprob_e6"]
     assert all(r["mean_logprob_e6"] < 0 for r in rows.values())
+
+
+# ---------------------------------------------------- vocab growth --
+
+def test_vocab_growth_exact_prefix_parity(spark):
+    """Each bucket's cum_terms must equal the brute-force distinct
+    vocabulary of the id-ordered prefix; empty-novelty buckets appear
+    with new_terms = 0."""
+    from ahnlich_spark.operators.textstats import vocab_growth
+
+    rows = [
+        (0, "a b c"), (1, "a b"), (2, "c d"),   # bucket 0: {a,b,c,d}
+        (3, "a a b"), (4, "d c"),               # bucket 1: nothing new
+        (6, "e f a"), (7, "g"),                 # bucket 3 (gap at 2): e f g
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["bucket"]: (r["n_docs"], r["new_terms"], r["cum_terms"])
+           for r in vocab_growth(df, bucket_docs=2).collect()}
+    assert got == {0: (2, 3, 3), 1: (2, 1, 4), 2: (1, 0, 4), 3: (2, 3, 7)}
+
+
+def test_vocab_growth_partition_order_invariant(spark):
+    from ahnlich_spark.operators.textstats import vocab_growth
+
+    df = spark.createDataFrame(
+        [(i, f"w{i % 37} w{(i * 7) % 91} common") for i in range(400)],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, vocab_growth(df, 50).collect()))
+    b = sorted(map(tuple, vocab_growth(df.repartition(13), 50).collect()))
+    assert a == b
+    # cumulative total equals the true distinct vocabulary
+    truth = df.selectExpr("explode(split(text, ' ')) AS t").select("t").distinct().count()
+    assert a[-1][3] == truth
