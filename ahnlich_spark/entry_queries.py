@@ -5918,6 +5918,41 @@ def graph_triangles(spark, sf_dir):
     return triangle_count(pairs, src="i", dst="j")
 
 
+@register("doc_bigram_logprob", f"""
+WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS ws FROM documents),
+bg0 AS (
+  SELECT doc_id, unnest(CASE WHEN len(ws) >= 2
+    THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+    ELSE []::VARCHAR[] END) AS bg
+  FROM toks
+),
+per_doc AS (SELECT doc_id, bg, count(*) AS cnt FROM bg0 GROUP BY 1, 2),
+bgc AS (SELECT bg, sum(cnt) AS bf FROM per_doc GROUP BY bg),
+ctx AS (SELECT split_part(bg, ' ', 1) AS w1, sum(bf) AS cf FROM bgc GROUP BY 1),
+contrib AS (
+  SELECT p.doc_id, p.cnt,
+         CAST(round(p.cnt * ln(b.bf::DOUBLE / c.cf) * 1000000) AS BIGINT) AS lp_e6
+  FROM per_doc p
+  JOIN bgc b ON p.bg = b.bg
+  JOIN ctx c ON split_part(p.bg, ' ', 1) = c.w1
+)
+SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+       CAST(sum(lp_e6) // sum(cnt) AS BIGINT) AS mean_logprob_e6
+FROM contrib GROUP BY doc_id
+""")
+def doc_bigram_logprob(spark, sf_dir):
+    """Per-document mean conditional bigram log-probability ln P(w2|w1)
+    under the corpus's own 2-gram counts — catches word-salad whose
+    words are individually typical but never co-occur, which the
+    unigram proxy passes (operators/textstats.bigram_logprob_scores).
+    Contributions e6-rounded before the integer sum, mean via
+    truncating div — hash-identical on both engines like the unigram
+    twin."""
+    from ahnlich_spark.operators.textstats import bigram_logprob_scores
+
+    return bigram_logprob_scores(_t(spark, sf_dir, "documents"))
+
+
 @register("vocab_growth_curve", f"""
 WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS ws FROM documents),
 terms AS (SELECT doc_id, unnest(ws) AS term FROM toks),

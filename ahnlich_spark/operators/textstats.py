@@ -391,3 +391,58 @@ def vocab_growth(
         )
         .withColumn("cum_terms", F.sum("new_terms").over(wcum).cast("long"))
     )
+
+
+def bigram_logprob_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, n_bigrams, mean_logprob_e6): per-document mean CONDITIONAL
+    bigram log-probability ``ln P(w2 | w1)`` under the corpus's own
+    2-gram counts — the next step up from ``unigram_logprob_scores``:
+    word-salad whose words are individually corpus-typical but never
+    co-occur scores low here while passing the unigram proxy.
+
+    Same determinism discipline: each (doc, bigram) contribution
+    ``cnt * ln(bigram_count / context_count)`` is e6-rounded to BIGINT
+    BEFORE summation; the per-doc mean is integer ``div`` (truncation,
+    matching DuckDB's BIGINT ``//``). Documents with fewer than two
+    tokens have no bigrams and emit no row.
+
+    Scale shape: bigram extraction is scan-local array work; the three
+    aggregations (per-doc, per-bigram, per-context) are map-side
+    combined; the probability joins are bigram-/context-keyed (AQE
+    splits stopword-pair skew); no corpus rescan."""
+    toks = X.tokens(F.col(text_col))
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    per_doc = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    bgc = per_doc.groupBy("bg").agg(F.sum("cnt").alias("bf"))
+    ctx = bgc.select(
+        F.split(F.col("bg"), " ", 2).getItem(0).alias("w1"), "bf"
+    ).groupBy("w1").agg(F.sum("bf").alias("cf"))
+    contrib = (
+        per_doc.join(bgc, "bg")
+        .withColumn("w1", F.split(F.col("bg"), " ", 2).getItem(0))
+        .join(ctx, "w1")
+        .withColumn(
+            "lp_e6",
+            F.round(
+                F.col("cnt")
+                * F.log(F.col("bf").cast("double") / F.col("cf"))
+                * 1_000_000
+            ).cast("long"),
+        )
+    )
+    return contrib.groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias("n_bigrams"),
+        F.expr("sum(lp_e6) div sum(cnt)").cast("long").alias("mean_logprob_e6"),
+    )

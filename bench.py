@@ -153,6 +153,7 @@ BENCH_QUERIES = [
     "quality_filter_per_lang",
     "cms_term_freq",
     "vocab_growth_curve",
+    "doc_bigram_logprob",
 ]
 
 

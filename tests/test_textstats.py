@@ -176,3 +176,49 @@ def test_vocab_growth_partition_order_invariant(spark):
     # cumulative total equals the true distinct vocabulary
     truth = df.selectExpr("explode(split(text, ' ')) AS t").select("t").distinct().count()
     assert a[-1][3] == truth
+
+
+# ---------------------------------------------------- bigram logprob --
+
+def test_bigram_logprob_matches_hand_computation(spark):
+    """Tiny corpus against a by-hand conditional model, plus the
+    short-doc exclusion (no bigrams -> no row)."""
+    import math
+
+    from ahnlich_spark.operators.textstats import bigram_logprob_scores
+
+    rows = [(0, "a b a b"), (1, "a b"), (2, "a c"), (3, "x")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_bigrams"], r["mean_logprob_e6"])
+           for r in bigram_logprob_scores(df).collect()}
+    # bigram counts: "a b"x3 (doc0 x2, doc1), "b a"x1, "a c"x1
+    # contexts: a->4, b->1
+    lp = {"a b": math.log(3 / 4), "b a": math.log(1 / 1), "a c": math.log(1 / 4)}
+    def e6(x):
+        return round(x * 1_000_000)
+    d0 = (e6(2 * lp["a b"]) + e6(1 * lp["b a"]))
+    assert 3 not in got  # single-token doc excluded
+    assert got[0] == (3, int(d0 / 3) if d0 >= 0 else -((-d0) // 3))
+    assert got[1] == (1, e6(lp["a b"]))
+    assert got[2] == (1, e6(lp["a c"]))
+
+
+def test_bigram_ranks_word_salad_below_natural_pairs(spark):
+    """Docs repeating corpus-frequent PAIRS outscore docs of the same
+    words in never-seen orders — the separation unigram scoring lacks."""
+    from ahnlich_spark.operators.textstats import (
+        bigram_logprob_scores,
+        unigram_logprob_scores,
+    )
+
+    natural = " ".join(["the cat sat"] * 10)
+    salad = " ".join(["cat the", "sat cat", "the sat"] * 5)
+    df = spark.createDataFrame(
+        [(0, natural), (1, salad)] + [(i, natural) for i in range(2, 8)],
+        "doc_id long, text string",
+    )
+    bg = {r["doc_id"]: r["mean_logprob_e6"] for r in bigram_logprob_scores(df).collect()}
+    ug = {r["doc_id"]: r["mean_logprob_e6"] for r in unigram_logprob_scores(df).collect()}
+    assert bg[1] < bg[0], bg
+    # same unigram composition: unigram proxy cannot separate them
+    assert abs(ug[1] - ug[0]) < 30000, ug
