@@ -5918,6 +5918,48 @@ def graph_triangles(spark, sf_dir):
     return triangle_count(pairs, src="i", dst="j")
 
 
+_PHRASE_PROBES = ["data spark", "table scan", "big order scan"]
+
+
+def _phrase_oracle_sql() -> str:
+    per = []
+    for ph in _PHRASE_PROBES:
+        terms = ph.split()
+        joins = []
+        for i, t in enumerate(terms[1:], start=1):
+            joins.append(
+                f"JOIN post p{i} ON p{i}.doc_id = p0.doc_id "
+                f"AND p{i}.pos = p0.pos + {i} AND p{i}.term = '{t}'"
+            )
+        per.append(f"""
+SELECT '{ph}' AS phrase, p0.doc_id, CAST(count(*) AS BIGINT) AS n_occ
+FROM post p0 {' '.join(joins)}
+WHERE p0.term = '{terms[0]}'
+GROUP BY p0.doc_id""")
+    union = "\nUNION ALL\n".join(per)
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS ws FROM documents),
+post AS (
+  SELECT doc_id, ws[i] AS term, i AS pos
+  FROM toks, unnest(range(1, len(ws) + 1)) AS r(i)
+)
+{union}
+"""
+
+
+@register("phrase_search_postings", _phrase_oracle_sql())
+def phrase_search_postings(spark, sf_dir):
+    """Exact phrase search served from the positional inverted index
+    (operators/textstats.postings_table + phrase_match): build-once
+    postings, per-phrase consecutive-position joins whose inputs are
+    single-term posting lists — repeated phrase queries never rescan
+    text, the lexical twin of the persisted ANN artifact."""
+    from ahnlich_spark.operators.textstats import phrase_match, postings_table
+
+    post = postings_table(_t(spark, sf_dir, "documents"))
+    return phrase_match(post, _PHRASE_PROBES)
+
+
 @register("doc_bigram_logprob", f"""
 WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS ws FROM documents),
 bg0 AS (

@@ -446,3 +446,55 @@ def bigram_logprob_scores(
         F.sum("cnt").cast("long").alias("n_bigrams"),
         F.expr("sum(lp_e6) div sum(cnt)").cast("long").alias("mean_logprob_e6"),
     )
+
+
+def postings_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Positional inverted-index postings (term, doc_id, pos) — the
+    persisted artifact repeated phrase/proximity queries read INSTEAD of
+    rescanning corpus text, the same build-once/query-many contract as
+    the ANN index columns. ``pos`` is 1-based token position.
+
+    Scale shape: one scan-local posexplode; write the result
+    partitioned/bucketed by term and a phrase query touches only its
+    terms' posting lists."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(X.tokens(F.col(text_col))).alias("pos0", "term"),
+    ).select("term", "doc_id", (F.col("pos0") + 1).cast("long").alias("pos"))
+
+
+def phrase_match(postings: DataFrame, phrases) -> DataFrame:
+    """Exact phrase occurrence counts from a postings table: a phrase
+    of m terms matches where its m posting rows align at consecutive
+    positions — the classic positional-index phrase join. Returns
+    (phrase, doc_id, n_occ), one row per document containing the
+    phrase at least once.
+
+    Scale shape: per phrase, m-1 joins keyed on (doc_id, pos); each
+    side is pre-filtered to ONE term's posting list, so join input is
+    the term's document frequency, not the corpus — and the plan never
+    touches text. Multi-word phrases whose terms contain whitespace are
+    rejected (they could not have been tokenized that way)."""
+    out = None
+    for phrase in phrases:
+        terms = phrase.split()
+        if not terms:
+            raise ValueError("empty phrase")
+        cur = postings.filter(F.col("term") == terms[0]).select(
+            "doc_id", F.col("pos").alias("p0")
+        )
+        for i, t in enumerate(terms[1:], start=1):
+            nxt = postings.filter(F.col("term") == t).select(
+                F.col("doc_id").alias("_d"), F.col("pos").alias("_p")
+            )
+            cur = cur.join(
+                nxt,
+                (F.col("doc_id") == F.col("_d")) & (F.col("_p") == F.col("p0") + i),
+            ).drop("_d", "_p")
+        hit = cur.groupBy("doc_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_occ")
+        ).select(F.lit(phrase).alias("phrase"), "doc_id", "n_occ")
+        out = hit if out is None else out.unionByName(hit)
+    return out

@@ -154,6 +154,7 @@ BENCH_QUERIES = [
     "cms_term_freq",
     "vocab_growth_curve",
     "doc_bigram_logprob",
+    "phrase_search_postings",
 ]
 
 

@@ -222,3 +222,25 @@ def test_bigram_ranks_word_salad_below_natural_pairs(spark):
     assert bg[1] < bg[0], bg
     # same unigram composition: unigram proxy cannot separate them
     assert abs(ug[1] - ug[0]) < 30000, ug
+
+
+# ---------------------------------------------------- phrase search --
+
+def test_phrase_match_counts_and_overlaps(spark):
+    """Occurrence counting against hand-counted fixtures, including
+    overlapping matches ('a a a' contains 'a a' twice) and a phrase
+    absent from the corpus."""
+    from ahnlich_spark.operators.textstats import phrase_match, postings_table
+
+    rows = [(0, "a a a b"), (1, "x a a y a a"), (2, "b c"), (3, "a b c a b")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    post = postings_table(df)
+    got = {
+        (r["phrase"], r["doc_id"]): r["n_occ"]
+        for r in phrase_match(post, ["a a", "a b c", "zz qq"]).collect()
+    }
+    assert got == {
+        ("a a", 0): 2,
+        ("a a", 1): 2,
+        ("a b c", 3): 1,
+    }
