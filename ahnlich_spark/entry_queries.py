@@ -5947,6 +5947,75 @@ post AS (
 """
 
 
+@register("event_transitions", """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS tus, event_id FROM events
+),
+nx AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY tus, event_id)
+           AS next_type
+  FROM e
+)
+SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n
+FROM nx WHERE next_type IS NOT NULL
+GROUP BY 1, 2
+""")
+def event_transitions(spark, sf_dir):
+    """First-order behavioral Markov counts: how often each event type
+    is followed by each other type within the same user's timeline —
+    the transition matrix behavioral models and anomaly detectors start
+    from. ONE user-partitioned window (lead, tie-broken by event_id so
+    both engines see the same order) + one tiny aggregation; the
+    event stream shuffles once on user_id."""
+    ev = _events_us(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    nx = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    return (
+        nx.filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+@register("cohort_retention", """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) // 604800000000 AS week FROM events
+),
+firstw AS (SELECT user_id, min(week) AS cohort FROM e GROUP BY user_id),
+act AS (SELECT DISTINCT user_id, week FROM e)
+SELECT CAST(cohort AS BIGINT) AS cohort,
+       CAST(week - cohort AS BIGINT) AS weeks_since,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM act JOIN firstw USING (user_id)
+GROUP BY 1, 2
+""")
+def cohort_retention(spark, sf_dir):
+    """Cohort retention matrix: users bucketed by their FIRST active
+    week (integer epoch-week, exact div — timezone-free on both
+    engines), counted in each later week they return — the standard
+    product-analytics triangle. Two aggregations + one user-keyed join
+    of two skinny user tables; the event stream itself shuffles once."""
+    ev = _events_us(spark, sf_dir)
+    week_us = 604_800_000_000
+    e = ev.select(
+        "user_id",
+        F.expr(f"ts_us div {week_us}").cast("long").alias("week"),
+    )
+    firstw = e.groupBy("user_id").agg(F.min("week").alias("cohort"))
+    act = e.distinct()
+    return (
+        act.join(firstw, "user_id")
+        .groupBy(
+            F.col("cohort").cast("long").alias("cohort"),
+            (F.col("week") - F.col("cohort")).cast("long").alias("weeks_since"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+
+
 @register("phrase_search_postings", _phrase_oracle_sql())
 def phrase_search_postings(spark, sf_dir):
     """Exact phrase search served from the positional inverted index

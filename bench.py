@@ -155,6 +155,8 @@ BENCH_QUERIES = [
     "vocab_growth_curve",
     "doc_bigram_logprob",
     "phrase_search_postings",
+    "event_transitions",
+    "cohort_retention",
 ]
 
 
