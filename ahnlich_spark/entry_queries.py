@@ -5947,6 +5947,37 @@ post AS (
 """
 
 
+@register("embedding_drift", """
+WITH x AS (
+  SELECT vec_id, i - 1 AS dim,
+         CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000000) AS BIGINT) AS c
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS r(i)
+),
+a AS (SELECT dim, sum(c) // count(*) AS mean_a_e9 FROM x WHERE vec_id % 2 = 0 GROUP BY dim),
+b AS (SELECT dim, sum(c) // count(*) AS mean_b_e9 FROM x WHERE vec_id % 2 = 1 GROUP BY dim)
+SELECT CAST(dim AS BIGINT) AS dim,
+       CAST(mean_a_e9 AS BIGINT) AS mean_a_e9,
+       CAST(mean_b_e9 AS BIGINT) AS mean_b_e9,
+       CAST(abs(mean_a_e9 - mean_b_e9) AS BIGINT) AS drift_e9
+FROM a JOIN b USING (dim)
+""")
+def embedding_drift_gate(spark, sf_dir):
+    """Per-dimension embedding distribution drift between two corpus
+    slices (operators/evaluation.embedding_drift): components
+    e9-rounded before integer summation so the means are exact under
+    any aggregation order; each slice reduces to a dims-sized table
+    before the comparison join — monitoring cost independent of slice
+    size. Catches upstream embedder changes / content shift before
+    they contaminate similarity search."""
+    from ahnlich_spark.operators.evaluation import embedding_drift
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_drift(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+    )
+
+
 @register("event_transitions", """
 WITH e AS (
   SELECT user_id, event_type, epoch_us(ts) AS tus, event_id FROM events

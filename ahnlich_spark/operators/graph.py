@@ -215,10 +215,15 @@ def triangle_count(
     Returns (node, n_tri), one row per node in >= 1 triangle.
     """
     a, b = F.col(src), F.col(dst)
+    # materialize the canonical edge list once: it is referenced by the
+    # degree aggregation and both sides of the orientation join, and the
+    # caller's edge pipeline (e.g. the full minhash near-dup pass) must
+    # not re-execute per reference
     und = (
         edges.filter(a != b)
         .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     deg = (
         und.select(F.col("a").alias("n"))
@@ -241,6 +246,7 @@ def triangle_count(
             F.when(lower_first, F.col("degb")).otherwise(F.col("dega")).alias("dv"),
         )
     )
+    o = o.localCheckpoint(eager=False)  # read 3x: both wedge sides + closure
     e1 = o.select("u", F.col("v").alias("v1"), F.col("dv").alias("d1"))
     e2 = o.select("u", F.col("v").alias("v2"), F.col("dv").alias("d2"))
     wedge_order = (F.col("d1") < F.col("d2")) | (

@@ -424,6 +424,9 @@ def bigram_logprob_scores(
         df.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("bg"))
         .groupBy("doc_id", "bg")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        # read 3x (bigram totals, context totals, the contribution join)
+        # — materialize so the corpus is tokenized once
+        .localCheckpoint(eager=False)
     )
     bgc = per_doc.groupBy("bg").agg(F.sum("cnt").alias("bf"))
     ctx = bgc.select(

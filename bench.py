@@ -157,6 +157,7 @@ BENCH_QUERIES = [
     "phrase_search_postings",
     "event_transitions",
     "cohort_retention",
+    "embedding_drift",
 ]
 
 

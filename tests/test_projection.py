@@ -90,3 +90,40 @@ def test_projected_topk_plan_no_shuffle(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+# -------------------------------------------------- embedding drift --
+
+def test_dim_means_exact_and_order_invariant(spark):
+    from ahnlich_spark.operators.evaluation import dim_means_e9
+
+    rows = [(0, [0.5, -0.25]), (1, [0.1, 0.35]), (2, [-0.2, 0.15])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    want = {
+        0: (3, (500_000_000 + 100_000_000 - 200_000_000) // 3),
+        1: (3, int((-250_000_000 + 350_000_000 + 150_000_000) / 3)),
+    }
+    for frame in (df, df.repartition(7)):
+        got = {r["dim"]: (r["n"], r["mean_e9"]) for r in dim_means_e9(frame).collect()}
+        assert got == want
+
+
+def test_embedding_drift_zero_for_identical_slices(spark):
+    import random
+
+    from ahnlich_spark.operators.evaluation import embedding_drift
+
+    rng = random.Random(2)
+    vecs = [[rng.uniform(-0.5, 0.5) for _ in range(8)] for _ in range(40)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<double>"
+    )
+    out = embedding_drift(df, df).collect()
+    assert len(out) == 8 and all(r["drift_e9"] == 0 for r in out)
+    # a shifted slice must show the shift in every dimension
+    shifted = spark.createDataFrame(
+        [(i, [c + 0.1 for c in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    d = embedding_drift(df, shifted).collect()
+    assert all(abs(r["drift_e9"] - 100_000_000) <= 2 for r in d)
