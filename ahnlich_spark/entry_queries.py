@@ -5947,6 +5947,40 @@ post AS (
 """
 
 
+@register("cms_join_size_estimate", """
+WITH sa AS (
+  SELECT r,
+         ('0x' || substring(md5('cms' || r || '|' || CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT % 64 AS bucket,
+         count(*) AS ca
+  FROM orders, range(4) t(r) GROUP BY 1, 2
+),
+sb AS (
+  SELECT r,
+         ('0x' || substring(md5('cms' || r || '|' || CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT % 64 AS bucket,
+         count(*) AS cb
+  FROM customer, range(4) t(r) GROUP BY 1, 2
+),
+ip AS (
+  SELECT r, sum(ca * cb) AS ip FROM sa JOIN sb USING (r, bucket) GROUP BY r
+)
+SELECT CAST(min(ip) AS BIGINT) AS est_join_rows FROM ip
+""")
+def cms_join_size_estimate(spark, sf_dir):
+    """Join-cardinality upper bound from two Count-Min sketches of the
+    join keys (the CM inner product): per hash row sum cnt_a x cnt_b
+    over buckets, take the min across rows — never an underestimate,
+    O(depth x width) work, so a planner can pick broadcast / shuffle /
+    salting BEFORE paying for orders x customer
+    (operators/sketches.cms_join_size)."""
+    from ahnlich_spark.operators.sketches import cms_join_size, cms_table
+
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    return cms_join_size(
+        cms_table(o, "k", depth=4, width=64), cms_table(c, "k", depth=4, width=64)
+    )
+
+
 @register("embedding_drift", """
 WITH x AS (
   SELECT vec_id, i - 1 AS dim,

@@ -60,6 +60,7 @@ __all__ = [
     "histogram_quantiles",
     "cms_table",
     "cms_estimate",
+    "cms_join_size",
 ]
 
 # 44-bit hash space: (k-1) << 44 stays far inside BIGINT for any sane k,
@@ -595,4 +596,39 @@ def cms_estimate(
     joined = p.join(agg, group_cols + ["row", "bucket"], "left")
     return joined.groupBy(*group_cols, "value").agg(
         F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est")
+    )
+
+
+def cms_join_size(
+    sketch_a: DataFrame,
+    sketch_b: DataFrame,
+    group_cols=(),
+) -> DataFrame:
+    """Equi-join cardinality estimate from two Count-Min sketches built
+    on the join keys (the classic CM inner product [Cormode &
+    Muthukrishnan 2005 §4.2]): per hash row, sum over buckets of
+    cnt_a x cnt_b; the estimate is the MINIMUM across rows. Never an
+    underestimate — colliding keys only add — so it is a safe upper
+    bound for join planning (pick broadcast vs shuffle vs salting
+    BEFORE paying for the join; the sketches cost one scan each and
+    are reusable/mergeable).
+
+    Returns (group..., est_join_rows). Work is O(depth x width) per
+    group — metadata-scale, independent of either table."""
+    group_cols = list(group_cols)
+
+    def _agg(s, out):
+        return s.groupBy(*group_cols, "row", "bucket").agg(
+            F.sum("cnt").cast("long").alias(out)
+        )
+
+    a = _agg(sketch_a, "ca")
+    b = _agg(sketch_b, "cb")
+    per_row = (
+        a.join(b, group_cols + ["row", "bucket"])
+        .groupBy(*group_cols, "row")
+        .agg(F.sum(F.col("ca") * F.col("cb")).cast("long").alias("ip"))
+    )
+    return per_row.groupBy(*group_cols).agg(
+        F.min("ip").cast("long").alias("est_join_rows")
     )

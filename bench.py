@@ -158,6 +158,7 @@ BENCH_QUERIES = [
     "event_transitions",
     "cohort_retention",
     "embedding_drift",
+    "cms_join_size_estimate",
 ]
 
 

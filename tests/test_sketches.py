@@ -325,7 +325,7 @@ def test_histogram_bins_exact_beyond_double_and_negative(spark):
 
 # ------------------------------------------------- count-min sketch --
 
-from ahnlich_spark.operators.sketches import cms_estimate, cms_table
+from ahnlich_spark.operators.sketches import cms_estimate, cms_join_size, cms_table
 
 
 def test_cms_never_underestimates_and_exact_when_wide(spark):
@@ -373,3 +373,23 @@ def test_cms_table_bounded_and_single_shuffle(spark):
     assert sk.count() <= 4 * 64
     p = plan_of(sk)
     assert n_exchanges(p) == 1 and "Join" not in p, p
+
+
+def test_cms_join_size_upper_bound_and_exact_when_wide(spark):
+    """The inner-product estimate never undershoots the true join
+    cardinality, and a wide sketch recovers it exactly."""
+    import random
+
+    rng = random.Random(7)
+    left = [(f"k{rng.randint(0, 60)}",) for _ in range(800)]
+    right = [(f"k{rng.randint(0, 80)}",) for _ in range(500)]
+    la = spark.createDataFrame(left, "v string")
+    rb = spark.createDataFrame(right, "v string")
+    truth = la.join(rb, "v").count()
+    for width, exact in ((16, False), (4096, True)):
+        est = cms_join_size(
+            cms_table(la, "v", width=width), cms_table(rb, "v", width=width)
+        ).collect()[0]["est_join_rows"]
+        assert est >= truth
+        if exact:
+            assert est == truth, (est, truth)
