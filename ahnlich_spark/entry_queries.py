@@ -5947,6 +5947,38 @@ post AS (
 """
 
 
+@register("profile_events", """
+SELECT 'event_id' AS column, count(*) AS n_rows,
+       CAST(count(*) - count(event_id) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct FROM events
+UNION ALL
+SELECT 'user_id', count(*), CAST(count(*) - count(user_id) AS BIGINT),
+       CAST(count(DISTINCT user_id) AS BIGINT) FROM events
+UNION ALL
+SELECT 'event_type', count(*), CAST(count(*) - count(event_type) AS BIGINT),
+       CAST(count(DISTINCT event_type) AS BIGINT) FROM events
+UNION ALL
+SELECT 'value', count(*), CAST(count(*) - count(value) AS BIGINT),
+       CAST(count(DISTINCT value) AS BIGINT) FROM events
+UNION ALL
+SELECT 'props', count(*), CAST(count(*) - count(props) AS BIGINT),
+       CAST(count(DISTINCT props) AS BIGINT) FROM events
+""")
+def profile_events(spark, sf_dir):
+    """Ingest-slice data-quality audit (operators/profiling.
+    profile_table): exact per-column row/null/distinct counts from ONE
+    scan — the multi-column count(DISTINCT) set plans as a single
+    Expand + one exchange, not one job per column. Integer-only output
+    hash-compares across runs; a null explosion or cardinality
+    collapse between slices is the alert."""
+    from ahnlich_spark.operators.profiling import profile_table
+
+    return profile_table(
+        _t(spark, sf_dir, "events"),
+        ["event_id", "user_id", "event_type", "value", "props"],
+    )
+
+
 @register("cms_join_size_estimate", """
 WITH sa AS (
   SELECT r,

@@ -159,6 +159,7 @@ BENCH_QUERIES = [
     "cohort_retention",
     "embedding_drift",
     "cms_join_size_estimate",
+    "profile_events",
 ]
 
 
