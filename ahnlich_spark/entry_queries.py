@@ -5819,7 +5819,7 @@ def distinct_kmv(spark, sf_dir):
     return kmv_distinct(sh, "sh", ["source"], k=64)
 
 
-@register("quantile_histogram_events", """
+_QUANTILE_HIST_ORACLE = """
 WITH v AS (
   SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v_e2
   FROM events WHERE value IS NOT NULL
@@ -5845,7 +5845,10 @@ SELECT event_type, CAST(q_e6 AS BIGINT) AS q_e6, CAST(n AS BIGINT) AS n,
        CAST(bin AS BIGINT) AS bin, CAST(bin * 250 AS BIGINT) AS lo,
        CAST((bin + 1) * 250 AS BIGINT) AS hi
 FROM hit
-""")
+"""
+
+
+@register("quantile_histogram_events", _QUANTILE_HIST_ORACLE)
 def quantile_histogram_events(spark, sf_dir):
     """Per-event-type p50/p90/p99 of the cent-scaled value via the
     mergeable fixed-grid histogram sketch
@@ -5945,6 +5948,55 @@ post AS (
 )
 {union}
 """
+
+
+@register("streaming_histogram", _QUANTILE_HIST_ORACLE)
+def streaming_histogram_gate(spark, sf_dir):
+    """Live quantile monitoring: the events stream arrives in two
+    ORDERED micro-batches (event_id % 2 == 0 first); each batch's
+    histogram summary folds into the running state. Addition is
+    order-free, so the final p50/p90/p99 table must be bit-identical
+    to the whole-data sketch — the oracle is the same closed form as
+    ``quantile_histogram_events``
+    (streaming/pipeline.streaming_histogram_quantiles)."""
+    import glob
+    import time
+
+    from ahnlich_spark.streaming.pipeline import streaming_histogram_quantiles
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("v_e2"),
+    )
+    src = tempfile.mkdtemp(prefix="ahnlich_shist_")
+    a_dir, b_dir = os.path.join(src, "a"), os.path.join(src, "b")
+    ev.filter(F.col("event_id") % 2 == 0).select("event_type", "v_e2").coalesce(
+        1
+    ).write.parquet(a_dir)
+    ev.filter(F.col("event_id") % 2 != 0).select("event_type", "v_e2").coalesce(
+        1
+    ).write.parquet(b_dir)
+    watch = os.path.join(src, "watch")
+    os.makedirs(watch)
+    fa = glob.glob(os.path.join(a_dir, "part-*.parquet"))[0]
+    fb = glob.glob(os.path.join(b_dir, "part-*.parquet"))[0]
+    now = time.time()
+    os.utime(fa, (now - 60, now - 60))
+    os.utime(fb, (now, now))
+    os.symlink(fa, os.path.join(watch, "batch-a.parquet"))
+    os.symlink(fb, os.path.join(watch, "batch-b.parquet"))
+    stream = (
+        spark.readStream.schema("event_type string, v_e2 long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(watch)
+    )
+    q, drain, _s = streaming_histogram_quantiles(
+        stream, ["event_type"], "v_e2", 250, [0.5, 0.9, 0.99]
+    )
+    q.processAllAvailable()
+    q.stop()
+    return drain()
 
 
 @register("profile_events", """

@@ -523,3 +523,60 @@ def streaming_kmv_distinct(
 
     q = value_stream.writeStream.foreachBatch(_sink).outputMode("update").start()
     return q, drain, drain_minima
+
+
+def streaming_histogram_quantiles(
+    value_stream: DataFrame,
+    group_cols,
+    value_col: str,
+    bin_width: int,
+    qs,
+    initial_summary: Optional[DataFrame] = None,
+):
+    """Live quantile monitoring: each micro-batch's fixed-grid histogram
+    summary FOLDS into the running one (union + re-sum — histogram
+    counts are additive, the same merge the batch operator
+    ``sketches.histogram_summary`` documents). Because addition is
+    order-free, the folded state is bit-identical to the batch summary
+    over the same rows at every prefix; the ``streaming_histogram``
+    gate pins the final quantiles against the whole-data SQL replay.
+
+    State is O(grid x groups) rows re-materialized per trigger —
+    bounded by the grid, not the stream. ``initial_summary`` seeds a
+    warm start from a persisted summary. Driver-state sink like its
+    siblings: not Spark-checkpoint-safe; persist ``drain_summary()``
+    and re-seed instead.
+
+    Returns ``(query, drain, drain_summary)``: ``drain()`` gives the
+    current quantile table (see ``sketches.histogram_quantiles``),
+    ``drain_summary()`` the raw summary STATE."""
+    from ahnlich_spark.operators import sketches as SK
+
+    group_cols = list(group_cols)
+    state = {
+        "summ": (
+            initial_summary.localCheckpoint() if initial_summary is not None else None
+        )
+    }
+
+    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+        bs = SK.histogram_summary(batch_df, value_col, group_cols, bin_width)
+        if state["summ"] is not None:
+            bs = (
+                state["summ"]
+                .unionByName(bs)
+                .groupBy(*group_cols, "bin")
+                .agg(F.sum("cnt").cast("long").alias("cnt"))
+            )
+        state["summ"] = bs.localCheckpoint()
+
+    def drain_summary() -> DataFrame:
+        if state["summ"] is None:
+            raise ValueError("no batch processed and no initial_summary seeded")
+        return state["summ"]
+
+    def drain() -> DataFrame:
+        return SK.histogram_quantiles(drain_summary(), qs, group_cols, bin_width)
+
+    q = value_stream.writeStream.foreachBatch(_sink).outputMode("update").start()
+    return q, drain, drain_summary

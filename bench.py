@@ -160,6 +160,7 @@ BENCH_QUERIES = [
     "embedding_drift",
     "cms_join_size_estimate",
     "profile_events",
+    "streaming_histogram",
 ]
 
 

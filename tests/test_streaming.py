@@ -552,3 +552,60 @@ def test_streaming_kmv_fold_matches_batch(spark, tmp_path):
     )
     assert got == want and len(got) == 3
     assert drain_minima().count() <= 3 * 32
+
+
+def test_streaming_histogram_fold_matches_batch(spark, tmp_path):
+    """Histogram summaries are additive, so the streamed fold (with a
+    warm-start seed) must reproduce the one-shot batch sketch exactly."""
+    import glob
+    import os
+    import time
+
+    from ahnlich_spark.operators.sketches import (
+        histogram_quantiles,
+        histogram_summary,
+    )
+    from ahnlich_spark.streaming.pipeline import streaming_histogram_quantiles
+
+    rows = [(f"g{i % 2}", (i * 37) % 1000) for i in range(1500)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    seed_df = df.limit(300)
+    seed = histogram_summary(seed_df, "v", ["g"], 50)
+    first = df.filter(F.col("v") % 3 == 0)
+    second = df.exceptAll(first)
+    a_dir, b_dir = str(tmp_path / "a"), str(tmp_path / "b")
+    first.coalesce(1).write.parquet(a_dir)
+    second.coalesce(1).write.parquet(b_dir)
+    watch = str(tmp_path / "watch")
+    os.makedirs(watch)
+    fa = glob.glob(os.path.join(a_dir, "part-*.parquet"))[0]
+    fb = glob.glob(os.path.join(b_dir, "part-*.parquet"))[0]
+    now = time.time()
+    os.utime(fa, (now - 60, now - 60))
+    os.utime(fb, (now, now))
+    os.symlink(fa, os.path.join(watch, "a.parquet"))
+    os.symlink(fb, os.path.join(watch, "b.parquet"))
+    stream = (
+        spark.readStream.schema("g string, v long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(watch)
+    )
+    q, drain, drain_summary = streaming_histogram_quantiles(
+        stream, ["g"], "v", 50, [0.25, 0.9], initial_summary=seed
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(map(tuple, drain().collect()))
+    want = sorted(
+        map(
+            tuple,
+            histogram_quantiles(
+                histogram_summary(seed_df.unionAll(df), "v", ["g"], 50),
+                [0.25, 0.9],
+                ["g"],
+                50,
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) == 4
+    assert drain_summary().count() <= 2 * (1000 // 50 + 1)
