@@ -6031,6 +6031,28 @@ def profile_events(spark, sf_dir):
     )
 
 
+@register("skew_salt_advisor", """
+WITH c AS (
+  SELECT CAST(o_custkey AS VARCHAR) AS key, count(*) AS cnt
+  FROM orders GROUP BY 1
+),
+top AS (SELECT key, cnt FROM c ORDER BY cnt DESC, key ASC LIMIT 20)
+SELECT key, CAST(cnt AS BIGINT) AS cnt,
+       CAST((cnt + 17) // 18 AS BIGINT) AS n_salts
+FROM top WHERE cnt > 18
+""")
+def skew_salt_advisor(spark, sf_dir):
+    """Join-key skew measurement BEFORE salting: the hottest customer
+    keys in orders (Misra-Gries two-pass — no vocabulary shuffle) with
+    the exact-integer salt factor bringing each under the per-task
+    target (operators/joins.skew_profile feeding salted_join)."""
+    from ahnlich_spark.operators.joins import skew_profile
+
+    return skew_profile(
+        _t(spark, sf_dir, "orders"), "o_custkey", target_rows_per_task=18, k=20
+    )
+
+
 @register("cms_join_size_estimate", """
 WITH sa AS (
   SELECT r,

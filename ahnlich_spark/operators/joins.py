@@ -408,3 +408,46 @@ def rolling_window_features(
             sum_out, F.coalesce(F.sum(sum_col).over(w), F.lit(0)).cast("long")
         )
     return out
+
+
+def skew_profile(
+    df: DataFrame,
+    key_col: str,
+    target_rows_per_task: int,
+    k: int = 20,
+    capacity: int = 4096,
+) -> DataFrame:
+    """Join-key skew advisor: the keys hot enough to need salting, with
+    the salt factor that brings each one under
+    ``target_rows_per_task`` — the measurement step BEFORE reaching for
+    ``salted_join`` (salting every key taxes the 99% that don't need
+    it; salting none lets one celebrity key own a task for hours).
+
+    Returns (key, cnt, n_salts): the top-``k`` keys by count (ties by
+    key string ascending) whose count exceeds the target;
+    ``n_salts`` = ceil(cnt / target) in exact integer math. Feed
+    ``n_salts``'s max into ``salted_join``, or use the key list for
+    per-key slicing.
+
+    Scale shape: counts come from the Misra-Gries two-pass
+    (``sketches.heavy_hitters``) — O(capacity) memory per partition,
+    candidate-only exact counting, NO vocabulary shuffle; the head of
+    the key distribution is exactly what the MG summary preserves.
+    ``verify=False`` because an advisor wants the head even when
+    rank-k exactness can't be certified."""
+    from ahnlich_spark.operators.sketches import heavy_hitters
+
+    t = int(target_rows_per_task)
+    if t < 1:
+        raise ValueError("target_rows_per_task must be >= 1")
+    hh = heavy_hitters(df, key_col, k=k, capacity=capacity, verify=False)
+    return (
+        hh.filter(F.col("cnt") > t)
+        .select(
+            F.col("value").alias("key"),
+            F.col("cnt").cast("long").alias("cnt"),
+            F.call_function(
+                "div", F.col("cnt") + F.lit(t - 1), F.lit(t)
+            ).cast("long").alias("n_salts"),
+        )
+    )

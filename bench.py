@@ -161,6 +161,7 @@ BENCH_QUERIES = [
     "cms_join_size_estimate",
     "profile_events",
     "streaming_histogram",
+    "skew_salt_advisor",
 ]
 
 

@@ -356,3 +356,15 @@ def test_rolling_window_single_shuffle(spark):
     )
     plan = plan_of(rolling_window_features(df, "uid", "t", 50, sum_col="v"))
     assert n_exchanges(plan) == 1, plan
+
+
+# ---------------------------------------------------- skew profile --
+
+def test_skew_profile_exact_counts_and_salts(spark):
+    from ahnlich_spark.operators.joins import skew_profile
+
+    rows = [("hot",)] * 95 + [("warm",)] * 21 + [(f"cold{i}",) for i in range(50)]
+    df = spark.createDataFrame(rows, "k string")
+    got = {r["key"]: (r["cnt"], r["n_salts"])
+           for r in skew_profile(df, "k", target_rows_per_task=10).collect()}
+    assert got == {"hot": (95, 10), "warm": (21, 3)}
