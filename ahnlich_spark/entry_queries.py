@@ -6031,6 +6031,34 @@ def profile_events(spark, sf_dir):
     )
 
 
+@register("early_arriving_facts", """
+WITH snap AS (
+  SELECT DISTINCT c_custkey FROM customer
+  WHERE c_custkey <= (SELECT max(c_custkey) FROM customer) // 2
+),
+ch AS (SELECT user_id FROM events)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM ch) AS n_child,
+       (SELECT CAST(count(*) - count(user_id) AS BIGINT) FROM ch) AS n_null_keys,
+       CAST(count(*) AS BIGINT) AS n_orphans,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_orphan_keys
+FROM ch WHERE user_id IS NOT NULL AND user_id NOT IN (SELECT c_custkey FROM snap)
+""")
+def early_arriving_facts(spark, sf_dir):
+    """Ingest referential audit (operators/profiling.fk_audit): event
+    facts checked against a LAGGING dimension snapshot (customers in
+    the lower key half) — orphan counts are the early-arriving-facts
+    signal every warehouse loader monitors. Parent reduces to its
+    distinct key set before one left-anti join; no child rescans."""
+    from ahnlich_spark.operators.profiling import fk_audit
+
+    cust = _t(spark, sf_dir, "customer")
+    half = cust.agg(F.expr("max(c_custkey) div 2").alias("m"))
+    snap = cust.join(
+        F.broadcast(half), F.col("c_custkey") <= F.col("m")
+    ).select("c_custkey")
+    return fk_audit(_t(spark, sf_dir, "events"), snap, "user_id", "c_custkey")
+
+
 @register("skew_salt_advisor", """
 WITH c AS (
   SELECT CAST(o_custkey AS VARCHAR) AS key, count(*) AS cnt

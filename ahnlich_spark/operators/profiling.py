@@ -48,3 +48,39 @@ def profile_table(df: DataFrame, columns: Optional[Sequence[str]] = None) -> Dat
         (F.col("_n") - F.col("_nn")).cast("long").alias("n_null"),
         F.col("n_distinct").cast("long").alias("n_distinct"),
     )
+
+
+def fk_audit(
+    child: DataFrame,
+    parent: DataFrame,
+    child_key: str,
+    parent_key: str,
+) -> DataFrame:
+    """Referential-integrity audit: how many child rows reference a key
+    absent from the parent — run on every ingest slice against the
+    current dimension snapshot, where a non-zero count usually means
+    early-arriving facts (the dimension feed lags) rather than
+    corruption, and the count's TREND is the alert. NULL child keys are
+    counted separately (they violate nothing but usually mean a broken
+    extractor).
+
+    Returns ONE row: (n_child, n_null_keys, n_orphans,
+    n_orphan_keys). Scale shape: the parent reduces to its DISTINCT
+    key set before a left-anti join (broadcast when it fits, AQE
+    otherwise); two aggregations, no child rescans — orphan stats come
+    from the anti-join output alone plus one count of the child."""
+    keys = parent.select(F.col(parent_key).alias("_pk")).distinct()
+    ch = child.select(F.col(child_key).alias("_ck"))
+    base = ch.agg(
+        F.count(F.lit(1)).cast("long").alias("n_child"),
+        F.sum(F.col("_ck").isNull().cast("long")).cast("long").alias("n_null_keys"),
+    )
+    orphans = (
+        ch.filter(F.col("_ck").isNotNull())
+        .join(keys, F.col("_ck") == F.col("_pk"), "left_anti")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orphans"),
+            F.countDistinct("_ck").cast("long").alias("n_orphan_keys"),
+        )
+    )
+    return base.crossJoin(orphans)

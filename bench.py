@@ -162,6 +162,7 @@ BENCH_QUERIES = [
     "profile_events",
     "streaming_histogram",
     "skew_salt_advisor",
+    "early_arriving_facts",
 ]
 
 

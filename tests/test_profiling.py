@@ -30,3 +30,14 @@ def test_profile_is_one_scan_one_exchange(spark):
     assert p.count("Scan") <= 1 or p.count("Range") == 1, p
     assert "Expand" in p, p          # the multi-distinct single-pass plan
     assert n_exchanges(p) <= 2, p    # partial + final agg exchanges only
+
+
+def test_fk_audit_counts(spark):
+    child = spark.createDataFrame(
+        [(1,), (1,), (2,), (7,), (7,), (7,), (None,)], "k long"
+    )
+    parent = spark.createDataFrame([(1,), (2,), (2,), (3,)], "pk long")
+    row = __import__("ahnlich_spark.operators.profiling", fromlist=["fk_audit"]) \
+        .fk_audit(child, parent, "k", "pk").collect()[0]
+    assert (row["n_child"], row["n_null_keys"], row["n_orphans"], row["n_orphan_keys"]) \
+        == (7, 1, 3, 1)
