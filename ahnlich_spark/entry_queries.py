@@ -5619,6 +5619,72 @@ r{i} AS (SELECT n.node,
     )
 
 
+def _ppr_oracle_sql(iterations: int = 3, damping_e2: int = 85) -> str:
+    """Unrolled personalized-PageRank CTE chain: teleport mass returns
+    ONLY to the seed suppliers (s_suppkey % 10 == 0, node id s*2) —
+    the SQL twin of operators/graph.personalized_pagerank."""
+    tp = (1_000_000_000 * (100 - damping_e2)) // 100
+    ctes = ["""pairs AS (SELECT DISTINCT l_suppkey AS s, o_custkey AS c
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+edges AS (SELECT s * 2 AS src, c * 2 + 1 AS dst FROM pairs
+          UNION ALL SELECT c * 2 + 1, s * 2 FROM pairs),
+nodes AS (SELECT DISTINCT src AS node FROM edges
+          UNION SELECT DISTINCT dst FROM edges),
+seeds AS (SELECT DISTINCT s_suppkey * 2 AS node FROM supplier
+          WHERE s_suppkey % 10 = 0),
+flagged AS (SELECT n.node,
+                   CASE WHEN s.node IS NULL THEN 0 ELSE 1 END AS is_seed
+            FROM nodes n LEFT JOIN seeds s ON n.node = s.node),
+outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+r0 AS (SELECT node, CAST(is_seed * 1000000000 AS BIGINT) AS rank_e9
+       FROM flagged)"""]
+    for i in range(1, iterations + 1):
+        ctes.append(f"""c{i} AS (SELECT e.dst AS node, sum(r.rank_e9 // d.outdeg) AS received
+  FROM edges e JOIN r{i-1} r ON e.src = r.node JOIN outdeg d ON e.src = d.src
+  GROUP BY e.dst),
+r{i} AS (SELECT n.node,
+         CAST(n.is_seed * {tp} + ({damping_e2} * COALESCE(c.received, 0)) // 100 AS BIGINT)
+           AS rank_e9
+  FROM flagged n LEFT JOIN c{i} c ON n.node = c.node)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT CAST(node AS BIGINT) AS node, rank_e9 FROM r{iterations}"
+    )
+
+
+@register("graph_personalized_pagerank", _ppr_oracle_sql())
+def graph_personalized_pagerank(spark, sf_dir):
+    """Seed-anchored graph expansion: teleport mass returns only to a
+    supplier subset (s_suppkey % 10 == 0), so customer ranks measure
+    association with THAT group — the related-entity retrieval a plain
+    similarity lookup misses. Same e9 fixed-point floor-division
+    discipline and one-shuffle-per-round shape as graph_pagerank
+    (operators/graph.personalized_pagerank)."""
+    from ahnlich_spark.operators.graph import personalized_pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    pairs = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(F.col("l_suppkey").alias("s"), F.col("o_custkey").alias("c"))
+        .distinct()
+    )
+    edges = pairs.select(
+        (F.col("s") * 2).alias("src"), (F.col("c") * 2 + 1).alias("dst")
+    ).unionAll(
+        pairs.select((F.col("c") * 2 + 1).alias("src"), (F.col("s") * 2).alias("dst"))
+    )
+    seeds = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") % 10 == 0)
+        .select((F.col("s_suppkey") * 2).alias("node"))
+    )
+    return personalized_pagerank(edges, seeds, iterations=3, damping_e2=85).select(
+        F.col("node").cast("long").alias("node"),
+        F.col("rank_e9").cast("long").alias("rank_e9"),
+    )
+
+
 @register("graph_pagerank", _pagerank_oracle_sql())
 def graph_pagerank(spark, sf_dir):
     """Iterative importance propagation (PageRank, 3 rounds) over the

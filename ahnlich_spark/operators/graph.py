@@ -266,3 +266,81 @@ def triangle_count(
     return corners.groupBy("node").agg(
         F.count(F.lit(1)).cast("long").alias("n_tri")
     )
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 3,
+    damping_e2: int = 85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed_col: str = "node",
+    broadcast_ranks: bool = True,
+) -> DataFrame:
+    """Personalized PageRank: identical propagation to ``pagerank`` but
+    ALL teleport mass returns to the ``seeds`` set — ranks measure
+    proximity to the seeds rather than global importance. The
+    graph-expansion primitive: seed with a query's known-relevant nodes
+    (docs, suppliers, domains) and the top non-seed ranks are the
+    related entities a plain similarity lookup misses.
+
+    Seeds start at RANK_SCALE, everything else at 0; each round
+    ``rank = (seed ? teleport : 0) + damping * received div 100`` —
+    the same e9 fixed-point floor-division discipline as ``pagerank``,
+    bit-identical across engines and partitionings. Returns
+    (node, rank_e9) for ALL nodes (non-seed nodes unreachable from the
+    seeds hold rank 0).
+
+    Scale shape: one shuffle per round; the seed flag joins onto the
+    |V|-sized node table once up front."""
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    if not (0 < damping_e2 < 100):
+        raise ValueError("damping_e2 must be in (0, 100)")
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint()
+    small = F.broadcast if broadcast_ranks else (lambda df: df)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    sd = seeds.select(F.col(seed_col).alias("node")).distinct().withColumn(
+        "is_seed", F.lit(1)
+    )
+    nodes = nodes.join(small(sd), "node", "left").select(
+        "node", F.coalesce("is_seed", F.lit(0)).alias("is_seed")
+    ).localCheckpoint()
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    teleport = (RANK_SCALE * (100 - damping_e2)) // 100
+
+    ranks = nodes.select(
+        "node",
+        (F.col("is_seed") * RANK_SCALE).cast("long").alias("rank_e9"),
+    )
+    for _ in range(iterations):
+        contrib = (
+            e.join(small(ranks), e["src"] == ranks["node"])
+            .join(small(outdeg), "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank_e9 div outdeg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("received"))
+        )
+        ranks = (
+            nodes.join(small(contrib), "node", "left")
+            .select(
+                "node",
+                (
+                    (F.col("is_seed") * teleport).cast("long")
+                    + F.expr(
+                        f"({damping_e2} * coalesce(received, 0L)) div 100"
+                    ).cast("long")
+                ).alias("rank_e9"),
+            )
+        )
+    return ranks

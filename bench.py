@@ -163,6 +163,7 @@ BENCH_QUERIES = [
     "streaming_histogram",
     "skew_salt_advisor",
     "early_arriving_facts",
+    "graph_personalized_pagerank",
 ]
 
 

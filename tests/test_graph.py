@@ -143,3 +143,34 @@ def test_triangle_count_partition_order_invariant(spark):
     a = sorted(map(tuple, triangle_count(df).collect()))
     b = sorted(map(tuple, triangle_count(df.repartition(17)).collect()))
     assert a == b and len(a) > 0
+
+
+# ------------------------------------------- personalized pagerank --
+
+def test_ppr_mass_localizes_at_seeds(spark):
+    """On two disconnected components, a seed in component A gives every
+    component-B node rank 0; seed + its neighbors hold positive rank."""
+    from ahnlich_spark.operators.graph import personalized_pagerank
+
+    edges_a = [(1, 2), (2, 1), (2, 3), (3, 2)]
+    edges_b = [(10, 11), (11, 10)]
+    edges = spark.createDataFrame(edges_a + edges_b, "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {r["node"]: r["rank_e9"] for r in
+           personalized_pagerank(edges, seeds, iterations=3).collect()}
+    assert got[10] == 0 and got[11] == 0
+    assert got[1] > 0 and got[2] > 0 and got[3] > 0
+
+
+def test_ppr_partition_order_invariant(spark):
+    import random
+
+    from ahnlich_spark.operators.graph import personalized_pagerank
+
+    rng = random.Random(8)
+    edges = [(rng.randint(0, 30), rng.randint(0, 30)) for _ in range(150)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame([(0,), (5,)], "node long")
+    a = sorted(map(tuple, personalized_pagerank(e, seeds, 3).collect()))
+    b = sorted(map(tuple, personalized_pagerank(e.repartition(11), seeds, 3).collect()))
+    assert a == b
