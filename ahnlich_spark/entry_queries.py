@@ -6097,6 +6097,95 @@ def profile_events(spark, sf_dir):
     )
 
 
+@register("robust_outliers_events", """
+WITH v AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v_e2
+  FROM events WHERE value IS NOT NULL
+),
+b AS (
+  SELECT event_type, v_e2 // 250 AS bin, CAST(count(*) AS BIGINT) AS cnt
+  FROM v GROUP BY 1, 2
+),
+c AS (
+  SELECT event_type, bin, cnt,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+         sum(cnt) OVER (PARTITION BY event_type) AS n
+  FROM b
+),
+q AS (SELECT unnest([250000, 750000]) AS q_e6),
+hit AS (
+  SELECT event_type, q_e6, min(bin) AS bin
+  FROM c CROSS JOIN q
+  WHERE cum >= greatest(1, (q_e6 * n + 999999) // 1000000)
+  GROUP BY 1, 2
+),
+fence AS (
+  SELECT event_type,
+         min(CASE WHEN q_e6 = 250000 THEN bin END) AS q1_bin,
+         min(CASE WHEN q_e6 = 750000 THEN bin END) AS q3_bin
+  FROM hit GROUP BY event_type
+),
+f2 AS (
+  SELECT event_type,
+         (q1_bin * 250) - 3 * ((q3_bin + 1) * 250 - q1_bin * 250) AS lo_fence,
+         ((q3_bin + 1) * 250) + 3 * ((q3_bin + 1) * 250 - q1_bin * 250) AS hi_fence
+  FROM fence
+)
+SELECT v.event_type,
+       CAST(f2.lo_fence AS BIGINT) AS lo_fence,
+       CAST(f2.hi_fence AS BIGINT) AS hi_fence,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN v_e2 < lo_fence OR v_e2 > hi_fence THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM v JOIN f2 ON v.event_type = f2.event_type
+GROUP BY 1, 2, 3
+""")
+def robust_outliers_events(spark, sf_dir):
+    """Tukey-fence outlier counting with SKETCHED quartiles: the
+    histogram sketch's q1/q3 bin brackets widen into conservative
+    integer fences (lo = q1_lo - 3*IQR_hi, hi = q3_hi + 3*IQR_hi) —
+    robust to the heavy tails that wreck mean/sigma fences, and unlike
+    percentile_approx the fence is deterministic on any engine. One
+    sketch pass + one counting scan with the per-type fence table
+    broadcast; composition of sketches.histogram_summary/quantiles."""
+    from ahnlich_spark.operators.sketches import (
+        histogram_quantiles,
+        histogram_summary,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("v_e2")
+    )
+    summ = histogram_summary(ev, "v_e2", ["event_type"], 250)
+    qs = histogram_quantiles(summ, [0.25, 0.75], ["event_type"], 250)
+    fence = (
+        qs.groupBy("event_type")
+        .agg(
+            F.min(F.when(F.col("q_e6") == 250_000, F.col("lo"))).alias("q1_lo"),
+            F.min(F.when(F.col("q_e6") == 750_000, F.col("hi"))).alias("q3_hi"),
+        )
+        .select(
+            "event_type",
+            (F.col("q1_lo") - 3 * (F.col("q3_hi") - F.col("q1_lo"))).cast("long").alias("lo_fence"),
+            (F.col("q3_hi") + 3 * (F.col("q3_hi") - F.col("q1_lo"))).cast("long").alias("hi_fence"),
+        )
+    )
+    return (
+        ev.join(F.broadcast(fence), "event_type")
+        .groupBy("event_type", "lo_fence", "hi_fence")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                (
+                    (F.col("v_e2") < F.col("lo_fence"))
+                    | (F.col("v_e2") > F.col("hi_fence"))
+                ).cast("long")
+            ).cast("long").alias("n_outliers"),
+        )
+        .select("event_type", "lo_fence", "hi_fence", "n", "n_outliers")
+    )
+
+
 @register("early_arriving_facts", """
 WITH snap AS (
   SELECT DISTINCT c_custkey FROM customer

@@ -164,6 +164,7 @@ BENCH_QUERIES = [
     "skew_salt_advisor",
     "early_arriving_facts",
     "graph_personalized_pagerank",
+    "robust_outliers_events",
 ]
 
 
