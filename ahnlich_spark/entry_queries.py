@@ -6097,6 +6097,79 @@ def profile_events(spark, sf_dir):
     )
 
 
+@register("orders_equi_depth_bands", """
+WITH v AS (
+  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS v_e2 FROM orders
+),
+b AS (SELECT v_e2 // 250 AS bin, CAST(count(*) AS BIGINT) AS cnt FROM v GROUP BY 1),
+c AS (
+  SELECT bin, cnt,
+         sum(cnt) OVER (ORDER BY bin) AS cum,
+         sum(cnt) OVER () AS n
+  FROM b
+),
+q AS (SELECT unnest([0, 250000, 500000, 750000, 1000000]) AS q_e6),
+hit AS (
+  SELECT q_e6, min(bin) AS bin
+  FROM c CROSS JOIN q
+  WHERE cum >= greatest(1, (q_e6 * n + 999999) // 1000000)
+  GROUP BY 1
+),
+e AS (
+  SELECT min(CASE WHEN q_e6 = 0 THEN bin END) * 250 AS e0,
+         (min(CASE WHEN q_e6 = 250000 THEN bin END) + 1) * 250 AS e1,
+         (min(CASE WHEN q_e6 = 500000 THEN bin END) + 1) * 250 AS e2,
+         (min(CASE WHEN q_e6 = 750000 THEN bin END) + 1) * 250 AS e3,
+         (min(CASE WHEN q_e6 = 1000000 THEN bin END) + 1) * 250 AS e4
+  FROM hit
+),
+bands AS (
+  SELECT 0 AS band, e0 AS lo, e1 AS hi FROM e
+  UNION ALL SELECT 1, e1, e2 FROM e
+  UNION ALL SELECT 2, e2, e3 FROM e
+  UNION ALL SELECT 3, e3, e4 FROM e
+)
+SELECT CAST(band AS BIGINT) AS band, CAST(lo AS BIGINT) AS lo,
+       CAST(hi AS BIGINT) AS hi, CAST(count(*) AS BIGINT) AS n_orders
+FROM v JOIN bands ON v_e2 >= lo AND v_e2 < hi
+GROUP BY 1, 2, 3
+""")
+def orders_equi_depth_bands(spark, sf_dir):
+    """Equi-depth banding end-to-end: the histogram sketch derives
+    quartile band edges (deterministic bin brackets, q=0/q=1 give the
+    global min/max bins), the 4-band table feeds
+    ``joins.range_lookup_join`` (broadcast hash join on the bucket
+    grid — no per-band theta predicate), and orders are counted per
+    band. The sketch -> band-table -> grid-join composition is how a
+    pipeline bins a 100 TB fact table by data-driven boundaries in two
+    scans."""
+    from ahnlich_spark.operators.joins import range_lookup_join
+    from ahnlich_spark.operators.sketches import (
+        histogram_quantiles,
+        histogram_summary,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.round(F.col("o_totalprice") * 100).cast("long").alias("v_e2")
+    )
+    summ = histogram_summary(o, "v_e2", [], 250)
+    qs = histogram_quantiles(summ, [0.0, 0.25, 0.5, 0.75, 1.0], [], 250)
+    rows = {r["q_e6"]: r for r in qs.collect()}
+    edges = [rows[0]["lo"]] + [
+        rows[q]["hi"] for q in (250_000, 500_000, 750_000, 1_000_000)
+    ]
+    bands = spark.createDataFrame(
+        [(i, int(edges[i]), int(edges[i + 1])) for i in range(4)],
+        "band long, lo long, hi long",
+    )
+    return (
+        range_lookup_join(o, bands, "v_e2", granularity=250)
+        .groupBy("band", "lo", "hi")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+        .select("band", "lo", "hi", "n_orders")
+    )
+
+
 @register("robust_outliers_events", """
 WITH v AS (
   SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v_e2

@@ -165,6 +165,7 @@ BENCH_QUERIES = [
     "early_arriving_facts",
     "graph_personalized_pagerank",
     "robust_outliers_events",
+    "orders_equi_depth_bands",
 ]
 
 
