@@ -6912,6 +6912,111 @@ def streaming_incremental_dedup_gate(spark, sf_dir):
     )
 
 
+@register("classifier_log_odds", f"""
+WITH {_VOCAB_SQL},
+lab AS (
+  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         CASE WHEN {_HASH_UNIT_SQL.format(salt='clf')} < 500000
+              THEN 1 ELSE 0 END AS is_train
+  FROM documents
+),
+by_term AS (
+  SELECT term,
+         sum(CASE WHEN y = 1 THEN cnt ELSE 0 END) AS tf_pos,
+         sum(CASE WHEN y = 0 THEN cnt ELSE 0 END) AS tf_neg
+  FROM per_doc JOIN lab USING (doc_id)
+  WHERE is_train = 1 GROUP BY 1
+),
+tot AS (SELECT sum(tf_pos) AS t_pos, sum(tf_neg) AS t_neg, count(*) AS v
+        FROM by_term),
+dtot AS (SELECT sum(y) AS n_pos, sum(1 - y) AS n_neg FROM lab
+         WHERE is_train = 1),
+contrib AS (
+  SELECT p.doc_id, l.is_train, l.y, p.cnt,
+         CAST(round(ln(
+           ((COALESCE(b.tf_pos, 0) + 1) * (t.t_neg + t.v))::DOUBLE
+           / ((COALESCE(b.tf_neg, 0) + 1) * (t.t_pos + t.v))::DOUBLE
+         ) * 1000000) AS BIGINT) AS w_e6
+  FROM per_doc p JOIN lab l USING (doc_id)
+  LEFT JOIN by_term b USING (term), tot t
+),
+s AS (SELECT doc_id, is_train, y, sum(cnt) AS n_tokens,
+             sum(cnt * w_e6) AS sum_e6
+      FROM contrib GROUP BY 1, 2, 3),
+f AS (
+  SELECT doc_id, is_train, y, n_tokens,
+         sum_e6 + CAST(round(ln((d.n_pos + 1)::DOUBLE / (d.n_neg + 1)::DOUBLE)
+                             * 1000000) AS BIGINT) AS score_e6
+  FROM s, dtot d
+)
+SELECT doc_id, CAST(is_train AS BIGINT) AS is_train, CAST(y AS BIGINT) AS y,
+       CAST(n_tokens AS BIGINT) AS n_tokens, CAST(score_e6 AS BIGINT) AS score_e6,
+       CAST(CASE WHEN score_e6 > 0 THEN 1 ELSE 0 END AS BIGINT) AS predicted
+FROM f
+""")
+def classifier_log_odds(spark, sf_dir):
+    """Train-and-score a linear text classifier (multinomial naive-Bayes
+    log-odds, the fastText-shaped quality/lang filter of LLM data
+    pipelines) in two corpus scans: class term counts on a
+    deterministic md5 half-split, e6-integer scoring of EVERY doc with
+    smoothing-only weights for unseen terms
+    (operators/textstats.log_odds_classifier_scores)."""
+    from ahnlich_spark.operators.textstats import log_odds_classifier_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return log_odds_classifier_scores(docs, F.col("lang") == "en", salt="clf")
+
+
+@register("dsir_select_docs", """
+WITH toks AS (
+  SELECT doc_id, CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS is_target,
+         ('0x' || substring(md5('dsir' || lower(t)), 1, 15))::BIGINT
+           % 1000000 % 4096 AS bucket
+  FROM documents, unnest(regexp_split_to_array(trim(text), '\\s+')) AS u(t)
+  WHERE trim(text) <> ''
+),
+per_doc AS (SELECT doc_id, is_target, bucket, count(*) AS cnt
+            FROM toks GROUP BY 1, 2, 3),
+by_bucket AS (
+  SELECT bucket,
+         sum(CASE WHEN is_target = 1 THEN cnt ELSE 0 END) AS tf_t,
+         sum(cnt) AS tf_r
+  FROM per_doc GROUP BY 1
+),
+tot AS (SELECT sum(tf_t) AS t_t, sum(tf_r) AS t_r FROM by_bucket),
+wts AS (
+  SELECT bucket,
+         CAST(round(ln(
+           ((tf_t + 1) * (t.t_r + 4096))::DOUBLE
+           / ((tf_r + 1) * (t.t_t + 4096))::DOUBLE
+         ) * 1000000) AS BIGINT) AS w_e6
+  FROM by_bucket, tot t
+),
+sc AS (SELECT doc_id, sum(cnt) AS n_tokens, sum(cnt * w_e6) AS weight_e6
+       FROM per_doc JOIN wts USING (bucket)
+       WHERE is_target = 0 GROUP BY 1),
+ranked AS (
+  SELECT row_number() OVER (ORDER BY weight_e6 DESC, doc_id) AS rank_n,
+         doc_id, n_tokens, weight_e6
+  FROM sc
+)
+SELECT CAST(rank_n AS BIGINT) AS rank_n, doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(weight_e6 AS BIGINT) AS weight_e6
+FROM ranked WHERE rank_n <= 50
+""")
+def dsir_select_docs(spark, sf_dir):
+    """DSIR data selection (importance resampling over HASHED unigram
+    buckets): pick the 50 non-target docs whose 4096-bucket token
+    profile best matches the src0 target distribution. The fixed-size
+    bucket table broadcasts — no vocab-keyed shuffle at any corpus
+    size (operators/textstats.dsir_select)."""
+    from ahnlich_spark.operators.textstats import dsir_select
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_select(docs, F.col("source") == "src0", n=50, salt="dsir")
+
+
 # ------------------------------------------------------------- entry --
 
 def flagship(spark: SparkSession) -> DataFrame:

@@ -451,6 +451,199 @@ def bigram_logprob_scores(
     )
 
 
+def log_odds_classifier_scores(
+    df: DataFrame,
+    positive: Column,
+    train_rate: float = 500_000,  # e6-scaled; 500_000 = 50%
+    salt: str = "clf",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, is_train, y, n_tokens, score_e6, predicted): a
+    fastText-style LINEAR text classifier trained and applied in two
+    corpus scans — the workhorse quality/language filter of LLM data
+    pipelines (CCNet's fastText lang-id, the quality classifiers of
+    GPT-3/LLaMA data work) re-expressed as pure DataFrame algebra.
+
+    Training IS an aggregation: multinomial naive Bayes log-odds
+    ``w(t) = ln( (tf_pos(t)+1) / (T_pos+V) ) - ln( (tf_neg(t)+1) /
+    (T_neg+V) )`` needs only per-class term counts, computed on a
+    deterministic md5 half-split (same derivation as
+    ``sampling.hash_sample`` — reproducible across engines and cluster
+    sizes). Scoring is the usual e6-integer discipline: each
+    (doc, term) contribution ``cnt * w_e6`` is an exact BIGINT product
+    (w_e6 rounded once per term), so per-doc sums are order-exact.
+    ``predicted`` = 1 iff prior + sum > 0. Terms unseen in training
+    contribute the smoothing-only weight ``ln((T_neg+V)/(T_pos+V))``
+    via the left join's COALESCE — no silent drop of novel vocabulary.
+
+    Scale shape (100 TB): the tokenize+count pass is the shared
+    two-level ``term_doc_counts`` aggregation; class totals are a 1-row
+    broadcast; the weight join is term-keyed (vocab-sized right side,
+    AQE splits stopword skew). The log-ratio is evaluated as ONE ln of
+    an exact bigint-product ratio — both factors stay below 2^53 up to
+    ~90M-token classes; beyond that split into two ln() calls (noted
+    here so the overflow point is explicit).
+    """
+    from ahnlich_spark.operators.sampling import _hash_unit
+
+    labels = df.select(
+        F.col(id_col).alias("doc_id"),
+        positive.cast("int").alias("y"),
+        (_hash_unit(F.col(id_col), salt) < int(train_rate)).cast("int").alias(
+            "is_train"
+        ),
+    )
+    per_doc = (
+        term_doc_counts(df, text_col, id_col)
+        .join(labels, "doc_id")
+        # read twice (class counts, scoring join) — materialize so the
+        # corpus is tokenized once
+        .localCheckpoint(eager=False)
+    )
+
+    train = per_doc.filter(F.col("is_train") == 1)
+    by_term = train.groupBy("term").agg(
+        F.sum(F.when(F.col("y") == 1, F.col("cnt")).otherwise(0)).alias("tf_pos"),
+        F.sum(F.when(F.col("y") == 0, F.col("cnt")).otherwise(0)).alias("tf_neg"),
+    )
+    totals = by_term.select(
+        F.sum("tf_pos").alias("t_pos"),
+        F.sum("tf_neg").alias("t_neg"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    doc_totals = labels.filter(F.col("is_train") == 1).select(
+        F.sum(F.col("y")).alias("n_pos"),
+        F.sum(F.lit(1) - F.col("y")).alias("n_neg"),
+    )
+
+    contrib = (
+        per_doc.join(by_term, "term", "left")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "w_e6",
+            F.round(
+                F.log(
+                    ((F.coalesce(F.col("tf_pos"), F.lit(0)) + 1)
+                     * (F.col("t_neg") + F.col("v"))).cast("double")
+                    / ((F.coalesce(F.col("tf_neg"), F.lit(0)) + 1)
+                       * (F.col("t_pos") + F.col("v"))).cast("double")
+                )
+                * 1_000_000
+            ).cast("long"),
+        )
+    )
+    scored = contrib.groupBy("doc_id", "is_train", "y").agg(
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.sum(F.col("cnt") * F.col("w_e6")).cast("long").alias("sum_e6"),
+    )
+    return (
+        scored.crossJoin(F.broadcast(doc_totals))
+        .withColumn(
+            "score_e6",
+            (
+                F.col("sum_e6")
+                + F.round(
+                    F.log(
+                        (F.col("n_pos") + 1).cast("double")
+                        / (F.col("n_neg") + 1).cast("double")
+                    )
+                    * 1_000_000
+                ).cast("long")
+            ),
+        )
+        .select(
+            "doc_id",
+            F.col("is_train").cast("long").alias("is_train"),
+            F.col("y").cast("long").alias("y"),
+            "n_tokens",
+            "score_e6",
+            (F.col("score_e6") > 0).cast("long").alias("predicted"),
+        )
+    )
+
+
+def dsir_select(
+    df: DataFrame,
+    target: Column,
+    n: int = 50,
+    n_buckets: int = 4096,
+    salt: str = "dsir",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(rank_n, doc_id, n_tokens, weight_e6): Data Selection via
+    Importance Resampling (Xie et al. 2023) — pick the ``n`` raw
+    documents whose HASHED unigram profile looks most like a target
+    subset. The importance weight of a doc is
+    ``sum_b cnt_b * ln( p_target(b) / p_raw(b) )`` over md5-hashed
+    token buckets with add-1 smoothing; top-``n`` by weight, ties by
+    doc_id asc. Docs already IN the target set are excluded from
+    selection (they defined the distribution).
+
+    The hashing trick is the scale lever that distinguishes this from
+    the vocab-keyed classifier above: both distributions live in a
+    FIXED ``n_buckets``-row table regardless of corpus size, so the
+    per-doc scoring join is a broadcast hash join — no vocab-sized
+    shuffle, no stopword skew, and the target profile of a 100 TB
+    corpus is ~4096 rows of driver-free state. Per-(doc, bucket)
+    contributions are e6-rounded BIGINTs before the sum (order-exact);
+    selection is a bounded TakeOrderedAndProject.
+    """
+    from ahnlich_spark.operators.sampling import _hash_unit
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        target.cast("int").alias("is_target"),
+        F.explode(X.tokens(F.col(text_col))).alias("tok"),
+    ).select(
+        "doc_id",
+        "is_target",
+        (_hash_unit(F.lower(F.col("tok")), salt) % n_buckets).alias("bucket"),
+    )
+    per_doc = (
+        toks.groupBy("doc_id", "is_target", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        # read twice (bucket profile, scoring join) — tokenize once
+        .localCheckpoint(eager=False)
+    )
+    by_bucket = per_doc.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_target") == 1, F.col("cnt")).otherwise(0)).alias(
+            "tf_t"
+        ),
+        F.sum("cnt").alias("tf_r"),
+    )
+    totals = by_bucket.select(
+        F.sum("tf_t").alias("t_t"), F.sum("tf_r").alias("t_r")
+    )
+    weights = by_bucket.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        F.round(
+            F.log(
+                ((F.col("tf_t") + 1) * (F.col("t_r") + n_buckets)).cast("double")
+                / ((F.col("tf_r") + 1) * (F.col("t_t") + n_buckets)).cast("double")
+            )
+            * 1_000_000
+        ).cast("long").alias("w_e6"),
+    )
+    scored = (
+        per_doc.filter(F.col("is_target") == 0)
+        .join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_tokens"),
+            F.sum(F.col("cnt") * F.col("w_e6")).cast("long").alias("weight_e6"),
+        )
+    )
+    w = Window.orderBy(F.desc("weight_e6"), F.asc("doc_id"))
+    return (
+        scored.orderBy(F.desc("weight_e6"), F.asc("doc_id"))
+        .limit(n)
+        .withColumn("rank_n", F.row_number().over(w).cast("long"))
+        .select("rank_n", "doc_id", "n_tokens", "weight_e6")
+    )
+
+
 def postings_table(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

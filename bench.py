@@ -166,6 +166,8 @@ BENCH_QUERIES = [
     "graph_personalized_pagerank",
     "robust_outliers_events",
     "orders_equi_depth_bands",
+    "classifier_log_odds",
+    "dsir_select_docs",
 ]
 
 

@@ -478,3 +478,28 @@ def test_triangle_count_no_cartesian(spark):
     )
     p = plan_of(triangle_count(df))
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_classifier_and_dsir_plan_shapes(docs):
+    """The linear classifier's only non-broadcast joins may be the two
+    corpus-scaling ones (doc-id label join, vocab term join — both
+    sides grow with the corpus, so SMJ is the CORRECT strategy); class
+    totals and the doc prior ride in as 1-row broadcasts, and no
+    Python ever appears. DSIR's scoring join must BROADCAST the
+    fixed-4096-row bucket-weight table — the hashing trick exists so
+    the profile join never shuffles the corpus."""
+    from ahnlich_spark.operators.textstats import (
+        dsir_select,
+        log_odds_classifier_scores,
+    )
+
+    p = plan_of(log_odds_classifier_scores(docs, F.col("lang") == "en"))
+    assert "CartesianProduct" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+    assert n_exchanges(p) <= 6, p
+
+    q = plan_of(dsir_select(docs, F.col("source") == "src0"))
+    assert "BroadcastHashJoin" in q, q
+    assert "SortMergeJoin" not in q, q
+    assert "CartesianProduct" not in q, q
+    assert n_exchanges(q) <= 4, q
