@@ -7017,6 +7017,54 @@ def dsir_select_docs(spark, sf_dir):
     return dsir_select(docs, F.col("source") == "src0", n=50, salt="dsir")
 
 
+def _kcore_oracle_sql(k: int = 2, rounds: int = 4) -> str:
+    """Unrolled fixed-round k-core peel over the per-customer order
+    chain graph — mirrors operators/graph.kcore round for round."""
+    ctes = ["""s AS (
+  SELECT o_custkey, o_orderkey,
+         lead(o_orderkey) OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS nxt
+  FROM orders
+),
+e0 AS (
+  SELECT o_orderkey AS src, nxt AS dst FROM s WHERE nxt IS NOT NULL
+  UNION ALL
+  SELECT nxt, o_orderkey FROM s WHERE nxt IS NOT NULL
+)"""]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""d{r} AS (SELECT src, count(*) AS c FROM e{r-1} GROUP BY 1),
+k{r} AS (SELECT src AS node FROM d{r} WHERE c >= {k}),
+e{r} AS (SELECT e.src, e.dst FROM e{r-1} e
+         JOIN k{r} a ON e.src = a.node JOIN k{r} b ON e.dst = b.node)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT src AS node, CAST(count(*) AS BIGINT) AS degree"
+          f" FROM e{rounds} GROUP BY 1"
+    )
+
+
+@register("graph_kcore_peel", _kcore_oracle_sql(2, 4))
+def graph_kcore_peel(spark, sf_dir):
+    """Fixed-round k-core peel (k=2, 4 rounds) over each customer's
+    order-timeline chain graph — the maximal-cascade shape: every round
+    strips exactly the current chain endpoints, so 4 rounds of genuine
+    iterative dependence are pinned cross-engine (a dense co-occurrence
+    graph converges in one round and would test nothing). Each round is
+    one degree aggregation plus two broadcast semi joins against the
+    survivor set (operators/graph.kcore)."""
+    from ahnlich_spark.operators.graph import kcore
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    s = orders.select(
+        "o_orderkey", F.lead("o_orderkey").over(w).alias("nxt")
+    ).filter(F.col("nxt").isNotNull())
+    edges = s.select(F.col("o_orderkey").alias("src"), F.col("nxt").alias("dst")).unionAll(
+        s.select(F.col("nxt").alias("src"), F.col("o_orderkey").alias("dst"))
+    )
+    return kcore(edges, k=2, rounds=4)
+
+
 # ------------------------------------------------------------- entry --
 
 def flagship(spark: SparkSession) -> DataFrame:

@@ -344,3 +344,60 @@ def personalized_pagerank(
             )
         )
     return ranks
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 2,
+    rounds: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    broadcast_survivors: bool = True,
+) -> DataFrame:
+    """Fixed-round k-core peel over a SYMMETRIZED edge list: each round
+    drops every node whose current degree is below ``k`` together with
+    its edges, and keeps peeling the remainder. Returns
+    (node, degree) for the nodes still alive after ``rounds`` rounds,
+    with their degree inside the surviving subgraph.
+
+    The k-core is the classic density filter of web/citation-graph
+    cleaning (peel the tail of weakly-connected pages before computing
+    authority); peel DEPTH — not graph size — bounds the rounds needed,
+    and real graphs peel in a handful of rounds. The round count is a
+    fixed contract (like ``pagerank``'s iterations) so the result is a
+    pure function of (edges, k, rounds) on any engine: an un-converged
+    peel is the same un-converged peel everywhere. Callers who need
+    proof of convergence compare ``rounds`` and ``rounds + 1`` outputs
+    — equal frames certify the true k-core.
+
+    Scale shape: each round is ONE degree aggregation (map-side
+    combined) plus two semi joins against the |V|-sized survivor set
+    (broadcast by default; pass ``broadcast_survivors=False`` past
+    executor broadcast limits and AQE picks the strategy). The edge
+    frame is re-checkpointed every round so the iterative lineage stays
+    O(1)-deep instead of re-running all prior rounds per reference.
+
+    Directed callers: pass the symmetrized union (as ``graph_pagerank``
+    builds) — degree here means total incident edges of the undirected
+    graph, counted once per (src, dst) direction row.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+
+    small = F.broadcast if broadcast_survivors else (lambda df: df)
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint()
+    for _ in range(rounds):
+        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select(F.col("src").alias("node"))
+        e = (
+            e.join(small(keep), e["src"] == keep["node"], "left_semi")
+            .join(small(keep), e["dst"] == keep["node"], "left_semi")
+            .localCheckpoint()
+        )
+    return e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    )

@@ -168,6 +168,7 @@ BENCH_QUERIES = [
     "orders_equi_depth_bands",
     "classifier_log_odds",
     "dsir_select_docs",
+    "graph_kcore_peel",
 ]
 
 

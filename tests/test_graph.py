@@ -174,3 +174,57 @@ def test_ppr_partition_order_invariant(spark):
     a = sorted(map(tuple, personalized_pagerank(e, seeds, 3).collect()))
     b = sorted(map(tuple, personalized_pagerank(e.repartition(11), seeds, 3).collect()))
     assert a == b
+
+
+# ----------------------------------------------------------------- kcore --
+
+def _sym(pairs):
+    return [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+
+
+def _core(spark, pairs, **kw):
+    df = spark.createDataFrame(_sym(pairs), "src long, dst long")
+    from ahnlich_spark.operators.graph import kcore
+
+    return {r["node"]: r["degree"] for r in kcore(df, **kw).collect()}
+
+
+def test_kcore_triangle_survives_tail_dies(spark):
+    # triangle 1-2-3 plus tail 3-4-5: the 2-core is exactly the triangle
+    got = _core(spark, [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], k=2, rounds=3)
+    assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_path_peels_one_end_pair_per_round(spark):
+    # path 1..8: k=2 strips both endpoints each round; after r rounds
+    # nodes within r of either end are gone
+    path = [(i, i + 1) for i in range(1, 8)]
+    assert set(_core(spark, path, k=2, rounds=1)) == {2, 3, 4, 5, 6, 7}
+    assert set(_core(spark, path, k=2, rounds=2)) == {3, 4, 5, 6}
+    assert set(_core(spark, path, k=2, rounds=4)) == set()
+
+
+def test_kcore_convergence_certificate(spark):
+    # equal output at rounds and rounds+1 certifies the true k-core
+    pairs = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6)]
+    a = _core(spark, pairs, k=2, rounds=3)
+    b = _core(spark, pairs, k=2, rounds=4)
+    assert a == b == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_degree_counts_inside_surviving_subgraph(spark):
+    # K4 plus a pendant on node 1: pendant dies at k=3, and node 1's
+    # reported degree is 3 (inside the core), not its original 4
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    got = _core(spark, k4 + [(1, 9)], k=3, rounds=2)
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_kcore_rejects_bad_params(spark):
+    from ahnlich_spark.operators.graph import kcore
+
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError):
+        kcore(df, k=0)
+    with pytest.raises(ValueError):
+        kcore(df, rounds=0)
