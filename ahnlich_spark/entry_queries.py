@@ -5885,6 +5885,65 @@ def distinct_kmv(spark, sf_dir):
     return kmv_distinct(sh, "sh", ["source"], k=64)
 
 
+def _hll_source_oracle() -> str:
+    from ahnlich_spark.operators.sketches import _hll_alpha_m2_scaled
+
+    # The register math is pure integers on both engines (60-bit md5
+    # hash, trailing-zero rho via bin(g & -g), harmonic terms as exact
+    # 2^(53-r) BIGINTs); the one float op is this shared alpha*m^2*2^53
+    # double literal divided by the shared integer sum — identical
+    # doubles in, identical double out, so round() agrees bit-for-bit.
+    alpha = repr(_hll_alpha_m2_scaled(256))
+    return f"""
+WITH words AS (SELECT source, {_TOKENS_SQL} AS ws FROM documents),
+shs AS (
+  SELECT source, ('0x' || substring(md5(s), 1, 15))::BIGINT AS h FROM (
+    SELECT source, unnest(
+      CASE WHEN len(ws) >= 3
+           THEN list_transform(range(1, len(ws)-1),
+                               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+           ELSE [array_to_string(ws, ' ')] END) AS s
+    FROM words)
+),
+reg AS (
+  SELECT source, h % 256 AS bucket,
+         max(CASE WHEN h // 256 = 0 THEN 53
+                  ELSE length(bin((h // 256) & -(h // 256))) END) AS r
+  FROM shs GROUP BY 1, 2
+),
+agg AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_filled,
+         CAST(sum(1::BIGINT << (53 - r)) AS BIGINT) AS s_part
+  FROM reg GROUP BY source
+)
+SELECT source, n_filled,
+       CAST(CASE WHEN 256 - n_filled > 0
+                 AND {alpha} / (s_part + (256 - n_filled) * (1::BIGINT << 53)) <= 640.0
+            THEN round(256 * ln(256.0 / (256 - n_filled)))
+            ELSE round({alpha} / (s_part + (256 - n_filled) * (1::BIGINT << 53)))
+            END AS BIGINT) AS est_distinct
+FROM agg
+"""
+
+
+@register("distinct_hll", _hll_source_oracle())
+def distinct_hll(spark, sf_dir):
+    """Per-source distinct-shingle cardinality via HyperLogLog with
+    deterministic integer register math: fixed m=256 registers per
+    group (vs KMV's k order statistics), merged across corpus slices by
+    a plain union + max — the fixed-size, max-mergeable sketch a
+    streaming aggregation can maintain. The value stream never crosses
+    the shuffle: partial max folds registers map-side, so at most m
+    rows of state per group move (operators/sketches.hll_distinct)."""
+    from ahnlich_spark.operators.sketches import hll_distinct
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select(
+        "source", F.explode(X.word_shingles(F.col("text"), 3)).alias("sh")
+    )
+    return hll_distinct(sh, "sh", ["source"], m=256)
+
+
 _QUANTILE_HIST_ORACLE = """
 WITH v AS (
   SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v_e2

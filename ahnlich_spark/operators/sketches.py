@@ -632,3 +632,109 @@ def cms_join_size(
     return per_row.groupBy(*group_cols).agg(
         F.min("ip").cast("long").alias("est_join_rows")
     )
+
+
+# ------------------------------------------------------------------
+# HyperLogLog with exact-integer register math
+# ------------------------------------------------------------------
+
+# 60-bit md5-derived hash; after the bucket index is peeled off, the
+# remaining geometric bits bound rho, and every 2^-rho harmonic term is
+# kept as the exact BIGINT 2^(HLL_SCALE_BITS - rho) — the harmonic sum
+# is INTEGER, so two engines agree bit-for-bit on the sketch state AND
+# on the estimate (the one float op left is a single division by that
+# integer, identical doubles in, identical double out). This is the
+# determinism discipline that stock HLL implementations (engine-native
+# hash, float accumulation) lack — same reasoning as ``kmv_distinct``.
+HLL_HASH_BITS = 60
+HLL_SCALE_BITS = 53
+
+
+def _hll_alpha_m2_scaled(m: int) -> float:
+    # alpha_m * m^2 * 2^HLL_SCALE_BITS (Flajolet et al. 2007, m >= 128)
+    return (0.7213 / (1.0 + 1.079 / m)) * m * m * float(1 << HLL_SCALE_BITS)
+
+
+def hll_registers(
+    df: DataFrame, value_col: str, group_cols, m: int = 256
+) -> DataFrame:
+    """Per-group HLL register table (group..., bucket, r) — the sketch
+    STATE a pipeline persists per slice. ``r`` is the max rho (1 +
+    number of trailing zero bits of the post-bucket hash) seen in the
+    bucket; slices MERGE by unioning register tables and re-taking
+    ``groupBy(group, bucket).max(r)`` — no rescan, and the merge is the
+    same aggregation shape as the build (a streaming aggregation can
+    maintain it incrementally).
+
+    Scale shape: ONE aggregation keyed on (group, bucket) with map-side
+    combine — at most ``m`` rows of state per group ever cross the
+    shuffle, never the value stream. rho is computed JVM-side from the
+    lowest set bit (``length(bin(g & -g))`` — exact, no float log)."""
+    if m < 128 or (m & (m - 1)) != 0:
+        raise ValueError("m must be a power of two >= 128")
+    group_cols = list(group_cols)
+    rho_max = HLL_HASH_BITS - m.bit_length() + 2  # g == 0 sentinel
+    h = F.conv(
+        F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        *group_cols, h.alias("_h")
+    )
+    rho = F.expr(
+        f"CASE WHEN _h div {m} = 0 THEN {rho_max} "
+        f"ELSE length(bin((_h div {m}) & -(_h div {m}))) END"
+    )
+    return (
+        base.select(
+            *group_cols,
+            F.pmod(F.col("_h"), F.lit(m)).cast("long").alias("bucket"),
+            rho.cast("long").alias("_rho"),
+        )
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("_rho").cast("long").alias("r"))
+    )
+
+
+def hll_estimate(registers: DataFrame, group_cols, m: int = 256) -> DataFrame:
+    """Estimates from a register table (``hll_registers`` output or any
+    union-max fold of slice registers): (group..., n_filled,
+    est_distinct). The harmonic sum is the exact BIGINT
+    ``sum(2^(53-r)) + empty * 2^53``; linear counting takes over below
+    2.5m when empty buckets remain (the standard small-range
+    correction); no large-range correction is needed inside a 2^52
+    hash space until ~1e15 distinct."""
+    group_cols = list(group_cols)
+    alpha = repr(_hll_alpha_m2_scaled(m))
+    two53 = 1 << HLL_SCALE_BITS
+    agg = registers.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_filled"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_SCALE_BITS} - r)"))
+        .cast("long")
+        .alias("_s_part"),
+    )
+    return agg.select(
+        *group_cols,
+        "n_filled",
+        F.expr(
+            f"CAST(CASE WHEN {m} - n_filled > 0 "
+            f"AND {alpha} / (_s_part + ({m} - n_filled) * CAST({two53} AS BIGINT))"
+            f" <= 2.5 * {m} "
+            f"THEN round({m} * ln(CAST({m} AS DOUBLE) / ({m} - n_filled))) "
+            f"ELSE round({alpha} / "
+            f"(_s_part + ({m} - n_filled) * CAST({two53} AS BIGINT))) END AS BIGINT)"
+        ).alias("est_distinct"),
+    )
+
+
+def hll_distinct(
+    df: DataFrame, value_col: str, group_cols, m: int = 256
+) -> DataFrame:
+    """Per-group distinct-count estimation via HyperLogLog [Flajolet et
+    al. 2007] with deterministic integer register math (see
+    ``hll_registers``). Standard error ~1.04/sqrt(m) (~6.5% at m=256,
+    ~3.2% at m=1024). Fixed m-row state per group; prefer
+    ``kmv_distinct`` when small groups must report exact counts, HLL
+    when state must stay fixed-size and mergeable by simple max."""
+    return hll_estimate(
+        hll_registers(df, value_col, group_cols, m), group_cols, m
+    )

@@ -169,6 +169,7 @@ BENCH_QUERIES = [
     "classifier_log_odds",
     "dsir_select_docs",
     "graph_kcore_peel",
+    "distinct_hll",
 ]
 
 

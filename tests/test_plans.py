@@ -503,3 +503,19 @@ def test_classifier_and_dsir_plan_shapes(docs):
     assert "SortMergeJoin" not in q, q
     assert "CartesianProduct" not in q, q
     assert n_exchanges(q) <= 4, q
+
+
+def test_hll_registers_single_shuffle_no_window(docs):
+    """HLL registers are ONE hash aggregation keyed (group, bucket) with
+    map-side partial max — the value stream never crosses the shuffle
+    (at most m rows of state per group do), and unlike KMV there is no
+    window at all; the estimate adds only a second agg over the
+    m-bounded register table."""
+    from ahnlich_spark.operators.sketches import hll_distinct
+
+    sh = docs.select("source", F.explode(X.word_shingles(F.col("text"), 3)).alias("sh"))
+    plan = plan_of(hll_distinct(sh, "sh", ["source"], m=256))
+    assert "Window" not in plan, plan
+    assert "Join" not in plan, plan
+    assert n_exchanges(plan) == 2, plan
+    assert "partial_max" in plan, plan

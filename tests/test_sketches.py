@@ -393,3 +393,96 @@ def test_cms_join_size_upper_bound_and_exact_when_wide(spark):
         assert est >= truth
         if exact:
             assert est == truth, (est, truth)
+
+
+# ------------------------------------------------ HyperLogLog --
+
+from ahnlich_spark.operators.sketches import (
+    hll_distinct,
+    hll_estimate,
+    hll_registers,
+)
+
+
+def test_hll_invalid_m(spark):
+    df = spark.createDataFrame([(0, "a")], "g int, v string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        hll_registers(df, "v", ["g"], m=100)  # not a power of two
+    with _pytest.raises(ValueError):
+        hll_registers(df, "v", ["g"], m=64)  # below the alpha_m regime
+
+
+def test_hll_small_range_linear_counting(spark):
+    """Well below 2.5*m with empty buckets the estimator switches to
+    linear counting, which is near-exact at tiny cardinalities."""
+    rows = [(g, f"v{i % (40 + g)}") for g in (0, 1) for i in range(400)]
+    df = spark.createDataFrame(rows, "g int, v string")
+    got = {r["g"]: r for r in hll_distinct(df, "v", ["g"], m=256).collect()}
+    for g, true in ((0, 40), (1, 41)):
+        assert got[g]["n_filled"] <= true
+        assert abs(got[g]["est_distinct"] - true) <= max(3, true // 10), (
+            g,
+            dict(got[g].asDict()),
+        )
+
+
+def test_hll_estimator_accuracy(spark):
+    """m=256 -> standard error ~6.5%; assert within 4 sigma (~26%)."""
+    n_true = 5000
+    df = spark.createDataFrame(
+        [(0, f"value-{i}") for i in range(n_true)], "g int, v string"
+    )
+    row = hll_distinct(df, "v", ["g"], m=256).collect()[0]
+    assert row["n_filled"] == 256
+    assert 0.74 * n_true < row["est_distinct"] < 1.26 * n_true, dict(row.asDict())
+
+
+def test_hll_duplicate_insensitive(spark):
+    """Registers are a max over hashes: feeding every value 10x must
+    produce the identical register table (and therefore estimate)."""
+    once = spark.createDataFrame(
+        [(0, f"tok{i}") for i in range(800)], "g int, v string"
+    )
+    many = spark.createDataFrame(
+        [(0, f"tok{i % 800}") for i in range(8000)], "g int, v string"
+    )
+    a = sorted(tuple(r) for r in hll_registers(once, "v", ["g"]).collect())
+    b = sorted(tuple(r) for r in hll_registers(many, "v", ["g"]).collect())
+    assert a == b
+
+
+def test_hll_partition_order_invariant(spark):
+    df = spark.createDataFrame(
+        [(i % 3, f"tok{i % 500}") for i in range(3000)], "g int, v string"
+    )
+    a = sorted(tuple(r) for r in hll_distinct(df, "v", ["g"]).collect())
+    b = sorted(
+        tuple(r) for r in hll_distinct(df.repartition(13), "v", ["g"]).collect()
+    )
+    assert a == b and len(a) == 3
+
+
+def test_hll_merge_property(spark):
+    """TRUE sketch merge: per-slice register tables union + re-max into
+    exactly the whole-data registers — the property that lets per-day
+    register tables fold into any date range without rescanning. The
+    slices share values (same value in both slices sets the same
+    register), mirroring the KMV merge test's overlap discipline."""
+    rows = [(0, f"item-{i % 1500}", i) for i in range(2000)]
+    df = spark.createDataFrame(rows, "g int, v string, rid int")
+    half1 = df.filter(F.col("rid") < 1000).drop("rid")
+    half2 = df.filter(F.col("rid") >= 1000).drop("rid")
+    sliced = hll_registers(half1, "v", ["g"]).unionAll(
+        hll_registers(half2, "v", ["g"])
+    )
+    merged = (
+        sliced.groupBy("g", "bucket").agg(F.max("r").alias("r"))
+    )
+    a = sorted(tuple(r) for r in merged.collect())
+    b = sorted(tuple(r) for r in hll_registers(df.drop("rid"), "v", ["g"]).collect())
+    assert a == b
+    est_merged = hll_estimate(merged, ["g"]).collect()[0]["est_distinct"]
+    est_whole = hll_distinct(df.drop("rid"), "v", ["g"]).collect()[0]["est_distinct"]
+    assert est_merged == est_whole
