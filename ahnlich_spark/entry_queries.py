@@ -5885,6 +5885,75 @@ def distinct_kmv(spark, sf_dir):
     return kmv_distinct(sh, "sh", ["source"], k=64)
 
 
+_KMV_OVERLAP_ORACLE = f"""
+WITH words AS (SELECT source, {_TOKENS_SQL} AS ws FROM documents),
+shs AS (
+  SELECT DISTINCT source, ('0x' || substring(md5(s), 1, 11))::BIGINT AS h FROM (
+    SELECT source, unnest(
+      CASE WHEN len(ws) >= 3
+           THEN list_transform(range(1, len(ws)-1),
+                               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+           ELSE [array_to_string(ws, ' ')] END) AS s
+    FROM words)
+),
+mins AS (
+  SELECT source, h FROM (
+    SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+    FROM shs) WHERE rn <= 64
+),
+pairs AS (
+  SELECT a.source AS ga, b.source AS gb
+  FROM (SELECT DISTINCT source FROM mins) a
+  JOIN (SELECT DISTINCT source FROM mins) b ON a.source < b.source
+),
+tagged AS (
+  SELECT p.ga, p.gb, m.h,
+         max(CASE WHEN m.source = p.ga THEN 1 ELSE 0 END) AS in_a,
+         max(CASE WHEN m.source = p.gb THEN 1 ELSE 0 END) AS in_b
+  FROM pairs p JOIN mins m ON m.source IN (p.ga, p.gb)
+  GROUP BY 1, 2, 3
+),
+kept AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rn
+    FROM tagged) WHERE rn <= 64
+),
+agg AS (
+  SELECT ga, gb, CAST(count(*) AS BIGINT) AS n_union_sketch,
+         max(h) AS kth, CAST(sum(in_a * in_b) AS BIGINT) AS n_common
+  FROM kept GROUP BY 1, 2
+),
+est AS (
+  SELECT *, CAST(CASE WHEN n_union_sketch < 64 THEN n_union_sketch
+                      ELSE 63 * 17592186044416 // kth END AS BIGINT) AS est_union
+  FROM agg
+)
+SELECT ga AS source_a, gb AS source_b, n_union_sketch, est_union,
+       CAST(CASE WHEN n_union_sketch < 64 THEN n_common
+                 ELSE n_common * est_union // 64 END AS BIGINT) AS est_intersection,
+       CAST(n_common * 1000000 // n_union_sketch AS BIGINT) AS jaccard_e6
+FROM est
+"""
+
+
+@register("kmv_overlap_sources", _KMV_OVERLAP_ORACLE)
+def kmv_overlap_sources(spark, sf_dir):
+    """Corpus overlap matrix from sketch state: every source pair's
+    union / intersection / Jaccard over distinct 3-shingles, estimated
+    from k=64 KMV minima per source — all-integer estimators
+    ((k-1)*2^44 div h_k; n_common*est_union div k), so bit-identical
+    across engines. The pairwise stage touches O(G^2 * k) sketch rows,
+    never the shingle stream: the mixture-audit query a 100 TB corpus
+    can afford to run daily (operators/sketches.kmv_set_ops)."""
+    from ahnlich_spark.operators.sketches import kmv_set_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select(
+        "source", F.explode(X.word_shingles(F.col("text"), 3)).alias("sh")
+    )
+    return kmv_set_ops(sh, "sh", "source", k=64)
+
+
 def _hll_source_oracle() -> str:
     from ahnlich_spark.operators.sketches import _hll_alpha_m2_scaled
 

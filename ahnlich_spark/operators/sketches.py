@@ -41,10 +41,10 @@ is the exhaustive-shuffle formulation this sketch replaces at scale.
 
 from __future__ import annotations
 
-from typing import Iterator
+from typing import Iterator, Optional
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -738,3 +738,113 @@ def hll_distinct(
     return hll_estimate(
         hll_registers(df, value_col, group_cols, m), group_cols, m
     )
+
+
+def kmv_pair_set_ops(
+    minima: DataFrame,
+    group_col: str,
+    k: int,
+    pairs: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Pairwise set-operation estimates between groups' KMV sketches
+    [Beyer et al., SIGMOD 2007]: for every unordered group pair, the
+    combined k-minima of the two sketches estimate the UNION size
+    (standard KMV rule), and the combined minima found in BOTH input
+    sketches estimate intersection and Jaccard. Membership tests are
+    sound because the combined k-th minimum is <= each side's own k-th
+    minimum: any value of A hashing below it is guaranteed present in
+    A's minima table.
+
+    All integer math — ``(k-1)*2^44 div h_k``, ``(n_common * est_union)
+    div k``, ``n_common * 10^6 div n_union_sketch`` — so estimates are
+    bit-identical across engines and runs. Pairs whose combined sketch
+    never filled (n_union_sketch < k) report EXACT union/intersection
+    counts (both sketches saw everything).
+
+    Scale shape: this operates on SKETCH STATE, never data — G groups
+    contribute G*k hash rows, and the pair expansion is O(|pairs|*k)
+    with every join broadcast-sized. All-pairs is the default
+    (|pairs| = G(G-1)/2, the per-source / per-shard comparison case);
+    for large G pass ``pairs`` (columns ``a``, ``b``) to restrict to
+    candidate pairs from a blocking pass.
+
+    Returns (<group_col>_a, <group_col>_b, n_union_sketch, est_union,
+    est_intersection, jaccard_e6).
+    """
+    ca, cb = f"{group_col}_a", f"{group_col}_b"
+    a = minima.select(F.col(group_col).alias(ca), "_h")
+    b = minima.select(F.col(group_col).alias(cb), "_h")
+    if pairs is None:
+        pairs = (
+            a.select(ca).distinct()
+            .join(F.broadcast(b.select(cb).distinct()), F.col(ca) < F.col(cb))
+        )
+    else:
+        pairs = pairs.select(F.col("a").alias(ca), F.col("b").alias(cb))
+    # pairs is candidate-bounded (G^2 at worst, a blocking pass's output
+    # otherwise) — broadcast it so the sketch table never shuffles for
+    # the expansion
+    pairs = F.broadcast(pairs)
+    tagged = (
+        pairs.join(a, ca)
+        .select(ca, cb, "_h", F.lit(1).alias("_ia"), F.lit(0).alias("_ib"))
+        .unionAll(
+            pairs.join(b, cb)
+            .select(ca, cb, "_h", F.lit(0).alias("_ia"), F.lit(1).alias("_ib"))
+        )
+        # same hash in both sketches == one combined-sketch entry
+        .groupBy(ca, cb, "_h")
+        .agg(F.max("_ia").alias("_ia"), F.max("_ib").alias("_ib"))
+    )
+    w = Window.partitionBy(ca, cb).orderBy("_h")
+    kept = (
+        tagged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+    )
+    two_b = 1 << KMV_HASH_BITS
+    agg = kept.groupBy(ca, cb).agg(
+        F.count(F.lit(1)).cast("long").alias("n_union_sketch"),
+        F.max("_h").alias("_kth"),
+        F.sum(F.col("_ia") * F.col("_ib")).cast("long").alias("_n_common"),
+    )
+    est_u = F.when(
+        F.col("n_union_sketch") < k, F.col("n_union_sketch")
+    ).otherwise(F.expr(f"CAST({k - 1} AS BIGINT) * {two_b} div _kth"))
+    return agg.select(
+        ca,
+        cb,
+        "n_union_sketch",
+        est_u.cast("long").alias("est_union"),
+        F.when(F.col("n_union_sketch") < k, F.col("_n_common"))
+        .otherwise(
+            F.expr(
+                f"_n_common * (CAST({k - 1} AS BIGINT) * {two_b} div _kth) div {k}"
+            )
+        )
+        .cast("long")
+        .alias("est_intersection"),
+        F.expr("_n_common * 1000000 div n_union_sketch")
+        .cast("long")
+        .alias("jaccard_e6"),
+    )
+
+
+def kmv_set_ops(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    k: int = 64,
+    n_salts: int = 64,
+    pairs: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Build per-group KMV sketches and compare every group pair —
+    union / intersection / Jaccard estimates from O(k) state per group
+    (see ``kmv_pair_set_ops``). The corpus overlap matrix a dedup or
+    mixture audit needs, WITHOUT the value-level self-join: values are
+    hashed and reduced to k minima per group first, and only sketch
+    state enters the pairwise stage."""
+    hashed = df.filter(F.col(value_col).isNotNull()).select(
+        group_col, kmv_hash(F.col(value_col)).alias("_h")
+    )
+    minima = kmv_minima(hashed, [group_col], k, n_salts)
+    return kmv_pair_set_ops(minima, group_col, k, pairs=pairs)

@@ -170,6 +170,7 @@ BENCH_QUERIES = [
     "dsir_select_docs",
     "graph_kcore_peel",
     "distinct_hll",
+    "kmv_overlap_sources",
 ]
 
 

@@ -519,3 +519,17 @@ def test_hll_registers_single_shuffle_no_window(docs):
     assert "Join" not in plan, plan
     assert n_exchanges(plan) == 2, plan
     assert "partial_max" in plan, plan
+
+
+def test_kmv_set_ops_sketch_level_joins(docs):
+    """The pairwise stage runs on sketch STATE only: the candidate-pair
+    table is broadcast into every join (no SortMergeJoin anywhere) and
+    there is no value-level cartesian product — the only non-equi join
+    is the G x G pair enumeration over two distinct group lists."""
+    from ahnlich_spark.operators.sketches import kmv_set_ops
+
+    sh = docs.select("source", F.explode(X.word_shingles(F.col("text"), 3)).alias("sh"))
+    plan = plan_of(kmv_set_ops(sh, "sh", "source", k=64))
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan

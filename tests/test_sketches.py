@@ -486,3 +486,84 @@ def test_hll_merge_property(spark):
     est_merged = hll_estimate(merged, ["g"]).collect()[0]["est_distinct"]
     est_whole = hll_distinct(df.drop("rid"), "v", ["g"]).collect()[0]["est_distinct"]
     assert est_merged == est_whole
+
+
+# --------------------------------------------- KMV set operations --
+
+from ahnlich_spark.operators.sketches import kmv_pair_set_ops, kmv_set_ops
+
+
+def test_kmv_set_ops_exact_below_k(spark):
+    """Pairs whose combined sketch never filled report EXACT union and
+    intersection counts (both sketches saw every value)."""
+    rows = (
+        [("A", f"v{i}") for i in range(20)]
+        + [("B", f"v{i}") for i in range(10, 30)]
+        + [("C", f"w{i}") for i in range(5)]
+    )
+    df = spark.createDataFrame(rows, "g string, v string")
+    got = {
+        (r["g_a"], r["g_b"]): r
+        for r in kmv_set_ops(df, "v", "g", k=64).collect()
+    }
+    ab = got[("A", "B")]
+    assert (ab["n_union_sketch"], ab["est_union"], ab["est_intersection"]) == (
+        30, 30, 10,
+    )
+    assert ab["jaccard_e6"] == 10 * 1_000_000 // 30
+    ac = got[("A", "C")]
+    assert (ac["est_union"], ac["est_intersection"], ac["jaccard_e6"]) == (25, 0, 0)
+
+
+def test_kmv_set_ops_accuracy(spark):
+    """k=64 overlap estimates land within a few standard errors of the
+    truth on a 1/3-Jaccard pair, and a disjoint pair reports 0."""
+    rows = (
+        [("A", f"v{i}") for i in range(1000)]
+        + [("B", f"v{i}") for i in range(500, 1500)]
+        + [("C", f"x{i}") for i in range(800)]
+    )
+    df = spark.createDataFrame(rows, "g string, v string")
+    got = {
+        (r["g_a"], r["g_b"]): r
+        for r in kmv_set_ops(df, "v", "g", k=64).collect()
+    }
+    ab = got[("A", "B")]
+    assert 0.7 * 1500 < ab["est_union"] < 1.3 * 1500
+    assert 0.5 * 500 < ab["est_intersection"] < 1.5 * 500
+    assert 150_000 < ab["jaccard_e6"] < 550_000
+    assert got[("A", "C")]["est_intersection"] == 0
+
+
+def test_kmv_set_ops_pairs_restriction(spark):
+    """An explicit candidate-pairs table limits the comparison — the
+    blocking-pass contract for large group counts."""
+    rows = [(g, f"{g}-{i}") for g in "ABCD" for i in range(10)]
+    df = spark.createDataFrame(rows, "g string, v string")
+    pairs = spark.createDataFrame([("A", "B"), ("C", "D")], "a string, b string")
+    got = kmv_set_ops(df, "v", "g", k=16, pairs=pairs).collect()
+    assert sorted((r["g_a"], r["g_b"]) for r in got) == [("A", "B"), ("C", "D")]
+
+
+def test_kmv_set_ops_partition_order_invariant(spark):
+    rows = [(f"g{i % 4}", f"tok{i % 700}") for i in range(4000)]
+    df = spark.createDataFrame(rows, "g string, v string")
+    a = sorted(tuple(r) for r in kmv_set_ops(df, "v", "g", k=32).collect())
+    b = sorted(
+        tuple(r) for r in kmv_set_ops(df.repartition(17), "v", "g", k=32).collect()
+    )
+    assert a == b and len(a) == 6
+
+
+def test_kmv_set_ops_membership_soundness(spark):
+    """Combined-sketch membership flags must agree with true set
+    membership for every kept hash (the θ <= min(θ_A, θ_B) argument):
+    est_intersection can never exceed est_union, and a pair of
+    identical groups reports jaccard == 1."""
+    rows = [("A", f"v{i}") for i in range(900)] + [
+        ("B", f"v{i}") for i in range(900)
+    ]
+    df = spark.createDataFrame(rows, "g string, v string")
+    r = kmv_set_ops(df, "v", "g", k=64).collect()[0]
+    assert r["jaccard_e6"] == 1_000_000
+    assert r["est_intersection"] == r["est_union"]
