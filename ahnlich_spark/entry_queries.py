@@ -6723,6 +6723,47 @@ def streaming_kmv_distinct_gate(spark, sf_dir):
     return drain()
 
 
+@register("streaming_hll_distinct", _hll_source_oracle())
+def streaming_hll_distinct_gate(spark, sf_dir):
+    """Live cardinality monitoring on fixed-size state: documents
+    stream in two ORDERED micro-batches; each batch's per-source HLL
+    registers FOLD into the running state by plain (group, bucket) max.
+    Register merge is order-free, so the final streamed state must be
+    bit-identical to the whole-corpus sketch — the oracle replays that
+    closed form (streaming/pipeline.streaming_hll_distinct)."""
+    import glob
+    import time
+
+    from ahnlich_spark.streaming.pipeline import streaming_hll_distinct
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select(
+        "source", F.explode(X.word_shingles(F.col("text"), 3)).alias("sh"), "doc_id"
+    )
+    src = tempfile.mkdtemp(prefix="ahnlich_shll_")
+    a_dir, b_dir = os.path.join(src, "a"), os.path.join(src, "b")
+    sh.filter(F.col("doc_id") % 2 == 0).select("source", "sh").coalesce(1).write.parquet(a_dir)
+    sh.filter(F.col("doc_id") % 2 != 0).select("source", "sh").coalesce(1).write.parquet(b_dir)
+    watch = os.path.join(src, "watch")
+    os.makedirs(watch)
+    fa = glob.glob(os.path.join(a_dir, "part-*.parquet"))[0]
+    fb = glob.glob(os.path.join(b_dir, "part-*.parquet"))[0]
+    now = time.time()
+    os.utime(fa, (now - 60, now - 60))
+    os.utime(fb, (now, now))
+    os.symlink(fa, os.path.join(watch, "batch-a.parquet"))
+    os.symlink(fb, os.path.join(watch, "batch-b.parquet"))
+    stream = (
+        spark.readStream.schema("source string, sh string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(watch)
+    )
+    q, drain, _r = streaming_hll_distinct(stream, ["source"], "sh", m=256)
+    q.processAllAvailable()
+    q.stop()
+    return drain()
+
+
 @register("decontaminate_semantic", """
 WITH b AS (SELECT vec_id AS bid, embedding::DOUBLE[] AS e
            FROM embeddings WHERE vec_id % 4 = 0),

@@ -525,6 +525,64 @@ def streaming_kmv_distinct(
     return q, drain, drain_minima
 
 
+def streaming_hll_distinct(
+    value_stream: DataFrame,
+    group_cols,
+    value_col: str,
+    m: int = 256,
+    initial_registers: Optional[DataFrame] = None,
+):
+    """Live per-group distinct-cardinality monitoring on FIXED-size
+    state: each micro-batch builds its own HLL register table and FOLDS
+    it into the running one by union + per-(group, bucket) max — the
+    simplest possible sketch merge, and order-free, so the state after
+    any prefix of batches is bit-identical to the batch sketch over the
+    same rows (pinned by the ``streaming_hll_distinct`` gate, whose
+    oracle replays the whole-data register math in SQL).
+
+    vs ``streaming_kmv_distinct``: registers are at most m rows per
+    group FOREVER (KMV state is also O(k) but merges through a window;
+    HLL merges through a plain max-aggregation), the trade being KMV's
+    exact-below-k property. ``initial_registers`` seeds a warm start;
+    persist ``drain_registers()`` and re-seed rather than relying on
+    Spark checkpoints (driver-state sink, like the other folds here).
+
+    Returns ``(query, drain, drain_registers)``.
+    """
+    from ahnlich_spark.operators import sketches as SK
+
+    group_cols = list(group_cols)
+    state = {
+        "registers": (
+            initial_registers.localCheckpoint()
+            if initial_registers is not None
+            else None
+        )
+    }
+
+    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+        br = SK.hll_registers(batch_df, value_col, group_cols, m)
+        if state["registers"] is not None:
+            br = (
+                state["registers"]
+                .unionByName(br)
+                .groupBy(*group_cols, "bucket")
+                .agg(F.max("r").alias("r"))
+            )
+        state["registers"] = br.localCheckpoint()
+
+    def drain_registers() -> DataFrame:
+        if state["registers"] is None:
+            raise ValueError("no batch processed and no initial_registers seeded")
+        return state["registers"]
+
+    def drain() -> DataFrame:
+        return SK.hll_estimate(drain_registers(), group_cols, m)
+
+    q = value_stream.writeStream.foreachBatch(_sink).outputMode("update").start()
+    return q, drain, drain_registers
+
+
 def streaming_histogram_quantiles(
     value_stream: DataFrame,
     group_cols,

@@ -171,6 +171,7 @@ BENCH_QUERIES = [
     "graph_kcore_peel",
     "distinct_hll",
     "kmv_overlap_sources",
+    "streaming_hll_distinct",
 ]
 
 

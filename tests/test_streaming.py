@@ -609,3 +609,51 @@ def test_streaming_histogram_fold_matches_batch(spark, tmp_path):
     )
     assert got == want and len(got) == 4
     assert drain_summary().count() <= 2 * (1000 // 50 + 1)
+
+
+def test_streaming_hll_fold_matches_batch(spark, tmp_path):
+    """Folding per-batch HLL registers into running state (with a
+    warm-start seed) must reproduce the one-shot batch sketch over all
+    rows — register max-merge is order-free, so the match is exact."""
+    import glob
+    import os
+    import time
+
+    from ahnlich_spark.operators.sketches import hll_distinct, hll_registers
+    from ahnlich_spark.streaming.pipeline import streaming_hll_distinct
+
+    rows = [(f"g{i % 3}", f"val-{i % 700}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "g string, v string")
+    seed_df = df.limit(500)
+    first = df.filter(F.abs(F.xxhash64("v")) % 3 == 0)
+    second = df.subtract(first)
+
+    seed = hll_registers(seed_df, "v", ["g"], m=256)
+    a_dir, b_dir = str(tmp_path / "a"), str(tmp_path / "b")
+    first.coalesce(1).write.parquet(a_dir)
+    second.coalesce(1).write.parquet(b_dir)
+    watch = str(tmp_path / "watch")
+    os.makedirs(watch)
+    fa = glob.glob(os.path.join(a_dir, "part-*.parquet"))[0]
+    fb = glob.glob(os.path.join(b_dir, "part-*.parquet"))[0]
+    now = time.time()
+    os.utime(fa, (now - 60, now - 60))
+    os.utime(fb, (now, now))
+    os.symlink(fa, os.path.join(watch, "a.parquet"))
+    os.symlink(fb, os.path.join(watch, "b.parquet"))
+    stream = (
+        spark.readStream.schema("g string, v string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(watch)
+    )
+    q, drain, drain_registers = streaming_hll_distinct(
+        stream, ["g"], "v", m=256, initial_registers=seed
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(map(tuple, drain().collect()))
+    want = sorted(
+        map(tuple, hll_distinct(seed_df.unionAll(df), "v", ["g"], m=256).collect())
+    )
+    assert got == want and len(got) == 3
+    assert drain_registers().count() <= 3 * 256
