@@ -564,20 +564,45 @@ def _ai_inputs(cur: _Cursor) -> Tuple[StoreInput, ...]:
     return tuple(inputs)
 
 
+def _stmt_end(text: str, start: int) -> int:
+    """Index of the ``;`` that terminates the statement beginning at
+    ``start``, or -1. A ``;`` inside an open ``(``/``[``/``{`` context
+    does NOT terminate: the reference grammar's raw_string
+    (syntax.pest:147) excludes only ``,[()]}``, so every position where
+    a raw string may appear (metadata values, predicate values) is
+    bracketed and a ``;`` there is literal content, consumed by pest's
+    greedy statement match. Depth never goes negative — a stray closer
+    at depth 0 stays at depth 0, so a following ``;`` still splits."""
+    depth = 0
+    for j in range(start, len(text)):
+        c = text[j]
+        if c in "([{":
+            depth += 1
+        elif c in ")]}":
+            if depth > 0:
+                depth -= 1
+        elif c == ";" and depth == 0:
+            return j
+    return -1
+
+
 def _parse(text: str, stmt_parser) -> List[ops.DslOp]:
     """Statements are parsed per ``;``-segment so syntax errors carry
     the reference's span semantics (DslError::UnexpectedSpan, pinned by
-    tests/test_dsl_golden.py against dsl/src/tests/{db,ai}.rs): a
-    statement that fails to parse spans its whole segment (pest's
-    invalid_statement catch-all, syntax.pest:182), trailing junk after
-    a valid statement spans from the last matched token to the
-    segment end (the trailing ``(invalid_statement)?`` in rules like
-    drop_store, syntax.pest:56)."""
+    tests/test_dsl_golden.py against dsl/src/tests/{db,ai}.rs).
+    Segment boundaries are bracket-depth-aware (``_stmt_end``) so raw
+    strings containing ``;`` parse as the reference grammar does. Error
+    spans clamp to the first raw ``;`` in the segment — pest's
+    invalid_statement catch-all (``(!";" ~ ANY)+``, syntax.pest:182)
+    stops at ANY ``;`` regardless of bracket depth, both for whole
+    invalid statements and for trailing junk after a valid one (the
+    trailing ``(invalid_statement)?`` in rules like drop_store,
+    syntax.pest:56)."""
     out: List[ops.DslOp] = []
     n = len(text)
     seg_start = 0
     while seg_start <= n:
-        semi = text.find(";", seg_start)
+        semi = _stmt_end(text, seg_start)
         seg_end = semi if semi != -1 else n
         seg = text[seg_start:seg_end]
         if seg.strip():
@@ -585,13 +610,17 @@ def _parse(text: str, stmt_parser) -> List[ops.DslOp]:
             try:
                 op = stmt_parser(cur)
             except DslSyntaxError as e:
+                raw_semi = text.find(";", seg_start, seg_end)
+                err_end = seg_end if raw_semi == -1 else raw_semi
                 raise DslSyntaxError(
-                    str(e), span=(seg_start, seg_end)
+                    str(e), span=(seg_start, err_end)
                 ) from None
             if not cur.eof():
+                raw_semi = text.find(";", seg_start + cur.mark, seg_end)
+                err_end = seg_end if raw_semi == -1 else raw_semi
                 raise DslSyntaxError(
                     f"trailing input in statement: {seg[cur.mark:]!r}",
-                    span=(seg_start + cur.mark, seg_end),
+                    span=(seg_start + cur.mark, err_end),
                 )
             out.append(op)
         if semi == -1:

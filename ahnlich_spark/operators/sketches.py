@@ -640,7 +640,8 @@ def cms_join_size(
 
 # 60-bit md5-derived hash; after the bucket index is peeled off, the
 # remaining geometric bits bound rho, and every 2^-rho harmonic term is
-# kept as the exact BIGINT 2^(HLL_SCALE_BITS - rho) — the harmonic sum
+# kept as the exact BIGINT 2^(S - rho), S = _hll_scale_bits(m) (53 for
+# m <= 512, shrinking with m so the sum fits int64) — the harmonic sum
 # is INTEGER, so two engines agree bit-for-bit on the sketch state AND
 # on the estimate (the one float op left is a single division by that
 # integer, identical doubles in, identical double out). This is the
@@ -650,9 +651,20 @@ HLL_HASH_BITS = 60
 HLL_SCALE_BITS = 53
 
 
+def _hll_scale_bits(m: int) -> int:
+    """Per-m scale exponent S: harmonic terms are 2^(S-r), empty
+    buckets 2^S, so the worst-case sum is < m * 2^S. Capping S at
+    62 - log2(m) keeps that below 2^62 for ANY power-of-two m — with
+    ANSI off Spark wraps BIGINT silently, so an m >= 2048 at a fixed
+    S=53 would overflow into garbage/negative estimates. For m <= 512
+    this returns the historic 53, keeping existing sketch gates
+    bit-identical."""
+    return min(HLL_SCALE_BITS, 62 - (m.bit_length() - 1))
+
+
 def _hll_alpha_m2_scaled(m: int) -> float:
-    # alpha_m * m^2 * 2^HLL_SCALE_BITS (Flajolet et al. 2007, m >= 128)
-    return (0.7213 / (1.0 + 1.079 / m)) * m * m * float(1 << HLL_SCALE_BITS)
+    # alpha_m * m^2 * 2^S(m) (Flajolet et al. 2007, m >= 128)
+    return (0.7213 / (1.0 + 1.079 / m)) * m * m * float(1 << _hll_scale_bits(m))
 
 
 def hll_registers(
@@ -702,13 +714,18 @@ def hll_estimate(registers: DataFrame, group_cols, m: int = 256) -> DataFrame:
     ``sum(2^(53-r)) + empty * 2^53``; linear counting takes over below
     2.5m when empty buckets remain (the standard small-range
     correction); no large-range correction is needed inside a 2^52
-    hash space until ~1e15 distinct."""
+    hash space until ~1e15 distinct. The scale exponent shrinks with m
+    (``_hll_scale_bits``) so the integer sum cannot overflow BIGINT at
+    large m."""
     group_cols = list(group_cols)
+    if m < 128 or (m & (m - 1)) != 0:
+        raise ValueError("m must be a power of two >= 128")
+    scale = _hll_scale_bits(m)
     alpha = repr(_hll_alpha_m2_scaled(m))
-    two53 = 1 << HLL_SCALE_BITS
+    two53 = 1 << scale
     agg = registers.groupBy(*group_cols).agg(
         F.count(F.lit(1)).cast("long").alias("n_filled"),
-        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_SCALE_BITS} - r)"))
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {scale} - r)"))
         .cast("long")
         .alias("_s_part"),
     )

@@ -739,10 +739,16 @@ class Engine:
         dirtied (exact accounting would need a probe scan; the next
         info call recounts once)."""
         meta = self.catalog.get_store(store, schema)
+        # store_changes/read_changes emit the column `change_type`;
+        # accept that frame directly by aliasing it to `op` (the
+        # docstring's "accepted directly" promise)
+        if "op" not in changes.columns and "change_type" in changes.columns:
+            changes = changes.withColumnRenamed("change_type", "op")
         cols = set(changes.columns)
         if not {"op", "id", "key", "meta"} <= cols:
             raise ValueError(
-                "apply_changes needs (op, id, key, meta) columns, got "
+                "apply_changes needs (op, id, key, meta) columns "
+                "(change_type accepted as op), got "
                 f"{sorted(cols)}"
             )
         # normalize the two accepted vocabularies BEFORE netting, so an
@@ -1127,7 +1133,7 @@ class Engine:
         cfg = meta.non_linear_config.get("hnsw", ANN_DEFAULTS["hnsw"])
         metric = cfg.get("distance", S.COSINE)
         is_df = isinstance(probes, DataFrame)
-        n_probes = probes.count() if is_df else len(probes)
+        n_probes = self._count_probes_checked(meta, probes, is_df)
         state = self._ann_state(meta, "hnsw")
         raw = read_store(self.spark, self.catalog, meta, canonical=False)
 
@@ -1183,7 +1189,6 @@ class Engine:
                 [(int(r[0]), list(r[1])) for r in probes.collect()] if is_df
                 else [(int(pid), [float(x) for x in v]) for pid, v in probes]
             )
-            self._check_dims(meta, [v for _pid, v in probe_rows])
             plan, prefixes = [], set()
             for pid, vec in probe_rows:
                 qsig = A.signature_of(vec, planes)
@@ -1253,7 +1258,7 @@ class Engine:
         cfg = meta.non_linear_config.get("ivf", ANN_DEFAULTS["ivf"])
         metric = cfg.get("distance", S.EUCLIDEAN)
         is_df = isinstance(probes, DataFrame)
-        n_probes = probes.count() if is_df else len(probes)
+        n_probes = self._count_probes_checked(meta, probes, is_df)
         state = self._ann_state(meta, "ivf")
         raw = read_store(self.spark, self.catalog, meta, canonical=False)
         cents = self._ivf_centroids(meta)
@@ -1302,7 +1307,6 @@ class Engine:
                 [(int(r[0]), list(r[1])) for r in probes.collect()] if is_df
                 else [(int(pid), [float(x) for x in v]) for pid, v in probes]
             )
-            self._check_dims(meta, [v for _pid, v in probe_rows])
             plan, all_buckets = [], set()
             c64 = cents.astype(np.float64)
             for pid, vec in probe_rows:
@@ -1848,6 +1852,31 @@ class Engine:
             rows,
             T.StructType([T.StructField("key", T.ArrayType(T.FloatType(), True), False)]),
         )
+
+    def _count_probes_checked(self, meta: StoreMeta, probes, is_df: bool) -> int:
+        """Probe count + dimension validation in ONE job, so the
+        distributed batch-planning branches (> BATCH_PLAN_THRESHOLD)
+        raise the same typed DimensionMismatch as the driver-loop
+        branch instead of an opaque executor pandas-UDF failure —
+        error behavior is threshold-invariant. For DataFrame probes the
+        check rides the count the batch paths already ran; for list
+        probes it is a driver-side O(n) scan over rows already held."""
+        if not is_df:
+            self._check_dims(meta, [v for _pid, v in probes])
+            return len(probes)
+        kcol = F.col(probes.columns[1])
+        row = probes.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(
+                F.when(F.size(kcol) != int(meta.dimension), 1)
+            ).alias("bad"),
+        ).collect()[0]
+        if row["bad"]:
+            raise errors.DimensionMismatch(
+                f"store {meta.schema}.{meta.name} expects dimension "
+                f"{meta.dimension}; probe batch carries other sizes"
+            )
+        return int(row["n"])
 
     def _check_dims(self, meta: StoreMeta, keys: Sequence[Sequence[float]]) -> None:
         """Dimension check — any mismatch fails the whole request

@@ -412,6 +412,29 @@ def test_batch_planning_distributed_parity(indexed_engine):
         assert len(a) == 30 * 5
 
 
+def test_batch_planning_dim_check_threshold_invariant(indexed_engine, spark):
+    """A wrong-dimension probe batch raises the typed DimensionMismatch
+    on BOTH sides of BATCH_PLAN_THRESHOLD — the distributed planner
+    branch must not surface it as an opaque executor pandas-UDF error."""
+    import pytest
+
+    from ahnlich_spark import errors
+
+    eng = indexed_engine
+    bad_rows = [(0, VECS[0].tolist()), (1, VECS[1].tolist() + [0.0])]
+    bad_df = spark.createDataFrame(bad_rows, "qid long, qkey array<float>")
+    for algo in ("hnsw", "ivf"):
+        for thresh in (10_000, 1):
+            eng.BATCH_PLAN_THRESHOLD = thresh
+            try:
+                for probes in (bad_rows, bad_df):
+                    with pytest.raises(errors.DimensionMismatch):
+                        eng.get_sim_n_batch("vecs", probes, closest_n=3,
+                                            algorithm=algo)
+            finally:
+                del eng.BATCH_PLAN_THRESHOLD
+
+
 def test_batch_pq_chunked_parity(indexed_engine):
     eng = indexed_engine
     probes = [(i, VECS[i * 5].tolist()) for i in range(24)]

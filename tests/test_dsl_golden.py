@@ -359,6 +359,27 @@ AI_GOLDEN = [
                 execution_provider="cuda")]),
 ]
 
+# pest's raw_string (syntax.pest:147) excludes only ,[()]} — a ';'
+# inside a bracketed value is literal content, not a statement
+# separator; and invalid_statement ((!";" ~ ANY)+, syntax.pest:182)
+# stops at ANY ';' regardless of bracket depth, which is where the
+# error-span clamp in parser._parse comes from.
+DB_GOLDEN += [
+    ("raw_string_semicolon", "GETPRED (note = a;b) in s",
+     [ops.GetPred(store="s", condition=Equals("note", MV("a;b")))]),
+    ("raw_string_semicolon",
+     "GETPRED (note = a;b) in s; PING",
+     [ops.GetPred(store="s", condition=Equals("note", MV("a;b"))),
+      ops.Ping()]),
+]
+DB_ERRORS += [
+    # f32 fails at 'a'; invalid_statement eats up to the bracketed ';'
+    ("invalid_stops_at_bracketed_semi", "GETKEY ([a;b]) in s", (0, 10)),
+    # trailing junk after a valid drop_store: span runs from the last
+    # matched token to the first ';' even though it is inside '('
+    ("trailing_junk_bracketed_semi", "dropstore s (a;b)", (11, 14)),
+]
+
 AI_ERRORS = [
     ("no_valid_input", " random ; listSTORES;", (0, 8)),
     ("no_valid_input", " INfoSERVER ; random; ping", (13, 20)),

@@ -268,19 +268,48 @@ def test_semantic_contaminated_hits_and_scope(spark):
     assert got[4][0] == 2                 # hit both benchmark vectors
 
 
-def test_semantic_contaminated_broadcasts_bench(spark):
+def test_semantic_contaminated_zero_shuffle_and_exact(spark):
+    """The GEMM-prefilter path is ONE mapInPandas over the corpus —
+    no join, no exchange: each row's (n_hits, max_cos) completes inside
+    its own scan partition. Values must equal the expression-fold
+    (broadcast-nested-loop) formulation bit-for-bit, because only
+    prefiltering moved to GEMM — the decision and the reported cosine
+    are the same sequential fold."""
+    from pyspark.sql import functions as FF
+
+    from ahnlich_spark.functions import similarity as S
     from ahnlich_spark.operators.contamination import semantic_contaminated
     from tests.test_plans import plan_of
 
     corpus = spark.createDataFrame(
-        [(i, [float(i), 1.0]) for i in range(50)], "id long, key array<double>"
+        [(i, [float(i % 7) + 0.25, 1.0, float(i % 3)]) for i in range(80)]
+        + [(999, [0.0, 0.0, 0.0])],  # zero vector: NaN cosine, never a hit
+        "id long, key array<double>",
     )
     bench = spark.createDataFrame(
-        [(100, [1.0, 0.0])], "id long, key array<double>"
+        [(100, [1.0, 0.5, 0.0]), (101, [0.2, 1.0, 0.9]), (102, [0.0, 0.0, 0.0])],
+        "id long, key array<double>",
     )
-    plan = plan_of(semantic_contaminated(corpus, bench, threshold=0.9))
-    assert "BroadcastNestedLoopJoin" in plan, plan
-    assert "SortMergeJoin" not in plan, plan
+    got = semantic_contaminated(corpus, bench, threshold=0.9)
+    plan = plan_of(got)
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    # reference: the old expression-fold BNLJ formulation (which, under
+    # ANSI, cannot even evaluate the zero vectors — exclude them there;
+    # the mapInPandas path must drop them, pinned by `999 not in g`)
+    b = bench.filter(FF.col("id") != 102).select(
+        FF.col("id").alias("_bid"), FF.col("key").alias("_bvec")
+    )
+    cos = S.cosine_similarity(FF.col("key"), FF.col("_bvec"), "double")
+    want = (
+        corpus.filter(FF.col("id") != 999).join(FF.broadcast(b), cos >= FF.lit(0.9))
+        .select("id", cos.alias("_cos"))
+        .groupBy("id")
+        .agg(FF.count(FF.lit(1)).alias("n_hits"), FF.max("_cos").alias("max_cos"))
+    )
+    g = {r["id"]: (r["n_hits"], r["max_cos"]) for r in got.collect()}
+    w = {r["id"]: (r["n_hits"], r["max_cos"]) for r in want.collect()}
+    assert g == w and len(g) > 0 and 999 not in g
 
 
 def test_group_keyed_split_never_straddles(spark):

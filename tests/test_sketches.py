@@ -488,6 +488,31 @@ def test_hll_merge_property(spark):
     assert est_merged == est_whole
 
 
+def test_hll_large_m_no_overflow(spark):
+    """At m >= 2048 a fixed 2^53 scale would overflow BIGINT (empty
+    buckets alone can sum past 2^63 with ANSI off -> silent wraparound,
+    garbage/negative estimates). The per-m scale (_hll_scale_bits)
+    keeps the harmonic sum in int64 for any legal m: estimates must be
+    positive and within the ~1.04/sqrt(m) error regime, including the
+    near-empty store where the fixed scale wrapped hardest."""
+    from ahnlich_spark.operators.sketches import _hll_scale_bits
+
+    assert _hll_scale_bits(256) == 53  # historic gates bit-identical
+    assert _hll_scale_bits(512) == 53
+    for m in (2048, 4096):
+        # near-empty: one value filled, m-1 empty buckets (worst sum)
+        tiny = spark.createDataFrame([(0, "only")], "g int, v string")
+        row = hll_distinct(tiny, "v", ["g"], m=m).collect()[0]
+        assert row["est_distinct"] == 1, (m, dict(row.asDict()))
+    n_true = 20000
+    df = spark.createDataFrame(
+        [(0, f"value-{i}") for i in range(n_true)], "g int, v string"
+    )
+    row = hll_distinct(df, "v", ["g"], m=4096).collect()[0]
+    # 4 sigma at m=4096 is ~6.5%
+    assert 0.93 * n_true < row["est_distinct"] < 1.07 * n_true, dict(row.asDict())
+
+
 # --------------------------------------------- KMV set operations --
 
 from ahnlich_spark.operators.sketches import kmv_pair_set_ops, kmv_set_ops

@@ -444,6 +444,29 @@ def test_apply_changes_vocabulary_and_dimension_guards(spark, engine):
     assert engine.catalog.get_store("acv").deltas == before  # nothing written
 
 
+def test_apply_changes_accepts_change_type_column(spark, engine):
+    """store_changes/read_changes emit `change_type`, not `op`; that
+    frame is accepted directly (aliased to op when op is absent), so a
+    feed can be piped into apply_changes without a rename."""
+    engine.create_store("acc", dimension=2)
+    engine.set("acc", [([1.0, 1.0], {})])
+    feed = spark.createDataFrame(
+        [("insert", 0, [5.0, 5.0], None), ("delete", 1, [1.0, 1.0], None)],
+        "change_type string, id long, key array<float>, meta map<string,"
+        "struct<kind:string,s:string,bin:binary>>",
+    )
+    # the delete's id must be the real store id of [1.0, 1.0]
+    real_id = engine.store_df("acc").select("id").collect()[0]["id"]
+    feed = feed.withColumn(
+        "id", F.when(F.col("change_type") == "delete", F.lit(real_id))
+        .otherwise(F.col("id"))
+    )
+    engine.apply_changes("acc", feed)
+    got = sorted(tuple(r["key"]) for r in
+                 engine.store_df("acc").select("key").collect())
+    assert got == [(5.0, 5.0)]
+
+
 # ------------------------------------- streaming incremental dedup --
 
 def test_streaming_incremental_dedup_arrival_order(spark, tmp_path):
