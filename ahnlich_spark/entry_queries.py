@@ -5046,7 +5046,7 @@ def collocations_pmi(spark, sf_dir):
     bounded TakeOrdered. PMI is e6-rounded from an exact integer ratio
     so both engines agree bit-for-bit."""
     docs = _t(spark, sf_dir, "documents")
-    toks = F.transform(X.tokens(F.col("text")), lambda w: F.lower(w))
+    toks = F.col("_toks")  # staged in the select below (text.ngrams_of)
     pairs = F.when(
         F.size(toks) >= 2,
         F.transform(
@@ -5059,6 +5059,9 @@ def collocations_pmi(spark, sf_dir):
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
     big = (
         _fan_out_docs(docs)
+        .select(
+            F.transform(X.tokens(F.col("text")), lambda w: F.lower(w)).alias("_toks")
+        )
         .select(F.explode(pairs).alias("p"))
         .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
     )
@@ -5880,7 +5883,9 @@ def distinct_kmv(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     sh = docs.select(
-        "source", F.explode(X.word_shingles(F.col("text"), 3)).alias("sh")
+        "source", X.tokens(F.col("text")).alias("_toks")
+    ).select(
+        "source", F.explode(X.shingles_of(F.col("_toks"), 3)).alias("sh")
     )
     return kmv_distinct(sh, "sh", ["source"], k=64)
 
@@ -5949,7 +5954,9 @@ def kmv_overlap_sources(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     sh = docs.select(
-        "source", F.explode(X.word_shingles(F.col("text"), 3)).alias("sh")
+        "source", X.tokens(F.col("text")).alias("_toks")
+    ).select(
+        "source", F.explode(X.shingles_of(F.col("_toks"), 3)).alias("sh")
     )
     return kmv_set_ops(sh, "sh", "source", k=64)
 
@@ -6008,7 +6015,9 @@ def distinct_hll(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     sh = docs.select(
-        "source", F.explode(X.word_shingles(F.col("text"), 3)).alias("sh")
+        "source", X.tokens(F.col("text")).alias("_toks")
+    ).select(
+        "source", F.explode(X.shingles_of(F.col("_toks"), 3)).alias("sh")
     )
     return hll_distinct(sh, "sh", ["source"], m=256)
 
@@ -6697,7 +6706,9 @@ def streaming_kmv_distinct_gate(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     sh = docs.select(
-        "source", F.explode(X.word_shingles(F.col("text"), 3)).alias("sh"), "doc_id"
+        "source", X.tokens(F.col("text")).alias("_toks"), "doc_id"
+    ).select(
+        "source", F.explode(X.shingles_of(F.col("_toks"), 3)).alias("sh"), "doc_id"
     )
     src = tempfile.mkdtemp(prefix="ahnlich_skmv_")
     a_dir, b_dir = os.path.join(src, "a"), os.path.join(src, "b")
@@ -6738,7 +6749,9 @@ def streaming_hll_distinct_gate(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     sh = docs.select(
-        "source", F.explode(X.word_shingles(F.col("text"), 3)).alias("sh"), "doc_id"
+        "source", X.tokens(F.col("text")).alias("_toks"), "doc_id"
+    ).select(
+        "source", F.explode(X.shingles_of(F.col("_toks"), 3)).alias("sh"), "doc_id"
     )
     src = tempfile.mkdtemp(prefix="ahnlich_shll_")
     a_dir, b_dir = os.path.join(src, "a"), os.path.join(src, "b")

@@ -179,11 +179,18 @@ def wordset_fingerprint(text: Column) -> Column:
 
 # --------------------------------------------------------------- shingles --
 
-def word_ngrams_with_multiplicity(text: Column, n: int = 2) -> Column:
-    """Word n-grams WITH multiplicity (ARRAY<STRING>) — the counting
-    variant of ``word_shingles`` for repetition analysis; docs shorter
-    than n tokens yield the whole document as one gram."""
-    toks = tokens(text)
+def ngrams_of(toks: Column, n: int = 2) -> Column:
+    """Word n-grams WITH multiplicity (ARRAY<STRING>) from a token-array
+    column; docs shorter than n tokens yield the whole document as one
+    gram.
+
+    Pass a MATERIALIZED column reference, not a tokenizer expression:
+    ``toks`` is referenced inside per-gram HOF lambdas, and Catalyst
+    re-evaluates a substituted expression tree per element — the
+    tokenizer would re-run O(len) times per row (measured 10x on
+    gram-heavy scans; stage ``tokens(text)`` through a select first —
+    CollapseProject keeps the boundary because the alias is non-cheap
+    and multiply-referenced)."""
     k = F.size(toks)
     grams = F.transform(
         F.sequence(F.lit(0), k - n),
@@ -191,6 +198,13 @@ def word_ngrams_with_multiplicity(text: Column, n: int = 2) -> Column:
     )
     whole = F.array(F.concat_ws(" ", toks))
     return F.when(k >= n, grams).otherwise(whole)
+
+
+def word_ngrams_with_multiplicity(text: Column, n: int = 2) -> Column:
+    """Text-input convenience wrapper over ``ngrams_of`` — fine for
+    one-off expressions; hot scans should stage the token array and
+    call ``ngrams_of`` directly (see its docstring)."""
+    return ngrams_of(tokens(text), n)
 
 
 def repetition_table(df, n: int = 2, text_col: str = "text", id_col: str = "doc_id"):
@@ -209,7 +223,10 @@ def repetition_table(df, n: int = 2, text_col: str = "text", id_col: str = "doc_
     docs — orders of magnitude below one gram-row exchange."""
     staged = df.select(
         F.col(id_col).alias("doc_id"),
-        F.array_sort(word_ngrams_with_multiplicity(F.col(text_col), n)).alias("sg"),
+        tokens(F.col(text_col)).alias("_toks"),
+    ).select(
+        "doc_id",
+        F.array_sort(ngrams_of(F.col("_toks"), n)).alias("sg"),
     )
     # ONE fold over the sorted grams yields run count (= distinct) and
     # longest run (= top multiplicity) together
@@ -250,17 +267,19 @@ def repetition_table(df, n: int = 2, text_col: str = "text", id_col: str = "doc_
     )
 
 
+def shingles_of(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (ARRAY<STRING>) from a token-array
+    column; docs shorter than n tokens shingle to the whole document.
+    Same staging contract as ``ngrams_of``: pass a materialized column,
+    not a tokenizer expression."""
+    return F.array_distinct(ngrams_of(toks, n))
+
+
 def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles (ARRAY<STRING>); docs shorter than n
-    tokens shingle to the whole document."""
-    toks = tokens(text)
-    k = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(0), k - n),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-    )
-    whole = F.array(F.concat_ws(" ", toks))
-    return F.array_distinct(F.when(k >= n, grams).otherwise(whole))
+    """Text-input convenience wrapper over ``shingles_of`` — fine for
+    one-off expressions; hot scans should stage the token array and
+    call ``shingles_of`` directly (see ``ngrams_of``)."""
+    return shingles_of(tokens(text), n)
 
 
 # ---------------------------------------------------------------- minhash --

@@ -32,12 +32,16 @@ from ahnlich_spark.functions import text as X
 
 
 def _gram_table(df: DataFrame, n: int, text_col: str, id_col: str) -> DataFrame:
+    # tokens staged through a projection boundary so the per-gram slice
+    # lambda reads a materialized array (see text.ngrams_of)
     return (
         df.select(
             F.col(id_col).alias("did"),
-            F.explode(
-                F.array_distinct(X.word_shingles(F.col(text_col), n))
-            ).alias("g"),
+            X.tokens(F.col(text_col)).alias("_toks"),
+        )
+        .select(
+            "did",
+            F.explode(X.shingles_of(F.col("_toks"), n)).alias("g"),
         )
         .select("did", F.unhex(F.md5("g")).alias("gh"))
     )

@@ -63,9 +63,16 @@ def _shingle_table(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFra
     # codegen'd map work, and caching costs a materialization barrier
     # plus block-manager traffic. At true 100 TB scale, stage shingles /
     # signatures to a table once and let each pass scan parquet.
+    # tokens staged through a projection boundary: shingles_of slices
+    # the materialized array per gram instead of re-running the
+    # tokenizer per gram position (10x on this, the hottest scan of
+    # every minhash/jaccard pipeline)
     return _fan_out(df).select(
         F.col(id_col).alias("did"),
-        F.explode(X.word_shingles(F.col(text_col), n)).alias("sh"),
+        X.tokens(F.col(text_col)).alias("_toks"),
+    ).select(
+        "did",
+        F.explode(X.shingles_of(F.col("_toks"), n)).alias("sh"),
     )
 
 
@@ -718,7 +725,9 @@ def doc_chunk_table(
     The chunking is pure scan-local array work (tokens -> sequence ->
     slice -> md5) inside whole-stage codegen — the text itself never
     shuffles, only 32-char fingerprints do."""
-    toks = X.tokens(F.col(text_col))
+    # stage the token array: the per-chunk lambda slices a materialized
+    # column instead of re-tokenizing per chunk (see text.ngrams_of)
+    toks = F.col("_toks")
     k = F.size(toks)
     n_chunks = F.ceil(k / F.lit(chunk_tokens)).cast("int")
     idx = F.when(k > 0, F.sequence(F.lit(0), n_chunks - 1)).otherwise(
@@ -729,7 +738,9 @@ def doc_chunk_table(
         lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i * chunk_tokens + 1, chunk_tokens))),
     )
     return _fan_out(df).select(
-        F.col(id_col).alias("did"), F.explode(chunks).alias("fp")
+        F.col(id_col).alias("did"), X.tokens(F.col(text_col)).alias("_toks")
+    ).select(
+        "did", F.explode(chunks).alias("fp")
     )
 
 
@@ -752,7 +763,7 @@ def sliding_chunk_table(
     Scan-local array work inside whole-stage codegen: text never
     shuffles; only (id, idx, 32-char fp) rows flow to the sink — the
     chunker of a 100 TB corpus is pure map work."""
-    toks = X.tokens(F.col(text_col))
+    toks = F.col("_toks")  # staged below; see text.ngrams_of
     k = F.size(toks)
     n = F.when(
         k <= 0, F.lit(0)
@@ -775,7 +786,9 @@ def sliding_chunk_table(
     )
     return (
         _fan_out(df)
-        .select(F.col(id_col).alias("doc_id"), F.explode(chunks).alias("c"))
+        .select(F.col(id_col).alias("doc_id"),
+                X.tokens(F.col(text_col)).alias("_toks"))
+        .select("doc_id", F.explode(chunks).alias("c"))
         .select(
             "doc_id",
             F.col("c.ci").cast("long").alias("chunk_idx"),
@@ -848,7 +861,7 @@ def duplicate_window_occurrences(
     constant factor, not quadratic), produced scan-locally inside
     whole-stage codegen; only (id, pos, 32-char fp) rows ever leave the
     scan — the text itself never shuffles."""
-    toks = X.tokens(F.col(text_col))
+    toks = F.col("_toks")  # staged below; see text.ngrams_of
     k = F.size(toks)
     w = window_tokens
     starts = F.when(k >= w, F.sequence(F.lit(0), k - w)).otherwise(
@@ -863,7 +876,9 @@ def duplicate_window_occurrences(
     )
     return (
         _fan_out(df)
-        .select(F.col(id_col).alias("did"), F.explode(wins).alias("o"))
+        .select(F.col(id_col).alias("did"),
+                X.tokens(F.col(text_col)).alias("_toks"))
+        .select("did", F.explode(wins).alias("o"))
         .select("did", F.col("o.pos").cast("long").alias("pos"), F.col("o.fp").alias("fp"))
     )
 
@@ -959,23 +974,35 @@ def strip_duplicate_spans(
             "_spans"
         )
     )
-    toks = X.tokens(F.col(text_col))
     covered = lambda i: F.exists(
         F.col("_spans"), lambda sp: (sp["s"] <= i) & (i < sp["e"])
     )
-    kept = F.filter(toks, lambda _x, i: ~covered(i.cast("long")))
-    out = df.join(per_doc, id_col, "left").withColumn(
-        "_spans",
-        F.coalesce(
-            F.col("_spans"),
-            F.array().cast("array<struct<s:long,e:long>>"),
-        ),
+    # staged twice: _toks so the tokenizer runs once (it is referenced
+    # by size + the filter), then _kept so the per-token exists() scan
+    # runs once (it is referenced by size + concat_ws)
+    out = (
+        df.join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            X.tokens(F.col(text_col)).alias("_toks"),
+            F.coalesce(
+                F.col("_spans"),
+                F.array().cast("array<struct<s:long,e:long>>"),
+            ).alias("_spans"),
+        )
+        .select(
+            F.col(id_col),
+            F.size("_toks").cast("long").alias("n_tokens"),
+            F.filter(
+                F.col("_toks"), lambda _x, i: ~covered(i.cast("long"))
+            ).alias("_kept"),
+        )
     )
     return out.select(
         F.col(id_col),
-        F.size(toks).cast("long").alias("n_tokens"),
-        (F.size(toks) - F.size(kept)).cast("long").alias("n_removed"),
-        F.concat_ws(" ", kept).alias("clean_text"),
+        "n_tokens",
+        (F.col("n_tokens") - F.size("_kept")).cast("long").alias("n_removed"),
+        F.concat_ws(" ", F.col("_kept")).alias("clean_text"),
     )
 
 

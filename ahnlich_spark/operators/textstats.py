@@ -272,13 +272,16 @@ def bm25_scores(
     the corpus, zero shuffles of it.
 
     Returns only docs containing at least one query term."""
-    toks = X.tokens(F.lower(F.col(text_col)))
-    dl = F.size(toks).cast("double")
+    toks = F.col("_toks")  # staged: tokenizer runs once per row, not
+    dl = F.size(toks).cast("double")  # once per query term
     tf_cols = [
         F.size(F.filter(toks, lambda w: w == F.lit(t))).cast("double").alias(f"tf{i}")
         for i, t in enumerate(query_terms)
     ]
-    base = df.select(F.col(id_col).alias("doc_id"), dl.alias("dl"), *tf_cols)
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        X.tokens(F.lower(F.col(text_col))).alias("_toks"),
+    ).select("doc_id", dl.alias("dl"), *tf_cols)
 
     stats = base.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
@@ -410,9 +413,11 @@ def bigram_logprob_scores(
 
     Scale shape: bigram extraction is scan-local array work; the three
     aggregations (per-doc, per-bigram, per-context) are map-side
-    combined; the probability joins are bigram-/context-keyed (AQE
-    splits stopword-pair skew); no corpus rescan."""
-    toks = X.tokens(F.col(text_col))
+    combined. The context join runs between the two AGGREGATE tables
+    (per-bigram x per-context) so the per-doc fact table shuffles only
+    once — for the bigram-keyed probability join (AQE splits
+    stopword-pair skew); no corpus rescan."""
+    toks = F.col("_toks")  # staged below; see text.ngrams_of
     grams = F.when(
         F.size(toks) >= 2,
         F.transform(
@@ -421,7 +426,11 @@ def bigram_logprob_scores(
         ),
     ).otherwise(F.array().cast("array<string>"))
     per_doc = (
-        df.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("bg"))
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            X.tokens(F.col(text_col)).alias("_toks"),
+        )
+        .select("doc_id", F.explode(grams).alias("bg"))
         .groupBy("doc_id", "bg")
         .agg(F.count(F.lit(1)).alias("cnt"))
         # read 3x (bigram totals, context totals, the contribution join)
@@ -432,10 +441,15 @@ def bigram_logprob_scores(
     ctx = bgc.select(
         F.split(F.col("bg"), " ", 2).getItem(0).alias("w1"), "bf"
     ).groupBy("w1").agg(F.sum("bf").alias("cf"))
-    contrib = (
-        per_doc.join(bgc, "bg")
-        .withColumn("w1", F.split(F.col("bg"), " ", 2).getItem(0))
+    # per-bigram probability table: |bigrams| rows joined to |contexts|
+    # rows — both aggregates, both far smaller than the per-doc fact
+    lp = (
+        bgc.withColumn("w1", F.split(F.col("bg"), " ", 2).getItem(0))
         .join(ctx, "w1")
+        .select("bg", "bf", "cf")
+    )
+    contrib = (
+        per_doc.join(lp, "bg")
         .withColumn(
             "lp_e6",
             F.round(
