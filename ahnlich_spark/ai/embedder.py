@@ -244,10 +244,13 @@ def _poly_sums(codes: Column) -> Column:
 
 
 def _expand(sums: Column, dim: int) -> Column:
+    # array_repeat evaluates `sums` ONCE as the transform input; a
+    # sequence-indexed lambda referencing `sums` per element would
+    # re-run the whole character fold dim times per row
     return F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda i: (
-            ((sums["s1"] * (i.cast("long") + 1) + sums["s2"]) % RANGE - 1000) / 1000.0
+        F.array_repeat(sums, dim),
+        lambda s, i: (
+            ((s["s1"] * (i.cast("long") + 1) + s["s2"]) % RANGE - 1000) / 1000.0
         ).cast(T.FloatType()),
     )
 
