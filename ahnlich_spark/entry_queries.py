@@ -7247,6 +7247,82 @@ def graph_kcore_peel(spark, sf_dir):
     return kcore(edges, k=2, rounds=4)
 
 
+@register("bloom_membership", f"""
+WITH toks AS (SELECT source, {_TOKENS_SQL} AS ws FROM documents),
+words AS (SELECT DISTINCT source, unnest(ws) AS w FROM toks),
+vocab AS (SELECT DISTINCT w FROM words),
+srcs AS (SELECT DISTINCT source FROM words),
+bits AS (
+  SELECT DISTINCT source,
+         ('0x' || substring(md5('bf' || j || '|' || w), 1, 15))::BIGINT % 4096 AS bit
+  FROM words, range(3) t(j)
+),
+probe_bits AS (
+  SELECT s.source, v.w,
+         ('0x' || substring(md5('bf' || j || '|' || v.w), 1, 15))::BIGINT % 4096 AS bit
+  FROM srcs s, vocab v, range(3) t(j)
+),
+verdicts AS (
+  SELECT pb.source, pb.w,
+         (count(b.bit) = 3) AS in_bloom
+  FROM probe_bits pb LEFT JOIN bits b
+    ON b.source = pb.source AND b.bit = pb.bit
+  GROUP BY pb.source, pb.w
+),
+joined AS (
+  SELECT v.source, v.w, v.in_bloom,
+         (wd.w IS NOT NULL) AS present
+  FROM verdicts v LEFT JOIN words wd
+    ON wd.source = v.source AND wd.w = v.w
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_probes,
+       CAST(sum(CASE WHEN in_bloom THEN 1 ELSE 0 END) AS BIGINT) AS n_maybe,
+       CAST(sum(CASE WHEN present THEN 1 ELSE 0 END) AS BIGINT) AS n_present,
+       CAST(sum(CASE WHEN in_bloom AND NOT present THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_false_pos,
+       CAST(sum(CASE WHEN present AND NOT in_bloom THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_false_neg
+FROM joined GROUP BY source
+""")
+def bloom_membership(spark, sf_dir):
+    """Per-source Bloom filters over each source's vocabulary, probed
+    with the WHOLE corpus vocabulary — the semi-join-pruning primitive
+    at 100 TB (build over a huge key set once, broadcast the <= m_bits
+    sparse bit table, pre-drop fact rows before the real join). m is
+    deliberately small (4096 bits, k=3) so real false positives occur
+    and the gate pins the exact FP set cross-engine, not just lucky
+    equality; n_false_neg is structurally 0 — the no-false-negatives
+    contract that makes dropping safe
+    (operators/sketches.bloom_build/bloom_probe)."""
+    from ahnlich_spark.operators.sketches import bloom_build, bloom_probe
+
+    docs = _t(spark, sf_dir, "documents")
+    words = (
+        docs.select("source", X.tokens(F.col("text")).alias("_toks"))
+        .select("source", F.explode("_toks").alias("w"))
+        .distinct()
+    )
+    vocab = words.select("w").distinct()
+    srcs = words.select("source").distinct()
+    bits = bloom_build(words, "w", ["source"], m_bits=4096, k_hashes=3)
+    verdicts = bloom_probe(
+        bits, srcs.crossJoin(vocab), "w", ["source"], m_bits=4096, k_hashes=3
+    )
+    joined = verdicts.join(
+        words.withColumn("present", F.lit(True)), ["source", "w"], "left"
+    ).fillna({"present": False})
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_probes"),
+        F.sum(F.col("in_bloom").cast("int")).cast("long").alias("n_maybe"),
+        F.sum(F.col("present").cast("int")).cast("long").alias("n_present"),
+        F.sum((F.col("in_bloom") & ~F.col("present")).cast("int"))
+        .cast("long").alias("n_false_pos"),
+        F.sum((F.col("present") & ~F.col("in_bloom")).cast("int"))
+        .cast("long").alias("n_false_neg"),
+    )
+
+
 # ------------------------------------------------------------- entry --
 
 def flagship(spark: SparkSession) -> DataFrame:

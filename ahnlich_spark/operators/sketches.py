@@ -61,6 +61,9 @@ __all__ = [
     "cms_table",
     "cms_estimate",
     "cms_join_size",
+    "bloom_bit_exprs",
+    "bloom_build",
+    "bloom_probe",
 ]
 
 # 44-bit hash space: (k-1) << 44 stays far inside BIGINT for any sane k,
@@ -865,3 +868,110 @@ def kmv_set_ops(
     )
     minima = kmv_minima(hashed, [group_col], k, n_salts)
     return kmv_pair_set_ops(minima, group_col, k, pairs=pairs)
+
+
+# ------------------------------------------------------- Bloom filter --
+
+BLOOM_SALT = "bf"
+
+
+def bloom_bit_exprs(value, m_bits: int, k_hashes: int, salt: str = BLOOM_SALT):
+    """The k bit positions of one value: ``md5('{salt}{j}|' || value) %
+    m_bits`` for j in 0..k-1 — one md5 per (value, j), portable
+    bit-for-bit to DuckDB (``('0x' || substring(md5(...), 1, 15))::
+    BIGINT % m``). Returns an ARRAY<BIGINT> expression; ``value`` must
+    be a cheap column reference (it is referenced per hash)."""
+    value = F.col(value) if isinstance(value, str) else value
+    return F.array(*[
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{salt}{j}|"), value.cast("string"))),
+                    1, 15,
+                ),
+                16, 10,
+            ).cast("long") % m_bits
+        )
+        for j in range(k_hashes)
+    ])
+
+
+def bloom_build(
+    df: DataFrame,
+    value_col: str,
+    group_cols,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 3,
+    salt: str = BLOOM_SALT,
+) -> DataFrame:
+    """Per-group Bloom filter [Bloom 1970] as a SPARSE bit table
+    (group..., bit) — the set-bit positions, distinct. Sparse rows are
+    the Spark-native filter state: filters of disjoint slices MERGE by
+    ``union().distinct()`` (same aggregation shape as the build, so a
+    streaming job can maintain it), the per-group state is bounded by
+    ``m_bits`` rows of one BIGINT regardless of input size, and a probe
+    is a plain equi-join — no bitmap blob to ship or mutate.
+
+    False-positive rate after n insertions: ~(1 - e^(-kn/m))^k; size m
+    for the build cardinality (m = 16n bits, k = 3 gives ~0.3%). There
+    are no false NEGATIVES — the semi-join-pruning contract
+    (``bloom_probe`` with ``definitely absent`` verdicts is safe to
+    drop rows on).
+
+    Scale shape: ONE aggregation keyed (group, bit) with map-side
+    combine — at most m_bits rows per group cross the shuffle, never
+    the value stream. The 100 TB use: build over a huge dimension's
+    keys, broadcast the (small) bit table, and pre-prune a fact scan
+    before the real join (the distributed analog of Spark's runtime
+    bloom-filter join, but persistable, mergeable, and engine-portable)."""
+    if m_bits < 2 or k_hashes < 1:
+        raise ValueError("need m_bits >= 2 and k_hashes >= 1")
+    group_cols = list(group_cols)
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, F.col(value_col).alias("_v"))
+        .select(
+            *group_cols,
+            F.explode(bloom_bit_exprs(F.col("_v"), m_bits, k_hashes, salt)).alias("bit"),
+        )
+        .groupBy(*group_cols, "bit")
+        .agg(F.lit(1).alias("_one"))
+        .select(*group_cols, "bit")
+    )
+
+
+def bloom_probe(
+    bits: DataFrame,
+    probes: DataFrame,
+    value_col: str,
+    group_cols,
+    m_bits: int,
+    k_hashes: int = 3,
+    salt: str = BLOOM_SALT,
+    broadcast_bits: bool = True,
+) -> DataFrame:
+    """Membership verdicts: (group..., value, in_bloom) for every
+    (probe value x group) row of ``probes``. ``in_bloom`` false =
+    DEFINITELY absent (safe to drop); true = present or a false
+    positive at the filter's design rate.
+
+    The probe explodes each value to its k bit rows, left-joins the bit
+    table, and demands all k present. With ``broadcast_bits`` (the
+    semi-join-pruning deployment: m_bits sized to fit an executor) the
+    probe side never shuffles; for giant filters pass False and the
+    join shuffles on (group, bit)."""
+    group_cols = list(group_cols)
+    b = bits.select(*group_cols, F.col("bit").alias("bit")).withColumn(
+        "_set", F.lit(1)
+    )
+    if broadcast_bits:
+        b = F.broadcast(b)
+    pr = probes.select(*group_cols, F.col(value_col).alias("_v")).select(
+        "*", F.explode(bloom_bit_exprs(F.col("_v"), m_bits, k_hashes, salt)).alias("bit")
+    )
+    return (
+        pr.join(b, [*group_cols, "bit"], "left")
+        .groupBy(*group_cols, "_v")
+        .agg((F.count("_set") == k_hashes).alias("in_bloom"))
+        .select(*group_cols, F.col("_v").alias(value_col), "in_bloom")
+    )

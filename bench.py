@@ -172,6 +172,8 @@ BENCH_QUERIES = [
     "distinct_hll",
     "kmv_overlap_sources",
     "streaming_hll_distinct",
+    # round 5 additions
+    "bloom_membership",
 ]
 
 

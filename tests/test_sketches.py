@@ -592,3 +592,56 @@ def test_kmv_set_ops_membership_soundness(spark):
     r = kmv_set_ops(df, "v", "g", k=64).collect()[0]
     assert r["jaccard_e6"] == 1_000_000
     assert r["est_intersection"] == r["est_union"]
+
+
+# --------------------------------------------------- Bloom filter --
+
+from ahnlich_spark.operators.sketches import bloom_build, bloom_probe
+
+
+def test_bloom_no_false_negatives_and_merge(spark):
+    """Every inserted value probes in_bloom=true (the contract that
+    makes dropping 'definitely absent' rows safe), and filters built on
+    disjoint slices merged by union().distinct() equal the whole-data
+    build — the mergeable-sketch property."""
+    rows = [(i % 3, f"val-{i}") for i in range(900)]
+    df = spark.createDataFrame(rows, "g int, v string")
+    bits = bloom_build(df, "v", ["g"], m_bits=2048, k_hashes=3)
+    got = bloom_probe(bits, df.distinct(), "v", ["g"], m_bits=2048, k_hashes=3)
+    assert got.filter(~F.col("in_bloom")).count() == 0
+    half1 = df.filter(F.col("v") < "val-5")
+    half2 = df.filter(F.col("v") >= "val-5")
+    merged = (
+        bloom_build(half1, "v", ["g"], m_bits=2048, k_hashes=3)
+        .unionAll(bloom_build(half2, "v", ["g"], m_bits=2048, k_hashes=3))
+        .distinct()
+    )
+    a = sorted(tuple(r) for r in bits.collect())
+    b = sorted(tuple(r) for r in merged.collect())
+    assert a == b
+
+
+def test_bloom_fp_rate_and_partition_invariance(spark):
+    """Absent probes come back mostly false at the designed rate
+    (m=16n, k=3 -> ~0.3%; assert < 5% for slack), and the bit table is
+    invariant to input partitioning."""
+    n = 500
+    df = spark.createDataFrame([(0, f"in-{i}") for i in range(n)], "g int, v string")
+    m = 8192
+    bits = bloom_build(df, "v", ["g"], m_bits=m, k_hashes=3)
+    absent = spark.createDataFrame([(0, f"out-{i}") for i in range(1000)], "g int, v string")
+    got = bloom_probe(bits, absent, "v", ["g"], m_bits=m, k_hashes=3)
+    fp = got.filter(F.col("in_bloom")).count()
+    assert fp <= 50, fp
+    b2 = bloom_build(df.repartition(7), "v", ["g"], m_bits=m, k_hashes=3)
+    assert sorted(map(tuple, bits.collect())) == sorted(map(tuple, b2.collect()))
+
+
+def test_bloom_validation(spark):
+    df = spark.createDataFrame([(0, "x")], "g int, v string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        bloom_build(df, "v", ["g"], m_bits=1)
+    with _pytest.raises(ValueError):
+        bloom_build(df, "v", ["g"], m_bits=64, k_hashes=0)
