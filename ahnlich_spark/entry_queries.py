@@ -7323,6 +7323,82 @@ def bloom_membership(spark, sf_dir):
     )
 
 
+@register("fuzzy_link_blocked", r"""
+WITH clean AS (SELECT p_partkey AS c_id, p_name AS c_nm FROM part),
+dirty AS (
+  SELECT p_partkey AS d_id,
+         concat(substring(p_name, 1, pos),
+                substring(p_name, pos + 2, 1000)) AS d_nm
+  FROM (SELECT p_partkey, p_name,
+               ('0x' || substring(md5(p_partkey::VARCHAR), 1, 15))::BIGINT
+                 % length(p_name) AS pos
+        FROM part WHERE p_partkey % 3 = 0)
+),
+dtok AS (
+  SELECT DISTINCT d_id, d_nm, blk FROM (
+    SELECT d_id, d_nm,
+           unnest(regexp_split_to_array(trim(lower(d_nm)), '\s+')) AS blk
+    FROM dirty)
+),
+ctok AS (
+  SELECT DISTINCT c_id, c_nm, blk FROM (
+    SELECT c_id, c_nm,
+           unnest(regexp_split_to_array(trim(lower(c_nm)), '\s+')) AS blk
+    FROM clean)
+),
+keys AS (
+  SELECT blk FROM (SELECT blk, count(*) AS nd FROM dtok GROUP BY blk) d
+  JOIN (SELECT blk, count(*) AS nc FROM ctok GROUP BY blk) c USING (blk)
+  WHERE nd + nc <= 10000
+),
+cand AS (
+  SELECT DISTINCT d_id, d_nm, c_id, c_nm
+  FROM (SELECT * FROM dtok JOIN keys USING (blk)) d
+  JOIN (SELECT * FROM ctok JOIN keys USING (blk)) c USING (blk)
+),
+ver AS (
+  SELECT d_id, d_nm, c_id, c_nm, levenshtein(d_nm, c_nm) AS distance
+  FROM cand WHERE levenshtein(d_nm, c_nm) <= 2
+)
+SELECT d_id AS dirty_id, d_nm AS dirty_nm, c_id AS clean_id,
+       c_nm AS clean_nm, CAST(distance AS BIGINT) AS distance
+FROM (SELECT *, row_number() OVER (PARTITION BY d_id
+                                   ORDER BY distance, c_id) AS rn
+      FROM ver)
+WHERE rn = 1
+""")
+def fuzzy_link_blocked(spark, sf_dir):
+    """Record linkage: every part name with one deterministically
+    md5-chosen character deleted (the 'dirty' feed) is matched back to
+    the canonical catalog by token blocking + levenshtein <= 2, best
+    match = (min distance, min id) — the entity-resolution pass a
+    training pipeline runs on crawl metadata (authors, domains,
+    licenses) before joining it. Edit distances are exact integers on
+    both engines (operators/linkage.token_blocked_link)."""
+    from ahnlich_spark.operators.linkage import token_blocked_link
+
+    parts = _t(spark, sf_dir, "part")
+    clean = parts.select(F.col("p_partkey").alias("id"), F.col("p_name").alias("nm"))
+    pos = (
+        F.conv(
+            F.substring(F.md5(F.col("p_partkey").cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        % F.length("p_name")
+    ).cast("int")
+    dirty = (
+        parts.filter(F.col("p_partkey") % 3 == 0)
+        .select("p_partkey", "p_name", pos.alias("_pos"))
+        .select(
+            F.col("p_partkey").alias("id"),
+            F.concat(
+                F.substring(F.col("p_name"), F.lit(1), F.col("_pos")),
+                F.substring(F.col("p_name"), F.col("_pos") + 2, F.lit(1000)),
+            ).alias("nm"),
+        )
+    )
+    return token_blocked_link(dirty, clean, max_distance=2)
+
+
 # ------------------------------------------------------------- entry --
 
 def flagship(spark: SparkSession) -> DataFrame:

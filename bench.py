@@ -174,6 +174,7 @@ BENCH_QUERIES = [
     "streaming_hll_distinct",
     # round 5 additions
     "bloom_membership",
+    "fuzzy_link_blocked",
 ]
 
 
