@@ -7399,6 +7399,56 @@ def fuzzy_link_blocked(spark, sf_dir):
     return token_blocked_link(dirty, clean, max_distance=2)
 
 
+@register("streaming_heavy_hitters", """
+WITH toks AS (
+  SELECT lower(t) AS value
+  FROM documents, unnest(regexp_split_to_array(trim(text), '\\s+')) AS u(t)
+  WHERE trim(text) <> ''
+)
+SELECT value, CAST(count(*) AS BIGINT) AS cnt
+FROM toks GROUP BY value ORDER BY cnt DESC, value LIMIT 20
+""")
+def streaming_heavy_hitters_gate(spark, sf_dir):
+    """Live frequency-head monitoring: the corpus's lowercase tokens
+    stream in two ORDERED micro-batches folding into a driver-side
+    Misra-Gries counter (O(capacity) state); drain_topk then counts the
+    candidates exactly over the accumulated corpus under the
+    N/(capacity+1) certificate — so the streamed answer must equal the
+    exhaustive batch GROUP BY top-20, the oracle here
+    (streaming/pipeline.streaming_heavy_hitters)."""
+    import glob
+    import time
+
+    from ahnlich_spark.streaming.pipeline import streaming_heavy_hitters
+
+    docs = _t(spark, sf_dir, "documents")
+    terms = docs.select(
+        F.explode(X.tokens(F.col("text"))).alias("tok"), "doc_id"
+    ).select(F.lower(F.col("tok")).alias("value"), "doc_id")
+    src = tempfile.mkdtemp(prefix="ahnlich_shh_")
+    a_dir, b_dir = os.path.join(src, "a"), os.path.join(src, "b")
+    terms.filter(F.col("doc_id") % 2 == 0).select("value").coalesce(1).write.parquet(a_dir)
+    terms.filter(F.col("doc_id") % 2 != 0).select("value").coalesce(1).write.parquet(b_dir)
+    watch = os.path.join(src, "watch")
+    os.makedirs(watch)
+    fa = glob.glob(os.path.join(a_dir, "part-*.parquet"))[0]
+    fb = glob.glob(os.path.join(b_dir, "part-*.parquet"))[0]
+    now = time.time()
+    os.utime(fa, (now - 60, now - 60))
+    os.utime(fb, (now, now))
+    os.symlink(fa, os.path.join(watch, "batch-a.parquet"))
+    os.symlink(fb, os.path.join(watch, "batch-b.parquet"))
+    stream = (
+        spark.readStream.schema("value string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(watch)
+    )
+    q, _counter, drain_topk = streaming_heavy_hitters(stream, "value", capacity=64)
+    q.processAllAvailable()
+    q.stop()
+    return drain_topk(terms.select("value"), k=20)
+
+
 # ------------------------------------------------------------- entry --
 
 def flagship(spark: SparkSession) -> DataFrame:

@@ -51,6 +51,7 @@ __all__ = [
     "mg_summary_merge",
     "heavy_hitter_candidates",
     "heavy_hitters",
+    "certified_topk",
     "kmv_distinct",
     "kmv_minima",
     "kmv_hash",
@@ -242,6 +243,38 @@ def heavy_hitters(
         cand = merged.filter(F.col("value").isNotNull()).select("value")
     else:
         cand = summaries.filter(F.col("value").isNotNull()).select("value").distinct()
+    if verify:
+        stats = summaries.agg(
+            F.sum("part_rows").alias("n"), F.max("pruned").alias("pruned")
+        ).first()
+        total = stats["n"] or 0
+        any_pruned = bool(stats["pruned"])
+        if merged is not None:
+            any_pruned = any_pruned or bool(
+                merged.agg(F.max("pruned")).first()[0]
+            )
+    else:
+        total, any_pruned = 0, True
+    return certified_topk(
+        df, value_col, cand, k, capacity, total, any_pruned, verify
+    )
+
+
+def certified_topk(
+    df: DataFrame,
+    value_col: str,
+    cand: DataFrame,
+    k: int,
+    capacity: int,
+    total: int,
+    any_pruned: bool,
+    verify: bool,
+) -> DataFrame:
+    """Pass 2 + certificate, shared by batch ``heavy_hitters`` and the
+    streaming fold: exact counts of ONLY the candidate values (one
+    semi-joined aggregation — the shuffle carries candidates, never the
+    vocabulary), top-k by (cnt desc, value asc), then the exactness
+    certificate against the non-candidate ceiling N/(capacity+1)."""
     src = df.select(F.col(value_col).cast("string").alias("value"))
     exact = (
         src.join(F.broadcast(cand), "value", "left_semi")
@@ -252,15 +285,6 @@ def heavy_hitters(
     if not verify:
         return top
     rows = top.collect()
-    stats = summaries.agg(
-        F.sum("part_rows").alias("n"), F.max("pruned").alias("pruned")
-    ).first()
-    total = stats["n"] or 0
-    any_pruned = bool(stats["pruned"])
-    if merged is not None:
-        any_pruned = any_pruned or bool(
-            merged.agg(F.max("pruned")).first()[0]
-        )
     ceiling = total / (capacity + 1)
     # no partition ever reduced its summary -> candidates == all distinct
     # values and the top-k is unconditionally the exhaustive answer;

@@ -638,3 +638,67 @@ def streaming_histogram_quantiles(
 
     q = value_stream.writeStream.foreachBatch(_sink).outputMode("update").start()
     return q, drain, drain_summary
+
+
+def streaming_heavy_hitters(
+    value_stream: DataFrame,
+    value_col: str,
+    capacity: int = 4096,
+    initial_counter: Optional[dict] = None,
+):
+    """Live frequency-head monitoring: each micro-batch's per-partition
+    Misra-Gries summaries (bounded collect: <= capacity x batch
+    partitions rows) FOLD into a driver-side MG counter of at most
+    ``capacity`` entries — the mergeable-summaries property, so after
+    any prefix of batches every value with global count >
+    N/(capacity+1) is guaranteed present in the counter (superset, like
+    the batch pass 1).
+
+    MG *estimates* are fold-order-dependent, so the counter itself is
+    monitoring signal, not an answer. ``drain_topk(corpus_df, k)`` is
+    the answer path: exact counts of the candidate set over the
+    accumulated corpus plus the N/(capacity+1) certificate — the
+    deployment where a stream maintains candidates continuously and a
+    periodic batch job certifies the exact head
+    (operators/sketches.certified_topk; N and the pruned flag come from
+    the stream's own accounting, so the certificate is against the
+    streamed row count).
+
+    State is O(capacity) Python entries — driver-bounded by design;
+    persist ``drain_counter()`` and re-seed ``initial_counter`` across
+    sessions (not Spark-checkpoint-safe, like the other folds here).
+
+    Returns ``(query, drain_counter, drain_topk)``.
+    """
+    from ahnlich_spark.operators import sketches as SK
+
+    state = {
+        "counter": dict(initial_counter) if initial_counter else {},
+        "n": 0,
+        "pruned": False,
+    }
+
+    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+        summ = SK.heavy_hitter_candidates(batch_df, value_col, capacity).collect()
+        state["n"] += sum(r["part_rows"] for r in summ)
+        state["pruned"] = state["pruned"] or any(r["pruned"] for r in summ)
+        live = [(r["value"], r["mg_est"]) for r in summ if r["value"] is not None]
+        before = len(set(state["counter"]).union(v for v, _ in live))
+        state["counter"] = SK.mg_summary_merge(state["counter"], live, capacity)
+        state["pruned"] = state["pruned"] or len(state["counter"]) < before
+
+    def drain_counter() -> dict:
+        return dict(state["counter"])
+
+    def drain_topk(corpus_df: DataFrame, k: int, verify: bool = True) -> DataFrame:
+        spark = corpus_df.sparkSession
+        cand = spark.createDataFrame(
+            [(v,) for v in state["counter"]], "value string"
+        )
+        return SK.certified_topk(
+            corpus_df.select(F.col(value_col).cast("string").alias("value")),
+            "value", cand, k, capacity, state["n"], state["pruned"], verify,
+        )
+
+    q = value_stream.writeStream.foreachBatch(_sink).outputMode("update").start()
+    return q, drain_counter, drain_topk

@@ -175,6 +175,7 @@ BENCH_QUERIES = [
     # round 5 additions
     "bloom_membership",
     "fuzzy_link_blocked",
+    "streaming_heavy_hitters",
 ]
 
 

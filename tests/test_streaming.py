@@ -680,3 +680,83 @@ def test_streaming_hll_fold_matches_batch(spark, tmp_path):
     )
     assert got == want and len(got) == 3
     assert drain_registers().count() <= 3 * 256
+
+
+# --------------------------------------- streaming heavy hitters --
+
+def test_streaming_heavy_hitters_matches_batch(spark, tmp_path):
+    """The streamed MG fold's certified top-k equals both the batch
+    heavy_hitters answer and the exhaustive groupBy, with genuine
+    pruning (capacity << distinct) and order-sensitive fold state."""
+    import glob
+    import os
+    import time
+
+    from ahnlich_spark.operators.sketches import heavy_hitters
+    from ahnlich_spark.streaming.pipeline import streaming_heavy_hitters
+
+    rows = (
+        [(f"hot_{i}",) for i in range(5) for _ in range(300 - 40 * i)]
+        + [(f"tail_{i}",) for i in range(2000)]
+    )
+    df = spark.createDataFrame(rows, "value string")
+    a_dir, b_dir = str(tmp_path / "a"), str(tmp_path / "b")
+    df.filter(F.length("value") % 2 == 0).coalesce(1).write.parquet(a_dir)
+    df.filter(F.length("value") % 2 != 0).coalesce(1).write.parquet(b_dir)
+    watch = str(tmp_path / "watch")
+    os.makedirs(watch)
+    fa = glob.glob(os.path.join(a_dir, "part-*.parquet"))[0]
+    fb = glob.glob(os.path.join(b_dir, "part-*.parquet"))[0]
+    now = time.time()
+    os.utime(fa, (now - 60, now - 60))
+    os.utime(fb, (now, now))
+    os.symlink(fa, os.path.join(watch, "x.parquet"))
+    os.symlink(fb, os.path.join(watch, "y.parquet"))
+    stream = (
+        spark.readStream.schema("value string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(watch)
+    )
+    q, drain_counter, drain_topk = streaming_heavy_hitters(stream, "value", capacity=32)
+    q.processAllAvailable()
+    q.stop()
+    counter = drain_counter()
+    assert 0 < len(counter) <= 32
+    assert {f"hot_{i}" for i in range(5)} <= set(counter)  # superset guarantee
+    got = [(r["value"], r["cnt"]) for r in drain_topk(df, k=5).collect()]
+    want_batch = [(r["value"], r["cnt"])
+                  for r in heavy_hitters(df, "value", k=5, capacity=32).collect()]
+    want_full = [(r["value"], r["cnt"]) for r in
+                 df.groupBy("value").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+                 .orderBy(F.desc("cnt"), F.asc("value")).limit(5).collect()]
+    assert got == want_batch == want_full
+
+
+def test_streaming_heavy_hitters_uncertifiable_raises(spark, tmp_path):
+    """Flat stream through a tiny capacity: drain_topk(verify=True)
+    must refuse rather than return an unproven head."""
+    import glob
+    import os
+
+    import pytest as _pytest
+
+    from ahnlich_spark.streaming.pipeline import streaming_heavy_hitters
+
+    df = spark.createDataFrame(
+        [(f"v{i}",) for i in range(500) for _ in range(2)], "value string"
+    )
+    d = str(tmp_path / "flat")
+    df.coalesce(1).write.parquet(d)
+    watch = str(tmp_path / "w2")
+    os.makedirs(watch)
+    os.symlink(glob.glob(os.path.join(d, "part-*.parquet"))[0],
+               os.path.join(watch, "a.parquet"))
+    stream = spark.readStream.schema("value string").parquet(watch)
+    q, _c, drain_topk = streaming_heavy_hitters(stream, "value", capacity=8)
+    q.processAllAvailable()
+    q.stop()
+    with _pytest.raises(ValueError, match="capacity >= "):
+        drain_topk(df, k=5)
+    # unverified drain returns whatever candidates survived — on a
+    # perfectly flat stream MG can legitimately cancel to nothing
+    assert drain_topk(df, k=5, verify=False).count() <= 5
