@@ -7449,6 +7449,48 @@ def streaming_heavy_hitters_gate(spark, sf_dir):
     return drain_topk(terms.select("value"), k=20)
 
 
+@register("graph_link_prediction", f"""
+WITH {_SHINGLES_SQL},
+{_MINHASH_BANDS_SQL},
+{_VERIFIED_PAIRS_SQL},
+und AS (
+  SELECT DISTINCT least(i, j) AS a, greatest(i, j) AS b FROM pairs WHERE i <> j
+),
+nbr AS (SELECT a AS n, b AS z FROM und UNION ALL SELECT b AS n, a AS z FROM und),
+deg AS (SELECT z AS zz, count(*) AS deg FROM nbr GROUP BY z),
+wz AS (
+  SELECT zz, CAST(round(1000000.0 / ln(deg)) AS BIGINT) AS w_e6
+  FROM deg WHERE deg >= 2 AND deg <= 10000
+),
+nz AS (SELECT n, z, w_e6 FROM nbr JOIN wz ON nbr.z = wz.zz),
+wedges AS (
+  SELECT l.n AS a, r.n AS b,
+         CAST(count(*) AS BIGINT) AS n_common,
+         CAST(sum(l.w_e6) AS BIGINT) AS aa_e6
+  FROM nz l JOIN nz r ON l.z = r.z AND l.n < r.n
+  GROUP BY 1, 2
+),
+fresh AS (
+  SELECT w.* FROM wedges w
+  WHERE NOT EXISTS (SELECT 1 FROM und WHERE und.a = w.a AND und.b = w.b)
+)
+SELECT a, b, n_common, aa_e6 FROM fresh
+ORDER BY aa_e6 DESC, n_common DESC, a, b LIMIT 100
+""")
+def graph_link_prediction(spark, sf_dir):
+    """Friends-of-friends link prediction on the near-dup graph:
+    non-adjacent doc pairs sharing near-dup neighbors, ranked by
+    Adamic-Adar — the transitive-duplicate candidates an LSH threshold
+    just missed (raise recall without lowering the threshold
+    corpus-wide). Hub neighbors above the degree cap are excluded up
+    front — the quadratic-wedge guard
+    (operators/graph.adamic_adar_links)."""
+    from ahnlich_spark.operators.graph import adamic_adar_links
+
+    pairs = D.minhash_lsh_dedup_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+    return adamic_adar_links(pairs, top_n=100, src_col="i", dst_col="j")
+
+
 # ------------------------------------------------------------- entry --
 
 def flagship(spark: SparkSession) -> DataFrame:

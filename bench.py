@@ -176,6 +176,7 @@ BENCH_QUERIES = [
     "bloom_membership",
     "fuzzy_link_blocked",
     "streaming_heavy_hitters",
+    "graph_link_prediction",
 ]
 
 
