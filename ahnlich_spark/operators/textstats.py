@@ -708,3 +708,56 @@ def phrase_match(postings: DataFrame, phrases) -> DataFrame:
         ).select(F.lit(phrase).alias("phrase"), "doc_id", "n_occ")
         out = hit if out is None else out.unionByName(hit)
     return out
+
+
+def hashed_tf_vectors(
+    df: DataFrame,
+    dim: int = 1 << 18,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    signed: bool = True,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Feature hashing ("the hashing trick", Weinberger et al., ICML
+    2009): every token maps to bucket ``md5(tok) % dim``; per-document
+    bucket values are SIGNED term-frequency sums (a second md5 bit
+    gives each token +-1, so colliding tokens cancel in expectation
+    instead of biasing upward). The fixed-dimension text featurizer of
+    large-scale linear models — no vocabulary table, no fit pass, any
+    engine reproduces the exact same buckets.
+
+    Returns SPARSE rows (doc_id, bucket, tf) — zero buckets absent, tf
+    an exact BIGINT. Densify per consumer if a model needs arrays; the
+    sparse form is what survives 100 TB (a dense dim-wide array per doc
+    multiplies the corpus by dim/avg_tokens).
+
+    Scale shape: tokenize + bucket/sign hashing is scan-local; the ONE
+    aggregation keys (doc, bucket) with map-side combine — output rows
+    are min(tokens, dim) per doc. No vocabulary ever crosses the wire
+    (contrast ``vocab_table``/``tfidf_top_terms``, which shuffle terms)."""
+    if dim < 2:
+        raise ValueError("dim must be >= 2")
+    src = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(X.tokens(src)).alias("tok")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+        % int(dim)
+    )
+    if signed:
+        sign_bit = (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("sg|"), F.col("tok"))), 1, 15),
+                16, 10,
+            ).cast("long") % 2
+        )
+        val = F.lit(1) - 2 * sign_bit  # 0 -> +1, 1 -> -1
+    else:
+        val = F.lit(1)
+    return (
+        toks.select("doc_id", bucket.alias("bucket"), val.cast("long").alias("_v"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("_v").cast("long").alias("tf"))
+        .filter(F.col("tf") != 0)
+    )
