@@ -566,19 +566,26 @@ def _ai_inputs(cur: _Cursor) -> Tuple[StoreInput, ...]:
 
 def _stmt_end(text: str, start: int) -> int:
     """Index of the ``;`` that terminates the statement beginning at
-    ``start``, or -1. A ``;`` inside an open ``(``/``[``/``{`` context
-    does NOT terminate: the reference grammar's raw_string
+    ``start``, or -1. A ``;`` inside an open ``(``/``[`` context does
+    NOT terminate: the reference grammar's raw_string
     (syntax.pest:147) excludes only ``,[()]}``, so every position where
     a raw string may appear (metadata values, predicate values) is
     bracketed and a ``;`` there is literal content, consumed by pest's
-    greedy statement match. Depth never goes negative — a stray closer
-    at depth 0 stays at depth 0, so a following ``;`` still splits."""
+    greedy statement match. Only ``(`` and ``[`` open depth: they are
+    the two openers whose closers are excluded from raw_string along
+    with themselves. ``{`` is LEGAL raw-string content (it is absent
+    from the exclusion set), so counting it as an opener would make an
+    unmatched ``{`` inside a bracketed value swallow the following
+    ``;`` — the reference would still split there. ``}`` closes
+    nothing here for the same reason (it only ever pairs with a ``{``
+    we never counted). Depth never goes negative — a stray closer at
+    depth 0 stays at depth 0, so a following ``;`` still splits."""
     depth = 0
     for j in range(start, len(text)):
         c = text[j]
-        if c in "([{":
+        if c in "([":
             depth += 1
-        elif c in ")]}":
+        elif c in ")]":
             if depth > 0:
                 depth -= 1
         elif c == ";" and depth == 0:

@@ -109,13 +109,28 @@ def semantic_contaminated(
 
     if precision not in ("double", "float"):
         raise ValueError(f"precision must be double|float, got {precision!r}")
-    bench_rows = benchmark.select(F.col(id_col), F.col(vec_col)).collect()
+    # NULL vectors are not hits (the old broadcast-nested-loop plan
+    # evaluated a null cosine and emitted nothing) — filter them BEFORE
+    # densifying, on both sides, so they can't poison the np.array
+    # build; ragged lengths get a clear error instead of an opaque
+    # executor numpy failure.
+    bench_rows = (
+        benchmark.select(F.col(id_col), F.col(vec_col))
+        .filter(F.col(vec_col).isNotNull())
+        .collect()
+    )
     spark = corpus.sparkSession
     id_type = corpus.schema[id_col].dataType.simpleString()
     cos_type = "double" if precision == "double" else "float"
     out_schema = f"{id_col} {id_type}, n_hits long, max_cos {cos_type}"
     if not bench_rows:
         return spark.createDataFrame([], out_schema)
+    dims = {len(r[1]) for r in bench_rows}
+    if len(dims) != 1:
+        raise ValueError(
+            f"benchmark vectors must share one dimension, got {sorted(dims)}"
+        )
+    dim = dims.pop()
     B = np.array([list(r[1]) for r in bench_rows], dtype=np.float64)
     Bn64 = np.sqrt((B * B).sum(axis=1))
     # exact fold error vs float64 GEMM: ~d*eps per accumulator — 1e-6
@@ -149,6 +164,14 @@ def semantic_contaminated(
             vecs = pdf[vec_col].tolist()
             if not vecs:
                 continue
+            lens = {len(v) for v in vecs}
+            if lens != {dim}:
+                # checked BEFORE np.array: ragged lists would otherwise
+                # die inside numpy with an inhomogeneous-shape error
+                raise ValueError(
+                    f"corpus vectors must all have the benchmark "
+                    f"dimension {dim}; got lengths {sorted(lens)}"
+                )
             V = np.array(vecs, dtype=np.float64)
             Vn = np.sqrt((V * V).sum(axis=1))
             denom = np.outer(Vn, Bn64)
@@ -176,6 +199,11 @@ def semantic_contaminated(
                     {id_col: out_ids, "n_hits": out_n, "max_cos": out_max}
                 )
 
-    return corpus.select(F.col(id_col), F.col(vec_col)).mapInPandas(
-        _scan, out_schema
+    return (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        # null vectors are not hits (old BNLJ plan: null cosine, no
+        # row) — drop them JVM-side so the dense batch build never
+        # sees them
+        .filter(F.col(vec_col).isNotNull())
+        .mapInPandas(_scan, out_schema)
     )

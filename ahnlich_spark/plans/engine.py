@@ -1864,11 +1864,21 @@ class Engine:
         if not is_df:
             self._check_dims(meta, [v for _pid, v in probes])
             return len(probes)
-        kcol = F.col(probes.columns[1])
+        # the documented probe contract is (qid, qkey); fall back to
+        # position only for undocumented frames. NULL keys must count
+        # as bad: under ANSI mode size(NULL) is NULL, so a plain
+        # size != dim predicate would silently pass a null probe row
+        # and fail later as the opaque executor error this check
+        # exists to eliminate (legacy mode's size(NULL) = -1 only
+        # caught it by accident).
+        kname = "qkey" if "qkey" in probes.columns else probes.columns[1]
+        kcol = F.col(kname)
         row = probes.agg(
             F.count(F.lit(1)).alias("n"),
             F.count(
-                F.when(F.size(kcol) != int(meta.dimension), 1)
+                F.when(
+                    kcol.isNull() | (F.size(kcol) != int(meta.dimension)), 1
+                )
             ).alias("bad"),
         ).collect()[0]
         if row["bad"]:

@@ -423,11 +423,17 @@ def test_batch_planning_dim_check_threshold_invariant(indexed_engine, spark):
     eng = indexed_engine
     bad_rows = [(0, VECS[0].tolist()), (1, VECS[1].tolist() + [0.0])]
     bad_df = spark.createDataFrame(bad_rows, "qid long, qkey array<float>")
+    # a NULL probe key must be flagged too: under ANSI mode
+    # size(NULL) is NULL, so a bare size != dim predicate would pass
+    # the row silently and die later inside the executor
+    null_df = spark.createDataFrame(
+        [(0, VECS[0].tolist()), (1, None)], "qid long, qkey array<float>"
+    )
     for algo in ("hnsw", "ivf"):
         for thresh in (10_000, 1):
             eng.BATCH_PLAN_THRESHOLD = thresh
             try:
-                for probes in (bad_rows, bad_df):
+                for probes in (bad_rows, bad_df, null_df):
                     with pytest.raises(errors.DimensionMismatch):
                         eng.get_sim_n_batch("vecs", probes, closest_n=3,
                                             algorithm=algo)

@@ -371,6 +371,14 @@ DB_GOLDEN += [
      "GETPRED (note = a;b) in s; PING",
      [ops.GetPred(store="s", condition=Equals("note", MV("a;b"))),
       ops.Ping()]),
+    # '{' is legal raw-string content (absent from the ,[()]} exclusion
+    # set) and must NOT open a bracket context: an unmatched '{' inside
+    # a predicate value cannot swallow the next ';' — pest still splits
+    # two statements here.
+    ("raw_string_open_brace",
+     "GETPRED (note = a{b) in s; PING",
+     [ops.GetPred(store="s", condition=Equals("note", MV("a{b"))),
+      ops.Ping()]),
 ]
 DB_ERRORS += [
     # f32 fails at 'a'; invalid_statement eats up to the bracketed ';'

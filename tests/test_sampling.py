@@ -268,6 +268,42 @@ def test_semantic_contaminated_hits_and_scope(spark):
     assert got[4][0] == 2                 # hit both benchmark vectors
 
 
+def test_semantic_contaminated_null_and_ragged_vectors(spark):
+    """NULL vectors on either side are not hits (the old BNLJ plan
+    evaluated a null cosine and emitted nothing — the dense-GEMM path
+    must not crash on them); ragged lengths raise a clear ValueError
+    instead of an opaque executor numpy failure."""
+    import pytest
+
+    from ahnlich_spark.operators.contamination import semantic_contaminated
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, None), (3, [0.9, 0.1, 0.0])],
+        "id long, key array<double>",
+    )
+    bench = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0]), (101, None)],
+        "id long, key array<double>",
+    )
+    got = {r["id"] for r in
+           semantic_contaminated(corpus, bench, threshold=0.6).collect()}
+    assert got == {1, 3}  # the null corpus row is silently not a hit
+    # ragged benchmark: caught at the driver with a clear message
+    ragged_bench = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0]), (101, [1.0, 0.0])],
+        "id long, key array<double>",
+    )
+    with pytest.raises(ValueError, match="share one dimension"):
+        semantic_contaminated(corpus, ragged_bench, threshold=0.6)
+    # ragged corpus: caught in the scan with a clear message
+    ragged_corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [1.0, 0.0])],
+        "id long, key array<double>",
+    )
+    with pytest.raises(Exception, match="benchmark\\s+dimension"):
+        semantic_contaminated(ragged_corpus, bench, threshold=0.6).collect()
+
+
 def test_semantic_contaminated_zero_shuffle_and_exact(spark):
     """The GEMM-prefilter path is ONE mapInPandas over the corpus —
     no join, no exchange: each row's (n_hits, max_cos) completes inside
