@@ -7334,47 +7334,74 @@ dirty AS (
                  % length(p_name) AS pos
         FROM part WHERE p_partkey % 3 = 0)
 ),
+-- dedupe-before-compare: blocking + levenshtein run on DISTINCT
+-- NAMES; a clean name is represented by its minimum id (the
+-- (distance, clean_id) tie-break resolves to it); winners join back
+-- to dirty records by name at the end
+dn AS (SELECT DISTINCT d_nm FROM dirty),
+cn AS (SELECT c_nm, min(c_id) AS rep_id FROM clean GROUP BY c_nm),
+dtok0 AS (
+  SELECT DISTINCT d_nm, d_len, tok FROM (
+    SELECT d_nm, length(d_nm) AS d_len,
+           unnest(regexp_split_to_array(trim(lower(d_nm)), '\s+')) AS tok
+    FROM dn)
+),
 dtok AS (
-  SELECT DISTINCT d_id, d_nm, blk FROM (
-    SELECT d_id, d_nm,
-           unnest(regexp_split_to_array(trim(lower(d_nm)), '\s+')) AS blk
-    FROM dirty)
+  -- composite (token, length-bucket) keys, bucket width = max_distance
+  -- = 2; the dirty (probe) side emits the 3 adjacent buckets so the
+  -- composite blocking is lossless vs plain token blocking
+  SELECT d_nm, d_len, tok, (d_len // 2) + off AS lb
+  FROM dtok0, (VALUES (-1), (0), (1)) offs(off)
+  WHERE (d_len // 2) + off >= 0
 ),
 ctok AS (
-  SELECT DISTINCT c_id, c_nm, blk FROM (
-    SELECT c_id, c_nm,
-           unnest(regexp_split_to_array(trim(lower(c_nm)), '\s+')) AS blk
-    FROM clean)
+  SELECT DISTINCT c_nm, c_len, tok, c_len // 2 AS lb FROM (
+    SELECT c_nm, length(c_nm) AS c_len,
+           unnest(regexp_split_to_array(trim(lower(c_nm)), '\s+')) AS tok
+    FROM cn)
 ),
 keys AS (
-  SELECT blk FROM (SELECT blk, count(*) AS nd FROM dtok GROUP BY blk) d
-  JOIN (SELECT blk, count(*) AS nc FROM ctok GROUP BY blk) c USING (blk)
+  SELECT tok, lb FROM
+    (SELECT tok, lb, count(*) AS nd FROM dtok GROUP BY tok, lb) d
+  JOIN (SELECT tok, lb, count(*) AS nc FROM ctok GROUP BY tok, lb) c
+    USING (tok, lb)
   WHERE nd + nc <= 10000
 ),
 cand AS (
-  SELECT DISTINCT d_id, d_nm, c_id, c_nm
-  FROM (SELECT * FROM dtok JOIN keys USING (blk)) d
-  JOIN (SELECT * FROM ctok JOIN keys USING (blk)) c USING (blk)
+  SELECT DISTINCT dk.d_nm, ck.c_nm
+  FROM (SELECT dtok.* FROM dtok JOIN keys USING (tok, lb)) dk
+  JOIN (SELECT ctok.* FROM ctok JOIN keys USING (tok, lb)) ck
+    ON dk.tok = ck.tok AND dk.lb = ck.lb
+  WHERE abs(dk.d_len - ck.c_len) <= 2
 ),
 ver AS (
-  SELECT d_id, d_nm, c_id, c_nm, levenshtein(d_nm, c_nm) AS distance
-  FROM cand WHERE levenshtein(d_nm, c_nm) <= 2
+  SELECT cand.d_nm, cand.c_nm, cn.rep_id,
+         levenshtein(cand.d_nm, cand.c_nm) AS distance
+  FROM cand JOIN cn USING (c_nm)
+  WHERE levenshtein(cand.d_nm, cand.c_nm) <= 2
+),
+best AS (
+  SELECT d_nm, c_nm, rep_id, distance
+  FROM (SELECT *, row_number() OVER (PARTITION BY d_nm
+                                     ORDER BY distance, rep_id) AS rn
+        FROM ver)
+  WHERE rn = 1
 )
-SELECT d_id AS dirty_id, d_nm AS dirty_nm, c_id AS clean_id,
-       c_nm AS clean_nm, CAST(distance AS BIGINT) AS distance
-FROM (SELECT *, row_number() OVER (PARTITION BY d_id
-                                   ORDER BY distance, c_id) AS rn
-      FROM ver)
-WHERE rn = 1
+SELECT dirty.d_id AS dirty_id, dirty.d_nm AS dirty_nm,
+       best.rep_id AS clean_id, best.c_nm AS clean_nm,
+       CAST(best.distance AS BIGINT) AS distance
+FROM dirty JOIN best USING (d_nm)
 """)
 def fuzzy_link_blocked(spark, sf_dir):
     """Record linkage: every part name with one deterministically
     md5-chosen character deleted (the 'dirty' feed) is matched back to
-    the canonical catalog by token blocking + levenshtein <= 2, best
-    match = (min distance, min id) — the entity-resolution pass a
-    training pipeline runs on crawl metadata (authors, domains,
-    licenses) before joining it. Edit distances are exact integers on
-    both engines (operators/linkage.token_blocked_link)."""
+    the canonical catalog by composite (token, length-bucket) blocking
+    + levenshtein <= 2 over DISTINCT NAMES (dedupe-before-compare:
+    the string-level join is constant in corpus size), best match =
+    (min distance, min id) — the entity-resolution pass a training
+    pipeline runs on crawl metadata (authors, domains, licenses)
+    before joining it. Edit distances are exact integers on both
+    engines (operators/linkage.token_blocked_link)."""
     from ahnlich_spark.operators.linkage import token_blocked_link
 
     parts = _t(spark, sf_dir, "part")
@@ -7397,6 +7424,96 @@ def fuzzy_link_blocked(spark, sf_dir):
         )
     )
     return token_blocked_link(dirty, clean, max_distance=2)
+
+
+@register("fuzzy_link_dropped_blocks", r"""
+WITH clean AS (SELECT p_partkey AS c_id, p_name AS c_nm FROM part),
+dirty AS (
+  SELECT p_partkey AS d_id,
+         concat(substring(p_name, 1, pos),
+                substring(p_name, pos + 2, 1000)) AS d_nm
+  FROM (SELECT p_partkey, p_name,
+               ('0x' || substring(md5(p_partkey::VARCHAR), 1, 15))::BIGINT
+                 % length(p_name) AS pos
+        FROM part WHERE p_partkey % 3 = 0)
+),
+dn AS (SELECT DISTINCT d_nm FROM dirty),
+cn AS (SELECT DISTINCT c_nm FROM clean),
+dtok0 AS (
+  SELECT DISTINCT d_nm, d_len, tok FROM (
+    SELECT d_nm, length(d_nm) AS d_len,
+           unnest(regexp_split_to_array(trim(lower(d_nm)), '\s+')) AS tok
+    FROM dn)
+),
+dtok AS (
+  SELECT d_nm, d_len, tok, (d_len // 2) + off AS lb
+  FROM dtok0, (VALUES (-1), (0), (1)) offs(off)
+  WHERE (d_len // 2) + off >= 0
+),
+ctok AS (
+  SELECT DISTINCT c_nm, c_len, tok, c_len // 2 AS lb FROM (
+    SELECT c_nm, length(c_nm) AS c_len,
+           unnest(regexp_split_to_array(trim(lower(c_nm)), '\s+')) AS tok
+    FROM cn)
+),
+sizes AS (
+  SELECT tok, lb, nd, nc FROM
+    (SELECT tok, lb, count(*) AS nd FROM dtok GROUP BY tok, lb) d
+  JOIN (SELECT tok, lb, count(*) AS nc FROM ctok GROUP BY tok, lb) c
+    USING (tok, lb)
+),
+dropped AS (SELECT * FROM sizes WHERE nd + nc > 25),
+kept AS (SELECT tok, lb FROM sizes WHERE nd + nc <= 25),
+had AS (SELECT DISTINCT d_nm FROM dtok JOIN sizes USING (tok, lb)),
+sur AS (SELECT DISTINCT d_nm FROM dtok JOIN kept USING (tok, lb)),
+blockednm AS (
+  SELECT had.d_nm FROM had LEFT JOIN sur ON had.d_nm = sur.d_nm
+  WHERE sur.d_nm IS NULL
+),
+agg AS (
+  SELECT count(*) AS n_dropped_keys,
+         coalesce(sum(nd), 0) AS ddn,
+         coalesce(sum(nc), 0) AS dcn
+  FROM dropped
+),
+fb AS (
+  SELECT count(*) AS nfb FROM dirty JOIN blockednm USING (d_nm)
+)
+SELECT CAST(n_dropped_keys AS BIGINT) AS n_dropped_keys,
+       CAST(ddn AS BIGINT) AS dropped_dirty_names,
+       CAST(dcn AS BIGINT) AS dropped_clean_names,
+       CAST(nfb AS BIGINT) AS fully_blocked_dirty
+FROM agg, fb
+""")
+def fuzzy_link_dropped_blocks(spark, sf_dir):
+    """The blocking cap's accounting row: how many composite keys a
+    deliberately tight max_block_size=25 drops on the linkage
+    fixture, the distinct names those keys held, and the dirty
+    RECORDS left with no surviving key (the silent-recall-cliff
+    signal the cap used to hide —
+    operators/linkage.dropped_block_stats)."""
+    from ahnlich_spark.operators.linkage import dropped_block_stats
+
+    parts = _t(spark, sf_dir, "part")
+    clean = parts.select(F.col("p_partkey").alias("id"), F.col("p_name").alias("nm"))
+    pos = (
+        F.conv(
+            F.substring(F.md5(F.col("p_partkey").cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        % F.length("p_name")
+    ).cast("int")
+    dirty = (
+        parts.filter(F.col("p_partkey") % 3 == 0)
+        .select("p_partkey", "p_name", pos.alias("_pos"))
+        .select(
+            F.col("p_partkey").alias("id"),
+            F.concat(
+                F.substring(F.col("p_name"), F.lit(1), F.col("_pos")),
+                F.substring(F.col("p_name"), F.col("_pos") + 2, F.lit(1000)),
+            ).alias("nm"),
+        )
+    )
+    return dropped_block_stats(dirty, clean, max_distance=2, max_block_size=25)
 
 
 @register("streaming_heavy_hitters", """

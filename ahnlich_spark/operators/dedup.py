@@ -192,8 +192,10 @@ def drop_hot_buckets(
     return bands.join(F.broadcast(hot), list(key_cols), "left_anti")
 
 
-def _band_table(sig: DataFrame, n_bands: int, rows_per_band: int) -> DataFrame:
-    """(did, band) LSH band keys from a signature table."""
+def _band_table(
+    sig: DataFrame, n_bands: int, rows_per_band: int, extra: tuple = ()
+) -> DataFrame:
+    """(did, [*extra,] band) LSH band keys from a signature table."""
     band_cols = [
         F.concat_ws(
             "|",
@@ -205,7 +207,34 @@ def _band_table(sig: DataFrame, n_bands: int, rows_per_band: int) -> DataFrame:
         )
         for b in range(n_bands)
     ]
-    return sig.select("did", F.explode(F.array(*band_cols)).alias("band"))
+    return sig.select(
+        "did", *extra, F.explode(F.array(*band_cols)).alias("band")
+    )
+
+
+def _sized_band_table(
+    sig: DataFrame,
+    n_bands: int,
+    rows_per_band: int,
+    threshold: float,
+    probe: bool,
+) -> DataFrame:
+    """(did, band, sb) composite (LSH band, Jaccard size bucket) keys
+    — the degenerate-vocabulary guard (operators/blocking): when
+    near-identical short texts collide on every band, the size bucket
+    splits the hot bucket without losing any pair the threshold could
+    accept. The probing side emits the 3 adjacent buckets (size
+    filtering puts a qualifying pair within +-1), the build side one.
+    """
+    from ahnlich_spark.operators.blocking import jaccard_size_bucket
+
+    bt = _band_table(sig, n_bands, rows_per_band, extra=("nsh",))
+    sb = jaccard_size_bucket(F.col("nsh"), threshold)
+    if not probe:
+        return bt.select("did", "band", sb.alias("sb"))
+    return bt.select(
+        "did", "band", F.explode(F.array(sb - 1, sb, sb + 1)).alias("sb")
+    )
 
 
 def _band_candidates(
@@ -272,12 +301,22 @@ def minhash_lsh_incremental_pairs(
     id_col: str = "doc_id",
     max_bucket_size: Optional[int] = None,
     corpus_sig: Optional[DataFrame] = None,
+    size_blocking: bool = False,
 ) -> DataFrame:
     """Incremental near-dup: an incoming BATCH checked against the
     HISTORICAL corpus (and against itself) — the production ingest
     shape. Candidates are batch x corpus and batch x batch band
     collisions only; the corpus is NEVER self-joined, so each ingest
     costs O(batch) shingling + a band join, not a corpus-wide rerun.
+
+    ``size_blocking=True`` composes each band key with a Jaccard size
+    bucket (operators/blocking.jaccard_size_bucket) — the guard for
+    degenerate vocabularies where near-identical short texts collide
+    on every band and one bucket holds the whole corpus. Lossless for
+    the threshold (size filtering: a qualifying pair's shingle counts
+    are within a factor 1/t, i.e. +-1 bucket, and the batch side
+    probes the 3 adjacent buckets); ``max_bucket_size`` then counts
+    per composite key. Opt-in: the default keys are unchanged.
 
     Ids must be disjoint across the two inputs. Returns
     (i, j, j_in_corpus, inter, ni, nj): ``i`` is always a batch doc,
@@ -298,23 +337,34 @@ def minhash_lsh_incremental_pairs(
         corpus_sig = minhash_signature_table(
             corpus_df, n_hashes, shingle_n, text_col, id_col
         )
-    bands_new = _band_table(sig_new, n_bands, rows_per_band).withColumn(
-        "_new", F.lit(1)
-    )
-    bands_old = _band_table(corpus_sig, n_bands, rows_per_band).withColumn(
-        "_new", F.lit(0)
-    )
+    if size_blocking:
+        bands_new = _sized_band_table(
+            sig_new, n_bands, rows_per_band, threshold, probe=True
+        ).withColumn("_new", F.lit(1))
+        bands_old = _sized_band_table(
+            corpus_sig, n_bands, rows_per_band, threshold, probe=False
+        ).withColumn("_new", F.lit(0))
+        key_cols = ("band", "sb")
+    else:
+        bands_new = _band_table(sig_new, n_bands, rows_per_band).withColumn(
+            "_new", F.lit(1)
+        )
+        bands_old = _band_table(corpus_sig, n_bands, rows_per_band).withColumn(
+            "_new", F.lit(0)
+        )
+        key_cols = ("band",)
     bands_all = drop_hot_buckets(
-        bands_new.unionByName(bands_old), ("band",), max_bucket_size
+        bands_new.unionByName(bands_old), key_cols, max_bucket_size
     )
     a = bands_all.filter(F.col("_new") == 1).alias("a")
     b = bands_all.alias("b")
+    join_cond = (F.col("a.band") == F.col("b.band")) & (
+        (F.col("b._new") == 0) | (F.col("a.did") < F.col("b.did"))
+    )
+    if size_blocking:
+        join_cond = join_cond & (F.col("a.sb") == F.col("b.sb"))
     cands = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & ((F.col("b._new") == 0) | (F.col("a.did") < F.col("b.did"))),
-        )
+        a.join(b, join_cond)
         .select(
             F.col("a.did").alias("i"),
             F.col("b.did").alias("j"),

@@ -177,6 +177,8 @@ BENCH_QUERIES = [
     "fuzzy_link_blocked",
     "streaming_heavy_hitters",
     "graph_link_prediction",
+    # round 6 additions
+    "fuzzy_link_dropped_blocks",
 ]
 
 

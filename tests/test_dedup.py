@@ -413,6 +413,90 @@ def test_incremental_pairs_scope(incr_batch, incr_corpus):
     assert (100, 102, 1) not in got and (100, 102, 0) not in got
 
 
+def test_incremental_pairs_size_blocking_identity(incr_batch, incr_corpus):
+    """The composite (band, Jaccard-size-bucket) keys are LOSSLESS for
+    the threshold: the verified result set equals the plain band-key
+    run (size filtering only removes pairs the threshold already
+    excludes)."""
+    base = {
+        tuple(r)
+        for r in D.minhash_lsh_incremental_pairs(
+            incr_batch, incr_corpus, threshold=0.5
+        ).collect()
+    }
+    sized = {
+        tuple(r)
+        for r in D.minhash_lsh_incremental_pairs(
+            incr_batch, incr_corpus, threshold=0.5, size_blocking=True
+        ).collect()
+    }
+    assert base == sized and len(base) >= 3
+
+
+def test_size_blocking_splits_degenerate_vocab_buckets(spark):
+    """The degenerate-vocabulary worst case, distilled: every doc has
+    the IDENTICAL MinHash signature (boilerplate-dominated minima) so
+    plain band keys put the whole corpus in one bucket — but shingle
+    counts spread over orders of magnitude, so the size bucket splits
+    it. Candidate pairs drop sharply; no pair within the threshold's
+    size ratio is lost (probe side covers +-1 bucket)."""
+    cols = "did long, nsh long, " + ", ".join(f"h{i} long" for i in range(16))
+    sig_old = spark.createDataFrame(
+        [tuple([100 + i, 2 ** (i % 9)] + list(range(16))) for i in range(40)],
+        cols,
+    )
+    sig_new = spark.createDataFrame(
+        [tuple([i, 2 ** (i % 9)] + list(range(16))) for i in range(10)],
+        cols,
+    )
+
+    def n_cands(size_blocking):
+        if size_blocking:
+            bn = D._sized_band_table(sig_new, 8, 2, 0.5, probe=True)
+            bo = D._sized_band_table(sig_old, 8, 2, 0.5, probe=False)
+            cond = (F.col("a.band") == F.col("b.band")) & (
+                F.col("a.sb") == F.col("b.sb")
+            )
+        else:
+            bn = D._band_table(sig_new, 8, 2)
+            bo = D._band_table(sig_old, 8, 2)
+            cond = F.col("a.band") == F.col("b.band")
+        a, b = bn.alias("a"), bo.alias("b")
+        return (
+            a.join(b, cond)
+            .select(F.col("a.did"), F.col("b.did").alias("j"))
+            .distinct()
+            .count()
+        )
+
+    plain, sized = n_cands(False), n_cands(True)
+    assert plain == 10 * 40          # one bucket holds everything
+    assert sized < plain / 2, (plain, sized)
+    # losslessness on real text end-to-end is pinned by
+    # test_incremental_pairs_size_blocking_identity; here pin that no
+    # size-compatible pair was cut: every (i, j) with nsh ratio >= 0.5
+    # still collides under the composite keys.
+    bn = D._sized_band_table(sig_new, 8, 2, 0.5, probe=True).alias("a")
+    bo = D._sized_band_table(sig_old, 8, 2, 0.5, probe=False).alias("b")
+    kept = {
+        (r["did"], r["j"])
+        for r in bn.join(
+            bo,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sb") == F.col("b.sb")),
+        )
+        .select(F.col("a.did"), F.col("b.did").alias("j"))
+        .distinct()
+        .collect()
+    }
+    sizes_new = {r["did"]: r["nsh"] for r in sig_new.collect()}
+    sizes_old = {r["did"]: r["nsh"] for r in sig_old.collect()}
+    for i, ni in sizes_new.items():
+        for j, nj in sizes_old.items():
+            if min(ni, nj) * 2 >= max(ni, nj):   # ratio >= threshold 0.5
+                assert (i, j) in kept, (i, j, ni, nj)
+
+
 def test_incremental_pairs_with_persisted_signatures(incr_batch, incr_corpus):
     """Passing the persisted corpus signature artifact must give the
     identical result set (the production path: corpus text is only
