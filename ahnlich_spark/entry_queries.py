@@ -605,7 +605,10 @@ SELECT 2::BIGINT AS pred_created, 0::BIGINT AS pred_recreated,
        1::BIGINT AS store_dropped, 0::BIGINT AS store_drop_missing_ok,
        1::BIGINT AS missing_store_error,
        1::BIGINT AS schema_dropped, 2::BIGINT AS purged,
-       0::BIGINT AS ai_stores_after_purge, 1::BIGINT AS plain_survives_purge
+       0::BIGINT AS ai_stores_after_purge, 1::BIGINT AS plain_survives_purge,
+       1::BIGINT AS clients_initial, 2::BIGINT AS clients_peak,
+       1::BIGINT AS clients_after_close, 1::BIGINT AS max_clients_error,
+       1::BIGINT AS ping_ok, 1::BIGINT AS info_ok
 """)
 def ddl_lifecycle_counts(spark, sf_dir):
     """Every remaining DDL/meta op in ONE lifecycle gate (VERDICT r03
@@ -613,7 +616,10 @@ def ddl_lifecycle_counts(spark, sf_dir):
     counting, DropPredIndex (hit, error_if_not_exists=False, and the
     missing-key error), Create/DropNonLinearAlgorithmIndex, DropStore
     (all three outcomes), DropSchema, AI PurgeStores (drops ONLY
-    AI-bound stores). Predicate answers are pinned IDENTICAL while
+    AI-bound stores), plus the connection surface (reference
+    server_tests.rs:385-450): ListClients counts through a second
+    facade's connect + close, the --maximum-clients connect refusal,
+    Ping, and InfoServer. Predicate answers are pinned IDENTICAL while
     indexed and after every drop — index DDL prunes scans, never
     changes answers."""
     from ahnlich_spark.ai.proxy import AiEngine
@@ -660,13 +666,33 @@ def ddl_lifecycle_counts(spark, sf_dir):
     purged = ai.purge_stores()
     ai_after = len(ai.list_stores())
     plain_survives = eng.drop_store("plain")
+    # connection surface: this gate's Engine is the warehouse's only
+    # client; a second facade joins the registry and leaves it on
+    # close(); the --maximum-clients analog refuses the connect.
+    clients_initial = len(eng.list_clients())
+    second = Engine(spark, eng._warehouse)
+    clients_peak = len(eng.list_clients())
+    second.close()
+    clients_after_close = len(eng.list_clients())
+    try:
+        Engine(spark, eng._warehouse, max_clients=1)
+        max_clients_error = 0
+    except errors.MaxClientsReached:
+        max_clients_error = 1
+    ping_ok = int(eng.ping() == "pong")
+    info = eng.info_server()
+    info_ok = int(
+        info.get("type") == "ahnlich_spark" and bool(info.get("version"))
+    )
     return spark.createDataFrame(
         [(
             pred_created, pred_recreated, indexed_hits, pred_dropped,
             pred_drop_missing_ok, missing_pred_drop_error, ann_created,
             ann_dropped, missing_ann_drop_error, scan_hits, store_dropped,
             store_drop_missing_ok, missing_store_error, schema_dropped,
-            purged, ai_after, plain_survives,
+            purged, ai_after, plain_survives, clients_initial,
+            clients_peak, clients_after_close, max_clients_error,
+            ping_ok, info_ok,
         )],
         "pred_created long, pred_recreated long, indexed_hits long, "
         "pred_dropped long, pred_drop_missing_ok long, "
@@ -674,7 +700,9 @@ def ddl_lifecycle_counts(spark, sf_dir):
         "missing_ann_drop_error long, scan_hits long, store_dropped long, "
         "store_drop_missing_ok long, missing_store_error long, "
         "schema_dropped long, purged long, ai_stores_after_purge long, "
-        "plain_survives_purge long",
+        "plain_survives_purge long, clients_initial long, "
+        "clients_peak long, clients_after_close long, "
+        "max_clients_error long, ping_ok long, info_ok long",
     )
 
 
@@ -7567,17 +7595,16 @@ def streaming_heavy_hitters_gate(spark, sf_dir):
 
 
 @register("graph_link_prediction", f"""
-WITH {_SHINGLES_SQL},
-{_MINHASH_BANDS_SQL},
-{_VERIFIED_PAIRS_SQL},
+WITH {_knn_graph_cte_sql(64, 8, 7)},
+edges AS (SELECT i, j FROM knn_rk WHERE rank_n <= 3),
 und AS (
-  SELECT DISTINCT least(i, j) AS a, greatest(i, j) AS b FROM pairs WHERE i <> j
+  SELECT DISTINCT least(i, j) AS a, greatest(i, j) AS b FROM edges WHERE i <> j
 ),
 nbr AS (SELECT a AS n, b AS z FROM und UNION ALL SELECT b AS n, a AS z FROM und),
 deg AS (SELECT z AS zz, count(*) AS deg FROM nbr GROUP BY z),
 wz AS (
   SELECT zz, CAST(round(1000000.0 / ln(deg)) AS BIGINT) AS w_e6
-  FROM deg WHERE deg >= 2 AND deg <= 10000
+  FROM deg WHERE deg >= 2 AND deg <= 1000
 ),
 nz AS (SELECT n, z, w_e6 FROM nbr JOIN wz ON nbr.z = wz.zz),
 wedges AS (
@@ -7595,17 +7622,23 @@ SELECT a, b, n_common, aa_e6 FROM fresh
 ORDER BY aa_e6 DESC, n_common DESC, a, b LIMIT 100
 """)
 def graph_link_prediction(spark, sf_dir):
-    """Friends-of-friends link prediction on the near-dup graph:
-    non-adjacent doc pairs sharing near-dup neighbors, ranked by
-    Adamic-Adar — the transitive-duplicate candidates an LSH threshold
-    just missed (raise recall without lowering the threshold
-    corpus-wide). Hub neighbors above the degree cap are excluded up
-    front — the quadratic-wedge guard
+    """Friends-of-friends link prediction on the embedding k-NN graph:
+    non-adjacent vector pairs sharing k-NN neighbors, ranked by
+    Adamic-Adar — the semantic-duplicate candidates the k cutoff just
+    missed (raise graph recall without rebuilding the index with a
+    bigger k). The k-NN graph gives every node degree >= 3, so the
+    wedge join has real structure to rank (the earlier near-dup-pairs
+    formulation produced a wedgeless graph on this corpus — a
+    trivially-empty gate). Hub neighbors above the degree cap are
+    excluded up front — the quadratic-wedge guard
     (operators/graph.adamic_adar_links)."""
+    from ahnlich_spark.operators.cluster import knn_graph
     from ahnlich_spark.operators.graph import adamic_adar_links
 
-    pairs = D.minhash_lsh_dedup_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
-    return adamic_adar_links(pairs, top_n=100, src_col="i", dst_col="j")
+    edges = knn_graph(_t(spark, sf_dir, "embeddings"), k=3, n_sign_bits=8)
+    return adamic_adar_links(
+        edges.select("i", "j"), top_n=100, src_col="i", dst_col="j"
+    )
 
 
 # ------------------------------------------------------------- entry --

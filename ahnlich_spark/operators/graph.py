@@ -406,7 +406,7 @@ def kcore(
 def adamic_adar_links(
     edges: DataFrame,
     top_n: int = 100,
-    max_degree: int = 10_000,
+    max_degree: int = 1_000,
     src_col: str = "src",
     dst_col: str = "dst",
 ) -> DataFrame:
@@ -424,12 +424,18 @@ def adamic_adar_links(
     for any common neighbor, so ln never hits zero.
 
     Scale shape: wedges are generated by ONE self-join of the neighbor
-    table on z — each z fans out deg(z)^2 pairs, so z's with deg >
-    ``max_degree`` are EXCLUDED up front (the standard hub cut; a hub's
-    1/ln(deg) weight is the smallest signal in the score and every
-    pair it would propose is quadratic cost). Existing edges leave via
-    one left_anti on the (small) edge set; the final ordering is a
-    bounded TakeOrdered, never a global sort."""
+    table on z — each z fans out deg(z)*(deg(z)-1)/2 pairs, so z's
+    with deg > ``max_degree`` are EXCLUDED up front (the standard hub
+    cut; a hub's 1/ln(deg) weight is the smallest signal in the score
+    and every pair it would propose is quadratic cost). The worst case
+    is therefore ``max_degree^2 / 2`` wedge rows PER NODE AT THE CAP:
+    the default 1_000 bounds any single z at ~500k rows — one task's
+    worth — where 10_000 would allow 5*10^7 per hub and stall the
+    stage on a handful of keys (same posture as the other capped
+    operators, e.g. SIG_HISTOGRAM_MAX_PLANES). Raise it only with a
+    measured degree histogram in hand. Existing edges leave via one
+    left_anti on the (small) edge set; the final ordering is a bounded
+    TakeOrdered, never a global sort."""
     und = (
         edges.select(
             F.least(F.col(src_col), F.col(dst_col)).alias("a"),

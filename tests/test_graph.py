@@ -270,3 +270,32 @@ def test_adamic_adar_hub_cut_and_direction_insensitivity(spark):
     )
     got2 = adamic_adar_links(rev, top_n=100, max_degree=5).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, got2))
+
+
+def test_adamic_adar_fanout_bound_at_cap(spark):
+    """The wedge fan-out is bounded by deg(z) <= max_degree: a star
+    whose center sits EXACTLY at the cap is included and contributes
+    deg*(deg-1)/2 wedge pairs; one more spoke and it is excluded — no
+    silent partial inclusion. The default cap is pinned at 1_000
+    (deg^2/2 = ~500k rows per z, one task's worth — the 100 TB
+    posture; 10_000 would allow 5e7 rows per hub)."""
+    import inspect
+
+    from ahnlich_spark.operators.graph import adamic_adar_links
+
+    assert inspect.signature(adamic_adar_links).parameters[
+        "max_degree"
+    ].default == 1_000
+
+    cap = 6
+    star = [(100, i) for i in range(1, cap + 1)]    # center degree == cap
+    edges = spark.createDataFrame(star, "src long, dst long")
+    got = adamic_adar_links(edges, top_n=10_000, max_degree=cap).collect()
+    # every leaf pair is predicted exactly once via the center
+    assert len(got) == cap * (cap - 1) // 2
+    assert all(r["n_common"] == 1 for r in got)
+    # one more spoke pushes the center past the cap: zero predictions
+    over = spark.createDataFrame(
+        star + [(100, cap + 1)], "src long, dst long"
+    )
+    assert adamic_adar_links(over, top_n=10_000, max_degree=cap).count() == 0
