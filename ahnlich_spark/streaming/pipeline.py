@@ -19,6 +19,10 @@ design rule for the 100 TB pipeline: one declarative plan, two sources.
 
 from __future__ import annotations
 
+import json
+import os
+import shutil
+import tempfile as _tempfile
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -26,6 +30,41 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ahnlich_spark.functions import text as X
+
+
+# ------------------------------------------------ fold-state persistence --
+#
+# The driver-state folds below (heavy hitters, KMV, ...) keep their
+# running state in Python; without persistence a driver restart loses
+# it. ``state_dir`` makes them checkpoint-safe with the standard
+# foreachBatch transactional recipe: after folding batch N the state is
+# written ATOMICALLY keyed by batch_id, and a re-delivered batch with
+# id <= the last persisted id is SKIPPED (its rows are already in the
+# state) — fold+persist is the transaction, replay is idempotent, so
+# the recovered answer equals the uninterrupted run whether the stream
+# restarts from a Spark checkpoint (ids continue, last uncommitted
+# batch replays) or re-reads an ordered file source from scratch (ids
+# restart at 0 and the committed prefix replays).
+
+
+def _atomic_write_json(path: str, obj: dict) -> None:
+    d = os.path.dirname(path)
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = _tempfile.mkstemp(dir=d, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(obj, f)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
+def _read_json(path: str) -> Optional[dict]:
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
 
 # streaming_incremental_dedup: compact the lazily-unioned state parts
 # once the list (and thus the union plan) grows past this many pieces
@@ -470,6 +509,7 @@ def streaming_kmv_distinct(
     k: int = 64,
     n_salts: int = 64,
     initial_minima: Optional[DataFrame] = None,
+    state_dir: Optional[str] = None,
 ):
     """Live per-group distinct-cardinality monitoring: each micro-batch
     hashes its values, takes its own k-minima, and FOLDS them into the
@@ -485,9 +525,16 @@ def streaming_kmv_distinct(
     by the sketch, not the stream, so no compaction machinery is
     needed (unlike ``streaming_incremental_dedup``'s growing index).
     ``initial_minima`` seeds the fold from a persisted sketch (the
-    warm-start a monitoring pipeline resumes from). Like the other
-    driver-state sinks here, the fold is not Spark-checkpoint-safe;
-    persist ``drain_minima()`` output and re-seed instead.
+    warm-start a monitoring pipeline resumes from). ``state_dir``
+    makes the fold CHECKPOINT-SAFE without manual re-seeding: after
+    every batch the minima table is written as parquet keyed by
+    batch_id (overwrite — idempotent on a crashed write) and a
+    pointer file is atomically replaced; a restarted fold auto-reseeds
+    from the pointer (persisted state wins over ``initial_minima``)
+    and a re-delivered batch with id <= the persisted id is skipped —
+    kill-and-restart equals the uninterrupted run (pytest-pinned;
+    exact, because KMV merge is order-free). Only the current and
+    previous versions are retained.
 
     Returns ``(query, drain, drain_minima)``: ``drain()`` gives the
     current (group..., n_sketch, kth_min, est_distinct) estimates,
@@ -497,13 +544,25 @@ def streaming_kmv_distinct(
     from ahnlich_spark.operators import sketches as SK
 
     group_cols = list(group_cols)
+    spark = value_stream.sparkSession
     state = {
         "minima": (
             initial_minima.localCheckpoint() if initial_minima is not None else None
-        )
+        ),
+        "last_id": -1,
     }
+    ptr_path = os.path.join(state_dir, "kmv_state.json") if state_dir else None
+    if ptr_path:
+        persisted = _read_json(ptr_path)
+        if persisted is not None:
+            state["minima"] = spark.read.parquet(
+                os.path.join(state_dir, persisted["table"])
+            ).localCheckpoint()
+            state["last_id"] = int(persisted["batch_id"])
 
-    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if ptr_path and batch_id <= state["last_id"]:
+            return  # replayed batch: already folded into persisted state
         bh = batch_df.filter(F.col(value_col).isNotNull()).select(
             *group_cols, SK.kmv_hash(F.col(value_col)).alias("_h")
         )
@@ -512,6 +571,21 @@ def streaming_kmv_distinct(
             bm = state["minima"].unionByName(bm)
             bm = SK.kmv_minima(bm, group_cols, k, n_salts)
         state["minima"] = bm.localCheckpoint()
+        state["last_id"] = batch_id
+        if ptr_path:
+            table = f"minima_{batch_id}"
+            state["minima"].write.mode("overwrite").parquet(
+                os.path.join(state_dir, table)
+            )
+            prev = _read_json(ptr_path)
+            _atomic_write_json(ptr_path, {"batch_id": batch_id, "table": table})
+            if prev is not None and prev["table"] != table:
+                # keep current + previous; GC anything older
+                for d in os.listdir(state_dir):
+                    if (d.startswith("minima_") and d != table
+                            and d != prev["table"]):
+                        shutil.rmtree(os.path.join(state_dir, d),
+                                      ignore_errors=True)
 
     def drain_minima() -> DataFrame:
         if state["minima"] is None:
@@ -645,6 +719,7 @@ def streaming_heavy_hitters(
     value_col: str,
     capacity: int = 4096,
     initial_counter: Optional[dict] = None,
+    state_dir: Optional[str] = None,
 ):
     """Live frequency-head monitoring: each micro-batch's per-partition
     Misra-Gries summaries (bounded collect: <= capacity x batch
@@ -664,9 +739,15 @@ def streaming_heavy_hitters(
     the stream's own accounting, so the certificate is against the
     streamed row count).
 
-    State is O(capacity) Python entries — driver-bounded by design;
-    persist ``drain_counter()`` and re-seed ``initial_counter`` across
-    sessions (not Spark-checkpoint-safe, like the other folds here).
+    State is O(capacity) Python entries — driver-bounded by design.
+    ``state_dir`` makes the fold CHECKPOINT-SAFE: after every batch
+    the (counter, n, pruned) state is written atomically keyed by
+    batch_id, a restarted fold auto-reseeds from it (persisted state
+    wins over ``initial_counter``), and a re-delivered batch with
+    id <= the persisted id is skipped — kill-and-restart equals the
+    uninterrupted run (pytest-pinned). Without ``state_dir`` the old
+    manual recipe stands: persist ``drain_counter()`` and re-seed
+    ``initial_counter``.
 
     Returns ``(query, drain_counter, drain_topk)``.
     """
@@ -676,9 +757,20 @@ def streaming_heavy_hitters(
         "counter": dict(initial_counter) if initial_counter else {},
         "n": 0,
         "pruned": False,
+        "last_id": -1,
     }
+    state_path = os.path.join(state_dir, "mg_state.json") if state_dir else None
+    if state_path:
+        persisted = _read_json(state_path)
+        if persisted is not None:
+            state["counter"] = {k: int(v) for k, v in persisted["counter"].items()}
+            state["n"] = int(persisted["n"])
+            state["pruned"] = bool(persisted["pruned"])
+            state["last_id"] = int(persisted["batch_id"])
 
-    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if state_path and batch_id <= state["last_id"]:
+            return  # replayed batch: already folded into persisted state
         summ = SK.heavy_hitter_candidates(batch_df, value_col, capacity).collect()
         state["n"] += sum(r["part_rows"] for r in summ)
         state["pruned"] = state["pruned"] or any(r["pruned"] for r in summ)
@@ -686,6 +778,14 @@ def streaming_heavy_hitters(
         before = len(set(state["counter"]).union(v for v, _ in live))
         state["counter"] = SK.mg_summary_merge(state["counter"], live, capacity)
         state["pruned"] = state["pruned"] or len(state["counter"]) < before
+        state["last_id"] = batch_id
+        if state_path:
+            _atomic_write_json(state_path, {
+                "batch_id": batch_id,
+                "counter": state["counter"],
+                "n": state["n"],
+                "pruned": state["pruned"],
+            })
 
     def drain_counter() -> dict:
         return dict(state["counter"])

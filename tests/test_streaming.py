@@ -760,3 +760,131 @@ def test_streaming_heavy_hitters_uncertifiable_raises(spark, tmp_path):
     # unverified drain returns whatever candidates survived — on a
     # perfectly flat stream MG can legitimately cancel to nothing
     assert drain_topk(df, k=5, verify=False).count() <= 5
+
+
+# ------------------------------------------- checkpoint-safe fold state --
+
+def _ordered_files(tmp_path, spark, frames, schema):
+    """Write each frame as one parquet file into a watch dir with
+    strictly increasing mtimes so maxFilesPerTrigger=1 delivers them
+    as ordered micro-batches. Returns (watch_dir, add_file) where
+    add_file(df) appends another, newer, file."""
+    import glob
+    import os
+    import time
+
+    watch = str(tmp_path / "watch_ckpt")
+    os.makedirs(watch, exist_ok=True)
+    state = {"n": 0}
+
+    def add_file(df):
+        d = str(tmp_path / f"src_{state['n']}")
+        df.coalesce(1).write.parquet(d)
+        f = glob.glob(os.path.join(d, "part-*.parquet"))[0]
+        os.utime(f, (time.time() - 600 + 60 * state["n"],) * 2)
+        os.symlink(f, os.path.join(watch, f"b{state['n']}.parquet"))
+        state["n"] += 1
+
+    for fr in frames:
+        add_file(fr)
+    return watch, add_file
+
+
+def test_heavy_hitters_kill_and_restart_equals_uninterrupted(spark, tmp_path):
+    """Kill-and-restart with state_dir: fold 2 batches, drop the query
+    and the Python state, start a NEW fold over the same source (now 3
+    files — the committed prefix REPLAYS with the same batch ids and
+    must be skipped), and the drained answer equals the uninterrupted
+    3-batch run."""
+    from ahnlich_spark.streaming.pipeline import streaming_heavy_hitters
+
+    rows = (
+        [(f"hot_{i}",) for i in range(5) for _ in range(200 - 30 * i)]
+        + [(f"tail_{i}",) for i in range(800)]
+    )
+    df = spark.createDataFrame(rows, "value string")
+    parts = [
+        df.filter(F.abs(F.xxhash64("value")) % 3 == i) for i in range(3)
+    ]
+    state_dir = str(tmp_path / "mg_ckpt")
+
+    def read_stream(watch):
+        return (
+            spark.readStream.schema("value string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(watch)
+        )
+
+    # phase 1: two batches, then "crash" (stop + discard the instance)
+    watch, add_file = _ordered_files(tmp_path, spark, parts[:2], "value string")
+    q1, drain1, _ = streaming_heavy_hitters(
+        read_stream(watch), "value", capacity=32, state_dir=state_dir
+    )
+    q1.processAllAvailable()
+    q1.stop()
+    state_after_2 = drain1()
+    # phase 2: third file lands; a FRESH fold restarts from state_dir.
+    # The new query re-reads the source from scratch: batches 0 and 1
+    # replay with their original ids and must be skipped.
+    add_file(parts[2])
+    q2, drain2, drain_topk2 = streaming_heavy_hitters(
+        read_stream(watch), "value", capacity=32, state_dir=state_dir
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    # uninterrupted reference: same three ordered batches, no restart
+    watch_u, _ = _ordered_files(tmp_path / "u", spark, parts, "value string")
+    q3, drain3, drain_topk3 = streaming_heavy_hitters(
+        read_stream(watch_u), "value", capacity=32
+    )
+    q3.processAllAvailable()
+    q3.stop()
+    assert drain2() == drain3()
+    assert drain2() != state_after_2  # batch 3 really folded in
+    got = [(r["value"], r["cnt"]) for r in drain_topk2(df, k=5).collect()]
+    want = [(r["value"], r["cnt"]) for r in drain_topk3(df, k=5).collect()]
+    assert got == want and len(got) == 5
+
+
+def test_kmv_kill_and_restart_equals_uninterrupted(spark, tmp_path):
+    """Same kill-and-restart contract for the KMV fold: the recovered
+    minima table is BIT-IDENTICAL to the uninterrupted run (KMV merge
+    is order-free), and replayed batches are skipped."""
+    from ahnlich_spark.streaming.pipeline import streaming_kmv_distinct
+
+    rows = [(f"g{i % 3}", f"val-{i % 500}") for i in range(1500)]
+    df = spark.createDataFrame(rows, "g string, v string")
+    parts = [df.filter(F.abs(F.xxhash64("v")) % 3 == i) for i in range(3)]
+    state_dir = str(tmp_path / "kmv_ckpt")
+
+    def read_stream(watch):
+        return (
+            spark.readStream.schema("g string, v string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(watch)
+        )
+
+    watch, add_file = _ordered_files(tmp_path, spark, parts[:2], "g string, v string")
+    q1, _, _ = streaming_kmv_distinct(
+        read_stream(watch), ["g"], "v", k=32, state_dir=state_dir
+    )
+    q1.processAllAvailable()
+    q1.stop()
+    add_file(parts[2])
+    q2, drain2, drain_minima2 = streaming_kmv_distinct(
+        read_stream(watch), ["g"], "v", k=32, state_dir=state_dir
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    watch_u, _ = _ordered_files(tmp_path / "u", spark, parts, "g string, v string")
+    q3, drain3, drain_minima3 = streaming_kmv_distinct(
+        read_stream(watch_u), ["g"], "v", k=32
+    )
+    q3.processAllAvailable()
+    q3.stop()
+    got = sorted(map(tuple, drain2().collect()))
+    want = sorted(map(tuple, drain3().collect()))
+    assert got == want and len(got) == 3
+    assert sorted(map(tuple, drain_minima2().collect())) == sorted(
+        map(tuple, drain_minima3().collect())
+    )
