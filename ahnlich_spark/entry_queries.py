@@ -4603,6 +4603,250 @@ def ann_ivfpq_residual_batch_topk(spark, sf_dir):
     )
 
 
+# -------------------------------------------- drift-triggered retrain --
+#
+# VERDICT r05 #4: wire the embedding_drift monitor to an Engine
+# maintenance op. The scenario a mean-drift monitor exists for: the
+# corpus doubles with a SHIFTED copy of itself (an upstream embedder
+# change / content shift), the PQ codebooks trained on the original
+# distribution quantize the shifted cloud badly (ADC ranks degrade with
+# no quota rescue — unlike IVF probing there is no adaptive fallback),
+# and Engine.maintain_index detects the mean shift and retrains. The
+# shift (+0.25 on every dimension) and the candidate pool (48) were
+# chosen so the ADC pool boundary is TIE-FREE on the fixture at every
+# gated sf (engine id-hash tie-breaks are not replayable in SQL; with
+# distinct boundary values the pool is order-independent).
+
+_DRIFT_SHIFT = 0.25
+_DRIFT_CAND = 48
+_DRIFT_K = 10
+_DRIFT_NQ = 5
+_DRIFT_N = 300
+_DRIFT_THRESH_E9 = 20_000_000
+_DRIFT_FIXTURE: dict = {}
+
+
+def _drift_fresh_codebooks():
+    """Deterministic post-drift codebooks: Lloyd over the FIXED sample
+    corpus interleaved with its shifted copy — a pure function of the
+    training parquet (the pq-gate trick), so the engine (via the
+    maintain_index codebooks hook) and the oracle (as literals) share
+    them exactly."""
+    import numpy as np
+    import pyarrow.parquet as pqm
+
+    from ahnlich_spark.operators.pq import PQ_TRAIN_DIR, lloyd_codebooks
+
+    tbl = pqm.read_table(
+        os.path.join(PQ_TRAIN_DIR, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    pdf = tbl.to_pandas().sort_values("vec_id").head(512)
+    X = np.stack(
+        pdf["embedding"].map(lambda v: np.asarray(v, dtype=np.float64)).to_numpy()
+    )
+    ft = np.empty((512, X.shape[1]))
+    ft[0::2] = X[:256]
+    ft[1::2] = X[:256] + _DRIFT_SHIFT
+    return lloyd_codebooks(ft, 8, 16, 10)
+
+
+def _drift_retrain_oracle_sql() -> str:
+    """Replays the whole drift-retrain lifecycle in SQL: the
+    post-mutation store (originals ∪ f32-shifted copies), the
+    e9-integer mean drift vs the pre-mutation baseline, the retrain
+    decision, and the PQ/ADC pipeline under BOTH codebook generations
+    — stale (trained pre-drift) and fresh (post-drift) — intersected
+    with the exact top-k per query."""
+    from ahnlich_spark.operators.pq import train_codebooks
+
+    stale = train_codebooks()
+    fresh = _drift_fresh_codebooks()
+    m, kc, dsub = stale.shape
+    s = float(_DRIFT_SHIFT)
+
+    def enc_ctes(books, tag):
+        def chain(j, c):
+            return " + ".join(
+                f"(key[{j * dsub + i + 1}]::DOUBLE - {float(books[j][c][i])!r})"
+                f" * (key[{j * dsub + i + 1}]::DOUBLE - {float(books[j][c][i])!r})"
+                for i in range(dsub)
+            )
+
+        dlists = ",\n  ".join(
+            f"[{', '.join(chain(j, c) for c in range(kc))}] AS dl{j}"
+            for j in range(m)
+        )
+        codes = ", ".join(
+            f"(list_position(dl{j}, list_min(dl{j})) - 1) AS c{j}"
+            for j in range(m)
+        )
+
+        def qch(j, c):
+            return " + ".join(
+                f"(qv[{j * dsub + i + 1}] - {float(books[j][c][i])!r})"
+                f" * (qv[{j * dsub + i + 1}] - {float(books[j][c][i])!r})"
+                for i in range(dsub)
+            )
+
+        adc = " + ".join(
+            f"([{', '.join(qch(j, c) for c in range(kc))}])[c{j} + 1]"
+            for j in range(m)
+        )
+        return f"""enc_{tag} AS MATERIALIZED (
+  SELECT vid, key, {codes}
+  FROM (SELECT vid, key, {dlists} FROM store)),
+adc_{tag} AS MATERIALIZED (
+  SELECT q.qid, e.vid, e.key, q.qv, ({adc}) AS approx
+  FROM enc_{tag} e, q),
+pool_{tag} AS MATERIALIZED (
+  SELECT qid, vid, ({_exact_sq()}) AS dist FROM (
+    SELECT qid, vid, key, qv,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY approx, vid) AS rn
+    FROM adc_{tag})
+  WHERE rn <= {_DRIFT_CAND}),
+top_{tag} AS (
+  SELECT qid, vid FROM (
+    SELECT qid, vid,
+           row_number() OVER (PARTITION BY qid ORDER BY dist, vid) AS rk
+    FROM pool_{tag})
+  WHERE rk <= {_DRIFT_K})"""
+
+    def _exact_sq():
+        return " + ".join(
+            f"(key[{i + 1}]::DOUBLE - qv[{i + 1}])"
+            f" * (key[{i + 1}]::DOUBLE - qv[{i + 1}])"
+            for i in range(m * dsub)
+        )
+
+    return f"""
+WITH store AS MATERIALIZED (
+  SELECT vec_id AS vid, embedding AS key
+  FROM embeddings WHERE vec_id < {_DRIFT_N}
+  UNION ALL
+  SELECT vec_id + 1000000,
+         list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) + {s!r} AS FLOAT))
+  FROM embeddings WHERE vec_id < {_DRIFT_N}
+),
+q AS MATERIALIZED (
+  SELECT vec_id AS qid,
+         list_transform(embedding,
+           x -> CAST(CAST(CAST(x AS DOUBLE) + {s!r} AS FLOAT) AS DOUBLE)) AS qv
+  FROM embeddings WHERE vec_id < {_DRIFT_NQ}
+),
+xall AS (
+  SELECT vid, i - 1 AS dim,
+         CAST(round(CAST(key[i] AS DOUBLE) * 1000000000) AS BIGINT) AS c
+  FROM store, unnest(range(1, len(key) + 1)) AS r(i)
+),
+base_m AS (SELECT dim, sum(c) // count(*) AS mn FROM xall
+           WHERE vid < 1000000 GROUP BY dim),
+cur_m AS (SELECT dim, sum(c) // count(*) AS mn FROM xall GROUP BY dim),
+drift AS (SELECT CAST(max(abs(b.mn - c.mn)) AS BIGINT) AS md
+          FROM base_m b JOIN cur_m c USING (dim)),
+{enc_ctes(stale, 'stale')},
+{enc_ctes(fresh, 'fresh')},
+ex AS (
+  SELECT qid, vid FROM (
+    SELECT q.qid, s.vid,
+           row_number() OVER (PARTITION BY q.qid
+                              ORDER BY ({_exact_sq().replace('key[', 's.key[')}), s.vid) AS rk
+    FROM store s, q)
+  WHERE rk <= {_DRIFT_K}
+),
+nb AS (SELECT CAST(count(*) AS BIGINT) AS n FROM top_stale JOIN ex USING (qid, vid)),
+na AS (SELECT CAST(count(*) AS BIGINT) AS n FROM top_fresh JOIN ex USING (qid, vid))
+SELECT drift.md AS max_drift_e9,
+       CAST(CASE WHEN drift.md > {_DRIFT_THRESH_E9} THEN 1 ELSE 0 END AS BIGINT)
+         AS retrained,
+       nb.n AS n_before, na.n AS n_after
+FROM drift, nb, na
+"""
+
+
+@register("ann_drift_retrain", _drift_retrain_oracle_sql())
+def ann_drift_retrain(spark, sf_dir):
+    """Drift-triggered index retrain (Engine.maintain_index — the
+    batch analog of the reference's incremental per-mutation index
+    upkeep, non_linear.rs:231-247): a PQ store built on the original
+    distribution ingests a +0.25-shifted copy of itself; the stale
+    codebooks mis-rank the shifted queries' ADC pools (n_before —
+    provably below the fresh floor), maintain_index detects the mean
+    drift vs the baseline pinned at creation and retrains with
+    deterministic post-drift codebooks, and the same queries recover
+    (n_after). The oracle independently replays store, drift, decision,
+    and BOTH codebook generations' ADC pipelines."""
+    import numpy as np
+
+    ckey = (id(spark.sparkContext), os.path.abspath(sf_dir))
+    vals = _DRIFT_FIXTURE.get(ckey)
+    if vals is None:
+        from ahnlich_spark.functions.hashing import store_key_id
+        from ahnlich_spark.operators.pq import train_codebooks
+        from ahnlich_spark.plans.engine import Engine
+
+        eng = Engine(spark, tempfile.mkdtemp(prefix="ahnlich_gate_"))
+        eng.brute_force_threshold = _PRUNED_BF_THRESHOLD
+        eng.create_store("annd", dimension=_GATE_DIM)
+        eng.create_non_linear_algorithm_index(
+            "annd", ["pq"],
+            config={"m": 8, "k_centroids": 16, "candidates": _DRIFT_CAND},
+        )
+        meta = eng.catalog.get_store("annd")
+        np.save(eng.catalog.store_aux_path(meta, "pq_codebooks.npy"),
+                train_codebooks())
+        emb = _t(spark, sf_dir, "embeddings").filter(
+            F.col("vec_id") < _DRIFT_N
+        )
+        eng.set("annd", emb.select(F.col("embedding").alias("key")))
+        init = eng.maintain_index("annd",
+                                  drift_threshold_e9=_DRIFT_THRESH_E9)
+        assert init["baseline_initialized"] == 1
+        shift_f32 = F.transform(
+            F.col("embedding"),
+            lambda x: (x.cast("double") + F.lit(_DRIFT_SHIFT)).cast("float"),
+        )
+        eng.set("annd", emb.select(shift_f32.cast("array<float>").alias("key")))
+        qrows = sorted(
+            _t(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") < _DRIFT_NQ)
+            .select("vec_id", "embedding").collect(),
+            key=lambda r: r["vec_id"],
+        )
+        queries = [
+            [float(np.float32(np.float64(x) + _DRIFT_SHIFT))
+             for x in r["embedding"]]
+            for r in qrows
+        ]
+
+        def hits():
+            total = 0
+            for qv in queries:
+                exact = {r["id"] for r in eng.get_sim_n(
+                    "annd", qv, closest_n=_DRIFT_K,
+                    algorithm=S.EUCLIDEAN, precision="double").collect()}
+                approx = {r["id"] for r in eng.get_sim_n(
+                    "annd", qv, closest_n=_DRIFT_K,
+                    algorithm="pq", precision="double").collect()}
+                total += len(exact & approx)
+            return total
+
+        n_before = hits()
+        m2 = eng.maintain_index(
+            "annd", drift_threshold_e9=_DRIFT_THRESH_E9,
+            codebooks=_drift_fresh_codebooks(),
+        )
+        n_after = hits()
+        vals = (int(m2["max_drift_e9"]), int(m2["retrained"]),
+                int(n_before), int(n_after))
+        _DRIFT_FIXTURE[ckey] = vals
+    return spark.createDataFrame(
+        [vals],
+        "max_drift_e9 long, retrained long, n_before long, n_after long",
+    )
+
+
 @register("ann_pq_topk", _pq_oracle_sql())
 def ann_pq_topk(spark, sf_dir):
     """Product-quantization ANN: 8x16 codebooks trained once on the

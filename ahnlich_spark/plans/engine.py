@@ -402,6 +402,86 @@ class Engine:
                 pass
         return len(removed)
 
+    def maintain_index(
+        self,
+        store: str,
+        schema: str = PUBLIC_SCHEMA,
+        drift_threshold_e9: int = 20_000_000,
+        retrain: bool = True,
+        centroids=None,
+        codebooks=None,
+    ) -> dict:
+        """Drift-triggered ANN index maintenance — the batch analog of
+        the reference's incremental per-mutation index upkeep
+        (non_linear.rs:231-247): where the reference re-inserts every
+        mutated vector into its live KD/HNSW graph, a bucketed batch
+        index is refreshed WHOLESALE when the data has drifted far
+        enough from the quantizer's training distribution to hurt
+        recall, and kept otherwise (retraining on every mutation would
+        rewrite the store each SET).
+
+        Mechanics: the store's current per-dimension e9-integer means
+        (operators/evaluation.dim_means_e9 — exact under any
+        aggregation order) are compared against the baseline captured
+        when the artifacts were last trained. ``max_drift_e9`` over
+        dimensions above ``drift_threshold_e9`` triggers a retrain:
+        quantizer/codebook artifacts are dropped, the backfill rewrite
+        re-derives them from the CURRENT rows (or from ``centroids``/
+        ``codebooks`` when the caller supplies a deterministic
+        quantizer — the same hook index creation offers), and the
+        baseline is refreshed. On
+        first call with no baseline on disk, the current means BECOME
+        the baseline (call once after creation to pin the training
+        distribution).
+
+        ONE narrow scan of the merged store (posexplode collapsed by
+        map-side combine: the exchange carries O(dims x partitions)
+        rows) + the rewrite only when retraining. Returns
+        ``{"max_drift_e9", "retrained", "baseline_initialized"}``.
+        """
+        from ahnlich_spark.operators.evaluation import dim_means_e9
+
+        meta = self.catalog.get_store(store, schema)
+        if not ({"ivf", "pq"} & set(meta.non_linear)):
+            raise errors.NonLinearIndexNotFound(
+                f"store {schema}.{store} has no trained-quantizer index "
+                "(ivf/pq) to maintain"
+            )
+        df = read_store(self.spark, self.catalog, meta)
+        cur = np.zeros(int(meta.dimension), dtype=np.int64)
+        for r in dim_means_e9(df, "key").collect():
+            cur[int(r["dim"])] = int(r["mean_e9"])
+        bpath = self.catalog.store_aux_path(meta, "drift_baseline.npy")
+        if not os.path.exists(bpath):
+            np.save(bpath, cur)
+            return {"max_drift_e9": 0, "retrained": 0,
+                    "baseline_initialized": 1}
+        base = np.load(bpath)
+        max_drift = int(np.abs(cur - base).max())
+        out = {"max_drift_e9": max_drift, "retrained": 0,
+               "baseline_initialized": 0}
+        if retrain and max_drift > int(drift_threshold_e9):
+            for art in ("ivf_centroids.npy", "pq_codebooks.npy"):
+                p = self.catalog.store_aux_path(meta, art)
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
+            if centroids is not None and "ivf" in meta.non_linear:
+                np.save(
+                    self.catalog.store_aux_path(meta, "ivf_centroids.npy"),
+                    np.asarray(centroids, dtype=np.float64),
+                )
+            if codebooks is not None and "pq" in meta.non_linear:
+                np.save(
+                    self.catalog.store_aux_path(meta, "pq_codebooks.npy"),
+                    np.asarray(codebooks, dtype=np.float64),
+                )
+            self._write(meta, df)
+            np.save(bpath, cur)
+            out["retrained"] = 1
+        return out
+
     # -------------------------------------------------- index-aware I/O --
     def _index_columns(self, meta: StoreMeta, df: DataFrame):
         """Embed the store's index columns into ``df`` (ANN signatures /

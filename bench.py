@@ -179,6 +179,7 @@ BENCH_QUERIES = [
     "graph_link_prediction",
     # round 6 additions
     "fuzzy_link_dropped_blocks",
+    "ann_drift_retrain",
 ]
 
 

@@ -645,3 +645,84 @@ def test_residual_batch_small_store_exact_shortcut(residual_engine):
         assert got == want
     finally:
         eng.brute_force_threshold = prev
+
+
+def test_maintain_index_drift_retrain_restores_recall(spark):
+    """Engine.maintain_index end-to-end: baseline pinned at first call,
+    below-threshold drift keeps the index, above-threshold drift
+    retrains (artifacts re-derived, version bumped) and restores the
+    recall floor the stale codebooks provably miss. Mirrors the
+    ann_drift_retrain gate's scenario on the sf0.001 fixture."""
+    import numpy as np
+    import tempfile
+
+    import pytest
+
+    from ahnlich_spark import errors
+    from ahnlich_spark.entry_queries import (
+        _DRIFT_CAND,
+        _DRIFT_SHIFT,
+        _drift_fresh_codebooks,
+    )
+    from ahnlich_spark.functions import similarity as S
+    from ahnlich_spark.operators.pq import train_codebooks
+    from ahnlich_spark.plans.engine import Engine
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") \
+        .filter(F.col("vec_id") < 300)
+    eng = Engine(spark, tempfile.mkdtemp())
+    eng.brute_force_threshold = 128
+    # no trained-quantizer index -> typed error
+    eng.create_store("plainx", dimension=64)
+    with pytest.raises(errors.NonLinearIndexNotFound):
+        eng.maintain_index("plainx")
+    eng.create_store("drift", dimension=64)
+    eng.create_non_linear_algorithm_index(
+        "drift", ["pq"],
+        config={"m": 8, "k_centroids": 16, "candidates": _DRIFT_CAND},
+    )
+    meta = eng.catalog.get_store("drift")
+    np.save(eng.catalog.store_aux_path(meta, "pq_codebooks.npy"),
+            train_codebooks())
+    eng.set("drift", emb.select(F.col("embedding").alias("key")))
+    assert eng.maintain_index("drift")["baseline_initialized"] == 1
+    # no mutation -> zero drift -> keep
+    keep = eng.maintain_index("drift")
+    assert keep == {"max_drift_e9": 0, "retrained": 0,
+                    "baseline_initialized": 0}
+    shift = F.transform(
+        F.col("embedding"),
+        lambda x: (x.cast("double") + F.lit(_DRIFT_SHIFT)).cast("float"),
+    )
+    eng.set("drift", emb.select(shift.cast("array<float>").alias("key")))
+    qrows = sorted(emb.filter(F.col("vec_id") < 5)
+                   .select("vec_id", "embedding").collect(),
+                   key=lambda r: r["vec_id"])
+    queries = [[float(np.float32(np.float64(x) + _DRIFT_SHIFT))
+                for x in r["embedding"]] for r in qrows]
+
+    def hits():
+        total = 0
+        for qv in queries:
+            exact = {r["id"] for r in eng.get_sim_n(
+                "drift", qv, closest_n=10, algorithm=S.EUCLIDEAN,
+                precision="double").collect()}
+            approx = {r["id"] for r in eng.get_sim_n(
+                "drift", qv, closest_n=10, algorithm="pq",
+                precision="double").collect()}
+            total += len(exact & approx)
+        return total
+
+    n_before = hits()
+    # threshold above the drift -> keep, stale recall unchanged
+    high = eng.maintain_index("drift", drift_threshold_e9=10**9)
+    assert high["retrained"] == 0 and high["max_drift_e9"] > 100_000_000
+    v_before = eng.catalog.get_store("drift").version
+    got = eng.maintain_index("drift", codebooks=_drift_fresh_codebooks())
+    assert got["retrained"] == 1
+    assert eng.catalog.get_store("drift").version > v_before
+    n_after = hits()
+    # the pinned floor: stale provably misses what fresh restores
+    assert n_before <= 25 and n_after >= 30, (n_before, n_after)
+    # post-retrain the baseline is refreshed: drift back to zero
+    assert eng.maintain_index("drift")["max_drift_e9"] == 0
