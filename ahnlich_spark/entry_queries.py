@@ -7885,6 +7885,145 @@ def graph_link_prediction(spark, sf_dir):
     )
 
 
+@register("contrastive_hard_negatives", """
+WITH a AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv, label AS qlabel
+           FROM embeddings WHERE vec_id < 5),
+s AS (SELECT a.qid, e.vec_id,
+             list_cosine_similarity(e.embedding::DOUBLE[], a.qv) AS cos
+      FROM embeddings e, a WHERE e.label <> a.qlabel)
+SELECT qid, vec_id,
+       CAST(row_number() OVER (PARTITION BY qid
+                               ORDER BY cos DESC, vec_id) AS BIGINT) AS rank_n,
+       CAST(round(cos * 1000000) AS BIGINT) AS cos_e6
+FROM s QUALIFY rank_n <= 10
+""")
+def contrastive_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive training: for each of 5
+    anchor vectors, the 10 most-cosine-similar rows with a DIFFERENT
+    label — the near-miss negatives a retrieval model trains against
+    (operators/evaluation.hard_negatives: broadcast anchors, ONE
+    label-filtered corpus scan, WindowGroupLimit per anchor)."""
+    from ahnlich_spark.operators.evaluation import hard_negatives
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = hard_negatives(emb.filter(F.col("vec_id") < 5), emb, k=10)
+    return out.select(
+        F.col("qid").cast("long").alias("qid"),
+        "vec_id",
+        F.col("rank_n").cast("long").alias("rank_n"),
+        F.round(F.col("cos") * 1000000).cast("long").alias("cos_e6"),
+    )
+
+
+@register("matryoshka_recall_eval", """
+WITH a AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 5),
+s AS (SELECT a.qid, e.vec_id,
+             list_cosine_similarity(e.embedding::DOUBLE[], a.qv) AS cf,
+             list_cosine_similarity((e.embedding[1:16])::DOUBLE[],
+                                    a.qv[1:16]) AS c16,
+             list_cosine_similarity((e.embedding[1:32])::DOUBLE[],
+                                    a.qv[1:32]) AS c32
+      FROM embeddings e, a),
+r AS (SELECT qid, vec_id,
+             row_number() OVER (PARTITION BY qid ORDER BY cf DESC, vec_id)
+               AS rkf,
+             row_number() OVER (PARTITION BY qid ORDER BY c16 DESC, vec_id)
+               AS rk16,
+             row_number() OVER (PARTITION BY qid ORDER BY c32 DESC, vec_id)
+               AS rk32
+      FROM s)
+SELECT CAST(16 AS BIGINT) AS prefix_dim,
+       CAST(sum(CASE WHEN rk16 <= 10 AND rkf <= 10 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hits
+FROM r
+UNION ALL
+SELECT CAST(32 AS BIGINT),
+       CAST(sum(CASE WHEN rk32 <= 10 AND rkf <= 10 THEN 1 ELSE 0 END)
+            AS BIGINT)
+FROM r
+""")
+def matryoshka_recall_eval(spark, sf_dir):
+    """Matryoshka truncation evaluation: how much of the full-64-dim
+    cosine top-10 survives ranking by only the first 16 / 32
+    dimensions — the go/no-go evidence for a 2-4x cheaper truncated
+    index (operators/evaluation.matryoshka_recall: one corpus scan
+    computes every prefix's cosine, rankings share the anchor-key
+    exchange)."""
+    from ahnlich_spark.operators.evaluation import matryoshka_recall
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return matryoshka_recall(
+        emb, emb.filter(F.col("vec_id") < 5), [16, 32], k=10
+    )
+
+
+@register("tokenizer_fertility_by_lang", f"""
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN trim(text) = '' THEN 0
+                ELSE len({_TOKENS_SQL}) END) AS BIGINT) AS ws_tokens,
+       CAST(sum(len(regexp_extract_all(text,
+         '''(?:s|t|re|ve|m|ll|d)|[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')))
+            AS BIGINT) AS bpe_tokens
+FROM documents GROUP BY lang
+""")
+def tokenizer_fertility_by_lang(spark, sf_dir):
+    """Tokenizer fertility audit per language: whitespace words vs
+    BPE-ish tokens per lang bucket — the bpe/ws ratio is the fertility
+    a tokenizer-budget planner divides corpus sizes by, and a
+    per-language imbalance is the classic sign a vocabulary underserves
+    a language. Integer sums only (the consumer divides), one
+    codegen'd scan + one lang-keyed aggregation."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(X.token_count(F.col("text"))).cast("long").alias("ws_tokens"),
+        F.sum(X.bpe_token_count(F.col("text"))).cast("long").alias("bpe_tokens"),
+    )
+
+
+@register("knn_label_confusion_eval", """
+WITH a AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv, label AS tl
+           FROM embeddings WHERE vec_id < 50),
+s AS (SELECT a.qid, a.tl, e.vec_id, e.label,
+             list_cosine_similarity(e.embedding::DOUBLE[], a.qv) AS cos
+      FROM embeddings e, a WHERE e.vec_id <> a.qid),
+nn AS (SELECT qid, tl, label FROM (
+         SELECT qid, tl, label,
+                row_number() OVER (PARTITION BY qid
+                                   ORDER BY cos DESC, vec_id) AS rk
+         FROM s)
+       WHERE rk <= 5),
+v AS (SELECT qid, tl, label, count(*) AS n FROM nn GROUP BY qid, tl, label),
+p AS (SELECT qid, tl, label AS pl FROM (
+         SELECT qid, tl, label, n,
+                row_number() OVER (PARTITION BY qid
+                                   ORDER BY n DESC, label) AS vr
+         FROM v)
+      WHERE vr = 1)
+SELECT CAST(tl AS BIGINT) AS true_label, CAST(pl AS BIGINT) AS pred_label,
+       CAST(count(*) AS BIGINT) AS n
+FROM p GROUP BY tl, pl
+""")
+def knn_label_confusion_eval(spark, sf_dir):
+    """k-NN classification audit: 50 anchors classified by the
+    majority label of their 5 cosine-nearest neighbors (self
+    excluded), reported as a confusion matrix — the embedding/label
+    quality probe run before trusting labels for filtering
+    (operators/evaluation.knn_label_confusion; majority ties break
+    count-desc label-asc on both engines)."""
+    from ahnlich_spark.operators.evaluation import knn_label_confusion
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = knn_label_confusion(emb, emb.filter(F.col("vec_id") < 50), k=5)
+    return out.select(
+        F.col("true_label").cast("long").alias("true_label"),
+        F.col("pred_label").cast("long").alias("pred_label"),
+        "n",
+    )
+
+
 # ------------------------------------------------------------- entry --
 
 def flagship(spark: SparkSession) -> DataFrame:

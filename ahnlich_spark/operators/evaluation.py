@@ -114,3 +114,170 @@ def embedding_drift(
         "mean_b_e9",
         F.abs(F.col("mean_a_e9") - F.col("mean_b_e9")).cast("long").alias("drift_e9"),
     )
+
+
+def hard_negatives(
+    anchors: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for every anchor
+    the ``k`` most-cosine-similar corpus rows with a DIFFERENT label —
+    the near-miss negatives that teach a retrieval model the decision
+    boundary (random negatives are trivially separable; in-batch
+    negatives are distribution-biased). Returns
+    (qid, {id_col}, rank_n, cos) ranked cosine-desc, id-asc.
+
+    Scale shape (100 TB): the anchor batch broadcasts (bounded by
+    contract — mine in batches like GetSimN batch probes), the corpus
+    scans ONCE with the label-mismatch filter applied before any
+    scoring, and per-anchor ranking is a WindowGroupLimit on the
+    anchor key — no corpus self-join, no global sort. For anchor sets
+    past broadcast size, pre-prune with the LSH bucket machinery of
+    ``dedup.embedding_near_dup_pairs`` and rescore candidates only."""
+    from ahnlich_spark import functions as _  # noqa: F401 (package init)
+    from ahnlich_spark.functions import similarity as S
+    from pyspark.sql import Window
+
+    a = anchors.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("_qv"),
+        F.col(label_col).alias("_qlabel"),
+    )
+    score = S.score_expr(S.COSINE, F.col(vec_col), F.col("_qv"), "double")
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        corpus.select(F.col(id_col), F.col(vec_col), F.col(label_col))
+        .crossJoin(F.broadcast(a))
+        .filter(F.col(label_col) != F.col("_qlabel"))
+        .withColumn("cos", score)
+        .withColumn("rank_n", F.row_number().over(w))
+        .filter(F.col("rank_n") <= int(k))
+        .select("qid", id_col, "rank_n", "cos")
+    )
+
+
+def matryoshka_recall(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    prefix_dims,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Matryoshka-style truncation evaluation: for each prefix length
+    ``p`` (Kusupati et al. 2022 — embeddings whose leading dimensions
+    carry the signal), how many of the FULL-dimension cosine top-k
+    does ranking by only the first ``p`` dimensions keep? Returns
+    (prefix_dim, n_hits) with n_hits summed over anchors — the
+    evidence for whether a 4x-cheaper truncated index is safe.
+
+    Scale shape: ONE corpus scan computes every prefix's cosine as a
+    column (slices of the same array read), all rankings share the
+    anchor-key exchange (same partitioning -> one shuffle, several
+    sorts), and the intersection joins are k x anchors rows."""
+    from ahnlich_spark.functions import similarity as S
+    from pyspark.sql import Window
+
+    prefix_dims = [int(p) for p in prefix_dims]
+    a = anchors.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("_qv")
+    )
+    scored = corpus.select(F.col(id_col), F.col(vec_col)).crossJoin(
+        F.broadcast(a)
+    )
+    full = S.score_expr(S.COSINE, F.col(vec_col), F.col("_qv"), "double")
+    scored = scored.withColumn("_cos_full", full)
+    for p in prefix_dims:
+        cp = S.score_expr(
+            S.COSINE,
+            F.slice(F.col(vec_col), 1, p),
+            F.slice(F.col("_qv"), 1, p),
+            "double",
+        )
+        scored = scored.withColumn(f"_cos_{p}", cp)
+    w_full = Window.partitionBy("qid").orderBy(
+        F.desc("_cos_full"), F.asc(id_col)
+    )
+    ranked = scored.withColumn("_rk_full", F.row_number().over(w_full))
+    for p in prefix_dims:
+        wp = Window.partitionBy("qid").orderBy(
+            F.desc(f"_cos_{p}"), F.asc(id_col)
+        )
+        ranked = ranked.withColumn(f"_rk_{p}", F.row_number().over(wp))
+    hits = [
+        F.sum(
+            ((F.col(f"_rk_{p}") <= k) & (F.col("_rk_full") <= k)).cast("int")
+        ).alias(f"h{p}")
+        for p in prefix_dims
+    ]
+    row = ranked.agg(*hits)
+    pieces = [
+        row.select(F.lit(p).cast("long").alias("prefix_dim"),
+                   F.col(f"h{p}").cast("long").alias("n_hits"))
+        for p in prefix_dims
+    ]
+    out = pieces[0]
+    for pc in pieces[1:]:
+        out = out.unionByName(pc)
+    return out
+
+
+def knn_label_confusion(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-NN classification audit: each anchor is classified by the
+    MAJORITY label of its ``k`` cosine-nearest corpus rows (itself
+    excluded), and the result is the confusion matrix
+    (true_label, pred_label, n) — the standard label-quality /
+    embedding-quality probe run before trusting labels for filtering.
+    Majority ties break (count desc, label asc) — deterministic on any
+    engine.
+
+    Scale shape: broadcast anchors x ONE corpus scan, per-anchor
+    ranking is a WindowGroupLimit, the vote and argmax act on
+    k x anchors rows, and the confusion matrix is label-cardinality
+    sized."""
+    from pyspark.sql import Window
+
+    from ahnlich_spark.functions import similarity as S
+
+    a = anchors.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("_qv"),
+        F.col(label_col).alias("true_label"),
+    )
+    score = S.score_expr(S.COSINE, F.col(vec_col), F.col("_qv"), "double")
+    w = Window.partitionBy("qid").orderBy(F.desc("_cos"), F.asc(id_col))
+    neigh = (
+        corpus.select(F.col(id_col), F.col(vec_col), F.col(label_col))
+        .crossJoin(F.broadcast(a.select("qid", "_qv")))
+        .filter(F.col(id_col) != F.col("qid"))
+        .withColumn("_cos", score)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= int(k))
+    )
+    votes = neigh.groupBy("qid", label_col).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    wv = Window.partitionBy("qid").orderBy(
+        F.desc("_n"), F.asc(label_col)
+    )
+    pred = (
+        votes.withColumn("_vr", F.row_number().over(wv))
+        .filter(F.col("_vr") == 1)
+        .select("qid", F.col(label_col).alias("pred_label"))
+    )
+    return (
+        pred.join(a.select("qid", "true_label"), "qid")
+        .groupBy("true_label", "pred_label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )

@@ -66,6 +66,42 @@ def _read_json(path: str) -> Optional[dict]:
     with open(path) as f:
         return json.load(f)
 
+
+class _DfStatePersist:
+    """Parquet-keyed-by-batch-id persistence for DataFrame fold state —
+    the transactional recipe shared by the KMV / HLL / histogram
+    folds: state for batch N is written with overwrite (idempotent on
+    a crashed write), then a pointer file is atomically replaced; only
+    the current and previous versions are retained."""
+
+    def __init__(self, spark: SparkSession, state_dir: str, name: str):
+        self.spark = spark
+        self.dir = state_dir
+        self.ptr = os.path.join(state_dir, f"{name}_state.json")
+        self.prefix = f"{name}_v"
+
+    def load(self):
+        """(state_df | None, last persisted batch id)."""
+        p = _read_json(self.ptr)
+        if p is None:
+            return None, -1
+        df = self.spark.read.parquet(
+            os.path.join(self.dir, p["table"])
+        ).localCheckpoint()
+        return df, int(p["batch_id"])
+
+    def save(self, df: DataFrame, batch_id: int) -> None:
+        table = f"{self.prefix}{batch_id}"
+        df.write.mode("overwrite").parquet(os.path.join(self.dir, table))
+        prev = _read_json(self.ptr)
+        _atomic_write_json(self.ptr, {"batch_id": batch_id, "table": table})
+        if prev is not None and prev["table"] != table:
+            for d in os.listdir(self.dir):
+                if (d.startswith(self.prefix) and d != table
+                        and d != prev["table"]):
+                    shutil.rmtree(os.path.join(self.dir, d),
+                                  ignore_errors=True)
+
 # streaming_incremental_dedup: compact the lazily-unioned state parts
 # once the list (and thus the union plan) grows past this many pieces
 _COMPACT_PARTS = 64
@@ -551,17 +587,16 @@ def streaming_kmv_distinct(
         ),
         "last_id": -1,
     }
-    ptr_path = os.path.join(state_dir, "kmv_state.json") if state_dir else None
-    if ptr_path:
-        persisted = _read_json(ptr_path)
-        if persisted is not None:
-            state["minima"] = spark.read.parquet(
-                os.path.join(state_dir, persisted["table"])
-            ).localCheckpoint()
-            state["last_id"] = int(persisted["batch_id"])
+    persist = (
+        _DfStatePersist(spark, state_dir, "kmv") if state_dir else None
+    )
+    if persist:
+        loaded, last = persist.load()
+        if loaded is not None:
+            state["minima"], state["last_id"] = loaded, last
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        if ptr_path and batch_id <= state["last_id"]:
+        if persist and batch_id <= state["last_id"]:
             return  # replayed batch: already folded into persisted state
         bh = batch_df.filter(F.col(value_col).isNotNull()).select(
             *group_cols, SK.kmv_hash(F.col(value_col)).alias("_h")
@@ -572,20 +607,8 @@ def streaming_kmv_distinct(
             bm = SK.kmv_minima(bm, group_cols, k, n_salts)
         state["minima"] = bm.localCheckpoint()
         state["last_id"] = batch_id
-        if ptr_path:
-            table = f"minima_{batch_id}"
-            state["minima"].write.mode("overwrite").parquet(
-                os.path.join(state_dir, table)
-            )
-            prev = _read_json(ptr_path)
-            _atomic_write_json(ptr_path, {"batch_id": batch_id, "table": table})
-            if prev is not None and prev["table"] != table:
-                # keep current + previous; GC anything older
-                for d in os.listdir(state_dir):
-                    if (d.startswith("minima_") and d != table
-                            and d != prev["table"]):
-                        shutil.rmtree(os.path.join(state_dir, d),
-                                      ignore_errors=True)
+        if persist:
+            persist.save(state["minima"], batch_id)
 
     def drain_minima() -> DataFrame:
         if state["minima"] is None:
@@ -605,6 +628,7 @@ def streaming_hll_distinct(
     value_col: str,
     m: int = 256,
     initial_registers: Optional[DataFrame] = None,
+    state_dir: Optional[str] = None,
 ):
     """Live per-group distinct-cardinality monitoring on FIXED-size
     state: each micro-batch builds its own HLL register table and FOLDS
@@ -618,8 +642,10 @@ def streaming_hll_distinct(
     group FOREVER (KMV state is also O(k) but merges through a window;
     HLL merges through a plain max-aggregation), the trade being KMV's
     exact-below-k property. ``initial_registers`` seeds a warm start;
-    persist ``drain_registers()`` and re-seed rather than relying on
-    Spark checkpoints (driver-state sink, like the other folds here).
+    ``state_dir`` makes the fold CHECKPOINT-SAFE (per-batch persisted
+    registers keyed by batch_id, auto-reseed, replayed batches
+    skipped — the same transactional recipe as the KMV/MG folds,
+    pytest-pinned kill-and-restart).
 
     Returns ``(query, drain, drain_registers)``.
     """
@@ -631,10 +657,21 @@ def streaming_hll_distinct(
             initial_registers.localCheckpoint()
             if initial_registers is not None
             else None
-        )
+        ),
+        "last_id": -1,
     }
+    persist = (
+        _DfStatePersist(value_stream.sparkSession, state_dir, "hll")
+        if state_dir else None
+    )
+    if persist:
+        loaded, last = persist.load()
+        if loaded is not None:
+            state["registers"], state["last_id"] = loaded, last
 
-    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if persist and batch_id <= state["last_id"]:
+            return  # replayed batch: already folded into persisted state
         br = SK.hll_registers(batch_df, value_col, group_cols, m)
         if state["registers"] is not None:
             br = (
@@ -644,6 +681,9 @@ def streaming_hll_distinct(
                 .agg(F.max("r").alias("r"))
             )
         state["registers"] = br.localCheckpoint()
+        state["last_id"] = batch_id
+        if persist:
+            persist.save(state["registers"], batch_id)
 
     def drain_registers() -> DataFrame:
         if state["registers"] is None:
@@ -664,6 +704,7 @@ def streaming_histogram_quantiles(
     bin_width: int,
     qs,
     initial_summary: Optional[DataFrame] = None,
+    state_dir: Optional[str] = None,
 ):
     """Live quantile monitoring: each micro-batch's fixed-grid histogram
     summary FOLDS into the running one (union + re-sum — histogram
@@ -675,9 +716,10 @@ def streaming_histogram_quantiles(
 
     State is O(grid x groups) rows re-materialized per trigger —
     bounded by the grid, not the stream. ``initial_summary`` seeds a
-    warm start from a persisted summary. Driver-state sink like its
-    siblings: not Spark-checkpoint-safe; persist ``drain_summary()``
-    and re-seed instead.
+    warm start from a persisted summary. ``state_dir`` makes the fold
+    CHECKPOINT-SAFE (per-batch persisted summary keyed by batch_id,
+    auto-reseed, replayed batches skipped — the same transactional
+    recipe as the KMV/MG folds, pytest-pinned kill-and-restart).
 
     Returns ``(query, drain, drain_summary)``: ``drain()`` gives the
     current quantile table (see ``sketches.histogram_quantiles``),
@@ -688,10 +730,21 @@ def streaming_histogram_quantiles(
     state = {
         "summ": (
             initial_summary.localCheckpoint() if initial_summary is not None else None
-        )
+        ),
+        "last_id": -1,
     }
+    persist = (
+        _DfStatePersist(value_stream.sparkSession, state_dir, "hist")
+        if state_dir else None
+    )
+    if persist:
+        loaded, last = persist.load()
+        if loaded is not None:
+            state["summ"], state["last_id"] = loaded, last
 
-    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if persist and batch_id <= state["last_id"]:
+            return  # replayed batch: already folded into persisted state
         bs = SK.histogram_summary(batch_df, value_col, group_cols, bin_width)
         if state["summ"] is not None:
             bs = (
@@ -701,6 +754,9 @@ def streaming_histogram_quantiles(
                 .agg(F.sum("cnt").cast("long").alias("cnt"))
             )
         state["summ"] = bs.localCheckpoint()
+        state["last_id"] = batch_id
+        if persist:
+            persist.save(state["summ"], batch_id)
 
     def drain_summary() -> DataFrame:
         if state["summ"] is None:

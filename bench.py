@@ -180,6 +180,10 @@ BENCH_QUERIES = [
     # round 6 additions
     "fuzzy_link_dropped_blocks",
     "ann_drift_retrain",
+    "contrastive_hard_negatives",
+    "matryoshka_recall_eval",
+    "tokenizer_fertility_by_lang",
+    "knn_label_confusion_eval",
 ]
 
 

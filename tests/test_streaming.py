@@ -888,3 +888,54 @@ def test_kmv_kill_and_restart_equals_uninterrupted(spark, tmp_path):
     assert sorted(map(tuple, drain_minima2().collect())) == sorted(
         map(tuple, drain_minima3().collect())
     )
+
+
+def test_hll_and_histogram_kill_and_restart(spark, tmp_path):
+    """The HLL and histogram folds share the same checkpoint-safe
+    recipe: kill after 2 batches, restart a fresh fold over the source
+    with a 3rd file, drained state bit-identical to the uninterrupted
+    run (both merges are order-free)."""
+    from ahnlich_spark.streaming.pipeline import (
+        streaming_histogram_quantiles,
+        streaming_hll_distinct,
+    )
+
+    rows = [(f"g{i % 2}", f"v-{i % 400}", (i * 13) % 1000) for i in range(1200)]
+    df = spark.createDataFrame(rows, "g string, v string, x long")
+    parts = [df.filter(F.abs(F.xxhash64("v", "x")) % 3 == i) for i in range(3)]
+    schema = "g string, v string, x long"
+
+    def read_stream(watch):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(watch)
+        )
+
+    for name, factory, drain_idx in (
+        ("hll", lambda st, sd: streaming_hll_distinct(
+            st, ["g"], "v", m=128, state_dir=sd), 2),
+        ("hist", lambda st, sd: streaming_histogram_quantiles(
+            st, ["g"], "x", 50, [0.5, 0.9], state_dir=sd), 2),
+    ):
+        base = tmp_path / name
+        base.mkdir()
+        state_dir = str(base / "ckpt")
+        watch, add_file = _ordered_files(base, spark, parts[:2], schema)
+        q1 = factory(read_stream(watch), state_dir)[0]
+        q1.processAllAvailable()
+        q1.stop()
+        add_file(parts[2])
+        q2, drain2, drain_state2 = factory(read_stream(watch), state_dir)
+        q2.processAllAvailable()
+        q2.stop()
+        watch_u, _ = _ordered_files(base / "u", spark, parts, schema)
+        q3, drain3, drain_state3 = factory(read_stream(watch_u), None)
+        q3.processAllAvailable()
+        q3.stop()
+        got = sorted(map(tuple, drain_state2().collect()))
+        want = sorted(map(tuple, drain_state3().collect()))
+        assert got == want and len(got) > 0, name
+        assert sorted(map(tuple, drain2().collect())) == sorted(
+            map(tuple, drain3().collect())
+        ), name
