@@ -7983,6 +7983,66 @@ def tokenizer_fertility_by_lang(spark, sf_dir):
     )
 
 
+_BF_FIXTURES: dict = {}
+
+
+@register("ann_batch_filtered_topk", """
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 4),
+s AS (SELECT q.qid, e.vec_id,
+             list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS cos
+      FROM embeddings e, q WHERE e.label = 1)
+SELECT qid, vec_id,
+       CAST(row_number() OVER (PARTITION BY qid
+                               ORDER BY cos DESC, vec_id) AS BIGINT) AS rank_n,
+       CAST(round(cos * 10000) AS BIGINT) AS score_e4
+FROM s QUALIFY rank_n <= 5
+""")
+def ann_batch_filtered_topk(spark, sf_dir):
+    """Batch GetSimN('hnsw') WITH a predicate: conditioned non-linear
+    batch queries answer with the exact filtered top-k per probe — the
+    reference's accept-list brute-force semantics (hnsw/index.rs:24)
+    extended to the batch surface, so predicates now compose with
+    every algorithm in both the single and batch dispatch. The store
+    sits ABOVE the brute-force threshold: the exactness comes from the
+    conditioned dispatch rule, not the small-store shortcut."""
+    from ahnlich_spark.plans.engine import Engine
+
+    ckey = (id(spark.sparkContext), os.path.abspath(sf_dir))
+    eng = _BF_FIXTURES.get(ckey)
+    if eng is None:
+        emb = _t(spark, sf_dir, "embeddings")
+        eng = Engine(spark, tempfile.mkdtemp(prefix="ahnlich_gate_"))
+        eng.brute_force_threshold = _PRUNED_BF_THRESHOLD
+        eng.create_store("annbf", dimension=_GATE_DIM, predicates=["label"])
+        eng.create_non_linear_algorithm_index("annbf", ["hnsw"])
+        eng.set(
+            "annbf",
+            emb.select(
+                F.col("embedding").alias("key"),
+                F.create_map(
+                    F.lit("label"), _mv_str(F.col("label"))
+                ).alias("meta"),
+            ),
+        )
+        _BF_FIXTURES[ckey] = eng
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").cast("long").alias("qid"),
+        F.col("embedding").cast("array<float>").alias("qkey"),
+    )
+    out = eng.get_sim_n_batch(
+        "annbf", probes, closest_n=5, algorithm="hnsw",
+        condition=Equals("label", "1"), precision="double",
+    )
+    ids = emb.select("vec_id", store_key_id(F.col("embedding")).alias("id"))
+    return out.join(ids, "id").select(
+        "qid", "vec_id",
+        F.col("rank_n").cast("long").alias("rank_n"),
+        F.round(F.col("similarity") * 10000).cast("long").alias("score_e4"),
+    )
+
+
 @register("knn_label_confusion_eval", """
 WITH a AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv, label AS tl
            FROM embeddings WHERE vec_id < 50),

@@ -967,9 +967,14 @@ class Engine:
         per probe; ``algorithm='hnsw'|'ivf'|'pq'`` (condition-free)
         route through the PRUNED batch paths — per-probe balls/buckets
         planned driver-side, ONE partition-pruned candidate scan for the
-        whole batch. Conditions compose with linear metrics only.
-        Returns store columns + qid + rank_n + the score, rank 1 =
-        closest, ties by id ascending."""
+        whole batch. A CONDITION composes with every algorithm the way
+        the single-probe dispatch does: the predicate filters through
+        the index-aware path first, and conditioned non-linear queries
+        answer with the exact filtered top-k (the reference's
+        accept-list brute-force semantics, hnsw/index.rs:24 — exact
+        trivially satisfies the recall contract); ``kdtree`` is exact
+        k-NN by contract either way. Returns store columns + qid +
+        rank_n + the score, rank 1 = closest, ties by id ascending."""
         from ahnlich_spark.operators.topk import top_k_batch
 
         if closest_n < 1:
@@ -981,10 +986,20 @@ class Engine:
             return self._batch_lsh(meta, probes, closest_n, precision)
         if algorithm == "ivf" and condition is None:
             return self._batch_ivf(meta, probes, closest_n, precision)
-        if algorithm not in LINEAR_ALGOS:
+        if algorithm in NON_LINEAR_ALGOS:
+            # conditioned hnsw/ivf/pq, and kdtree always: exact
+            # (filtered) batch top-k under the index's distance metric
+            if algorithm not in meta.non_linear:
+                raise errors.NonLinearIndexNotFound(
+                    f"non-linear index {algorithm!r} not created for "
+                    f"{meta.schema}.{meta.name}"
+                )
+            cfg = meta.non_linear_config.get(algorithm, ANN_DEFAULTS[algorithm])
+            algorithm = cfg.get("distance", S.EUCLIDEAN)
+        elif algorithm not in LINEAR_ALGOS:
             raise ValueError(
-                f"get_sim_n_batch supports linear metrics (or 'pq'/'hnsw'/'ivf' "
-                f"without a condition), got {algorithm!r}"
+                f"unknown algorithm {algorithm!r}; one of "
+                f"{sorted(set(LINEAR_ALGOS) | set(NON_LINEAR_ALGOS))}"
             )
         if isinstance(probes, DataFrame):
             probes_df = probes

@@ -184,6 +184,7 @@ BENCH_QUERIES = [
     "matryoshka_recall_eval",
     "tokenizer_fertility_by_lang",
     "knn_label_confusion_eval",
+    "ann_batch_filtered_topk",
 ]
 
 

@@ -726,3 +726,41 @@ def test_maintain_index_drift_retrain_restores_recall(spark):
     assert n_before <= 25 and n_after >= 30, (n_before, n_after)
     # post-retrain the baseline is refreshed: drift back to zero
     assert eng.maintain_index("drift")["max_drift_e9"] == 0
+
+
+def test_batch_conditioned_ann_equals_singles(indexed_engine, spark):
+    """Conditioned non-linear BATCH queries mirror the single-probe
+    dispatch: exact filtered top-k per probe (the accept-list
+    brute-force semantics), identical to running each probe through
+    get_sim_n with the same condition. kdtree batch is exact k-NN with
+    or without a condition."""
+    from ahnlich_spark.operators.predicates import In
+
+    eng = indexed_engine
+    cond = In("i", [str(i) for i in range(0, 600, 3)])
+    probes = [(j, VECS[j * 11].tolist()) for j in range(4)]
+    for algo in ("hnsw", "ivf", "pq", "kdtree"):
+        batch = {}
+        for r in eng.get_sim_n_batch("vecs", probes, closest_n=5,
+                                     algorithm=algo, condition=cond,
+                                     precision="double").collect():
+            batch[(r["qid"], r["rank_n"])] = r["id"]
+        # single-probe results carry no rank column -> enumerate the
+        # returned (already closeness-ordered) rows
+        singles = {}
+        for pid, v in probes:
+            rows = eng.get_sim_n("vecs", v, closest_n=5, algorithm=algo,
+                                 condition=cond,
+                                 precision="double").collect()
+            for rk, r in enumerate(rows, 1):
+                singles[(pid, rk)] = r["id"]
+        assert batch == singles, algo
+        assert len(batch) == 4 * 5
+
+
+def test_batch_unknown_algorithm_error(indexed_engine):
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown algorithm"):
+        indexed_engine.get_sim_n_batch("vecs", [(0, VECS[0].tolist())],
+                                       closest_n=2, algorithm="faiss")
