@@ -6963,6 +6963,63 @@ def cms_term_freq(spark, sf_dir):
     return cms_estimate(sk, probes, "v", depth=4, width=64)
 
 
+@register("streaming_cms_counts", f"""
+WITH toks AS (SELECT {_TOKENS_SQL} AS ws FROM documents),
+w AS (SELECT unnest(ws) AS v FROM toks),
+buck AS (
+  SELECT r, ('0x' || substring(md5('cms' || r || '|' || v), 1, 15))::BIGINT % 64 AS bucket
+  FROM w, range(4) t(r)
+),
+sk AS (SELECT r, bucket, count(*) AS cnt FROM buck GROUP BY 1, 2),
+probes AS (SELECT DISTINCT v FROM w),
+pb AS (
+  SELECT v, r, ('0x' || substring(md5('cms' || r || '|' || v), 1, 15))::BIGINT % 64 AS bucket
+  FROM probes, range(4) t(r)
+)
+SELECT v AS value, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est
+FROM pb LEFT JOIN sk USING (r, bucket) GROUP BY v
+""")
+def streaming_cms_counts_gate(spark, sf_dir):
+    """Live point-frequency monitoring: document terms stream in two
+    ORDERED micro-batches; each batch's Count-Min sketch FOLDS into the
+    running grid by plain per-(row, bucket) addition. Addition is
+    order-free, so the streamed sketch must be bit-identical to the
+    whole-corpus sketch — the oracle is EXACTLY the batch
+    ``cms_term_freq`` closed form
+    (streaming/pipeline.streaming_cms_counts)."""
+    import glob
+    import time
+
+    from ahnlich_spark.streaming.pipeline import streaming_cms_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(X.tokens(F.col("text"))).alias("v"), "doc_id"
+    )
+    src = tempfile.mkdtemp(prefix="ahnlich_scms_")
+    a_dir, b_dir = os.path.join(src, "a"), os.path.join(src, "b")
+    words.filter(F.col("doc_id") % 2 == 0).select("v").coalesce(1).write.parquet(a_dir)
+    words.filter(F.col("doc_id") % 2 != 0).select("v").coalesce(1).write.parquet(b_dir)
+    watch = os.path.join(src, "watch")
+    os.makedirs(watch)
+    fa = glob.glob(os.path.join(a_dir, "part-*.parquet"))[0]
+    fb = glob.glob(os.path.join(b_dir, "part-*.parquet"))[0]
+    now = time.time()
+    os.utime(fa, (now - 60, now - 60))
+    os.utime(fb, (now, now))
+    os.symlink(fa, os.path.join(watch, "batch-a.parquet"))
+    os.symlink(fb, os.path.join(watch, "batch-b.parquet"))
+    stream = (
+        spark.readStream.schema("v string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(watch)
+    )
+    q, estimate, _t_ = streaming_cms_counts(stream, [], "v", depth=4, width=64)
+    q.processAllAvailable()
+    q.stop()
+    return estimate(words.select("v").distinct())
+
+
 @register("streaming_kmv_distinct", _KMV_SOURCE_ORACLE)
 def streaming_kmv_distinct_gate(spark, sf_dir):
     """Live cardinality monitoring: documents stream in two ORDERED

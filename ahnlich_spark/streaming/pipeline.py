@@ -858,3 +858,78 @@ def streaming_heavy_hitters(
 
     q = value_stream.writeStream.foreachBatch(_sink).outputMode("update").start()
     return q, drain_counter, drain_topk
+
+
+def streaming_cms_counts(
+    value_stream: DataFrame,
+    group_cols,
+    value_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    initial_table: Optional[DataFrame] = None,
+    state_dir: Optional[str] = None,
+):
+    """Live point-frequency monitoring on bounded state: each
+    micro-batch's Count-Min sketch FOLDS into the running one (union +
+    re-sum per (group, row, bucket) — counts are additive, the merge
+    rule ``sketches.cms_table`` documents). Addition is order-free, so
+    the folded state is bit-identical to the batch sketch over the same
+    rows at every prefix; estimates never underestimate regardless of
+    where a batch boundary fell.
+
+    State is O(depth x width x groups) rows re-materialized per
+    trigger — bounded by the grid, never by the vocabulary or the
+    stream. ``initial_table`` seeds a warm start; ``state_dir`` makes
+    the fold CHECKPOINT-SAFE (per-batch persisted table keyed by
+    batch_id, auto-reseed, replayed batches skipped — the same
+    transactional recipe as the other folds, pytest-pinned
+    kill-and-restart).
+
+    Returns ``(query, estimate, drain_table)``: ``estimate(keys_df)``
+    gives never-underestimating counts for the probed keys,
+    ``drain_table()`` the raw sketch STATE."""
+    from ahnlich_spark.operators import sketches as SK
+
+    group_cols = list(group_cols)
+    state = {
+        "table": (
+            initial_table.localCheckpoint() if initial_table is not None else None
+        ),
+        "last_id": -1,
+    }
+    persist = (
+        _DfStatePersist(value_stream.sparkSession, state_dir, "cms")
+        if state_dir else None
+    )
+    if persist:
+        loaded, last = persist.load()
+        if loaded is not None:
+            state["table"], state["last_id"] = loaded, last
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if persist and batch_id <= state["last_id"]:
+            return  # replayed batch: already folded into persisted state
+        bt = SK.cms_table(batch_df, value_col, group_cols, depth, width)
+        if state["table"] is not None:
+            bt = (
+                state["table"]
+                .unionByName(bt)
+                .groupBy(*group_cols, "row", "bucket")
+                .agg(F.sum("cnt").cast("long").alias("cnt"))
+            )
+        state["table"] = bt.localCheckpoint()
+        state["last_id"] = batch_id
+        if persist:
+            persist.save(state["table"], batch_id)
+
+    def drain_table() -> DataFrame:
+        if state["table"] is None:
+            raise ValueError("no batch processed and no initial_table seeded")
+        return state["table"]
+
+    def estimate(keys_df: DataFrame) -> DataFrame:
+        return SK.cms_estimate(drain_table(), keys_df, value_col,
+                               group_cols, depth, width)
+
+    q = value_stream.writeStream.foreachBatch(_sink).outputMode("update").start()
+    return q, estimate, drain_table

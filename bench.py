@@ -185,6 +185,7 @@ BENCH_QUERIES = [
     "tokenizer_fertility_by_lang",
     "knn_label_confusion_eval",
     "ann_batch_filtered_topk",
+    "streaming_cms_counts",
 ]
 
 

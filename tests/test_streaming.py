@@ -939,3 +939,46 @@ def test_hll_and_histogram_kill_and_restart(spark, tmp_path):
         assert sorted(map(tuple, drain2().collect())) == sorted(
             map(tuple, drain3().collect())
         ), name
+
+
+def test_streaming_cms_fold_matches_batch_and_restarts(spark, tmp_path):
+    """The CMS fold is bit-identical to the one-shot batch sketch
+    (addition is order-free) and checkpoint-safe under kill-and-restart
+    like its sibling folds."""
+    from ahnlich_spark.operators.sketches import cms_estimate, cms_table
+    from ahnlich_spark.streaming.pipeline import streaming_cms_counts
+
+    rows = [(f"t{i % 97}",) for i in range(1500)]
+    df = spark.createDataFrame(rows, "v string")
+    parts = [df.filter(F.abs(F.xxhash64("v")) % 3 == i) for i in range(3)]
+    state_dir = str(tmp_path / "cms_ckpt")
+
+    def read_stream(watch):
+        return (
+            spark.readStream.schema("v string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(watch)
+        )
+
+    watch, add_file = _ordered_files(tmp_path, spark, parts[:2], "v string")
+    q1 = streaming_cms_counts(read_stream(watch), [], "v", depth=4,
+                              width=32, state_dir=state_dir)[0]
+    q1.processAllAvailable()
+    q1.stop()
+    add_file(parts[2])
+    q2, est2, table2 = streaming_cms_counts(read_stream(watch), [], "v",
+                                            depth=4, width=32,
+                                            state_dir=state_dir)
+    q2.processAllAvailable()
+    q2.stop()
+    # batch reference: the one-shot sketch over all rows
+    batch_sk = cms_table(df, "v", depth=4, width=32)
+    assert sorted(map(tuple, table2().collect())) == sorted(
+        map(tuple, batch_sk.collect())
+    )
+    probes = df.distinct()
+    got = sorted(map(tuple, est2(probes).collect()))
+    want = sorted(map(tuple,
+                      cms_estimate(batch_sk, probes, "v", depth=4,
+                                   width=32).collect()))
+    assert got == want and len(got) == 97
