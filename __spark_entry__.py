@@ -50,22 +50,23 @@ def _rotation_offset(n: int) -> int:
     return (50 * (rounds + 1)) % n if n else 0
 
 
-def _rotated(mapping: dict) -> dict:
-    names = sorted(mapping)
-    off = _rotation_offset(len(names))
-    order = names[off:] + names[:off]
-    return {k: mapping[k] for k in order}
+def _rotated(mapping: dict, all_names: list) -> dict:
+    # one rotation, derived from the full GATE name list, applied to
+    # both dicts — so queries() and oracle_sql() stay aligned even if
+    # a rows-only gate (present in QUERIES, absent from ORACLES) is
+    # ever registered
+    off = _rotation_offset(len(all_names))
+    order = all_names[off:] + all_names[:off]
+    return {k: mapping[k] for k in order if k in mapping}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from ahnlich_spark.entry_queries import QUERIES
 
-    return _rotated(dict(QUERIES))
+    return _rotated(dict(QUERIES), sorted(QUERIES))
 
 
 def oracle_sql() -> dict[str, str]:
-    from ahnlich_spark.entry_queries import ORACLES
+    from ahnlich_spark.entry_queries import ORACLES, QUERIES
 
-    # same rotation as queries(); gates without an oracle (rows-only
-    # checks) are simply absent, as before
-    return _rotated(dict(ORACLES))
+    return _rotated(dict(ORACLES), sorted(QUERIES))

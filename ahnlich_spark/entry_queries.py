@@ -4626,17 +4626,23 @@ _DRIFT_THRESH_E9 = 20_000_000
 _DRIFT_FIXTURE: dict = {}
 
 
+_DRIFT_FRESH_CACHE: list = []
+
+
 def _drift_fresh_codebooks():
     """Deterministic post-drift codebooks: Lloyd over the FIXED sample
     corpus interleaved with its shifted copy — a pure function of the
     training parquet (the pq-gate trick), so the engine (via the
     maintain_index codebooks hook) and the oracle (as literals) share
-    them exactly."""
+    them exactly. Memoized like ``pq.train_codebooks``: the oracle
+    build at import and every gate/test call reuse one training run."""
     import numpy as np
     import pyarrow.parquet as pqm
 
     from ahnlich_spark.operators.pq import PQ_TRAIN_DIR, lloyd_codebooks
 
+    if _DRIFT_FRESH_CACHE:
+        return _DRIFT_FRESH_CACHE[0]
     tbl = pqm.read_table(
         os.path.join(PQ_TRAIN_DIR, "embeddings.parquet"),
         columns=["vec_id", "embedding"],
@@ -4648,7 +4654,8 @@ def _drift_fresh_codebooks():
     ft = np.empty((512, X.shape[1]))
     ft[0::2] = X[:256]
     ft[1::2] = X[:256] + _DRIFT_SHIFT
-    return lloyd_codebooks(ft, 8, 16, 10)
+    _DRIFT_FRESH_CACHE.append(lloyd_codebooks(ft, 8, 16, 10))
+    return _DRIFT_FRESH_CACHE[0]
 
 
 def _drift_retrain_oracle_sql() -> str:

@@ -230,10 +230,19 @@ def _sized_band_table(
 
     bt = _band_table(sig, n_bands, rows_per_band, extra=("nsh",))
     sb = jaccard_size_bucket(F.col("nsh"), threshold)
-    if not probe:
+    if not probe or float(threshold) == 1.0:
+        # t=1 means exact set-size equality (the bucket IS the size):
+        # adjacent-bucket probing would only admit size-mismatched
+        # candidates that verification must discard
         return bt.select("did", "band", sb.alias("sb"))
-    return bt.select(
-        "did", "band", F.explode(F.array(sb - 1, sb, sb + 1)).alias("sb")
+    return (
+        bt.select(
+            "did", "band", F.explode(F.array(sb - 1, sb, sb + 1)).alias("sb")
+        )
+        # sb >= 0 always on the build side (nsh >= 1 -> ln >= 0), so a
+        # probe's sb-1 = -1 row can never match: drop it instead of
+        # shuffling a phantom key
+        .filter(F.col("sb") >= 0)
     )
 
 

@@ -218,7 +218,6 @@ def dropped_block_stats(
     clean: DataFrame,
     max_distance: int = 2,
     text_col: str = "nm",
-    id_col: str = "id",
     max_block_size: int = 10_000,
     length_blocking: bool = True,
 ) -> DataFrame:

@@ -1002,6 +1002,11 @@ class Engine:
                 f"{sorted(set(LINEAR_ALGOS) | set(NON_LINEAR_ALGOS))}"
             )
         if isinstance(probes, DataFrame):
+            # DataFrame probes validate like the pruned batch paths do:
+            # a NULL or wrong-dimension probe key raises the typed
+            # DimensionMismatch instead of silently producing fully
+            # ranked nonsense rows for that qid
+            self._count_probes_checked(meta, probes, True)
             probes_df = probes
         else:
             self._check_dims(meta, [v for _pid, v in probes])

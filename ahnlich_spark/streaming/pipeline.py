@@ -69,32 +69,67 @@ def _read_json(path: str) -> Optional[dict]:
 
 class _DfStatePersist:
     """Parquet-keyed-by-batch-id persistence for DataFrame fold state —
-    the transactional recipe shared by the KMV / HLL / histogram
+    the transactional recipe shared by the KMV / HLL / histogram / CMS
     folds: state for batch N is written with overwrite (idempotent on
     a crashed write), then a pointer file is atomically replaced; only
-    the current and previous versions are retained."""
+    the current and previous versions are retained.
+
+    The pointer also records every folded batch's ROW COUNT: the
+    replay-skip rule (`batch_id <= last persisted id`) assumes the
+    restarted stream batches the source exactly as the original run
+    did, and ``replay_guard`` VERIFIES that — a replayed batch whose
+    row count differs from what was folded raises instead of silently
+    dropping never-folded rows (e.g. a restart with a different
+    maxFilesPerTrigger that packs old and NEW files into batch 0).
+    The count job runs only on replayed batches (recovery), never in
+    steady state; recording the count costs one narrow count per
+    trigger on this opt-in path."""
 
     def __init__(self, spark: SparkSession, state_dir: str, name: str):
         self.spark = spark
         self.dir = state_dir
         self.ptr = os.path.join(state_dir, f"{name}_state.json")
         self.prefix = f"{name}_v"
+        self.rows: dict = {}
 
     def load(self):
         """(state_df | None, last persisted batch id)."""
         p = _read_json(self.ptr)
         if p is None:
             return None, -1
+        self.rows = dict(p.get("rows", {}))
         df = self.spark.read.parquet(
             os.path.join(self.dir, p["table"])
         ).localCheckpoint()
         return df, int(p["batch_id"])
 
-    def save(self, df: DataFrame, batch_id: int) -> None:
+    def replay_guard(self, batch_df: DataFrame, batch_id: int,
+                     name: str) -> None:
+        """Called when a batch is about to be skipped as a replay:
+        verify it carries exactly the rows that were folded under this
+        id, or refuse with a clear recovery instruction."""
+        expected = self.rows.get(str(batch_id))
+        if expected is None:
+            return  # pre-upgrade state: no count recorded, skip blind
+        actual = batch_df.count()
+        if actual != int(expected):
+            raise ValueError(
+                f"{name} fold restart: replayed batch {batch_id} carries "
+                f"{actual} rows but {expected} were folded originally — "
+                f"the restarted stream batches the source differently "
+                f"(changed maxFilesPerTrigger / new files merged into a "
+                f"replayed batch). Re-seed from the drained state instead "
+                f"of reusing this state_dir."
+            )
+
+    def save(self, df: DataFrame, batch_id: int, batch_rows: int) -> None:
         table = f"{self.prefix}{batch_id}"
         df.write.mode("overwrite").parquet(os.path.join(self.dir, table))
         prev = _read_json(self.ptr)
-        _atomic_write_json(self.ptr, {"batch_id": batch_id, "table": table})
+        self.rows[str(batch_id)] = int(batch_rows)
+        _atomic_write_json(self.ptr, {
+            "batch_id": batch_id, "table": table, "rows": self.rows,
+        })
         if prev is not None and prev["table"] != table:
             for d in os.listdir(self.dir):
                 if (d.startswith(self.prefix) and d != table
@@ -597,7 +632,11 @@ def streaming_kmv_distinct(
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if persist and batch_id <= state["last_id"]:
-            return  # replayed batch: already folded into persisted state
+            # replayed batch: already folded into persisted state —
+            # verify it is byte-for-byte the batch we folded
+            persist.replay_guard(batch_df, batch_id, "kmv")
+            return
+        n_rows = batch_df.count() if persist else 0
         bh = batch_df.filter(F.col(value_col).isNotNull()).select(
             *group_cols, SK.kmv_hash(F.col(value_col)).alias("_h")
         )
@@ -608,7 +647,7 @@ def streaming_kmv_distinct(
         state["minima"] = bm.localCheckpoint()
         state["last_id"] = batch_id
         if persist:
-            persist.save(state["minima"], batch_id)
+            persist.save(state["minima"], batch_id, n_rows)
 
     def drain_minima() -> DataFrame:
         if state["minima"] is None:
@@ -671,7 +710,9 @@ def streaming_hll_distinct(
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if persist and batch_id <= state["last_id"]:
-            return  # replayed batch: already folded into persisted state
+            persist.replay_guard(batch_df, batch_id, "hll")
+            return
+        n_rows = batch_df.count() if persist else 0
         br = SK.hll_registers(batch_df, value_col, group_cols, m)
         if state["registers"] is not None:
             br = (
@@ -683,7 +724,7 @@ def streaming_hll_distinct(
         state["registers"] = br.localCheckpoint()
         state["last_id"] = batch_id
         if persist:
-            persist.save(state["registers"], batch_id)
+            persist.save(state["registers"], batch_id, n_rows)
 
     def drain_registers() -> DataFrame:
         if state["registers"] is None:
@@ -744,7 +785,9 @@ def streaming_histogram_quantiles(
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if persist and batch_id <= state["last_id"]:
-            return  # replayed batch: already folded into persisted state
+            persist.replay_guard(batch_df, batch_id, "hist")
+            return
+        n_rows = batch_df.count() if persist else 0
         bs = SK.histogram_summary(batch_df, value_col, group_cols, bin_width)
         if state["summ"] is not None:
             bs = (
@@ -756,7 +799,7 @@ def streaming_histogram_quantiles(
         state["summ"] = bs.localCheckpoint()
         state["last_id"] = batch_id
         if persist:
-            persist.save(state["summ"], batch_id)
+            persist.save(state["summ"], batch_id, n_rows)
 
     def drain_summary() -> DataFrame:
         if state["summ"] is None:
@@ -816,19 +859,41 @@ def streaming_heavy_hitters(
         "last_id": -1,
     }
     state_path = os.path.join(state_dir, "mg_state.json") if state_dir else None
+    batch_rows: dict = {}
     if state_path:
         persisted = _read_json(state_path)
         if persisted is not None:
-            state["counter"] = {k: int(v) for k, v in persisted["counter"].items()}
+            # counter persisted as [key, count] PAIRS: JSON object keys
+            # are always strings, which would silently retype int/float
+            # values and split their counts after a restart
+            state["counter"] = {k: int(v) for k, v in persisted["counter_items"]}
             state["n"] = int(persisted["n"])
             state["pruned"] = bool(persisted["pruned"])
             state["last_id"] = int(persisted["batch_id"])
+            batch_rows = dict(persisted.get("batch_rows", {}))
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if state_path and batch_id <= state["last_id"]:
-            return  # replayed batch: already folded into persisted state
+            # replayed batch: verify it is the batch we folded (a
+            # restart that batches the source differently must refuse,
+            # not silently drop never-folded rows)
+            expected = batch_rows.get(str(batch_id))
+            # the persisted count is the NON-NULL row total (part_rows
+            # sums post-dropna) — compare like with like
+            actual = (
+                batch_df.filter(F.col(value_col).isNotNull()).count()
+                if expected is not None else None
+            )
+            if expected is not None and actual != int(expected):
+                raise ValueError(
+                    f"mg fold restart: replayed batch {batch_id} differs "
+                    f"from what was folded originally — re-seed from "
+                    f"drain_counter() instead of reusing this state_dir"
+                )
+            return
         summ = SK.heavy_hitter_candidates(batch_df, value_col, capacity).collect()
-        state["n"] += sum(r["part_rows"] for r in summ)
+        n_batch = sum(r["part_rows"] for r in summ)
+        state["n"] += n_batch
         state["pruned"] = state["pruned"] or any(r["pruned"] for r in summ)
         live = [(r["value"], r["mg_est"]) for r in summ if r["value"] is not None]
         before = len(set(state["counter"]).union(v for v, _ in live))
@@ -836,11 +901,13 @@ def streaming_heavy_hitters(
         state["pruned"] = state["pruned"] or len(state["counter"]) < before
         state["last_id"] = batch_id
         if state_path:
+            batch_rows[str(batch_id)] = int(n_batch)
             _atomic_write_json(state_path, {
                 "batch_id": batch_id,
-                "counter": state["counter"],
+                "counter_items": [[k, v] for k, v in state["counter"].items()],
                 "n": state["n"],
                 "pruned": state["pruned"],
+                "batch_rows": batch_rows,
             })
 
     def drain_counter() -> dict:
@@ -908,7 +975,9 @@ def streaming_cms_counts(
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if persist and batch_id <= state["last_id"]:
-            return  # replayed batch: already folded into persisted state
+            persist.replay_guard(batch_df, batch_id, "cms")
+            return
+        n_rows = batch_df.count() if persist else 0
         bt = SK.cms_table(batch_df, value_col, group_cols, depth, width)
         if state["table"] is not None:
             bt = (
@@ -920,7 +989,7 @@ def streaming_cms_counts(
         state["table"] = bt.localCheckpoint()
         state["last_id"] = batch_id
         if persist:
-            persist.save(state["table"], batch_id)
+            persist.save(state["table"], batch_id, n_rows)
 
     def drain_table() -> DataFrame:
         if state["table"] is None:

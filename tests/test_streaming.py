@@ -982,3 +982,78 @@ def test_streaming_cms_fold_matches_batch_and_restarts(spark, tmp_path):
                       cms_estimate(batch_sk, probes, "v", depth=4,
                                    width=32).collect()))
     assert got == want and len(got) == 97
+
+
+def test_replay_guard_refuses_divergent_restart(spark, tmp_path):
+    """A restart that batches the source DIFFERENTLY (here: dropping
+    maxFilesPerTrigger so old+new files merge into replayed batch 0)
+    must refuse with a clear error instead of silently skipping the
+    never-folded rows."""
+    from pyspark.sql.streaming import StreamingQueryException
+
+    from ahnlich_spark.streaming.pipeline import streaming_kmv_distinct
+
+    rows = [(f"g{i % 2}", f"v-{i}") for i in range(600)]
+    df = spark.createDataFrame(rows, "g string, v string")
+    parts = [df.filter(F.abs(F.xxhash64("v")) % 3 == i) for i in range(3)]
+    state_dir = str(tmp_path / "ckpt")
+    watch, add_file = _ordered_files(tmp_path, spark, parts[:2],
+                                     "g string, v string")
+    q1 = streaming_kmv_distinct(
+        spark.readStream.schema("g string, v string")
+        .option("maxFilesPerTrigger", 1).parquet(watch),
+        ["g"], "v", k=16, state_dir=state_dir,
+    )[0]
+    q1.processAllAvailable()
+    q1.stop()
+    add_file(parts[2])
+    # restart WITHOUT maxFilesPerTrigger: batch 0 now packs all 3 files
+    q2 = streaming_kmv_distinct(
+        spark.readStream.schema("g string, v string").parquet(watch),
+        ["g"], "v", k=16, state_dir=state_dir,
+    )[0]
+    with pytest.raises(StreamingQueryException,
+                       match="batches the source differently"):
+        q2.processAllAvailable()
+    q2.stop()
+
+
+def test_mg_state_dir_key_type_round_trip(spark, tmp_path):
+    """MG counter keys are STRINGS by design (heavy_hitter_candidates'
+    UDF schema casts the value column), and the persisted state
+    round-trips them without splitting any count across a restart —
+    the counter is persisted as [key, count] PAIRS so a future
+    non-string summary schema could not be silently retyped by JSON
+    object keys either."""
+    from ahnlich_spark.streaming.pipeline import streaming_heavy_hitters
+
+    rows = [(i % 7,) for i in range(300)]
+    df = spark.createDataFrame(rows, "value long")
+    parts = [df.filter(F.abs(F.xxhash64("value") + F.monotonically_increasing_id()) % 2 == i)
+             for i in range(2)]
+    # deterministic split without relying on value hashing alone
+    parts = [df.limit(150), df.subtract(spark.createDataFrame([], "value long")).exceptAll(df.limit(150))]
+    state_dir = str(tmp_path / "mg")
+    watch, add_file = _ordered_files(tmp_path, spark, parts[:1], "value long")
+    q1, drain1, _ = streaming_heavy_hitters(
+        spark.readStream.schema("value long")
+        .option("maxFilesPerTrigger", 1).parquet(watch),
+        "value", capacity=16, state_dir=state_dir,
+    )
+    q1.processAllAvailable()
+    q1.stop()
+    add_file(parts[1])
+    q2, drain2, drain_topk2 = streaming_heavy_hitters(
+        spark.readStream.schema("value long")
+        .option("maxFilesPerTrigger", 1).parquet(watch),
+        "value", capacity=16, state_dir=state_dir,
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    counter = drain2()
+    assert counter and all(isinstance(k, str) for k in counter), counter
+    got = [(r["value"], r["cnt"]) for r in drain_topk2(df, k=3).collect()]
+    want = [(str(r["value"]), r["cnt"]) for r in
+            df.groupBy("value").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("value")).limit(3).collect()]
+    assert got == want
