@@ -214,16 +214,15 @@ def matryoshka_recall(
         ).alias(f"h{p}")
         for p in prefix_dims
     ]
+    # ONE aggregation row unpivoted with stack — a per-prefix union of
+    # selects would re-execute the whole scan+rank pipeline per prefix
     row = ranked.agg(*hits)
-    pieces = [
-        row.select(F.lit(p).cast("long").alias("prefix_dim"),
-                   F.col(f"h{p}").cast("long").alias("n_hits"))
-        for p in prefix_dims
-    ]
-    out = pieces[0]
-    for pc in pieces[1:]:
-        out = out.unionByName(pc)
-    return out
+    stack = ", ".join(
+        f"CAST({p} AS BIGINT), CAST(h{p} AS BIGINT)" for p in prefix_dims
+    )
+    return row.select(
+        F.expr(f"stack({len(prefix_dims)}, {stack}) AS (prefix_dim, n_hits)")
+    )
 
 
 def knn_label_confusion(

@@ -64,3 +64,27 @@ def test_matryoshka_recall_full_prefix_is_perfect(spark):
         df, df.filter(F.col("vec_id") < 3), [1, 8], k=5).collect()}
     assert got[8] == 3 * 5          # full prefix == full ranking
     assert 0 <= got[1] <= got[8]
+
+
+def test_matryoshka_single_pipeline_plan(spark):
+    """All prefix rankings ride ONE scan + one anchor-key exchange (+
+    the single-partition final agg) — a per-prefix union would
+    re-execute the whole pipeline per prefix."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from ahnlich_spark.operators.evaluation import matryoshka_recall
+
+    rng = np.random.RandomState(3)
+    df = spark.createDataFrame(
+        [(i, v.tolist(), 0) for i, v in
+         enumerate(rng.normal(size=(40, 8)).astype(np.float32))],
+        "vec_id long, embedding array<float>, label int",
+    )
+    plan = matryoshka_recall(
+        df, df.filter(F.col("vec_id") < 2), [2, 4], k=5
+    )._jdf.queryExecution().executedPlan().toString()
+    n_ex = sum(1 for l in plan.split("\n")
+               if "Exchange" in l and "Broadcast" not in l)
+    assert n_ex <= 2, plan
