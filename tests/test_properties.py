@@ -318,3 +318,27 @@ def test_gate_cosine_threshold_margins_are_safe():
         for thr in (0.45,):
             margin = np.abs(vals - thr).min()
             assert margin >= 1e-6, (sf, thr, margin)
+
+
+@given(
+    na=st.integers(min_value=1, max_value=10**6),
+    nb=st.integers(min_value=1, max_value=10**6),
+    t_milli=st.integers(min_value=1, max_value=999),
+)
+@settings(max_examples=300, deadline=None)
+def test_jaccard_size_bucket_covers_all_threshold_pairs(na, nb, t_milli):
+    """The size-filtering contract behind the composite LSH band keys
+    (operators/blocking.jaccard_size_bucket): any pair whose set sizes
+    are within a factor 1/t of each other lands within +-1 log-ratio
+    bucket, so 3-bucket probing is lossless for the threshold. Pure
+    Python twin of the Column math (floor(ln n / ln(1/t)))."""
+    import math
+
+    t = t_milli / 1000.0
+    lo, hi = min(na, nb), max(na, nb)
+    if lo < hi * t:
+        return  # pair not eligible under the threshold: no promise made
+    width = math.log(1.0 / t)
+    ba = math.floor(math.log(na) / width)
+    bb = math.floor(math.log(nb) / width)
+    assert abs(ba - bb) <= 1, (na, nb, t, ba, bb)
