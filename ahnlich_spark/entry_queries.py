@@ -7027,6 +7027,64 @@ def streaming_cms_counts_gate(spark, sf_dir):
     return estimate(words.select("v").distinct())
 
 
+@register("streaming_embedding_drift", """
+WITH x AS (
+  SELECT vec_id, i - 1 AS dim,
+         CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000000) AS BIGINT) AS c
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS r(i)
+),
+a AS (SELECT dim, sum(c) // count(*) AS mean_a_e9 FROM x WHERE vec_id % 2 = 0 GROUP BY dim),
+b AS (SELECT dim, sum(c) // count(*) AS mean_b_e9 FROM x WHERE vec_id % 2 = 1 GROUP BY dim)
+SELECT CAST(dim AS BIGINT) AS dim,
+       CAST(mean_a_e9 AS BIGINT) AS mean_a_e9,
+       CAST(mean_b_e9 AS BIGINT) AS mean_b_e9,
+       CAST(abs(mean_a_e9 - mean_b_e9) AS BIGINT) AS drift_e9
+FROM a JOIN b USING (dim)
+""")
+def streaming_embedding_drift_gate(spark, sf_dir):
+    """Live drift monitoring — the streaming face of the
+    maintain_index decision input: the odd-vec_id slice streams in two
+    ORDERED micro-batches whose per-dimension (e9 sum, count) fold by
+    plain addition, and the drained drift vs the batch-computed
+    even-slice baseline must be BIT-IDENTICAL to the one-shot batch
+    ``embedding_drift`` over the same split (addition is order-free;
+    the oracle is that batch closed form —
+    streaming/pipeline.streaming_embedding_drift)."""
+    import glob
+    import time
+
+    from ahnlich_spark.operators.evaluation import dim_means_e9
+    from ahnlich_spark.streaming.pipeline import streaming_embedding_drift
+
+    emb = _t(spark, sf_dir, "embeddings")
+    baseline = dim_means_e9(
+        emb.filter(F.col("vec_id") % 2 == 0), "embedding"
+    ).select("dim", "mean_e9")
+    odd = emb.filter(F.col("vec_id") % 2 == 1)
+    src = tempfile.mkdtemp(prefix="ahnlich_sdrift_")
+    a_dir, b_dir = os.path.join(src, "a"), os.path.join(src, "b")
+    odd.filter(F.col("vec_id") % 4 == 1).select("embedding").coalesce(1).write.parquet(a_dir)
+    odd.filter(F.col("vec_id") % 4 == 3).select("embedding").coalesce(1).write.parquet(b_dir)
+    watch = os.path.join(src, "watch")
+    os.makedirs(watch)
+    fa = glob.glob(os.path.join(a_dir, "part-*.parquet"))[0]
+    fb = glob.glob(os.path.join(b_dir, "part-*.parquet"))[0]
+    now = time.time()
+    os.utime(fa, (now - 60, now - 60))
+    os.utime(fb, (now, now))
+    os.symlink(fa, os.path.join(watch, "batch-a.parquet"))
+    os.symlink(fb, os.path.join(watch, "batch-b.parquet"))
+    stream = (
+        spark.readStream.schema("embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(watch)
+    )
+    q, drain, _s = streaming_embedding_drift(stream, baseline)
+    q.processAllAvailable()
+    q.stop()
+    return drain()
+
+
 @register("streaming_kmv_distinct", _KMV_SOURCE_ORACLE)
 def streaming_kmv_distinct_gate(spark, sf_dir):
     """Live cardinality monitoring: documents stream in two ORDERED

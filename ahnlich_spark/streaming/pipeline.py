@@ -1002,3 +1002,94 @@ def streaming_cms_counts(
 
     q = value_stream.writeStream.foreachBatch(_sink).outputMode("update").start()
     return q, estimate, drain_table
+
+
+def streaming_embedding_drift(
+    vec_stream: DataFrame,
+    baseline_means: DataFrame,
+    vec_col: str = "embedding",
+    state_dir: Optional[str] = None,
+):
+    """Live embedding-distribution drift monitoring — the streaming
+    face of the ``Engine.maintain_index`` decision input: each
+    micro-batch's per-dimension (e9-component sum, count) FOLDS into
+    running state by plain addition (order-free, so the streamed means
+    are bit-identical to ``operators/evaluation.dim_means_e9`` over the
+    same rows at every prefix), and ``drain()`` compares them against
+    ``baseline_means`` (a persisted (dim, mean_e9) table — the
+    training-time distribution) exactly like the batch
+    ``embedding_drift``.
+
+    The deployment: a monitoring stream watches the ingest feed and
+    pages (or calls ``maintain_index``) when ``max(drift_e9)`` crosses
+    the retrain threshold — without ever rescanning the store. State is
+    O(dims) rows; ``state_dir`` makes the fold CHECKPOINT-SAFE (same
+    transactional recipe as the sketch folds).
+
+    Returns ``(query, drain, drain_sums)``: ``drain()`` gives
+    (dim, mean_a_e9 = baseline, mean_b_e9 = streamed, drift_e9),
+    ``drain_sums()`` the raw (dim, n, sum_e9) STATE."""
+    state = {"sums": None, "last_id": -1}
+    persist = (
+        _DfStatePersist(vec_stream.sparkSession, state_dir, "drift")
+        if state_dir else None
+    )
+    if persist:
+        loaded, last = persist.load()
+        if loaded is not None:
+            state["sums"], state["last_id"] = loaded, last
+
+    comp_e9 = F.round(F.col("comp").cast("double") * 1_000_000_000).cast("long")
+
+    def _batch_sums(df: DataFrame) -> DataFrame:
+        return (
+            df.select(F.posexplode(F.col(vec_col)).alias("dim", "comp"))
+            .select("dim", comp_e9.alias("c"))
+            .groupBy("dim")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("c").cast("long").alias("sum_e9"),
+            )
+        )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if persist and batch_id <= state["last_id"]:
+            persist.replay_guard(batch_df, batch_id, "drift")
+            return
+        n_rows = batch_df.count() if persist else 0
+        bs = _batch_sums(batch_df.filter(F.col(vec_col).isNotNull()))
+        if state["sums"] is not None:
+            bs = (
+                state["sums"].unionByName(bs)
+                .groupBy("dim")
+                .agg(
+                    F.sum("n").cast("long").alias("n"),
+                    F.sum("sum_e9").cast("long").alias("sum_e9"),
+                )
+            )
+        state["sums"] = bs.localCheckpoint()
+        state["last_id"] = batch_id
+        if persist:
+            persist.save(state["sums"], batch_id, n_rows)
+
+    def drain_sums() -> DataFrame:
+        if state["sums"] is None:
+            raise ValueError("no batch processed yet")
+        return state["sums"]
+
+    def drain() -> DataFrame:
+        cur = drain_sums().select(
+            "dim", F.expr("sum_e9 div n").cast("long").alias("mean_b_e9")
+        )
+        base = baseline_means.select(
+            F.col("dim").cast("long").alias("dim"),
+            F.col("mean_e9").alias("mean_a_e9"),
+        )
+        return base.join(cur, "dim").select(
+            "dim", "mean_a_e9", "mean_b_e9",
+            F.abs(F.col("mean_a_e9") - F.col("mean_b_e9")).cast("long")
+            .alias("drift_e9"),
+        )
+
+    q = vec_stream.writeStream.foreachBatch(_sink).outputMode("update").start()
+    return q, drain, drain_sums

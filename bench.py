@@ -186,6 +186,7 @@ BENCH_QUERIES = [
     "knn_label_confusion_eval",
     "ann_batch_filtered_topk",
     "streaming_cms_counts",
+    "streaming_embedding_drift",
 ]
 
 

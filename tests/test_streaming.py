@@ -1057,3 +1057,49 @@ def test_mg_state_dir_key_type_round_trip(spark, tmp_path):
             df.groupBy("value").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
             .orderBy(F.desc("cnt"), F.asc("value")).limit(3).collect()]
     assert got == want
+
+
+def test_streaming_embedding_drift_matches_batch_and_restarts(spark, tmp_path):
+    """The drift fold's streamed means are bit-identical to the batch
+    dim_means_e9 over the same rows, and the fold is checkpoint-safe:
+    kill after one batch, restart with a second, drained drift equals
+    the uninterrupted batch comparison."""
+    import numpy as np
+
+    from ahnlich_spark.operators.evaluation import dim_means_e9, embedding_drift
+    from ahnlich_spark.streaming.pipeline import streaming_embedding_drift
+
+    rng = np.random.RandomState(11)
+    vecs = rng.normal(size=(120, 6)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    base_slice = df.filter(F.col("vec_id") % 2 == 0)
+    live_slice = df.filter(F.col("vec_id") % 2 == 1)
+    baseline = dim_means_e9(base_slice, "embedding").select("dim", "mean_e9")
+    parts = [live_slice.filter(F.col("vec_id") % 4 == i).select("embedding")
+             for i in (1, 3)]
+    state_dir = str(tmp_path / "drift_ckpt")
+
+    def read_stream(watch):
+        return (
+            spark.readStream.schema("embedding array<float>")
+            .option("maxFilesPerTrigger", 1).parquet(watch)
+        )
+
+    watch, add_file = _ordered_files(tmp_path, spark, parts[:1],
+                                     "embedding array<float>")
+    q1 = streaming_embedding_drift(read_stream(watch), baseline,
+                                   state_dir=state_dir)[0]
+    q1.processAllAvailable()
+    q1.stop()
+    add_file(parts[1])
+    q2, drain2, _ = streaming_embedding_drift(read_stream(watch), baseline,
+                                              state_dir=state_dir)
+    q2.processAllAvailable()
+    q2.stop()
+    got = sorted(map(tuple, drain2().collect()))
+    want = sorted(map(tuple,
+                      embedding_drift(base_slice, live_slice).collect()))
+    assert got == want and len(got) == 6
