@@ -7480,12 +7480,14 @@ def streaming_incremental_dedup_gate(spark, sf_dir):
         .option("maxFilesPerTrigger", 1)
         .parquet(watch)
     )
-    q, drain = streaming_incremental_dedup(stream, corpus, threshold=0.5)
+    state_dir = os.path.join(src, "state")
+    q, drain = streaming_incremental_dedup(
+        stream, corpus, threshold=0.5, state_dir=state_dir,
+        checkpoint=os.path.join(src, "ckpt"),
+    )
     q.processAllAvailable()
     q.stop()
-    return spark.createDataFrame(
-        drain(), "i long, j long, j_in_corpus long, inter long, ni long, nj long"
-    )
+    return drain()
 
 
 @register("classifier_log_odds", f"""

@@ -48,13 +48,23 @@ from ahnlich_spark.functions import text as X
 
 
 def _atomic_write_json(path: str, obj: dict) -> None:
+    # flush + fsync BEFORE the rename: os.replace is atomic against
+    # concurrent readers, but without the fsync an OS crash can leave
+    # the renamed file empty/truncated and brick recovery
     d = os.path.dirname(path)
     os.makedirs(d, exist_ok=True)
     fd, tmp = _tempfile.mkstemp(dir=d, suffix=".tmp")
     try:
         with os.fdopen(fd, "w") as f:
             json.dump(obj, f)
+            f.flush()
+            os.fsync(f.fileno())
         os.replace(tmp, path)
+        dfd = os.open(d, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
     finally:
         if os.path.exists(tmp):
             os.unlink(tmp)
@@ -64,71 +74,169 @@ def _read_json(path: str) -> Optional[dict]:
     if not os.path.exists(path):
         return None
     with open(path) as f:
-        return json.load(f)
+        try:
+            return json.load(f)
+        except json.JSONDecodeError as e:
+            raise ValueError(
+                f"fold state pointer {path} is corrupt ({e}); delete the "
+                f"state_dir and re-seed the fold (re-run from the source, "
+                f"or warm-start from a drained state) instead of reusing it"
+            ) from e
+
+
+def _batch_stats(df: DataFrame):
+    """(row count, order-insensitive content fingerprint) of a batch in
+    ONE narrow aggregate job: sum of xxhash64 over all columns (sorted
+    by name so the value is independent of projection order). Two
+    batches with equal (count, fingerprint) carry the same multiset of
+    rows up to hash collision — the replay guard compares both."""
+    row = df.select(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.sum(F.xxhash64(*sorted(df.columns)).cast("decimal(38,0)")),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("fp"),
+    ).collect()[0]
+    return int(row["n"]), int(row["fp"])
+
+
+class _ReplayLedger:
+    """Replay-verification bookkeeping shared by the fold persisters.
+
+    The replay-skip rule (``batch_id <= last persisted id``) assumes a
+    restarted stream batches the source exactly as the original run
+    did. The ledger lets the guard VERIFY that without unbounded
+    pointer metadata: it keeps (row count, content fingerprint) for the
+    last ``WINDOW`` folded batches — a Spark-checkpoint restart only
+    ever replays the final uncommitted batch, always inside the window
+    — plus CUMULATIVE totals over all folded batches, checked when a
+    from-scratch re-read replays the whole prefix (first replayed id is
+    0): at the last replayed batch the accumulated totals must equal
+    what was folded, so rows displaced ACROSS replayed batches by a
+    different file packing are caught even though each displaced batch
+    fell outside the per-batch window."""
+
+    WINDOW = 16
+
+    def __init__(self, total_rows: int = 0, total_fp: int = 0,
+                 recent: Optional[dict] = None):
+        self.total_rows = int(total_rows)
+        self.total_fp = int(total_fp)
+        self.recent = {
+            str(k): [int(v[0]), int(v[1])] for k, v in (recent or {}).items()
+        }
+        self._acc_rows = 0
+        self._acc_fp = 0
+        self._cumulative: Optional[bool] = None
+
+    def as_json(self) -> dict:
+        return {"total_rows": self.total_rows, "total_fp": self.total_fp,
+                "recent": self.recent}
+
+    @classmethod
+    def from_json(cls, p: Optional[dict]) -> "_ReplayLedger":
+        if not p:
+            return cls()
+        return cls(p.get("total_rows", 0), p.get("total_fp", 0),
+                   p.get("recent", {}))
+
+    def record(self, batch_id: int, rows: int, fp: int) -> None:
+        self.recent[str(batch_id)] = [int(rows), int(fp)]
+        self.total_rows += int(rows)
+        self.total_fp += int(fp)
+        while len(self.recent) > self.WINDOW:
+            del self.recent[min(self.recent, key=int)]
+
+    def verify(self, batch_id: int, last_id: int, rows: int, fp: int,
+               name: str) -> None:
+        refuse = (
+            "the restarted stream batches the source differently (changed "
+            "maxFilesPerTrigger / new files merged into a replayed batch). "
+            "Re-seed from the drained state instead of reusing this "
+            "state_dir."
+        )
+        if self._cumulative is None:
+            # a full from-scratch re-read replays the prefix starting at
+            # batch 0; a Spark-checkpoint restart starts mid-stream
+            self._cumulative = batch_id == 0 and last_id > 0
+        expected = self.recent.get(str(batch_id))
+        if expected is not None and [rows, fp] != expected:
+            raise ValueError(
+                f"{name} fold restart: replayed batch {batch_id} carries "
+                f"{rows} rows (content fingerprint {fp}) but "
+                f"{expected[0]} rows (fingerprint {expected[1]}) were "
+                f"folded originally — {refuse}"
+            )
+        if self._cumulative:
+            self._acc_rows += rows
+            self._acc_fp += fp
+            if batch_id == last_id and (
+                self._acc_rows != self.total_rows
+                or self._acc_fp != self.total_fp
+            ):
+                raise ValueError(
+                    f"{name} fold restart: the replayed prefix carries "
+                    f"{self._acc_rows} rows in total but {self.total_rows} "
+                    f"were folded originally — {refuse}"
+                )
 
 
 class _DfStatePersist:
     """Parquet-keyed-by-batch-id persistence for DataFrame fold state —
     the transactional recipe shared by the KMV / HLL / histogram / CMS
-    folds: state for batch N is written with overwrite (idempotent on
-    a crashed write), then a pointer file is atomically replaced; only
-    the current and previous versions are retained.
+    / drift folds: state for batch N is written with overwrite
+    (idempotent on a crashed write), then a pointer file is atomically
+    replaced; only the current and previous versions are retained.
 
-    The pointer also records every folded batch's ROW COUNT: the
-    replay-skip rule (`batch_id <= last persisted id`) assumes the
-    restarted stream batches the source exactly as the original run
-    did, and ``replay_guard`` VERIFIES that — a replayed batch whose
-    row count differs from what was folded raises instead of silently
-    dropping never-folded rows (e.g. a restart with a different
-    maxFilesPerTrigger that packs old and NEW files into batch 0).
-    The count job runs only on replayed batches (recovery), never in
-    steady state; recording the count costs one narrow count per
-    trigger on this opt-in path."""
+    The pointer also carries a ``_ReplayLedger``: per-batch (row count,
+    content fingerprint) for a bounded recent window plus cumulative
+    totals, so ``replay_guard`` refuses a restart that batches the
+    source differently — by count, by content (same-sized batches with
+    displaced rows), or across the whole replayed prefix. Recording the
+    stats costs one narrow aggregate job per trigger on this opt-in
+    ``state_dir`` path (steady state included — the fold passes the
+    same stats it records); replayed batches pay the same one job to
+    verify."""
 
     def __init__(self, spark: SparkSession, state_dir: str, name: str):
         self.spark = spark
         self.dir = state_dir
         self.ptr = os.path.join(state_dir, f"{name}_state.json")
         self.prefix = f"{name}_v"
-        self.rows: dict = {}
+        self.ledger = _ReplayLedger()
+        self._loaded_last = -1
 
     def load(self):
         """(state_df | None, last persisted batch id)."""
         p = _read_json(self.ptr)
         if p is None:
             return None, -1
-        self.rows = dict(p.get("rows", {}))
+        self.ledger = _ReplayLedger.from_json(p.get("ledger"))
+        self._loaded_last = int(p["batch_id"])
         df = self.spark.read.parquet(
             os.path.join(self.dir, p["table"])
         ).localCheckpoint()
-        return df, int(p["batch_id"])
+        return df, self._loaded_last
+
+    def batch_stats(self, batch_df: DataFrame):
+        return _batch_stats(batch_df)
 
     def replay_guard(self, batch_df: DataFrame, batch_id: int,
-                     name: str) -> None:
+                     name: str, stats=None) -> None:
         """Called when a batch is about to be skipped as a replay:
         verify it carries exactly the rows that were folded under this
         id, or refuse with a clear recovery instruction."""
-        expected = self.rows.get(str(batch_id))
-        if expected is None:
-            return  # pre-upgrade state: no count recorded, skip blind
-        actual = batch_df.count()
-        if actual != int(expected):
-            raise ValueError(
-                f"{name} fold restart: replayed batch {batch_id} carries "
-                f"{actual} rows but {expected} were folded originally — "
-                f"the restarted stream batches the source differently "
-                f"(changed maxFilesPerTrigger / new files merged into a "
-                f"replayed batch). Re-seed from the drained state instead "
-                f"of reusing this state_dir."
-            )
+        rows, fp = stats if stats is not None else _batch_stats(batch_df)
+        self.ledger.verify(batch_id, self._loaded_last, rows, fp, name)
 
-    def save(self, df: DataFrame, batch_id: int, batch_rows: int) -> None:
+    def save(self, df: DataFrame, batch_id: int, stats) -> None:
         table = f"{self.prefix}{batch_id}"
         df.write.mode("overwrite").parquet(os.path.join(self.dir, table))
         prev = _read_json(self.ptr)
-        self.rows[str(batch_id)] = int(batch_rows)
+        self.ledger.record(batch_id, *stats)
         _atomic_write_json(self.ptr, {
-            "batch_id": batch_id, "table": table, "rows": self.rows,
+            "batch_id": batch_id, "table": table,
+            "ledger": self.ledger.as_json(),
         })
         if prev is not None and prev["table"] != table:
             for d in os.listdir(self.dir):
@@ -482,6 +590,7 @@ def streaming_incremental_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     checkpoint: Optional[str] = None,
+    state_dir: Optional[str] = None,
 ):
     """Live ingest dedup: each micro-batch of incoming documents is
     near-dup-checked against the corpus AS OF ITS ARRIVAL (historical
@@ -495,39 +604,52 @@ def streaming_incremental_dedup(
     persisted KMV-style artifact — O(n_docs) skinny rows, not text) and
     the corpus id+text table (only ever read through a candidate-id
     semi-join, so each batch's text scan is O(collisions)). Each
-    trigger localCheckpoints ONLY its own batch's pieces and keeps them
-    in a parts list unioned lazily — the accumulated index is never
+    trigger materializes ONLY its own batch's pieces and keeps them in
+    a parts list unioned lazily — the accumulated index is never
     re-materialized per trigger (that would be quadratic over the
     stream's life); past ``_COMPACT_PARTS`` parts the list is compacted
-    into one checkpoint so the union plan stays bounded.
+    into one piece so the union plan stays bounded (amortized O(1)
+    rewrites per batch).
 
-    The dedup state lives in driver memory, NOT in a streaming state
-    store, so a restart cannot honor Spark's checkpoint contract (the
-    source would skip committed batches whose signatures the fresh
-    state never saw, silently admitting their near-duplicates) —
-    passing ``checkpoint`` therefore raises. Restart-safe ingest dedup
-    is the batch operator ``minhash_lsh_incremental_pairs`` driven from
-    a persisted signature table.
+    ``state_dir`` makes the fold CHECKPOINT-SAFE with a delta-log
+    variant of the other folds' transactional recipe — per-batch state
+    is a GROWING index, so instead of rewriting it each trigger the
+    sink appends three parquet DELTA parts per batch (this batch's
+    pairs, signatures, and id+text rows — O(batch) write cost, written
+    idempotently under batch-keyed names so a crashed trigger's replay
+    overwrites its own orphans), then atomically swaps a pointer
+    listing the live parts. A restarted fold re-seeds its parts lists
+    from the pointer (the historical corpus still comes from the
+    ``corpus_df``/``corpus_sig`` arguments — pass the same persisted
+    tables), replays of committed batches are skipped under the
+    ``_ReplayLedger`` count+content guard, and ``checkpoint`` may then
+    be passed so Spark resumes the source exactly where it stopped —
+    kill-and-restart equals the uninterrupted run (pytest-pinned).
+    Without ``state_dir`` a ``checkpoint`` still raises: the source
+    would skip committed batches whose signatures the fresh state never
+    saw, silently admitting their near-duplicates.
 
     Returns ``(query, drain)``: a StreamingQuery and a zero-arg callable
-    producing the accumulated pair rows as
-    [(i, j, j_in_corpus, inter, ni, nj), ...] once the stream is
-    processed — ``j_in_corpus`` = 1 when the matched doc was already in
-    the index when ``i`` arrived (historical corpus or an earlier
-    batch), 0 for a same-batch peer."""
+    producing the accumulated pair rows as a DataFrame of
+    (i, j, j_in_corpus, inter, ni, nj) — never collected at the driver;
+    with ``state_dir`` the drain reads the persisted pairs sink.
+    ``j_in_corpus`` = 1 when the matched doc was already in the index
+    when ``i`` arrived (historical corpus or an earlier batch), 0 for a
+    same-batch peer."""
     from functools import reduce
 
     from ahnlich_spark.operators import dedup as D
 
-    if checkpoint:
+    if checkpoint and not state_dir:
         raise ValueError(
-            "streaming_incremental_dedup keeps its dedup state in driver "
-            "memory; a checkpointLocation would skip committed batches on "
-            "restart while the state resets, silently admitting their "
-            "near-duplicates. Drive the batch operator "
-            "minhash_lsh_incremental_pairs from a persisted signature "
-            "table for restart-safe ingest dedup."
+            "streaming_incremental_dedup without state_dir keeps its dedup "
+            "state in driver memory; a checkpointLocation would skip "
+            "committed batches on restart while the state resets, silently "
+            "admitting their near-duplicates. Pass state_dir (persisted "
+            "signature/corpus/pairs parts + replay guard) to make the fold "
+            "checkpoint-safe."
         )
+    spark = corpus_df.sparkSession
     kw = dict(
         threshold=threshold,
         n_hashes=n_hashes,
@@ -541,36 +663,125 @@ def streaming_incremental_dedup(
         corpus_sig = D.minhash_signature_table(
             corpus_df, n_hashes, shingle_n, text_col, id_col
         )
+    pairs_schema = (
+        "i long, j long, j_in_corpus long, inter long, ni long, nj long"
+    )
+    seed_corpus = corpus_df.select(id_col, text_col).localCheckpoint()
+    seed_sig = corpus_sig.localCheckpoint()
+    # delta parts accumulated from the stream; the seed stays a separate
+    # head entry so persisted parts never duplicate the caller's corpus
     state = {
-        "corpus_parts": [corpus_df.select(id_col, text_col).localCheckpoint()],
-        "sig_parts": [corpus_sig.localCheckpoint()],
-        "rows": [],
+        "corpus_parts": [],
+        "sig_parts": [],
+        "pairs_parts": [],
+        "last_id": -1,
     }
+    ptr_path = os.path.join(state_dir, "sincr_state.json") if state_dir else None
+    ledger = _ReplayLedger()
+    loaded_last = -1
+    ptr_tables = {"corpus_parts": [], "sig_parts": [], "pairs_parts": []}
+    if ptr_path:
+        os.makedirs(state_dir, exist_ok=True)
+        p = _read_json(ptr_path)
+        if p is not None:
+            for k in ptr_tables:
+                ptr_tables[k] = list(p.get(k, []))
+                state[k] = [
+                    spark.read.parquet(os.path.join(state_dir, t))
+                    for t in ptr_tables[k]
+                ]
+            state["last_id"] = loaded_last = int(p["batch_id"])
+            ledger = _ReplayLedger.from_json(p.get("ledger"))
 
     def _union(parts):
         return reduce(lambda x, y: x.unionByName(y), parts)
 
-    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
-        # checkpoint ONLY this batch's pieces; prior parts are already
+    def _write_part(df: DataFrame, table: str) -> DataFrame:
+        # batch-keyed name: a replayed crashed trigger overwrites its
+        # own orphan instead of duplicating it
+        path = os.path.join(state_dir, table)
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    def _commit(batch_id: int, stats) -> None:
+        ledger.record(batch_id, *stats)
+        old = _read_json(ptr_path)
+        _atomic_write_json(ptr_path, {
+            "batch_id": batch_id,
+            "ledger": ledger.as_json(),
+            **{k: list(v) for k, v in ptr_tables.items()},
+        })
+        # GC parts dropped by compaction, once the new pointer is live
+        if old is not None:
+            live = {t for k in ptr_tables for t in ptr_tables[k]}
+            dead = {
+                t for k in ("corpus_parts", "sig_parts", "pairs_parts")
+                for t in old.get(k, [])
+            } - live
+            for t in dead:
+                shutil.rmtree(os.path.join(state_dir, t), ignore_errors=True)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        stats = _batch_stats(batch_df) if ptr_path else None
+        if ptr_path and batch_id <= state["last_id"]:
+            # replayed committed batch: its pairs/signatures/corpus rows
+            # are already in the persisted parts — verify and skip
+            ledger.verify(batch_id, loaded_last, *stats, "sincr")
+            return
+        # materialize ONLY this batch's pieces; prior parts are already
         # materialized, so the lazy union's lineage stays flat and the
         # per-trigger write cost is O(batch), not O(accumulated index)
-        b = batch_df.select(id_col, text_col).localCheckpoint()
+        b = batch_df.select(id_col, text_col)
+        b = (
+            _write_part(b, f"sincr_corpus_b{batch_id}")
+            if ptr_path else b.localCheckpoint()
+        )
         pairs = D.minhash_lsh_incremental_pairs(
-            b, _union(state["corpus_parts"]), corpus_sig=_union(state["sig_parts"]), **kw
+            b,
+            _union([seed_corpus] + state["corpus_parts"]),
+            corpus_sig=_union([seed_sig] + state["sig_parts"]),
+            **kw,
+        ).select(*(F.col(c).cast("long") for c in
+                   ("i", "j", "j_in_corpus", "inter", "ni", "nj")))
+        sig_b = D.minhash_signature_table(
+            b, n_hashes, shingle_n, text_col, id_col
         )
-        state["rows"].extend(tuple(r) for r in pairs.collect())
-        state["sig_parts"].append(
-            D.minhash_signature_table(
-                b, n_hashes, shingle_n, text_col, id_col
-            ).localCheckpoint()
-        )
+        if ptr_path:
+            pairs = _write_part(pairs, f"sincr_pairs_b{batch_id}")
+            sig_b = _write_part(sig_b, f"sincr_sig_b{batch_id}")
+            for k in ("corpus_parts", "sig_parts", "pairs_parts"):
+                suffix = {"corpus_parts": "corpus", "sig_parts": "sig",
+                          "pairs_parts": "pairs"}[k]
+                ptr_tables[k].append(f"sincr_{suffix}_b{batch_id}")
+        else:
+            pairs = pairs.localCheckpoint()
+            sig_b = sig_b.localCheckpoint()
+        state["pairs_parts"].append(pairs)
+        state["sig_parts"].append(sig_b)
         state["corpus_parts"].append(b)
-        for key in ("sig_parts", "corpus_parts"):
+        for key, suffix in (("sig_parts", "sig"), ("corpus_parts", "corpus"),
+                            ("pairs_parts", "pairs")):
             if len(state[key]) > _COMPACT_PARTS:
-                state[key] = [_union(state[key]).localCheckpoint()]
+                merged = _union(state[key])
+                if ptr_path:
+                    table = f"sincr_{suffix}_c{batch_id}"
+                    state[key] = [_write_part(merged, table)]
+                    ptr_tables[key] = [table]
+                else:
+                    state[key] = [merged.localCheckpoint()]
+        state["last_id"] = batch_id
+        if ptr_path:
+            _commit(batch_id, stats)
+
+    def drain() -> DataFrame:
+        if not state["pairs_parts"]:
+            return spark.createDataFrame([], pairs_schema)
+        return _union(state["pairs_parts"])
 
     writer = doc_stream.writeStream.foreachBatch(_sink).outputMode("update")
-    return writer.start(), (lambda: list(state["rows"]))
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start(), drain
 
 
 def streaming_kmv_distinct(
@@ -636,7 +847,7 @@ def streaming_kmv_distinct(
             # verify it is byte-for-byte the batch we folded
             persist.replay_guard(batch_df, batch_id, "kmv")
             return
-        n_rows = batch_df.count() if persist else 0
+        stats = persist.batch_stats(batch_df) if persist else None
         bh = batch_df.filter(F.col(value_col).isNotNull()).select(
             *group_cols, SK.kmv_hash(F.col(value_col)).alias("_h")
         )
@@ -647,7 +858,7 @@ def streaming_kmv_distinct(
         state["minima"] = bm.localCheckpoint()
         state["last_id"] = batch_id
         if persist:
-            persist.save(state["minima"], batch_id, n_rows)
+            persist.save(state["minima"], batch_id, stats)
 
     def drain_minima() -> DataFrame:
         if state["minima"] is None:
@@ -712,7 +923,7 @@ def streaming_hll_distinct(
         if persist and batch_id <= state["last_id"]:
             persist.replay_guard(batch_df, batch_id, "hll")
             return
-        n_rows = batch_df.count() if persist else 0
+        stats = persist.batch_stats(batch_df) if persist else None
         br = SK.hll_registers(batch_df, value_col, group_cols, m)
         if state["registers"] is not None:
             br = (
@@ -724,7 +935,7 @@ def streaming_hll_distinct(
         state["registers"] = br.localCheckpoint()
         state["last_id"] = batch_id
         if persist:
-            persist.save(state["registers"], batch_id, n_rows)
+            persist.save(state["registers"], batch_id, stats)
 
     def drain_registers() -> DataFrame:
         if state["registers"] is None:
@@ -787,7 +998,7 @@ def streaming_histogram_quantiles(
         if persist and batch_id <= state["last_id"]:
             persist.replay_guard(batch_df, batch_id, "hist")
             return
-        n_rows = batch_df.count() if persist else 0
+        stats = persist.batch_stats(batch_df) if persist else None
         bs = SK.histogram_summary(batch_df, value_col, group_cols, bin_width)
         if state["summ"] is not None:
             bs = (
@@ -799,7 +1010,7 @@ def streaming_histogram_quantiles(
         state["summ"] = bs.localCheckpoint()
         state["last_id"] = batch_id
         if persist:
-            persist.save(state["summ"], batch_id, n_rows)
+            persist.save(state["summ"], batch_id, stats)
 
     def drain_summary() -> DataFrame:
         if state["summ"] is None:
@@ -859,7 +1070,8 @@ def streaming_heavy_hitters(
         "last_id": -1,
     }
     state_path = os.path.join(state_dir, "mg_state.json") if state_dir else None
-    batch_rows: dict = {}
+    ledger = _ReplayLedger()
+    loaded_last = -1
     if state_path:
         persisted = _read_json(state_path)
         if persisted is not None:
@@ -870,26 +1082,21 @@ def streaming_heavy_hitters(
             state["n"] = int(persisted["n"])
             state["pruned"] = bool(persisted["pruned"])
             state["last_id"] = int(persisted["batch_id"])
-            batch_rows = dict(persisted.get("batch_rows", {}))
+            loaded_last = state["last_id"]
+            ledger = _ReplayLedger.from_json(persisted.get("ledger"))
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        # the ledger tracks the NON-NULL row multiset (part_rows sums
+        # post-dropna) — compare like with like on replay
+        stats = (
+            _batch_stats(batch_df.filter(F.col(value_col).isNotNull()))
+            if state_path else None
+        )
         if state_path and batch_id <= state["last_id"]:
             # replayed batch: verify it is the batch we folded (a
             # restart that batches the source differently must refuse,
             # not silently drop never-folded rows)
-            expected = batch_rows.get(str(batch_id))
-            # the persisted count is the NON-NULL row total (part_rows
-            # sums post-dropna) — compare like with like
-            actual = (
-                batch_df.filter(F.col(value_col).isNotNull()).count()
-                if expected is not None else None
-            )
-            if expected is not None and actual != int(expected):
-                raise ValueError(
-                    f"mg fold restart: replayed batch {batch_id} differs "
-                    f"from what was folded originally — re-seed from "
-                    f"drain_counter() instead of reusing this state_dir"
-                )
+            ledger.verify(batch_id, loaded_last, *stats, "mg")
             return
         summ = SK.heavy_hitter_candidates(batch_df, value_col, capacity).collect()
         n_batch = sum(r["part_rows"] for r in summ)
@@ -901,13 +1108,13 @@ def streaming_heavy_hitters(
         state["pruned"] = state["pruned"] or len(state["counter"]) < before
         state["last_id"] = batch_id
         if state_path:
-            batch_rows[str(batch_id)] = int(n_batch)
+            ledger.record(batch_id, *stats)
             _atomic_write_json(state_path, {
                 "batch_id": batch_id,
                 "counter_items": [[k, v] for k, v in state["counter"].items()],
                 "n": state["n"],
                 "pruned": state["pruned"],
-                "batch_rows": batch_rows,
+                "ledger": ledger.as_json(),
             })
 
     def drain_counter() -> dict:
@@ -977,7 +1184,7 @@ def streaming_cms_counts(
         if persist and batch_id <= state["last_id"]:
             persist.replay_guard(batch_df, batch_id, "cms")
             return
-        n_rows = batch_df.count() if persist else 0
+        stats = persist.batch_stats(batch_df) if persist else None
         bt = SK.cms_table(batch_df, value_col, group_cols, depth, width)
         if state["table"] is not None:
             bt = (
@@ -989,7 +1196,7 @@ def streaming_cms_counts(
         state["table"] = bt.localCheckpoint()
         state["last_id"] = batch_id
         if persist:
-            persist.save(state["table"], batch_id, n_rows)
+            persist.save(state["table"], batch_id, stats)
 
     def drain_table() -> DataFrame:
         if state["table"] is None:
@@ -1056,7 +1263,7 @@ def streaming_embedding_drift(
         if persist and batch_id <= state["last_id"]:
             persist.replay_guard(batch_df, batch_id, "drift")
             return
-        n_rows = batch_df.count() if persist else 0
+        stats = persist.batch_stats(batch_df) if persist else None
         bs = _batch_sums(batch_df.filter(F.col(vec_col).isNotNull()))
         if state["sums"] is not None:
             bs = (
@@ -1070,7 +1277,7 @@ def streaming_embedding_drift(
         state["sums"] = bs.localCheckpoint()
         state["last_id"] = batch_id
         if persist:
-            persist.save(state["sums"], batch_id, n_rows)
+            persist.save(state["sums"], batch_id, stats)
 
     def drain_sums() -> DataFrame:
         if state["sums"] is None:

@@ -509,7 +509,7 @@ def test_streaming_incremental_dedup_arrival_order(spark, tmp_path):
     q, drain = streaming_incremental_dedup(stream, corpus, threshold=0.5)
     q.processAllAvailable()
     q.stop()
-    got = {(i, j): jic for i, j, jic, *_ in drain()}
+    got = {(i, j): jic for i, j, jic, *_ in drain().collect()}
     # batch A vs historical corpus
     assert got[(10, 101)] == 1
     # batch B vs historical corpus AND vs batch A (both count as corpus
@@ -520,6 +520,173 @@ def test_streaming_incremental_dedup_arrival_order(spark, tmp_path):
     # nothing pairs i from the corpus side, and 102 never matches
     assert all(i in (10, 20, 21) for i, _ in got)
     assert all(j != 102 for _, j in got)
+
+
+def _sincr_fixture(spark):
+    """(corpus, 3 near-dup batch frames) with a known pair structure."""
+    base = "the quick brown fox jumps over the lazy dog tonight again"
+    corpus = spark.createDataFrame(
+        [(101, base), (102, "totally unrelated historical content here")],
+        "doc_id long, text string",
+    )
+    frames = [
+        spark.createDataFrame(rows, "doc_id long, text string")
+        for rows in (
+            [(10, base + " x")],
+            [(20, base + " y"), (21, base + " y z")],
+            [(30, base + " x y"), (31, "still nothing like the corpus")],
+        )
+    ]
+    return corpus, frames
+
+
+def _sincr_pairs(drain):
+    return sorted(tuple(r) for r in drain().collect())
+
+
+def test_incremental_dedup_kill_and_restart_equals_uninterrupted(
+    spark, tmp_path
+):
+    """Kill-and-restart with state_dir: fold 2 batches, discard the
+    fold, start a FRESH one over the same source (now 3 files — the
+    committed prefix replays and must be verified + skipped), and the
+    drained pairs equal the uninterrupted 3-batch run. The pairs come
+    from the persisted sink, never a driver-side collect."""
+    from ahnlich_spark.streaming.pipeline import streaming_incremental_dedup
+
+    corpus, frames = _sincr_fixture(spark)
+    state_dir = str(tmp_path / "sincr_ckpt")
+    schema = "doc_id long, text string"
+
+    def read_stream(watch):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(watch)
+        )
+
+    watch, add_file = _ordered_files(tmp_path, spark, frames[:2], schema)
+    q1, drain1 = streaming_incremental_dedup(
+        read_stream(watch), corpus, threshold=0.5, state_dir=state_dir
+    )
+    q1.processAllAvailable()
+    q1.stop()
+    after_2 = _sincr_pairs(drain1)
+    add_file(frames[2])
+    q2, drain2 = streaming_incremental_dedup(
+        read_stream(watch), corpus, threshold=0.5, state_dir=state_dir
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    watch_u, _ = _ordered_files(tmp_path / "u", spark, frames, schema)
+    q3, drain3 = streaming_incremental_dedup(
+        read_stream(watch_u), corpus, threshold=0.5
+    )
+    q3.processAllAvailable()
+    q3.stop()
+    got, want = _sincr_pairs(drain2), _sincr_pairs(drain3)
+    assert got == want
+    assert got != after_2  # batch 3's pairs really landed
+    # doc 30 arrived last: every match is against the standing index
+    assert {(i, j) for i, j, *_ in got if i == 30} >= {(30, 101), (30, 10)}
+
+
+def test_incremental_dedup_checkpoint_resume(spark, tmp_path):
+    """With state_dir the ``checkpoint`` parameter is accepted and the
+    restarted query RESUMES the source (no replay at all): only the new
+    batch is delivered, and the drain still carries every earlier
+    batch's pairs from the persisted sink. Without state_dir it still
+    raises."""
+    from ahnlich_spark.streaming.pipeline import streaming_incremental_dedup
+
+    corpus, frames = _sincr_fixture(spark)
+    state_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string"
+
+    empty_src = str(tmp_path / "empty_src")
+    os.makedirs(empty_src)
+    with pytest.raises(ValueError, match="checkpoint-safe"):
+        streaming_incremental_dedup(
+            spark.readStream.schema(schema).parquet(empty_src),
+            corpus, checkpoint=ckpt,
+        )
+
+    def read_stream(watch):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(watch)
+        )
+
+    watch, add_file = _ordered_files(tmp_path, spark, frames[:2], schema)
+    q1, _ = streaming_incremental_dedup(
+        read_stream(watch), corpus, threshold=0.5,
+        state_dir=state_dir, checkpoint=ckpt,
+    )
+    q1.processAllAvailable()
+    q1.stop()
+    add_file(frames[2])
+    q2, drain2 = streaming_incremental_dedup(
+        read_stream(watch), corpus, threshold=0.5,
+        state_dir=state_dir, checkpoint=ckpt,
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    watch_u, _ = _ordered_files(tmp_path / "u", spark, frames, schema)
+    q3, drain3 = streaming_incremental_dedup(
+        read_stream(watch_u), corpus, threshold=0.5
+    )
+    q3.processAllAvailable()
+    q3.stop()
+    assert _sincr_pairs(drain2) == _sincr_pairs(drain3)
+
+
+def test_replay_guard_refuses_same_count_different_content(spark, tmp_path):
+    """The replay guard compares CONTENT fingerprints, not just counts:
+    a restart whose replayed batch packs the same NUMBER of rows but
+    different rows (here: the source file swapped underneath) must
+    refuse instead of silently treating never-folded rows as folded."""
+    import glob
+    import os
+    import time
+
+    from pyspark.sql.streaming import StreamingQueryException
+
+    from ahnlich_spark.streaming.pipeline import streaming_kmv_distinct
+
+    rows_a = [("g", f"a-{i}") for i in range(300)]
+    rows_b = [("g", f"b-{i}") for i in range(300)]  # same count, new rows
+    schema = "g string, v string"
+    watch = str(tmp_path / "watch")
+    os.makedirs(watch)
+
+    def stage(rows, name):
+        d = str(tmp_path / name)
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(d)
+        f = glob.glob(os.path.join(d, "part-*.parquet"))[0]
+        os.utime(f, (time.time() - 60,) * 2)
+        return f
+
+    link = os.path.join(watch, "b0.parquet")
+    os.symlink(stage(rows_a, "a"), link)
+    state_dir = str(tmp_path / "ckpt")
+
+    def fold():
+        return streaming_kmv_distinct(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(watch),
+            ["g"], "v", k=16, state_dir=state_dir,
+        )[0]
+
+    q1 = fold()
+    q1.processAllAvailable()
+    q1.stop()
+    os.unlink(link)
+    os.symlink(stage(rows_b, "b"), os.path.join(watch, "b0x.parquet"))
+    q2 = fold()
+    with pytest.raises(StreamingQueryException,
+                       match="content fingerprint"):
+        q2.processAllAvailable()
+    q2.stop()
 
 
 def test_streaming_kmv_fold_matches_batch(spark, tmp_path):
