@@ -28,26 +28,33 @@ def entry(spark: SparkSession) -> DataFrame:
     return flagship(spark)
 
 
+def _read_round() -> int:
+    """The current build round, pinned in the tracked ROUND file — a
+    clean clone therefore grades the same 50-gate window as this tree,
+    and the window cannot shift mid-round (the old inference from
+    untracked CORRECTNESS_r*.json files could do both)."""
+    try:
+        with open(os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "ROUND"
+        )) as f:
+            return int(f.read().strip())
+    except (OSError, ValueError):
+        return 0
+
+
+_ROUND = _read_round()  # once at import: stable for the whole run
+
+
 def _rotation_offset(n: int) -> int:
     """Deterministic per-round rotation of the gate registry order.
 
     The driver grades only the FIRST 50 registered gates per round
     (CORRECTNESS_r{N}.json); the full set is far larger, so without
-    rotation the same 50 get driver-graded forever. The current round
-    is inferred from the CORRECTNESS_r*.json files the driver wrote in
-    previous rounds (round N sees r1..r{N-1}); rotating by 50 * round
-    walks a fresh window across the registry every round while keeping
-    every gate present for the in-suite rehearsal. Pure reordering —
-    no gate is added, dropped, or renamed by rotation."""
-    here = os.path.dirname(os.path.abspath(__file__))
-    rounds = 0
-    for f in os.listdir(here):
-        if f.startswith("CORRECTNESS_r") and f.endswith(".json"):
-            try:
-                rounds = max(rounds, int(f[len("CORRECTNESS_r"):-len(".json")]))
-            except ValueError:
-                continue
-    return (50 * (rounds + 1)) % n if n else 0
+    rotation the same 50 get driver-graded forever. Rotating by
+    50 * round walks a fresh window across the registry every round
+    while keeping every gate present for the in-suite rehearsal. Pure
+    reordering — no gate is added, dropped, or renamed by rotation."""
+    return (50 * _ROUND) % n if n else 0
 
 
 def _rotated(mapping: dict, all_names: list) -> dict:
