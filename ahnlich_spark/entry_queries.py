@@ -8208,6 +8208,196 @@ def knn_label_confusion_eval(spark, sf_dir):
     )
 
 
+def _bpe_train_sql(n_merges: int) -> str:
+    """Closed-form replay of ``operators/bpe.train_merges`` as chained
+    MATERIALIZED CTEs: v0 is the wrapped-sequence word vocabulary; each
+    round k is a pair-count CTE (p_k), a deterministic argmax (m_k:
+    count desc, left, right), and the merged vocabulary (v_k) via the
+    same non-overlapping left-to-right ``replace`` the Spark trainer
+    uses — so training replays bit-for-bit, mid-training ties
+    included."""
+    S = "chr(31)"
+    seq0 = (
+        f"regexp_replace(w, '(.)', {S} || '\\1' || {S}, 'g') "
+        f"|| {S} || '</w>' || {S}"
+    )
+    parts = [f"""v0 AS MATERIALIZED (
+  SELECT {seq0} AS seq, cnt FROM (
+    SELECT t AS w, count(*) AS cnt
+    FROM documents, unnest({_TOKENS_SQL}) AS u(t)
+    WHERE trim(text) <> '' AND t <> '' GROUP BY 1))"""]
+    for k in range(1, n_merges + 1):
+        v = f"v{k - 1}"
+        parts.append(f"""p{k} AS MATERIALIZED (
+  SELECT s.lft AS left_sym, s.rgt AS right_sym,
+         CAST(sum(cnt) AS BIGINT) AS pair_count
+  FROM (SELECT cnt, string_split(substring(seq, 2, length(seq) - 2),
+                                 {S} || {S}) AS sy FROM {v}),
+       unnest(list_transform(range(1, length(sy)),
+         i -> struct_pack(lft := sy[i], rgt := sy[i + 1]))) AS q(s)
+  GROUP BY 1, 2)""")
+        parts.append(f"""m{k} AS MATERIALIZED (
+  SELECT {k} AS merge_rank, left_sym, right_sym, pair_count
+  FROM p{k} ORDER BY pair_count DESC, left_sym, right_sym LIMIT 1)""")
+        if k < n_merges:
+            parts.append(f"""v{k} AS MATERIALIZED (
+  SELECT replace(seq, {S} || left_sym || {S} || {S} || right_sym || {S},
+                 {S} || left_sym || right_sym || {S}) AS seq, cnt
+  FROM {v}, m{k})""")
+    sel = " UNION ALL ".join(
+        f"SELECT CAST(merge_rank AS BIGINT) AS merge_rank, left_sym, "
+        f"right_sym, pair_count FROM m{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + sel
+
+
+@register("bpe_train_merges", _bpe_train_sql(6))
+def bpe_train_merges_gate(spark, sf_dir):
+    """Distributed BPE tokenizer TRAINING on the corpus itself (not
+    fertility of a fixed tokenizer): one corpus scan builds the (word,
+    count) vocabulary, then 6 merge rounds each run one tiny pair-count
+    job over the vocab with a deterministic argmax tie rule (count
+    desc, left, right) — operators/bpe.train_merges. The oracle replays
+    every round as chained CTEs over the same replace primitive, so
+    merge ORDER is pinned cross-engine, mid-training ties included."""
+    from ahnlich_spark.operators.bpe import train_merges
+
+    docs = _t(spark, sf_dir, "documents")
+    return train_merges(docs, n_merges=6)
+
+
+_PIPE_G8_SQL = """unnest(CASE WHEN len(ws) >= 8
+       THEN list_transform(range(1, len(ws) - 6),
+            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+                 || ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6]
+                 || ' ' || ws[i+7])
+       ELSE [array_to_string(ws, ' ')] END) AS gr"""
+
+
+@register("pipeline_dedup_quality_pack", f"""
+WITH scored AS MATERIALIZED (
+  SELECT doc_id, text, source, n_chars,
+         md5(array_to_string(list_sort(list_distinct({_TOKENS_SQL})), chr(31))) AS fp,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+              ELSE round(len(list_distinct({_TOKENS_SQL})) * 10000.0
+                         / len({_TOKENS_SQL})) END AS BIGINT) AS score_e4
+  FROM documents),
+dedup AS MATERIALIZED (
+  SELECT doc_id, text, source, n_chars FROM (
+    SELECT doc_id, text, source, n_chars,
+           row_number() OVER (PARTITION BY fp
+                              ORDER BY score_e4 DESC, doc_id) AS rn
+    FROM scored) WHERE rn = 1),
+quality AS MATERIALIZED (
+  SELECT doc_id, text, source, n_chars FROM (
+    SELECT *, trim(text) AS tt, {_TOKENS_SQL} AS ws FROM dedup)
+  WHERE len(ws) >= 5
+    AND round(list_sum(list_transform(ws, w -> length(w))) * 100.0
+              / len(ws)) BETWEEN 300 AND 1000
+    AND NOT contains(tt, '{{') AND NOT contains(lower(tt), 'lorem ipsum')
+    AND round(len(list_distinct(ws)) * 10000.0 / len(ws)) >= 3000),
+bgrams AS MATERIALIZED (
+  SELECT DISTINCT md5(gr) AS gh FROM (
+    SELECT {_PIPE_G8_SQL} FROM (
+      SELECT {_TOKENS_SQL} AS ws FROM documents WHERE source = 'src0'))),
+tgrams AS (
+  SELECT DISTINCT doc_id, md5(gr) AS gh FROM (
+    SELECT doc_id, {_PIPE_G8_SQL} FROM (
+      SELECT doc_id, {_TOKENS_SQL} AS ws FROM quality
+      WHERE source <> 'src0'))),
+contam AS MATERIALIZED (SELECT DISTINCT doc_id FROM tgrams
+                        JOIN bgrams USING (gh)),
+clean AS MATERIALIZED (
+  SELECT doc_id, text, source, n_chars FROM quality
+  WHERE source <> 'src0' AND doc_id NOT IN (SELECT doc_id FROM contam)),
+tgt(source, w) AS (VALUES ('src1', 5), ('src2', 3), ('src3', 2)),
+avail AS (SELECT c.source, CAST(sum(n_chars) AS HUGEINT) AS a,
+                 t.w::HUGEINT AS w
+          FROM clean c JOIN tgt t USING (source) GROUP BY c.source, t.w),
+tstar AS (SELECT min(a * 10 // w) AS T FROM avail),
+thr AS (SELECT source, CASE WHEN a * 10 // w = T THEN 1000000
+                            ELSE (T * w * 1000000) // (10 * a) END AS thr
+        FROM avail, tstar),
+kept AS MATERIALIZED (
+  SELECT doc_id, source, text FROM clean JOIN thr USING (source)
+  WHERE {_HASH_UNIT_SQL.format(salt='pipe')} < thr),
+t AS (SELECT doc_id, source,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len({_TOKENS_SQL}) END AS BIGINT) AS n_tok
+      FROM kept),
+b AS (SELECT doc_id, source, n_tok,
+             CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id)
+                  - n_tok AS BIGINT) // 256 AS batch_id
+      FROM t)
+SELECT doc_id, source, n_tok, batch_id,
+       CAST(row_number() OVER (PARTITION BY source, batch_id
+                               ORDER BY doc_id) AS INT) AS seq_in_batch
+FROM b
+""")
+def pipeline_dedup_quality_pack(spark, sf_dir):
+    """The full training-data pipeline as ONE composed lineage — what a
+    real 100 TB run executes, where stage-boundary materialization
+    decisions only show up composed:
+
+      dedup (wordset keep-best) -> quality filter -> decontaminate
+      (8-gram overlap vs the src0 benchmark) -> rebalance (src1:src2:
+      src3 = 5:3:2 by char weight over the SURVIVORS — the thresholds
+      differ from the per-stage gate's because the availability is
+      post-filter) -> pack (256-token batches)
+
+    and the output is the packed batch manifest. The quality stage is
+    the Gopher-style rule subset that partitions this corpus (length,
+    mean token length, brace/boilerplate, repetition); the terminal-
+    punctuation rule is omitted because the synthetic corpus has no
+    terminal punctuation anywhere and would zero the pipeline.
+
+    Scale shape (pinned in tests/test_pipeline_compose.py): the whole
+    composition runs in ~5 shuffles — one wordset-fingerprint window,
+    one gram groupBy (benchmark side broadcast), the anti-join, the
+    tiny rebalance availability agg, and one pack window; quality and
+    the rebalance row filter are scan-local. Every stage exists and is
+    gated individually; this gate pins their COMPOSITION."""
+    from ahnlich_spark.operators.contamination import contaminated_docs
+    from ahnlich_spark.operators.sampling import (
+        pack_sequences,
+        rebalance_to_mixture,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    scored = docs.select(
+        "doc_id", "text", "source", "n_chars",
+        X.wordset_fingerprint(t).alias("_fp"),
+        X.distinct_token_ratio_e4(t).alias("_score"),
+    )
+    deduped = D.keep_best_representative(
+        scored, "_fp", "_score", "doc_id"
+    ).drop("_fp", "_score", "n_dups")
+    keep = (
+        (X.token_count(t) >= 5)
+        & X.mean_token_len_e2(t).between(300, 1000)
+        & ~t.contains("{")
+        & ~F.lower(t).contains("lorem ipsum")
+        & (X.distinct_token_ratio_e4(t) >= 3000)
+    )
+    quality = deduped.filter(keep)
+    train = quality.filter(F.col("source") != "src0")
+    bench = docs.filter(F.col("source") == "src0")
+    contam = contaminated_docs(train, bench, n=8).select("doc_id")
+    clean = train.join(contam, "doc_id", "left_anti")
+    kept = rebalance_to_mixture(
+        clean, {"src1": 5, "src2": 3, "src3": 2},
+        group_col="source", weight_col="n_chars", salt="pipe",
+    )
+    packed = pack_sequences(
+        kept.withColumn("n_tokens", X.token_count(t)), budget=256
+    )
+    return packed.select(
+        "doc_id", "source", "n_tok", "batch_id", "seq_in_batch"
+    )
+
+
 # ------------------------------------------------------------- entry --
 
 def flagship(spark: SparkSession) -> DataFrame:
