@@ -8398,6 +8398,58 @@ def pipeline_dedup_quality_pack(spark, sf_dir):
     )
 
 
+@register("del_pred_audit", """
+SELECT CAST(label AS VARCHAR) AS label,
+       CAST(count(*) AS BIGINT) AS n_removed,
+       CAST(sum(CAST(round(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT))
+            AS BIGINT) AS k0_e6_sum
+FROM embeddings WHERE vec_id < 200 AND label IN (3, 4, 7)
+GROUP BY label
+""")
+def del_pred_audit(spark, sf_dir):
+    """Read-your-deletes audit: the reference's DelPred answers only
+    ``Del{deleted_count}`` — recovering WHAT a delete removed requires
+    a GetPred run before it (db/src/algorithm/mod.rs predicate delete
+    path). Here the change feed records pre-images, so the question is
+    answerable AFTER the fact: snapshot the (version, segments)
+    coordinates, DelPred, then report the deleted rows' metadata and a
+    key checksum straight from the CDF delete pre-images between the
+    two snapshots — an O(changes) read, never a store scan. The oracle
+    independently recomputes the removed set from the raw table."""
+    from ahnlich_spark.operators.predicates import In as PredIn
+    from ahnlich_spark.plans.engine import Engine
+
+    ckey = (id(spark.sparkContext), os.path.abspath(sf_dir), "aud")
+    cached = _MUT_FIXTURES.get(ckey)
+    if cached is None:
+        emb = _t(spark, sf_dir, "embeddings")
+        eng = Engine(spark, tempfile.mkdtemp(prefix="ahnlich_gate_"))
+        eng.create_store("aud", dimension=_GATE_DIM, predicates=["label"])
+        eng.set("aud", emb.filter(F.col("vec_id") < 200).select(
+            F.col("embedding").alias("key"),
+            F.create_map(F.lit("label"), _mv_str(F.col("label"))).alias("meta"),
+        ))
+        m0 = eng.catalog.get_store("aud")
+        v0, s0 = m0.version, m0.deltas
+        eng.del_pred("aud", PredIn("label", ("3", "4", "7")))
+        cached = _MUT_FIXTURES[ckey] = (eng, v0, s0)
+    eng, v0, s0 = cached
+    ch = eng.store_changes("aud", from_version=v0, from_segments=s0)
+    return (
+        ch.filter(F.col("change_type") == "delete")
+        .select(
+            F.col("meta")["label"]["s"].alias("label"),
+            F.round(F.element_at("key", 1).cast("double") * 1_000_000)
+            .cast("long").alias("_k0"),
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_removed"),
+            F.sum("_k0").cast("long").alias("k0_e6_sum"),
+        )
+    )
+
+
 # ------------------------------------------------------------- entry --
 
 def flagship(spark: SparkSession) -> DataFrame:

@@ -187,6 +187,10 @@ BENCH_QUERIES = [
     "ann_batch_filtered_topk",
     "streaming_cms_counts",
     "streaming_embedding_drift",
+    # round 7 additions
+    "bpe_train_merges",
+    "pipeline_dedup_quality_pack",
+    "del_pred_audit",
 ]
 
 
