@@ -2121,18 +2121,21 @@ def _ann_mut_engine(spark, sf_dir):
     eng = _ANN_MUT_ENGINES.get(ckey)
     if eng is not None:
         return eng
-    emb_rows = _t(spark, sf_dir, "embeddings").collect()
+    emb = _t(spark, sf_dir, "embeddings")
     eng = Engine(spark, tempfile.mkdtemp(prefix="ahnlich_gate_"))
     eng.brute_force_threshold = _PRUNED_BF_THRESHOLD
     eng.create_store("annm", dimension=_GATE_DIM, predicates=["label"])
     eng.create_non_linear_algorithm_index("annm", ["hnsw"])
-    eng.set("annm", [
-        (list(r["embedding"]), {"label": str(r["label"])}) for r in emb_rows
-    ])
+    # bulk DataFrame SET: the initial load grows with sf and never
+    # belongs at the driver; only the 40-row negated delta is literal
+    eng.set("annm", emb.select(
+        F.col("embedding").alias("key"),
+        F.create_map(F.lit("label"), _mv_str(F.col("label"))).alias("meta"),
+    ))
     eng.del_pred("annm", Equals("label", "7"))
     eng.set("annm", [
         ([-float(x) for x in r["embedding"]], {"label": "neg"})
-        for r in emb_rows if r["vec_id"] < 40
+        for r in emb.filter(F.col("vec_id") < 40).collect()
     ])
     _ANN_MUT_ENGINES[ckey] = eng
     return eng
