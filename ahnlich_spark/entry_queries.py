@@ -8211,21 +8211,24 @@ def knn_label_confusion_eval(spark, sf_dir):
     )
 
 
-def _bpe_train_sql(n_merges: int) -> str:
+_BPE_S = "chr(31)"
+_BPE_SEQ0 = (
+    f"regexp_replace(w, '(.)', {_BPE_S} || '\\1' || {_BPE_S}, 'g') "
+    f"|| {_BPE_S} || '</w>' || {_BPE_S}"
+)
+
+
+def _bpe_rounds_sql(n_merges: int) -> list:
     """Closed-form replay of ``operators/bpe.train_merges`` as chained
     MATERIALIZED CTEs: v0 is the wrapped-sequence word vocabulary; each
     round k is a pair-count CTE (p_k), a deterministic argmax (m_k:
     count desc, left, right), and the merged vocabulary (v_k) via the
     same non-overlapping left-to-right ``replace`` the Spark trainer
     uses — so training replays bit-for-bit, mid-training ties
-    included."""
-    S = "chr(31)"
-    seq0 = (
-        f"regexp_replace(w, '(.)', {S} || '\\1' || {S}, 'g') "
-        f"|| {S} || '</w>' || {S}"
-    )
+    included. Returns the CTE list; the two gates select from it."""
+    S = _BPE_S
     parts = [f"""v0 AS MATERIALIZED (
-  SELECT {seq0} AS seq, cnt FROM (
+  SELECT {_BPE_SEQ0} AS seq, cnt FROM (
     SELECT t AS w, count(*) AS cnt
     FROM documents, unnest({_TOKENS_SQL}) AS u(t)
     WHERE trim(text) <> '' AND t <> '' GROUP BY 1))"""]
@@ -8247,12 +8250,43 @@ def _bpe_train_sql(n_merges: int) -> str:
   SELECT replace(seq, {S} || left_sym || {S} || {S} || right_sym || {S},
                  {S} || left_sym || right_sym || {S}) AS seq, cnt
   FROM {v}, m{k})""")
+    return parts
+
+
+def _bpe_train_sql(n_merges: int) -> str:
     sel = " UNION ALL ".join(
         f"SELECT CAST(merge_rank AS BIGINT) AS merge_rank, left_sym, "
         f"right_sym, pair_count FROM m{k}"
         for k in range(1, n_merges + 1)
     )
-    return "WITH " + ",\n".join(parts) + "\n" + sel
+    return "WITH " + ",\n".join(_bpe_rounds_sql(n_merges)) + "\n" + sel
+
+
+def _bpe_segment_sql(n_merges: int) -> str:
+    """Per-language fertility of the TRAINED tokenizer: the learned
+    merge chain applied to the distinct-word vocabulary (each merge a
+    scalar-subquery replace in rank order), weighted by per-(lang,
+    word) occurrence counts — closed form for
+    ``operators/bpe.segment_tokens`` aggregated by language."""
+    S = _BPE_S
+    rep = "seq"
+    for k in range(1, n_merges + 1):
+        rep = (
+            f"replace({rep}, (SELECT {S} || left_sym || {S} || {S} || "
+            f"right_sym || {S} FROM m{k}), "
+            f"(SELECT {S} || left_sym || right_sym || {S} FROM m{k}))"
+        )
+    parts = _bpe_rounds_sql(n_merges) + [f"""lw AS MATERIALIZED (
+  SELECT lang, t AS w, count(*) AS cnt
+  FROM documents, unnest({_TOKENS_SQL}) AS u(t)
+  WHERE trim(text) <> '' AND t <> '' GROUP BY 1, 2)""", f"""wsyms AS MATERIALIZED (
+  SELECT w, CAST(len(string_split(substring({rep}, 2, length({rep}) - 2),
+                                  {S} || {S})) AS BIGINT) AS n_syms
+  FROM (SELECT w, {_BPE_SEQ0} AS seq FROM (SELECT DISTINCT w FROM lw)))"""]
+    return ("WITH " + ",\n".join(parts) + """
+SELECT lang, CAST(sum(cnt) AS BIGINT) AS ws_tokens,
+       CAST(sum(cnt * n_syms) AS BIGINT) AS bpe_tokens_trained
+FROM lw JOIN wsyms USING (w) GROUP BY lang""")
 
 
 @register("bpe_train_merges", _bpe_train_sql(6))
@@ -8450,6 +8484,117 @@ def del_pred_audit(spark, sf_dir):
             F.count(F.lit(1)).cast("long").alias("n_removed"),
             F.sum("_k0").cast("long").alias("k0_e6_sum"),
         )
+    )
+
+
+@register("bpe_segment_fertility", _bpe_segment_sql(6))
+def bpe_segment_fertility(spark, sf_dir):
+    """Train-then-apply: the 6 merges learned by ``bpe_train_merges``
+    segment the SAME corpus (operators/bpe.segment_tokens — the
+    wrapped-replace chain as a shuffle-free projection, every merge a
+    narrow JVM expression), reported as per-language fertility of the
+    TRAINED tokenizer vs whitespace words. ``id_col='lang'`` carries
+    the group through segmentation so no doc-id join is ever needed;
+    the merge table itself is 6 driver rows."""
+    from ahnlich_spark.operators.bpe import segment_tokens, train_merges
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in train_merges(docs, n_merges=6).collect()
+    ]
+    bpe = (
+        segment_tokens(docs, merges, id_col="lang")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("bpe_tokens_trained"))
+    )
+    ws = docs.groupBy("lang").agg(
+        F.sum(X.token_count(F.col("text"))).cast("long").alias("ws_tokens")
+    )
+    return ws.join(bpe, "lang").select(
+        "lang", "ws_tokens", "bpe_tokens_trained"
+    )
+
+
+@register("incremental_agg_refresh", """
+SELECT CAST(CASE WHEN vec_id >= 200 THEN label + 10 ELSE label END
+            AS VARCHAR) AS label,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT))
+            AS BIGINT) AS k0_e6_sum
+FROM embeddings
+WHERE vec_id < 300 AND NOT (vec_id < 200 AND label = 5)
+GROUP BY 1
+""")
+def incremental_agg_refresh(spark, sf_dir):
+    """Incremental view maintenance from the change feed — the
+    O(changes) downstream-refresh contract the CDF docstring promises,
+    exercised end to end: a per-label (count, key-checksum) aggregate
+    captured at a snapshot is REFRESHED purely from
+    ``store_changes`` delta rows (insert/update add the new image,
+    delete subtracts the recorded pre-image, update pre-images come
+    from ONE semi-join probe of the FROM snapshot) after a mutation
+    chain of overlapping upserts that MOVE rows between groups plus a
+    predicate delete. The refreshed table equals the full recompute
+    (pinned in tests/test_pipeline_compose.py) and the oracle's closed
+    form — never rescanning the store to refresh is the point."""
+    from ahnlich_spark.plans.engine import Engine
+
+    ckey = (id(spark.sparkContext), os.path.abspath(sf_dir), "ivm")
+    cached = _MUT_FIXTURES.get(ckey)
+    if cached is None:
+        emb = _t(spark, sf_dir, "embeddings")
+        eng = Engine(spark, tempfile.mkdtemp(prefix="ahnlich_gate_"))
+        eng.create_store("ivm", dimension=_GATE_DIM, predicates=["label"])
+        mk = lambda df, shift: df.select(
+            F.col("embedding").alias("key"),
+            F.create_map(
+                F.lit("label"), _mv_str(F.col("label") + F.lit(shift))
+            ).alias("meta"),
+        )
+        eng.set("ivm", mk(emb.filter(F.col("vec_id") < 250), 0))
+        m0 = eng.catalog.get_store("ivm")
+        v0, s0 = m0.version, m0.deltas
+        eng.set("ivm", mk(emb.filter(
+            (F.col("vec_id") >= 200) & (F.col("vec_id") < 300)), 10))
+        eng.del_pred("ivm", Equals("label", "5"))
+        cached = _MUT_FIXTURES[ckey] = (eng, v0, s0)
+    eng, v0, s0 = cached
+    lab = F.col("meta")["label"]["s"]
+    k0 = F.round(F.element_at("key", 1).cast("double") * 1_000_000).cast("long")
+    from0 = eng.store_df("ivm", version=v0, segments=s0)
+    a0 = from0.groupBy(lab.alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n0"),
+        F.sum(k0).cast("long").alias("s0"),
+    )
+    ch = eng.store_changes("ivm", from_version=v0, from_segments=s0)
+    upd_pre = from0.join(
+        ch.filter(F.col("change_type") == "update").select("id"),
+        "id", "left_semi",
+    )
+    neg = (
+        ch.filter(F.col("change_type") == "delete").select("key", "meta")
+        .unionByName(upd_pre.select("key", "meta"))
+        .withColumn("w", F.lit(-1))
+    )
+    pos = (
+        ch.filter(F.col("change_type") != "delete").select("key", "meta")
+        .withColumn("w", F.lit(1))
+    )
+    delta = neg.unionByName(pos).groupBy(lab.alias("label")).agg(
+        F.sum("w").cast("long").alias("dn"),
+        F.sum(F.col("w") * k0).cast("long").alias("ds"),
+    )
+    return (
+        a0.join(delta, "label", "full_outer")
+        .select(
+            "label",
+            (F.coalesce("n0", F.lit(0)) + F.coalesce("dn", F.lit(0)))
+            .cast("long").alias("n"),
+            (F.coalesce("s0", F.lit(0)) + F.coalesce("ds", F.lit(0)))
+            .cast("long").alias("k0_e6_sum"),
+        )
+        .filter(F.col("n") > 0)
     )
 
 

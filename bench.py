@@ -189,8 +189,10 @@ BENCH_QUERIES = [
     "streaming_embedding_drift",
     # round 7 additions
     "bpe_train_merges",
+    "bpe_segment_fertility",
     "pipeline_dedup_quality_pack",
     "del_pred_audit",
+    "incremental_agg_refresh",
 ]
 
 

@@ -65,6 +65,30 @@ def test_pipeline_output_respects_every_stage(spark, sf_dir, packed):
     assert n_contam == 0
 
 
+def test_incremental_agg_refresh_equals_full_recompute(spark, sf_dir):
+    """The CDF-maintained aggregate equals a full recompute over the
+    current store — the O(changes)-refresh contract, row for row."""
+    out = QUERIES["incremental_agg_refresh"](spark, sf_dir)
+    from ahnlich_spark.entry_queries import _MUT_FIXTURES
+    import os as _os
+
+    eng, _, _ = _MUT_FIXTURES[
+        (id(spark.sparkContext), _os.path.abspath(sf_dir), "ivm")
+    ]
+    lab = F.col("meta")["label"]["s"]
+    k0 = (
+        F.round(F.element_at("key", 1).cast("double") * 1_000_000)
+        .cast("long")
+    )
+    full = eng.store_df("ivm").groupBy(lab.alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(k0).cast("long").alias("k0_e6_sum"),
+    )
+    got = sorted(tuple(r) for r in out.collect())
+    want = sorted(tuple(r) for r in full.collect())
+    assert got == want and got
+
+
 def test_pipeline_batches_respect_token_budget(packed):
     """Prefix-sum packing: every batch's token total stays under
     budget + (max doc tokens - 1), docs are never split, and
