@@ -8271,10 +8271,16 @@ def _bpe_segment_sql(n_merges: int) -> str:
     S = _BPE_S
     rep = "seq"
     for k in range(1, n_merges + 1):
+        # coalesce to an identity replace (sep -> sep): when training
+        # exhausts before round k, m_k is EMPTY and the bare scalar
+        # subqueries would turn replace(seq, NULL, NULL) into NULL for
+        # every word — the Spark side just stops merging, so round k
+        # must be a no-op, not a NULL
         rep = (
-            f"replace({rep}, (SELECT {S} || left_sym || {S} || {S} || "
-            f"right_sym || {S} FROM m{k}), "
-            f"(SELECT {S} || left_sym || right_sym || {S} FROM m{k}))"
+            f"replace({rep}, coalesce((SELECT {S} || left_sym || {S} || {S} "
+            f"|| right_sym || {S} FROM m{k}), {S}), "
+            f"coalesce((SELECT {S} || left_sym || right_sym || {S} "
+            f"FROM m{k}), {S}))"
         )
     parts = _bpe_rounds_sql(n_merges) + [f"""lw AS MATERIALIZED (
   SELECT lang, t AS w, count(*) AS cnt

@@ -80,6 +80,11 @@ def pair_counts(vocab: DataFrame) -> DataFrame:
     )
     return (
         vocab.select(syms, "cnt")
+        # a fully-merged word is ONE symbol and contributes no pairs —
+        # and must be dropped BEFORE the transform: sequence(1, 0) is
+        # descending [1, 0], so the expression would index past the
+        # array instead of producing an empty list
+        .filter(F.size("_syms") >= 2)
         .select(F.explode(pairs).alias("_p"), "cnt")
         .groupBy(
             F.col("_p.l").alias("left_sym"), F.col("_p.r").alias("right_sym")

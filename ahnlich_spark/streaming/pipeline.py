@@ -100,45 +100,72 @@ def _batch_stats(df: DataFrame):
     return int(row["n"]), int(row["fp"])
 
 
+_LEDGER_REFUSE = (
+    "the restarted stream batches the source differently (changed "
+    "maxFilesPerTrigger / new files merged into a replayed batch). "
+    "Re-seed from the drained state instead of reusing this state_dir."
+)
+
+
 class _ReplayLedger:
     """Replay-verification bookkeeping shared by the fold persisters.
 
     The replay-skip rule (``batch_id <= last persisted id``) assumes a
     restarted stream batches the source exactly as the original run
     did. The ledger lets the guard VERIFY that without unbounded
-    pointer metadata: it keeps (row count, content fingerprint) for the
-    last ``WINDOW`` folded batches — a Spark-checkpoint restart only
-    ever replays the final uncommitted batch, always inside the window
-    — plus CUMULATIVE totals over all folded batches, checked when a
-    from-scratch re-read replays the whole prefix (first replayed id is
-    0): at the last replayed batch the accumulated totals must equal
-    what was folded, so rows displaced ACROSS replayed batches by a
-    different file packing are caught even though each displaced batch
-    fell outside the per-batch window."""
+    pointer metadata:
+
+    - per-batch: (row count, content fingerprint) for the last
+      ``WINDOW`` folded batches — a Spark-checkpoint restart only ever
+      replays the final uncommitted batch, always inside the window;
+    - cumulative: totals over ALL folded batches, armed when a
+      from-scratch re-read replays the prefix (first replayed id is 0)
+      and the ledger is ``complete`` (it has recorded every batch since
+      stream batch 0). Replayed batches accumulate; the accumulation
+      must never EXCEED the totals (new rows hiding inside a "replayed"
+      batch raise immediately, even if the re-packed stream never
+      reaches ``last_id``), must EQUAL them when batch ``last_id``
+      replays, and ``seal_replay`` — called when the first NEW batch
+      arrives — refuses a replay that ended early or short. Residual
+      undetectable case: a re-packed replay that both drops old rows
+      and adds new ones in equal measure AND the stream idles before
+      any new batch; everything it could corrupt is re-verified the
+      moment the stream moves again.
+
+    A pointer written before the ledger existed (or a ledger created
+    mid-stream) loads with ``complete=False``: per-batch window checks
+    still apply to what it has seen, but cumulative checks stay off —
+    its totals do not cover the pre-upgrade prefix, and comparing
+    against them would refuse legitimate restarts."""
 
     WINDOW = 16
 
     def __init__(self, total_rows: int = 0, total_fp: int = 0,
-                 recent: Optional[dict] = None):
+                 recent: Optional[dict] = None, complete: bool = True):
         self.total_rows = int(total_rows)
         self.total_fp = int(total_fp)
         self.recent = {
             str(k): [int(v[0]), int(v[1])] for k, v in (recent or {}).items()
         }
+        self.complete = bool(complete)
         self._acc_rows = 0
         self._acc_fp = 0
         self._cumulative: Optional[bool] = None
+        self._replay_verified = False
 
     def as_json(self) -> dict:
         return {"total_rows": self.total_rows, "total_fp": self.total_fp,
-                "recent": self.recent}
+                "recent": self.recent, "complete": self.complete}
 
     @classmethod
     def from_json(cls, p: Optional[dict]) -> "_ReplayLedger":
         if not p:
-            return cls()
+            # pre-upgrade pointer: no ledger was recorded, so totals
+            # would be wrong — window and cumulative checks both stay
+            # off for what it never saw
+            return cls(complete=False)
         return cls(p.get("total_rows", 0), p.get("total_fp", 0),
-                   p.get("recent", {}))
+                   p.get("recent", {}), p.get("complete", False))
 
     def record(self, batch_id: int, rows: int, fp: int) -> None:
         self.recent[str(batch_id)] = [int(rows), int(fp)]
@@ -149,36 +176,57 @@ class _ReplayLedger:
 
     def verify(self, batch_id: int, last_id: int, rows: int, fp: int,
                name: str) -> None:
-        refuse = (
-            "the restarted stream batches the source differently (changed "
-            "maxFilesPerTrigger / new files merged into a replayed batch). "
-            "Re-seed from the drained state instead of reusing this "
-            "state_dir."
-        )
         if self._cumulative is None:
             # a full from-scratch re-read replays the prefix starting at
             # batch 0; a Spark-checkpoint restart starts mid-stream
-            self._cumulative = batch_id == 0 and last_id > 0
+            self._cumulative = (
+                self.complete and batch_id == 0 and last_id >= 0
+            )
         expected = self.recent.get(str(batch_id))
         if expected is not None and [rows, fp] != expected:
             raise ValueError(
                 f"{name} fold restart: replayed batch {batch_id} carries "
                 f"{rows} rows (content fingerprint {fp}) but "
                 f"{expected[0]} rows (fingerprint {expected[1]}) were "
-                f"folded originally — {refuse}"
+                f"folded originally — {_LEDGER_REFUSE}"
             )
-        if self._cumulative:
+        if self._cumulative and not self._replay_verified:
             self._acc_rows += rows
             self._acc_fp += fp
-            if batch_id == last_id and (
-                self._acc_rows != self.total_rows
-                or self._acc_fp != self.total_fp
-            ):
+            if self._acc_rows > self.total_rows:
                 raise ValueError(
-                    f"{name} fold restart: the replayed prefix carries "
-                    f"{self._acc_rows} rows in total but {self.total_rows} "
-                    f"were folded originally — {refuse}"
+                    f"{name} fold restart: the replayed prefix already "
+                    f"carries {self._acc_rows} rows but only "
+                    f"{self.total_rows} were folded in total — "
+                    f"{_LEDGER_REFUSE}"
                 )
+            if batch_id == last_id:
+                if (self._acc_rows != self.total_rows
+                        or self._acc_fp != self.total_fp):
+                    raise ValueError(
+                        f"{name} fold restart: the replayed prefix carries "
+                        f"{self._acc_rows} rows in total but "
+                        f"{self.total_rows} were folded originally — "
+                        f"{_LEDGER_REFUSE}"
+                    )
+                self._replay_verified = True
+
+    def seal_replay(self, name: str) -> None:
+        """Called when the first NEW batch arrives after a restart: a
+        from-scratch replay must have accounted for every folded row by
+        now — a re-packed prefix that ended early (never delivering
+        ``last_id``) is refused here instead of silently dropping the
+        rows its missing batches carried."""
+        if self._cumulative and not self._replay_verified:
+            if (self._acc_rows != self.total_rows
+                    or self._acc_fp != self.total_fp):
+                raise ValueError(
+                    f"{name} fold restart: the stream moved past the "
+                    f"replayed prefix after accounting for "
+                    f"{self._acc_rows} of the {self.total_rows} rows "
+                    f"folded originally — {_LEDGER_REFUSE}"
+                )
+            self._replay_verified = True
 
 
 class _DfStatePersist:
@@ -201,6 +249,7 @@ class _DfStatePersist:
     def __init__(self, spark: SparkSession, state_dir: str, name: str):
         self.spark = spark
         self.dir = state_dir
+        self.name = name
         self.ptr = os.path.join(state_dir, f"{name}_state.json")
         self.prefix = f"{name}_v"
         self.ledger = _ReplayLedger()
@@ -230,6 +279,9 @@ class _DfStatePersist:
         self.ledger.verify(batch_id, self._loaded_last, rows, fp, name)
 
     def save(self, df: DataFrame, batch_id: int, stats) -> None:
+        # the first NEW batch marks the end of any from-scratch replay:
+        # refuse a prefix that never accounted for every folded row
+        self.ledger.seal_replay(self.name)
         table = f"{self.prefix}{batch_id}"
         df.write.mode("overwrite").parquet(os.path.join(self.dir, table))
         prev = _read_json(self.ptr)
@@ -248,6 +300,15 @@ class _DfStatePersist:
 # streaming_incremental_dedup: compact the lazily-unioned state parts
 # once the list (and thus the union plan) grows past this many pieces
 _COMPACT_PARTS = 64
+
+# the three delta-part families the incremental-dedup fold persists:
+# (state/pointer key, part-name suffix) — the single naming authority
+# for writes, appends, compaction, and GC
+_SINCR_PARTS = (
+    ("corpus_parts", "corpus"),
+    ("sig_parts", "sig"),
+    ("pairs_parts", "pairs"),
+)
 
 EVENTS_SCHEMA = T.StructType(
     [
@@ -715,8 +776,7 @@ def streaming_incremental_dedup(
         if old is not None:
             live = {t for k in ptr_tables for t in ptr_tables[k]}
             dead = {
-                t for k in ("corpus_parts", "sig_parts", "pairs_parts")
-                for t in old.get(k, [])
+                t for k, _ in _SINCR_PARTS for t in old.get(k, [])
             } - live
             for t in dead:
                 shutil.rmtree(os.path.join(state_dir, t), ignore_errors=True)
@@ -728,6 +788,8 @@ def streaming_incremental_dedup(
             # are already in the persisted parts — verify and skip
             ledger.verify(batch_id, loaded_last, *stats, "sincr")
             return
+        if ptr_path:
+            ledger.seal_replay("sincr")
         # materialize ONLY this batch's pieces; prior parts are already
         # materialized, so the lazy union's lineage stays flat and the
         # per-trigger write cost is O(batch), not O(accumulated index)
@@ -749,9 +811,7 @@ def streaming_incremental_dedup(
         if ptr_path:
             pairs = _write_part(pairs, f"sincr_pairs_b{batch_id}")
             sig_b = _write_part(sig_b, f"sincr_sig_b{batch_id}")
-            for k in ("corpus_parts", "sig_parts", "pairs_parts"):
-                suffix = {"corpus_parts": "corpus", "sig_parts": "sig",
-                          "pairs_parts": "pairs"}[k]
+            for k, suffix in _SINCR_PARTS:
                 ptr_tables[k].append(f"sincr_{suffix}_b{batch_id}")
         else:
             pairs = pairs.localCheckpoint()
@@ -759,8 +819,7 @@ def streaming_incremental_dedup(
         state["pairs_parts"].append(pairs)
         state["sig_parts"].append(sig_b)
         state["corpus_parts"].append(b)
-        for key, suffix in (("sig_parts", "sig"), ("corpus_parts", "corpus"),
-                            ("pairs_parts", "pairs")):
+        for key, suffix in _SINCR_PARTS:
             if len(state[key]) > _COMPACT_PARTS:
                 merged = _union(state[key])
                 if ptr_path:
@@ -1086,10 +1145,16 @@ def streaming_heavy_hitters(
             ledger = _ReplayLedger.from_json(persisted.get("ledger"))
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        # the ledger tracks the NON-NULL row multiset (part_rows sums
-        # post-dropna) — compare like with like on replay
+        # the ledger tracks the NON-NULL value multiset (part_rows sums
+        # post-dropna, and the fold consumes nothing but value_col) —
+        # record and verify use the same projection, and narrowing it
+        # keeps the one extra per-trigger aggregate this opt-in path
+        # pays down to a single-column scan
         stats = (
-            _batch_stats(batch_df.filter(F.col(value_col).isNotNull()))
+            _batch_stats(
+                batch_df.filter(F.col(value_col).isNotNull())
+                .select(value_col)
+            )
             if state_path else None
         )
         if state_path and batch_id <= state["last_id"]:
@@ -1098,6 +1163,8 @@ def streaming_heavy_hitters(
             # not silently drop never-folded rows)
             ledger.verify(batch_id, loaded_last, *stats, "mg")
             return
+        if state_path:
+            ledger.seal_replay("mg")
         summ = SK.heavy_hitter_candidates(batch_df, value_col, capacity).collect()
         n_batch = sum(r["part_rows"] for r in summ)
         state["n"] += n_batch

@@ -522,6 +522,63 @@ def test_streaming_incremental_dedup_arrival_order(spark, tmp_path):
     assert all(j != 102 for _, j in got)
 
 
+def test_replay_ledger_bounded_window_and_cumulative_guards():
+    """Pure-Python ledger semantics: the recent window stays bounded,
+    a replayed prefix that OVERSHOOTS the recorded totals raises
+    immediately (new rows hiding in a 'replayed' batch beyond the
+    window), a replay that ends SHORT raises at seal time (first new
+    batch), and an exact replay seals clean."""
+    from ahnlich_spark.streaming.pipeline import _ReplayLedger
+
+    led = _ReplayLedger()
+    for i in range(20):
+        led.record(i, 10, i * 7)
+    assert len(led.recent) == led.WINDOW == 16
+    assert led.total_rows == 200 and led.complete
+
+    def reload():
+        return _ReplayLedger.from_json(
+            __import__("json").loads(__import__("json").dumps(led.as_json()))
+        )
+
+    # exact replay: 20 batches of 10 rows, fp as recorded
+    ok = reload()
+    for i in range(20):
+        ok.verify(i, 19, 10, i * 7, "t")
+    ok.seal_replay("t")  # clean
+
+    # overshoot: batch 2 (outside the window) packs extra NEW rows
+    bad = reload()
+    bad.verify(0, 19, 10, 0, "t")
+    bad.verify(1, 19, 10, 7, "t")
+    with pytest.raises(ValueError, match="already carries"):
+        bad.verify(2, 19, 200, 14, "t")
+
+    # short replay: re-packed prefix ends early (never reaches 19);
+    # the first NEW batch must refuse, not silently continue
+    short = reload()
+    short.verify(0, 19, 10, 0, "t")
+    with pytest.raises(ValueError, match="moved past the replayed"):
+        short.seal_replay("t")
+
+
+def test_replay_ledger_pre_upgrade_pointer_disables_cumulative():
+    """A pointer written before the ledger existed (no 'ledger' key)
+    must not refuse a legitimate from-scratch restart: cumulative
+    checks stay off, seal is a no-op, and new batches record into a
+    ledger that stays complete=False (its totals never cover the
+    pre-upgrade prefix)."""
+    from ahnlich_spark.streaming.pipeline import _ReplayLedger
+
+    led = _ReplayLedger.from_json(None)
+    assert not led.complete
+    for i in range(5):  # replay of batches it never saw: blind skip
+        led.verify(i, 4, 10, i, "t")
+    led.seal_replay("t")  # no-op, no refusal
+    led.record(5, 10, 5)
+    assert not _ReplayLedger.from_json(led.as_json()).complete
+
+
 def _sincr_fixture(spark):
     """(corpus, 3 near-dup batch frames) with a known pair structure."""
     base = "the quick brown fox jumps over the lazy dog tonight again"
