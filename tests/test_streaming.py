@@ -647,6 +647,62 @@ def test_incremental_dedup_kill_and_restart_equals_uninterrupted(
     assert {(i, j) for i, j, *_ in got if i == 30} >= {(30, 101), (30, 10)}
 
 
+def test_incremental_dedup_compaction_gc_and_restart(
+    spark, tmp_path, monkeypatch
+):
+    """Past _COMPACT_PARTS the persisted delta parts fold into one
+    compacted part per family, the pointer swaps to the new list, dead
+    part directories are GC'd, and a restart over the compacted state
+    still equals the uninterrupted run."""
+    import os
+
+    from ahnlich_spark.streaming import pipeline as P
+
+    monkeypatch.setattr(P, "_COMPACT_PARTS", 2)
+    corpus, frames = _sincr_fixture(spark)
+    frames = frames + [
+        spark.createDataFrame(
+            [(40 + i, f"filler text number {40 + i} nothing shared")],
+            "doc_id long, text string",
+        )
+        for i in range(2)
+    ]
+    state_dir = str(tmp_path / "state")
+    schema = "doc_id long, text string"
+
+    def read_stream(watch):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(watch)
+        )
+
+    watch, add_file = _ordered_files(tmp_path, spark, frames[:4], schema)
+    q1, drain1 = P.streaming_incremental_dedup(
+        read_stream(watch), corpus, threshold=0.5, state_dir=state_dir
+    )
+    q1.processAllAvailable()
+    q1.stop()
+    dirs = {d for d in os.listdir(state_dir) if not d.endswith(".json")}
+    # 4 batches with threshold 2: every family compacted at least once,
+    # and the pre-compaction per-batch dirs were GC'd
+    assert any(d.startswith("sincr_sig_c") for d in dirs), dirs
+    assert not any(d == "sincr_sig_b0" for d in dirs), dirs
+    # restart over the compacted pointer: replays skip, 5th batch folds
+    add_file(frames[4])
+    q2, drain2 = P.streaming_incremental_dedup(
+        read_stream(watch), corpus, threshold=0.5, state_dir=state_dir
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    watch_u, _ = _ordered_files(tmp_path / "u", spark, frames, schema)
+    q3, drain3 = P.streaming_incremental_dedup(
+        read_stream(watch_u), corpus, threshold=0.5
+    )
+    q3.processAllAvailable()
+    q3.stop()
+    assert _sincr_pairs(drain2) == _sincr_pairs(drain3)
+
+
 def test_incremental_dedup_checkpoint_resume(spark, tmp_path):
     """With state_dir the ``checkpoint`` parameter is accepted and the
     restarted query RESUMES the source (no replay at all): only the new
