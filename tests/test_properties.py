@@ -342,3 +342,90 @@ def test_jaccard_size_bucket_covers_all_threshold_pairs(na, nb, t_milli):
     ba = math.floor(math.log(na) / width)
     bb = math.floor(math.log(nb) / width)
     assert abs(ba - bb) <= 1, (na, nb, t, ba, bb)
+
+
+# ------------------------------------------------------- BPE training --
+#
+# Pure-Python reference trainer: the exact Sennrich loop with the
+# engine's determinism contract (overlapping pair counts weighted by
+# word frequency, argmax count-desc/left/right, greedy left-to-right
+# merge, terminal </w>). Both engines must replay it bit-for-bit.
+
+def _py_bpe_train(texts, n_merges):
+    from collections import Counter
+
+    words = Counter()
+    for t in texts:
+        for w in (t or "").strip().split():
+            if w:
+                words[w] += 1
+    vocab = {tuple(list(w) + ["</w>"]): c for w, c in words.items()}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pairs = Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += c
+        if not pairs:
+            break
+        (l, r), c = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, l, r, c))
+        new_vocab = {}
+        for syms, cnt in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + cnt
+        vocab = new_vocab
+    return merges
+
+
+_bpe_words = st.text(alphabet="ab¢中.", min_size=0, max_size=4)
+_bpe_texts = st.lists(
+    st.lists(_bpe_words, min_size=0, max_size=6).map(" ".join),
+    min_size=1, max_size=4,
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(texts=_bpe_texts, n=st.integers(min_value=1, max_value=4))
+def test_bpe_oracle_sql_matches_python_reference(texts, n):
+    """The DuckDB gate oracle replays the reference BPE loop exactly —
+    overlapping counts, tie order, greedy replace, multibyte symbols,
+    early exhaustion — on arbitrary corpora (no Spark in the loop, so
+    hypothesis can afford real coverage)."""
+    import duckdb
+    import pandas as pd
+
+    from ahnlich_spark.entry_queries import _bpe_train_sql
+
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts}),
+    )
+    got = sorted(map(tuple, con.sql(_bpe_train_sql(n)).fetchall()))
+    want = sorted(_py_bpe_train(texts, n))
+    assert got == want, (texts, n)
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(texts=_bpe_texts, n=st.integers(min_value=1, max_value=3))
+def test_bpe_spark_trainer_matches_python_reference(spark, texts, n):
+    """And the Spark trainer implements the same loop (few examples —
+    each costs real Spark jobs; the oracle-vs-reference property above
+    carries the breadth)."""
+    from ahnlich_spark.operators.bpe import train_merges
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = sorted(tuple(r) for r in train_merges(df, n_merges=n).collect())
+    want = sorted(_py_bpe_train(texts, n))
+    assert got == want, (texts, n)
