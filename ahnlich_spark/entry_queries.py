@@ -8540,6 +8540,17 @@ def bpe_segment_fertility(spark, sf_dir):
     )
 
 
+def _ivm_k0():
+    """The maintained view's measure: scaled-integer checksum of the
+    key's first component — additive, engine-portable (shared by the
+    batch IVM gate and the streaming materialized-view gate). A
+    function, not a module constant: building a Column needs the
+    active SparkContext."""
+    return F.round(
+        F.element_at("key", 1).cast("double") * 1_000_000
+    ).cast("long")
+
+
 @register("incremental_agg_refresh", """
 SELECT CAST(CASE WHEN vec_id >= 200 THEN label + 10 ELSE label END
             AS VARCHAR) AS label,
@@ -8584,42 +8595,77 @@ def incremental_agg_refresh(spark, sf_dir):
         eng.del_pred("ivm", Equals("label", "5"))
         cached = _MUT_FIXTURES[ckey] = (eng, v0, s0)
     eng, v0, s0 = cached
+    from ahnlich_spark.operators import ivm as IVM
+
     lab = F.col("meta")["label"]["s"]
-    k0 = F.round(F.element_at("key", 1).cast("double") * 1_000_000).cast("long")
-    from0 = eng.store_df("ivm", version=v0, segments=s0)
-    a0 = from0.groupBy(lab.alias("label")).agg(
-        F.count(F.lit(1)).cast("long").alias("n0"),
-        F.sum(k0).cast("long").alias("s0"),
+    measures = {"k0_e6_sum": _ivm_k0()}
+    a0 = IVM.full_agg(eng, "ivm", lab, measures, version=v0, segments=s0)
+    delta = IVM.cdf_agg_delta(eng, "ivm", v0, s0, lab, measures)
+    return IVM.apply_agg_delta(a0, delta, measures).withColumnRenamed(
+        "group", "label"
     )
-    ch = eng.store_changes("ivm", from_version=v0, from_segments=s0)
-    upd_pre = from0.join(
-        ch.filter(F.col("change_type") == "update").select("id"),
-        "id", "left_semi",
-    )
-    neg = (
-        ch.filter(F.col("change_type") == "delete").select("key", "meta")
-        .unionByName(upd_pre.select("key", "meta"))
-        .withColumn("w", F.lit(-1))
-    )
-    pos = (
-        ch.filter(F.col("change_type") != "delete").select("key", "meta")
-        .withColumn("w", F.lit(1))
-    )
-    delta = neg.unionByName(pos).groupBy(lab.alias("label")).agg(
-        F.sum("w").cast("long").alias("dn"),
-        F.sum(F.col("w") * k0).cast("long").alias("ds"),
-    )
-    return (
-        a0.join(delta, "label", "full_outer")
-        .select(
-            "label",
-            (F.coalesce("n0", F.lit(0)) + F.coalesce("dn", F.lit(0)))
-            .cast("long").alias("n"),
-            (F.coalesce("s0", F.lit(0)) + F.coalesce("ds", F.lit(0)))
-            .cast("long").alias("k0_e6_sum"),
+
+
+@register("streaming_materialized_view", """
+SELECT CAST(CASE WHEN vec_id >= 200 THEN label + 10 ELSE label END
+            AS VARCHAR) AS label,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT))
+            AS BIGINT) AS k0_e6_sum
+FROM embeddings
+WHERE vec_id < 300 AND NOT (vec_id < 200 AND label = 5)
+GROUP BY 1
+""")
+def streaming_materialized_view(spark, sf_dir):
+    """Continuously-maintained materialized view, end to end: source
+    mutations (group-moving upserts + a predicate delete) stream
+    through the live change feed into a replica (Engine.apply_changes)
+    while the per-label aggregate refreshes INCREMENTALLY from the
+    replica's own CDF between fold coordinates — replication and view
+    maintenance in one exactly-once pipeline
+    (streaming/pipeline.streaming_materialized_agg, operators/ivm.py).
+    The replica is seeded from the base snapshot (the feed carries only
+    post-base mutations); the oracle is the closed form of the final
+    state — the same truth the batch IVM gate pins, now reached through
+    the stream. Source, replica, and base seed are cached per
+    (SparkContext, sf_dir); replayed segments net to zero changes by
+    design, so repeat invocations time the live fold itself."""
+    from ahnlich_spark.streaming.pipeline import streaming_materialized_agg
+
+    ckey = (id(spark.sparkContext), os.path.abspath(sf_dir), "mview")
+    eng = _MUT_FIXTURES.get(ckey)
+    if eng is None:
+        from ahnlich_spark.plans.engine import Engine
+
+        emb = _t(spark, sf_dir, "embeddings")
+        eng = Engine(spark, tempfile.mkdtemp(prefix="ahnlich_gate_"))
+        eng.create_store("mvsrc", dimension=_GATE_DIM, predicates=["label"])
+        mk = lambda df, shift: df.select(
+            F.col("embedding").alias("key"),
+            F.create_map(
+                F.lit("label"), _mv_str(F.col("label") + F.lit(shift))
+            ).alias("meta"),
         )
-        .filter(F.col("n") > 0)
+        eng.set("mvsrc", mk(emb.filter(F.col("vec_id") < 250), 0))  # base
+        eng.create_store("mvrep", dimension=_GATE_DIM)
+        eng.set("mvrep", eng.store_df("mvsrc", version=1, segments=0)
+                .select("key", "meta"))
+        # post-base mutations — what the feed carries
+        eng.set("mvsrc", mk(emb.filter(
+            (F.col("vec_id") >= 200) & (F.col("vec_id") < 300)), 10))
+        eng.del_pred("mvsrc", Equals("label", "5"))
+        _MUT_FIXTURES[ckey] = eng
+    run = tempfile.mkdtemp(prefix="ahnlich_mview_")
+    q, drain = streaming_materialized_agg(
+        eng.store_changes_stream("mvsrc", max_files_per_trigger=1),
+        eng, "mvrep",
+        F.col("meta")["label"]["s"], {"k0_e6_sum": _ivm_k0()},
+        state_dir=os.path.join(run, "state"),
+        checkpoint=os.path.join(run, "ckpt"),
     )
+    q.processAllAvailable()
+    q.stop()
+    return drain().withColumnRenamed("group", "label")
 
 
 # ------------------------------------------------------------- entry --

@@ -87,13 +87,21 @@ def _read_json(path: str) -> Optional[dict]:
 def _batch_stats(df: DataFrame):
     """(row count, order-insensitive content fingerprint) of a batch in
     ONE narrow aggregate job: sum of xxhash64 over all columns (sorted
-    by name so the value is independent of projection order). Two
-    batches with equal (count, fingerprint) carry the same multiset of
-    rows up to hash collision — the replay guard compares both."""
+    by name so the value is independent of projection order; MAP
+    columns are canonicalized to key-sorted entry arrays first — Spark
+    refuses to hash maps because their internal entry order is not
+    stable). Two batches with equal (count, fingerprint) carry the same
+    multiset of rows up to hash collision — the replay guard compares
+    both."""
+    cols = [
+        F.array_sort(F.map_entries(F.col(c)))
+        if isinstance(df.schema[c].dataType, T.MapType) else F.col(c)
+        for c in sorted(df.columns)
+    ]
     row = df.select(
         F.count(F.lit(1)).alias("n"),
         F.coalesce(
-            F.sum(F.xxhash64(*sorted(df.columns)).cast("decimal(38,0)")),
+            F.sum(F.xxhash64(*cols).cast("decimal(38,0)")),
             F.lit(0).cast("decimal(38,0)"),
         ).alias("fp"),
     ).collect()[0]
@@ -254,14 +262,18 @@ class _DfStatePersist:
         self.prefix = f"{name}_v"
         self.ledger = _ReplayLedger()
         self._loaded_last = -1
+        self.extra: dict = {}
 
     def load(self):
-        """(state_df | None, last persisted batch id)."""
+        """(state_df | None, last persisted batch id). Fold-specific
+        scalars saved via ``save(..., extra=...)`` are exposed on
+        ``self.extra`` after a successful load."""
         p = _read_json(self.ptr)
         if p is None:
             return None, -1
         self.ledger = _ReplayLedger.from_json(p.get("ledger"))
         self._loaded_last = int(p["batch_id"])
+        self.extra = dict(p.get("extra", {}))
         df = self.spark.read.parquet(
             os.path.join(self.dir, p["table"])
         ).localCheckpoint()
@@ -278,7 +290,8 @@ class _DfStatePersist:
         rows, fp = stats if stats is not None else _batch_stats(batch_df)
         self.ledger.verify(batch_id, self._loaded_last, rows, fp, name)
 
-    def save(self, df: DataFrame, batch_id: int, stats) -> None:
+    def save(self, df: DataFrame, batch_id: int, stats,
+             extra: Optional[dict] = None) -> None:
         # the first NEW batch marks the end of any from-scratch replay:
         # refuse a prefix that never accounted for every folded row
         self.ledger.seal_replay(self.name)
@@ -286,9 +299,12 @@ class _DfStatePersist:
         df.write.mode("overwrite").parquet(os.path.join(self.dir, table))
         prev = _read_json(self.ptr)
         self.ledger.record(batch_id, *stats)
+        if extra is not None:
+            self.extra = dict(extra)
         _atomic_write_json(self.ptr, {
             "batch_id": batch_id, "table": table,
             "ledger": self.ledger.as_json(),
+            "extra": self.extra,
         })
         if prev is not None and prev["table"] != table:
             for d in os.listdir(self.dir):
@@ -637,6 +653,101 @@ def streaming_apply_changes(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+def streaming_materialized_agg(
+    feed: DataFrame,
+    engine,
+    store: str,
+    group_expr,
+    measures: dict,
+    schema: str = "public",
+    checkpoint: Optional[str] = None,
+    state_dir: Optional[str] = None,
+):
+    """Continuously-maintained MATERIALIZED VIEW: each micro-batch of a
+    ``store_changes_stream`` feed is applied to the replica store
+    (O(batch) delta segment — ``Engine.apply_changes``), then the
+    maintained (group, n, <measures>...) aggregate refreshes from the
+    replica's OWN change feed between the last folded coordinates and
+    the post-apply coordinates (``operators/ivm.cdf_agg_delta`` +
+    ``apply_agg_delta`` — O(batch changes) plus one broadcast-probed
+    FROM-snapshot scan for update pre-images). The view is seeded by a
+    one-time full aggregate of the replica's state at fold start and
+    never fully recomputed again.
+
+    EXACTLY-ONCE under restarts, without requiring an idempotent sink:
+    the fold coordinates ride the persisted pointer, so a crash between
+    apply and fold replays the batch into a DUPLICATE delta segment
+    whose rows net out in the keep-last merged read — the next fold
+    still reads from the persisted coordinates and every logical change
+    folds exactly once. Replays of batches the ledger has folded are
+    verified (count + content fingerprint) and skipped; with
+    ``state_dir`` the ``checkpoint`` option resumes the source exactly
+    where it stopped. Kill-and-restart equals the uninterrupted run
+    (pytest-pinned).
+
+    ``group_expr``/``measures`` are Column expressions over canonical
+    (key, meta) store rows; measures must be ADDITIVE integers (see
+    operators/ivm.py). Returns ``(query, drain)`` — ``drain()`` is the
+    current view, O(groups) rows."""
+    from ahnlich_spark.operators import ivm as IVM
+
+    spark = engine.spark
+    persist = (
+        _DfStatePersist(spark, state_dir, "mview") if state_dir else None
+    )
+    if checkpoint and not state_dir:
+        raise ValueError(
+            "streaming_materialized_agg without state_dir keeps the view "
+            "and its fold coordinates in driver memory; a "
+            "checkpointLocation would skip committed batches on restart "
+            "while both reset. Pass state_dir to make the fold "
+            "checkpoint-safe."
+        )
+    m0 = engine.catalog.get_store(store, schema)
+    state = {"agg": None, "coords": (m0.version, m0.deltas), "last_id": -1}
+    if persist:
+        loaded, last = persist.load()
+        if loaded is not None:
+            state["agg"], state["last_id"] = loaded, last
+            state["coords"] = tuple(persist.extra["coords"])
+    if state["agg"] is None:
+        state["agg"] = IVM.full_agg(
+            engine, store, group_expr, measures, schema=schema
+        ).localCheckpoint()
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        stats = _batch_stats(batch_df) if persist else None
+        if persist and batch_id <= state["last_id"]:
+            persist.replay_guard(batch_df, batch_id, "mview", stats=stats)
+            return
+        if not batch_df.isEmpty():
+            engine.apply_changes(store, batch_df, schema=schema)
+        m = engine.catalog.get_store(store, schema)
+        v0, s0 = state["coords"]
+        v1, s1 = m.version, m.deltas
+        if (v1, s1) != (v0, s0):
+            delta = IVM.cdf_agg_delta(
+                engine, store, v0, s0, group_expr, measures,
+                to_version=v1, to_segments=s1, schema=schema,
+            )
+            state["agg"] = IVM.apply_agg_delta(
+                state["agg"], delta, measures
+            ).localCheckpoint()
+        state["coords"] = (v1, s1)
+        state["last_id"] = batch_id
+        if persist:
+            persist.save(state["agg"], batch_id, stats,
+                         extra={"coords": [v1, s1]})
+
+    def drain() -> DataFrame:
+        return state["agg"]
+
+    writer = feed.writeStream.foreachBatch(_sink).outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start(), drain
 
 
 def streaming_incremental_dedup(

@@ -601,6 +601,63 @@ def _sincr_pairs(drain):
     return sorted(tuple(r) for r in drain().collect())
 
 
+def test_materialized_agg_kill_and_restart_equals_full_recompute(
+    spark, engine, tmp_path
+):
+    """The continuously-maintained view survives a kill-and-restart:
+    fold part of the change feed, discard the fold, restart with the
+    same state_dir + checkpoint, land MORE source mutations, and the
+    drained view equals a full recompute of the replica — replication
+    and incremental maintenance stay exactly-once together."""
+    import tempfile as tf
+
+    from ahnlich_spark import Engine
+    from ahnlich_spark.operators import ivm as IVM
+    from ahnlich_spark.operators.predicates import Equals
+    from ahnlich_spark.streaming.pipeline import streaming_materialized_agg
+
+    engine.create_store("mvs", dimension=2, predicates=["t"])
+    engine.set("mvs", [([1.0, 0.0], {"t": "a"}), ([0.0, 1.0], {"t": "b"}),
+                       ([2.0, 2.0], {"t": "b"})])              # base v1
+    replica = Engine(spark, tf.mkdtemp(prefix="ahnlich_mv_wh_"))
+    replica.create_store("mvd", dimension=2)
+    replica.set("mvd", engine.store_df("mvs", version=1, segments=0)
+                .select("key", "meta"))
+    grp = F.col("meta")["t"]["s"]
+    measures = {"k0_e2": (F.element_at("key", 1) * 100).cast("long")}
+    state_dir = str(tmp_path / "mv_state")
+    ckpt = str(tmp_path / "mv_ckpt")
+
+    def fold():
+        return streaming_materialized_agg(
+            engine.store_changes_stream("mvs", max_files_per_trigger=1),
+            replica, "mvd", grp, measures,
+            state_dir=state_dir, checkpoint=ckpt,
+        )
+
+    engine.del_pred("mvs", Equals("t", "a"))                    # d1_1
+    engine.set("mvs", [([0.0, 1.0], {"t": "c"})])               # d1_2 update
+    q1, _ = fold()
+    q1.processAllAvailable()
+    q1.stop()
+    # more mutations land while the fold is down
+    engine.set("mvs", [([5.0, 5.0], {"t": "d"})])               # d1_3 insert
+    engine.del_key("mvs", [[2.0, 2.0]])                         # d1_4 delete
+    q2, drain2 = fold()
+    q2.processAllAvailable()
+    q2.stop()
+    got = sorted(tuple(r) for r in drain2().collect())
+    want = sorted(
+        tuple(r) for r in
+        IVM.full_agg(replica, "mvd", grp, measures).collect()
+    )
+    assert got == want
+    # and the replica itself converged to the source
+    src = sorted(tuple(r["key"]) for r in engine.store_df("mvs").collect())
+    dst = sorted(tuple(r["key"]) for r in replica.store_df("mvd").collect())
+    assert got and src == dst
+
+
 def test_incremental_dedup_kill_and_restart_equals_uninterrupted(
     spark, tmp_path
 ):
