@@ -8540,6 +8540,31 @@ def bpe_segment_fertility(spark, sf_dir):
     )
 
 
+# the IVM mutation chain shared by the batch and streaming view gates:
+# base rows carry their raw label, the overlapping upsert moves rows to
+# label+10 — _mv_str entries for Engine.set
+def _ivm_entries(df, shift):
+    return df.select(
+        F.col("embedding").alias("key"),
+        F.create_map(
+            F.lit("label"), _mv_str(F.col("label") + F.lit(shift))
+        ).alias("meta"),
+    )
+
+
+# both gates pin the same final state: vec_id<200 minus label 5 at raw
+# labels, plus [200, 300) at label+10
+_IVM_FINAL_STATE_SQL = """SELECT CAST(CASE WHEN vec_id >= 200 THEN label + 10 ELSE label END
+            AS VARCHAR) AS label,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT))
+            AS BIGINT) AS k0_e6_sum
+FROM embeddings
+WHERE vec_id < 300 AND NOT (vec_id < 200 AND label = 5)
+GROUP BY 1
+"""
+
+
 def _ivm_k0():
     """The maintained view's measure: scaled-integer checksum of the
     key's first component — additive, engine-portable (shared by the
@@ -8551,16 +8576,7 @@ def _ivm_k0():
     ).cast("long")
 
 
-@register("incremental_agg_refresh", """
-SELECT CAST(CASE WHEN vec_id >= 200 THEN label + 10 ELSE label END
-            AS VARCHAR) AS label,
-       CAST(count(*) AS BIGINT) AS n,
-       CAST(sum(CAST(round(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT))
-            AS BIGINT) AS k0_e6_sum
-FROM embeddings
-WHERE vec_id < 300 AND NOT (vec_id < 200 AND label = 5)
-GROUP BY 1
-""")
+@register("incremental_agg_refresh", _IVM_FINAL_STATE_SQL)
 def incremental_agg_refresh(spark, sf_dir):
     """Incremental view maintenance from the change feed — the
     O(changes) downstream-refresh contract the CDF docstring promises,
@@ -8581,16 +8597,10 @@ def incremental_agg_refresh(spark, sf_dir):
         emb = _t(spark, sf_dir, "embeddings")
         eng = Engine(spark, tempfile.mkdtemp(prefix="ahnlich_gate_"))
         eng.create_store("ivm", dimension=_GATE_DIM, predicates=["label"])
-        mk = lambda df, shift: df.select(
-            F.col("embedding").alias("key"),
-            F.create_map(
-                F.lit("label"), _mv_str(F.col("label") + F.lit(shift))
-            ).alias("meta"),
-        )
-        eng.set("ivm", mk(emb.filter(F.col("vec_id") < 250), 0))
+        eng.set("ivm", _ivm_entries(emb.filter(F.col("vec_id") < 250), 0))
         m0 = eng.catalog.get_store("ivm")
         v0, s0 = m0.version, m0.deltas
-        eng.set("ivm", mk(emb.filter(
+        eng.set("ivm", _ivm_entries(emb.filter(
             (F.col("vec_id") >= 200) & (F.col("vec_id") < 300)), 10))
         eng.del_pred("ivm", Equals("label", "5"))
         cached = _MUT_FIXTURES[ckey] = (eng, v0, s0)
@@ -8606,16 +8616,7 @@ def incremental_agg_refresh(spark, sf_dir):
     )
 
 
-@register("streaming_materialized_view", """
-SELECT CAST(CASE WHEN vec_id >= 200 THEN label + 10 ELSE label END
-            AS VARCHAR) AS label,
-       CAST(count(*) AS BIGINT) AS n,
-       CAST(sum(CAST(round(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT))
-            AS BIGINT) AS k0_e6_sum
-FROM embeddings
-WHERE vec_id < 300 AND NOT (vec_id < 200 AND label = 5)
-GROUP BY 1
-""")
+@register("streaming_materialized_view", _IVM_FINAL_STATE_SQL)
 def streaming_materialized_view(spark, sf_dir):
     """Continuously-maintained materialized view, end to end: source
     mutations (group-moving upserts + a predicate delete) stream
@@ -8640,18 +8641,13 @@ def streaming_materialized_view(spark, sf_dir):
         emb = _t(spark, sf_dir, "embeddings")
         eng = Engine(spark, tempfile.mkdtemp(prefix="ahnlich_gate_"))
         eng.create_store("mvsrc", dimension=_GATE_DIM, predicates=["label"])
-        mk = lambda df, shift: df.select(
-            F.col("embedding").alias("key"),
-            F.create_map(
-                F.lit("label"), _mv_str(F.col("label") + F.lit(shift))
-            ).alias("meta"),
-        )
-        eng.set("mvsrc", mk(emb.filter(F.col("vec_id") < 250), 0))  # base
+        eng.set("mvsrc",
+                _ivm_entries(emb.filter(F.col("vec_id") < 250), 0))  # base
         eng.create_store("mvrep", dimension=_GATE_DIM)
         eng.set("mvrep", eng.store_df("mvsrc", version=1, segments=0)
                 .select("key", "meta"))
         # post-base mutations — what the feed carries
-        eng.set("mvsrc", mk(emb.filter(
+        eng.set("mvsrc", _ivm_entries(emb.filter(
             (F.col("vec_id") >= 200) & (F.col("vec_id") < 300)), 10))
         eng.del_pred("mvsrc", Equals("label", "5"))
         _MUT_FIXTURES[ckey] = eng

@@ -209,15 +209,9 @@ class _ReplayLedger:
                     f"{_LEDGER_REFUSE}"
                 )
             if batch_id == last_id:
-                if (self._acc_rows != self.total_rows
-                        or self._acc_fp != self.total_fp):
-                    raise ValueError(
-                        f"{name} fold restart: the replayed prefix carries "
-                        f"{self._acc_rows} rows in total but "
-                        f"{self.total_rows} were folded originally — "
-                        f"{_LEDGER_REFUSE}"
-                    )
-                self._replay_verified = True
+                self._require_totals(
+                    name, "the replayed prefix carries"
+                )
 
     def seal_replay(self, name: str) -> None:
         """Called when the first NEW batch arrives after a restart: a
@@ -226,15 +220,20 @@ class _ReplayLedger:
         ``last_id``) is refused here instead of silently dropping the
         rows its missing batches carried."""
         if self._cumulative and not self._replay_verified:
-            if (self._acc_rows != self.total_rows
-                    or self._acc_fp != self.total_fp):
-                raise ValueError(
-                    f"{name} fold restart: the stream moved past the "
-                    f"replayed prefix after accounting for "
-                    f"{self._acc_rows} of the {self.total_rows} rows "
-                    f"folded originally — {_LEDGER_REFUSE}"
-                )
-            self._replay_verified = True
+            self._require_totals(
+                name, "the stream moved past the replayed prefix after "
+                "accounting for only"
+            )
+
+    def _require_totals(self, name: str, how: str) -> None:
+        if (self._acc_rows != self.total_rows
+                or self._acc_fp != self.total_fp):
+            raise ValueError(
+                f"{name} fold restart: {how} {self._acc_rows} of the "
+                f"{self.total_rows} rows folded originally — "
+                f"{_LEDGER_REFUSE}"
+            )
+        self._replay_verified = True
 
 
 class _DfStatePersist:
@@ -278,9 +277,6 @@ class _DfStatePersist:
             os.path.join(self.dir, p["table"])
         ).localCheckpoint()
         return df, self._loaded_last
-
-    def batch_stats(self, batch_df: DataFrame):
-        return _batch_stats(batch_df)
 
     def replay_guard(self, batch_df: DataFrame, batch_id: int,
                      name: str, stats=None) -> None:
@@ -1017,7 +1013,7 @@ def streaming_kmv_distinct(
             # verify it is byte-for-byte the batch we folded
             persist.replay_guard(batch_df, batch_id, "kmv")
             return
-        stats = persist.batch_stats(batch_df) if persist else None
+        stats = _batch_stats(batch_df) if persist else None
         bh = batch_df.filter(F.col(value_col).isNotNull()).select(
             *group_cols, SK.kmv_hash(F.col(value_col)).alias("_h")
         )
@@ -1093,7 +1089,7 @@ def streaming_hll_distinct(
         if persist and batch_id <= state["last_id"]:
             persist.replay_guard(batch_df, batch_id, "hll")
             return
-        stats = persist.batch_stats(batch_df) if persist else None
+        stats = _batch_stats(batch_df) if persist else None
         br = SK.hll_registers(batch_df, value_col, group_cols, m)
         if state["registers"] is not None:
             br = (
@@ -1168,7 +1164,7 @@ def streaming_histogram_quantiles(
         if persist and batch_id <= state["last_id"]:
             persist.replay_guard(batch_df, batch_id, "hist")
             return
-        stats = persist.batch_stats(batch_df) if persist else None
+        stats = _batch_stats(batch_df) if persist else None
         bs = SK.histogram_summary(batch_df, value_col, group_cols, bin_width)
         if state["summ"] is not None:
             bs = (
@@ -1362,7 +1358,7 @@ def streaming_cms_counts(
         if persist and batch_id <= state["last_id"]:
             persist.replay_guard(batch_df, batch_id, "cms")
             return
-        stats = persist.batch_stats(batch_df) if persist else None
+        stats = _batch_stats(batch_df) if persist else None
         bt = SK.cms_table(batch_df, value_col, group_cols, depth, width)
         if state["table"] is not None:
             bt = (
@@ -1441,7 +1437,7 @@ def streaming_embedding_drift(
         if persist and batch_id <= state["last_id"]:
             persist.replay_guard(batch_df, batch_id, "drift")
             return
-        stats = persist.batch_stats(batch_df) if persist else None
+        stats = _batch_stats(batch_df) if persist else None
         bs = _batch_sums(batch_df.filter(F.col(vec_col).isNotNull()))
         if state["sums"] is not None:
             bs = (
