@@ -7456,7 +7456,6 @@ def streaming_incremental_dedup_gate(spark, sf_dir):
     import glob
     import time
 
-    from ahnlich_spark.operators import dedup as D
     from ahnlich_spark.streaming.pipeline import streaming_incremental_dedup
 
     docs = _t(spark, sf_dir, "documents")

@@ -36,6 +36,21 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+_RESERVED_MEASURES = {"group", "n", "dn"}
+
+
+def _check_measures(measures: Dict[str, Column]) -> None:
+    bad = sorted(
+        m for m in measures
+        if m in _RESERVED_MEASURES or m.startswith("d_")
+    )
+    if bad:
+        raise ValueError(
+            f"measure names {bad} collide with the view's reserved "
+            f"columns (group/n/dn and the d_ delta prefix) — rename them"
+        )
+
+
 def cdf_agg_delta(
     engine,
     store: str,
@@ -51,6 +66,7 @@ def cdf_agg_delta(
     two snapshots: (group, dn, d_<measure>...). ``group_expr`` and
     every measure are Column expressions over the canonical store row
     (key, meta) — evaluated identically on pre- and post-images."""
+    _check_measures(measures)
     ch = engine.store_changes(
         store, from_version=from_version, from_segments=from_segments,
         to_version=to_version, to_segments=to_segments, schema=schema,
@@ -88,20 +104,27 @@ def apply_agg_delta(
 ) -> DataFrame:
     """Fold a signed delta table into a maintained (group, n,
     <measures>...) aggregate: full-outer coalesce-sum per group, groups
-    whose count reaches zero dropped. ``agg`` columns: group, n, and
-    one column per measure name; ``delta`` comes from
+    whose count reaches zero dropped. The join is NULL-SAFE — rows
+    whose group expression is NULL (meta missing the grouped key) form
+    ONE group on both sides, exactly like groupBy put them there; a
+    plain equality join would split them into two partial rows and the
+    view would diverge from the full recompute. ``agg`` columns: group,
+    n, and one column per measure name; ``delta`` comes from
     ``cdf_agg_delta``."""
+    a, d = agg.alias("a"), delta.alias("d")
     cols = [
-        "group",
-        (F.coalesce("n", F.lit(0)) + F.coalesce("dn", F.lit(0)))
+        F.coalesce(F.col("a.group"), F.col("d.group")).alias("group"),
+        (F.coalesce("a.n", F.lit(0)) + F.coalesce("d.dn", F.lit(0)))
         .cast("long").alias("n"),
     ] + [
-        (F.coalesce(name, F.lit(0)) + F.coalesce(f"d_{name}", F.lit(0)))
+        (F.coalesce(f"a.{name}", F.lit(0))
+         + F.coalesce(f"d.d_{name}", F.lit(0)))
         .cast("long").alias(name)
         for name in measure_names
     ]
     return (
-        agg.join(delta, "group", "full_outer")
+        a.join(d, F.col("a.group").eqNullSafe(F.col("d.group")),
+               "full_outer")
         .select(*cols)
         .filter(F.col("n") > 0)
     )
@@ -119,6 +142,7 @@ def full_agg(
     """The same aggregate computed by a full scan of a snapshot — the
     seed for a maintained view, and the recompute the refreshed table
     must equal (pytest-pinned)."""
+    _check_measures(measures)
     return (
         engine.store_df(store, schema=schema, version=version,
                         segments=segments)

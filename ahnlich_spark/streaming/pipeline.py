@@ -718,7 +718,9 @@ def streaming_materialized_agg(
         if persist and batch_id <= state["last_id"]:
             persist.replay_guard(batch_df, batch_id, "mview", stats=stats)
             return
-        if not batch_df.isEmpty():
+        # the persisted path already counted the batch — don't pay a
+        # second job just to test emptiness
+        if (stats[0] > 0) if stats is not None else not batch_df.isEmpty():
             engine.apply_changes(store, batch_df, schema=schema)
         m = engine.catalog.get_store(store, schema)
         v0, s0 = state["coords"]
@@ -830,6 +832,15 @@ def streaming_incremental_dedup(
     if corpus_sig is None:
         corpus_sig = D.minhash_signature_table(
             corpus_df, n_hashes, shingle_n, text_col, id_col
+        )
+    elif len(corpus_sig.columns) != n_hashes + 2:
+        # a persisted artifact built with a different n_hashes would
+        # union with per-batch signature parts of another width and
+        # corrupt candidates silently — refuse up front
+        raise ValueError(
+            f"corpus_sig has {len(corpus_sig.columns)} columns but "
+            f"n_hashes={n_hashes} needs did, nsh, h0..h{n_hashes - 1} — "
+            f"rebuild the signature artifact with matching parameters"
         )
     pairs_schema = (
         "i long, j long, j_in_corpus long, inter long, ni long, nj long"

@@ -658,6 +658,89 @@ def test_materialized_agg_kill_and_restart_equals_full_recompute(
     assert got and src == dst
 
 
+def test_materialized_agg_crash_between_apply_and_fold(
+    spark, engine, tmp_path
+):
+    """The exactly-once crash window: a trigger that APPLIED its batch
+    to the replica but crashed before the fold committed replays the
+    batch into a DUPLICATE delta segment — the duplicate's rows must
+    net out in the keep-last merged read, and the fold (reading from
+    the persisted coordinates) must count every logical change exactly
+    once. Simulated by hand-applying a feed batch to the replica (the
+    crashed trigger's half-done work) before a fresh fold consumes the
+    same feed from scratch, null-group rows included."""
+    import tempfile as tf
+
+    from ahnlich_spark import Engine
+    from ahnlich_spark.operators import ivm as IVM
+    from ahnlich_spark.operators.predicates import Equals
+    from ahnlich_spark.streaming.pipeline import streaming_materialized_agg
+
+    engine.create_store("cws", dimension=2, predicates=["t"])
+    engine.set("cws", [([1.0, 0.0], {"t": "a"}), ([0.0, 1.0], {"t": "b"}),
+                       ([3.0, 0.0], {})])        # base v1; {} -> NULL group
+    replica = Engine(spark, tf.mkdtemp(prefix="ahnlich_cw_wh_"))
+    replica.create_store("cwd", dimension=2)
+    replica.set("cwd", engine.store_df("cws", version=1, segments=0)
+                .select("key", "meta"))
+    engine.del_pred("cws", Equals("t", "a"))                # d1_1
+    engine.set("cws", [([0.0, 1.0], {"t": "c"}), ([4.0, 4.0], {})])  # d1_2
+    # simulate the crashed trigger: its batch (BOTH segments here —
+    # harsher than any real trigger) reached the replica, the fold did
+    # not run, and no pointer was written
+    feed_rows = engine.store_changes("cws", from_version=1, from_segments=0)
+    replica.apply_changes("cwd", feed_rows)
+    # fresh fold over the full feed: the replayed batches re-apply as
+    # duplicate segments; the view must still equal the full recompute
+    grp = F.col("meta")["t"]["s"]
+    measures = {"k0_e2": (F.element_at("key", 1) * 100).cast("long")}
+    q, drain = streaming_materialized_agg(
+        engine.store_changes_stream("cws", max_files_per_trigger=1),
+        replica, "cwd", grp, measures,
+        state_dir=str(tmp_path / "cw_state"),
+        checkpoint=str(tmp_path / "cw_ckpt"),
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    def rows(df):  # None group sorts first
+        return sorted((tuple(r) for r in df.collect()),
+                      key=lambda t: (t[0] is not None, t[0] or "", t[1:]))
+
+    got = rows(drain())
+    want = rows(IVM.full_agg(replica, "cwd", grp, measures))
+    assert got == want and got
+    # the NULL group survived the null-safe fold as ONE row
+    assert sum(1 for g, *_ in got if g is None) == 1
+
+    # phase 2: the crash window AGAINST a live pointer — a new source
+    # mutation's batch reaches the replica (d1_3 applied by the crashed
+    # trigger) but the fold pointer still holds the pre-crash coords;
+    # the restarted fold re-applies the redelivered batch (second
+    # duplicate segment) and must fold the logical change exactly once
+    m_before = engine.catalog.get_store("cws")
+    engine.set("cws", [([9.0, 9.0], {"t": "d"})])          # d1_3
+    replica.apply_changes("cwd", engine.store_changes(
+        "cws", from_version=m_before.version,
+        from_segments=m_before.deltas,
+    ))
+    q2, drain2 = streaming_materialized_agg(
+        engine.store_changes_stream("cws", max_files_per_trigger=1),
+        replica, "cwd", grp, measures,
+        state_dir=str(tmp_path / "cw_state"),
+        checkpoint=str(tmp_path / "cw_ckpt"),
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    got2 = rows(drain2())
+    want2 = rows(IVM.full_agg(replica, "cwd", grp, measures))
+    assert got2 == want2
+    assert ("d", 1, 900) in got2  # folded once, not twice
+    src = sorted(tuple(r["key"]) for r in engine.store_df("cws").collect())
+    dst = sorted(tuple(r["key"]) for r in replica.store_df("cwd").collect())
+    assert src == dst
+
+
 def test_incremental_dedup_kill_and_restart_equals_uninterrupted(
     spark, tmp_path
 ):
