@@ -25,7 +25,10 @@ run exactly this code — one algebra, two drivers.
 Measures must be ADDITIVE integer expressions over (key, meta) rows
 (counts, scaled-integer sums): additivity is what makes the refresh a
 pure fold, and integer math keeps it bit-identical across engines and
-partitionings.
+partitionings. A measure expression that evaluates to NULL on a row
+contributes 0 — ``cdf_agg_delta`` and ``full_agg`` both coalesce it,
+so the maintained view and the full recompute agree by construction
+even for off-contract nullable measures.
 """
 
 from __future__ import annotations
@@ -92,7 +95,8 @@ def cdf_agg_delta(
         .agg(
             F.sum("_w").cast("long").alias("dn"),
             *[
-                F.sum(F.col("_w") * expr).cast("long").alias(f"d_{name}")
+                F.sum(F.col("_w") * F.coalesce(expr, F.lit(0)))
+                .cast("long").alias(f"d_{name}")
                 for name, expr in measures.items()
             ],
         )
@@ -150,7 +154,7 @@ def full_agg(
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
             *[
-                F.sum(expr).cast("long").alias(name)
+                F.sum(F.coalesce(expr, F.lit(0))).cast("long").alias(name)
                 for name, expr in measures.items()
             ],
         )

@@ -152,8 +152,12 @@ class _ReplayLedger:
                  recent: Optional[dict] = None, complete: bool = True):
         self.total_rows = int(total_rows)
         self.total_fp = int(total_fp)
+        # a recent entry's fingerprint may be None — a wildcard seeded
+        # from a pre-ledger pointer's rows-only counts, where only the
+        # count check is possible
         self.recent = {
-            str(k): [int(v[0]), int(v[1])] for k, v in (recent or {}).items()
+            str(k): [int(v[0]), None if v[1] is None else int(v[1])]
+            for k, v in (recent or {}).items()
         }
         self.complete = bool(complete)
         self._acc_rows = 0
@@ -191,12 +195,16 @@ class _ReplayLedger:
                 self.complete and batch_id == 0 and last_id >= 0
             )
         expected = self.recent.get(str(batch_id))
-        if expected is not None and [rows, fp] != expected:
+        if expected is not None and (
+            rows != expected[0]
+            or (expected[1] is not None and fp != expected[1])
+        ):
             raise ValueError(
                 f"{name} fold restart: replayed batch {batch_id} carries "
                 f"{rows} rows (content fingerprint {fp}) but "
-                f"{expected[0]} rows (fingerprint {expected[1]}) were "
-                f"folded originally — {_LEDGER_REFUSE}"
+                f"{expected[0]} rows (fingerprint "
+                f"{'<pre-upgrade, count-only>' if expected[1] is None else expected[1]}) "
+                f"were folded originally — {_LEDGER_REFUSE}"
             )
         if self._cumulative and not self._replay_verified:
             self._acc_rows += rows
@@ -271,6 +279,13 @@ class _DfStatePersist:
         if p is None:
             return None, -1
         self.ledger = _ReplayLedger.from_json(p.get("ledger"))
+        if p.get("ledger") is None and isinstance(p.get("rows"), dict):
+            # pre-ledger pointer: keep the per-batch count checks its
+            # rows dict enforced (fingerprints unknown -> wildcard);
+            # cumulative checks stay off (complete=False from_json)
+            self.ledger.recent = {
+                str(k): [int(v), None] for k, v in p["rows"].items()
+            }
         self._loaded_last = int(p["batch_id"])
         self.extra = dict(p.get("extra", {}))
         df = self.spark.read.parquet(
@@ -706,8 +721,17 @@ def streaming_materialized_agg(
     if persist:
         loaded, last = persist.load()
         if loaded is not None:
+            coords = persist.extra.get("coords")
+            if not (isinstance(coords, (list, tuple)) and len(coords) == 2):
+                raise ValueError(
+                    f"mview fold state in {state_dir} has no usable fold "
+                    f"coordinates (pointer 'extra.coords' missing or "
+                    f"malformed — tampered, truncated, or written by a "
+                    f"different fold); delete the state_dir and re-seed "
+                    f"the view instead of reusing it"
+                )
             state["agg"], state["last_id"] = loaded, last
-            state["coords"] = tuple(persist.extra["coords"])
+            state["coords"] = (int(coords[0]), int(coords[1]))
     if state["agg"] is None:
         state["agg"] = IVM.full_agg(
             engine, store, group_expr, measures, schema=schema
@@ -871,6 +895,17 @@ def streaming_incremental_dedup(
                 ]
             state["last_id"] = loaded_last = int(p["batch_id"])
             ledger = _ReplayLedger.from_json(p.get("ledger"))
+        # sweep orphans: a crash between the atomic pointer swap and the
+        # post-commit GC (or mid-trigger before _commit) leaves sincr_*
+        # part dirs no pointer references; without this they accumulate
+        # across crashes forever. Uncommitted batch parts are safe to
+        # drop — the replayed trigger rewrites them under the same name.
+        live = {t for k in ptr_tables for t in ptr_tables[k]}
+        for d in os.listdir(state_dir):
+            path = os.path.join(state_dir, d)
+            if (d.startswith("sincr_") and d not in live
+                    and os.path.isdir(path)):
+                shutil.rmtree(path, ignore_errors=True)
 
     def _union(parts):
         return reduce(lambda x, y: x.unionByName(y), parts)

@@ -1523,3 +1523,168 @@ def test_streaming_embedding_drift_matches_batch_and_restarts(spark, tmp_path):
     want = sorted(map(tuple,
                       embedding_drift(base_slice, live_slice).collect()))
     assert got == want and len(got) == 6
+
+
+def test_ivm_nullable_measure_matches_full_recompute(spark, engine):
+    """An off-contract NULLABLE measure (NULL on every row of some
+    group) must not diverge the maintained view from the full
+    recompute: both coalesce a NULL measure row to 0 by construction,
+    so a group whose measure expression is NULL everywhere reads 0 in
+    both — not NULL in one and 0 in the other."""
+    from ahnlich_spark.operators import ivm as IVM
+
+    engine.create_store("ivmn", dimension=2, predicates=["t"])
+    # group "b" has NO "x" meta key anywhere -> measure NULL on all rows
+    engine.set("ivmn", [
+        ([1.0, 0.0], {"t": "a", "x": "abc"}),
+        ([0.0, 1.0], {"t": "b"}),
+        ([2.0, 2.0], {"t": "b"}),
+    ])                                                          # base v1
+    grp = F.col("meta")["t"]["s"]
+    measures = {"xlen": F.length(F.col("meta")["x"]["s"])}
+    view = IVM.full_agg(
+        engine, "ivmn", grp, measures, version=1, segments=0
+    ).localCheckpoint()
+    # mutations: grow the all-NULL group, delete from it, touch "a"
+    engine.set("ivmn", [([3.0, 3.0], {"t": "b"}),
+                        ([1.0, 0.0], {"t": "a", "x": "defgh"})])
+    engine.del_key("ivmn", [[2.0, 2.0]])
+    delta = IVM.cdf_agg_delta(
+        engine, "ivmn", 1, 0, grp, measures
+    )
+    refreshed = IVM.apply_agg_delta(view, delta, measures)
+    got = sorted(tuple(r) for r in refreshed.collect())
+    want = sorted(
+        tuple(r) for r in
+        IVM.full_agg(engine, "ivmn", grp, measures).collect()
+    )
+    assert got == want
+    assert ("b", 2, 0) in got  # all-NULL group reads 0, not NULL
+
+
+def test_df_state_persist_legacy_rows_pointer_migration(spark, tmp_path):
+    """A pre-ledger pointer carries per-batch 'rows' counts but no
+    'ledger': loading it must keep at least the count check (seeded as
+    fingerprint wildcards) rather than blind-skipping replays, while
+    cumulative checks stay off."""
+    import json
+
+    from ahnlich_spark.streaming.pipeline import _DfStatePersist
+
+    state_dir = str(tmp_path / "legacy")
+    os.makedirs(state_dir)
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    p1 = _DfStatePersist(spark, state_dir, "kmv")
+    p1.save(df, 0, (3, 12345))
+    p1.save(df, 1, (5, 67890))
+    # rewrite the pointer into the legacy shape: rows dict, no ledger
+    with open(p1.ptr) as f:
+        ptr = json.load(f)
+    del ptr["ledger"]
+    ptr["rows"] = {"0": 3, "1": 5}
+    with open(p1.ptr, "w") as f:
+        json.dump(ptr, f)
+
+    p2 = _DfStatePersist(spark, state_dir, "kmv")
+    loaded, last = p2.load()
+    assert last == 1 and loaded is not None
+    assert not p2.ledger.complete  # cumulative checks off
+    assert p2.ledger.recent == {"0": [3, None], "1": [5, None]}
+    # matching count passes regardless of fingerprint (wildcard)
+    batch = spark.createDataFrame([(i, "x") for i in range(5)],
+                                  "id long, v string")
+    p2.replay_guard(batch, 1, "kmv")
+    # diverging count is still refused — the legacy guarantee survives
+    short = spark.createDataFrame([(9, "y")], "id long, v string")
+    with pytest.raises(ValueError, match="carries 1 rows"):
+        p2.replay_guard(short, 1, "kmv")
+
+
+def test_incremental_dedup_orphan_parts_swept_on_restart(spark, tmp_path):
+    """sincr_* part dirs no pointer references (a crash between the
+    pointer swap and the GC sweep, or a mid-trigger crash before
+    _commit) are deleted when a fold re-seeds from the state_dir, so
+    the leak cannot accumulate across crashes."""
+    from ahnlich_spark.streaming.pipeline import streaming_incremental_dedup
+
+    corpus, frames = _sincr_fixture(spark)
+    state_dir = str(tmp_path / "state")
+    schema = "doc_id long, text string"
+
+    def read_stream(watch):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(watch)
+        )
+
+    watch, add_file = _ordered_files(tmp_path, spark, frames[:2], schema)
+    q1, _ = streaming_incremental_dedup(
+        read_stream(watch), corpus, threshold=0.5, state_dir=state_dir
+    )
+    q1.processAllAvailable()
+    q1.stop()
+    # plant orphans: an unreferenced part dir and a fake compaction
+    # leftover; a plain file must NOT be swept (the pointer itself
+    # starts with the same prefix)
+    for orphan in ("sincr_pairs_b999", "sincr_sig_c777"):
+        os.makedirs(os.path.join(state_dir, orphan))
+        with open(os.path.join(state_dir, orphan, "junk"), "w") as f:
+            f.write("x")
+    add_file(frames[2])
+    q2, drain2 = streaming_incremental_dedup(
+        read_stream(watch), corpus, threshold=0.5, state_dir=state_dir
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    dirs = set(os.listdir(state_dir))
+    assert "sincr_pairs_b999" not in dirs and "sincr_sig_c777" not in dirs
+    assert "sincr_state.json" in dirs
+    # and the fold still equals the uninterrupted run
+    watch_u, _ = _ordered_files(tmp_path / "u", spark, frames, schema)
+    q3, drain3 = streaming_incremental_dedup(
+        read_stream(watch_u), corpus, threshold=0.5
+    )
+    q3.processAllAvailable()
+    q3.stop()
+    assert _sincr_pairs(drain2) == _sincr_pairs(drain3)
+
+
+def test_materialized_agg_missing_coords_pointer_raises(
+    spark, engine, tmp_path
+):
+    """A mview pointer without usable fold coordinates (tampered,
+    truncated-then-recreated, or a foreign fold's pointer) must raise
+    the standard actionable re-seed error, not a bare KeyError."""
+    import json
+    import tempfile as tf
+
+    from ahnlich_spark import Engine
+    from ahnlich_spark.streaming.pipeline import streaming_materialized_agg
+
+    engine.create_store("mvg", dimension=2, predicates=["t"])
+    engine.set("mvg", [([1.0, 0.0], {"t": "a"})])               # base v1
+    replica = Engine(spark, tf.mkdtemp(prefix="ahnlich_mvg_wh_"))
+    replica.create_store("mvgd", dimension=2)
+    replica.set("mvgd", engine.store_df("mvg", version=1, segments=0)
+                .select("key", "meta"))
+    grp = F.col("meta")["t"]["s"]
+    measures = {"k0_e2": (F.element_at("key", 1) * 100).cast("long")}
+    state_dir = str(tmp_path / "mv_state")
+    engine.set("mvg", [([5.0, 5.0], {"t": "b"})])
+    q, _ = streaming_materialized_agg(
+        engine.store_changes_stream("mvg", max_files_per_trigger=1),
+        replica, "mvgd", grp, measures, state_dir=state_dir,
+    )
+    q.processAllAvailable()
+    q.stop()
+    ptr = os.path.join(state_dir, "mview_state.json")
+    with open(ptr) as f:
+        p = json.load(f)
+    del p["extra"]
+    with open(ptr, "w") as f:
+        json.dump(p, f)
+    with pytest.raises(ValueError, match="coords.*delete the state_dir"):
+        streaming_materialized_agg(
+            engine.store_changes_stream("mvg", max_files_per_trigger=1),
+            replica, "mvgd", grp, measures, state_dir=state_dir,
+        )
