@@ -88,3 +88,52 @@ def test_training_exhaustion_matches_oracle(spark, tmp_path):
     want = sorted(map(tuple, con.sql(_bpe_segment_sql(6)).fetchall()))
     assert got == want
     assert all(v is not None for row in want for v in row)
+
+
+def test_driver_path_trains_thousand_merges_in_o1_jobs(spark, monkeypatch):
+    """A realistic vocabulary trains 1100 merges WITHOUT one Spark job
+    per round: below DRIVER_VOCAB_BOUND the loop runs driver-side on
+    the collected vocab (pair_counts — the per-round job — must never
+    be called), and the result is bit-identical to the pure-Python
+    reference trainer."""
+    import random
+
+    from ahnlich_spark.operators import bpe
+    from tests.test_properties import _py_bpe_train
+
+    rng = random.Random(8)
+    words = sorted({
+        "".join(rng.choice("abcde") for _ in range(8)) for _ in range(400)
+    })
+    # skewed counts so argmax order is non-trivial
+    texts = [" ".join([w] * (1 + (i % 3))) for i, w in enumerate(words)]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    monkeypatch.setattr(
+        bpe, "pair_counts",
+        lambda *_: (_ for _ in ()).throw(
+            AssertionError("per-round job path must not run below bound")
+        ),
+    )
+    merges = bpe.train_merges(df, n_merges=1050).collect()
+    assert len(merges) == 1050
+    assert sorted(tuple(r) for r in merges) == sorted(
+        _py_bpe_train(texts, 1050)
+    )
+
+
+def test_forced_per_round_path_matches_driver_path(spark):
+    """driver_vocab_bound=0 forces the per-round job path; on the same
+    corpus both paths emit identical merge tables (the gate corpus is
+    exercised at scale by the entry gates — this pins the switch)."""
+    from ahnlich_spark.operators.bpe import train_merges
+
+    docs = _docs(spark, ["low lower lowest", "new newer newest", "low new"])
+    a = sorted(tuple(r) for r in train_merges(docs, n_merges=7).collect())
+    b = sorted(
+        tuple(r)
+        for r in train_merges(docs, n_merges=7, driver_vocab_bound=0)
+        .collect()
+    )
+    assert a == b and len(a) == 7

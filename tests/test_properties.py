@@ -418,14 +418,23 @@ def test_bpe_oracle_sql_matches_python_reference(texts, n):
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(texts=_bpe_texts, n=st.integers(min_value=1, max_value=3))
 def test_bpe_spark_trainer_matches_python_reference(spark, texts, n):
-    """And the Spark trainer implements the same loop (few examples —
-    each costs real Spark jobs; the oracle-vs-reference property above
-    carries the breadth)."""
+    """BOTH Spark trainer paths — driver-local (default below the vocab
+    bound) and per-round jobs (forced with driver_vocab_bound=0) —
+    implement the same loop bit-for-bit (few examples — each costs real
+    Spark jobs; the oracle-vs-reference property above carries the
+    breadth)."""
     from ahnlich_spark.operators.bpe import train_merges
 
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
     )
-    got = sorted(tuple(r) for r in train_merges(df, n_merges=n).collect())
+    got_driver = sorted(
+        tuple(r) for r in train_merges(df, n_merges=n).collect()
+    )
+    got_jobs = sorted(
+        tuple(r)
+        for r in train_merges(df, n_merges=n, driver_vocab_bound=0).collect()
+    )
     want = sorted(_py_bpe_train(texts, n))
-    assert got == want, (texts, n)
+    assert got_driver == want, (texts, n)
+    assert got_jobs == want, (texts, n)
