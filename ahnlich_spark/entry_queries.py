@@ -8615,6 +8615,49 @@ def incremental_agg_refresh(spark, sf_dir):
     )
 
 
+_IVM_EXTREMA_SQL = """SELECT CAST(CASE WHEN vec_id >= 200 THEN label + 10 ELSE label END
+            AS VARCHAR) AS label,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(CAST(round(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT))
+            AS BIGINT) AS k0_e6_min,
+       CAST(max(CAST(round(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT))
+            AS BIGINT) AS k0_e6_max
+FROM embeddings
+WHERE vec_id < 300 AND NOT (vec_id < 200 AND label = 5)
+GROUP BY 1
+"""
+
+
+@register("incremental_extrema_refresh", _IVM_EXTREMA_SQL)
+def incremental_extrema_refresh(spark, sf_dir):
+    """Min/max view maintenance from the change feed
+    (operators/ivm.cdf_extrema_refresh): extrema break pure additivity,
+    so inserts fold monotonically (least/greatest) while removals that
+    reach a group's current extremum trigger a rescan BOUNDED to the
+    triggered groups only (broadcast semi-join on the group list —
+    never a full per-group recompute). Shares the batch IVM gate's
+    mutation fixture: group-moving upserts remove pre-images from old
+    labels (extremum hits rescan, others fold) and a predicate delete
+    empties label '5' entirely. The refreshed view equals the full
+    recompute (tests/test_ivm.py) and the oracle's closed form."""
+    from ahnlich_spark.operators import ivm as IVM
+
+    ckey = (id(spark.sparkContext), os.path.abspath(sf_dir), "ivm")
+    if ckey not in _MUT_FIXTURES:
+        QUERIES["incremental_agg_refresh"](spark, sf_dir)  # builds fixture
+    eng, v0, s0 = _MUT_FIXTURES[ckey]
+    lab = F.col("meta")["label"]["s"]
+    extrema = {"k0_e6_min": ("min", _ivm_k0()),
+               "k0_e6_max": ("max", _ivm_k0())}
+    view = IVM.full_agg_extrema(
+        eng, "ivm", lab, extrema, version=v0, segments=s0
+    )
+    refreshed, _ = IVM.cdf_extrema_refresh(
+        eng, "ivm", view, v0, s0, lab, extrema
+    )
+    return refreshed.withColumnRenamed("group", "label")
+
+
 @register("streaming_materialized_view", _IVM_FINAL_STATE_SQL)
 def streaming_materialized_view(spark, sf_dir):
     """Continuously-maintained materialized view, end to end: source

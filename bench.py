@@ -193,6 +193,7 @@ BENCH_QUERIES = [
     "pipeline_dedup_quality_pack",
     "del_pred_audit",
     "incremental_agg_refresh",
+    "incremental_extrema_refresh",
     "streaming_materialized_view",
 ]
 
