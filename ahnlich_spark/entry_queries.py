@@ -8335,21 +8335,10 @@ _PIPE_G8_SQL = """unnest(CASE WHEN len(ws) >= 8
        ELSE [array_to_string(ws, ' ')] END) AS gr"""
 
 
-@register("pipeline_dedup_quality_pack", f"""
-WITH scored AS MATERIALIZED (
-  SELECT doc_id, text, source, n_chars,
-         md5(array_to_string(list_sort(list_distinct({_TOKENS_SQL})), chr(31))) AS fp,
-         CAST(CASE WHEN trim(text) = '' THEN 0
-              ELSE round(len(list_distinct({_TOKENS_SQL})) * 10000.0
-                         / len({_TOKENS_SQL})) END AS BIGINT) AS score_e4
-  FROM documents),
-dedup AS MATERIALIZED (
-  SELECT doc_id, text, source, n_chars FROM (
-    SELECT doc_id, text, source, n_chars,
-           row_number() OVER (PARTITION BY fp
-                              ORDER BY score_e4 DESC, doc_id) AS rn
-    FROM scored) WHERE rn = 1),
-quality AS MATERIALIZED (
+# the composed pipeline's shared tail (quality -> decontaminate ->
+# rebalance -> pack), parameterized only by the upstream `dedup` CTE —
+# the wordset gate and the cluster-keyed gate replay the SAME chain
+_PIPE_TAIL_SQL = f"""quality AS MATERIALIZED (
   SELECT doc_id, text, source, n_chars FROM (
     SELECT *, trim(text) AS tt, {_TOKENS_SQL} AS ws FROM dedup)
   WHERE len(ws) >= 5
@@ -8394,7 +8383,24 @@ SELECT doc_id, source, n_tok, batch_id,
        CAST(row_number() OVER (PARTITION BY source, batch_id
                                ORDER BY doc_id) AS INT) AS seq_in_batch
 FROM b
-""")
+"""
+
+
+@register("pipeline_dedup_quality_pack", f"""
+WITH scored AS MATERIALIZED (
+  SELECT doc_id, text, source, n_chars,
+         md5(array_to_string(list_sort(list_distinct({_TOKENS_SQL})), chr(31))) AS fp,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+              ELSE round(len(list_distinct({_TOKENS_SQL})) * 10000.0
+                         / len({_TOKENS_SQL})) END AS BIGINT) AS score_e4
+  FROM documents),
+dedup AS MATERIALIZED (
+  SELECT doc_id, text, source, n_chars FROM (
+    SELECT doc_id, text, source, n_chars,
+           row_number() OVER (PARTITION BY fp
+                              ORDER BY score_e4 DESC, doc_id) AS rn
+    FROM scored) WHERE rn = 1),
+{_PIPE_TAIL_SQL}""")
 def pipeline_dedup_quality_pack(spark, sf_dir):
     """The full training-data pipeline as ONE composed lineage — what a
     real 100 TB run executes, where stage-boundary materialization
@@ -8418,12 +8424,6 @@ def pipeline_dedup_quality_pack(spark, sf_dir):
     tiny rebalance availability agg, and one pack window; quality and
     the rebalance row filter are scan-local. Every stage exists and is
     gated individually; this gate pins their COMPOSITION."""
-    from ahnlich_spark.operators.contamination import contaminated_docs
-    from ahnlich_spark.operators.sampling import (
-        pack_sequences,
-        rebalance_to_mixture,
-    )
-
     docs = _t(spark, sf_dir, "documents")
     t = F.col("text")
     scored = docs.select(
@@ -8434,6 +8434,20 @@ def pipeline_dedup_quality_pack(spark, sf_dir):
     deduped = D.keep_best_representative(
         scored, "_fp", "_score", "doc_id"
     ).drop("_fp", "_score", "n_dups")
+    return _pipe_quality_pack(docs, deduped)
+
+
+def _pipe_quality_pack(docs, deduped):
+    """The composed pipeline's shared Spark tail (quality filter ->
+    decontaminate -> rebalance -> pack) — one lineage, parameterized by
+    the upstream dedup stage, mirroring ``_PIPE_TAIL_SQL``."""
+    from ahnlich_spark.operators.contamination import contaminated_docs
+    from ahnlich_spark.operators.sampling import (
+        pack_sequences,
+        rebalance_to_mixture,
+    )
+
+    t = F.col("text")
     keep = (
         (X.token_count(t) >= 5)
         & X.mean_token_len_e2(t).between(300, 1000)
@@ -8456,6 +8470,62 @@ def pipeline_dedup_quality_pack(spark, sf_dir):
     return packed.select(
         "doc_id", "source", "n_tok", "batch_id", "seq_in_batch"
     )
+
+
+@register("pipeline_cluster_dedup_pack", f"""
+WITH RECURSIVE {_SHINGLES_SQL},
+{_MINHASH_BANDS_SQL},
+{_CLUSTER_COMP_SQL},
+assigned AS MATERIALIZED (
+  SELECT d.doc_id, d.text, d.source, d.n_chars,
+         coalesce(c.component, d.doc_id) AS cluster_id,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+              ELSE round(len(list_distinct({_TOKENS_SQL})) * 10000.0
+                         / len({_TOKENS_SQL})) END AS BIGINT) AS score_e4
+  FROM documents d LEFT JOIN comp c ON c.n = d.doc_id),
+dedup AS MATERIALIZED (
+  SELECT doc_id, text, source, n_chars FROM (
+    SELECT doc_id, text, source, n_chars,
+           row_number() OVER (PARTITION BY cluster_id
+                              ORDER BY score_e4 DESC, doc_id) AS rn
+    FROM assigned) WHERE rn = 1),
+{_PIPE_TAIL_SQL}""")
+def pipeline_cluster_dedup_pack(spark, sf_dir):
+    """The production near-dup variant of the composed pipeline: dedup
+    by MinHash-LSH CLUSTER (shingle -> minhash -> band bucket-join ->
+    exact-Jaccard verify -> connected components) keeping each
+    cluster's best-scoring member, then the shared quality ->
+    decontaminate -> rebalance -> pack tail — this is where the
+    shuffle budget actually gets stressed, because the dedup key is a
+    graph component, not a row-local fingerprint.
+
+    Scale shape (pinned in tests/test_pipeline_compose.py): the
+    near-dup component table is TINY relative to the corpus (only docs
+    with at least one near-dup appear), so it broadcasts into the
+    corpus scan — the corpus itself is never shuffled before the ONE
+    cluster-keyed keep-best window; the tail adds the same ~4
+    exchanges as the wordset gate. The LSH pair pipeline's own
+    shuffles (shingle/signature/band aggregations) run once inside
+    connected_components' bounded edge materialization, all on skinny
+    post-aggregation rows. The oracle replays the full chain: recursive
+    transitive closure for components, then the shared tail."""
+    from ahnlich_spark.operators.cluster import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    pairs = D.minhash_lsh_dedup_pairs(docs, threshold=0.5)
+    comp = connected_components(pairs.select("i", "j"))
+    scored = docs.join(
+        F.broadcast(comp), docs["doc_id"] == comp["node"], "left"
+    ).select(
+        "doc_id", "text", "source", "n_chars",
+        F.coalesce("component", "doc_id").alias("_cluster"),
+        X.distinct_token_ratio_e4(t).alias("_score"),
+    )
+    deduped = D.keep_best_representative(
+        scored, "_cluster", "_score", "doc_id"
+    ).drop("_cluster", "_score", "n_dups")
+    return _pipe_quality_pack(docs, deduped)
 
 
 @register("del_pred_audit", """

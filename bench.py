@@ -192,6 +192,7 @@ BENCH_QUERIES = [
     "bpe_segment_fertility",
     "pipeline_dedup_quality_pack",
     "del_pred_audit",
+    "pipeline_cluster_dedup_pack",
     "incremental_agg_refresh",
     "incremental_extrema_refresh",
     "streaming_materialized_view",

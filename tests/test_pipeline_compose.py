@@ -103,3 +103,58 @@ def test_pipeline_batches_respect_token_budget(packed):
         assert sum(m["n_tok"] for m in members) <= budget + max_doc - 1
         seqs = sorted(m["seq_in_batch"] for m in members)
         assert seqs == list(range(1, len(members) + 1))
+
+
+@pytest.fixture(scope="module")
+def cluster_packed(spark, sf_dir):
+    return QUERIES["pipeline_cluster_dedup_pack"](spark, sf_dir)
+
+
+def test_cluster_pipeline_plan_shuffle_budget(cluster_packed):
+    """The cluster-keyed composition's FINAL plan stays within one
+    exchange of the wordset gate's budget: the near-dup component table
+    is BROADCAST into the corpus scan (the corpus is never shuffled
+    before the cluster-keyed keep-best window), then the shared tail.
+    The LSH pair pipeline's own shuffles run once inside
+    connected_components' bounded edge materialization and never appear
+    in this lineage."""
+    import re
+
+    plan = cluster_packed._jdf.queryExecution().executedPlan().toString()
+    shuffles = re.findall(r"Exchange hashpartitioning", plan)
+    assert len(shuffles) <= 6, plan
+    # the component join must be broadcast, never a shuffled join
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan, plan
+
+
+def test_cluster_pipeline_keeps_cluster_best(spark, sf_dir, cluster_packed):
+    """Every packed doc is its near-dup CLUSTER's keep-best
+    representative: no two survivors share a cluster, and each survivor
+    scores >= every clustermate (ties broken by lowest doc_id)."""
+    from ahnlich_spark.entry_queries import D
+    from ahnlich_spark.operators.cluster import dedup_clusters
+
+    out = cluster_packed.collect()
+    assert out, "cluster pipeline produced no batches"
+    ids = {r["doc_id"] for r in out}
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_dedup_pairs(docs, threshold=0.5)
+    clusters = dedup_clusters(docs.select("doc_id"), pairs.select("i", "j"))
+    t = F.col("text")
+    member = clusters.join(
+        docs.select("doc_id", X.distinct_token_ratio_e4(t).alias("s")),
+        "doc_id",
+    )
+    rows = member.collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    seen_clusters = set()
+    for r in rows:
+        if r["doc_id"] not in ids:
+            continue
+        cid = r["cluster_id"]
+        assert cid not in seen_clusters  # one survivor per cluster
+        seen_clusters.add(cid)
+        best = min(by_cluster[cid], key=lambda m: (-m["s"], m["doc_id"]))
+        assert r["doc_id"] == best["doc_id"], (cid, r["doc_id"])
