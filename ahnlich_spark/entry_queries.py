@@ -8745,6 +8745,25 @@ def streaming_materialized_view(spark, sf_dir):
     design, so repeat invocations time the live fold itself."""
     from ahnlich_spark.streaming.pipeline import streaming_materialized_agg
 
+    eng = _mview_fixture(spark, sf_dir, "mvrep")
+    run = tempfile.mkdtemp(prefix="ahnlich_mview_")
+    q, drain = streaming_materialized_agg(
+        eng.store_changes_stream("mvsrc", max_files_per_trigger=1),
+        eng, "mvrep",
+        F.col("meta")["label"]["s"], {"k0_e6_sum": _ivm_k0()},
+        state_dir=os.path.join(run, "state"),
+        checkpoint=os.path.join(run, "ckpt"),
+    )
+    q.processAllAvailable()
+    q.stop()
+    return drain().withColumnRenamed("group", "label")
+
+
+def _mview_fixture(spark, sf_dir, replica: str):
+    """Source store + mutation chain shared by the materialized-view
+    gates, plus a base-seeded replica per sink under test (each gate
+    folds into its OWN replica so both exercise the full incremental
+    chain regardless of invocation order)."""
     ckey = (id(spark.sparkContext), os.path.abspath(sf_dir), "mview")
     eng = _MUT_FIXTURES.get(ckey)
     if eng is None:
@@ -8755,21 +8774,44 @@ def streaming_materialized_view(spark, sf_dir):
         eng.create_store("mvsrc", dimension=_GATE_DIM, predicates=["label"])
         eng.set("mvsrc",
                 _ivm_entries(emb.filter(F.col("vec_id") < 250), 0))  # base
-        eng.create_store("mvrep", dimension=_GATE_DIM)
-        eng.set("mvrep", eng.store_df("mvsrc", version=1, segments=0)
-                .select("key", "meta"))
         # post-base mutations — what the feed carries
         eng.set("mvsrc", _ivm_entries(emb.filter(
             (F.col("vec_id") >= 200) & (F.col("vec_id") < 300)), 10))
         eng.del_pred("mvsrc", Equals("label", "5"))
         _MUT_FIXTURES[ckey] = eng
-    run = tempfile.mkdtemp(prefix="ahnlich_mview_")
+    from ahnlich_spark.errors import StoreNotFound
+
+    try:
+        eng.catalog.get_store(replica)
+    except StoreNotFound:
+        eng.create_store(replica, dimension=_GATE_DIM)
+        eng.set(replica, eng.store_df("mvsrc", version=1, segments=0)
+                .select("key", "meta"))
+    return eng
+
+
+@register("streaming_materialized_view_keyed", _IVM_FINAL_STATE_SQL)
+def streaming_materialized_view_keyed(spark, sf_dir):
+    """The same continuously-maintained materialized view through the
+    HIGH-CARDINALITY sink (streaming_materialized_agg(sink="keyed")):
+    the view lives as bucket-partitioned parquet delta parts and each
+    trigger MERGEs only the groups its delta touched — per-trigger
+    write == touched groups exactly, reads pruned to touched buckets,
+    never an O(groups) snapshot. Same source fixture and closed-form
+    oracle as the snapshot-sink gate; its own base-seeded replica so
+    the full incremental chain folds through the keyed parts
+    (tombstones, keep-last merge, compaction machinery included)."""
+    from ahnlich_spark.streaming.pipeline import streaming_materialized_agg
+
+    eng = _mview_fixture(spark, sf_dir, "mvrepk")
+    run = tempfile.mkdtemp(prefix="ahnlich_mviewk_")
     q, drain = streaming_materialized_agg(
         eng.store_changes_stream("mvsrc", max_files_per_trigger=1),
-        eng, "mvrep",
+        eng, "mvrepk",
         F.col("meta")["label"]["s"], {"k0_e6_sum": _ivm_k0()},
         state_dir=os.path.join(run, "state"),
         checkpoint=os.path.join(run, "ckpt"),
+        sink="keyed",
     )
     q.processAllAvailable()
     q.stop()

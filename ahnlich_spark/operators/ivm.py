@@ -104,7 +104,8 @@ def cdf_agg_delta(
 
 
 def apply_agg_delta(
-    agg: DataFrame, delta: DataFrame, measure_names
+    agg: DataFrame, delta: DataFrame, measure_names,
+    keep_zero: bool = False,
 ) -> DataFrame:
     """Fold a signed delta table into a maintained (group, n,
     <measures>...) aggregate: full-outer coalesce-sum per group, groups
@@ -114,7 +115,9 @@ def apply_agg_delta(
     plain equality join would split them into two partial rows and the
     view would diverge from the full recompute. ``agg`` columns: group,
     n, and one column per measure name; ``delta`` comes from
-    ``cdf_agg_delta``."""
+    ``cdf_agg_delta``. ``keep_zero=True`` keeps n==0 rows instead —
+    the keyed sink writes them as per-group tombstones that keep-last
+    merge resolves (the reader filters n>0 on drain)."""
     a, d = agg.alias("a"), delta.alias("d")
     cols = [
         F.coalesce(F.col("a.group"), F.col("d.group")).alias("group"),
@@ -126,12 +129,12 @@ def apply_agg_delta(
         .cast("long").alias(name)
         for name in measure_names
     ]
-    return (
+    out = (
         a.join(d, F.col("a.group").eqNullSafe(F.col("d.group")),
                "full_outer")
         .select(*cols)
-        .filter(F.col("n") > 0)
     )
+    return out if keep_zero else out.filter(F.col("n") > 0)
 
 
 def _check_extrema(extrema: Dict[str, Tuple[str, Column]]) -> None:

@@ -675,6 +675,8 @@ def streaming_materialized_agg(
     schema: str = "public",
     checkpoint: Optional[str] = None,
     state_dir: Optional[str] = None,
+    sink: str = "snapshot",
+    buckets: int = 64,
 ):
     """Continuously-maintained MATERIALIZED VIEW: each micro-batch of a
     ``store_changes_stream`` feed is applied to the replica store
@@ -701,9 +703,34 @@ def streaming_materialized_agg(
     ``group_expr``/``measures`` are Column expressions over canonical
     (key, meta) store rows; measures must be ADDITIVE integers (see
     operators/ivm.py). Returns ``(query, drain)`` — ``drain()`` is the
-    current view, O(groups) rows."""
+    current view, O(groups) rows.
+
+    ``sink`` picks the view's storage strategy:
+
+    - ``"snapshot"`` (default): the whole (group, n, measures) table is
+      localCheckpointed/persisted per trigger — O(groups) per trigger.
+      Right for bounded-cardinality views.
+    - ``"keyed"``: the view lives as bucket-partitioned parquet delta
+      parts under ``state_dir`` (required) and each trigger MERGEs only
+      the groups its delta touched — per-trigger write == touched
+      groups exactly, reads pruned to the touched ``buckets``
+      (pmod(xxhash64(group), buckets) partition column). The
+      high-cardinality path: a trigger that changes 1k of 10^9 groups
+      writes 1k rows, never the view."""
     from ahnlich_spark.operators import ivm as IVM
 
+    if sink not in ("snapshot", "keyed"):
+        raise ValueError(f"unknown sink {sink!r}: snapshot | keyed")
+    if sink == "keyed":
+        if not state_dir:
+            raise ValueError(
+                "sink='keyed' stores the view as parquet delta parts "
+                "and needs state_dir to put them somewhere durable"
+            )
+        return _keyed_materialized_agg(
+            feed, engine, store, group_expr, measures,
+            schema, checkpoint, state_dir, buckets,
+        )
     spark = engine.spark
     persist = (
         _DfStatePersist(spark, state_dir, "mview") if state_dir else None
@@ -765,6 +792,210 @@ def streaming_materialized_agg(
 
     def drain() -> DataFrame:
         return state["agg"]
+
+    writer = feed.writeStream.foreachBatch(_sink).outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start(), drain
+
+
+def _keyed_materialized_agg(
+    feed: DataFrame,
+    engine,
+    store: str,
+    group_expr,
+    measures: dict,
+    schema: str,
+    checkpoint: Optional[str],
+    state_dir: str,
+    buckets: int,
+):
+    """The high-cardinality sink behind
+    ``streaming_materialized_agg(sink="keyed")``.
+
+    The view is a LOG of bucket-partitioned parquet delta parts, merged
+    keep-last per group on read — the same base+delta shape the engine
+    itself uses for store segments:
+
+    - ``mviewk_seed``: the one-time full aggregate of the replica at
+      fold start (the only O(groups) write the fold ever performs);
+    - ``mviewk_p<batch>``: per trigger, EXACTLY the groups that
+      trigger's delta touched, at their new folded values — a group
+      whose count reaches zero is written as an n==0 tombstone that
+      keep-last resolves and ``drain`` filters;
+    - ``mviewk_c<batch>``: compaction — past ``_COMPACT_PARTS`` live
+      parts the merged view is rewritten as one part (amortized
+      O(groups / _COMPACT_PARTS) per trigger) so the union plan and the
+      tombstone debt stay bounded.
+
+    Every part is written ``partitionBy("_vb")`` where ``_vb =
+    pmod(xxhash64(group), buckets)``, so the per-trigger read of
+    current group values is PRUNED to the touched buckets (partition
+    pruning pushes through the union) and then cut to exactly the
+    delta's groups by a broadcast null-safe semi-join — per-trigger
+    cost is O(changes + touched-bucket rows), independent of the
+    view's total group count.
+
+    Crash safety is the standard recipe: parts are batch-id-named and
+    written with overwrite (a replayed crashed trigger rewrites its own
+    orphan), the pointer (live part list + fold coords + replay ledger)
+    swaps atomically after the part lands, orphaned ``mviewk_*`` dirs
+    are swept on load, and parts dropped by compaction are GC'd only
+    after the new pointer is live. Kill-and-restart equals the
+    uninterrupted run (pytest-pinned alongside the snapshot sink)."""
+    from functools import reduce
+
+    from pyspark.sql.window import Window
+
+    from ahnlich_spark.operators import ivm as IVM
+
+    spark = engine.spark
+    names = list(measures)
+    ptr_path = os.path.join(state_dir, "mviewk_state.json")
+
+    def _vb(col):
+        return F.pmod(F.xxhash64(col), F.lit(buckets)).cast("int")
+
+    # the view schema comes from PLAN ANALYSIS of the seed aggregate
+    # (no job runs) — parts are read with it explicitly because an
+    # empty partitioned part (legal: an empty replica's seed) has no
+    # files to infer a schema from
+    view_schema = (
+        IVM.full_agg(engine, store, group_expr, measures, schema=schema)
+        .withColumn("_vb", _vb(F.col("group"))).schema
+    )
+
+    def _write_part(df: DataFrame, table: str) -> DataFrame:
+        path = os.path.join(state_dir, table)
+        df.write.mode("overwrite").partitionBy("_vb").parquet(path)
+        return spark.read.schema(view_schema).parquet(path)
+
+    def _merged(parts, touched=None) -> DataFrame:
+        # keep-last per group over the ordered part log; the bucket
+        # filter lands BELOW the union so each part's parquet scan is
+        # partition-pruned to the touched buckets
+        ordered = [
+            df.withColumn("_ord", F.lit(i)) for i, df in enumerate(parts)
+        ]
+        u = reduce(lambda x, y: x.unionByName(y), ordered)
+        if touched is not None:
+            u = u.filter(F.col("_vb").isin(touched))
+        w = Window.partitionBy("group").orderBy(F.desc("_ord"))
+        return (
+            u.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn", "_ord")
+        )
+
+    state = {"parts": [], "tables": [], "coords": None, "last_id": -1}
+    ledger = _ReplayLedger()
+    loaded_last = -1
+    p = _read_json(ptr_path)
+    if p is not None:
+        coords = (p.get("extra") or {}).get("coords")
+        if not (isinstance(coords, (list, tuple)) and len(coords) == 2):
+            raise ValueError(
+                f"keyed mview fold state in {state_dir} has no usable "
+                f"fold coordinates (pointer 'extra.coords' missing or "
+                f"malformed — tampered, truncated, or written by a "
+                f"different fold); delete the state_dir and re-seed "
+                f"the view instead of reusing it"
+            )
+        state["coords"] = (int(coords[0]), int(coords[1]))
+        state["tables"] = list(p["tables"])
+        state["parts"] = [
+            spark.read.schema(view_schema)
+            .parquet(os.path.join(state_dir, t))
+            for t in state["tables"]
+        ]
+        state["last_id"] = loaded_last = int(p["batch_id"])
+        ledger = _ReplayLedger.from_json(p.get("ledger"))
+        # sweep orphans: parts written by a trigger that crashed before
+        # its pointer swap, or dropped by compaction right before a
+        # crash — unreferenced, safe to drop, rewritten on replay
+        live = set(state["tables"])
+        for d in os.listdir(state_dir):
+            path = os.path.join(state_dir, d)
+            if (d.startswith("mviewk_") and d not in live
+                    and os.path.isdir(path)):
+                shutil.rmtree(path, ignore_errors=True)
+    else:
+        m0 = engine.catalog.get_store(store, schema)
+        state["coords"] = (m0.version, m0.deltas)
+        seed = IVM.full_agg(
+            engine, store, group_expr, measures,
+            version=m0.version, segments=m0.deltas, schema=schema,
+        ).withColumn("_vb", _vb(F.col("group")))
+        state["parts"] = [_write_part(seed, "mviewk_seed")]
+        state["tables"] = ["mviewk_seed"]
+
+    def _commit(batch_id: int, stats) -> None:
+        if stats is not None:
+            ledger.record(batch_id, *stats)
+        old = _read_json(ptr_path)
+        _atomic_write_json(ptr_path, {
+            "batch_id": batch_id,
+            "tables": list(state["tables"]),
+            "ledger": ledger.as_json(),
+            "extra": {"coords": list(state["coords"])},
+        })
+        # GC parts dropped by compaction, once the new pointer is live
+        if old is not None:
+            dead = set(old.get("tables", [])) - set(state["tables"])
+            for t in dead:
+                shutil.rmtree(os.path.join(state_dir, t),
+                              ignore_errors=True)
+
+    if p is None:
+        # a pointer referencing the seed makes the seed scan a one-time
+        # cost even across a crash before the first trigger commits
+        _commit(-1, None)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        stats = _batch_stats(batch_df)
+        if batch_id <= state["last_id"]:
+            ledger.verify(batch_id, loaded_last, *stats, "mviewk")
+            return
+        ledger.seal_replay("mviewk")
+        if stats[0] > 0:
+            engine.apply_changes(store, batch_df, schema=schema)
+        m = engine.catalog.get_store(store, schema)
+        v0, s0 = state["coords"]
+        v1, s1 = m.version, m.deltas
+        if (v1, s1) != (v0, s0):
+            delta = IVM.cdf_agg_delta(
+                engine, store, v0, s0, group_expr, measures,
+                to_version=v1, to_segments=s1, schema=schema,
+            ).withColumn("_vb", _vb(F.col("group"))).localCheckpoint()
+            touched = [
+                r[0] for r in delta.select("_vb").distinct().collect()
+            ]
+            if touched:
+                cur = (
+                    _merged(state["parts"], touched=touched).alias("c")
+                    .join(
+                        F.broadcast(delta.select("group").alias("k")),
+                        F.col("c.group").eqNullSafe(F.col("k.group")),
+                        "left_semi",
+                    )
+                    .drop("_vb")
+                )
+                folded = IVM.apply_agg_delta(
+                    cur, delta.drop("_vb"), names, keep_zero=True
+                ).withColumn("_vb", _vb(F.col("group")))
+                table = f"mviewk_p{batch_id}"
+                state["parts"].append(_write_part(folded, table))
+                state["tables"].append(table)
+        state["coords"] = (v1, s1)
+        if len(state["parts"]) > _COMPACT_PARTS:
+            compacted = _merged(state["parts"]).filter(F.col("n") > 0)
+            table = f"mviewk_c{batch_id}"
+            state["parts"] = [_write_part(compacted, table)]
+            state["tables"] = [table]
+        state["last_id"] = batch_id
+        _commit(batch_id, stats)
+
+    def drain() -> DataFrame:
+        return _merged(state["parts"]).filter(F.col("n") > 0).drop("_vb")
 
     writer = feed.writeStream.foreachBatch(_sink).outputMode("update")
     if checkpoint:

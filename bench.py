@@ -196,6 +196,8 @@ BENCH_QUERIES = [
     "incremental_agg_refresh",
     "incremental_extrema_refresh",
     "streaming_materialized_view",
+    # round 8 additions
+    "streaming_materialized_view_keyed",
 ]
 
 

@@ -1688,3 +1688,218 @@ def test_materialized_agg_missing_coords_pointer_raises(
             engine.store_changes_stream("mvg", max_files_per_trigger=1),
             replica, "mvgd", grp, measures, state_dir=state_dir,
         )
+
+
+# ------------------------------------------------- keyed mview sink --
+
+
+def _keyed_parts(state_dir, prefix="mviewk_p"):
+    return sorted(d for d in os.listdir(state_dir) if d.startswith(prefix))
+
+
+def _keyed_fixture(spark, engine, name):
+    """Source store with a base snapshot + a seeded replica — the
+    shared setup of the keyed-sink tests."""
+    import tempfile as tf
+
+    from ahnlich_spark import Engine
+
+    engine.create_store(name, dimension=2, predicates=["t"])
+    engine.set(name, [([1.0, 0.0], {"t": "a"}), ([0.0, 1.0], {"t": "b"}),
+                      ([2.0, 2.0], {"t": "b"}), ([3.0, 1.0], {})])
+    replica = Engine(spark, tf.mkdtemp(prefix="ahnlich_kv_wh_"))
+    replica.create_store(name + "d", dimension=2)
+    replica.set(name + "d", engine.store_df(name, version=1, segments=0)
+                .select("key", "meta"))
+    grp = F.col("meta")["t"]["s"]
+    measures = {"k0_e2": (F.element_at("key", 1) * 100).cast("long")}
+    return replica, grp, measures
+
+
+def _rows_null_first(df):
+    return sorted((tuple(r) for r in df.collect()),
+                  key=lambda t: (t[0] is not None, t[0] or "", t[1:]))
+
+
+def test_keyed_mview_restart_parts_are_exactly_touched_groups(
+    spark, engine, tmp_path
+):
+    """sink='keyed': the view survives a kill-and-restart AND every
+    per-trigger part holds EXACTLY the groups that trigger's delta
+    touched — the per-trigger write is O(touched groups), never
+    O(groups). Group 'a' is deleted to a tombstone and later
+    re-inserted, pinning that keep-last resurrects through an n==0
+    row."""
+    from ahnlich_spark.operators import ivm as IVM
+    from ahnlich_spark.operators.predicates import Equals
+    from ahnlich_spark.streaming.pipeline import streaming_materialized_agg
+
+    replica, grp, measures = _keyed_fixture(spark, engine, "kvs")
+    state_dir = str(tmp_path / "kv_state")
+    ckpt = str(tmp_path / "kv_ckpt")
+
+    def fold():
+        return streaming_materialized_agg(
+            engine.store_changes_stream("kvs", max_files_per_trigger=1),
+            replica, "kvsd", grp, measures,
+            state_dir=state_dir, checkpoint=ckpt, sink="keyed", buckets=8,
+        )
+
+    engine.del_pred("kvs", Equals("t", "a"))         # touches a -> tomb
+    engine.set("kvs", [([0.0, 1.0], {"t": "c"})])    # update: b, c
+    q1, _ = fold()
+    q1.processAllAvailable()
+    q1.stop()
+    # mutations land while the fold is down
+    engine.set("kvs", [([5.0, 5.0], {"t": "d"})])    # insert: d
+    engine.set("kvs", [([7.0, 0.0], {"t": "a"})])    # resurrect: a
+    q2, drain2 = fold()
+    q2.processAllAvailable()
+    q2.stop()
+    got = _rows_null_first(drain2())
+    want = _rows_null_first(
+        IVM.full_agg(replica, "kvsd", grp, measures)
+    )
+    assert got == want and got
+    assert ("a", 1, 700) in got                      # resurrected
+    # per-trigger parts: exactly the touched groups, tombstones included
+    per_part = {
+        t: sorted((r["group"], r["n"]) for r in spark.read.parquet(
+            os.path.join(state_dir, t)).collect())
+        for t in _keyed_parts(state_dir)
+    }
+    assert per_part == {
+        "mviewk_p0": [("a", 0)],                     # delete -> tombstone
+        "mviewk_p1": [("b", 1), ("c", 1)],           # update pre+post
+        "mviewk_p2": [("d", 1)],                     # insert
+        "mviewk_p3": [("a", 1)],                     # re-insert
+    }
+    # the replica converged to the source
+    src = sorted(tuple(r["key"]) for r in engine.store_df("kvs").collect())
+    dst = sorted(tuple(r["key"]) for r in replica.store_df("kvsd").collect())
+    assert src == dst
+
+
+def test_keyed_mview_crash_between_apply_and_fold(spark, engine, tmp_path):
+    """The exactly-once crash window under the keyed sink: a batch that
+    reached the replica before the pointer swap replays into a
+    duplicate delta segment that nets out — the drained view equals the
+    full recompute, NULL group included."""
+    from ahnlich_spark.operators import ivm as IVM
+    from ahnlich_spark.operators.predicates import Equals
+    from ahnlich_spark.streaming.pipeline import streaming_materialized_agg
+
+    replica, grp, measures = _keyed_fixture(spark, engine, "kvc")
+    engine.del_pred("kvc", Equals("t", "a"))
+    engine.set("kvc", [([0.0, 1.0], {"t": "c"}), ([4.0, 4.0], {})])
+    # crashed trigger: batch applied to the replica, no pointer written
+    replica.apply_changes("kvcd", engine.store_changes(
+        "kvc", from_version=1, from_segments=0))
+    q, drain = streaming_materialized_agg(
+        engine.store_changes_stream("kvc", max_files_per_trigger=1),
+        replica, "kvcd", grp, measures,
+        state_dir=str(tmp_path / "kvc_state"),
+        checkpoint=str(tmp_path / "kvc_ckpt"),
+        sink="keyed", buckets=8,
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = _rows_null_first(drain())
+    want = _rows_null_first(IVM.full_agg(replica, "kvcd", grp, measures))
+    assert got == want and got
+    assert sum(1 for g, *_ in got if g is None) == 1
+
+
+def test_keyed_mview_compaction_and_restart(
+    spark, engine, tmp_path, monkeypatch
+):
+    """Past _COMPACT_PARTS live parts the keyed view compacts to ONE
+    part (tombstone debt cleared), old parts are GC'd after the pointer
+    swap, and a restart from the compacted state keeps folding
+    correctly."""
+    from ahnlich_spark.operators import ivm as IVM
+    from ahnlich_spark.streaming import pipeline as P
+
+    monkeypatch.setattr(P, "_COMPACT_PARTS", 2)
+    replica, grp, measures = _keyed_fixture(spark, engine, "kvk")
+    state_dir = str(tmp_path / "kvk_state")
+    ckpt = str(tmp_path / "kvk_ckpt")
+
+    def fold():
+        return P.streaming_materialized_agg(
+            engine.store_changes_stream("kvk", max_files_per_trigger=1),
+            replica, "kvkd", grp, measures,
+            state_dir=state_dir, checkpoint=ckpt, sink="keyed", buckets=4,
+        )
+
+    for i in range(4):                       # 4 triggers > 2 parts
+        engine.set("kvk", [([float(i), 9.0], {"t": f"g{i}"})])
+    q, drain = fold()
+    q.processAllAvailable()
+    q.stop()
+    live = _keyed_parts(state_dir, prefix="mviewk_")
+    assert [t for t in live if t.startswith("mviewk_c")], live
+    assert len([t for t in live if not t.endswith(".json")]) <= 3
+    got = _rows_null_first(drain())
+    want = _rows_null_first(IVM.full_agg(replica, "kvkd", grp, measures))
+    assert got == want
+    assert not any(n == 0 for _, n, _ in got)
+    # restart from the compacted pointer and fold one more mutation
+    engine.set("kvk", [([8.0, 8.0], {"t": "z"})])
+    q2, drain2 = fold()
+    q2.processAllAvailable()
+    q2.stop()
+    got2 = _rows_null_first(drain2())
+    want2 = _rows_null_first(IVM.full_agg(replica, "kvkd", grp, measures))
+    assert got2 == want2 and ("z", 1, 800) in got2
+
+
+def test_keyed_mview_empty_seed(spark, engine, tmp_path):
+    """A fold over a ZERO-ROW replica writes an empty (file-less)
+    partitioned seed; the explicit read schema makes that legal and the
+    view grows from nothing to the recompute."""
+    import tempfile as tf
+
+    from ahnlich_spark import Engine
+    from ahnlich_spark.operators import ivm as IVM
+    from ahnlich_spark.operators.predicates import Equals
+    from ahnlich_spark.streaming.pipeline import streaming_materialized_agg
+
+    engine.create_store("kve", dimension=2, predicates=["t"])
+    engine.set("kve", [([9.0, 9.0], {"t": "base"})])   # base, not in feed
+    replica = Engine(spark, tf.mkdtemp(prefix="ahnlich_kve_wh_"))
+    replica.create_store("kved", dimension=2, predicates=["t"])
+    replica.set("kved", [([9.0, 9.0], {"t": "base"})])
+    replica.del_pred("kved", Equals("t", "base"))      # zero rows at seed
+    grp = F.col("meta")["t"]["s"]
+    measures = {"k0_e2": (F.element_at("key", 1) * 100).cast("long")}
+    engine.set("kve", [([1.0, 0.0], {"t": "a"}), ([0.0, 2.0], {"t": "b"})])
+    q, drain = streaming_materialized_agg(
+        engine.store_changes_stream("kve"),
+        replica, "kved", grp, measures,
+        state_dir=str(tmp_path / "kve_state"),
+        checkpoint=str(tmp_path / "kve_ckpt"),
+        sink="keyed", buckets=4,
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = _rows_null_first(drain())
+    want = _rows_null_first(IVM.full_agg(replica, "kved", grp, measures))
+    assert got == want and got == [("a", 1, 100), ("b", 1, 0)]
+
+
+def test_keyed_mview_requires_state_dir(spark, engine):
+    """sink='keyed' without a state_dir has nowhere to put the parts."""
+    from ahnlich_spark.streaming.pipeline import streaming_materialized_agg
+
+    engine.create_store("kvr", dimension=2)
+    with pytest.raises(ValueError, match="keyed.*state_dir"):
+        streaming_materialized_agg(
+            engine.store_changes_stream("kvr"), engine, "kvr",
+            F.col("meta")["t"]["s"], {}, sink="keyed",
+        )
+    with pytest.raises(ValueError, match="unknown sink"):
+        streaming_materialized_agg(
+            engine.store_changes_stream("kvr"), engine, "kvr",
+            F.col("meta")["t"]["s"], {}, sink="bogus",
+        )
