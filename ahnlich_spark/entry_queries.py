@@ -8728,6 +8728,117 @@ def incremental_extrema_refresh(spark, sf_dir):
     return refreshed.withColumnRenamed("group", "label")
 
 
+_IVM_DISTINCT_SQL = """SELECT CAST(CASE WHEN vec_id >= 200 THEN label + 10 ELSE label END
+            AS VARCHAR) AS label,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT
+            ((CAST(round(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT)
+              % 16) + 16) % 16) AS BIGINT) AS n_distinct
+FROM embeddings
+WHERE vec_id < 300 AND NOT (vec_id < 200 AND label = 5)
+GROUP BY 1
+"""
+
+
+@register("incremental_distinct_refresh", _IVM_DISTINCT_SQL)
+def incremental_distinct_refresh(spark, sf_dir):
+    """Exact COUNT(DISTINCT) view maintenance from the change feed
+    (operators/ivm.cdf_distinct_refresh): distinct-count is not
+    additive, but the (group, value) pair MULTISET is — the inner
+    state maintains pair multiplicities with the generic additive fold
+    (zero-count pairs dropping out) and distinctness falls out as
+    "pair present" at rollup, O(distinct pairs), NEVER a store rescan.
+    This is the exact-under-deletes capability sketches (HLL/KMV)
+    cannot provide: a removed value's runner-up information IS the
+    pair table. Shares the batch IVM gate's mutation fixture; the
+    rolled-up view equals the full recompute (tests/test_ivm.py) and
+    the oracle's closed form."""
+    from ahnlich_spark.operators import ivm as IVM
+
+    ckey = (id(spark.sparkContext), os.path.abspath(sf_dir), "ivm")
+    if ckey not in _MUT_FIXTURES:
+        QUERIES["incremental_agg_refresh"](spark, sf_dir)  # builds fixture
+    eng, v0, s0 = _MUT_FIXTURES[ckey]
+    lab = F.col("meta")["label"]["s"]
+    val = F.pmod(_ivm_k0(), F.lit(16))
+    inner = IVM.full_distinct_inner(
+        eng, "ivm", lab, val, version=v0, segments=s0
+    )
+    refreshed = IVM.cdf_distinct_refresh(eng, "ivm", inner, v0, s0, lab, val)
+    return IVM.distinct_rollup(refreshed).withColumnRenamed("group", "label")
+
+
+# final B side: labels 0..19 minus the deleted '7', with '12' moved to
+# region 9 by an upsert — the closed form the oracle re-declares inline
+_IVM_JOIN_SQL = """WITH a AS (
+  SELECT CAST(CASE WHEN vec_id >= 200 THEN label + 10 ELSE label END
+              AS VARCHAR) AS k,
+         CAST(round(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT) AS e6
+  FROM embeddings
+  WHERE vec_id < 300 AND NOT (vec_id < 200 AND label = 5)
+), b AS (
+  SELECT CAST(l AS VARCHAR) AS k,
+         CAST(CASE WHEN l = 12 THEN 9 ELSE l % 3 END AS VARCHAR) AS r
+  FROM range(0, 20) t(l) WHERE l <> 7
+)
+SELECT b.r AS r,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(a.e6) AS BIGINT) AS e6_sum
+FROM a JOIN b ON a.k = b.k
+GROUP BY 1
+"""
+
+
+@register("incremental_join_refresh", _IVM_JOIN_SQL)
+def incremental_join_refresh(spark, sf_dir):
+    """JOIN view maintenance across TWO mutating stores
+    (operators/ivm.cdf_join_agg_delta): a per-region aggregate over
+    fact(label)><dim(label) is refreshed by the bilinear delta identity
+    dA><B0 + A1><dB — each term scans ONE base relation probed by a
+    BROADCAST of the other side's delta, never re-joining the
+    snapshots. The window carries fact-side group-moving upserts + a
+    predicate delete (the shared IVM fixture) AND dim-side mutations
+    (a deleted dim row orphaning its facts, an upsert moving a dim row
+    between regions), so both terms and the cross-term cancellation
+    are live. Equals re-joining the final snapshots (tests/test_ivm.py)
+    and the oracle's closed form."""
+    from ahnlich_spark.errors import StoreNotFound
+    from ahnlich_spark.operators import ivm as IVM
+
+    ckey = (id(spark.sparkContext), os.path.abspath(sf_dir), "ivm")
+    if ckey not in _MUT_FIXTURES:
+        QUERIES["incremental_agg_refresh"](spark, sf_dir)  # builds fixture
+    eng, v0, s0 = _MUT_FIXTURES[ckey]
+    try:
+        eng.catalog.get_store("ivmdim")
+    except StoreNotFound:
+        eng.create_store("ivmdim", dimension=_GATE_DIM,
+                         predicates=["k", "r"])
+        eng.set("ivmdim", [
+            ([float(l)] + [0.0] * (_GATE_DIM - 1),
+             {"k": str(l), "r": str(l % 3)})
+            for l in range(20)
+        ])                                                 # dim base v1
+        eng.del_pred("ivmdim", Equals("k", "7"))
+        eng.set("ivmdim", [([12.0] + [0.0] * (_GATE_DIM - 1),
+                            {"k": "12", "r": "9"})])       # region move
+    ja = F.col("a_meta")["label"]["s"]
+    jb = F.col("b_meta")["k"]["s"]
+    grp = F.col("b_meta")["r"]["s"]
+    meas = {"e6_sum": F.round(
+        F.element_at("a_key", 1).cast("double") * 1_000_000).cast("long")}
+    view = IVM.full_join_agg(
+        eng, "ivm", eng, "ivmdim", ja, jb, grp, meas,
+        version_a=v0, segments_a=s0, version_b=1, segments_b=0,
+    )
+    delta = IVM.cdf_join_agg_delta(
+        eng, "ivm", (v0, s0), eng, "ivmdim", (1, 0), ja, jb, grp, meas,
+    )
+    return IVM.apply_agg_delta(view, delta, ["e6_sum"]).withColumnRenamed(
+        "group", "r"
+    )
+
+
 @register("streaming_materialized_view", _IVM_FINAL_STATE_SQL)
 def streaming_materialized_view(spark, sf_dir):
     """Continuously-maintained materialized view, end to end: source

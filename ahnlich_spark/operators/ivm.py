@@ -54,22 +54,22 @@ def _check_measures(measures: Dict[str, Column]) -> None:
         )
 
 
-def cdf_agg_delta(
+def signed_changes(
     engine,
     store: str,
     from_version: int,
     from_segments: int,
-    group_expr: Column,
-    measures: Dict[str, Column],
     to_version=None,
     to_segments=None,
     schema: str = "public",
 ) -> DataFrame:
-    """Per-group signed aggregate deltas from the change feed between
-    two snapshots: (group, dn, d_<measure>...). ``group_expr`` and
-    every measure are Column expressions over the canonical store row
-    (key, meta) — evaluated identically on pre- and post-images."""
-    _check_measures(measures)
+    """The change feed between two snapshots as SIGNED canonical rows
+    (key, meta, _w): insert/update post-images carry +1, delete
+    pre-images (recorded by the feed) and update pre-images (ONE
+    broadcast-probed semi-join of the FROM snapshot) carry -1. Summing
+    any row expression weighted by ``_w`` gives that expression's exact
+    aggregate delta — the primitive under single-store, distinct-count,
+    and join view maintenance."""
     ch = engine.store_changes(
         store, from_version=from_version, from_segments=from_segments,
         to_version=to_version, to_segments=to_segments, schema=schema,
@@ -89,18 +89,48 @@ def cdf_agg_delta(
         ch.filter(F.col("change_type") != "delete").select("key", "meta")
         .withColumn("_w", F.lit(1))
     )
+    return neg.unionByName(pos)
+
+
+def _weighted_group_delta(
+    signed: DataFrame, group_expr: Column, measures: Dict[str, Column],
+    weight: Column,
+) -> DataFrame:
+    """(group, dn, d_<measure>...) from signed rows under ``weight``."""
     return (
-        neg.unionByName(pos)
-        .groupBy(group_expr.alias("group"))
+        signed.groupBy(group_expr.alias("group"))
         .agg(
-            F.sum("_w").cast("long").alias("dn"),
+            F.sum(weight).cast("long").alias("dn"),
             *[
-                F.sum(F.col("_w") * F.coalesce(expr, F.lit(0)))
+                F.sum(weight * F.coalesce(expr, F.lit(0)))
                 .cast("long").alias(f"d_{name}")
                 for name, expr in measures.items()
             ],
         )
     )
+
+
+def cdf_agg_delta(
+    engine,
+    store: str,
+    from_version: int,
+    from_segments: int,
+    group_expr: Column,
+    measures: Dict[str, Column],
+    to_version=None,
+    to_segments=None,
+    schema: str = "public",
+) -> DataFrame:
+    """Per-group signed aggregate deltas from the change feed between
+    two snapshots: (group, dn, d_<measure>...). ``group_expr`` and
+    every measure are Column expressions over the canonical store row
+    (key, meta) — evaluated identically on pre- and post-images."""
+    _check_measures(measures)
+    signed = signed_changes(
+        engine, store, from_version, from_segments,
+        to_version=to_version, to_segments=to_segments, schema=schema,
+    )
+    return _weighted_group_delta(signed, group_expr, measures, F.col("_w"))
 
 
 def apply_agg_delta(
@@ -357,4 +387,216 @@ def full_agg(
                 for name, expr in measures.items()
             ],
         )
+    )
+
+
+# ----------------------------------------------- distinct-count IVM --
+
+def full_agg_distinct(
+    engine,
+    store: str,
+    group_expr: Column,
+    value_expr: Column,
+    version=None,
+    segments=None,
+    schema: str = "public",
+) -> DataFrame:
+    """Per-group (n, n_distinct) by a full snapshot scan — the
+    recompute a distinct-maintained view must equal. ``n_distinct``
+    follows ANSI COUNT(DISTINCT x): NULL values don't count."""
+    return (
+        engine.store_df(store, schema=schema, version=version,
+                        segments=segments)
+        .groupBy(group_expr.alias("group"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.count_distinct(value_expr).cast("long").alias("n_distinct"),
+        )
+    )
+
+
+def full_distinct_inner(
+    engine,
+    store: str,
+    group_expr: Column,
+    value_expr: Column,
+    version=None,
+    segments=None,
+    schema: str = "public",
+) -> DataFrame:
+    """Seed of the distinct-count view's INNER state: one row per
+    (group, value) pair with its multiplicity, shaped exactly like an
+    agg view whose group is struct(g, v) — so the generic additive fold
+    maintains it unchanged."""
+    return full_agg(
+        engine, store,
+        F.struct(group_expr.alias("g"), value_expr.alias("v")),
+        {}, version=version, segments=segments, schema=schema,
+    )
+
+
+def cdf_distinct_refresh(
+    engine,
+    store: str,
+    inner: DataFrame,
+    from_version: int,
+    from_segments: int,
+    group_expr: Column,
+    value_expr: Column,
+    to_version=None,
+    to_segments=None,
+    schema: str = "public",
+) -> DataFrame:
+    """Refresh the inner (group, value, multiplicity) state from the
+    change feed. COUNT(DISTINCT) is not additive — but the pair
+    MULTISET is: maintain (g, v) -> count additively (the generic
+    cdf_agg_delta/apply_agg_delta fold over a struct group, zero-count
+    pairs dropping out), and distinctness falls out as "pair present".
+    Pure O(changes) + the standard update-pre-image probe; unlike
+    extrema, NO rescan is ever needed, because a removed value's
+    runner-up is the pair table itself. The inner state is O(distinct
+    pairs) — bigger than the rolled-up view, and exactly what makes
+    deletes exact where sketches (HLL/KMV) cannot subtract."""
+    delta = cdf_agg_delta(
+        engine, store, from_version, from_segments,
+        F.struct(group_expr.alias("g"), value_expr.alias("v")), {},
+        to_version=to_version, to_segments=to_segments, schema=schema,
+    )
+    return apply_agg_delta(inner, delta, [])
+
+
+def distinct_rollup(inner: DataFrame) -> DataFrame:
+    """(group, n, n_distinct) from the inner pair state: one
+    O(distinct pairs) aggregation — never a store rescan. NULL values
+    contribute their rows to ``n`` but not to ``n_distinct`` (ANSI
+    COUNT(DISTINCT) semantics); the NULL group stays one group."""
+    return (
+        inner.groupBy(F.col("group.g").alias("group"))
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.count(F.col("group.v")).cast("long").alias("n_distinct"),
+        )
+    )
+
+
+# ----------------------------------------------------- join-view IVM --
+#
+# A maintained aggregate over the EQUI-JOIN of two mutating stores.
+# The joined row exposes (a_key, a_meta, b_key, b_meta); join/group/
+# measure expressions are Columns over those names. The delta algebra
+# is the classic bilinear identity over signed multisets:
+#
+#   A1><B1 - A0><B0  =  dA><B0  +  A1><dB        (dX = X1 - X0 signed)
+#
+# — each signed pair weighted w_a*w_b, so one refresh is O(changes on
+# both sides) plus ONE scan of each base relation probed by a BROADCAST
+# of the other side's (tiny) delta: never a re-join of the snapshots.
+# A base relation bucketed/partitioned on its join key would prune even
+# that scan; the identity itself is layout-independent.
+
+
+def _join_side(df: DataFrame, prefix: str) -> DataFrame:
+    return df.select(F.col("key").alias(f"{prefix}_key"),
+                     F.col("meta").alias(f"{prefix}_meta"))
+
+
+def full_join_agg(
+    eng_a,
+    store_a: str,
+    eng_b,
+    store_b: str,
+    join_a: Column,
+    join_b: Column,
+    group_expr: Column,
+    measures: Dict[str, Column],
+    version_a=None,
+    segments_a=None,
+    version_b=None,
+    segments_b=None,
+    schema: str = "public",
+) -> DataFrame:
+    """The join view computed by actually joining two snapshots — the
+    seed for a join-maintained view and the recompute the refreshed
+    table must equal. ANSI inner-join semantics: NULL join keys never
+    match (plain equality, not null-safe — matching the SQL oracle)."""
+    _check_measures(measures)
+    a = _join_side(eng_a.store_df(store_a, schema=schema,
+                                  version=version_a, segments=segments_a),
+                   "a")
+    b = _join_side(eng_b.store_df(store_b, schema=schema,
+                                  version=version_b, segments=segments_b),
+                   "b")
+    return (
+        a.join(b, join_a == join_b, "inner")
+        .groupBy(group_expr.alias("group"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            *[
+                F.sum(F.coalesce(expr, F.lit(0))).cast("long").alias(name)
+                for name, expr in measures.items()
+            ],
+        )
+    )
+
+
+def cdf_join_agg_delta(
+    eng_a,
+    store_a: str,
+    from_a,
+    eng_b,
+    store_b: str,
+    from_b,
+    join_a: Column,
+    join_b: Column,
+    group_expr: Column,
+    measures: Dict[str, Column],
+    to_a=None,
+    to_b=None,
+    schema: str = "public",
+) -> DataFrame:
+    """Per-group signed deltas of the JOIN view between two snapshot
+    pairs: (group, dn, d_<measure>...), foldable by ``apply_agg_delta``
+    exactly like a single-store delta. ``from_a``/``from_b`` (and the
+    optional ``to_*``, defaulting to current state) are (version,
+    segments) coordinate pairs.
+
+    Both terms of the identity keep the BASE relation as the scanned
+    side and BROADCAST the signed delta: dA><B0 probes the B snapshot
+    with A's changes, A1><dB probes the post-delta A snapshot with B's
+    changes. Updates that MOVE a row's join key, deletes on either
+    side, and changes landing on BOTH sides in the same window all fold
+    exactly once — the cross term (a inserted while its match was
+    deleted) cancels between the two terms by construction."""
+    _check_measures(measures)
+    if to_a is None:
+        m = eng_a.catalog.get_store(store_a, schema)
+        to_a = (m.version, m.deltas)
+    if to_b is None:
+        m = eng_b.catalog.get_store(store_b, schema)
+        to_b = (m.version, m.deltas)
+    d_a = signed_changes(
+        eng_a, store_a, from_a[0], from_a[1],
+        to_version=to_a[0], to_segments=to_a[1], schema=schema,
+    ).select(F.col("key").alias("a_key"), F.col("meta").alias("a_meta"),
+             F.col("_w").alias("_wa"))
+    d_b = signed_changes(
+        eng_b, store_b, from_b[0], from_b[1],
+        to_version=to_b[0], to_segments=to_b[1], schema=schema,
+    ).select(F.col("key").alias("b_key"), F.col("meta").alias("b_meta"),
+             F.col("_w").alias("_wb"))
+    b0 = _join_side(
+        eng_b.store_df(store_b, schema=schema,
+                       version=from_b[0], segments=from_b[1]), "b",
+    ).withColumn("_wb", F.lit(1))
+    a1 = _join_side(
+        eng_a.store_df(store_a, schema=schema,
+                       version=to_a[0], segments=to_a[1]), "a",
+    ).withColumn("_wa", F.lit(1))
+    cond = join_a == join_b
+    pairs = (
+        F.broadcast(d_a).join(b0, cond, "inner")
+        .unionByName(a1.join(F.broadcast(d_b), cond, "inner"))
+    )
+    return _weighted_group_delta(
+        pairs, group_expr, measures, F.col("_wa") * F.col("_wb")
     )

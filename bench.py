@@ -198,6 +198,8 @@ BENCH_QUERIES = [
     "streaming_materialized_view",
     # round 8 additions
     "streaming_materialized_view_keyed",
+    "incremental_distinct_refresh",
+    "incremental_join_refresh",
 ]
 
 

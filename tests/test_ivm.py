@@ -131,3 +131,160 @@ def test_extrema_validation_rejects_bad_kinds_and_names(engine):
         IVM._check_extrema({"x": ("median", F.lit(1))})
     with pytest.raises(ValueError, match="reserved"):
         IVM._check_extrema({"dn": ("min", F.lit(1))})
+
+
+# ---------------------------------------------- distinct-count IVM --
+
+
+def test_distinct_refresh_matches_full_recompute(engine):
+    """The (group, value, multiplicity) inner state maintained
+    additively yields exact COUNT(DISTINCT) after value moves, the
+    removal of a group's LAST instance of a value, and inserts — with
+    no rescan and NULL values excluded from n_distinct but counted in
+    n (ANSI semantics)."""
+    from ahnlich_spark.operators.predicates import Equals
+
+    engine.create_store("dc", dimension=2, predicates=["g", "v"])
+    engine.set("dc", [
+        ([1.0, 0.0], {"g": "a", "v": "x"}),
+        ([2.0, 0.0], {"g": "a", "v": "x"}),
+        ([3.0, 0.0], {"g": "a", "v": "y"}),
+        ([4.0, 0.0], {"g": "b", "v": "x"}),
+        ([5.0, 0.0], {"g": "b"}),                 # NULL value row
+    ])                                            # base v1
+    grp, val = _g(), F.col("meta")["v"]["s"]
+    inner = IVM.full_distinct_inner(
+        engine, "dc", grp, val, version=1, segments=0
+    ).localCheckpoint()
+    engine.set("dc", [([1.0, 0.0], {"g": "a", "v": "z"})])  # x multiplicity 2->1
+    engine.del_pred("dc", Equals("v", "y"))       # a's ONLY y gone
+    engine.set("dc", [([9.0, 9.0], {"g": "b", "v": "w"})])
+    engine.set("dc", [([2.0, 0.0], {"g": "c", "v": "x"})])  # group move
+    refreshed = IVM.cdf_distinct_refresh(engine, "dc", inner, 1, 0, grp, val)
+    got = _rows(IVM.distinct_rollup(refreshed))
+    want = _rows(IVM.full_agg_distinct(engine, "dc", grp, val))
+    assert got == want and got
+    # a: rows {z}, distinct 1; b: rows {x, NULL, w} -> n=3 distinct 2
+    assert ("a", 1, 1) in got and ("b", 3, 2) in got and ("c", 1, 1) in got
+
+
+def test_distinct_refresh_group_emptied_and_all_null(engine):
+    """A group whose rows all vanish drops from the rollup; a group
+    whose values are all NULL reads n_distinct == 0, matching the full
+    recompute exactly."""
+    from ahnlich_spark.operators.predicates import Equals
+
+    engine.create_store("dn", dimension=2, predicates=["g", "v"])
+    engine.set("dn", [
+        ([1.0, 0.0], {"g": "a", "v": "x"}),
+        ([2.0, 0.0], {"g": "b"}),
+        ([3.0, 0.0], {"g": "b"}),
+    ])
+    grp, val = _g(), F.col("meta")["v"]["s"]
+    inner = IVM.full_distinct_inner(
+        engine, "dn", grp, val, version=1, segments=0
+    ).localCheckpoint()
+    engine.del_pred("dn", Equals("g", "a"))       # a emptied
+    refreshed = IVM.cdf_distinct_refresh(engine, "dn", inner, 1, 0, grp, val)
+    got = _rows(IVM.distinct_rollup(refreshed))
+    want = _rows(IVM.full_agg_distinct(engine, "dn", grp, val))
+    assert got == want == [("b", 2, 0)]
+
+
+# ------------------------------------------------------ join-view IVM --
+
+
+def _ab():
+    return (F.col("a_meta")["k"]["s"], F.col("b_meta")["k"]["s"])
+
+
+def test_join_refresh_matches_full_after_both_side_mutations(engine):
+    """The bilinear delta identity dA><B0 + A1><dB folds join-key
+    moves, deletes on either side, and SAME-WINDOW changes on both
+    sides exactly once — the refreshed join view equals re-joining the
+    final snapshots."""
+    from ahnlich_spark.operators.predicates import Equals
+
+    engine.create_store("jva", dimension=2, predicates=["k"])
+    engine.create_store("jvb", dimension=2, predicates=["k", "w"])
+    engine.set("jva", [([1.0, 0.0], {"k": "p"}), ([0.0, 1.0], {"k": "q"}),
+                       ([2.0, 2.0], {"k": "r"}), ([4.0, 1.0], {})])  # NULL key
+    engine.set("jvb", [([5.0, 0.0], {"k": "p", "w": "2"}),
+                       ([6.0, 0.0], {"k": "q", "w": "3"}),
+                       ([7.0, 0.0], {"k": "z", "w": "9"})])
+    ja, jb = _ab()
+    grp = F.col("b_meta")["w"]["s"]
+    meas = {"s_e2": (F.element_at("a_key", 1) * 100).cast("long")}
+    view = IVM.full_join_agg(
+        engine, "jva", engine, "jvb", ja, jb, grp, meas,
+        version_a=1, segments_a=0, version_b=1, segments_b=0,
+    ).localCheckpoint()
+    engine.set("jva", [([0.0, 1.0], {"k": "p"})])   # join-key move q->p
+    engine.set("jva", [([8.0, 8.0], {"k": "z"})])   # first match for z
+    engine.del_pred("jvb", Equals("k", "q"))        # b side loses q
+    engine.set("jvb", [([5.0, 0.0], {"k": "p", "w": "5"})])  # b group move
+    delta = IVM.cdf_join_agg_delta(
+        engine, "jva", (1, 0), engine, "jvb", (1, 0), ja, jb, grp, meas,
+    )
+    got = _rows(IVM.apply_agg_delta(view, delta, ["s_e2"]))
+    want = _rows(IVM.full_join_agg(
+        engine, "jva", engine, "jvb", ja, jb, grp, meas,
+    ))
+    assert got == want and got
+    # NULL join keys never matched (ANSI inner join), before or after
+    assert all(g is not None for g, *_ in got)
+
+
+def test_join_refresh_cross_term_cancels(engine):
+    """A row inserted into A while its ONLY match was deleted from B in
+    the same window must contribute NOTHING: the +pair from dA><B0 and
+    the -pair from A1><dB cancel. Pinned by a window where that is the
+    only activity, so any miscount leaves a visible group."""
+    from ahnlich_spark.operators.predicates import Equals
+
+    engine.create_store("jxa", dimension=2, predicates=["k"])
+    engine.create_store("jxb", dimension=2, predicates=["k", "w"])
+    engine.set("jxa", [([1.0, 0.0], {"k": "p"})])
+    engine.set("jxb", [([5.0, 0.0], {"k": "p", "w": "2"}),
+                       ([6.0, 0.0], {"k": "g", "w": "7"})])
+    ja, jb = _ab()
+    grp = F.col("b_meta")["w"]["s"]
+    view = IVM.full_join_agg(
+        engine, "jxa", engine, "jxb", ja, jb, grp, {},
+        version_a=1, segments_a=0, version_b=1, segments_b=0,
+    ).localCheckpoint()
+    engine.set("jxa", [([9.0, 9.0], {"k": "g"})])   # new a row for g...
+    engine.del_pred("jxb", Equals("k", "g"))        # ...whose match dies
+    delta = IVM.cdf_join_agg_delta(
+        engine, "jxa", (1, 0), engine, "jxb", (1, 0), ja, jb, grp, {},
+    )
+    got = _rows(IVM.apply_agg_delta(view, delta, []))
+    want = _rows(IVM.full_join_agg(
+        engine, "jxa", engine, "jxb", ja, jb, grp, {},
+    ))
+    assert got == want == [("2", 1)]
+
+
+def test_join_refresh_one_side_quiet(engine):
+    """Changes confined to one store leave the other term empty and the
+    fold still equals the recompute (the common production window)."""
+    engine.create_store("jqa", dimension=2, predicates=["k"])
+    engine.create_store("jqb", dimension=2, predicates=["k", "w"])
+    engine.set("jqa", [([1.0, 0.0], {"k": "p"}), ([2.0, 0.0], {"k": "p"})])
+    engine.set("jqb", [([5.0, 0.0], {"k": "p", "w": "2"})])
+    ja, jb = _ab()
+    grp = F.col("b_meta")["w"]["s"]
+    meas = {"s_e2": (F.element_at("a_key", 1) * 100).cast("long")}
+    view = IVM.full_join_agg(
+        engine, "jqa", engine, "jqb", ja, jb, grp, meas,
+        version_a=1, segments_a=0, version_b=1, segments_b=0,
+    ).localCheckpoint()
+    engine.set("jqa", [([3.0, 0.0], {"k": "p"})])   # only A moves
+    delta = IVM.cdf_join_agg_delta(
+        engine, "jqa", (1, 0), engine, "jqb", (1, 0), ja, jb, grp, meas,
+    )
+    got = _rows(IVM.apply_agg_delta(view, delta, ["s_e2"]))
+    want = _rows(IVM.full_join_agg(
+        engine, "jqa", engine, "jqb", ja, jb, grp, meas,
+    ))
+    assert got == want == [("2", 3, 600)]
