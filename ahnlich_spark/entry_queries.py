@@ -8768,6 +8768,56 @@ def incremental_distinct_refresh(spark, sf_dir):
     return IVM.distinct_rollup(refreshed).withColumnRenamed("group", "label")
 
 
+_IVM_QUANTILE_SQL = """WITH a AS (
+  SELECT CAST(CASE WHEN vec_id >= 200 THEN label + 10 ELSE label END
+              AS VARCHAR) AS label,
+         CAST(round(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT) AS e6
+  FROM embeddings
+  WHERE vec_id < 300 AND NOT (vec_id < 200 AND label = 5)
+), c AS (
+  SELECT label, e6, count(*) AS cnt FROM a GROUP BY 1, 2
+), w AS (
+  SELECT label, e6,
+         sum(cnt) OVER (PARTITION BY label ORDER BY e6) AS cum,
+         sum(cnt) OVER (PARTITION BY label) AS tot
+  FROM c
+)
+SELECT label, CAST(min(tot) AS BIGINT) AS n, CAST(min(e6) AS BIGINT) AS q
+FROM w WHERE cum >= (tot + 1) // 2
+GROUP BY 1
+"""
+
+
+@register("incremental_quantile_refresh", _IVM_QUANTILE_SQL)
+def incremental_quantile_refresh(spark, sf_dir):
+    """EXACT per-group median under mutations, from the SAME maintained
+    pair-multiset state as the distinct-count view
+    (operators/ivm.quantile_rollup): the (group, value, multiplicity)
+    inner state refreshes additively in O(changes), and the discrete
+    quantile (smallest value whose cumulative multiplicity reaches the
+    integer rank (num*tot + den-1) div den) is ONE window over the
+    O(distinct pairs) state — never a store scan, and exact where
+    t-digest-style sketches can neither subtract a delete nor promise
+    exactness. Shares the batch IVM mutation fixture; the oracle
+    re-declares the identical integer rank in window SQL."""
+    from ahnlich_spark.operators import ivm as IVM
+
+    ckey = (id(spark.sparkContext), os.path.abspath(sf_dir), "ivm")
+    if ckey not in _MUT_FIXTURES:
+        QUERIES["incremental_agg_refresh"](spark, sf_dir)  # builds fixture
+    eng, v0, s0 = _MUT_FIXTURES[ckey]
+    lab = F.col("meta")["label"]["s"]
+    inner = IVM.full_distinct_inner(
+        eng, "ivm", lab, _ivm_k0(), version=v0, segments=s0
+    )
+    refreshed = IVM.cdf_distinct_refresh(
+        eng, "ivm", inner, v0, s0, lab, _ivm_k0()
+    )
+    return IVM.quantile_rollup(refreshed, 1, 2).withColumnRenamed(
+        "group", "label"
+    )
+
+
 # final B side: labels 0..19 minus the deleted '7', with '12' moved to
 # region 9 by an upsert — the closed form the oracle re-declares inline
 _IVM_JOIN_SQL = """WITH a AS (

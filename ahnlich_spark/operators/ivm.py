@@ -600,3 +600,49 @@ def cdf_join_agg_delta(
     return _weighted_group_delta(
         pairs, group_expr, measures, F.col("_wa") * F.col("_wb")
     )
+
+
+def quantile_rollup(inner: DataFrame, num: int, den: int) -> DataFrame:
+    """(group, n, q) — the EXACT per-group discrete quantile at
+    p = num/den from the same maintained (group, value, multiplicity)
+    state the distinct rollup reads: one window over the O(distinct
+    pairs) state ordered by value, never a store scan. The quantile is
+    percentile_disc-style: the smallest value whose cumulative
+    multiplicity reaches ceil(p * non-null count), computed in pure
+    integer math (rank = (num*tot + den - 1) div den) so both engines
+    agree bit-for-bit. NULL values are excluded from the rank (ANSI);
+    a group whose values are ALL NULL reads q = NULL. Maintaining the
+    pair multiset thus buys exact COUNT(DISTINCT) and exact quantiles
+    under the SAME O(changes) refresh — sketches (t-digest) can
+    neither subtract a delete nor promise exactness."""
+    from pyspark.sql.window import Window
+
+    if not (isinstance(num, int) and isinstance(den, int) and
+            0 < num <= den):
+        raise ValueError(f"quantile {num}/{den} must satisfy 0 < num <= den")
+    groups = (
+        inner.groupBy(F.col("group.g").alias("group"))
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+    vals = inner.filter(F.col("group.v").isNotNull()).select(
+        F.col("group.g").alias("group"), F.col("group.v").alias("v"),
+        F.col("n").alias("_cnt"),
+    )
+    cum = Window.partitionBy("group").orderBy("v")
+    tot = Window.partitionBy("group")
+    hit = (
+        vals.withColumn("_cum", F.sum("_cnt").over(cum))
+        .withColumn("_tot", F.sum("_cnt").over(tot))
+        .filter(
+            F.col("_cum")
+            >= ((F.lit(num) * F.col("_tot") + F.lit(den - 1))
+                / F.lit(den)).cast("long")
+        )
+        .groupBy("group").agg(F.min("v").alias("q"))
+    )
+    g, h = groups.alias("g"), hit.alias("h")
+    return (
+        g.join(h, F.col("g.group").eqNullSafe(F.col("h.group")), "left")
+        .select(F.col("g.group").alias("group"), F.col("g.n").alias("n"),
+                F.col("h.q").alias("q"))
+    )

@@ -200,6 +200,7 @@ BENCH_QUERIES = [
     "streaming_materialized_view_keyed",
     "incremental_distinct_refresh",
     "incremental_join_refresh",
+    "incremental_quantile_refresh",
 ]
 
 

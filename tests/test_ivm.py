@@ -288,3 +288,42 @@ def test_join_refresh_one_side_quiet(engine):
         engine, "jqa", engine, "jqb", ja, jb, grp, meas,
     ))
     assert got == want == [("2", 3, 600)]
+
+
+def test_quantile_rollup_definition_and_refresh(engine):
+    """quantile_rollup reads exact discrete quantiles from the pair
+    state: lower median and p90 pinned on known multisets (an all-NULL
+    group reads q = NULL), and the MAINTAINED state after mutations
+    yields the same quantiles as the state rebuilt from the final
+    snapshot."""
+    from ahnlich_spark.operators.predicates import Equals
+
+    engine.create_store("qr", dimension=2, predicates=["g", "v"])
+    vals = {"a": [1, 3, 3, 7, 9], "b": [2, 4, 6, 8], "c": [5]}
+    rows, i = [], 0
+    for g, vs in vals.items():
+        for v in vs:
+            rows.append(([float(i), 0.0], {"g": g, "v": str(v)}))
+            i += 1
+    rows.append(([float(i), 0.0], {"g": "d"}))        # all-NULL group
+    engine.set("qr", rows)                            # base v1
+    grp, val = _g(), F.col("meta")["v"]["s"].cast("long")
+    inner0 = IVM.full_distinct_inner(
+        engine, "qr", grp, val, version=1, segments=0
+    ).localCheckpoint()
+    med = _rows(IVM.quantile_rollup(inner0, 1, 2))
+    assert med == [("a", 5, 3), ("b", 4, 4), ("c", 1, 5), ("d", 1, None)]
+    p90 = _rows(IVM.quantile_rollup(inner0, 9, 10))
+    assert p90[0] == ("a", 5, 9) and p90[1] == ("b", 4, 8)
+    with pytest.raises(ValueError, match="quantile"):
+        IVM.quantile_rollup(inner0, 3, 2)
+    # mutate: delete a's current median instances, move a row into b
+    engine.del_pred("qr", Equals("v", "3"))           # a loses both 3s
+    engine.set("qr", [([0.0, 0.0], {"g": "b", "v": "10"})])  # a's 1 -> b's 10
+    refreshed = IVM.cdf_distinct_refresh(engine, "qr", inner0, 1, 0, grp, val)
+    got = _rows(IVM.quantile_rollup(refreshed, 1, 2))
+    want = _rows(IVM.quantile_rollup(
+        IVM.full_distinct_inner(engine, "qr", grp, val), 1, 2))
+    assert got == want
+    # a is now {7, 9} -> lower median 7; b {2,4,6,8,10} -> 6
+    assert ("a", 2, 7) in got and ("b", 5, 6) in got
