@@ -8818,6 +8818,43 @@ def incremental_quantile_refresh(spark, sf_dir):
     )
 
 
+def _ivm_join_fixture(spark, sf_dir):
+    """The batch IVM fixture plus a dim store 'ivmdim' with its own
+    mutation window (a deleted dim row orphaning its facts, an upsert
+    moving a dim row between regions) — shared by the batch and
+    streaming join-view gates. Returns (eng, v0, s0): the FACT side's
+    pre-mutation coordinates; the dim side's are always (1, 0)."""
+    from ahnlich_spark.errors import StoreNotFound
+
+    ckey = (id(spark.sparkContext), os.path.abspath(sf_dir), "ivm")
+    if ckey not in _MUT_FIXTURES:
+        QUERIES["incremental_agg_refresh"](spark, sf_dir)  # builds fixture
+    eng, v0, s0 = _MUT_FIXTURES[ckey]
+    try:
+        eng.catalog.get_store("ivmdim")
+    except StoreNotFound:
+        eng.create_store("ivmdim", dimension=_GATE_DIM,
+                         predicates=["k", "r"])
+        eng.set("ivmdim", [
+            ([float(l)] + [0.0] * (_GATE_DIM - 1),
+             {"k": str(l), "r": str(l % 3)})
+            for l in range(20)
+        ])                                                 # dim base v1
+        eng.del_pred("ivmdim", Equals("k", "7"))
+        eng.set("ivmdim", [([12.0] + [0.0] * (_GATE_DIM - 1),
+                            {"k": "12", "r": "9"})])       # region move
+    return eng, v0, s0
+
+
+def _ivm_join_exprs():
+    ja = F.col("a_meta")["label"]["s"]
+    jb = F.col("b_meta")["k"]["s"]
+    grp = F.col("b_meta")["r"]["s"]
+    meas = {"e6_sum": F.round(
+        F.element_at("a_key", 1).cast("double") * 1_000_000).cast("long")}
+    return ja, jb, grp, meas
+
+
 # final B side: labels 0..19 minus the deleted '7', with '12' moved to
 # region 9 by an upsert — the closed form the oracle re-declares inline
 _IVM_JOIN_SQL = """WITH a AS (
@@ -8852,31 +8889,10 @@ def incremental_join_refresh(spark, sf_dir):
     between regions), so both terms and the cross-term cancellation
     are live. Equals re-joining the final snapshots (tests/test_ivm.py)
     and the oracle's closed form."""
-    from ahnlich_spark.errors import StoreNotFound
     from ahnlich_spark.operators import ivm as IVM
 
-    ckey = (id(spark.sparkContext), os.path.abspath(sf_dir), "ivm")
-    if ckey not in _MUT_FIXTURES:
-        QUERIES["incremental_agg_refresh"](spark, sf_dir)  # builds fixture
-    eng, v0, s0 = _MUT_FIXTURES[ckey]
-    try:
-        eng.catalog.get_store("ivmdim")
-    except StoreNotFound:
-        eng.create_store("ivmdim", dimension=_GATE_DIM,
-                         predicates=["k", "r"])
-        eng.set("ivmdim", [
-            ([float(l)] + [0.0] * (_GATE_DIM - 1),
-             {"k": str(l), "r": str(l % 3)})
-            for l in range(20)
-        ])                                                 # dim base v1
-        eng.del_pred("ivmdim", Equals("k", "7"))
-        eng.set("ivmdim", [([12.0] + [0.0] * (_GATE_DIM - 1),
-                            {"k": "12", "r": "9"})])       # region move
-    ja = F.col("a_meta")["label"]["s"]
-    jb = F.col("b_meta")["k"]["s"]
-    grp = F.col("b_meta")["r"]["s"]
-    meas = {"e6_sum": F.round(
-        F.element_at("a_key", 1).cast("double") * 1_000_000).cast("long")}
+    eng, v0, s0 = _ivm_join_fixture(spark, sf_dir)
+    ja, jb, grp, meas = _ivm_join_exprs()
     view = IVM.full_join_agg(
         eng, "ivm", eng, "ivmdim", ja, jb, grp, meas,
         version_a=v0, segments_a=s0, version_b=1, segments_b=0,
@@ -8887,6 +8903,40 @@ def incremental_join_refresh(spark, sf_dir):
     return IVM.apply_agg_delta(view, delta, ["e6_sum"]).withColumnRenamed(
         "group", "r"
     )
+
+
+@register("streaming_materialized_join", _IVM_JOIN_SQL)
+def streaming_materialized_join_gate(spark, sf_dir):
+    """Continuously-maintained JOIN view over TWO live stores
+    (streaming/pipeline.streaming_materialized_join): the union of both
+    stores' change streams is a pure DOORBELL — each trigger folds the
+    bilinear delta dA><B0 + A1><dB between the view's persisted fold
+    coordinates and both stores' current coordinates, so mutations on
+    EITHER side (fact-side group moves + predicate delete, dim-side row
+    delete + region move) catch up exactly once without a replay
+    ledger: the fold consumes no batch rows, so there is nothing a
+    replay could double-count. Warm-started at the pre-mutation
+    snapshots so the full incremental chain runs through the stream;
+    same closed-form re-join oracle as the batch join gate."""
+    from ahnlich_spark.streaming.pipeline import streaming_materialized_join
+
+    eng, v0, s0 = _ivm_join_fixture(spark, sf_dir)
+    ja, jb, grp, meas = _ivm_join_exprs()
+    run = tempfile.mkdtemp(prefix="ahnlich_mjoin_")
+    feed = eng.store_changes_stream(
+        "ivm", max_files_per_trigger=1
+    ).unionByName(eng.store_changes_stream(
+        "ivmdim", max_files_per_trigger=1
+    ))
+    q, drain = streaming_materialized_join(
+        feed, eng, "ivm", eng, "ivmdim", ja, jb, grp, meas,
+        state_dir=os.path.join(run, "state"),
+        checkpoint=os.path.join(run, "ckpt"),
+        from_a=(v0, s0), from_b=(1, 0),
+    )
+    q.processAllAvailable()
+    q.stop()
+    return drain().withColumnRenamed("group", "r")
 
 
 @register("streaming_materialized_view", _IVM_FINAL_STATE_SQL)

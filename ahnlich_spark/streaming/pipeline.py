@@ -799,6 +799,136 @@ def streaming_materialized_agg(
     return writer.start(), drain
 
 
+def streaming_materialized_join(
+    feed: DataFrame,
+    eng_a,
+    store_a: str,
+    eng_b,
+    store_b: str,
+    join_a,
+    join_b,
+    group_expr,
+    measures: dict,
+    schema: str = "public",
+    checkpoint: Optional[str] = None,
+    state_dir: Optional[str] = None,
+    from_a=None,
+    from_b=None,
+):
+    """Continuously-maintained JOIN view over TWO live stores: each
+    trigger folds ``operators/ivm.cdf_join_agg_delta`` (the bilinear
+    identity dA><B0 + A1><dB — each term ONE base-relation scan probed
+    by a broadcast of the other side's delta) between the view's last
+    fold coordinates and both stores' current coordinates.
+
+    The feed is a pure DOORBELL: the fold consumes NO batch rows — it
+    reads both stores' committed coordinate pairs and catches up on
+    whatever landed, on either side, since the last fold. That makes
+    exactly-once TRIVIAL rather than engineered: a replayed or
+    re-batched trigger folds from the persisted coordinates and lands
+    the same (or a further) catch-up; there is no replay ledger because
+    there is nothing a replay could double-count. Union both stores'
+    change streams as the feed so mutations on either side wake the
+    fold; a one-sided feed is also sound — the quiet side's changes
+    fold on the next trigger.
+
+    ``from_a``/``from_b`` optionally seed the view at retained
+    historical coordinates (warm start): the seed aggregate is computed
+    there and the FIRST trigger folds everything since. With
+    ``state_dir`` the view + coordinates persist (atomic pointer,
+    overwrite-by-batch-id table, previous generation GC'd); restart
+    equals the uninterrupted run. Returns ``(query, drain)``."""
+    from ahnlich_spark.operators import ivm as IVM
+
+    spark = eng_a.spark
+    names = list(measures)
+    if checkpoint and not state_dir:
+        raise ValueError(
+            "streaming_materialized_join without state_dir keeps the "
+            "view and its fold coordinates in driver memory; a "
+            "checkpointLocation would skip committed batches on restart "
+            "while both reset. Pass state_dir to make the fold "
+            "checkpoint-safe."
+        )
+
+    def _coords(eng, store):
+        m = eng.catalog.get_store(store, schema)
+        return (m.version, m.deltas)
+
+    ca = tuple(from_a) if from_a is not None else _coords(eng_a, store_a)
+    cb = tuple(from_b) if from_b is not None else _coords(eng_b, store_b)
+    state = {"agg": None, "ca": ca, "cb": cb, "last_id": -1}
+    ptr_path = os.path.join(state_dir, "mjoin_state.json") if state_dir else None
+    if ptr_path:
+        p = _read_json(ptr_path)
+        if p is not None:
+            pa, pb = p.get("coords_a"), p.get("coords_b")
+            if not all(isinstance(c, (list, tuple)) and len(c) == 2
+                       for c in (pa, pb)):
+                raise ValueError(
+                    f"mjoin fold state in {state_dir} has no usable fold "
+                    f"coordinates (pointer coords_a/coords_b missing or "
+                    f"malformed — tampered, truncated, or written by a "
+                    f"different fold); delete the state_dir and re-seed "
+                    f"the view instead of reusing it"
+                )
+            state["ca"] = (int(pa[0]), int(pa[1]))
+            state["cb"] = (int(pb[0]), int(pb[1]))
+            state["last_id"] = int(p["batch_id"])
+            state["agg"] = spark.read.parquet(
+                os.path.join(state_dir, p["table"])
+            ).localCheckpoint()
+    if state["agg"] is None:
+        state["agg"] = IVM.full_join_agg(
+            eng_a, store_a, eng_b, store_b, join_a, join_b,
+            group_expr, measures,
+            version_a=state["ca"][0], segments_a=state["ca"][1],
+            version_b=state["cb"][0], segments_b=state["cb"][1],
+            schema=schema,
+        ).localCheckpoint()
+
+    def _commit(batch_id: int) -> None:
+        table = f"mjoin_v{batch_id}"
+        state["agg"].write.mode("overwrite").parquet(
+            os.path.join(state_dir, table)
+        )
+        prev = _read_json(ptr_path)
+        _atomic_write_json(ptr_path, {
+            "batch_id": batch_id, "table": table,
+            "coords_a": list(state["ca"]), "coords_b": list(state["cb"]),
+        })
+        if prev is not None and prev["table"] != table:
+            for d in os.listdir(state_dir):
+                if (d.startswith("mjoin_v") and d != table
+                        and d != prev["table"]):
+                    shutil.rmtree(os.path.join(state_dir, d),
+                                  ignore_errors=True)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        ta, tb = _coords(eng_a, store_a), _coords(eng_b, store_b)
+        if (ta, tb) != (state["ca"], state["cb"]):
+            delta = IVM.cdf_join_agg_delta(
+                eng_a, store_a, state["ca"], eng_b, store_b, state["cb"],
+                join_a, join_b, group_expr, measures,
+                to_a=ta, to_b=tb, schema=schema,
+            )
+            state["agg"] = IVM.apply_agg_delta(
+                state["agg"], delta, names
+            ).localCheckpoint()
+            state["ca"], state["cb"] = ta, tb
+            if ptr_path:
+                _commit(batch_id)
+        state["last_id"] = batch_id
+
+    def drain() -> DataFrame:
+        return state["agg"]
+
+    writer = feed.writeStream.foreachBatch(_sink).outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start(), drain
+
+
 def _keyed_materialized_agg(
     feed: DataFrame,
     engine,

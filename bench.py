@@ -201,6 +201,7 @@ BENCH_QUERIES = [
     "incremental_distinct_refresh",
     "incremental_join_refresh",
     "incremental_quantile_refresh",
+    "streaming_materialized_join",
 ]
 
 

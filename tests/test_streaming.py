@@ -1903,3 +1903,99 @@ def test_keyed_mview_requires_state_dir(spark, engine):
             engine.store_changes_stream("kvr"), engine, "kvr",
             F.col("meta")["t"]["s"], {}, sink="bogus",
         )
+
+
+# ------------------------------------------------ streaming join view --
+
+
+def test_streaming_join_view_restart_and_catchup(spark, engine, tmp_path):
+    """The doorbell fold: both stores mutate, the union feed triggers
+    coordinate-driven catch-up, the fold is killed, MORE mutations land
+    on both sides while it is down, and the restarted fold's drained
+    view equals re-joining the final snapshots."""
+    from ahnlich_spark.operators import ivm as IVM
+    from ahnlich_spark.operators.predicates import Equals
+    from ahnlich_spark.streaming.pipeline import streaming_materialized_join
+
+    engine.create_store("sja", dimension=2, predicates=["k"])
+    engine.create_store("sjb", dimension=2, predicates=["k", "w"])
+    engine.set("sja", [([1.0, 0.0], {"k": "p"}), ([0.0, 1.0], {"k": "q"})])
+    engine.set("sjb", [([5.0, 0.0], {"k": "p", "w": "2"}),
+                       ([6.0, 0.0], {"k": "q", "w": "3"})])
+    ja, jb = F.col("a_meta")["k"]["s"], F.col("b_meta")["k"]["s"]
+    grp = F.col("b_meta")["w"]["s"]
+    meas = {"s_e2": (F.element_at("a_key", 1) * 100).cast("long")}
+    state_dir = str(tmp_path / "sj_state")
+    ckpt = str(tmp_path / "sj_ckpt")
+
+    def fold():
+        feed = engine.store_changes_stream(
+            "sja", max_files_per_trigger=1
+        ).unionByName(
+            engine.store_changes_stream("sjb", max_files_per_trigger=1)
+        )
+        return streaming_materialized_join(
+            feed, engine, "sja", engine, "sjb", ja, jb, grp, meas,
+            state_dir=state_dir, checkpoint=ckpt,
+            from_a=(1, 0), from_b=(1, 0),
+        )
+
+    engine.set("sja", [([0.0, 1.0], {"k": "p"})])   # fact join-key move
+    engine.set("sjb", [([5.0, 0.0], {"k": "p", "w": "9"})])  # dim regroup
+    q1, _ = fold()
+    q1.processAllAvailable()
+    q1.stop()
+    # both sides mutate while the fold is down
+    engine.del_pred("sjb", Equals("k", "q"))        # dim row dies
+    engine.set("sja", [([7.0, 7.0], {"k": "p"})])   # new fact
+    q2, drain2 = fold()
+    q2.processAllAvailable()
+    q2.stop()
+    got = sorted(tuple(r) for r in drain2().collect())
+    want = sorted(tuple(r) for r in IVM.full_join_agg(
+        engine, "sja", engine, "sjb", ja, jb, grp, meas,
+    ).collect())
+    assert got == want == [("9", 3, 800)]
+
+
+def test_streaming_join_view_guards(spark, engine, tmp_path):
+    """checkpoint without state_dir refuses (restart would skip
+    batches while the view reset); a tampered pointer without usable
+    coordinates raises the standard re-seed error."""
+    import json
+
+    from ahnlich_spark.streaming.pipeline import streaming_materialized_join
+
+    engine.create_store("sjg", dimension=2, predicates=["k"])
+    engine.create_store("sjh", dimension=2, predicates=["k", "w"])
+    engine.set("sjg", [([1.0, 0.0], {"k": "p"})])
+    engine.set("sjh", [([5.0, 0.0], {"k": "p", "w": "2"})])
+    ja, jb = F.col("a_meta")["k"]["s"], F.col("b_meta")["k"]["s"]
+    grp = F.col("b_meta")["w"]["s"]
+    with pytest.raises(ValueError, match="state_dir"):
+        streaming_materialized_join(
+            engine.store_changes_stream("sjg"),
+            engine, "sjg", engine, "sjh", ja, jb, grp, {},
+            checkpoint=str(tmp_path / "only_ckpt"),
+        )
+    state_dir = str(tmp_path / "sjg_state")
+    engine.set("sjg", [([2.0, 0.0], {"k": "p"})])
+    q, _ = streaming_materialized_join(
+        engine.store_changes_stream("sjg", max_files_per_trigger=1),
+        engine, "sjg", engine, "sjh", ja, jb, grp, {},
+        state_dir=state_dir, from_a=(1, 0), from_b=(1, 0),
+    )
+    q.processAllAvailable()
+    q.stop()
+    ptr = os.path.join(state_dir, "mjoin_state.json")
+    with open(ptr) as f:
+        p = json.load(f)
+    del p["coords_b"]
+    with open(ptr, "w") as f:
+        json.dump(p, f)
+    with pytest.raises(ValueError, match="coords.*delete the state_dir"):
+        streaming_materialized_join(
+            engine.store_changes_stream("sjg", max_files_per_trigger=1),
+            engine, "sjg", engine, "sjh", ja, jb, grp, {},
+            state_dir=state_dir,
+        )
