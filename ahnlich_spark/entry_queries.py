@@ -8818,6 +8818,67 @@ def incremental_quantile_refresh(spark, sf_dir):
     )
 
 
+def _managed_view_fixture(spark, sf_dir):
+    """Engine with managed materialized views CREATED AT THE BASE
+    SNAPSHOT of the shared IVM mutation chain, so the gate's refresh
+    folds the whole chain from the change feed. Cached per
+    (SparkContext, sf_dir); repeat refreshes are coordinate no-ops."""
+    ckey = (id(spark.sparkContext), os.path.abspath(sf_dir), "mgview")
+    eng = _MUT_FIXTURES.get(ckey)
+    if eng is None:
+        from ahnlich_spark.plans.engine import Engine
+
+        emb = _t(spark, sf_dir, "embeddings")
+        eng = Engine(spark, tempfile.mkdtemp(prefix="ahnlich_gate_"))
+        eng.create_store("mgv", dimension=_GATE_DIM, predicates=["label"])
+        eng.set("mgv", _ivm_entries(emb.filter(F.col("vec_id") < 250), 0))
+        k0 = ("CAST(round(CAST(key[0] AS DOUBLE) * 1000000) AS BIGINT)")
+        eng.create_materialized_view(
+            "mgv_agg", "mgv", "meta['label']['s']",
+            measures={"k0_e6_sum": k0})
+        eng.create_materialized_view(
+            "mgv_dis", "mgv", "meta['label']['s']", value=k0)
+        eng.set("mgv", _ivm_entries(emb.filter(
+            (F.col("vec_id") >= 200) & (F.col("vec_id") < 300)), 10))
+        eng.del_pred("mgv", Equals("label", "5"))
+        _MUT_FIXTURES[ckey] = eng
+    return eng
+
+
+@register("managed_view_lifecycle", _IVM_FINAL_STATE_SQL)
+def managed_view_lifecycle(spark, sf_dir):
+    """ENGINE-MANAGED materialized views (plans/views.py): the IVM
+    algebra productized as catalog objects — CREATE seeds at the
+    current snapshot and records (definition as SQL strings, fold
+    coordinates, parquet generation pointer) in the warehouse catalog;
+    REFRESH folds the change feed from the recorded coordinates,
+    O(changes), swapping in a new generation (a coordinate no-op when
+    the store hasn't moved); the view SURVIVES engine restarts
+    (tests/test_views.py). This gate creates the view at the base
+    snapshot, lands the shared mutation chain, refreshes, and reads —
+    the same closed-form final state as the library-level IVM gates."""
+    eng = _managed_view_fixture(spark, sf_dir)
+    eng.refresh_materialized_view("mgv_agg")
+    return eng.read_materialized_view("mgv_agg").withColumnRenamed(
+        "group", "label"
+    )
+
+
+@register("managed_view_quantile", _IVM_QUANTILE_SQL)
+def managed_view_quantile(spark, sf_dir):
+    """Exact median read from a managed DISTINCT view's maintained
+    pair state (read_materialized_view(quantile=(1,2))): the persisted
+    (group, value, multiplicity) generation refreshes O(changes) and
+    answers both COUNT(DISTINCT) and exact discrete quantiles without
+    ever rescanning the store — here through the engine's catalog
+    surface rather than the library calls."""
+    eng = _managed_view_fixture(spark, sf_dir)
+    eng.refresh_materialized_view("mgv_dis")
+    return eng.read_materialized_view(
+        "mgv_dis", quantile=(1, 2)
+    ).withColumnRenamed("group", "label")
+
+
 def _ivm_join_fixture(spark, sf_dir):
     """The batch IVM fixture plus a dim store 'ivmdim' with its own
     mutation window (a deleted dim row orphaning its facts, an upsert

@@ -909,6 +909,48 @@ class Engine:
             names.append(name)
         return names
 
+    # -- managed materialized views (plans/views.py) --------------------
+    # The IVM algebra productized as catalog objects: definitions (SQL
+    # strings over (key, meta)), fold coordinates, and the current
+    # parquet generation all live in the warehouse, so a view SURVIVES
+    # engine restarts and refreshes O(changes) from where it stopped.
+
+    def create_materialized_view(self, name: str, store: str, group: str,
+                                 measures=None, value=None, extrema=None,
+                                 schema: str = PUBLIC_SCHEMA,
+                                 error_if_exists: bool = True) -> dict:
+        from ahnlich_spark.plans import views as V
+
+        return V.create_materialized_view(
+            self, name, store, group, measures=measures, value=value,
+            extrema=extrema, schema=schema, error_if_exists=error_if_exists,
+        )
+
+    def refresh_materialized_view(self, name: str,
+                                  schema: str = PUBLIC_SCHEMA) -> tuple:
+        from ahnlich_spark.plans import views as V
+
+        return V.refresh_materialized_view(self, name, schema=schema)
+
+    def read_materialized_view(self, name: str,
+                               schema: str = PUBLIC_SCHEMA,
+                               quantile=None) -> DataFrame:
+        from ahnlich_spark.plans import views as V
+
+        return V.read_materialized_view(self, name, schema=schema,
+                                        quantile=quantile)
+
+    def drop_materialized_view(self, name: str,
+                               schema: str = PUBLIC_SCHEMA) -> None:
+        from ahnlich_spark.plans import views as V
+
+        V.drop_materialized_view(self, name, schema=schema)
+
+    def list_materialized_views(self, schema: str = PUBLIC_SCHEMA) -> list:
+        from ahnlich_spark.plans import views as V
+
+        return V.list_materialized_views(self, schema=schema)
+
     def get_key(
         self, store: str, keys: Sequence[Sequence[float]], schema: str = PUBLIC_SCHEMA
     ) -> DataFrame:

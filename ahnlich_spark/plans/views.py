@@ -1,0 +1,262 @@
+"""Engine-MANAGED materialized views: the incremental view maintenance
+algebra (operators/ivm.py) productized as a catalog object with a
+CREATE / REFRESH / READ / DROP lifecycle.
+
+A managed view records, in the warehouse catalog, its defining
+expressions (SQL strings over the canonical (key, meta) store row — the
+portable form a catalog can persist), the coordinates of the snapshot
+it last folded, and a pointer to its current parquet generation. A
+REFRESH folds the store's change feed from the recorded coordinates to
+the current ones — O(changes) for additive aggregates and the
+distinct/quantile pair state, O(changes + triggered groups) for
+extrema — and swaps in a new generation; it NEVER rescans the store.
+Because everything lives in the warehouse (catalog entry + parquet
+generation), a managed view SURVIVES engine restarts: a fresh Engine on
+the same warehouse refreshes it from where the last one stopped.
+
+View kinds:
+
+- ``agg``      — (group, n, <additive integer measures>...)
+- ``distinct`` — persisted state is the (group, value, multiplicity)
+                 pair table; reads roll it up to (group, n, n_distinct)
+                 or an exact discrete quantile — both from the same
+                 O(distinct pairs) state, exact under deletes where
+                 sketches cannot subtract
+- ``extrema``  — (group, n, min/max...) with removal-triggered rescans
+                 bounded to the touched groups
+
+The reference has no derived-view machinery at all (its stores answer
+point and similarity queries only); this is capability the base+delta
+layout and the CDF unlock.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from typing import Dict, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ahnlich_spark import errors
+from ahnlich_spark.catalog import PUBLIC_SCHEMA
+from ahnlich_spark.operators import ivm as IVM
+
+_KINDS = ("agg", "distinct", "extrema")
+
+
+def _views(catalog, schema: str) -> dict:
+    if schema not in catalog._data["schemas"]:
+        raise errors.SchemaNotFound(f"schema {schema!r} not found")
+    return catalog._data["schemas"][schema].setdefault("views", {})
+
+
+def _view_dir(catalog, schema: str, name: str) -> str:
+    return os.path.join(catalog.warehouse, "data", schema, "_views", name)
+
+
+def _get(catalog, name: str, schema: str) -> dict:
+    vs = _views(catalog, schema)
+    if name not in vs:
+        raise errors.StoreNotFound(
+            f"materialized view {schema}.{name} not found"
+        )
+    return vs[name]
+
+
+def _exprs(spec: Dict[str, str]):
+    return {k: F.expr(v) for k, v in spec.items()}
+
+
+def _state_df(
+    engine, entry: dict, version: int, segments: int
+) -> DataFrame:
+    """The view's PERSISTED state computed by a full scan of one
+    snapshot — the seed shape each kind maintains thereafter."""
+    kind, store, schema = entry["kind"], entry["store"], entry["schema"]
+    group = F.expr(entry["group"])
+    if kind == "agg":
+        return IVM.full_agg(
+            engine, store, group, _exprs(entry["measures"]),
+            version=version, segments=segments, schema=schema,
+        )
+    if kind == "distinct":
+        return IVM.full_distinct_inner(
+            engine, store, group, F.expr(entry["value"]),
+            version=version, segments=segments, schema=schema,
+        )
+    extrema = {k: (kd, F.expr(e)) for k, (kd, e) in entry["extrema"].items()}
+    return IVM.full_agg_extrema(
+        engine, store, group, extrema,
+        version=version, segments=segments, schema=schema,
+    )
+
+
+def _write_generation(engine, entry: dict, df: DataFrame,
+                      coords) -> None:
+    """New parquet generation + catalog pointer swap + old-gen GC —
+    the same write-then-swap discipline store mutations use."""
+    catalog = engine.catalog
+    base = _view_dir(catalog, entry["schema"], entry["name"])
+    gen = f"g{coords[0]}_{coords[1]}"
+    df.write.mode("overwrite").parquet(os.path.join(base, gen))
+    entry["coords"] = [int(coords[0]), int(coords[1])]
+    prev, entry["table"] = entry.get("table"), gen
+    catalog._flush()
+    if prev and prev != gen:
+        shutil.rmtree(os.path.join(base, prev), ignore_errors=True)
+
+
+def create_materialized_view(
+    engine,
+    name: str,
+    store: str,
+    group: str,
+    measures: Optional[Dict[str, str]] = None,
+    value: Optional[str] = None,
+    extrema: Optional[Dict[str, tuple]] = None,
+    schema: str = PUBLIC_SCHEMA,
+    error_if_exists: bool = True,
+) -> dict:
+    """CREATE: seed the view by one full aggregate of the store's
+    CURRENT snapshot, persist it, and record the definition + fold
+    coordinates in the catalog. Exactly one of ``measures`` (agg),
+    ``value`` (distinct), ``extrema`` ({name: (kind, expr)}) picks the
+    view kind; all expressions are SQL strings over (key, meta)."""
+    given = [x is not None for x in (measures, value, extrema)]
+    if sum(given) != 1:
+        raise ValueError(
+            "exactly one of measures (agg view), value (distinct view), "
+            "extrema (min/max view) must be given"
+        )
+    m = engine.catalog.get_store(store, schema)  # raises if missing
+    vs = _views(engine.catalog, schema)
+    if name in vs:
+        if error_if_exists:
+            raise errors.StoreAlreadyExists(
+                f"materialized view {schema}.{name} already exists"
+            )
+        return vs[name]
+    if engine.catalog.has_store(name, schema):
+        raise errors.StoreAlreadyExists(
+            f"{schema}.{name} already names a store"
+        )
+    kind = "agg" if measures is not None else (
+        "distinct" if value is not None else "extrema")
+    entry = {
+        "name": name, "schema": schema, "store": store, "kind": kind,
+        "group": group, "coords": None, "table": None,
+    }
+    if kind == "agg":
+        IVM._check_measures(_exprs(measures))
+        entry["measures"] = dict(measures)
+    elif kind == "distinct":
+        entry["value"] = value
+    else:
+        ex = {k: (kd, F.expr(e)) for k, (kd, e) in extrema.items()}
+        IVM._check_extrema(ex)
+        entry["extrema"] = {k: [kd, e] for k, (kd, e) in extrema.items()}
+    coords = (m.version, m.deltas)
+    seed = _state_df(engine, entry, *coords)
+    vs[name] = entry
+    _write_generation(engine, entry, seed, coords)
+    return entry
+
+
+def refresh_materialized_view(engine, name: str,
+                              schema: str = PUBLIC_SCHEMA) -> tuple:
+    """REFRESH: fold the store's change feed from the view's recorded
+    coordinates to the store's current ones and swap in the new
+    generation — O(changes), never a store rescan (extrema add a
+    TO-snapshot scan bounded to removal-triggered groups). A no-op
+    (and no write) when the store hasn't moved. Returns (from_coords,
+    to_coords)."""
+    entry = _get(engine.catalog, name, schema)
+    store = entry["store"]
+    m = engine.catalog.get_store(store, schema)
+    v0, s0 = entry["coords"]
+    v1, s1 = m.version, m.deltas
+    if (v0, s0) == (v1, s1):
+        return (v0, s0), (v1, s1)
+    state = read_state(engine, name, schema)
+    group = F.expr(entry["group"])
+    kind = entry["kind"]
+    if kind == "agg":
+        measures = _exprs(entry["measures"])
+        delta = IVM.cdf_agg_delta(
+            engine, store, v0, s0, group, measures,
+            to_version=v1, to_segments=s1, schema=schema,
+        )
+        new = IVM.apply_agg_delta(state, delta, list(measures))
+    elif kind == "distinct":
+        new = IVM.cdf_distinct_refresh(
+            engine, store, state, v0, s0, group, F.expr(entry["value"]),
+            to_version=v1, to_segments=s1, schema=schema,
+        )
+    else:
+        extrema = {
+            k: (kd, F.expr(e)) for k, (kd, e) in entry["extrema"].items()
+        }
+        new, _ = IVM.cdf_extrema_refresh(
+            engine, store, state, v0, s0, group, extrema,
+            to_version=v1, to_segments=s1, schema=schema,
+        )
+    _write_generation(engine, entry, new, (v1, s1))
+    return (v0, s0), (v1, s1)
+
+
+def read_state(engine, name: str, schema: str = PUBLIC_SCHEMA) -> DataFrame:
+    """The persisted state table of the view's current generation."""
+    entry = _get(engine.catalog, name, schema)
+    return engine.spark.read.parquet(os.path.join(
+        _view_dir(engine.catalog, schema, name), entry["table"]
+    ))
+
+
+def read_materialized_view(
+    engine,
+    name: str,
+    schema: str = PUBLIC_SCHEMA,
+    quantile: Optional[tuple] = None,
+) -> DataFrame:
+    """READ: the view as a DataFrame. agg/extrema views read their
+    state directly; a distinct view rolls the pair state up to
+    (group, n, n_distinct) — or, with ``quantile=(num, den)``, to the
+    exact discrete quantile (group, n, q). Quantiles are only
+    answerable from the pair state: pass them on a distinct view."""
+    entry = _get(engine.catalog, name, schema)
+    state = read_state(engine, name, schema)
+    if entry["kind"] != "distinct":
+        if quantile is not None:
+            raise ValueError(
+                f"quantile reads need the pair state a 'distinct' view "
+                f"maintains; {schema}.{name} is kind {entry['kind']!r}"
+            )
+        return state
+    if quantile is not None:
+        return IVM.quantile_rollup(state, *quantile)
+    return IVM.distinct_rollup(state)
+
+
+def drop_materialized_view(engine, name: str,
+                           schema: str = PUBLIC_SCHEMA) -> None:
+    """DROP: remove the catalog entry and the view's data directory."""
+    vs = _views(engine.catalog, schema)
+    if name not in vs:
+        raise errors.StoreNotFound(
+            f"materialized view {schema}.{name} not found"
+        )
+    del vs[name]
+    engine.catalog._flush()
+    shutil.rmtree(_view_dir(engine.catalog, schema, name),
+                  ignore_errors=True)
+
+
+def list_materialized_views(engine, schema: str = PUBLIC_SCHEMA) -> list:
+    """Catalog-only listing (zero Spark jobs): [(name, kind, store,
+    coords)] sorted by name."""
+    return sorted(
+        (e["name"], e["kind"], e["store"], tuple(e["coords"]))
+        for e in _views(engine.catalog, schema).values()
+    )

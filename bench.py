@@ -202,6 +202,8 @@ BENCH_QUERIES = [
     "incremental_join_refresh",
     "incremental_quantile_refresh",
     "streaming_materialized_join",
+    "managed_view_lifecycle",
+    "managed_view_quantile",
 ]
 
 
