@@ -1368,6 +1368,49 @@ def minhash_lsh_pairs(spark, sf_dir):
     return D.minhash_lsh_dedup_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
 
 
+@register("winnowing_overlap", r"""
+WITH n AS (
+  SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS nt
+  FROM documents
+), p AS (
+  SELECT doc_id, nt, length(nt) - 7 AS np FROM n WHERE length(nt) >= 8
+), e AS (
+  SELECT doc_id, np, unnest(range(1, np + 1)) AS pos, nt FROM p
+), h AS (
+  SELECT doc_id, np, pos,
+         ('0x' || substring(md5(substring(nt, CAST(pos AS INT), 8)), 1, 12))::BIGINT AS h
+  FROM e
+), w AS (
+  SELECT doc_id, np, pos,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 8 FOLLOWING) AS wmin
+  FROM h
+), f AS (
+  SELECT DISTINCT doc_id, wmin AS fp FROM w WHERE pos <= np - 8 OR pos = 1
+), rare AS (
+  SELECT fp FROM f GROUP BY fp HAVING count(*) <= 50
+), fr AS (SELECT f.doc_id, f.fp FROM f JOIN rare USING (fp))
+SELECT a.doc_id AS i, b.doc_id AS j, CAST(count(*) AS BIGINT) AS shared
+FROM fr a JOIN fr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 20
+""")
+def winnowing_overlap(spark, sf_dir):
+    """MOSS-style winnowing overlap (operators/dedup.py,
+    Schleimer/Wilkerson/Aiken SIGMOD'03): every char 8-gram is hashed
+    (md5-slice BIGINT, the portable idiom), each sliding window of
+    w = t-k+1 = 9 positions selects its MINIMUM — a POSITIONAL
+    guarantee MinHash cannot give (any shared substring >= t = 16 chars
+    shares a fingerprint) — then pairs sharing >= 20 rare fingerprints
+    are reported, with boilerplate fingerprints (doc-frequency > 50)
+    capped away first (the MOSS noise rule AND the hot-bucket bound
+    that keeps the self-join linear at corpus scale). One narrow
+    position-explode + one skinny (id, pos, hash) shuffle for the
+    window min; document text never shuffles."""
+    return D.winnowing_overlap_pairs(
+        _t(spark, sf_dir, "documents"), min_shared=20
+    )
+
+
 # LSH candidates -> exact-verified near-dup pairs: the shared replay of
 # operators/dedup.minhash_lsh_dedup_pairs' output edge list
 _VERIFIED_PAIRS_SQL = """

@@ -1091,3 +1091,99 @@ def keep_best_representative(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+# -------------------------------------------------------- winnowing --
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    k: int = 8,
+    t: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MOSS-style winnowing fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03): per document, hash every character ``k``-gram of the
+    whitespace-normalized text and select the MINIMUM hash in each
+    sliding window of ``w = t - k + 1`` consecutive positions. The
+    selected set is a POSITIONAL guarantee MinHash cannot give: any
+    substring match of length >= ``t`` between two documents shares at
+    least one fingerprint, and no match shorter than ``k`` creates one.
+
+    Plan shape: one narrow position-explode (codegen'd substring + one
+    md5 per k-gram — the md5-slice BIGINT idiom every oracle
+    reproduces), then ONE shuffle of skinny (id, pos, hash) triples for
+    the per-document window min; text itself never shuffles. Returns
+    distinct (id_col, fp) pairs. Documents shorter than ``k``
+    normalized chars yield no fingerprints (nothing to guarantee)."""
+    if not k < t:
+        raise ValueError(f"need k < t (got k={k}, t={t})")
+    w = t - k + 1
+    nt = F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    pos = df.select(
+        F.col(id_col),
+        nt.alias("_nt"),
+        (F.length(nt) - F.lit(k - 1)).alias("_np"),
+    ).filter(F.col("_np") >= 1).select(
+        id_col, "_nt", "_np",
+        F.explode(F.sequence(F.lit(1), F.col("_np"))).alias("pos"),
+    )
+    h = pos.select(
+        id_col, "pos", "_np",
+        F.conv(
+            F.substring(F.md5(F.col("_nt").substr(F.col("pos"), F.lit(k))),
+                        1, 12), 16, 10,
+        ).cast("long").alias("h"),
+    )
+    win = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
+    return (
+        h.withColumn("_wmin", F.min("h").over(win))
+        # only full windows select: a document with fewer than w
+        # positions winnows its single partial window (paper semantics:
+        # min over what exists)
+        .filter((F.col("pos") <= F.col("_np") - F.lit(w - 1))
+                | (F.col("pos") == 1))
+        .select(F.col(id_col), F.col("_wmin").alias("fp"))
+        .distinct()
+    )
+
+
+def winnowing_overlap_pairs(
+    df: DataFrame,
+    k: int = 8,
+    t: int = 16,
+    min_shared: int = 5,
+    max_doc_freq: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Document pairs sharing >= ``min_shared`` winnowing fingerprints —
+    the MOSS overlap report. Fingerprints appearing in more than
+    ``max_doc_freq`` documents are dropped FIRST (boilerplate k-grams:
+    the standard MOSS noise rule, and the hot-bucket cap that keeps the
+    self-join linear — without it one ubiquitous fingerprint joins
+    quadratically at corpus scale). Returns (i, j, shared) with i < j.
+
+    Scale shape: fingerprint table is O(chars / w) skinny rows; the
+    frequency filter is one map-side-combinable count; the pair join is
+    bucketed by fingerprint with per-bucket fan-out bounded by
+    ``max_doc_freq``."""
+    fps = winnowing_fingerprints(
+        df, k=k, t=t, text_col=text_col, id_col=id_col
+    )
+    rare = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= max_doc_freq)
+        .select("fp")
+    )
+    fps = fps.join(rare, "fp")
+    a = fps.select(F.col("fp"), F.col(id_col).alias("i"))
+    b = fps.select(F.col("fp"), F.col(id_col).alias("j"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("i") < F.col("j"))
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )

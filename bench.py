@@ -204,6 +204,7 @@ BENCH_QUERIES = [
     "streaming_materialized_join",
     "managed_view_lifecycle",
     "managed_view_quantile",
+    "winnowing_overlap",
 ]
 
 

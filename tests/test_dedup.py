@@ -515,3 +515,64 @@ def test_incremental_pairs_with_persisted_signatures(incr_batch, incr_corpus):
         ).collect()
     )
     assert base == with_sig and len(base) >= 3
+
+
+# ---------------------------------------------------------- winnowing --
+
+
+def test_winnowing_guarantee_and_window_semantics(spark):
+    """The winnowing guarantee: two documents sharing a substring of
+    length >= t share at least one fingerprint; a document shorter than
+    k normalized chars yields none; one with fewer than w positions
+    winnows its single partial window to exactly one fingerprint."""
+    from ahnlich_spark.operators import dedup as D
+
+    shared = "the quick brown fox jumps over it"   # 33 chars >= t=16
+    docs = spark.createDataFrame(
+        [
+            (1, "AAAA " + shared + " BBBB"),
+            (2, "cccc dddd " + shared + " eeee"),
+            (3, "zzzzz"),                          # < k=8 chars
+            (4, "0123456789"),                     # np=3 < w=9: 1 window
+            (5, "wxyz!@#$%^&*()_+[]"),             # disjoint chars
+        ],
+        "doc_id long, text string",
+    )
+    fps = D.winnowing_fingerprints(docs).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2]                   # guarantee holds
+    assert 3 not in by_doc
+    assert len(by_doc[4]) == 1
+    assert not (by_doc[1] & by_doc[5])
+    with pytest.raises(ValueError, match="k < t"):
+        D.winnowing_fingerprints(docs, k=16, t=16)
+
+
+def test_winnowing_overlap_pairs_and_hot_cap(spark):
+    """Overlap pairs require min_shared common fingerprints, i < j
+    ordering holds, and the max_doc_freq boilerplate cap removes
+    fingerprints every document shares (MOSS noise rule)."""
+    from ahnlich_spark.operators import dedup as D
+
+    boiler = "COPYRIGHT HEADER ALWAYS THE SAME EVERYWHERE"
+    body = "some genuinely shared long passage of text here"
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " unique alpha " + body),
+            (2, boiler + " unique beta " + body),
+            (3, boiler + " gamma totally different tail 12345"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["i"], r["j"]): r["shared"]
+        for r in D.winnowing_overlap_pairs(
+            docs, min_shared=2, max_doc_freq=2).collect()
+    }
+    assert (1, 2) in pairs                         # body overlap survives
+    # the boilerplate fingerprints (in all 3 docs) were capped away:
+    # doc 3 shares ONLY boilerplate with 1 and 2
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+    assert all(i < j for (i, j) in pairs)
