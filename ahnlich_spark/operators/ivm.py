@@ -77,7 +77,12 @@ def signed_changes(
     upd_pre = engine.store_df(
         store, schema=schema, version=from_version, segments=from_segments
     ).join(
-        ch.filter(F.col("change_type") == "update").select("id"),
+        # the id list is O(changes): BROADCAST it so the FROM snapshot
+        # (the 100 TB side) is probed in place, never sort-shuffled by
+        # id — explicit, not left to AQE's runtime conversion
+        F.broadcast(
+            ch.filter(F.col("change_type") == "update").select("id")
+        ),
         "id", "left_semi",
     )
     neg = (
@@ -253,7 +258,12 @@ def cdf_extrema_refresh(
     upd_pre = engine.store_df(
         store, schema=schema, version=from_version, segments=from_segments
     ).join(
-        ch.filter(F.col("change_type") == "update").select("id"),
+        # the id list is O(changes): BROADCAST it so the FROM snapshot
+        # (the 100 TB side) is probed in place, never sort-shuffled by
+        # id — explicit, not left to AQE's runtime conversion
+        F.broadcast(
+            ch.filter(F.col("change_type") == "update").select("id")
+        ),
         "id", "left_semi",
     )
 

@@ -533,3 +533,45 @@ def test_kmv_set_ops_sketch_level_joins(docs):
     assert "CartesianProduct" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+# ------------------------------------------------- round-8 plan pins --
+
+def test_join_ivm_delta_broadcasts_both_delta_sides(engine):
+    """cdf_join_agg_delta's two terms keep the BASE relation as the
+    scanned side: both delta probes execute as BroadcastHashJoin (the
+    explicit hint, not a size accident — pinned in the formatted plan),
+    and the fold never sort-merge-joins the snapshots."""
+    from ahnlich_spark.operators import ivm as IVM
+    from ahnlich_spark.operators.predicates import Equals
+
+    engine.create_store("pja", dimension=2, predicates=["k"])
+    engine.create_store("pjb", dimension=2, predicates=["k", "w"])
+    engine.set("pja", [([1.0, 0.0], {"k": "p"})])
+    engine.set("pjb", [([5.0, 0.0], {"k": "p", "w": "2"})])
+    engine.set("pja", [([2.0, 0.0], {"k": "p"})])
+    engine.del_pred("pjb", Equals("w", "9"))        # no-op delta on B
+    delta = IVM.cdf_join_agg_delta(
+        engine, "pja", (1, 0), engine, "pjb", (1, 0),
+        F.col("a_meta")["k"]["s"], F.col("b_meta")["k"]["s"],
+        F.col("b_meta")["w"]["s"], {},
+    )
+    plan = plan_of(delta)
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_keyed_mview_read_prunes_touched_buckets(spark, tmp_path):
+    """The keyed sink's per-trigger read of current group values is
+    partition-pruned: filtering the bucket column of a
+    partitionBy('_vb') part leaves exactly the touched-bucket rows and
+    the scan's partition count in the plan reflects the pruning."""
+    df = spark.range(64).selectExpr(
+        "cast(id as string) as group", "id as n",
+        "cast(pmod(id, 8) as int) as _vb")
+    path = str(tmp_path / "kv_part")
+    df.write.mode("overwrite").partitionBy("_vb").parquet(path)
+    rd = spark.read.parquet(path).filter(F.col("_vb").isin([3, 5]))
+    plan = plan_of(rd)
+    assert "PartitionFilters" in plan and "_vb" in plan, plan
+    assert rd.count() == 16
