@@ -438,3 +438,68 @@ def test_bpe_spark_trainer_matches_python_reference(spark, texts, n):
     want = sorted(_py_bpe_train(texts, n))
     assert got_driver == want, (texts, n)
     assert got_jobs == want, (texts, n)
+
+
+# -------------------------------------------------- join IVM property --
+
+_jmut_ops = st.lists(
+    st.tuples(
+        st.sampled_from(["a_set", "a_del", "b_set", "b_del"]),
+        st.integers(min_value=0, max_value=4),    # entity index
+        st.integers(min_value=0, max_value=3),    # join-key index
+    ),
+    min_size=1, max_size=4,
+)
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(ops=_jmut_ops)
+def test_join_ivm_random_mutations_match_recompute(spark, ops):
+    """Model check of the bilinear join-delta identity: ANY interleaved
+    mutation sequence on both sides (fact moves/deletes, dim regroup/
+    deletes — including keys that never existed and same-window changes
+    to both stores) folds to exactly the re-join of the final
+    snapshots (few examples — each costs a real engine; the dedicated
+    tests in test_ivm.py pin the named edge cases)."""
+    import tempfile as tf
+
+    from ahnlich_spark import Engine
+    from ahnlich_spark.operators import ivm as IVM
+
+    eng = Engine(spark, tf.mkdtemp(prefix="ahnlich_jprop_"))
+    eng.create_store("pa", dimension=2, predicates=["k"])
+    eng.create_store("pb", dimension=2, predicates=["k", "w"])
+    eng.set("pa", [([float(e), 1.0], {"k": f"k{e % 3}"})
+                   for e in range(3)])                       # base A v1
+    eng.set("pb", [([10.0 + k, 0.0], {"k": f"k{k}", "w": str(k % 2)})
+                   for k in range(3)])                       # base B v1
+    ja, jb = F.col("a_meta")["k"]["s"], F.col("b_meta")["k"]["s"]
+    grp = F.col("b_meta")["w"]["s"]
+    meas = {"e2": (F.element_at("a_key", 1) * 100).cast("long")}
+    view = IVM.full_join_agg(
+        eng, "pa", eng, "pb", ja, jb, grp, meas,
+        version_a=1, segments_a=0, version_b=1, segments_b=0,
+    ).localCheckpoint()
+    for op, e, k in ops:
+        if op == "a_set":
+            eng.set("pa", [([float(e), 1.0], {"k": f"k{k}"})])
+        elif op == "a_del":
+            eng.del_key("pa", [[float(e), 1.0]])
+        elif op == "b_set":
+            eng.set("pb", [([10.0 + k, 0.0], {"k": f"k{k}",
+                                              "w": str(e % 3)})])
+        else:
+            eng.del_key("pb", [[10.0 + k, 0.0]])
+    delta = IVM.cdf_join_agg_delta(
+        eng, "pa", (1, 0), eng, "pb", (1, 0), ja, jb, grp, meas,
+    )
+    got = sorted(
+        tuple(r) for r in IVM.apply_agg_delta(view, delta, ["e2"]).collect()
+    )
+    want = sorted(
+        tuple(r) for r in IVM.full_join_agg(
+            eng, "pa", eng, "pb", ja, jb, grp, meas,
+        ).collect()
+    )
+    assert got == want, (ops, got, want)
