@@ -1164,25 +1164,28 @@ def winnowing_overlap_pairs(
     self-join linear — without it one ubiquitous fingerprint joins
     quadratically at corpus scale). Returns (i, j, shared) with i < j.
 
-    Scale shape: fingerprint table is O(chars / w) skinny rows; the
-    frequency filter is one map-side-combinable count; the pair join is
-    bucketed by fingerprint with per-bucket fan-out bounded by
-    ``max_doc_freq``."""
+    Scale shape: the fingerprint lineage (explode + window) is computed
+    ONCE — a self-join would re-derive it per side and a third time for
+    the frequency filter. One groupBy(fp) collects each bucket's sorted
+    id list, the doc-frequency cap bounds it at ``max_doc_freq`` ids,
+    and the i<j pairs are expanded IN the bucket (a HOF over a <=
+    max_doc_freq array — bounded, never quadratic in the corpus); one
+    more shuffle counts shared fingerprints per pair."""
     fps = winnowing_fingerprints(
         df, k=k, t=t, text_col=text_col, id_col=id_col
     )
-    rare = (
+    buckets = (
         fps.groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("_df"))
-        .filter(F.col("_df") <= max_doc_freq)
-        .select("fp")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("_ids"))
+        .filter((F.size("_ids") >= 2)
+                & (F.size("_ids") <= max_doc_freq))
     )
-    fps = fps.join(rare, "fp")
-    a = fps.select(F.col("fp"), F.col(id_col).alias("i"))
-    b = fps.select(F.col("fp"), F.col(id_col).alias("j"))
+    pairs = buckets.select(F.explode(F.expr(
+        "flatten(transform(_ids, (x, i) -> "
+        "transform(slice(_ids, i + 2, size(_ids)), y -> (x, y))))"
+    )).alias("_p"))
     return (
-        a.join(b, "fp")
-        .filter(F.col("i") < F.col("j"))
+        pairs.select(F.col("_p.x").alias("i"), F.col("_p.y").alias("j"))
         .groupBy("i", "j")
         .agg(F.count(F.lit(1)).cast("long").alias("shared"))
         .filter(F.col("shared") >= min_shared)
