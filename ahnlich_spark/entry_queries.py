@@ -3468,6 +3468,58 @@ def corpus_rebalance(spark, sf_dir):
     )
 
 
+# epoch-mixture targets: src4 wants 2.5 epochs (clamped at 2), src0
+# 1.5 epochs (1 full + fractional), src1-3 sub-1 (plain downsample)
+_EPOCH_WEIGHTS = {"src0": 6, "src1": 2, "src2": 1, "src3": 1, "src4": 10}
+
+
+@register("corpus_epoch_mix", f"""
+WITH w(source, wt) AS (VALUES {", ".join(f"('{g}', {v})" for g, v in sorted(_EPOCH_WEIGHTS.items()))}),
+d AS (SELECT doc_id, d.source, wt::HUGEINT AS wt
+      FROM documents d JOIN w USING (source)),
+a AS (SELECT source, wt, CAST(count(*) AS HUGEINT) AS av
+      FROM d GROUP BY source, wt),
+tot AS (SELECT sum(av) AS total FROM a),
+f AS (SELECT source,
+             CASE WHEN (SELECT total FROM tot) * wt // ({sum(_EPOCH_WEIGHTS.values())} * av) >= 2 THEN 2
+                  ELSE (SELECT total FROM tot) * wt // ({sum(_EPOCH_WEIGHTS.values())} * av) END AS n_full,
+             CASE WHEN (SELECT total FROM tot) * wt // ({sum(_EPOCH_WEIGHTS.values())} * av) >= 2 THEN 0
+                  ELSE (SELECT total FROM tot) * wt * 1000000 // ({sum(_EPOCH_WEIGHTS.values())} * av)
+                       - ((SELECT total FROM tot) * wt // ({sum(_EPOCH_WEIGHTS.values())} * av)) * 1000000
+             END AS thr
+      FROM a),
+c AS (SELECT d.doc_id, d.source,
+             f.n_full + CASE WHEN {_HASH_UNIT_SQL.format(salt='epochmix')} < f.thr
+                             THEN 1 ELSE 0 END AS copies
+      FROM d JOIN f USING (source))
+SELECT source,
+       CAST(sum(copies) AS BIGINT) AS n_rows,
+       CAST(count(*) FILTER (WHERE copies > 0) AS BIGINT) AS n_docs,
+       CAST(max(copies) FILTER (WHERE copies > 0) - 1 AS BIGINT) AS max_epoch
+FROM c GROUP BY 1 HAVING sum(copies) > 0
+""")
+def corpus_epoch_mix(spark, sf_dir):
+    """Epoch-aware mixture resampling
+    (operators/sampling.upsample_to_mixture) — the UPSAMPLING
+    complement of corpus_rebalance and the shape real LM data mixtures
+    use: src4's 2.5-epoch target clamps at max_epochs=2, src0 repeats
+    1 full epoch plus a deterministic fractional copy, src1-3 thin to
+    sub-1 shares — all planned by ONE tiny aggregation (integer-exact,
+    the oracle re-derives it in HUGEINT) and emitted SCAN-LOCAL: a
+    literal-map lookup, one hash compare, a bounded sequence-explode;
+    no shuffle, no join, identical on any cluster. Reports per-source
+    (n_rows, n_docs, max_epoch) of the emitted manifest."""
+    from ahnlich_spark.operators.sampling import upsample_to_mixture
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    out = upsample_to_mixture(docs, _EPOCH_WEIGHTS, max_epochs=2)
+    return out.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count_distinct("doc_id").cast("long").alias("n_docs"),
+        F.max("epoch").cast("long").alias("max_epoch"),
+    )
+
+
 @register("train_test_split", f"""
 WITH s AS (
   SELECT doc_id,

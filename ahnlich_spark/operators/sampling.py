@@ -318,3 +318,98 @@ def mixture_thresholds(avail: dict, weights: dict) -> dict:
         )
         for g, w in weights.items()
     }
+
+
+def epoch_factors(avail: dict, weights: dict, total: int,
+                  max_epochs: int) -> dict:
+    """Per-group (n_full, frac_thr) repeat plan for
+    ``upsample_to_mixture``: the ideal repeat factor is
+    f_g = total * w_g / (W * a_g) — how many epochs of group g hit its
+    target share of ``total`` — clamped to ``max_epochs``. Emitted as
+    integers: ``n_full`` whole copies per row plus one extra copy for
+    rows whose hash unit falls below ``frac_thr`` (units of 1/_SCALE).
+    A clamped group's frac_thr is 0 (exactly max_epochs copies);
+    f_g < 1 degenerates to a plain downsample (n_full = 0). Pure
+    integer function shared with the gate oracle's arithmetic."""
+    wsum = sum(int(w) for w in weights.values())
+    out = {}
+    for g, w in weights.items():
+        num, den = int(total) * int(w), wsum * int(avail[g])
+        n_full = num // den
+        if n_full >= max_epochs:
+            out[g] = (max_epochs, 0)
+        else:
+            out[g] = (n_full, num * _SCALE // den - n_full * _SCALE)
+    return out
+
+
+def upsample_to_mixture(
+    df: DataFrame,
+    weights: dict,
+    total: Optional[int] = None,
+    max_epochs: int = 4,
+    group_col: str = "source",
+    weight_col: Optional[str] = None,
+    id_col: str = "doc_id",
+    salt: str = "epochmix",
+) -> DataFrame:
+    """Resample a corpus to target mixture shares WITH REPETITION — the
+    upsampling complement of ``rebalance_to_mixture`` and the shape
+    real LM data mixtures use (a scarce high-quality source repeats for
+    several epochs while an abundant one is thinned). Each surviving
+    row is emitted ``n_full`` times plus once more iff
+    md5(salt || id) mod _SCALE < frac_thr (``epoch_factors``), with an
+    0-based ``epoch`` column distinguishing copies; ``max_epochs`` caps
+    repetition (a clamped group undershoots its share — the documented
+    trade real pipelines make rather than looping a tiny source
+    forever). ``total`` defaults to the target groups' available weight
+    (reshape at constant size); groups absent from ``weights`` drop.
+
+    Everything is integer-exact and cluster-invariant: one tiny
+    aggregation (len(weights) rows) plans the factors, then emission is
+    SCAN-LOCAL — a literal-map lookup, one hash compare, and a bounded
+    sequence-explode; no shuffle, no join, reproducible on any cluster
+    and across engines (the gate's DuckDB oracle re-derives the
+    identical plan)."""
+    if not weights:
+        raise ValueError("weights must name at least one group")
+    if any(int(w) <= 0 for w in weights.values()):
+        raise ValueError("target weights must be positive integers")
+    if max_epochs < 1:
+        raise ValueError("max_epochs must be >= 1")
+    wt = F.lit(1) if weight_col is None else F.col(weight_col)
+    avail = {
+        r["g"]: int(r["a"])
+        for r in df.filter(F.col(group_col).isin(list(weights)))
+        .select(F.col(group_col).alias("g"), wt.cast("long").alias("a"))
+        .groupBy("g")
+        .agg(F.sum("a").alias("a"))
+        .collect()
+    }
+    empty = sorted(set(weights) - set(avail))
+    if empty:
+        raise ValueError(
+            f"target groups with no available data: {empty} — no number "
+            "of epochs of nothing reaches a share"
+        )
+    if total is None:
+        total = sum(avail.values())
+    factors = epoch_factors(avail, weights, int(total), max_epochs)
+    nf = F.create_map(
+        *[F.lit(x) for g, (n, _) in factors.items() for x in (g, n)]
+    )[F.col(group_col)]
+    thr = F.create_map(
+        *[F.lit(x) for g, (_, t) in factors.items() for x in (g, t)]
+    )[F.col(group_col)]
+    copies = nf + (_hash_unit(F.col(id_col), salt) < thr).cast("int")
+    return (
+        df.filter(F.col(group_col).isin(list(weights)))
+        .withColumn("_copies", copies)
+        .filter(F.col("_copies") > 0)
+        .select(
+            *df.columns,
+            F.explode(
+                F.sequence(F.lit(0), F.col("_copies") - F.lit(1))
+            ).alias("epoch"),
+        )
+    )

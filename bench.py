@@ -205,6 +205,7 @@ BENCH_QUERIES = [
     "managed_view_lifecycle",
     "managed_view_quantile",
     "winnowing_overlap",
+    "corpus_epoch_mix",
 ]
 
 

@@ -393,3 +393,72 @@ def test_exact_ntile_grouped_matches_window_ntile(spark):
         ).collect()
     }
     assert got == want and len(got) == 500
+
+
+# ---------------------------------------------------- epoch upsampling --
+
+
+def test_epoch_factors_integer_plan():
+    """The pure planner: upsampled groups get whole + fractional
+    copies, clamped groups exactly max_epochs with no fraction,
+    under-share groups degenerate to a plain downsample."""
+    from ahnlich_spark.operators.sampling import epoch_factors
+
+    avail = {"a": 25, "b": 25, "c": 25, "d": 25}
+    weights = {"a": 6, "b": 2, "c": 1, "d": 1}
+    # total=100, W=10: f_a=2.4, f_b=0.8, f_c=f_d=0.4
+    f = epoch_factors(avail, weights, 100, max_epochs=4)
+    assert f == {"a": (2, 400_000), "b": (0, 800_000),
+                 "c": (0, 400_000), "d": (0, 400_000)}
+    f2 = epoch_factors(avail, weights, 100, max_epochs=2)
+    assert f2["a"] == (2, 0)                     # clamped: no fraction
+
+
+def test_upsample_to_mixture_deterministic_epochs(spark):
+    """Emission matches the plan exactly: every kept row appears with
+    contiguous epochs 0..c-1, the per-group copy counts equal the
+    integer plan replayed per id, and the op is deterministic."""
+    from ahnlich_spark.operators.sampling import (
+        _SCALE, _hash_unit, epoch_factors, upsample_to_mixture)
+
+    df = spark.createDataFrame(
+        [(i, f"g{i % 3}") for i in range(60)], "doc_id long, source string"
+    )
+    weights = {"g0": 5, "g1": 1, "g2": 1}        # f: g0=3*60/(7*20)... 
+    out = upsample_to_mixture(df, weights, max_epochs=3, salt="t")
+    rows = [(r["doc_id"], r["source"], r["epoch"]) for r in out.collect()]
+    again = [(r["doc_id"], r["source"], r["epoch"])
+             for r in upsample_to_mixture(
+                 df, weights, max_epochs=3, salt="t").collect()]
+    assert sorted(rows) == sorted(again)
+    factors = epoch_factors({"g0": 20, "g1": 20, "g2": 20}, weights,
+                            60, 3)
+    hashes = {
+        r["doc_id"]: r["h"] for r in df.select(
+            "doc_id", _hash_unit(F.col("doc_id"), "t").alias("h")).collect()
+    }
+    by_doc = {}
+    for d, g, e in rows:
+        by_doc.setdefault((d, g), []).append(e)
+    for i in range(60):
+        g = f"g{i % 3}"
+        nf, thr = factors[g]
+        want = nf + (1 if hashes[i] < thr else 0)
+        got = sorted(by_doc.get((i, g), []))
+        assert got == list(range(want)), (i, g, want, got)
+
+
+def test_upsample_validations(spark):
+    import pytest
+
+    from ahnlich_spark.operators.sampling import upsample_to_mixture
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+    with pytest.raises(ValueError, match="at least one"):
+        upsample_to_mixture(df, {})
+    with pytest.raises(ValueError, match="positive"):
+        upsample_to_mixture(df, {"a": 0})
+    with pytest.raises(ValueError, match="max_epochs"):
+        upsample_to_mixture(df, {"a": 1}, max_epochs=0)
+    with pytest.raises(ValueError, match="no available data"):
+        upsample_to_mixture(df, {"a": 1, "ghost": 1})
