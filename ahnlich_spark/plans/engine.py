@@ -951,6 +951,12 @@ class Engine:
 
         return V.list_materialized_views(self, schema=schema)
 
+    def register_materialized_views(self, schema: str = PUBLIC_SCHEMA,
+                                    prefix: str = "ahnlich_mv_") -> list:
+        from ahnlich_spark.plans import views as V
+
+        return V.register_sql_views(self, schema=schema, prefix=prefix)
+
     def get_key(
         self, store: str, keys: Sequence[Sequence[float]], schema: str = PUBLIC_SCHEMA
     ) -> DataFrame:

@@ -95,8 +95,11 @@ def _state_df(
 
 def _write_generation(engine, entry: dict, df: DataFrame,
                       coords) -> None:
-    """New parquet generation + catalog pointer swap + old-gen GC —
-    the same write-then-swap discipline store mutations use."""
+    """New parquet generation + catalog pointer swap; the CURRENT and
+    PREVIOUS generations are retained and older ones GC'd — the same
+    keep-two discipline the streaming fold persistence uses, so a
+    reader pinned to the prior generation (e.g. a registered SQL temp
+    view) survives one refresh."""
     catalog = engine.catalog
     base = _view_dir(catalog, entry["schema"], entry["name"])
     gen = f"g{coords[0]}_{coords[1]}"
@@ -104,8 +107,10 @@ def _write_generation(engine, entry: dict, df: DataFrame,
     entry["coords"] = [int(coords[0]), int(coords[1])]
     prev, entry["table"] = entry.get("table"), gen
     catalog._flush()
-    if prev and prev != gen:
-        shutil.rmtree(os.path.join(base, prev), ignore_errors=True)
+    keep = {gen, prev} if prev else {gen}
+    for d in os.listdir(base):
+        if d not in keep:
+            shutil.rmtree(os.path.join(base, d), ignore_errors=True)
 
 
 def create_materialized_view(
@@ -260,3 +265,23 @@ def list_materialized_views(engine, schema: str = PUBLIC_SCHEMA) -> list:
         (e["name"], e["kind"], e["store"], tuple(e["coords"]))
         for e in _views(engine.catalog, schema).values()
     )
+
+
+def register_sql_views(engine, schema: str = PUBLIC_SCHEMA,
+                       prefix: str = "ahnlich_mv_") -> list:
+    """Expose every managed materialized view in ``schema`` to Spark
+    SQL as a temp view ``<prefix><name>`` — the same SQL door
+    ``Engine.register_views`` opens for stores, over the view's
+    CURRENT persisted generation (distinct views read rolled-up).
+    Because a generation is an immutable parquet dir and the previous
+    generation is retained through the next refresh, the temp view is
+    a pinned snapshot-consistent read that survives ONE refresh;
+    re-register after a refresh to follow the new generation. Returns
+    the registered names."""
+    names = []
+    for name, _, _, _ in list_materialized_views(engine, schema):
+        sql_name = f"{prefix}{name}"
+        read_materialized_view(engine, name, schema=schema) \
+            .createOrReplaceTempView(sql_name)
+        names.append(sql_name)
+    return names

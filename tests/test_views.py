@@ -126,3 +126,32 @@ def test_view_errors_and_drop(engine):
         engine.refresh_materialized_view("ev")
     with pytest.raises(errors.StoreNotFound, match="materialized view"):
         engine.drop_materialized_view("ev")
+
+
+def test_view_sql_door(engine):
+    """Managed views register as Spark SQL temp views over their
+    current generation — a pinned snapshot until the next
+    re-registration after refresh."""
+    _seed(engine, "sq")
+    engine.create_materialized_view("sqa", "sq", G, measures={"e2": E2})
+    engine.create_materialized_view("sqd", "sq", G, value=VL)
+    names = engine.register_materialized_views()
+    assert names == ["ahnlich_mv_sqa", "ahnlich_mv_sqd"]
+    spark = engine.spark
+    got = {r["group"]: r["n"] for r in
+           spark.sql("SELECT group, n FROM ahnlich_mv_sqa").collect()}
+    assert got == {"a": 3, "b": 2}
+    nd = {r["group"]: r["n_distinct"] for r in spark.sql(
+        "SELECT group, n_distinct FROM ahnlich_mv_sqd").collect()}
+    assert nd == {"a": 2, "b": 1}
+    # the registered view is a pinned generation: a refresh after more
+    # mutations is visible only after re-registering
+    engine.set("sq", [([7.0, 0.0], {"g": "c", "v": "9"})])
+    engine.refresh_materialized_view("sqa")
+    still = {r["group"] for r in
+             spark.sql("SELECT group FROM ahnlich_mv_sqa").collect()}
+    assert still == {"a", "b"}
+    engine.register_materialized_views()
+    now = {r["group"] for r in
+           spark.sql("SELECT group FROM ahnlich_mv_sqa").collect()}
+    assert now == {"a", "b", "c"}
