@@ -1999,3 +1999,43 @@ def test_streaming_join_view_guards(spark, engine, tmp_path):
             engine, "sjg", engine, "sjh", ja, jb, grp, {},
             state_dir=state_dir,
         )
+
+
+def test_keyed_mview_restart_from_scratch_replays_and_skips(
+    spark, engine, tmp_path
+):
+    """Restart WITHOUT a Spark checkpoint: the source re-reads from the
+    beginning, batch ids restart at 0, and the keyed fold's replay
+    ledger must VERIFY the committed prefix (count + fingerprint) and
+    skip it — then fold only what landed since. Drain equals the full
+    recompute and no duplicate parts appear."""
+    from ahnlich_spark.operators import ivm as IVM
+    from ahnlich_spark.operators.predicates import Equals
+    from ahnlich_spark.streaming.pipeline import streaming_materialized_agg
+
+    replica, grp, measures = _keyed_fixture(spark, engine, "kvz")
+    state_dir = str(tmp_path / "kvz_state")
+
+    def fold():
+        return streaming_materialized_agg(
+            engine.store_changes_stream("kvz", max_files_per_trigger=1),
+            replica, "kvzd", grp, measures,
+            state_dir=state_dir, sink="keyed", buckets=8,
+        )
+
+    engine.del_pred("kvz", Equals("t", "a"))
+    engine.set("kvz", [([0.0, 1.0], {"t": "c"})])
+    q1, _ = fold()
+    q1.processAllAvailable()
+    q1.stop()
+    parts_before = _keyed_parts(state_dir)
+    engine.set("kvz", [([6.0, 6.0], {"t": "e"})])      # lands while down
+    q2, drain2 = fold()                                 # from-scratch read
+    q2.processAllAvailable()
+    q2.stop()
+    got = _rows_null_first(drain2())
+    want = _rows_null_first(IVM.full_agg(replica, "kvzd", grp, measures))
+    assert got == want and ("e", 1, 600) in got
+    # the replayed prefix was skipped: its parts were not rewritten
+    # under new ids, only the new batch added one
+    assert len(_keyed_parts(state_dir)) == len(parts_before) + 1
