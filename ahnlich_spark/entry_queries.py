@@ -1411,6 +1411,59 @@ def winnowing_overlap(spark, sf_dir):
     )
 
 
+@register("winnowing_incremental", r"""
+WITH n AS (
+  SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS nt
+  FROM documents
+), p AS (
+  SELECT doc_id, nt, length(nt) - 7 AS np FROM n WHERE length(nt) >= 8
+), e AS (
+  SELECT doc_id, np, unnest(range(1, np + 1)) AS pos, nt FROM p
+), h AS (
+  SELECT doc_id, np, pos,
+         ('0x' || substring(md5(substring(nt, CAST(pos AS INT), 8)), 1, 12))::BIGINT AS h
+  FROM e
+), w AS (
+  SELECT doc_id, np, pos,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 8 FOLLOWING) AS wmin
+  FROM h
+), f AS (
+  SELECT DISTINCT doc_id, wmin AS fp FROM w WHERE pos <= np - 8 OR pos = 1
+), rare AS (
+  SELECT fp FROM f GROUP BY fp HAVING count(*) <= 50
+), fr AS (SELECT f.doc_id, f.fp FROM f JOIN rare USING (fp)),
+pr AS (
+  SELECT a.doc_id AS x, b.doc_id AS y, count(*) AS shared
+  FROM fr a JOIN fr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= 20
+)
+SELECT CASE WHEN x % 5 = 0 THEN x ELSE y END AS i,
+       CASE WHEN x % 5 = 0 THEN y ELSE x END AS j,
+       CAST(CASE WHEN x % 5 <> 0 OR y % 5 <> 0 THEN 1 ELSE 0 END AS BIGINT)
+           AS j_in_corpus,
+       CAST(shared AS BIGINT) AS shared
+FROM pr WHERE x % 5 = 0 OR y % 5 = 0
+""")
+def winnowing_incremental(spark, sf_dir):
+    """Ingest-time winnowing overlap
+    (operators/dedup.winnowing_incremental_pairs): an incoming batch
+    (every 5th doc) is checked against the historical corpus (the rest)
+    and against itself — batch x corpus and batch x batch fingerprint
+    collisions ONLY, the corpus never self-joins, and a persisted
+    corpus fingerprint table makes each ingest O(batch) (the corpus
+    text is never rescanned). Accept/reject decisions MATCH a
+    from-scratch run on the union (the noise cap counts across both) —
+    the oracle replays exactly that full run and restricts to
+    batch-touching pairs."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.winnowing_incremental_pairs(
+        docs.filter(F.col("doc_id") % 5 == 0),
+        docs.filter(F.col("doc_id") % 5 != 0),
+        min_shared=20,
+    )
+
+
 # LSH candidates -> exact-verified near-dup pairs: the shared replay of
 # operators/dedup.minhash_lsh_dedup_pairs' output edge list
 _VERIFIED_PAIRS_SQL = """

@@ -1190,3 +1190,79 @@ def winnowing_overlap_pairs(
         .agg(F.count(F.lit(1)).cast("long").alias("shared"))
         .filter(F.col("shared") >= min_shared)
     )
+
+
+def winnowing_incremental_pairs(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    k: int = 8,
+    t: int = 16,
+    min_shared: int = 5,
+    max_doc_freq: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    corpus_fps: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Incremental winnowing overlap: an incoming BATCH checked against
+    the HISTORICAL corpus (and against itself) — the ingest-time
+    plagiarism/boilerplate guard with the positional guarantee (any
+    shared substring >= ``t`` chars shares a fingerprint). Candidates
+    are batch x corpus and batch x batch fingerprint collisions ONLY;
+    the corpus is never self-joined, so each ingest costs O(batch)
+    fingerprinting + one bucketed join against the corpus fingerprint
+    table.
+
+    Scale design: pass ``corpus_fps`` (the persisted output of
+    ``winnowing_fingerprints`` for the corpus — the artifact a real
+    pipeline maintains across ingests, appending each accepted batch's
+    fingerprints) and the corpus TEXT is never touched; without it the
+    corpus is fingerprinted once. The doc-frequency noise cap counts
+    across corpus + batch together, exactly like the one-shot
+    ``winnowing_overlap_pairs`` would on the union — so accept/reject
+    decisions match a from-scratch run.
+
+    Ids must be disjoint across the two inputs. Returns
+    (i, j, j_in_corpus, shared): ``i`` is always a batch doc, ``j`` a
+    corpus doc (``j_in_corpus`` = 1) or a batch peer with i < j (= 0),
+    ``shared`` the count of rare fingerprints in common
+    (>= ``min_shared``)."""
+    if corpus_fps is None:
+        corpus_fps = winnowing_fingerprints(
+            corpus_df, k=k, t=t, text_col=text_col, id_col=id_col
+        )
+    new_fps = winnowing_fingerprints(
+        new_df, k=k, t=t, text_col=text_col, id_col=id_col
+    )
+    both = (
+        new_fps.select("fp", F.col(id_col).alias("_id"),
+                       F.lit(0).alias("_c"))
+        .unionByName(corpus_fps.select(
+            "fp", F.col(id_col).alias("_id"), F.lit(1).alias("_c")))
+    )
+    buckets = (
+        both.groupBy("fp")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("_c", "_id"))).alias("_m"),
+            F.sum(F.lit(1) - F.col("_c")).alias("_nb"),
+        )
+        # noise cap over the UNION's doc frequency; only buckets that
+        # contain at least one batch doc can produce a pair
+        .filter((F.size("_m") <= max_doc_freq) & (F.col("_nb") >= 1))
+    )
+    # batch docs sort first (_c = 0): pair every batch doc with every
+    # LATER member — batch x batch emits i < j once, batch x corpus
+    # emits (batch, corpus) once; corpus x corpus never pairs
+    pairs = buckets.select(F.explode(F.expr(
+        "flatten(transform(slice(_m, 1, cast(_nb as int)), (x, i) -> "
+        "transform(slice(_m, i + 2, size(_m)), "
+        "y -> struct(x._id AS bi, y._id AS oj, y._c AS jc))))"
+    )).alias("_p"))
+    return (
+        pairs.select(
+            F.col("_p.bi").alias("i"), F.col("_p.oj").alias("j"),
+            F.col("_p.jc").alias("j_in_corpus"),
+        )
+        .groupBy("i", "j", "j_in_corpus")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )

@@ -206,6 +206,7 @@ BENCH_QUERIES = [
     "managed_view_quantile",
     "winnowing_overlap",
     "corpus_epoch_mix",
+    "winnowing_incremental",
 ]
 
 

@@ -576,3 +576,52 @@ def test_winnowing_overlap_pairs_and_hot_cap(spark):
     # doc 3 shares ONLY boilerplate with 1 and 2
     assert (1, 3) not in pairs and (2, 3) not in pairs
     assert all(i < j for (i, j) in pairs)
+
+
+def test_winnowing_incremental_matches_from_scratch(spark):
+    """Batch-vs-corpus incremental overlap equals the from-scratch run
+    on the union restricted to batch-touching pairs; the persisted
+    corpus-fingerprint path is identical; corpus docs never pair with
+    each other."""
+    from ahnlich_spark.operators import dedup as D
+
+    body = "a long shared passage that certainly exceeds the threshold"
+    docs = spark.createDataFrame(
+        [
+            (1, "corpus one " + body),
+            (2, "corpus two " + body),
+            (3, "corpus unrelated entirely 000111222333"),
+            (10, "batch alpha " + body),
+            (11, "batch beta " + body),
+            (12, "batch unrelated zzzyyyxxxwww"),
+        ],
+        "doc_id long, text string",
+    )
+    corpus = docs.filter(F.col("doc_id") < 10)
+    batch = docs.filter(F.col("doc_id") >= 10)
+    inc = sorted(
+        tuple(r) for r in D.winnowing_incremental_pairs(
+            batch, corpus, min_shared=2, max_doc_freq=10).collect()
+    )
+    want = []
+    for r in D.winnowing_overlap_pairs(
+            docs, min_shared=2, max_doc_freq=10).collect():
+        i, j, s = r["i"], r["j"], r["shared"]
+        if i >= 10 and j >= 10:
+            want.append((i, j, 0, s))
+        elif j >= 10:
+            want.append((j, i, 1, s))
+        elif i >= 10:
+            want.append((i, j, 1, s))
+    assert inc == sorted(want) and inc
+    assert all(i >= 10 for i, *_ in inc)           # i is always batch
+    assert any(jc == 1 for _, _, jc, _ in inc)     # corpus matches exist
+    assert (10, 11, 0) in {(i, j, jc) for i, j, jc, _ in inc}
+    # persisted corpus fingerprints: same answer, corpus text untouched
+    fps = D.winnowing_fingerprints(corpus)
+    inc2 = sorted(
+        tuple(r) for r in D.winnowing_incremental_pairs(
+            batch, corpus.limit(0), corpus_fps=fps,
+            min_shared=2, max_doc_freq=10).collect()
+    )
+    assert inc2 == inc
