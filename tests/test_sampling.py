@@ -462,3 +462,41 @@ def test_upsample_validations(spark):
         upsample_to_mixture(df, {"a": 1}, max_epochs=0)
     with pytest.raises(ValueError, match="no available data"):
         upsample_to_mixture(df, {"a": 1, "ghost": 1})
+
+
+def test_epoch_factors_share_identity():
+    """Property of the integer plan (pure function, hypothesis-driven):
+    each unclamped group's expected emitted weight a_g*(n_full +
+    thr/SCALE) reproduces its exact target share total*w_g/W to within
+    the 1/SCALE quantization, clamped groups emit exactly
+    max_epochs*a_g, and factors are monotone in the group's weight."""
+    from hypothesis import given, settings, strategies as st
+
+    from ahnlich_spark.operators.sampling import _SCALE, epoch_factors
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        avail=st.lists(st.integers(min_value=1, max_value=10**6),
+                       min_size=1, max_size=6),
+        weights=st.data(),
+        total=st.integers(min_value=1, max_value=10**7),
+        max_epochs=st.integers(min_value=1, max_value=8),
+    )
+    def check(avail, weights, total, max_epochs):
+        groups = {f"g{i}": a for i, a in enumerate(avail)}
+        w = {g: weights.draw(st.integers(min_value=1, max_value=100),
+                             label=g) for g in groups}
+        W = sum(w.values())
+        f = epoch_factors(groups, w, total, max_epochs)
+        for g, (nf, thr) in f.items():
+            assert 0 <= thr < _SCALE and 0 <= nf <= max_epochs
+            ideal_num, ideal_den = total * w[g], W * groups[g]
+            if nf == max_epochs:
+                assert thr == 0
+                assert ideal_num >= max_epochs * ideal_den
+            else:
+                # nf + thr/SCALE == floor(ideal * SCALE) / SCALE
+                scaled = ideal_num * _SCALE // ideal_den
+                assert nf * _SCALE + thr == scaled
+
+    check()
