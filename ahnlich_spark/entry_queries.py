@@ -8980,15 +8980,35 @@ def _managed_view_fixture(spark, sf_dir):
         eng = Engine(spark, tempfile.mkdtemp(prefix="ahnlich_gate_"))
         eng.create_store("mgv", dimension=_GATE_DIM, predicates=["label"])
         eng.set("mgv", _ivm_entries(emb.filter(F.col("vec_id") < 250), 0))
+        eng.create_store("mgvdim", dimension=_GATE_DIM,
+                         predicates=["k", "r"])
+        eng.set("mgvdim", [
+            ([float(l)] + [0.0] * (_GATE_DIM - 1),
+             {"k": str(l), "r": str(l % 3)})
+            for l in range(20)
+        ])
         k0 = ("CAST(round(CAST(key[0] AS DOUBLE) * 1000000) AS BIGINT)")
         eng.create_materialized_view(
             "mgv_agg", "mgv", "meta['label']['s']",
             measures={"k0_e6_sum": k0})
         eng.create_materialized_view(
             "mgv_dis", "mgv", "meta['label']['s']", value=k0)
+        eng.create_materialized_view(
+            "mgv_join", "mgv", "b_meta['r']['s']",
+            measures={"e6_sum":
+                      "CAST(round(CAST(a_key[0] AS DOUBLE) * 1000000) "
+                      "AS BIGINT)"},
+            store_b="mgvdim",
+            join_on=("a_meta['label']['s']", "b_meta['k']['s']"))
         eng.set("mgv", _ivm_entries(emb.filter(
             (F.col("vec_id") >= 200) & (F.col("vec_id") < 300)), 10))
         eng.del_pred("mgv", Equals("label", "5"))
+        # dim-side window: a deleted dim row orphaning its facts, an
+        # upsert moving a dim row between regions — same chain the
+        # library-level join gates pin
+        eng.del_pred("mgvdim", Equals("k", "7"))
+        eng.set("mgvdim", [([12.0] + [0.0] * (_GATE_DIM - 1),
+                            {"k": "12", "r": "9"})])
         _MUT_FIXTURES[ckey] = eng
     return eng
 
@@ -9110,6 +9130,26 @@ def incremental_join_refresh(spark, sf_dir):
         eng, "ivm", (v0, s0), eng, "ivmdim", (1, 0), ja, jb, grp, meas,
     )
     return IVM.apply_agg_delta(view, delta, ["e6_sum"]).withColumnRenamed(
+        "group", "r"
+    )
+
+
+@register("managed_view_join", _IVM_JOIN_SQL)
+def managed_view_join(spark, sf_dir):
+    """The bilinear join IVM as a CATALOG OBJECT
+    (plans/views.create_materialized_view(store_b=..., join_on=...)):
+    the view over fact(label) >< dim(k) grouped by dim region is
+    created at both stores' base snapshots, the catalog records the
+    PAIRED fold coordinates, and one REFRESH folds dA><B0 + A1><dB
+    across fact-side group-moving upserts + a predicate delete AND
+    dim-side mutations (row delete orphaning facts, region move) —
+    never re-joining the snapshots after the seed. Restart survival
+    and cascade/drop coupling are pinned in tests/test_views.py; the
+    oracle is the same closed-form re-join the library-level
+    incremental_join_refresh gate pins."""
+    eng = _managed_view_fixture(spark, sf_dir)
+    eng.refresh_materialized_view("mgv_join")
+    return eng.read_materialized_view("mgv_join").withColumnRenamed(
         "group", "r"
     )
 

@@ -18,6 +18,13 @@ class SchemaNotFound(AhnlichError):
     pass
 
 
+class StoreHasDependentViews(AhnlichError):
+    """Dropping a store that managed materialized views still fold
+    from would strand the views (every later refresh raises
+    StoreNotFound while the catalog entry dangles); drop the views
+    first or pass ``cascade_views=True``."""
+
+
 class SchemaNotEmptyOrProtected(AhnlichError):
     """Dropping the default ``public`` schema is forbidden
     (reference: ahnlich/db/src/engine/store.rs:718-724)."""

@@ -643,10 +643,16 @@ def quantile_rollup(inner: DataFrame, num: int, den: int) -> DataFrame:
     hit = (
         vals.withColumn("_cum", F.sum("_cnt").over(cum))
         .withColumn("_tot", F.sum("_cnt").over(tot))
+        # true 64-bit integer division (SQL `div`), NOT double division
+        # cast to long — doubles lose integer exactness once
+        # num * tot nears 2^53, breaking the bit-for-bit promise
         .filter(
             F.col("_cum")
-            >= ((F.lit(num) * F.col("_tot") + F.lit(den - 1))
-                / F.lit(den)).cast("long")
+            >= F.expr(
+                f"(CAST({int(num)} AS BIGINT) * _tot "
+                f"+ CAST({int(den) - 1} AS BIGINT)) div "
+                f"CAST({int(den)} AS BIGINT)"
+            )
         )
         .groupBy("group").agg(F.min("v").alias("q"))
     )

@@ -237,6 +237,14 @@ class Engine:
             if error_if_exists:
                 raise errors.StoreAlreadyExists(f"store {schema}.{name} already exists")
             return
+        from ahnlich_spark.plans import views as V
+
+        # the mirror of view creation's store-name check: stores and
+        # managed views share the schema namespace in both directions
+        if V.has_view(self.catalog, name, schema):
+            raise errors.StoreAlreadyExists(
+                f"{schema}.{name} already names a materialized view"
+            )
         non_linear = sorted(set(non_linear_indices))
         for a in non_linear:
             if a not in NON_LINEAR_ALGOS:
@@ -262,12 +270,28 @@ class Engine:
         )
 
     def drop_store(
-        self, name: str, error_if_not_exists: bool = True, schema: str = PUBLIC_SCHEMA
+        self,
+        name: str,
+        error_if_not_exists: bool = True,
+        schema: str = PUBLIC_SCHEMA,
+        cascade_views: bool = False,
     ) -> int:
         if not self.catalog.has_store(name, schema):
             if error_if_not_exists:
                 raise errors.StoreNotFound(f"store {schema}.{name} not found")
             return 0
+        from ahnlich_spark.plans import views as V
+
+        deps = V.dependent_views(self.catalog, name, schema)
+        if deps:
+            if not cascade_views:
+                raise errors.StoreHasDependentViews(
+                    f"store {schema}.{name} has dependent materialized "
+                    f"views {deps}; drop them first or pass "
+                    f"cascade_views=True"
+                )
+            for v in deps:
+                V.drop_materialized_view(self, v, schema=schema)
         self.catalog.drop_store(name, schema)
         return 1
 
@@ -917,13 +941,15 @@ class Engine:
 
     def create_materialized_view(self, name: str, store: str, group: str,
                                  measures=None, value=None, extrema=None,
+                                 store_b=None, join_on=None,
                                  schema: str = PUBLIC_SCHEMA,
                                  error_if_exists: bool = True) -> dict:
         from ahnlich_spark.plans import views as V
 
         return V.create_materialized_view(
             self, name, store, group, measures=measures, value=value,
-            extrema=extrema, schema=schema, error_if_exists=error_if_exists,
+            extrema=extrema, store_b=store_b, join_on=join_on,
+            schema=schema, error_if_exists=error_if_exists,
         )
 
     def refresh_materialized_view(self, name: str,

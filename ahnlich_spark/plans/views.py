@@ -24,6 +24,13 @@ View kinds:
                  sketches cannot subtract
 - ``extrema``  — (group, n, min/max...) with removal-triggered rescans
                  bounded to the touched groups
+- ``join``     — an aggregate over the equi-join of TWO stores,
+                 maintained by the bilinear delta identity
+                 dA><B0 + A1><dB (operators/ivm.cdf_join_agg_delta):
+                 each refresh scans ONE base relation per term probed
+                 by a BROADCAST of the other side's delta, never
+                 re-joining the snapshots; the catalog records BOTH
+                 stores' fold coordinates
 
 The reference has no derived-view machinery at all (its stores answer
 point and similarity queries only); this is capability the base+delta
@@ -43,7 +50,7 @@ from ahnlich_spark import errors
 from ahnlich_spark.catalog import PUBLIC_SCHEMA
 from ahnlich_spark.operators import ivm as IVM
 
-_KINDS = ("agg", "distinct", "extrema")
+_KINDS = ("agg", "distinct", "extrema", "join")
 
 
 def _views(catalog, schema: str) -> dict:
@@ -69,13 +76,24 @@ def _exprs(spec: Dict[str, str]):
     return {k: F.expr(v) for k, v in spec.items()}
 
 
-def _state_df(
-    engine, entry: dict, version: int, segments: int
-) -> DataFrame:
+def _state_df(engine, entry: dict, coords) -> DataFrame:
     """The view's PERSISTED state computed by a full scan of one
-    snapshot — the seed shape each kind maintains thereafter."""
+    snapshot — the seed shape each kind maintains thereafter. For
+    single-store kinds ``coords`` is (version, segments); a join view
+    seeds at the PAIRED coordinates ((va, sa), (vb, sb)) — the only
+    full join the view ever computes."""
     kind, store, schema = entry["kind"], entry["store"], entry["schema"]
     group = F.expr(entry["group"])
+    if kind == "join":
+        (va, sa), (vb, sb) = coords
+        return IVM.full_join_agg(
+            engine, store, engine, entry["store_b"],
+            F.expr(entry["join_a"]), F.expr(entry["join_b"]),
+            group, _exprs(entry["measures"]),
+            version_a=va, segments_a=sa, version_b=vb, segments_b=sb,
+            schema=schema,
+        )
+    version, segments = coords
     if kind == "agg":
         return IVM.full_agg(
             engine, store, group, _exprs(entry["measures"]),
@@ -93,6 +111,22 @@ def _state_df(
     )
 
 
+def _flat_coords(coords):
+    for c in coords:
+        if isinstance(c, (list, tuple)):
+            yield from c
+        else:
+            yield c
+
+
+def _json_coords(coords):
+    """Coordinates in catalog-JSON shape: [v, s] for single-store
+    kinds, [[va, sa], [vb, sb]] for a join view."""
+    if any(isinstance(c, (list, tuple)) for c in coords):
+        return [[int(v), int(s)] for v, s in coords]
+    return [int(coords[0]), int(coords[1])]
+
+
 def _write_generation(engine, entry: dict, df: DataFrame,
                       coords) -> None:
     """New parquet generation + catalog pointer swap; the CURRENT and
@@ -102,9 +136,9 @@ def _write_generation(engine, entry: dict, df: DataFrame,
     view) survives one refresh."""
     catalog = engine.catalog
     base = _view_dir(catalog, entry["schema"], entry["name"])
-    gen = f"g{coords[0]}_{coords[1]}"
+    gen = "g" + "_".join(str(int(x)) for x in _flat_coords(coords))
     df.write.mode("overwrite").parquet(os.path.join(base, gen))
-    entry["coords"] = [int(coords[0]), int(coords[1])]
+    entry["coords"] = _json_coords(coords)
     prev, entry["table"] = entry.get("table"), gen
     catalog._flush()
     keep = {gen, prev} if prev else {gen}
@@ -121,6 +155,8 @@ def create_materialized_view(
     measures: Optional[Dict[str, str]] = None,
     value: Optional[str] = None,
     extrema: Optional[Dict[str, tuple]] = None,
+    store_b: Optional[str] = None,
+    join_on: Optional[tuple] = None,
     schema: str = PUBLIC_SCHEMA,
     error_if_exists: bool = True,
 ) -> dict:
@@ -128,14 +164,32 @@ def create_materialized_view(
     CURRENT snapshot, persist it, and record the definition + fold
     coordinates in the catalog. Exactly one of ``measures`` (agg),
     ``value`` (distinct), ``extrema`` ({name: (kind, expr)}) picks the
-    view kind; all expressions are SQL strings over (key, meta)."""
+    view kind; all expressions are SQL strings over (key, meta).
+
+    ``store_b`` + ``join_on=(expr_a, expr_b)`` turn an agg view into a
+    JOIN view over the equi-join ``store >< store_b`` — the ONLY time
+    the two snapshots are actually joined is this seed; every refresh
+    is the bilinear delta. Join/group/measure expressions then range
+    over the joined row's (a_key, a_meta, b_key, b_meta) columns, and
+    NULL join keys never match (ANSI equality)."""
     given = [x is not None for x in (measures, value, extrema)]
     if sum(given) != 1:
         raise ValueError(
             "exactly one of measures (agg view), value (distinct view), "
             "extrema (min/max view) must be given"
         )
+    if (store_b is None) != (join_on is None):
+        raise ValueError(
+            "a join view needs BOTH store_b and join_on=(expr_a, expr_b)"
+        )
+    if store_b is not None and measures is None:
+        raise ValueError(
+            "join views maintain additive aggregates: pass measures "
+            "(distinct/extrema over a join are not supported)"
+        )
     m = engine.catalog.get_store(store, schema)  # raises if missing
+    m_b = (engine.catalog.get_store(store_b, schema)
+           if store_b is not None else None)
     vs = _views(engine.catalog, schema)
     if name in vs:
         if error_if_exists:
@@ -147,25 +201,42 @@ def create_materialized_view(
         raise errors.StoreAlreadyExists(
             f"{schema}.{name} already names a store"
         )
-    kind = "agg" if measures is not None else (
-        "distinct" if value is not None else "extrema")
+    kind = ("join" if store_b is not None else
+            "agg" if measures is not None else
+            "distinct" if value is not None else "extrema")
     entry = {
         "name": name, "schema": schema, "store": store, "kind": kind,
         "group": group, "coords": None, "table": None,
     }
-    if kind == "agg":
+    if kind in ("agg", "join"):
         IVM._check_measures(_exprs(measures))
         entry["measures"] = dict(measures)
+        if kind == "join":
+            entry["store_b"] = store_b
+            entry["join_a"], entry["join_b"] = join_on
     elif kind == "distinct":
         entry["value"] = value
     else:
         ex = {k: (kd, F.expr(e)) for k, (kd, e) in extrema.items()}
         IVM._check_extrema(ex)
         entry["extrema"] = {k: [kd, e] for k, (kd, e) in extrema.items()}
-    coords = (m.version, m.deltas)
-    seed = _state_df(engine, entry, *coords)
+    coords = ((m.version, m.deltas) if kind != "join" else
+              ((m.version, m.deltas), (m_b.version, m_b.deltas)))
+    seed = _state_df(engine, entry, coords)
     vs[name] = entry
-    _write_generation(engine, entry, seed, coords)
+    try:
+        _write_generation(engine, entry, seed, coords)
+    except BaseException:
+        # the seed write failed: remove the half-created entry so a
+        # later unrelated _flush can't persist a coords=None view
+        # (which would crash list_materialized_views and squat the
+        # name forever), and re-flush in case _write_generation
+        # already persisted the catalog before dying in GC
+        vs.pop(name, None)
+        shutil.rmtree(_view_dir(engine.catalog, schema, name),
+                      ignore_errors=True)
+        engine.catalog._flush()
+        raise
     return entry
 
 
@@ -180,13 +251,30 @@ def refresh_materialized_view(engine, name: str,
     entry = _get(engine.catalog, name, schema)
     store = entry["store"]
     m = engine.catalog.get_store(store, schema)
+    group = F.expr(entry["group"])
+    kind = entry["kind"]
+    if kind == "join":
+        ca, cb = (tuple(c) for c in entry["coords"])
+        m_b = engine.catalog.get_store(entry["store_b"], schema)
+        ta, tb = (m.version, m.deltas), (m_b.version, m_b.deltas)
+        if (ca, cb) == (ta, tb):
+            return (ca, cb), (ta, tb)
+        measures = _exprs(entry["measures"])
+        delta = IVM.cdf_join_agg_delta(
+            engine, store, ca, engine, entry["store_b"], cb,
+            F.expr(entry["join_a"]), F.expr(entry["join_b"]),
+            group, measures, to_a=ta, to_b=tb, schema=schema,
+        )
+        new = IVM.apply_agg_delta(
+            read_state(engine, name, schema), delta, list(measures)
+        )
+        _write_generation(engine, entry, new, (ta, tb))
+        return (ca, cb), (ta, tb)
     v0, s0 = entry["coords"]
     v1, s1 = m.version, m.deltas
     if (v0, s0) == (v1, s1):
         return (v0, s0), (v1, s1)
     state = read_state(engine, name, schema)
-    group = F.expr(entry["group"])
-    kind = entry["kind"]
     if kind == "agg":
         measures = _exprs(entry["measures"])
         delta = IVM.cdf_agg_delta(
@@ -258,11 +346,35 @@ def drop_materialized_view(engine, name: str,
                   ignore_errors=True)
 
 
+def dependent_views(catalog, store: str, schema: str = PUBLIC_SCHEMA) -> list:
+    """Names of managed views that fold from ``store`` (either side of
+    a join view counts) — what ``Engine.drop_store`` must refuse or
+    cascade through, or the views dangle and every later refresh dies
+    with StoreNotFound."""
+    if schema not in catalog._data["schemas"]:
+        return []
+    return sorted(
+        e["name"]
+        for e in catalog._data["schemas"][schema].get("views", {}).values()
+        if e["store"] == store or e.get("store_b") == store
+    )
+
+
+def has_view(catalog, name: str, schema: str = PUBLIC_SCHEMA) -> bool:
+    """Catalog-only existence probe (no Spark jobs, no exceptions) —
+    the reverse of the store-name collision check view creation runs."""
+    if schema not in catalog._data["schemas"]:
+        return False
+    return name in catalog._data["schemas"][schema].get("views", {})
+
+
 def list_materialized_views(engine, schema: str = PUBLIC_SCHEMA) -> list:
     """Catalog-only listing (zero Spark jobs): [(name, kind, store,
     coords)] sorted by name."""
     return sorted(
-        (e["name"], e["kind"], e["store"], tuple(e["coords"]))
+        (e["name"], e["kind"], e["store"],
+         tuple(tuple(c) if isinstance(c, (list, tuple)) else c
+               for c in e["coords"]))
         for e in _views(engine.catalog, schema).values()
     )
 

@@ -155,3 +155,129 @@ def test_view_sql_door(engine):
     now = {r["group"] for r in
            spark.sql("SELECT group FROM ahnlich_mv_sqa").collect()}
     assert now == {"a", "b", "c"}
+
+
+def test_store_view_namespace_and_drop_dependency(engine, monkeypatch):
+    """The namespace and lifecycle couplings between stores and views:
+    create_store refuses a name a managed view holds (the mirror of
+    view creation's store check); drop_store refuses while dependent
+    views exist unless cascade_views=True drops them too; and a failed
+    seed write unwinds the half-created catalog entry so the name is
+    reusable and a later unrelated _flush can't persist a coords=None
+    entry."""
+    _seed(engine, "ns")
+    engine.create_materialized_view("nv", "ns", G, measures={"e2": E2})
+    with pytest.raises(errors.StoreAlreadyExists,
+                       match="names a materialized view"):
+        engine.create_store("nv", dimension=2)
+    with pytest.raises(errors.StoreHasDependentViews, match="nv"):
+        engine.drop_store("ns")
+    assert engine.catalog.has_store("ns")          # refused = untouched
+    assert engine.drop_store("ns", cascade_views=True) == 1
+    assert engine.list_materialized_views() == []
+    assert not engine.catalog.has_store("ns")
+
+    # seed-write failure: entry must NOT survive in the catalog
+    from ahnlich_spark.plans import views as V
+
+    _seed(engine, "fs")
+
+    def boom(*a, **k):
+        raise RuntimeError("disk full")
+
+    monkeypatch.setattr(V, "_write_generation", boom)
+    with pytest.raises(RuntimeError, match="disk full"):
+        engine.create_materialized_view("fv", "fs", G, measures={"e2": E2})
+    monkeypatch.undo()
+    assert engine.list_materialized_views() == []  # would crash on
+    # coords=None if the half-created entry had leaked
+    engine.catalog._flush()
+    eng2 = Engine(engine.spark, engine.catalog.warehouse)
+    assert eng2.list_materialized_views() == []    # nothing persisted
+    # the name is reusable after the failure
+    entry = engine.create_materialized_view("fv", "fs", G,
+                                            measures={"e2": E2})
+    assert entry["coords"] is not None
+
+
+JA = "a_meta['k']['s']"
+JB = "b_meta['k']['s']"
+JG = "b_meta['r']['s']"
+JM = "CAST(round(a_key[0] * 100) AS BIGINT)"
+
+
+def _seed_join(engine):
+    engine.create_store("jf", dimension=2, predicates=["k"])       # facts
+    engine.set("jf", [
+        ([0.01 * i, 0.0], {"k": str(i % 4)}) for i in range(1, 9)
+    ])
+    engine.create_store("jd", dimension=2, predicates=["k", "r"])  # dim
+    engine.set("jd", [
+        ([float(k), 0.0], {"k": str(k), "r": str(k % 2)}) for k in range(4)
+    ])
+
+
+def test_join_view_lifecycle_matches_recompute(engine):
+    """A managed JOIN view refreshes by the bilinear delta to exactly
+    the re-joined final snapshots after mutations on BOTH sides — a
+    fact delete + insert, a dim row delete orphaning its facts, and a
+    dim upsert moving a row between groups; a no-op refresh skips the
+    write on both coordinate pairs."""
+    _seed_join(engine)
+    engine.create_materialized_view(
+        "jv", "jf", JG, measures={"c100": JM},
+        store_b="jd", join_on=(JA, JB))
+    # both sides move
+    engine.del_pred("jf", Equals("k", "1"))
+    engine.set("jf", [([0.99, 0.0], {"k": "2"})])
+    engine.del_pred("jd", Equals("k", "3"))            # orphans k=3 facts
+    engine.set("jd", [([2.0, 0.0], {"k": "2", "r": "9"})])  # group move
+    f, t = engine.refresh_materialized_view("jv")
+    assert f != t
+    assert _rows(engine.read_materialized_view("jv")) == _rows(
+        IVM.full_join_agg(
+            engine, "jf", engine, "jd",
+            F.expr(JA), F.expr(JB), F.expr(JG), {"c100": F.expr(JM)}))
+    # no-op refresh: paired coordinates equal, generation untouched
+    from ahnlich_spark.plans import views as V
+
+    before = V._get(engine.catalog, "jv", "public")["table"]
+    f, t = engine.refresh_materialized_view("jv")
+    assert f == t
+    assert V._get(engine.catalog, "jv", "public")["table"] == before
+    # listing carries the paired coordinates
+    (nm, kind, st, coords), = engine.list_materialized_views()
+    assert (nm, kind, st) == ("jv", "join", "jf")
+    assert len(coords) == 2 and all(len(c) == 2 for c in coords)
+    # drop_store guards BOTH sides of a join view
+    with pytest.raises(errors.StoreHasDependentViews):
+        engine.drop_store("jd")
+    engine.drop_store("jd", cascade_views=True)
+    assert engine.list_materialized_views() == []
+    # bad specs refuse
+    with pytest.raises(ValueError, match="BOTH store_b and join_on"):
+        engine.create_materialized_view(
+            "jx", "jf", JG, measures={"c100": JM}, store_b="jf")
+    with pytest.raises(ValueError, match="additive aggregates"):
+        engine.create_materialized_view(
+            "jx", "jf", JG, value=JM, store_b="jf", join_on=(JA, JB))
+
+
+def test_join_view_survives_engine_restart(spark, warehouse):
+    """A join view created by one engine is refreshed by a FRESH
+    engine on the same warehouse, folding mutations the first engine
+    never saw from BOTH stores' recorded coordinates."""
+    eng1 = Engine(spark, warehouse)
+    _seed_join(eng1)
+    eng1.create_materialized_view(
+        "jr", "jf", JG, measures={"c100": JM},
+        store_b="jd", join_on=(JA, JB))
+    eng1.set("jf", [([0.5, 0.0], {"k": "0"})])
+    eng2 = Engine(spark, warehouse)
+    eng2.set("jd", [([9.0, 0.0], {"k": "0", "r": "5"})])
+    f, t = eng2.refresh_materialized_view("jr")
+    assert f != t
+    assert _rows(eng2.read_materialized_view("jr")) == _rows(
+        IVM.full_join_agg(
+            eng2, "jf", eng2, "jd",
+            F.expr(JA), F.expr(JB), F.expr(JG), {"c100": F.expr(JM)}))
