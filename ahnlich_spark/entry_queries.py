@@ -9250,6 +9250,38 @@ def _mview_fixture(spark, sf_dir, replica: str):
     return eng
 
 
+@register("streaming_materialized_distinct_keyed", _IVM_QUANTILE_SQL)
+def streaming_materialized_distinct_keyed(spark, sf_dir):
+    """The keyed sink composed with the DISTINCT/QUANTILE pair state
+    (streaming/pipeline.streaming_materialized_distinct(sink="keyed")):
+    the maintained state is the (group, value) pair multiset — an agg
+    view whose group is struct(g, v) — living as bucket-partitioned
+    parquet delta parts, so each trigger writes EXACTLY the pairs its
+    delta touched even when the pair space is huge; the exact per-group
+    median is one read-time window over the live pairs. This is the
+    composition SCALING.md promises for high-cardinality distinct
+    state; kill-and-restart and per-part exactness are pinned in
+    tests/test_streaming.py. Same source chain and closed-form
+    median oracle as the batch quantile gate."""
+    from ahnlich_spark.streaming.pipeline import (
+        streaming_materialized_distinct,
+    )
+
+    eng = _mview_fixture(spark, sf_dir, "mvrepd")
+    run = tempfile.mkdtemp(prefix="ahnlich_mviewd_")
+    q, drain = streaming_materialized_distinct(
+        eng.store_changes_stream("mvsrc", max_files_per_trigger=1),
+        eng, "mvrepd",
+        F.col("meta")["label"]["s"], _ivm_k0(),
+        state_dir=os.path.join(run, "state"),
+        checkpoint=os.path.join(run, "ckpt"),
+        sink="keyed",
+    )
+    q.processAllAvailable()
+    q.stop()
+    return drain(quantile=(1, 2)).withColumnRenamed("group", "label")
+
+
 @register("streaming_materialized_view_keyed", _IVM_FINAL_STATE_SQL)
 def streaming_materialized_view_keyed(spark, sf_dir):
     """The same continuously-maintained materialized view through the

@@ -799,6 +799,59 @@ def streaming_materialized_agg(
     return writer.start(), drain
 
 
+def streaming_materialized_distinct(
+    feed: DataFrame,
+    engine,
+    store: str,
+    group_expr,
+    value_expr,
+    schema: str = "public",
+    checkpoint: Optional[str] = None,
+    state_dir: Optional[str] = None,
+    sink: str = "snapshot",
+    buckets: int = 64,
+):
+    """Continuously-maintained DISTINCT/QUANTILE view: the same
+    replicate-then-fold pipeline as ``streaming_materialized_agg``, but
+    the maintained state is the (group, value) pair MULTISET — shaped
+    as an agg view whose group is struct(g, v) with no measures, so
+    the generic additive fold (and BOTH sinks, replay ledger and
+    kill-and-restart semantics included) maintain it unchanged.
+    COUNT(DISTINCT) and exact discrete quantiles are not additive;
+    the pair multiset is — and it is exactly what sketches (HLL / KMV /
+    t-digest) cannot give you: subtractable deletes and exactness.
+
+    The pair space is the view's cardinality: for a high-cardinality
+    (group × value) domain pass ``sink="keyed"`` and the per-trigger
+    write is EXACTLY the pairs the trigger's delta touched (bucketed by
+    pmod(xxhash64(struct(g, v)), buckets), reads partition-pruned to
+    touched buckets) — per trigger O(changes + touched-bucket rows),
+    independent of how many pairs the view holds. This is the
+    composition SCALING.md promises: the big inner state rides the
+    keyed sink, the rollup stays a read-time aggregation.
+
+    Returns ``(query, drain)``; ``drain()`` is the rolled-up
+    (group, n, n_distinct) view, ``drain(quantile=(num, den))`` the
+    exact discrete quantile (group, n, q) — one O(live pairs)
+    aggregation over the maintained state, never a store rescan."""
+    pair = F.struct(group_expr.alias("g"), value_expr.alias("v"))
+    q, drain_pairs = streaming_materialized_agg(
+        feed, engine, store, pair, {}, schema=schema,
+        checkpoint=checkpoint, state_dir=state_dir,
+        sink=sink, buckets=buckets,
+    )
+
+    def drain(quantile: Optional[tuple] = None) -> DataFrame:
+        from ahnlich_spark.operators import ivm as IVM
+
+        inner = drain_pairs()
+        if quantile is not None:
+            return IVM.quantile_rollup(inner, *quantile)
+        return IVM.distinct_rollup(inner)
+
+    return q, drain
+
+
 def streaming_materialized_join(
     feed: DataFrame,
     eng_a,

@@ -2039,3 +2039,83 @@ def test_keyed_mview_restart_from_scratch_replays_and_skips(
     # the replayed prefix was skipped: its parts were not rewritten
     # under new ids, only the new batch added one
     assert len(_keyed_parts(state_dir)) == len(parts_before) + 1
+
+
+@pytest.mark.parametrize("sink", ["snapshot", "keyed"])
+def test_materialized_distinct_restart_both_sinks(
+    spark, engine, tmp_path, sink
+):
+    """streaming_materialized_distinct maintains the (group, value)
+    pair multiset through BOTH sinks across a kill-and-restart, with a
+    delete REMOVING a value from the distinct set and shifting the
+    exact median — the subtraction sketches cannot do. The drained
+    rollup and quantile equal the full recompute of the final state,
+    and under the keyed sink each per-trigger part holds exactly the
+    touched pairs."""
+    from ahnlich_spark.operators import ivm as IVM
+    from ahnlich_spark.operators.predicates import Equals
+    from ahnlich_spark.streaming.pipeline import (
+        streaming_materialized_distinct,
+    )
+
+    name = "dv" + sink[0]
+    engine.create_store(name, dimension=2, predicates=["t", "v"])
+    engine.set(name, [
+        ([1.0, 0.0], {"t": "a", "v": "10"}),
+        ([2.0, 0.0], {"t": "a", "v": "20"}),
+        ([3.0, 0.0], {"t": "a", "v": "20"}),   # dup value
+        ([4.0, 0.0], {"t": "b", "v": "5"}),
+    ])
+    import tempfile as tf
+
+    from ahnlich_spark import Engine
+
+    replica = Engine(spark, tf.mkdtemp(prefix="ahnlich_dv_wh_"))
+    replica.create_store(name + "d", dimension=2)
+    replica.set(name + "d", engine.store_df(name, version=1, segments=0)
+                .select("key", "meta"))
+    grp = F.col("meta")["t"]["s"]
+    val = F.col("meta")["v"]["s"].cast("long")
+    state_dir = str(tmp_path / "dv_state")
+    ckpt = str(tmp_path / "dv_ckpt")
+
+    def fold():
+        return streaming_materialized_distinct(
+            engine.store_changes_stream(name, max_files_per_trigger=1),
+            replica, name + "d", grp, val,
+            state_dir=state_dir, checkpoint=ckpt, sink=sink, buckets=8,
+        )
+
+    engine.del_pred(name, Equals("v", "10"))        # a loses value 10
+    engine.set(name, [([9.0, 0.0], {"t": "b", "v": "7"})])
+    q1, _ = fold()
+    q1.processAllAvailable()
+    q1.stop()
+    # mutations land while the fold is down
+    engine.set(name, [([8.0, 0.0], {"t": "a", "v": "40"})])
+    engine.del_pred(name, Equals("v", "20"))        # kills BOTH dups
+    q2, drain2 = fold()
+    q2.processAllAvailable()
+    q2.stop()
+    got = _rows_null_first(drain2())
+    want = _rows_null_first(
+        IVM.full_agg_distinct(replica, name + "d", grp, val))
+    assert got == want and got
+    assert ("a", 1, 1) in got                        # only v=40 remains
+    gq = _rows_null_first(drain2(quantile=(1, 2)))
+    wq = _rows_null_first(IVM.quantile_rollup(
+        IVM.full_distinct_inner(replica, name + "d", grp, val), 1, 2))
+    assert gq == wq
+    if sink == "keyed":
+        per_part = {
+            t: sorted(((r["group"]["g"], r["group"]["v"]), r["n"])
+                      for r in spark.read.parquet(
+                          os.path.join(state_dir, t)).collect())
+            for t in _keyed_parts(state_dir)
+        }
+        assert per_part == {
+            "mviewk_p0": [(("a", 10), 0)],           # delete -> tombstone
+            "mviewk_p1": [(("b", 7), 1)],
+            "mviewk_p2": [(("a", 40), 1)],
+            "mviewk_p3": [(("a", 20), 0)],           # both dups die
+        }
