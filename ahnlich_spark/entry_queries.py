@@ -1411,6 +1411,46 @@ def winnowing_overlap(spark, sf_dir):
     )
 
 
+@register("winnowing_sampled_overlap", r"""
+WITH n AS (
+  SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS nt
+  FROM documents
+), p AS (
+  SELECT doc_id, nt, length(nt) - 7 AS np FROM n WHERE length(nt) >= 8
+), e AS (
+  SELECT doc_id, unnest(range(1, np + 1)) AS pos, nt FROM p
+), h AS (
+  SELECT doc_id,
+         ('0x' || substring(md5(substring(nt, CAST(pos AS INT), 8)), 1, 12))::BIGINT AS h
+  FROM e
+), f AS (
+  SELECT DISTINCT doc_id, h AS fp FROM h WHERE h % 8 = 0
+), rare AS (
+  SELECT fp FROM f GROUP BY fp HAVING count(*) <= 50
+), fr AS (SELECT f.doc_id, f.fp FROM f JOIN rare USING (fp))
+SELECT a.doc_id AS i, b.doc_id AS j, CAST(count(*) AS BIGINT) AS shared
+FROM fr a JOIN fr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 8
+""")
+def winnowing_sampled_overlap(spark, sf_dir):
+    """The 0-mod-p SAMPLED fingerprinting scheme (SIGMOD'03 §2, the
+    winnowing predecessor, operators/dedup.winnowing_fingerprints
+    (mod_p=8)): keep exactly the k-gram hashes with h % p == 0 — no
+    per-document window, so the ~1-row-per-character (id, pos, hash)
+    shuffle that dominates the full winnowing pipeline at corpus scale
+    never exists; the selection filter is scan-local and the only
+    shuffles left are the sampled distinct and the bucket join. The
+    trade is documented and real: the positional guarantee relaxes to
+    probabilistic (a substring match of length L is caught with
+    probability ~ 1 - (1-1/p)^(L-7), not certainty), which is why this
+    is the escape hatch for when winnowing is the hot path — the
+    default gate keeps the MOSS guarantee. Expected shared counts
+    scale by ~1/p, hence min_shared 8 where the full gate uses 20."""
+    return D.winnowing_overlap_pairs(
+        _t(spark, sf_dir, "documents"), min_shared=8, mod_p=8
+    )
+
+
 @register("winnowing_incremental", r"""
 WITH n AS (
   SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS nt

@@ -1101,6 +1101,7 @@ def winnowing_fingerprints(
     t: int = 16,
     text_col: str = "text",
     id_col: str = "doc_id",
+    mod_p: Optional[int] = None,
 ) -> DataFrame:
     """MOSS-style winnowing fingerprints (Schleimer/Wilkerson/Aiken,
     SIGMOD'03): per document, hash every character ``k``-gram of the
@@ -1115,9 +1116,25 @@ def winnowing_fingerprints(
     reproduces), then ONE shuffle of skinny (id, pos, hash) triples for
     the per-document window min; text itself never shuffles. Returns
     distinct (id_col, fp) pairs. Documents shorter than ``k``
-    normalized chars yield no fingerprints (nothing to guarantee)."""
+    normalized chars yield no fingerprints (nothing to guarantee).
+
+    ``mod_p`` switches to the paper's 0-mod-p SAMPLING scheme (the
+    winnowing predecessor, SIGMOD'03 §2): keep exactly the k-gram
+    hashes with ``h % p == 0`` — no window, so the per-document
+    (id, pos, hash) shuffle (~1 row per character, the dominant
+    shuffle of this pipeline at corpus scale) disappears entirely; the
+    only shuffle left is the distinct over the ~1/p sampled pairs.
+    The GUARANTEE RELAXES from positional to probabilistic: a shared
+    substring of length L >= t is detected only if it contains a
+    selected k-gram — probability ~ 1 - (1 - 1/p)^(L-k+1), NOT 1 —
+    and there is no density floor, so two sampled documents can share
+    long text yet zero fingerprints. Use it when winnowing is the hot
+    path and a bounded miss rate is acceptable; leave ``mod_p=None``
+    for the MOSS guarantee."""
     if not k < t:
         raise ValueError(f"need k < t (got k={k}, t={t})")
+    if mod_p is not None and mod_p < 2:
+        raise ValueError(f"mod_p must be >= 2 (got {mod_p})")
     w = t - k + 1
     nt = F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
     pos = df.select(
@@ -1135,6 +1152,15 @@ def winnowing_fingerprints(
                         1, 12), 16, 10,
         ).cast("long").alias("h"),
     )
+    if mod_p is not None:
+        # sampled path: the selection predicate is scan-local, so the
+        # filter sits BELOW the only remaining exchange (the distinct)
+        # and the window shuffle never exists
+        return (
+            h.filter(F.pmod(F.col("h"), F.lit(mod_p)) == 0)
+            .select(F.col(id_col), F.col("h").alias("fp"))
+            .distinct()
+        )
     win = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
     return (
         h.withColumn("_wmin", F.min("h").over(win))
@@ -1156,6 +1182,7 @@ def winnowing_overlap_pairs(
     max_doc_freq: int = 50,
     text_col: str = "text",
     id_col: str = "doc_id",
+    mod_p: Optional[int] = None,
 ) -> DataFrame:
     """Document pairs sharing >= ``min_shared`` winnowing fingerprints —
     the MOSS overlap report. Fingerprints appearing in more than
@@ -1170,9 +1197,15 @@ def winnowing_overlap_pairs(
     id list, the doc-frequency cap bounds it at ``max_doc_freq`` ids,
     and the i<j pairs are expanded IN the bucket (a HOF over a <=
     max_doc_freq array — bounded, never quadratic in the corpus); one
-    more shuffle counts shared fingerprints per pair."""
+    more shuffle counts shared fingerprints per pair.
+
+    ``mod_p`` selects the sampled 0-mod-p fingerprints instead (see
+    ``winnowing_fingerprints``): expected shared counts scale by ~1/p,
+    so lower ``min_shared`` accordingly — and the report becomes
+    probabilistic (a real overlap can be missed), which is the
+    documented trade for deleting the per-character window shuffle."""
     fps = winnowing_fingerprints(
-        df, k=k, t=t, text_col=text_col, id_col=id_col
+        df, k=k, t=t, text_col=text_col, id_col=id_col, mod_p=mod_p
     )
     buckets = (
         fps.groupBy("fp")
@@ -1202,6 +1235,7 @@ def winnowing_incremental_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     corpus_fps: Optional[DataFrame] = None,
+    mod_p: Optional[int] = None,
 ) -> DataFrame:
     """Incremental winnowing overlap: an incoming BATCH checked against
     the HISTORICAL corpus (and against itself) — the ingest-time
@@ -1228,10 +1262,11 @@ def winnowing_incremental_pairs(
     (>= ``min_shared``)."""
     if corpus_fps is None:
         corpus_fps = winnowing_fingerprints(
-            corpus_df, k=k, t=t, text_col=text_col, id_col=id_col
+            corpus_df, k=k, t=t, text_col=text_col, id_col=id_col,
+            mod_p=mod_p,
         )
     new_fps = winnowing_fingerprints(
-        new_df, k=k, t=t, text_col=text_col, id_col=id_col
+        new_df, k=k, t=t, text_col=text_col, id_col=id_col, mod_p=mod_p
     )
     both = (
         new_fps.select("fp", F.col(id_col).alias("_id"),

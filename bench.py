@@ -19,195 +19,28 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
-# Headline set: the vector-store hot path, the scalable dedup pipeline,
-# text analysis scans, the write path, and the windowed rollup.
-BENCH_QUERIES = [
-    "get_sim_n_cosine",
-    "get_sim_n_euclidean",
-    "get_sim_n_dot",
-    "get_sim_n_cosine_filtered",
-    "get_sim_n_batch",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "ann_pruned_lsh_topk",
-    "ann_pruned_ivf_topk",
-    "ann_pruned_batch_topk",
-    "ann_pruned_batch_ivf_topk",
-    "ann_after_mutations",
-    "store_sql_door",
-    "get_key",
-    "get_pred_equals",
-    "get_pred_nested",
-    "del_pred",
-    "store_lifecycle_counts",
-    "store_incremental_mutations",
-    "store_time_travel",
-    "ai_convert_embeddings",
-    "ai_get_sim_n",
-    "doc_token_count",
-    "doc_bpe_token_count",
-    "doc_quality",
-    "doc_lang_id",
-    "lang_id_confusion",
-    "doc_fingerprint",
-    "doc_rolling_hash",
-    "dedup_exact",
-    "dedup_wordset",
-    "minhash_lsh_pairs",
-    "dedup_clusters",
-    "ngram_jaccard_pairs",
-    "simhash_fingerprints",
-    "embedding_near_dup",
-    "simhash_near_dup",
-    "topk_per_label",
-    "vocab_top_terms",
-    "tfidf_top_terms",
-    "bm25_search",
-    "collocations_pmi",
-    "hybrid_search_rrf",
-    "quality_filter_c4",
-    "pii_scrub",
-    "asof_purchase_last_view",
-    "embedding_kmeans",
-    "semantic_dedup",
-    "embedding_project",
-    "ann_project_topk",
-    "ann_pq_topk",
-    "ann_ivfpq_residual_topk",
-    "corpus_mixture",
-    "sample_stratified",
-    "train_test_split",
-    "quality_decile_mix",
-    "sample_weighted_quality",
-    "events_gap_fill",
-    "pack_sequences",
-    "decontaminate_ngrams",
-    "chunk_dedup",
-    "doc_sliding_chunks",
-    "events_purchase_view_window",
-    "embedding_quantize_int8",
-    "doc_length_percentiles",
-    "corpus_export_roundtrip",
-    "doc_repetition",
-    "doc_unigram_logprob",
-    "events_json_props",
-    "events_funnel",
-    "events_outliers",
-    "sample_per_group_topn",
-    "events_hourly_rollup",
-    "events_sessionization",
-    "streaming_hourly_rollup",
-    "streaming_sessionization",
-    "streaming_interval_join",
-    "lineitem_pricing_rollup",
-    "orders_top_customers",
-    "regional_revenue",
-    "multimodal_image_meta",
-    "multimodal_audio_meta",
-    "ai_embed_binary",
-    "ai_face_attributes",
-    # round 4 additions with a real data-plan cost profile. The other
-    # new gates (ddl_lifecycle_counts, ai_upsert, streaming_*) are
-    # job-count/trigger-latency bound — flat in data — and stay
-    # correctness-only so the bench keeps measuring plans, not latency.
-    "store_change_feed",
-    "mmr_rerank_topk",
-    "salted_join_orders_customers",
-    "shipping_priority_topn",
-    "promo_revenue_share",
-    "returned_item_customers",
-    "heavy_hitters_terms",
-    "dedup_keep_best",
-    "corpus_rebalance",
-    "order_priority_exists",
-    "dormant_rich_customers",
-    "small_quantity_revenue",
-    # round 4, later session: the partsupp-free TPC-H completion + cube
-    "forecast_revenue_change",
-    "volume_shipping",
-    "nation_market_share",
-    "late_shipment_priority",
-    "customer_order_distribution",
-    "top_supplier_revenue",
-    "large_volume_customers",
-    "sole_return_supplier",
-    "events_rollup_cube",
-    "ann_recall_eval",
-    "graph_pagerank",
-    "ann_ivfpq_residual_batch_topk",
-    "dup_span_detect",
-    "dup_span_strip",
-    "dedup_incremental",
-    "distinct_kmv",
-    "decontaminate_semantic",
-    "orders_price_bands",
-    "knn_graph_lsh",
-    "events_rolling_window",
-    "label_centroids",
-    "graph_label_propagation",
-    "streaming_incremental_dedup",
-    "quantile_histogram_events",
-    "split_leakage_safe",
-    "streaming_kmv_distinct",
-    "graph_triangles",
-    "quality_filter_per_lang",
-    "cms_term_freq",
-    "vocab_growth_curve",
-    "doc_bigram_logprob",
-    "phrase_search_postings",
-    "event_transitions",
-    "cohort_retention",
-    "embedding_drift",
-    "cms_join_size_estimate",
-    "profile_events",
-    "streaming_histogram",
-    "skew_salt_advisor",
-    "early_arriving_facts",
-    "graph_personalized_pagerank",
-    "robust_outliers_events",
-    "orders_equi_depth_bands",
-    "classifier_log_odds",
-    "dsir_select_docs",
-    "graph_kcore_peel",
-    "distinct_hll",
-    "kmv_overlap_sources",
-    "streaming_hll_distinct",
-    # round 5 additions
-    "bloom_membership",
-    "fuzzy_link_blocked",
-    "streaming_heavy_hitters",
-    "graph_link_prediction",
-    # round 6 additions
-    "fuzzy_link_dropped_blocks",
-    "ann_drift_retrain",
-    "contrastive_hard_negatives",
-    "matryoshka_recall_eval",
-    "tokenizer_fertility_by_lang",
-    "knn_label_confusion_eval",
-    "ann_batch_filtered_topk",
-    "streaming_cms_counts",
-    "streaming_embedding_drift",
-    # round 7 additions
-    "bpe_train_merges",
-    "bpe_segment_fertility",
-    "pipeline_dedup_quality_pack",
-    "del_pred_audit",
-    "pipeline_cluster_dedup_pack",
-    "incremental_agg_refresh",
-    "incremental_extrema_refresh",
-    "streaming_materialized_view",
-    # round 8 additions
-    "streaming_materialized_view_keyed",
-    "incremental_distinct_refresh",
-    "incremental_join_refresh",
-    "incremental_quantile_refresh",
-    "streaming_materialized_join",
-    "managed_view_lifecycle",
-    "managed_view_quantile",
-    "winnowing_overlap",
-    "corpus_epoch_mix",
-    "winnowing_incremental",
-]
+# Every registered gate is benched — BENCH_QUERIES derives from the
+# driver-contract registry at runtime, so a new gate is automatically
+# measured the round it lands (the round-8 verdict asked for full
+# visibility). Exclusions are explicit, named, and printed in the JSON
+# as queries_excluded so the per-round record documents each reason.
+BENCH_EXCLUDED = {
+    "ai_bulk_set": (
+        "double full-corpus ingest by design (~125 s/run at sf0.1: "
+        "embeds all of lineitem TWICE into a fresh warehouse to pin "
+        "replace-semantics counts); 4 bench invocations would add "
+        "~8 min of pure ingest wall time while ai_convert_embeddings "
+        "already times the same Arrow-batched embed path on a "
+        "data-sized input"
+    ),
+}
+
+
+def bench_queries(qs) -> list:
+    missing = sorted(set(BENCH_EXCLUDED) - set(qs))
+    if missing:
+        raise SystemExit(f"BENCH_EXCLUDED names unknown queries: {missing}")
+    return sorted(n for n in qs if n not in BENCH_EXCLUDED)
 
 
 def main() -> None:
@@ -230,6 +63,7 @@ def main() -> None:
     import __spark_entry__ as entry_mod
 
     qs = entry_mod.queries()
+    names = bench_queries(qs)
 
     # Criterion-style warmup AT THE TARGET SF: run every benched query
     # once so timed runs measure steady-state execution — JIT-compiled
@@ -240,7 +74,7 @@ def main() -> None:
     entry_mod.entry(spark).collect()
     warm_dir = os.environ.get("SPARK_GRAFT_WARMUP_DIR", SF_DIR)
     if os.path.isdir(warm_dir):
-        for name in BENCH_QUERIES:
+        for name in names:
             try:
                 qs[name](spark, warm_dir).collect()
             except Exception:
@@ -255,7 +89,7 @@ def main() -> None:
     passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
     timings = {}
     for _ in range(passes):
-        for name in BENCH_QUERIES:
+        for name in names:
             fn = qs[name]
             t0 = time.perf_counter()
             rows = fn(spark, SF_DIR).collect()
@@ -278,6 +112,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
         "n_queries": len(timings),
+        "queries_excluded": BENCH_EXCLUDED,
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
@@ -290,6 +125,7 @@ def main() -> None:
         "unit": "sec",
         "sf": sf_val,
         "n_queries": len(timings),
+        "queries_excluded": sorted(BENCH_EXCLUDED),
         "detail": "BENCH_DETAIL.json",
         "queries": {},
         "queries_omitted": 0,

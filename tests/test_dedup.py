@@ -625,3 +625,47 @@ def test_winnowing_incremental_matches_from_scratch(spark):
             min_shared=2, max_doc_freq=10).collect()
     )
     assert inc2 == inc
+
+
+def test_winnowing_mod_p_sampled_variant(spark):
+    """The 0-mod-p sampled scheme: every selected fingerprint satisfies
+    h % p == 0, the sampled set is exactly the 0-mod-p subset of the
+    full k-gram hash set (so a long planted overlap is found whenever
+    it contains a selected gram), and the plan drops the per-document
+    window — no Window exchange survives, the shuffle the sampling
+    exists to delete."""
+    import contextlib
+    import io
+
+    from ahnlich_spark.operators import dedup as D
+
+    shared = ("a genuinely long shared passage of text that contains "
+              "many distinct character eight grams to sample from")
+    docs = spark.createDataFrame(
+        [(1, "xxxx " + shared + " yyyy"), (2, "qqqq " + shared + " rrrr"),
+         (3, "completely different content with its own wording")],
+        "doc_id long, text string",
+    )
+    p = 4
+    fps = D.winnowing_fingerprints(docs, mod_p=p)
+    rows = fps.collect()
+    assert rows and all(r["fp"] % p == 0 for r in rows)
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2]            # the planted overlap samples
+    assert not (by_doc.get(3, set()) & by_doc[1])
+    # no window in the sampled plan (the full path has exactly one)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        fps.explain("formatted")
+    assert "Window" not in buf.getvalue()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        D.winnowing_fingerprints(docs).explain("formatted")
+    assert "Window" in buf.getvalue()
+    # overlap pairs thread the sampling through; expected counts ~1/p
+    pairs = D.winnowing_overlap_pairs(docs, min_shared=2, mod_p=p).collect()
+    assert [(r["i"], r["j"]) for r in pairs] == [(1, 2)]
+    with pytest.raises(ValueError, match="mod_p"):
+        D.winnowing_fingerprints(docs, mod_p=1)
