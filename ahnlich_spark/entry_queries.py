@@ -9087,6 +9087,33 @@ def managed_view_quantile(spark, sf_dir):
     ).withColumnRenamed("group", "label")
 
 
+@register("streaming_managed_view_refresh", _IVM_FINAL_STATE_SQL)
+def streaming_managed_view_refresh(spark, sf_dir):
+    """A MANAGED catalog view kept continuously current by a
+    change-feed DOORBELL (plans/views.streaming_refresh_materialized_
+    view): each trigger calls the catalog refresh, which folds the
+    store's CDF from the CATALOG-recorded coordinates — the batch rows
+    are never consumed, so exactly-once is trivial and restart
+    survival is inherited from the catalog (mutations landing while
+    the stream is down fold on the first trigger back). This is the
+    managed-catalog face of streaming_materialized_agg: no replica, no
+    separate state_dir — the store mutates in place and the catalog
+    object follows. Same fixture chain and closed-form oracle as the
+    other managed-view gates; down-time catch-up pinned in
+    tests/test_views.py."""
+    eng = _managed_view_fixture(spark, sf_dir)
+    run = tempfile.mkdtemp(prefix="ahnlich_mgvs_")
+    q = eng.streaming_refresh_materialized_view(
+        eng.store_changes_stream("mgv", max_files_per_trigger=1),
+        "mgv_agg", checkpoint=os.path.join(run, "ckpt"),
+    )
+    q.processAllAvailable()
+    q.stop()
+    return eng.read_materialized_view("mgv_agg").withColumnRenamed(
+        "group", "label"
+    )
+
+
 def _ivm_join_fixture(spark, sf_dir):
     """The batch IVM fixture plus a dim store 'ivmdim' with its own
     mutation window (a deleted dim row orphaning its facts, an upsert

@@ -983,6 +983,15 @@ class Engine:
 
         return V.register_sql_views(self, schema=schema, prefix=prefix)
 
+    def streaming_refresh_materialized_view(self, feed, name: str,
+                                            schema: str = PUBLIC_SCHEMA,
+                                            checkpoint=None):
+        from ahnlich_spark.plans import views as V
+
+        return V.streaming_refresh_materialized_view(
+            feed, self, name, schema=schema, checkpoint=checkpoint,
+        )
+
     def get_key(
         self, store: str, keys: Sequence[Sequence[float]], schema: str = PUBLIC_SCHEMA
     ) -> DataFrame:

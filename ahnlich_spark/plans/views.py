@@ -379,6 +379,44 @@ def list_materialized_views(engine, schema: str = PUBLIC_SCHEMA) -> list:
     )
 
 
+def streaming_refresh_materialized_view(
+    feed,
+    engine,
+    name: str,
+    schema: str = PUBLIC_SCHEMA,
+    checkpoint: Optional[str] = None,
+):
+    """Continuously refresh a MANAGED view from a change-feed DOORBELL:
+    each micro-batch trigger calls ``refresh_materialized_view``, which
+    folds the store's CDF from the CATALOG-recorded coordinates to the
+    store's current ones — the batch rows themselves are never
+    consumed, so exactly-once is trivial (a replayed or re-batched
+    trigger folds from the persisted coordinates and lands the same or
+    a further catch-up; there is nothing to double-count), and restart
+    survival is inherited from the catalog: mutations landing while the
+    stream is down fold on the first trigger after it returns. Works
+    for every view kind — agg, distinct, extrema, and join (for a join
+    view, union both stores' change streams so either side wakes the
+    fold; a one-sided feed still catches the quiet side up on the next
+    trigger). Per-trigger cost is the view's refresh contract
+    (O(changes), coordinate no-ops skip the write entirely).
+
+    This is the managed-catalog face of
+    ``streaming/pipeline.streaming_materialized_agg``: use that when
+    the view should fold into a REPLICA it also maintains; use this
+    when the store mutates in place and the catalog object should
+    simply stay current. Returns the StreamingQuery."""
+    _get(engine.catalog, name, schema)  # fail fast on a missing view
+
+    def _sink(batch_df, batch_id: int) -> None:
+        refresh_materialized_view(engine, name, schema=schema)
+
+    writer = feed.writeStream.foreachBatch(_sink).outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
 def register_sql_views(engine, schema: str = PUBLIC_SCHEMA,
                        prefix: str = "ahnlich_mv_") -> list:
     """Expose every managed materialized view in ``schema`` to Spark

@@ -281,3 +281,44 @@ def test_join_view_survives_engine_restart(spark, warehouse):
         IVM.full_join_agg(
             eng2, "jf", eng2, "jd",
             F.expr(JA), F.expr(JB), F.expr(JG), {"c100": F.expr(JM)}))
+
+
+def test_streaming_doorbell_refresh_catches_up(engine, tmp_path):
+    """streaming_refresh_materialized_view keeps a managed view current
+    from a change-feed doorbell: triggers fold from the catalog's
+    recorded coordinates (batch rows never consumed), a no-movement
+    trigger is a generation no-op, and mutations landing while the
+    stream is DOWN fold on the first trigger after it returns —
+    restart survival inherited from the catalog."""
+    from ahnlich_spark.plans import views as V
+
+    _seed(engine, "sb")
+    engine.create_materialized_view("sbv", "sb", G, measures={"e2": E2})
+    engine.del_pred("sb", Equals("v", "3"))
+    engine.set("sb", [([7.0, 0.0], {"g": "c", "v": "9"})])
+
+    def feed():
+        return engine.store_changes_stream("sb", max_files_per_trigger=1)
+
+    ck = str(tmp_path / "doorbell_ck")
+    q = engine.streaming_refresh_materialized_view(feed(), "sbv",
+                                                   checkpoint=ck)
+    q.processAllAvailable()
+    q.stop()
+    grp = F.col("meta")["g"]["s"]
+    assert _rows(engine.read_materialized_view("sbv")) == _rows(
+        IVM.full_agg(engine, "sb", grp, {"e2": F.expr(E2)}))
+    gen = V._get(engine.catalog, "sbv", "public")["table"]
+    # mutations while the stream is down
+    engine.set("sb", [([8.0, 0.0], {"g": "d", "v": "1"})])
+    engine.del_pred("sb", Equals("g", "a"))
+    q2 = engine.streaming_refresh_materialized_view(feed(), "sbv",
+                                                    checkpoint=ck)
+    q2.processAllAvailable()
+    q2.stop()
+    assert _rows(engine.read_materialized_view("sbv")) == _rows(
+        IVM.full_agg(engine, "sb", grp, {"e2": F.expr(E2)}))
+    assert V._get(engine.catalog, "sbv", "public")["table"] != gen
+    # a missing view fails fast at wiring time, not first trigger
+    with pytest.raises(errors.StoreNotFound, match="materialized view"):
+        engine.streaming_refresh_materialized_view(feed(), "nope")
