@@ -249,6 +249,13 @@ def test_join_view_lifecycle_matches_recompute(engine):
     (nm, kind, st, coords), = engine.list_materialized_views()
     assert (nm, kind, st) == ("jv", "join", "jf")
     assert len(coords) == 2 and all(len(c) == 2 for c in coords)
+    # the SQL door serves a join view like any other kind
+    assert "ahnlich_mv_jv" in engine.register_materialized_views()
+    door = engine.spark.sql(
+        "SELECT group, n FROM ahnlich_mv_jv").collect()
+    assert sorted(tuple(r) for r in door) == sorted(
+        (r["group"], r["n"])
+        for r in engine.read_materialized_view("jv").collect())
     # drop_store guards BOTH sides of a join view
     with pytest.raises(errors.StoreHasDependentViews):
         engine.drop_store("jd")
