@@ -106,11 +106,16 @@ class AiEngine:
         return out
 
     def purge_stores(self, schema: str = PUBLIC_SCHEMA) -> int:
-        """Drop ALL AI stores in the schema (ai/query.rs:256)."""
+        """Drop ALL AI stores in the schema (ai/query.rs:256). Routed
+        through ``Engine.drop_store(cascade_views=True)`` — purge means
+        EVERYTHING about the store goes, so managed materialized views
+        folding from it are dropped too rather than left dangling (the
+        catalog invariant the engine-level guard enforces)."""
         dropped = 0
         for meta in self.catalog.list_stores(schema):
             if meta.ai is not None:
-                self.catalog.drop_store(meta.name, schema)
+                self.engine.drop_store(meta.name, schema=schema,
+                                       cascade_views=True)
                 dropped += 1
         return dropped
 

@@ -16,6 +16,7 @@ import json
 import os
 import shutil
 import tempfile
+import threading
 from dataclasses import dataclass, field, asdict
 from typing import Dict, List, Optional
 
@@ -71,6 +72,15 @@ class Catalog:
     def __init__(self, warehouse: str):
         self.warehouse = warehouse
         self.path = os.path.join(warehouse, "catalog.json")
+        # serializes catalog mutation+flush units across threads: a
+        # Structured Streaming sink (e.g. the managed-view doorbell
+        # refresh) mutates the catalog from the stream-execution thread
+        # while the user thread runs DDL/DML on the same Engine; without
+        # this, json.dump over _data can race a concurrent dict insert
+        # (RuntimeError) or persist a half-updated entry (coords paired
+        # with the wrong generation). RLock: mutators hold it around
+        # their mutate+flush unit, and _flush re-acquires.
+        self._lock = threading.RLock()
         os.makedirs(warehouse, exist_ok=True)
         if not os.path.exists(self.path):
             self._data = {"schemas": {PUBLIC_SCHEMA: {"stores": {}}}}
@@ -88,15 +98,18 @@ class Catalog:
             self._data = json.load(f)
 
     def _flush(self) -> None:
-        fd, tmp = tempfile.mkstemp(dir=self.warehouse, suffix=".catalog.tmp")
-        with os.fdopen(fd, "w") as f:
-            json.dump(self._data, f, indent=1)
-        os.replace(tmp, self.path)
+        with self._lock:
+            fd, tmp = tempfile.mkstemp(dir=self.warehouse,
+                                       suffix=".catalog.tmp")
+            with os.fdopen(fd, "w") as f:
+                json.dump(self._data, f, indent=1)
+            os.replace(tmp, self.path)
 
     # -- schemas ---------------------------------------------------------
     def ensure_schema(self, schema: str) -> None:
-        self._data["schemas"].setdefault(schema, {"stores": {}})
-        self._flush()
+        with self._lock:
+            self._data["schemas"].setdefault(schema, {"stores": {}})
+            self._flush()
 
     def schema_names(self) -> List[str]:
         return sorted(self._data["schemas"])
@@ -109,9 +122,10 @@ class Catalog:
             raise errors.SchemaNotEmptyOrProtected("cannot drop the default 'public' schema")
         if schema not in self._data["schemas"]:
             raise errors.SchemaNotFound(f"schema {schema!r} not found")
-        n = len(self._data["schemas"][schema]["stores"])
-        del self._data["schemas"][schema]
-        self._flush()
+        with self._lock:
+            n = len(self._data["schemas"][schema]["stores"])
+            del self._data["schemas"][schema]
+            self._flush()
         shutil.rmtree(os.path.join(self.warehouse, "data", schema), ignore_errors=True)
         return n
 
@@ -136,19 +150,22 @@ class Catalog:
         return meta
 
     def put_store(self, meta: StoreMeta) -> None:
-        self.ensure_schema(meta.schema)
-        d = asdict(meta)
-        self._data["schemas"][meta.schema]["stores"][meta.name] = d
-        self._flush()
+        with self._lock:
+            self.ensure_schema(meta.schema)
+            d = asdict(meta)
+            self._data["schemas"][meta.schema]["stores"][meta.name] = d
+            self._flush()
 
     def drop_store(self, name: str, schema: str = PUBLIC_SCHEMA) -> None:
         """Remove the catalog entry AND the store's data directory (all
         versions + index artifacts) — a drop frees disk, not just names."""
-        stores = self._stores(schema)
-        if name not in stores:
-            raise errors.StoreNotFound(f"store {schema}.{name} not found")
-        del stores[name]
-        self._flush()
+        with self._lock:
+            stores = self._stores(schema)
+            if name not in stores:
+                raise errors.StoreNotFound(
+                    f"store {schema}.{name} not found")
+            del stores[name]
+            self._flush()
         shutil.rmtree(
             os.path.join(self.warehouse, "data", schema, name), ignore_errors=True
         )

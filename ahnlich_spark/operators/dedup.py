@@ -1265,6 +1265,24 @@ def winnowing_incremental_pairs(
             corpus_df, k=k, t=t, text_col=text_col, id_col=id_col,
             mod_p=mod_p,
         )
+    elif mod_p is not None:
+        # a persisted fps table built under the WINDOW scheme mixed
+        # with 0-mod-p batch fingerprints would silently collapse
+        # shared counts toward zero (window minima need not satisfy
+        # h % p == 0) and wave contaminated batches through — probe a
+        # bounded sample and refuse loudly instead. (The reverse mixup
+        # — sampled corpus under mod_p=None — is not detectable this
+        # way; persist the scheme with the artifact.)
+        bad = (
+            corpus_fps.filter(F.pmod(F.col("fp"), F.lit(mod_p)) != 0)
+            .limit(1).count()
+        )
+        if bad:
+            raise ValueError(
+                f"corpus_fps contains fingerprints with fp % {mod_p} != 0 "
+                f"— it was not built with mod_p={mod_p}; regenerate the "
+                f"corpus artifact under the same scheme as the batch"
+            )
     new_fps = winnowing_fingerprints(
         new_df, k=k, t=t, text_col=text_col, id_col=id_col, mod_p=mod_p
     )

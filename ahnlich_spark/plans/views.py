@@ -138,9 +138,13 @@ def _write_generation(engine, entry: dict, df: DataFrame,
     base = _view_dir(catalog, entry["schema"], entry["name"])
     gen = "g" + "_".join(str(int(x)) for x in _flat_coords(coords))
     df.write.mode("overwrite").parquet(os.path.join(base, gen))
-    entry["coords"] = _json_coords(coords)
-    prev, entry["table"] = entry.get("table"), gen
-    catalog._flush()
+    with catalog._lock:
+        # coords + table + flush are ONE unit: another thread's flush
+        # between the two field writes would persist coords paired with
+        # the previous generation (wrong fold start after a restart)
+        entry["coords"] = _json_coords(coords)
+        prev, entry["table"] = entry.get("table"), gen
+        catalog._flush()
     keep = {gen, prev} if prev else {gen}
     for d in os.listdir(base):
         if d not in keep:
@@ -223,7 +227,8 @@ def create_materialized_view(
     coords = ((m.version, m.deltas) if kind != "join" else
               ((m.version, m.deltas), (m_b.version, m_b.deltas)))
     seed = _state_df(engine, entry, coords)
-    vs[name] = entry
+    with engine.catalog._lock:
+        vs[name] = entry
     try:
         _write_generation(engine, entry, seed, coords)
     except BaseException:
@@ -232,10 +237,11 @@ def create_materialized_view(
         # (which would crash list_materialized_views and squat the
         # name forever), and re-flush in case _write_generation
         # already persisted the catalog before dying in GC
-        vs.pop(name, None)
+        with engine.catalog._lock:
+            vs.pop(name, None)
+            engine.catalog._flush()
         shutil.rmtree(_view_dir(engine.catalog, schema, name),
                       ignore_errors=True)
-        engine.catalog._flush()
         raise
     return entry
 
@@ -336,12 +342,13 @@ def drop_materialized_view(engine, name: str,
                            schema: str = PUBLIC_SCHEMA) -> None:
     """DROP: remove the catalog entry and the view's data directory."""
     vs = _views(engine.catalog, schema)
-    if name not in vs:
-        raise errors.StoreNotFound(
-            f"materialized view {schema}.{name} not found"
-        )
-    del vs[name]
-    engine.catalog._flush()
+    with engine.catalog._lock:
+        if name not in vs:
+            raise errors.StoreNotFound(
+                f"materialized view {schema}.{name} not found"
+            )
+        del vs[name]
+        engine.catalog._flush()
     shutil.rmtree(_view_dir(engine.catalog, schema, name),
                   ignore_errors=True)
 
@@ -405,7 +412,14 @@ def streaming_refresh_materialized_view(
     ``streaming/pipeline.streaming_materialized_agg``: use that when
     the view should fold into a REPLICA it also maintains; use this
     when the store mutates in place and the catalog object should
-    simply stay current. Returns the StreamingQuery."""
+    simply stay current. Returns the StreamingQuery.
+
+    Thread safety: the refresh runs on the STREAM-EXECUTION thread
+    while the user thread keeps mutating the same engine — every
+    catalog mutate+flush unit (here and in the engine's DDL/DML)
+    serializes on the catalog's RLock, so concurrent mutations can
+    neither crash the flush mid-iteration nor persist a view entry
+    whose coordinates point past its stored generation."""
     _get(engine.catalog, name, schema)  # fail fast on a missing view
 
     def _sink(batch_df, batch_id: int) -> None:

@@ -88,12 +88,20 @@ def main() -> None:
     # don't.
     passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
     timings = {}
+    failures = {}
     for _ in range(passes):
         for name in names:
             fn = qs[name]
-            t0 = time.perf_counter()
-            rows = fn(spark, SF_DIR).collect()
-            elapsed = round(time.perf_counter() - t0, 3)
+            try:
+                t0 = time.perf_counter()
+                rows = fn(spark, SF_DIR).collect()
+                elapsed = round(time.perf_counter() - t0, 3)
+            except Exception as ex:  # noqa: BLE001 — one bad gate must
+                # not void the whole suite's timings now that the set
+                # auto-derives from every registered gate; record and
+                # keep measuring (correctness has its own gate)
+                failures[name] = f"{type(ex).__name__}: {ex}"[:200]
+                continue
             if name not in timings or elapsed < timings[name]:
                 timings[name] = elapsed
             del rows
@@ -113,6 +121,7 @@ def main() -> None:
         "sf": sf_val,
         "n_queries": len(timings),
         "queries_excluded": BENCH_EXCLUDED,
+        "queries_failed": failures,
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
@@ -126,6 +135,7 @@ def main() -> None:
         "sf": sf_val,
         "n_queries": len(timings),
         "queries_excluded": sorted(BENCH_EXCLUDED),
+        "queries_failed": sorted(failures),
         "detail": "BENCH_DETAIL.json",
         "queries": {},
         "queries_omitted": 0,

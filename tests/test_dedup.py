@@ -669,3 +669,26 @@ def test_winnowing_mod_p_sampled_variant(spark):
     assert [(r["i"], r["j"]) for r in pairs] == [(1, 2)]
     with pytest.raises(ValueError, match="mod_p"):
         D.winnowing_fingerprints(docs, mod_p=1)
+
+
+def test_winnowing_incremental_scheme_mismatch_refuses(spark):
+    """A persisted corpus fingerprint table built under the WINDOW
+    scheme cannot be silently mixed with 0-mod-p batch fingerprints
+    (shared counts would collapse toward zero and contaminated batches
+    would pass) — the bounded probe refuses loudly."""
+    from ahnlich_spark.operators import dedup as D
+
+    text = "a long enough shared passage of text for fingerprints here"
+    corpus = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    batch = spark.createDataFrame([(100, text)], "doc_id long, text string")
+    window_fps = D.winnowing_fingerprints(corpus)          # window scheme
+    with pytest.raises(ValueError, match="not built with mod_p"):
+        D.winnowing_incremental_pairs(
+            batch, corpus, corpus_fps=window_fps, mod_p=64,
+            min_shared=1).collect()
+    # matching schemes pass through
+    ok = D.winnowing_incremental_pairs(
+        batch, corpus,
+        corpus_fps=D.winnowing_fingerprints(corpus, mod_p=4),
+        mod_p=4, min_shared=1).collect()
+    assert [(r["i"], r["j"]) for r in ok] == [(100, 1)]

@@ -329,3 +329,47 @@ def test_streaming_doorbell_refresh_catches_up(engine, tmp_path):
     # a missing view fails fast at wiring time, not first trigger
     with pytest.raises(errors.StoreNotFound, match="materialized view"):
         engine.streaming_refresh_materialized_view(feed(), "nope")
+
+
+def test_doorbell_refresh_concurrent_user_mutations(engine, tmp_path):
+    """The doorbell refresh runs on the stream-execution thread while
+    the USER thread keeps mutating the same engine — the catalog RLock
+    serializes every mutate+flush unit, so nothing crashes
+    mid-json.dump and a final refresh equals the full recompute."""
+    _seed(engine, "cc")
+    engine.create_materialized_view("ccv", "cc", G, measures={"e2": E2})
+    q = engine.streaming_refresh_materialized_view(
+        engine.store_changes_stream("cc", max_files_per_trigger=1),
+        "ccv", checkpoint=str(tmp_path / "cc_ck"))
+    try:
+        for i in range(6):   # user-thread DDL + DML racing the triggers
+            engine.set("cc", [([float(i), 1.0],
+                               {"g": "rt" + str(i % 2), "v": str(i)})])
+            engine.create_store(f"cc_side{i}", dimension=2)
+            engine.drop_store(f"cc_side{i}")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    engine.refresh_materialized_view("ccv")    # catch any tail
+    grp = F.col("meta")["g"]["s"]
+    assert _rows(engine.read_materialized_view("ccv")) == _rows(
+        IVM.full_agg(engine, "cc", grp, {"e2": F.expr(E2)}))
+
+
+def test_ai_purge_cascades_views(spark, warehouse):
+    """PurgeStores routes through the engine drop so managed views over
+    an AI store are cascade-dropped, never left dangling."""
+    from ahnlich_spark.ai import AiEngine
+    from ahnlich_spark.types import StoreInput
+
+    ai = AiEngine(Engine(spark, warehouse))
+    ai.create_store("pv", query_model="all-minilm-l6-v2",
+                    index_model="all-minilm-l6-v2", store_original=True)
+    ai.set("pv", [(StoreInput.raw_string("alpha text"), {"g": "a"}),
+                  (StoreInput.raw_string("beta text"), {"g": "b"})])
+    eng = ai.engine
+    eng.create_materialized_view("pvv", "pv", G, measures={"n2": "1"})
+    assert ai.purge_stores() == 1
+    assert eng.list_materialized_views() == []   # cascaded, not dangling
+    with pytest.raises(errors.StoreNotFound):
+        eng.refresh_materialized_view("pvv")
