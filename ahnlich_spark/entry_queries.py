@@ -3613,6 +3613,66 @@ def corpus_epoch_mix(spark, sf_dir):
     )
 
 
+@register("corpus_temperature_mix", f"""
+WITH a AS (
+  SELECT source, CAST(count(*) AS HUGEINT) AS av
+  FROM documents GROUP BY source
+), w AS (
+  SELECT source, av,
+         greatest(s0 + CASE WHEN (s0+1)*(s0+1) <= x THEN 1 ELSE 0 END
+                     + CASE WHEN (s0+2)*(s0+2) <= x THEN 1 ELSE 0 END,
+                  1) AS wt
+  FROM (SELECT source, av, av * 1000000 AS x,
+               greatest(CAST(floor(sqrt(CAST(av * 1000000 AS DOUBLE)))
+                             AS HUGEINT) - 1, 0::HUGEINT) AS s0
+        FROM a)
+), tot AS (SELECT sum(av) AS total, sum(wt) AS wsum FROM w),
+f AS (
+  SELECT w.source,
+         CASE WHEN (t.total * w.wt) // (t.wsum * w.av) >= 3 THEN 3
+              ELSE (t.total * w.wt) // (t.wsum * w.av) END AS n_full,
+         CASE WHEN (t.total * w.wt) // (t.wsum * w.av) >= 3 THEN 0
+              ELSE (t.total * w.wt * 1000000) // (t.wsum * w.av)
+                   - ((t.total * w.wt) // (t.wsum * w.av)) * 1000000
+         END AS thr
+  FROM w, tot t
+), c AS (
+  SELECT d.doc_id, d.source,
+         f.n_full + CASE WHEN {_HASH_UNIT_SQL.format(salt='tempmix')}
+                              < f.thr THEN 1 ELSE 0 END AS copies
+  FROM documents d JOIN f USING (source)
+)
+SELECT source,
+       CAST(sum(copies) AS BIGINT) AS n_rows,
+       CAST(count(*) FILTER (WHERE copies > 0) AS BIGINT) AS n_docs,
+       CAST(max(copies) FILTER (WHERE copies > 0) - 1 AS BIGINT) AS max_epoch
+FROM c GROUP BY 1 HAVING sum(copies) > 0
+""")
+def corpus_temperature_mix(spark, sf_dir):
+    """TEMPERATURE mixture resampling (operators/sampling.
+    temperature_mixture, the T5/mT5 recipe): target shares are
+    availability^alpha with alpha = 1/2, so scarce sources repeat
+    toward their flattened share (capped at max_epochs = 3) while
+    abundant ones thin — the standard LM data-mixture knob, derived
+    FROM the corpus instead of hand-set weights. Weights are
+    floor(sqrt(av) * 1000) computed by an EXACT integer root (pure
+    Newton on ints, no float in the plan); the oracle reproduces them
+    by correcting a double sqrt estimate with HUGEINT comparisons, so
+    both engines agree bit-for-bit. Emission is scan-local
+    (literal-map lookup + one hash compare + bounded sequence-explode)
+    after one tiny planning aggregation. Reports per-source
+    (n_rows, n_docs, max_epoch) of the emitted manifest."""
+    from ahnlich_spark.operators.sampling import temperature_mixture
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    out = temperature_mixture(docs, alpha=(1, 2), max_epochs=3)
+    return out.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count_distinct("doc_id").cast("long").alias("n_docs"),
+        F.max("epoch").cast("long").alias("max_epoch"),
+    )
+
+
 @register("train_test_split", f"""
 WITH s AS (
   SELECT doc_id,

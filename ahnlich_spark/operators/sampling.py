@@ -343,6 +343,76 @@ def epoch_factors(avail: dict, weights: dict, total: int,
     return out
 
 
+def integer_root(x: int, q: int) -> int:
+    """floor(x ** (1/q)) in EXACT integer arithmetic (Newton on ints —
+    no float crosses the computation), so temperature weights are
+    bit-identical on any host and reproducible by an oracle that
+    corrects a double estimate with integer comparisons."""
+    if x < 0 or q < 1:
+        raise ValueError("integer_root needs x >= 0, q >= 1")
+    if x in (0, 1) or q == 1:
+        return x
+    r = 1 << ((x.bit_length() + q - 1) // q)  # upper-bound seed
+    while True:
+        nr = ((q - 1) * r + x // r ** (q - 1)) // q
+        if nr >= r:
+            return r
+        r = nr
+
+
+def temperature_weights(avail: dict, alpha=(1, 2),
+                        scale: int = 1000) -> dict:
+    """TEMPERATURE-sampling weights w_g = floor(a_g^(p/q) * scale) —
+    the T5/mT5 mixture recipe (probability ∝ availability^alpha,
+    alpha = p/q in (0, 1]): alpha=1 reproduces natural proportions,
+    alpha -> 0 flattens toward uniform, and the usual 0.3-0.7 range
+    boosts scarce sources without letting a huge one drown the mix.
+    Computed as integer_root(a^p * scale^q, q) — pure integers, so the
+    weights (and everything the mixture plans from them) are
+    cross-engine exact; a group's weight floors at 1 so no available
+    source silently vanishes. Keep a^p * scale^q within the oracle
+    engine's HUGEINT (~1.7e38) when choosing scale/alpha."""
+    p, q = int(alpha[0]), int(alpha[1])
+    if not 0 < p <= q:
+        raise ValueError(f"alpha {p}/{q} must satisfy 0 < p/q <= 1")
+    return {
+        g: max(integer_root(int(a) ** p * scale ** q, q), 1)
+        for g, a in avail.items()
+    }
+
+
+def temperature_mixture(
+    df: DataFrame,
+    alpha=(1, 2),
+    total: Optional[int] = None,
+    max_epochs: int = 4,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "tempmix",
+) -> DataFrame:
+    """Resample a corpus to TEMPERATURE-flattened source shares with
+    repetition: one tiny aggregation reads per-group availability, the
+    target weights are a_g^alpha (``temperature_weights``), and the
+    epoch plan + scan-local emission are ``upsample_to_mixture``'s —
+    scarce sources repeat up to ``max_epochs`` epochs toward their
+    flattened share, abundant ones thin, everything integer-exact and
+    shuffle-free after the planning agg. This is the standard LM
+    data-mixture knob (T5 alpha=1/2, mT5 alpha=0.3) expressed over the
+    engine's deterministic hash-unit machinery."""
+    avail = {
+        r["g"]: int(r["a"])
+        for r in df.groupBy(F.col(group_col).alias("g"))
+        .agg(F.count(F.lit(1)).alias("a")).collect()
+    }
+    if not avail:
+        raise ValueError("empty corpus: nothing to resample")
+    weights = temperature_weights(avail, alpha=alpha)
+    return upsample_to_mixture(
+        df, weights, total=total, max_epochs=max_epochs,
+        group_col=group_col, id_col=id_col, salt=salt,
+    )
+
+
 def upsample_to_mixture(
     df: DataFrame,
     weights: dict,

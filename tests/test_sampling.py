@@ -500,3 +500,64 @@ def test_epoch_factors_share_identity():
                 assert nf * _SCALE + thr == scaled
 
     check()
+
+
+def test_integer_root_and_temperature_weights():
+    """integer_root is the exact floor q-th root (property-checked:
+    r^q <= x < (r+1)^q), temperature_weights reproduces natural
+    proportions at alpha=1, compresses ratios at alpha=1/2 (the
+    flattening that IS temperature sampling), floors at 1, and
+    validates alpha."""
+    import pytest
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ahnlich_spark.operators.sampling import (
+        integer_root,
+        temperature_weights,
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(x=st.integers(min_value=0, max_value=10**30),
+           q=st.integers(min_value=1, max_value=6))
+    def check(x, q):
+        r = integer_root(x, q)
+        assert r ** q <= x < (r + 1) ** q
+
+    check()
+    assert integer_root(10**12, 2) == 10**6
+    assert integer_root(10**12 - 1, 2) == 10**6 - 1
+    with pytest.raises(ValueError):
+        integer_root(-1, 2)
+
+    avail = {"big": 1_000_000, "small": 10_000}
+    w1 = temperature_weights(avail, alpha=(1, 1))
+    assert w1["big"] / w1["small"] == 100          # natural at alpha=1
+    w2 = temperature_weights(avail, alpha=(1, 2))
+    assert w2["big"] / w2["small"] == 10           # sqrt-flattened
+    assert temperature_weights({"tiny": 1}, alpha=(1, 2))["tiny"] >= 1
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_weights(avail, alpha=(3, 2))
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_weights(avail, alpha=(0, 2))
+
+
+def test_temperature_mixture_shares_flatten(spark):
+    """temperature_mixture moves the emitted mix toward flat: the
+    scarce source's share strictly rises vs its natural share and the
+    abundant one's falls, with repetition bounded by max_epochs and
+    every emitted row carrying a valid 0-based epoch."""
+    from ahnlich_spark.operators.sampling import temperature_mixture
+
+    rows = ([(i, "big") for i in range(900)]
+            + [(1000 + i, "rare") for i in range(100)])
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_mixture(df, alpha=(1, 2), max_epochs=4).cache()
+    by = {r["source"]: r["n"] for r in
+          out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    tot = sum(by.values())
+    assert by["rare"] / tot > 0.1                  # boosted above natural
+    assert by["big"] / tot < 0.9
+    eps = out.groupBy("source").agg(F.max("epoch").alias("m")).collect()
+    assert all(0 <= r["m"] < 4 for r in eps)
+    assert by["rare"] <= 4 * 100                   # repetition capped
