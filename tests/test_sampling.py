@@ -561,3 +561,24 @@ def test_temperature_mixture_shares_flatten(spark):
     eps = out.groupBy("source").agg(F.max("epoch").alias("m")).collect()
     assert all(0 <= r["m"] < 4 for r in eps)
     assert by["rare"] <= 4 * 100                   # repetition capped
+
+
+def test_temperature_mixture_emission_plan_is_scan_local(spark):
+    """The temperature emission plan contains NO exchange and NO join:
+    weights are driver-side literals (exact integer roots over one tiny
+    planning agg), so the 100 TB-side work is a pure narrow
+    map+explode — the plan shape the docstring promises."""
+    import contextlib
+    import io
+
+    from ahnlich_spark.operators.sampling import temperature_mixture
+
+    df = spark.createDataFrame(
+        [(i, "s" + str(i % 3)) for i in range(60)],
+        "doc_id long, source string")
+    out = temperature_mixture(df, alpha=(1, 2), max_epochs=2)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan and "Join" not in plan, plan
