@@ -2818,7 +2818,7 @@ def streaming_probe_search_gate(spark, sf_dir):
     q.processAllAvailable()
     q.stop()
 
-    res = spark.read.parquet(sink)
+    res = spark.read.parquet(os.path.join(sink, "b*"))
     ids = emb.select("vec_id", store_key_id(F.col("embedding")).alias("id"))
     return res.join(ids, "id").select(
         F.col("qid").alias("probe_id"),

@@ -364,7 +364,9 @@ def read_events_stream(
     under ``path`` become micro-batches; ``maxFilesPerTrigger`` bounds
     per-batch work (backpressure at scale)."""
     reader = spark.readStream.schema(schema).format(fmt)
-    if max_files_per_trigger:
+    if max_files_per_trigger is not None:
+        # `is not None`, not truthiness: an (invalid) explicit 0 should
+        # reach Spark and fail loudly, not silently run unthrottled
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.load(path)
 
@@ -546,17 +548,24 @@ def streaming_probe_search(
     thousands of scans.
 
     ``stream`` needs (qid LONG, qkey ARRAY<FLOAT>) columns; results
-    append to ``sink_path`` as parquet carrying qid + rank_n + the
-    store row + score. Returns the StreamingQuery."""
+    land under ``sink_path`` as one batch-id-named parquet dir per
+    micro-batch (read them back with ``sink_path + "/b*"``), carrying
+    qid + rank_n + the store row + score. Batch-keyed OVERWRITE makes
+    the sink idempotent under replay: a redelivered probe batch (crash
+    after the write, before the offset-log commit) rewrites its own
+    directory instead of appending duplicate answers. Returns the
+    StreamingQuery."""
 
-    def _answer(batch_df: DataFrame, _batch_id: int) -> None:
+    def _answer(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         out = engine.get_sim_n_batch(
             store, batch_df.select("qid", "qkey"), closest_n=closest_n,
             algorithm=algorithm, schema=schema, precision=precision,
         )
-        out.drop("qkey").write.mode("append").parquet(sink_path)
+        out.drop("qkey").write.mode("overwrite").parquet(
+            os.path.join(sink_path, f"b{batch_id}")
+        )
 
     writer = stream.writeStream.foreachBatch(_answer).outputMode("update")
     if checkpoint:
@@ -760,8 +769,15 @@ def streaming_materialized_agg(
             state["agg"], state["last_id"] = loaded, last
             state["coords"] = (int(coords[0]), int(coords[1]))
     if state["agg"] is None:
+        # seed pinned to the SAME coordinates recorded for the first
+        # fold — a writer committing between get_store() and the eager
+        # materialization here would otherwise land in the seed AND in
+        # the first cdf delta (double-counted forever); the keyed sink
+        # pins identically
         state["agg"] = IVM.full_agg(
-            engine, store, group_expr, measures, schema=schema
+            engine, store, group_expr, measures,
+            version=state["coords"][0], segments=state["coords"][1],
+            schema=schema,
         ).localCheckpoint()
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -910,7 +926,7 @@ def streaming_materialized_join(
 
     ca = tuple(from_a) if from_a is not None else _coords(eng_a, store_a)
     cb = tuple(from_b) if from_b is not None else _coords(eng_b, store_b)
-    state = {"agg": None, "ca": ca, "cb": cb, "last_id": -1}
+    state = {"agg": None, "ca": ca, "cb": cb}
     ptr_path = os.path.join(state_dir, "mjoin_state.json") if state_dir else None
     if ptr_path:
         p = _read_json(ptr_path)
@@ -927,7 +943,6 @@ def streaming_materialized_join(
                 )
             state["ca"] = (int(pa[0]), int(pa[1]))
             state["cb"] = (int(pb[0]), int(pb[1]))
-            state["last_id"] = int(p["batch_id"])
             state["agg"] = spark.read.parquet(
                 os.path.join(state_dir, p["table"])
             ).localCheckpoint()
@@ -941,19 +956,28 @@ def streaming_materialized_join(
         ).localCheckpoint()
 
     def _commit(batch_id: int) -> None:
-        table = f"mjoin_v{batch_id}"
+        # the generation is named by its FOLD COORDINATES, not the
+        # batch id: coordinates advance monotonically, so a fold can
+        # never reuse the live pointer's table name — a batch
+        # redelivered after the pointer swapped (crash before the
+        # offset-log commit, stores advanced while down) folds to NEW
+        # coordinates and writes a NEW table, while a re-run of a
+        # crashed fold rewrites only its own orphan. Batch-id naming
+        # here would overwrite committed live data in place.
+        ca, cb = state["ca"], state["cb"]
+        table = f"mjoin_g{ca[0]}_{ca[1]}_{cb[0]}_{cb[1]}"
         state["agg"].write.mode("overwrite").parquet(
             os.path.join(state_dir, table)
         )
         prev = _read_json(ptr_path)
         _atomic_write_json(ptr_path, {
             "batch_id": batch_id, "table": table,
-            "coords_a": list(state["ca"]), "coords_b": list(state["cb"]),
+            "coords_a": list(ca), "coords_b": list(cb),
         })
         if prev is not None and prev["table"] != table:
             for d in os.listdir(state_dir):
-                if (d.startswith("mjoin_v") and d != table
-                        and d != prev["table"]):
+                if ((d.startswith("mjoin_g") or d.startswith("mjoin_v"))
+                        and d != table and d != prev["table"]):
                     shutil.rmtree(os.path.join(state_dir, d),
                                   ignore_errors=True)
 
@@ -971,7 +995,6 @@ def streaming_materialized_join(
             state["ca"], state["cb"] = ta, tb
             if ptr_path:
                 _commit(batch_id)
-        state["last_id"] = batch_id
 
     def drain() -> DataFrame:
         return state["agg"]
@@ -1083,6 +1106,17 @@ def _keyed_materialized_agg(
                 f"different fold); delete the state_dir and re-seed "
                 f"the view instead of reusing it"
             )
+        saved_buckets = (p.get("extra") or {}).get("buckets")
+        if saved_buckets is not None and int(saved_buckets) != buckets:
+            raise ValueError(
+                f"keyed mview state in {state_dir} was written with "
+                f"buckets={saved_buckets} but this fold was started "
+                f"with buckets={buckets} — the persisted parts' _vb "
+                f"partition values would mismatch the new bucket "
+                f"mapping and silently corrupt the view; restart with "
+                f"buckets={saved_buckets} or delete the state_dir and "
+                f"re-seed"
+            )
         state["coords"] = (int(coords[0]), int(coords[1]))
         state["tables"] = list(p["tables"])
         state["parts"] = [
@@ -1119,7 +1153,11 @@ def _keyed_materialized_agg(
             "batch_id": batch_id,
             "tables": list(state["tables"]),
             "ledger": ledger.as_json(),
-            "extra": {"coords": list(state["coords"])},
+            # buckets rides the pointer so a restart with a different
+            # bucket count is REFUSED on load instead of silently
+            # merging parts under a mismatched _vb mapping
+            "extra": {"coords": list(state["coords"]),
+                      "buckets": buckets},
         })
         # GC parts dropped by compaction, once the new pointer is live
         if old is not None:
@@ -1453,12 +1491,7 @@ def streaming_kmv_distinct(
 
     group_cols = list(group_cols)
     spark = value_stream.sparkSession
-    state = {
-        "minima": (
-            initial_minima.localCheckpoint() if initial_minima is not None else None
-        ),
-        "last_id": -1,
-    }
+    state = {"minima": None, "last_id": -1}
     persist = (
         _DfStatePersist(spark, state_dir, "kmv") if state_dir else None
     )
@@ -1466,6 +1499,12 @@ def streaming_kmv_distinct(
         loaded, last = persist.load()
         if loaded is not None:
             state["minima"], state["last_id"] = loaded, last
+    if state["minima"] is None and initial_minima is not None:
+        # materialize the warm start ONLY when the pointer missed —
+        # the persisted state wins, and eagerly checkpointing a seed
+        # that is about to be discarded costs a full O(state) job on
+        # every restart
+        state["minima"] = initial_minima.localCheckpoint()
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if persist and batch_id <= state["last_id"]:
@@ -1528,14 +1567,7 @@ def streaming_hll_distinct(
     from ahnlich_spark.operators import sketches as SK
 
     group_cols = list(group_cols)
-    state = {
-        "registers": (
-            initial_registers.localCheckpoint()
-            if initial_registers is not None
-            else None
-        ),
-        "last_id": -1,
-    }
+    state = {"registers": None, "last_id": -1}
     persist = (
         _DfStatePersist(value_stream.sparkSession, state_dir, "hll")
         if state_dir else None
@@ -1544,6 +1576,11 @@ def streaming_hll_distinct(
         loaded, last = persist.load()
         if loaded is not None:
             state["registers"], state["last_id"] = loaded, last
+    if state["registers"] is None and initial_registers is not None:
+        # materialize the warm start ONLY when the pointer missed —
+        # persisted state wins, and eagerly checkpointing a seed that
+        # is about to be discarded costs an O(state) job every restart
+        state["registers"] = initial_registers.localCheckpoint()
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if persist and batch_id <= state["last_id"]:
@@ -1605,12 +1642,7 @@ def streaming_histogram_quantiles(
     from ahnlich_spark.operators import sketches as SK
 
     group_cols = list(group_cols)
-    state = {
-        "summ": (
-            initial_summary.localCheckpoint() if initial_summary is not None else None
-        ),
-        "last_id": -1,
-    }
+    state = {"summ": None, "last_id": -1}
     persist = (
         _DfStatePersist(value_stream.sparkSession, state_dir, "hist")
         if state_dir else None
@@ -1619,6 +1651,11 @@ def streaming_histogram_quantiles(
         loaded, last = persist.load()
         if loaded is not None:
             state["summ"], state["last_id"] = loaded, last
+    if state["summ"] is None and initial_summary is not None:
+        # materialize the warm start ONLY when the pointer missed —
+        # persisted state wins, and eagerly checkpointing a seed that
+        # is about to be discarded costs an O(state) job every restart
+        state["summ"] = initial_summary.localCheckpoint()
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if persist and batch_id <= state["last_id"]:
@@ -1799,12 +1836,7 @@ def streaming_cms_counts(
     from ahnlich_spark.operators import sketches as SK
 
     group_cols = list(group_cols)
-    state = {
-        "table": (
-            initial_table.localCheckpoint() if initial_table is not None else None
-        ),
-        "last_id": -1,
-    }
+    state = {"table": None, "last_id": -1}
     persist = (
         _DfStatePersist(value_stream.sparkSession, state_dir, "cms")
         if state_dir else None
@@ -1813,6 +1845,11 @@ def streaming_cms_counts(
         loaded, last = persist.load()
         if loaded is not None:
             state["table"], state["last_id"] = loaded, last
+    if state["table"] is None and initial_table is not None:
+        # materialize the warm start ONLY when the pointer missed —
+        # persisted state wins, and eagerly checkpointing a seed that
+        # is about to be discarded costs an O(state) job every restart
+        state["table"] = initial_table.localCheckpoint()
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if persist and batch_id <= state["last_id"]:

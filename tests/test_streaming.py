@@ -258,7 +258,7 @@ def test_streaming_probe_search_matches_batch(spark, engine):
         q.stop()
         got = {
             (r["qid"], r["rank_n"], r["id"])
-            for r in spark.read.parquet(sink).collect()
+            for r in spark.read.parquet(os.path.join(sink, "b*")).collect()
         }
         want = {
             (r["qid"], r["rank_n"], r["id"])
@@ -2119,3 +2119,85 @@ def test_materialized_distinct_restart_both_sinks(
             "mviewk_p2": [(("a", 40), 1)],
             "mviewk_p3": [(("a", 20), 0)],           # both dups die
         }
+
+
+def test_keyed_mview_refuses_bucket_count_change(spark, engine, tmp_path):
+    """Restarting a keyed fold with a different buckets value is
+    REFUSED on load: the persisted parts' _vb partition values were
+    computed under the old mapping and merging them under a new one
+    silently corrupts the view."""
+    from ahnlich_spark.streaming.pipeline import streaming_materialized_agg
+
+    replica, grp, measures = _keyed_fixture(spark, engine, "kvb")
+    state_dir = str(tmp_path / "kvb_state")
+    q, _ = streaming_materialized_agg(
+        engine.store_changes_stream("kvb", max_files_per_trigger=1),
+        replica, "kvbd", grp, measures,
+        state_dir=state_dir, checkpoint=str(tmp_path / "kvb_ck1"),
+        sink="keyed", buckets=8,
+    )
+    q.processAllAvailable()
+    q.stop()
+    with pytest.raises(ValueError, match="buckets=8"):
+        streaming_materialized_agg(
+            engine.store_changes_stream("kvb", max_files_per_trigger=1),
+            replica, "kvbd", grp, measures,
+            state_dir=state_dir, checkpoint=str(tmp_path / "kvb_ck2"),
+            sink="keyed", buckets=4,
+        )
+
+
+def test_mjoin_generations_are_coords_named_and_never_reused(
+    spark, engine, tmp_path
+):
+    """The join view's persisted generation is named by its fold
+    coordinates: successive folds write DIFFERENT tables (the live
+    pointer's table is never overwritten in place — the crash window a
+    batch-id name reopens when a committed batch is redelivered after
+    the stores advanced), and a from-scratch checkpoint restart with
+    down-time mutations folds into yet another new generation."""
+    import json as _json
+
+    from ahnlich_spark.operators import ivm as IVM
+    from ahnlich_spark.streaming.pipeline import (
+        streaming_materialized_join,
+    )
+
+    engine.create_store("mjf", dimension=2, predicates=["k"])
+    engine.set("mjf", [([0.1 * k, 0.0], {"k": str(k % 3)})
+                       for k in range(1, 7)])
+    engine.create_store("mjd", dimension=2, predicates=["k", "r"])
+    engine.set("mjd", [([float(k), 0.0], {"k": str(k), "r": str(k % 2)})
+                       for k in range(3)])
+    ja, jb = F.col("a_meta")["k"]["s"], F.col("b_meta")["k"]["s"]
+    grp = F.col("b_meta")["r"]["s"]
+    meas = {"c10": (F.element_at("a_key", 1) * 10).cast("long")}
+    state_dir = str(tmp_path / "mj_state")
+    ptr = os.path.join(state_dir, "mjoin_state.json")
+
+    def run(ck):
+        feed = engine.store_changes_stream(
+            "mjf", max_files_per_trigger=1
+        ).unionByName(engine.store_changes_stream(
+            "mjd", max_files_per_trigger=1))
+        q, drain = streaming_materialized_join(
+            feed, engine, "mjf", engine, "mjd", ja, jb, grp, meas,
+            state_dir=state_dir, checkpoint=str(tmp_path / ck),
+            from_a=(1, 0), from_b=(1, 0))
+        q.processAllAvailable()
+        q.stop()
+        return drain()
+
+    engine.set("mjf", [([0.9, 0.0], {"k": "0"})])
+    run("ck1")
+    t1 = _json.load(open(ptr))["table"]
+    assert t1.startswith("mjoin_g")
+    # mutations land while the fold is down; a FRESH checkpoint
+    # redelivers everything from scratch (batch ids restart at 0)
+    engine.set("mjd", [([2.0, 0.0], {"k": "2", "r": "7"})])
+    got = run("ck2")
+    t2 = _json.load(open(ptr))["table"]
+    assert t2 != t1 and t2.startswith("mjoin_g")
+    assert _rows_null_first(got) == _rows_null_first(
+        IVM.full_join_agg(engine, "mjf", engine, "mjd",
+                          ja, jb, grp, meas))
