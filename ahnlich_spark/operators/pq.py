@@ -262,6 +262,7 @@ def pq_top_k_batch(
     metric: str = "euclidean_distance",
     precision: str = "double",
     rank_col: str = "rank_n",
+    carry_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Batch PQ/ADC search: top-k per probe for a whole batch in ONE
     plan. ``probes`` is a list of (probe_id, vector); each probe's ADC
@@ -294,7 +295,12 @@ def pq_top_k_batch(
     )
 
     codes = F.col(code_col) if code_col else encode_expr(vec_col, books)
-    base = df.select(F.col(id_col), F.col(vec_col), codes.alias("_codes"))
+    # carry_cols ride through candidates to the output (e.g. the store's
+    # meta column, so the engine's batch pq answers carry the same store
+    # columns as every other get_sim_n_batch path)
+    base = df.select(F.col(id_col), F.col(vec_col),
+                     *[F.col(c) for c in carry_cols],
+                     codes.alias("_codes"))
     joined = base.crossJoin(F.broadcast(probes_df))
     adc = F.aggregate(
         F.zip_with(
@@ -320,7 +326,10 @@ def pq_top_k_batch(
         cand.withColumn("_score", score)
         .withColumn(rank_col, F.row_number().over(wr))
         .filter(F.col(rank_col) <= k)
-        .select(F.col("qid"), F.col(id_col), F.col(rank_col), F.col("_score").alias("similarity"))
+        .select(F.col("qid"), F.col(id_col), F.col(vec_col),
+                *[F.col(c) for c in carry_cols],
+                F.col("qkey").cast("array<float>").alias("qkey"),
+                F.col(rank_col), F.col("_score").alias("similarity"))
     )
 
 
@@ -567,6 +576,7 @@ def pq_top_k_batch_residual(
     metric: str = "euclidean_distance",
     precision: str = "double",
     rank_col: str = "rank_n",
+    carry_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Batch residual-IVF-PQ search: top-k per probe in ONE plan over a
     store carrying residual codes (codes taken against each row's own
@@ -610,6 +620,7 @@ def pq_top_k_batch_residual(
 
     base = df.select(
         F.col(id_col), F.col(vec_col),
+        *[F.col(c) for c in carry_cols],
         F.col(code_col).alias("_codes"),
         F.col(bucket_col).cast("int").alias("_bkt"),
     )
@@ -641,7 +652,10 @@ def pq_top_k_batch_residual(
         .withColumn(rank_col, F.row_number().over(wr))
         .filter(F.col(rank_col) <= k)
         .select(
-            F.col("qid"), F.col(id_col), F.col(rank_col),
+            F.col("qid"), F.col(id_col), F.col(vec_col),
+            *[F.col(c) for c in carry_cols],
+            F.col("qkey").cast("array<float>").alias("qkey"),
+            F.col(rank_col),
             F.col("_score").alias("similarity"),
         )
     )

@@ -107,7 +107,37 @@ def _map_hnsw_tunables(cfg: dict, user: dict) -> dict:
         cfg["n_planes"] = n_planes
     if user.get("extend_candidates") and "hamming_radius" not in user:
         cfg["hamming_radius"] = int(cfg.get("hamming_radius", 3)) + 1
+    # the bound holds for an EXPLICIT n_planes too, not just the
+    # m-derived one: signatures serialize as BIGINT bit masks, so
+    # 1 << 63 and beyond overflow the 'qsig long' schema
+    n_planes = int(cfg.get("n_planes", 16))
+    if not 1 <= n_planes <= 62:
+        raise ValueError(
+            f"hnsw n_planes must be in [1, 62] (BIGINT signature), "
+            f"got {n_planes}"
+        )
+    cfg["n_planes"] = n_planes
     return cfg
+
+
+def _validate_ann_configs(dimension: int, cfgs: dict,
+                          algos: set) -> None:
+    """The pq structural checks shared by BOTH index-creation doors
+    (CreateStore's non_linear_indices and
+    CreateNonLinearAlgorithmIndex) — one door skipping them would let
+    mismatched subvector splits or residual codes without a coarse
+    quantizer silently produce garbage ADC rankings."""
+    pq_cfg = cfgs.get("pq")
+    if pq_cfg and int(dimension) % int(pq_cfg.get("m", 8)) != 0:
+        raise ValueError(
+            f"pq requires dimension divisible by m={pq_cfg.get('m', 8)}; "
+            f"store dimension is {dimension}"
+        )
+    if pq_cfg and pq_cfg.get("residual") and "ivf" not in algos:
+        raise ValueError(
+            "pq residual=true needs the ivf coarse quantizer on the same "
+            "store (residuals are taken against the row's bucket centroid)"
+        )
 
 
 @dataclass(frozen=True)
@@ -256,6 +286,7 @@ class Engine:
             if a == "hnsw":
                 cfg = _map_hnsw_tunables(cfg, user)
             cfgs[a] = cfg
+        _validate_ann_configs(int(dimension), cfgs, set(non_linear))
         self.catalog.put_store(
             StoreMeta(
                 name=name,
@@ -293,6 +324,11 @@ class Engine:
             for v in deps:
                 V.drop_materialized_view(self, v, schema=schema)
         self.catalog.drop_store(name, schema)
+        # a recreated store restarts at (version 1, deltas 0) — the
+        # SAME cache key the dead store used, so its stale histograms
+        # would plan probes for data that no longer exists
+        for k in [k for k in self._ann_cache if k[:2] == (schema, name)]:
+            del self._ann_cache[k]
         return 1
 
     def drop_schema(self, schema: str) -> int:
@@ -368,20 +404,12 @@ class Engine:
                 cfg = dict(ANN_DEFAULTS[a], **(config or {}))
                 if a == "hnsw":
                     cfg = _map_hnsw_tunables(cfg, config or {})
-                if a == "pq" and meta.dimension % int(cfg.get("m", 8)) != 0:
-                    raise ValueError(
-                        f"pq requires dimension divisible by m={cfg.get('m', 8)}; "
-                        f"store dimension is {meta.dimension}"
-                    )
                 meta.non_linear.append(a)
                 meta.non_linear_config[a] = cfg
                 created += 1
-        pq_cfg = meta.non_linear_config.get("pq")
-        if pq_cfg and pq_cfg.get("residual") and "ivf" not in meta.non_linear:
-            raise ValueError(
-                "pq residual=true needs the ivf coarse quantizer on the same "
-                "store (residuals are taken against the row's bucket centroid)"
-            )
+        _validate_ann_configs(
+            meta.dimension, meta.non_linear_config, set(meta.non_linear)
+        )
         meta.non_linear = sorted(meta.non_linear)
         self.catalog.put_store(meta)
         if created and meta.version > 0 and ({"hnsw", "ivf", "pq"} & set(meta.non_linear)):
@@ -419,9 +447,21 @@ class Engine:
         for a in removed:
             meta.non_linear_config.pop(a, None)
         self.catalog.put_store(meta)
+        # aux artifacts die WITH their index: a surviving
+        # pq_codebooks.npy trained under an old config would poison a
+        # later re-create (codes encoded with the stale m/k while the
+        # catalog claims the new one); drift_baseline.npy likewise
+        # describes the dropped quantizer's training distribution
+        dead_aux = []
         if "ivf" in removed:
+            dead_aux.append("ivf_centroids.npy")
+        if "pq" in removed:
+            dead_aux.append("pq_codebooks.npy")
+        if removed and not ({"hnsw", "ivf", "pq"} & survivors):
+            dead_aux.append("drift_baseline.npy")
+        for art in dead_aux:
             try:
-                os.remove(self.catalog.store_aux_path(meta, "ivf_centroids.npy"))
+                os.remove(self.catalog.store_aux_path(meta, art))
             except OSError:
                 pass
         return len(removed)
@@ -889,7 +929,13 @@ class Engine:
             F.count(
                 F.when(
                     (F.col("op") == "upsert")
-                    & (F.size(F.col("key")) != int(meta.dimension)),
+                    # isNull FIRST: under ANSI size(NULL) is NULL and
+                    # the != never fires, so a NULL-key upsert would
+                    # slip through and land as a garbage row under the
+                    # constant xxhash64(NULL) id (same trap
+                    # _count_probes_checked guards)
+                    & (F.col("key").isNull()
+                       | (F.size(F.col("key")) != int(meta.dimension))),
                     1,
                 )
             ).alias("bad_dim"),
@@ -1122,7 +1168,17 @@ class Engine:
             )
         cfg = meta.non_linear_config.get("pq", ANN_DEFAULTS["pq"])
         if isinstance(probes, DataFrame):
-            probe_rows = [(r[0], list(r[1])) for r in probes.collect()]
+            # ADC LUTs are per-probe driver artifacts, so the collect is
+            # inherent to this path (bounded by chunking below); NULL
+            # probe keys still get the typed error the other batch
+            # paths guarantee, not a bare TypeError
+            collected = probes.collect()
+            if any(r[1] is None for r in collected):
+                raise errors.DimensionMismatch(
+                    f"store {meta.schema}.{meta.name} expects dimension "
+                    f"{meta.dimension}, got a NULL probe key"
+                )
+            probe_rows = [(r[0], list(r[1])) for r in collected]
         else:
             probe_rows = [(int(pid), [float(x) for x in v]) for pid, v in probes]
         self._check_dims(meta, [v for _pid, v in probe_rows])
@@ -1134,7 +1190,7 @@ class Engine:
                 meta, probe_rows, closest_n, precision, raw, cfg,
                 books if code_col else None,
             )
-        if books is None:
+        def _exact():
             from ahnlich_spark.operators.topk import top_k_batch
 
             probes_df = self.spark.createDataFrame(
@@ -1145,6 +1201,17 @@ class Engine:
                 cfg.get("distance", S.EUCLIDEAN), closest_n,
                 precision=precision, rank_col="rank_n",
             )
+
+        if books is None:
+            return _exact()
+        # same small-store shortcut as the single-probe _ann_top_k and
+        # the lsh/ivf/residual batch faces: below the threshold both
+        # faces answer exactly, keeping batch == #probes singles
+        # everywhere (the approximate ADC rank would otherwise diverge
+        # from single-probe pq exactly on small stores)
+        if (self._ann_state(meta, "pq").get("count", 0)
+                <= self.brute_force_threshold):
+            return _exact()
         n_cand = max(4 * closest_n, int(cfg.get("candidates", 256)))
         # Bound driver planning AND the per-probe LUT broadcast
         # (VERDICT r03 #4): above BATCH_PLAN_THRESHOLD the batch is
@@ -1245,7 +1312,7 @@ class Engine:
             part = pq_top_k_batch_residual(
                 scan, chunk, c64, books,
                 k=closest_n, candidates=n_cand,
-                vec_col="key", id_col="id",
+                vec_col="key", id_col="id", carry_cols=("meta",),
                 metric=cfg.get("distance", S.EUCLIDEAN), precision=precision,
             )
             out = part if out is None else out.unionByName(part)
@@ -1291,6 +1358,7 @@ class Engine:
             scan, probe_rows, books, k=closest_n,
             candidates=n_cand,
             vec_col="key", id_col="id", code_col=code_col,
+            carry_cols=("meta",),
             metric=cfg.get("distance", S.EUCLIDEAN), precision=precision,
         )
 
@@ -1583,13 +1651,17 @@ class Engine:
         the exact scan when the store is small, the index artifact is
         absent, or pruning would starve the candidate quota."""
         from ahnlich_spark.operators import ann as A
-        from ahnlich_spark.sources.store_io import ANN_COLUMNS
+        from ahnlich_spark.sources.store_io import internal_columns
 
         state = self._ann_state(meta, algorithm)
         if state["count"] <= self.brute_force_threshold:
             return top_k_similar(df, search_input, metric, closest_n, precision=precision)
         raw = read_store(self.spark, self.catalog, meta, canonical=False)
-        drop_cols = [c for c in raw.columns if c in ANN_COLUMNS]
+        # drop EVERY internal column (_ann_* AND _pred_*): the exact
+        # fallback above reads the canonical store, so leaking pushdown
+        # columns here would flip the output schema across the
+        # pruned/exact boundary on predicate-indexed stores
+        drop_cols = internal_columns(raw)
 
         if algorithm == "hnsw" and "sig_counts" in state:
             n_planes = int(cfg.get("n_planes", 16))
@@ -1864,7 +1936,15 @@ class Engine:
                 F.count(F.when(F.col("m") == 0, 1)).alias("total"),
                 F.count(F.when(F.col("m") == 1, 1)).alias("updated"),
                 F.count(
-                    F.when((F.col("m") == 0) & (F.col("sz") != meta.dimension), 1)
+                    # sz is NULL for a NULL key (ANSI size(NULL)) —
+                    # count it bad rather than letting the row land
+                    # under the constant xxhash64(NULL) id
+                    F.when(
+                        (F.col("m") == 0)
+                        & (F.col("sz").isNull()
+                           | (F.col("sz") != meta.dimension)),
+                        1,
+                    )
                 ).alias("bad"),
             )
             .first()
