@@ -503,13 +503,17 @@ def simhash_near_dup_pairs(
     fp = simhash_table(df, text_col, id_col)
     if stage:
         fp = fp.localCheckpoint(eager=False)
+    def _chunk_val(start, width):
+        shifted = F.shiftrightunsigned(F.col("fp"), start)
+        if width >= 64:
+            # max_hamming=0: ONE chunk spans the whole fingerprint and
+            # (1 << 64) - 1 does not fit a LongType literal — the
+            # unmasked shift IS the value
+            return shifted
+        return shifted.bitwiseAND(F.lit((1 << width) - 1))
+
     chunk_structs = [
-        F.struct(
-            F.lit(c).alias("c"),
-            F.shiftrightunsigned(F.col("fp"), start)
-            .bitwiseAND(F.lit((1 << width) - 1))
-            .alias("v"),
-        )
+        F.struct(F.lit(c).alias("c"), _chunk_val(start, width).alias("v"))
         for c, (start, width) in enumerate(simhash_chunk_bounds(max_hamming))
     ]
     ch = fp.select(
@@ -582,16 +586,40 @@ def embedding_near_dup_pairs(
     fan-out to ~max_bucket_size^2/2 per bucket. Recall note: members of
     a dropped bucket collide on SOME band with almost everything in it —
     such mass-duplicate groups should be collapsed by exact dedup first;
-    pass ``max_bucket_size=None`` to disable the guard."""
-    n = df.count()
+    pass ``max_bucket_size=None`` to disable the guard.
+
+    ``id_col`` must be an integral column (ids are block-hashed and
+    pair-ordered numerically); a string id would cast to NULL and
+    silently drop every pair, so non-integral types refuse at plan
+    time. Rows with a NULL embedding are excluded up front (a NULL
+    vector has no cosine). ``precision`` picks the verify arithmetic:
+    'double' (default) or 'float' (f32 GEMM — matches f32-normalized
+    reference scores near the threshold boundary)."""
+    from pyspark.sql import types as T
+
+    if precision not in ("float", "double"):
+        raise ValueError(f"precision must be float|double, got {precision!r}")
+    id_type = df.schema[id_col].dataType
+    if not isinstance(id_type, (T.LongType, T.IntegerType,
+                                T.ShortType, T.ByteType)):
+        raise ValueError(
+            f"{id_col} must be an integral column (got {id_type}); a "
+            f"non-numeric id casts to NULL and would silently drop "
+            f"every pair"
+        )
+    df = df.filter(F.col(vec_col).isNotNull())
+    n = df.count() if exact is not False else None
     if exact is None:
         exact = n <= brute_force_threshold
     if not exact:
+        # the scale path never pays a corpus count for an explicit
+        # exact=False — its work is O(candidates) by construction
         return _embedding_pruned_pairs(
             df, threshold, vec_col, id_col, n_planes, n_bands, seed,
-            max_bucket_size,
+            max_bucket_size, precision,
         )
-    return _embedding_all_pairs(df, threshold, vec_col, id_col, block_size, n)
+    return _embedding_all_pairs(df, threshold, vec_col, id_col, block_size,
+                                n, precision)
 
 
 def _embedding_all_pairs(
@@ -601,11 +629,14 @@ def _embedding_all_pairs(
     id_col: str,
     block_size: int,
     n: int,
+    precision: str = "double",
 ) -> DataFrame:
     import math
 
     import numpy as np
     import pandas as pd
+
+    dtype = np.float32 if precision == "float" else np.float64
     n_blocks = max(1, math.ceil(n / block_size))
     base = df.select(
         F.col(id_col).cast("long").alias("rid"),
@@ -618,9 +649,16 @@ def _embedding_all_pairs(
         F.sequence(F.col("blk"), F.lit(n_blocks - 1).cast("long")),
         lambda j: F.struct(F.col("blk").alias("bi"), j.alias("bj"), F.lit("a").alias("side")),
     )
-    b_pairs = F.transform(
-        F.sequence(F.lit(0).cast("long"), F.col("blk")),
-        lambda i: F.struct(i.alias("bi"), F.col("blk").alias("bj"), F.lit("b").alias("side")),
+    # side B stops BELOW the diagonal: the diagonal block computes
+    # against itself from its side-'a' copy alone, so emitting a 'b'
+    # copy for (blk, blk) would shuffle one dead row per input row
+    b_pairs = F.filter(
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), F.col("blk")),
+            lambda i: F.struct(i.alias("bi"), F.col("blk").alias("bj"),
+                               F.lit("b").alias("side")),
+        ),
+        lambda s: s["bi"] != s["bj"],
     )
     tagged = base.select(
         "rid", "vec", F.explode(F.concat(a_pairs, b_pairs)).alias("bp")
@@ -636,8 +674,8 @@ def _embedding_all_pairs(
             return pd.DataFrame({"i": [], "j": [], "cos_e4": []}).astype(
                 {"i": "int64", "j": "int64", "cos_e4": "int64"}
             )
-        am = np.stack(asub["vec"].to_numpy())
-        bm = am if diag else np.stack(bsub["vec"].to_numpy())
+        am = np.stack(asub["vec"].to_numpy()).astype(dtype)
+        bm = am if diag else np.stack(bsub["vec"].to_numpy()).astype(dtype)
         an = np.linalg.norm(am, axis=1, keepdims=True)
         bn = an if diag else np.linalg.norm(bm, axis=1, keepdims=True)
         with np.errstate(divide="ignore", invalid="ignore"):
@@ -672,6 +710,7 @@ def _embedding_pruned_pairs(
     n_bands: int,
     seed: int,
     max_bucket_size: Optional[int] = 1024,
+    precision: str = "double",
 ) -> DataFrame:
     """LSH-banded candidate generation + vectorized cosine verify.
 
@@ -691,6 +730,7 @@ def _embedding_pruned_pairs(
 
     from ahnlich_spark.operators.ann import hyperplanes
 
+    dtype = np.float32 if precision == "float" else np.float64
     first = df.select(vec_col).first()
     if first is None:
         return df.sparkSession.createDataFrame([], "i long, j long, cos_e4 long")
@@ -752,8 +792,8 @@ def _embedding_pruned_pairs(
         for pdf in batches:
             if not len(pdf):
                 continue
-            vi = np.stack(pdf["vi"].map(lambda v: np.asarray(v, dtype=np.float64)).to_numpy())
-            vj = np.stack(pdf["vj"].map(lambda v: np.asarray(v, dtype=np.float64)).to_numpy())
+            vi = np.stack(pdf["vi"].map(lambda v: np.asarray(v, dtype=dtype)).to_numpy())
+            vj = np.stack(pdf["vj"].map(lambda v: np.asarray(v, dtype=dtype)).to_numpy())
             with np.errstate(divide="ignore", invalid="ignore"):
                 cos = (vi * vj).sum(axis=1) / (
                     np.linalg.norm(vi, axis=1) * np.linalg.norm(vj, axis=1)
@@ -1207,11 +1247,23 @@ def winnowing_overlap_pairs(
     fps = winnowing_fingerprints(
         df, k=k, t=t, text_col=text_col, id_col=id_col, mod_p=mod_p
     )
+    # COUNT-then-collect: the doc-frequency cap must bound the
+    # aggregation BUFFER, not just the pair expansion — collecting a
+    # boilerplate fingerprint's full id list before filtering would
+    # buffer millions of ids in one reducer at corpus scale. The count
+    # pass is map-side combinable and tiny; only surviving buckets
+    # (<= max_doc_freq members each) ever collect. The fingerprint
+    # lineage is evaluated twice — stage it to a table when that scan
+    # dominates (the per-ingest incremental face already persists it).
+    keep_fp = (
+        fps.groupBy("fp").agg(F.count(F.lit(1)).alias("_df"))
+        .filter((F.col("_df") >= 2) & (F.col("_df") <= max_doc_freq))
+        .select("fp")
+    )
     buckets = (
-        fps.groupBy("fp")
+        fps.join(keep_fp, "fp")
+        .groupBy("fp")
         .agg(F.sort_array(F.collect_list(id_col)).alias("_ids"))
-        .filter((F.size("_ids") >= 2)
-                & (F.size("_ids") <= max_doc_freq))
     )
     pairs = buckets.select(F.explode(F.expr(
         "flatten(transform(_ids, (x, i) -> "
@@ -1292,15 +1344,24 @@ def winnowing_incremental_pairs(
         .unionByName(corpus_fps.select(
             "fp", F.col(id_col).alias("_id"), F.lit(1).alias("_c")))
     )
-    buckets = (
+    # noise cap over the UNION's doc frequency, applied BEFORE any
+    # list is collected (same buffer-bounding discipline as the
+    # one-shot face); only buckets holding at least one batch doc can
+    # produce a pair, so the corpus-only majority never collects either
+    keep_fp = (
         both.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_df"),
+             F.sum(F.lit(1) - F.col("_c")).alias("_nbk"))
+        .filter((F.col("_df") <= max_doc_freq) & (F.col("_nbk") >= 1))
+        .select("fp")
+    )
+    buckets = (
+        both.join(keep_fp, "fp")
+        .groupBy("fp")
         .agg(
             F.sort_array(F.collect_list(F.struct("_c", "_id"))).alias("_m"),
             F.sum(F.lit(1) - F.col("_c")).alias("_nb"),
         )
-        # noise cap over the UNION's doc frequency; only buckets that
-        # contain at least one batch doc can produce a pair
-        .filter((F.size("_m") <= max_doc_freq) & (F.col("_nb") >= 1))
     )
     # batch docs sort first (_c = 0): pair every batch doc with every
     # LATER member — batch x batch emits i < j once, batch x corpus

@@ -692,3 +692,44 @@ def test_winnowing_incremental_scheme_mismatch_refuses(spark):
         corpus_fps=D.winnowing_fingerprints(corpus, mod_p=4),
         mod_p=4, min_shared=1).collect()
     assert [(r["i"], r["j"]) for r in ok] == [(100, 1)]
+
+
+def test_simhash_exact_match_blocking(spark):
+    """max_hamming=0 (exact-fingerprint match) works: the single chunk
+    spans all 64 bits, where a (1 << 64) - 1 mask literal would
+    overflow LongType."""
+    from ahnlich_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [(1, "identical text body here"), (2, "identical text body here"),
+         (3, "something else entirely different")],
+        "doc_id long, text string",
+    )
+    out = D.simhash_near_dup_pairs(docs, max_hamming=0).collect()
+    assert [(r["i"], r["j"], r["hamming"]) for r in out] == [(1, 2, 0)]
+
+
+def test_embedding_near_dup_guards(spark):
+    """Non-integral ids refuse at plan time (a string id casts to NULL
+    and silently drops every pair), bad precision refuses, and NULL
+    embeddings are excluded instead of crashing the signature UDF."""
+    from ahnlich_spark.operators import dedup as D
+
+    s = spark.createDataFrame(
+        [("doc_1", [1.0, 0.0]), ("doc_2", [1.0, 0.0])],
+        "vec_id string, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="integral"):
+        D.embedding_near_dup_pairs(s)
+    ok = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.001]), (3, None)],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="precision"):
+        D.embedding_near_dup_pairs(ok, precision="f32")
+    pairs = D.embedding_near_dup_pairs(ok, threshold=0.9).collect()
+    assert [(r["i"], r["j"]) for r in pairs] == [(1, 2)]   # NULL ignored
+    # float verify arithmetic accepted and matching here
+    pf = D.embedding_near_dup_pairs(ok, threshold=0.9,
+                                    precision="float").collect()
+    assert [(r["i"], r["j"]) for r in pf] == [(1, 2)]
