@@ -65,6 +65,12 @@ __all__ = [
     "bloom_bit_exprs",
     "bloom_build",
     "bloom_probe",
+    "hll_registers",
+    "hll_estimate",
+    "hll_distinct",
+    "merge_summaries",
+    "kmv_set_ops",
+    "kmv_pair_set_ops",
 ]
 
 # 44-bit hash space: (k-1) << 44 stays far inside BIGINT for any sane k,
@@ -285,17 +291,21 @@ def certified_topk(
     if not verify:
         return top
     rows = top.collect()
-    ceiling = total / (capacity + 1)
     # no partition ever reduced its summary -> candidates == all distinct
     # values and the top-k is unconditionally the exhaustive answer;
-    # otherwise the k-th count must strictly clear the ceiling (a tie at
-    # the ceiling could let an unseen value share rank k), and a short
-    # result (< k rows) cannot be certified at all — any pruned-away
-    # singleton would deserve one of the empty slots.
+    # otherwise the k-th count must strictly clear the ceiling
+    # N/(capacity+1) (a tie at the ceiling could let an unseen value
+    # share rank k), and a short result (< k rows) cannot be certified
+    # at all — any pruned-away singleton would deserve one of the empty
+    # slots. The comparison is the exact integer cross-multiplication
+    # cnt*(capacity+1) > N — a float quotient would round past 2^53 and
+    # could certify a top-k an uncounted non-candidate ties.
     certified = not any_pruned or (
-        len(rows) == int(k) and float(rows[-1]["cnt"]) > ceiling
+        len(rows) == int(k)
+        and int(rows[-1]["cnt"]) * (int(capacity) + 1) > int(total)
     )
     if not certified:
+        ceiling = total / (capacity + 1)
         worst = float(rows[-1]["cnt"]) if rows else 1.0
         need = int(total // worst) + 1
         raise ValueError(
@@ -320,19 +330,19 @@ def kmv_minima(hashes: DataFrame, group_cols, k: int, n_salts: int = 64) -> Data
     two ROW-disjoint slices still share hashes for values that occur in
     both (e.g. a common shingle), and keeping the duplicate through the
     row_number windows would shrink the k-th minimum and inflate the
-    estimate. The dedup is keyed exactly like the windows, so for
-    already-distinct input it adds a partial aggregate but NO extra
-    exchange."""
-    from pyspark.sql import Window
-
+    estimate. The dedup rides the SAME window spec as the salt-level
+    top-k (equal hashes share a salt and sort adjacent, so a lag
+    compare drops them) — truly no extra exchange, where a distinct()
+    would shuffle on (group, _h) and then exchange AGAIN for the
+    (group, salt) window."""
     group_cols = list(group_cols)
-    # full-row distinct == (group, _h) dedup: the input contract is
-    # exactly those columns (and unlike dropDuplicates(subset) it
-    # accepts Column-typed group expressions)
-    hashes = hashes.distinct()
     w_salt = Window.partitionBy(*group_cols, F.col("_h") % n_salts).orderBy("_h")
     local = (
-        hashes.withColumn("_rn", F.row_number().over(w_salt))
+        hashes
+        .withColumn("_prev", F.lag("_h").over(w_salt))
+        .filter(F.col("_prev").isNull() | (F.col("_prev") != F.col("_h")))
+        .drop("_prev")
+        .withColumn("_rn", F.row_number().over(w_salt))
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
@@ -479,8 +489,6 @@ def histogram_quantiles(
     window and the q cross-join are metadata-scale work whatever the
     original row count.
     """
-    from pyspark.sql import Window
-
     group_cols = list(group_cols)
     w = int(bin_width)
     agg = summary.groupBy(*group_cols, "bin").agg(
@@ -493,11 +501,16 @@ def histogram_quantiles(
     q_rows = [(int(round(q * 1_000_000)),) for q in qs]
     spark = summary.sparkSession
     q_df = spark.createDataFrame(q_rows, "q_e6 long")
-    # rank = ceil(q_e6 * n / 1e6), clamped to >= 1 (q=0 -> first row)
+    # rank = ceil(q_e6 * n / 1e6), clamped to >= 1 (q=0 -> first row).
+    # The product is taken in DECIMAL(38,0): in BIGINT q_e6 * n wraps
+    # for groups past ~9.2e12 rows (a 100 TB token corpus exceeds it)
+    # and with ANSI off the wrap silently pins every quantile to the
+    # group's first bin. The rank itself is <= n and casts back safely.
     rank = F.greatest(
         F.lit(1).cast("long"),
-        F.call_function(
-            "div", F.col("q_e6") * F.col("n") + F.lit(999_999), F.lit(1_000_000)
+        F.expr(
+            "CAST((CAST(q_e6 AS DECIMAL(38,0)) * n + 999999) "
+            "DIV 1000000 AS BIGINT)"
         ),
     )
     hit = cum.crossJoin(F.broadcast(q_df)).filter(F.col("cum") >= rank)
@@ -651,10 +664,24 @@ def cms_join_size(
 
     a = _agg(sketch_a, "ca")
     b = _agg(sketch_b, "cb")
-    per_row = (
+    overlap = (
         a.join(b, group_cols + ["row", "bucket"])
         .groupBy(*group_cols, "row")
         .agg(F.sum(F.col("ca") * F.col("cb")).cast("long").alias("ip"))
+    )
+    # a (group, row) pair whose buckets are fully DISJOINT between the
+    # two sketches has inner product 0 — it must participate in the min
+    # (it PROVES the join is empty), not vanish from the inner join;
+    # the grid below restores those rows for every group present in
+    # both sketches (each sketch populates all its depth rows for any
+    # group it saw, so the distinct projections are the full grid)
+    grid = (
+        a.select(*group_cols, "row").distinct()
+        .join(b.select(*group_cols, "row").distinct(),
+              group_cols + ["row"])
+    )
+    per_row = grid.join(overlap, group_cols + ["row"], "left").select(
+        *group_cols, "row", F.coalesce(F.col("ip"), F.lit(0)).alias("ip")
     )
     return per_row.groupBy(*group_cols).agg(
         F.min("ip").cast("long").alias("est_join_rows")
@@ -683,10 +710,17 @@ def _hll_scale_bits(m: int) -> int:
     buckets 2^S, so the worst-case sum is < m * 2^S. Capping S at
     62 - log2(m) keeps that below 2^62 for ANY power-of-two m — with
     ANSI off Spark wraps BIGINT silently, so an m >= 2048 at a fixed
-    S=53 would overflow into garbage/negative estimates. For m <= 512
-    this returns the historic 53, keeping existing sketch gates
-    bit-identical."""
-    return min(HLL_SCALE_BITS, 62 - (m.bit_length() - 1))
+    S=53 would overflow into garbage/negative estimates. For
+    256 <= m <= 512 this returns the historic 53, keeping existing
+    sketch gates bit-identical. The FLOOR is rho_max: the g == 0
+    sentinel register holds rho = HLL_HASH_BITS - log2(m) + 2, and a
+    scale below it makes shiftleft(1, scale - rho) a negative shift —
+    Java masks it to 63 and the term wraps to Long.MIN_VALUE (m = 128
+    hit exactly this: rho_max 54 > the flat 53). Raising the scale
+    multiplies numerator and denominator by the same power of two, so
+    estimates for every already-working m are unchanged."""
+    rho_max = HLL_HASH_BITS - m.bit_length() + 2
+    return max(min(HLL_SCALE_BITS, 62 - (m.bit_length() - 1)), rho_max)
 
 
 def _hll_alpha_m2_scaled(m: int) -> float:
@@ -958,9 +992,7 @@ def bloom_build(
             *group_cols,
             F.explode(bloom_bit_exprs(F.col("_v"), m_bits, k_hashes, salt)).alias("bit"),
         )
-        .groupBy(*group_cols, "bit")
-        .agg(F.lit(1).alias("_one"))
-        .select(*group_cols, "bit")
+        .distinct()
     )
 
 
@@ -990,8 +1022,19 @@ def bloom_probe(
     )
     if broadcast_bits:
         b = F.broadcast(b)
-    pr = probes.select(*group_cols, F.col(value_col).alias("_v")).select(
-        "*", F.explode(bloom_bit_exprs(F.col("_v"), m_bits, k_hashes, salt)).alias("bit")
+    # distinct FIRST: the verdict demands count(_set) == k_hashes, so a
+    # duplicated probe row (the norm when pre-pruning a fact scan)
+    # would double its bit rows and read as a FALSE NEGATIVE — breaking
+    # the "false = definitely absent, safe to drop" contract
+    pr = (
+        probes.select(*group_cols, F.col(value_col).alias("_v"))
+        .distinct()
+        .select(
+            "*",
+            F.explode(
+                bloom_bit_exprs(F.col("_v"), m_bits, k_hashes, salt)
+            ).alias("bit"),
+        )
     )
     return (
         pr.join(b, [*group_cols, "bit"], "left")

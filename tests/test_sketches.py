@@ -645,3 +645,87 @@ def test_bloom_validation(spark):
         bloom_build(df, "v", ["g"], m_bits=1)
     with _pytest.raises(ValueError):
         bloom_build(df, "v", ["g"], m_bits=64, k_hashes=0)
+
+
+def test_bloom_probe_duplicate_probes_no_false_negative(spark):
+    """A duplicated probe row must not read as a false negative: the
+    verdict contract is 'false = DEFINITELY absent, safe to drop', and
+    duplicate join keys are the norm when pre-pruning a fact scan."""
+    from ahnlich_spark.operators.sketches import bloom_build, bloom_probe
+
+    src = spark.createDataFrame([("g", "x"), ("g", "y")], "g string, v string")
+    bits = bloom_build(src, "v", ["g"], m_bits=256, k_hashes=3)
+    probes = spark.createDataFrame(
+        [("g", "x"), ("g", "x"), ("g", "zzz")], "g string, v string")
+    got = {r["v"]: r["in_bloom"]
+           for r in bloom_probe(bits, probes, "v", ["g"], 256, 3).collect()}
+    assert got["x"] is True and got["zzz"] is False
+
+
+def test_cms_join_size_disjoint_reports_zero(spark):
+    """Two sketches whose buckets never collide prove the join is
+    empty: the estimate must be 0 (a zero inner-product row joins the
+    min), not a positive bound or a missing group."""
+    from ahnlich_spark.operators.sketches import cms_join_size, cms_table
+
+    a = cms_table(spark.createDataFrame([("k%d" % i,) for i in range(5)],
+                                        "v string"), "v", depth=4, width=64)
+    b = cms_table(spark.createDataFrame([("totally-other-%d" % i,)
+                                         for i in range(5)],
+                                        "v string"), "v", depth=4, width=64)
+    rows = cms_join_size(a, b).collect()
+    assert len(rows) == 1
+    est = rows[0]["est_join_rows"]
+    assert est >= 0           # present, never vanished
+    # overlap case still estimates >= the true join size
+    c = cms_table(spark.createDataFrame([("k0",), ("k1",)], "v string"),
+                  "v", depth=4, width=64)
+    a2 = cms_table(spark.createDataFrame([("k0",), ("k1",), ("k2",)],
+                                         "v string"), "v", depth=4, width=64)
+    est2 = cms_join_size(a2, c).collect()[0]["est_join_rows"]
+    assert est2 >= 2
+
+
+def test_hll_m128_sentinel_register(spark):
+    """m=128: the g==0 sentinel rho exceeds the historic flat scale, so
+    the scale must rise with it — the estimate stays sane instead of a
+    Long.MIN_VALUE harmonic term driving it to garbage."""
+    from ahnlich_spark.operators.sketches import hll_distinct
+
+    df = spark.createDataFrame([("v%d" % i,) for i in range(3000)],
+                               "v string")
+    est = hll_distinct(df, "v", [], m=128).collect()[0]["est_distinct"]
+    assert 2000 < est < 4000  # ~3000 within HLL's m=128 error envelope
+
+
+def test_kmv_minima_single_exchange_dedup(spark):
+    """The (group, _h) dedup rides the salt window's own exchange: ONE
+    exchange in the plan, and duplicated input hashes do not shrink the
+    k-th minimum."""
+    import contextlib
+    import io
+
+    from ahnlich_spark.operators.sketches import kmv_hash, kmv_minima
+
+    df = spark.createDataFrame([("v%d" % (i % 50),) for i in range(200)],
+                               "v string")
+    hashes = df.select(F.lit("g").alias("g"), kmv_hash(F.col("v")).alias("_h"))
+    minima = kmv_minima(hashes, ["g"], k=16)
+    rows = [r["_h"] for r in minima.collect()]
+    assert len(rows) == 16 and len(set(rows)) == 16   # distinct minima
+    dd = hashes.distinct()
+    want = sorted(r["_h"] for r in dd.orderBy("_h").limit(16).collect())
+    assert sorted(rows) == want
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        minima.explain("formatted")
+    plan = buf.getvalue()
+    import re
+
+    # distinct exchange NODES in the FINAL plan (an executed AQE plan
+    # also renders an "Initial Plan" section with its own numbering):
+    # exactly the salt window's and the group window's — the dedup
+    # itself adds none
+    final = plan.split("== Initial Plan ==")[0]
+    ids = set(re.findall(r"Exchange(?:\w*)? \((\d+)\)", final))
+    assert len(ids) == 2, plan
