@@ -169,8 +169,46 @@ def _ort_embed_batch(col, model: str, dim: int, kind: str,
 
 # ------------------------------------------------ Arrow-batched (hot) --
 
+def _prep_binary(b: bytes, spec, action: str) -> bytes:
+    """The binary half of the preprocessing truth table, per row —
+    executor-side mirror of AiEngine._preprocess_input (the plan-time
+    cases, requires_preprocessing, are raised driver-side before the
+    job starts). Violations raise with the typed error's message text:
+    inside an Arrow batch there is no typed-exception channel, but the
+    job fails BEFORE anything is written (the engine counts first), so
+    fail-first is preserved."""
+    from ahnlich_spark.operators import multimodal as MM
+
+    if spec.image_size:
+        if action == "modelpreprocessing":
+            return MM.resize_image_stub(b, spec.image_size, spec.image_size)
+        dims = MM.probe_image_dims(b)
+        want = (spec.image_size, spec.image_size)
+        if dims is not None and dims != want:
+            raise RuntimeError(
+                f"ImageDimensionsMismatch: image is {dims[0]}x{dims[1]}; "
+                f"model expects {want[0]}x{want[1]} (use ModelPreprocessing "
+                f"to resize)"
+            )
+        return b
+    if spec.sample_rate:
+        if spec.max_audio_ms:
+            dur = MM.probe_wav_duration_ms(b)
+            if dur is not None and dur > spec.max_audio_ms:
+                raise RuntimeError(
+                    f"AudioTooLong: audio input is too long ({dur}ms); "
+                    f"model accepts at most {spec.max_audio_ms}ms"
+                )
+        sr = MM.probe_wav_sample_rate(b)
+        if sr != spec.sample_rate:
+            return MM.resample_audio_stub(b, spec.sample_rate)
+        return b
+    return b
+
+
 def embed_pandas_udf(model: str, kind: str = "text",
-                     execution_provider: Union[str, None] = None):
+                     execution_provider: Union[str, None] = None,
+                     preprocess_action: Union[str, None] = None):
     """Arrow-batched Pandas UDF — the plug-point where a real ONNX
     Runtime / sentence-transformers session would run (create the
     session once per executor, encode per batch). Falls back to the stub
@@ -194,6 +232,11 @@ def embed_pandas_udf(model: str, kind: str = "text",
     import pandas as pd
 
     def embed(col):
+        if kind == "binary" and preprocess_action is not None:
+            col = col.map(
+                lambda v: _prep_binary(bytes(v or b""), spec,
+                                       preprocess_action)
+            )
         if have_runtime:  # pragma: no cover — needs onnxruntime + weights
             return _ort_embed_batch(col, model, dim, kind, execution_provider)
         import numpy as np

@@ -41,6 +41,21 @@ NO_PREPROCESSING = "nopreprocessing"
 MODEL_PREPROCESSING = "modelpreprocessing"
 
 
+def _norm_action(action: str) -> str:
+    """Normalize a PreprocessAction: the reference enum casing
+    ('ModelPreprocessing') and any mixed case map onto the canonical
+    lowercase values; anything else refuses LOUDLY — a silently
+    unmatched spelling would behave as NoPreprocessing, the exact
+    opposite of what the caller asked for."""
+    a = str(action).lower()
+    if a not in (NO_PREPROCESSING, MODEL_PREPROCESSING):
+        raise ValueError(
+            f"unknown preprocess_action {action!r}: expected "
+            f"NoPreprocessing or ModelPreprocessing"
+        )
+    return a
+
+
 class AiEngine:
     """AI ops over a DB Engine. One instance serves all AI stores."""
 
@@ -66,6 +81,18 @@ class AiEngine:
                 "query and index models must share an embedding size "
                 f"({qspec.embedding_size} != {ispec.embedding_size})"
             )
+        if self.catalog.has_store(name, schema):
+            if error_if_exists:
+                raise errors.StoreAlreadyExists(
+                    f"store {schema}.{name} already exists"
+                )
+            # the engine no-ops here too — returning WITHOUT touching
+            # the binding is the only sound choice: rebinding would
+            # silently point existing vectors at a different model
+            # (wrong dims or wrong embedding space), and attaching a
+            # binding to a pre-existing plain store never checked its
+            # dimension against the model
+            return
         self.engine.create_store(
             name,
             dimension=ispec.embedding_size,
@@ -283,6 +310,7 @@ class AiEngine:
         from ahnlich_spark.ai.embedder import ort_providers
 
         ort_providers(execution_provider)  # validate eagerly (ref enum decode)
+        preprocess_action = _norm_action(preprocess_action)
         if isinstance(inputs, DataFrame):
             return self._set_bulk(
                 store, inputs, schema, preprocess_action, input_col, meta_col,
@@ -299,7 +327,17 @@ class AiEngine:
                 )
             if one_to_many:
                 # one input -> one row PER DETECTED FACE, user metadata
-                # merged with per-face detection metadata
+                # merged with per-face detection metadata. The original
+                # registers for the replace-purge ONCE PER INPUT and
+                # UNCONDITIONALLY on the face count: a re-set whose
+                # stricter confidence filter detects ZERO faces must
+                # still purge the input's prior rows (the reference
+                # pipelines DelPred(In(reserved, inputs)) over the
+                # request's inputs, operations.rs:229-268) — and a
+                # 3-face image must not repeat its full image bytes 3x
+                # in the predicate
+                if binding.store_original:
+                    originals.append(self._input_mv(inp))
                 per_face = self._expand_one_to_many(
                     inp, binding.index_model, preprocess_action, model_params
                 )
@@ -308,7 +346,6 @@ class AiEngine:
                     m.update(fmeta)
                     if binding.store_original:
                         m[AHNLICH_RESERVED_INPUT_KEY] = self._input_mv(inp)
-                        originals.append(self._input_mv(inp))
                     entries.append((vec, m))
                 continue
             vec = self._embed_input(inp, binding.index_model, preprocess_action)
@@ -358,6 +395,23 @@ class AiEngine:
             )
         kind = "text" if spec.input_kind == KIND_RAW_STRING else "binary"
         raw = F.col(input_col).cast("string" if kind == "text" else "binary")
+        # the ORIGINAL is always the pre-preprocessing input (the list
+        # path stores the untouched StoreInput): a truncated/resized
+        # original would make the same text unreachable by get_key and
+        # stop re-sets from replacing the row
+        orig_raw = raw
+
+        if kind == "binary":
+            # plan-time half of the preprocessing truth table — same
+            # refusals as the list path's _preprocess_input; the
+            # row-level half (dims probe, duration cap, resize/resample)
+            # runs inside the embed UDF (embedder._prep_binary)
+            if spec.requires_preprocessing                     and preprocess_action != MODEL_PREPROCESSING:
+                raise errors.PreprocessingRequired(
+                    f"model {binding.index_model!r} cannot honor "
+                    "NoPreprocessing (reference "
+                    "*NoPreprocessingError); pass ModelPreprocessing"
+                )
 
         if kind == "text" and spec.max_tokens:
             toks = F.split(F.trim(raw), r"\s+")
@@ -398,14 +452,14 @@ class AiEngine:
         if kind == "text":
             orig_mv = F.struct(
                 F.lit(KIND_RAW_STRING).alias("kind"),
-                raw.alias("s"),
+                orig_raw.alias("s"),
                 F.lit(None).cast("binary").alias("bin"),
             )
         else:
             orig_mv = F.struct(
                 F.lit(spec.input_kind).alias("kind"),
                 F.lit(None).cast("string").alias("s"),
-                raw.alias("bin"),
+                orig_raw.alias("bin"),
             )
 
         meta_expr = user_meta
@@ -420,8 +474,11 @@ class AiEngine:
                 df.select(orig_mv.cast(META_VALUE_TYPE).alias("mv")),
             )
 
-        udf = embed_pandas_udf(binding.index_model, kind=kind,
-                               execution_provider=execution_provider)
+        udf = embed_pandas_udf(
+            binding.index_model, kind=kind,
+            execution_provider=execution_provider,
+            preprocess_action=preprocess_action if kind == "binary" else None,
+        )
         batch = df.select(
             udf(raw).alias("key"), meta_expr.cast(META_MAP_TYPE).alias("meta")
         )
@@ -471,6 +528,7 @@ class AiEngine:
             from ahnlich_spark.ai.embedder import _codes_np, _stub_embed_np
             from ahnlich_spark.operators.multimodal import (
                 detect_faces_stub,
+                probe_image_dims,
                 resize_image_stub,
             )
 
@@ -479,11 +537,22 @@ class AiEngine:
                 for ix in range(len(pdf)):
                     b = bytes(pdf["_in"].iloc[ix] or b"")
                     um = dict(pdf["_m"].iloc[ix] or {}) if has_meta else {}
-                    content = (
-                        resize_image_stub(b, size, size)
-                        if action == MODEL_PREPROCESSING
-                        else b
-                    )
+                    if action == MODEL_PREPROCESSING:
+                        content = resize_image_stub(b, size, size)
+                    else:
+                        # same dims refusal as the list path's
+                        # _preprocess_input; inside an Arrow batch the
+                        # typed channel is gone but the job fails
+                        # BEFORE the engine writes anything
+                        dims = probe_image_dims(b)
+                        if dims is not None and dims != (size, size):
+                            raise RuntimeError(
+                                f"ImageDimensionsMismatch: image is "
+                                f"{dims[0]}x{dims[1]}; model expects "
+                                f"{size}x{size} (use ModelPreprocessing "
+                                f"to resize)"
+                            )
+                        content = b
                     for crop, fmeta in detect_faces_stub(content, thr, attrs):
                         m = dict(um)
                         m.update(fmeta)
@@ -519,9 +588,20 @@ class AiEngine:
             meta_expr = F.map_concat(
                 user_meta, F.create_map(F.lit(AHNLICH_RESERVED_INPUT_KEY), orig_mv)
             )
+            # the purge set comes from the INPUT frame, not the
+            # post-explosion faces: an input whose faces are ALL
+            # filtered out must still purge its prior rows (reference
+            # DelPred(In(reserved, inputs)) runs over the REQUEST's
+            # inputs, operations.rs:229-268), and a 3-face image must
+            # not repeat its bytes 3x in the predicate
+            src_orig_mv = F.struct(
+                F.lit(spec.input_kind).alias("kind"),
+                F.lit(None).cast("string").alias("s"),
+                F.col("_in").alias("bin"),
+            )
             remove = (
                 AHNLICH_RESERVED_INPUT_KEY,
-                faces.select(orig_mv.cast(META_VALUE_TYPE).alias("mv")),
+                src.select(src_orig_mv.cast(META_VALUE_TYPE).alias("mv")),
             )
         batch = faces.select(
             F.col("key"), meta_expr.cast(META_MAP_TYPE).alias("meta")
@@ -563,6 +643,7 @@ class AiEngine:
         from ahnlich_spark.ai.embedder import ort_providers
 
         ort_providers(execution_provider)  # validate eagerly (ref enum decode)
+        preprocess_action = _norm_action(preprocess_action)
         binding = self._binding(store, schema)
         vec = self._embed_input(search_input, binding.query_model,
                                 preprocess_action, model_params)
@@ -592,6 +673,7 @@ class AiEngine:
         from ahnlich_spark.ai.embedder import ort_providers
 
         ort_providers(execution_provider)  # validate eagerly (ref enum decode)
+        preprocess_action = _norm_action(preprocess_action)
         binding = self._binding(store, schema)
         probes = [
             (i, self._embed_input(inp, binding.query_model, preprocess_action))
@@ -614,25 +696,49 @@ class AiEngine:
         )
 
     def get_key(
-        self, store: str, inputs: Sequence[StoreInput], schema: str = PUBLIC_SCHEMA
+        self, store: str, inputs: Sequence[StoreInput],
+        schema: str = PUBLIC_SCHEMA,
+        preprocess_action: str = NO_PREPROCESSING,
+        model_params: Optional[dict] = None,
     ) -> DataFrame:
         """Lookup by ORIGINAL input via the reserved predicate
-        (grammar: ai_get_key, syntax.pest:64-65)."""
+        (grammar: ai_get_key, syntax.pest:64-65). Results convert back
+        to AI-surface rows like get_pred (input column leading, the
+        reserved key popped from meta — store.rs:526-546 applies to
+        every AI read). Without store_original the lookup re-embeds the
+        inputs, so ``preprocess_action``/``model_params`` must match
+        the ingest's (a row ingested with ModelPreprocessing truncation
+        is only reachable by the same action)."""
+        preprocess_action = _norm_action(preprocess_action)
         binding = self._binding(store, schema)
         if binding.store_original:
             cond = In(AHNLICH_RESERVED_INPUT_KEY, tuple(self._input_mv(i) for i in inputs))
-            return self.engine.get_pred(store, cond, schema)
-        keys = [self._embed_input(i, binding.index_model) for i in inputs]
+            return self._to_store_input_frame(
+                self.engine.get_pred(store, cond, schema), binding
+            )
+        keys = [
+            self._embed_input(i, binding.index_model, preprocess_action,
+                              model_params)
+            for i in inputs
+        ]
         return self.engine.get_key(store, keys, schema)
 
     def del_key(
-        self, store: str, inputs: Sequence[StoreInput], schema: str = PUBLIC_SCHEMA
+        self, store: str, inputs: Sequence[StoreInput],
+        schema: str = PUBLIC_SCHEMA,
+        preprocess_action: str = NO_PREPROCESSING,
+        model_params: Optional[dict] = None,
     ) -> DelResult:
+        preprocess_action = _norm_action(preprocess_action)
         binding = self._binding(store, schema)
         if binding.store_original:
             cond = In(AHNLICH_RESERVED_INPUT_KEY, tuple(self._input_mv(i) for i in inputs))
             return self.engine.del_pred(store, cond, schema)
-        keys = [self._embed_input(i, binding.index_model) for i in inputs]
+        keys = [
+            self._embed_input(i, binding.index_model, preprocess_action,
+                              model_params)
+            for i in inputs
+        ]
         return self.engine.del_key(store, keys, schema)
 
     def upsert(
@@ -656,6 +762,15 @@ class AiEngine:
         from ahnlich_spark.ai.embedder import ort_providers
 
         ort_providers(execution_provider)  # validate eagerly (ref enum decode)
+        preprocess_action = _norm_action(preprocess_action)
+        if new_value and AHNLICH_RESERVED_INPUT_KEY in new_value:
+            # same guard as Set (reference store.rs:305-347): a
+            # user-supplied reserved key would overwrite the stored
+            # original WITHOUT re-embedding — get_key by the real
+            # original then misses the row and re-sets stop replacing it
+            raise errors.ReservedKeyError(
+                f"metadata key {AHNLICH_RESERVED_INPUT_KEY!r} is reserved"
+            )
         binding = self._binding(store, schema)
         new_key = None
         if new_input is not None:

@@ -119,7 +119,7 @@ def test_one_to_many_set_rows_per_face(ai):
     for row in rows:
         assert row["meta"]["who"]["s"] == "ada"  # user meta on every face
         assert "bbox" in row["meta"]
-        assert bytes(row["meta"][AHNLICH_RESERVED_INPUT_KEY]["bin"]) == img
+        assert bytes(row["input"]["bin"]) == img  # converted AI read
 
 
 def test_one_to_many_reset_replaces_all_faces(ai):

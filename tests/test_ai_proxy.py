@@ -130,7 +130,10 @@ def test_input_only_upsert_preserves_user_metadata(ai):
     assert len(rows) == 1
     m = rows[0]["meta"]
     assert m["author"]["s"] == "ada" and m["v"]["s"] == "1"
-    assert m[AHNLICH_RESERVED_INPUT_KEY]["s"] == "revised text"
+    # get_key converts like every AI read: the original rides the
+    # leading input column and the reserved key is POPPED from meta
+    assert rows[0]["input"]["s"] == "revised text"
+    assert AHNLICH_RESERVED_INPUT_KEY not in m
 
 
 def test_upsert_merge_updates_only_named_keys(ai):
@@ -163,7 +166,10 @@ def test_bulk_set_dataframe_counts_and_replace(ai, spark):
     rows = ai.get_key("bulk", [SI("text number 3")]).collect()
     assert len(rows) == 1
     assert rows[0]["meta"]["n"]["s"] == "3"
-    assert rows[0]["meta"][AHNLICH_RESERVED_INPUT_KEY]["s"] == "text number 3"
+    # get_key converts like every AI read: input column leading,
+    # reserved key popped
+    assert rows[0]["input"]["s"] == "text number 3"
+    assert AHNLICH_RESERVED_INPUT_KEY not in rows[0]["meta"]
 
 
 def test_bulk_set_reserved_key_rejected(ai, spark):
@@ -181,12 +187,17 @@ def test_bulk_set_token_budget(ai, spark):
     df = spark.createDataFrame([(long_text,)], "input string")
     with pytest.raises(errors.TokenExceeded):
         ai.set("bulkt", df)
-    # ModelPreprocessing truncates instead; the STORED original is the
-    # truncated text (what was embedded), mirroring the list path
+    # ModelPreprocessing truncates what is EMBEDDED; the stored
+    # original is the full pre-preprocessing input, exactly like the
+    # list path — so the same text stays reachable by get_key and a
+    # re-set keeps replacing the row
     r = ai.set("bulkt", df, preprocess_action="modelpreprocessing")
     assert r.inserted == 1
-    truncated = " ".join(["tok"] * 256)
-    assert ai.get_key("bulkt", [SI(truncated)]).count() == 1
+    assert ai.get_key(
+        "bulkt", [SI(long_text)],
+        preprocess_action="modelpreprocessing").count() == 1
+    r2 = ai.set("bulkt", df, preprocess_action="modelpreprocessing")
+    assert ai.engine.get_store("bulkt").len == 1   # replaced, not grown
 
 
 def test_bulk_set_matches_list_path_vectors(ai, spark):
@@ -277,3 +288,88 @@ def test_dsl_ai_getpred_converts_originals(ai, spark):
     assert res.ok, res.error
     rows = res.result.collect()
     assert rows and rows[0]["input"]["s"] == "hello"
+
+
+def test_create_store_no_silent_rebinding(ai):
+    """create_store with error_if_exists=False must NOT rebind an
+    existing store's models: a rebind would point existing vectors at a
+    different embedding space (or wrong dims) with no error."""
+    _mk(ai, "rb")
+    ai.set("rb", [(SI("hello"), {})])
+    ai.create_store("rb", query_model="bge-base-en-v1.5",
+                    index_model="bge-base-en-v1.5", error_if_exists=False)
+    info = {i["name"]: i for i in ai.list_stores()}["rb"]
+    assert info["index_model"] == MODEL          # binding untouched
+    assert ai.get_key("rb", [SI("hello")]).count() == 1   # still works
+    with pytest.raises(errors.StoreAlreadyExists):
+        ai.create_store("rb", query_model=MODEL, index_model=MODEL)
+
+
+def test_upsert_rejects_reserved_key_value(ai):
+    """A value-only upsert must not smuggle the reserved key past the
+    guard Set enforces — it would overwrite the stored original without
+    re-embedding."""
+    from ahnlich_spark.operators.predicates import Equals
+
+    _mk(ai, "ur")
+    ai.set("ur", [(SI("real input"), {"author": "ada"})])
+    with pytest.raises(errors.ReservedKeyError):
+        ai.upsert("ur", Equals("author", "ada"),
+                  new_value={AHNLICH_RESERVED_INPUT_KEY: "fake"})
+
+
+def test_preprocess_action_casing_normalized(ai):
+    """The reference enum casing ('ModelPreprocessing') works, and an
+    unknown spelling refuses loudly instead of silently behaving as
+    NoPreprocessing."""
+    _mk(ai, "pc")
+    long_text = " ".join(["tok"] * 300)
+    r = ai.set("pc", [(SI(long_text), {})],
+               preprocess_action="ModelPreprocessing")   # ref casing
+    assert r.inserted == 1
+    with pytest.raises(ValueError, match="preprocess_action"):
+        ai.set("pc", [(SI("x"), {})], preprocess_action="truncate")
+
+
+def test_bulk_binary_preprocessing_parity(ai, spark):
+    """Bulk binary ingest applies the SAME preprocessing truth table as
+    the list path: requires_preprocessing models refuse NoPreprocessing
+    at plan time, a mismatched-dims image fails the job under
+    NoPreprocessing, and ModelPreprocessing resize makes bulk rows
+    score 1.0 against a driver-side query of the same image."""
+    import struct
+
+    ai.create_store("bimg", query_model="clip-vit-b32-image",
+                    index_model="clip-vit-b32-image")
+    png = (b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR"
+           + struct.pack(">II", 100, 100))        # wrong dims (want 224)
+    df = spark.createDataFrame([(png,)], "input binary")
+    with pytest.raises(Exception, match="ImageDimensionsMismatch"):
+        ai.set("bimg", df)   # executor-raised; fails before any write
+    assert ai.engine.get_store("bimg").len == 0
+    # ModelPreprocessing resizes bulk-side exactly like the list path
+    r = ai.set("bimg", df, preprocess_action="modelpreprocessing")
+    assert r.inserted == 1
+    top = ai.get_sim_n("bimg", StoreInput.image(png), closest_n=1,
+                       preprocess_action="modelpreprocessing").collect()
+    assert abs(top[0]["similarity"] - 1.0) < 1e-6
+    # requires_preprocessing audio refuses NoPreprocessing at PLAN time
+    ai.create_store("baud", query_model="clap-audio",
+                    index_model="clap-audio")
+    adf = spark.createDataFrame([(b"RIFFxxxxWAVE",)], "input binary")
+    with pytest.raises(errors.PreprocessingRequired):
+        ai.set("baud", adf)
+
+
+def test_one_to_many_zero_face_reset_purges(ai):
+    """A re-set whose stricter confidence filter detects ZERO faces
+    still purges the input's prior rows — the purge predicate is built
+    from the request's INPUTS, not the post-detection faces."""
+    ai.create_store("fz", query_model="sface-yunet",
+                    index_model="sface-yunet")
+    img = b"some image content!"                  # 2 faces at default thr
+    r = ai.set("fz", [(StoreInput.image(img), {"v": "1"})])
+    assert r.inserted == 2
+    r2 = ai.set("fz", [(StoreInput.image(img), {"v": "2"})],
+                model_params={"confidence_threshold": 1.0})
+    assert ai.engine.get_store("fz").len == 0     # purged, nothing added
