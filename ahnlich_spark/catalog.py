@@ -238,6 +238,13 @@ class Catalog:
                     v, s = int(v), int(s)
                 except ValueError:
                     continue
+                # a crashed writer's PARTIAL segment (no _SUCCESS
+                # marker) must not count: the live pointer already
+                # excludes it, and a historical read that trusted the
+                # raw dir count would merge the torn segment into a
+                # snapshot that was never a committed state
+                if not os.path.exists(os.path.join(base, d, "_SUCCESS")):
+                    continue
                 if v in versions:
                     versions[v] = max(versions[v], s)
         return sorted(versions.items())

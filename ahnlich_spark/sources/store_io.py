@@ -28,6 +28,9 @@ superseded versions + their deltas are GC'd after a retention window.
 from __future__ import annotations
 
 import math
+import os
+import shutil
+import time
 from functools import reduce
 from typing import Optional
 
@@ -70,6 +73,10 @@ INTERNAL_PREFIXES = ("_ann_", "_pred_")
 DELTA_OP_COL = "_dop"
 DELTA_SEG_COL = "_segno"
 
+# merged reads force-broadcast the delta-id anti-join side only while
+# the delta chain's on-disk bytes stay under this cap (see _merged_view)
+BROADCAST_DELTA_MAX_BYTES = 256 * 1024 * 1024
+
 
 def internal_columns(df: DataFrame):
     return [c for c in df.columns if c.startswith(INTERNAL_PREFIXES)]
@@ -101,7 +108,24 @@ def _merged_view(
         "_rn", DELTA_SEG_COL, DELTA_OP_COL
     )
     shadowed = latest.select("id")
-    kept = base.join(F.broadcast(shadowed), "id", "left_anti")
+    # broadcast only while the delta chain is genuinely small: the
+    # chain is bounded in SEGMENT count by compaction, not in rows —
+    # one huge SET makes a huge segment, and a forced broadcast of its
+    # id set would pin gigabytes on every executor (the hint disables
+    # AQE's fallback). On-disk segment bytes are a cheap, accurate
+    # proxy; past the cap the planner decides (a shuffled anti-join of
+    # a big delta against a big base is the right plan anyway).
+    delta_bytes = 0
+    for i in range(1, meta.deltas + 1):
+        d = catalog.delta_path(meta, i)
+        if os.path.isdir(d):
+            for root, _dirs, files in os.walk(d):
+                delta_bytes += sum(
+                    os.path.getsize(os.path.join(root, f)) for f in files
+                )
+    if delta_bytes <= BROADCAST_DELTA_MAX_BYTES:
+        shadowed = F.broadcast(shadowed)
+    kept = base.join(shadowed, "id", "left_anti")
     return kept.unionByName(live.select(*kept.columns))
 
 
@@ -189,11 +213,38 @@ def read_changes(
     zero logical changes from the rewrite itself."""
     if to_version is None:
         to_version = meta.version
-    if to_segments is None:
-        to_segments = meta.deltas if to_version == meta.version else None
     retained = dict(catalog.list_versions(meta))
     if to_version == meta.version:
         retained[meta.version] = meta.deltas
+    if to_segments is None:
+        # historical targets default to the version's full committed
+        # segment count, exactly like read_store's time travel
+        to_segments = (meta.deltas if to_version == meta.version
+                       else retained.get(to_version))
+    out_schema = T.StructType(
+        list(store_schema().fields)
+        + [T.StructField("change_type", T.StringType(), False)]
+    )
+    if from_version == 0:
+        # changes since the EMPTY snapshot: version 0 never exists on
+        # disk (the first SET writes the v1 base, not a delta), so the
+        # CDF from (0, 0) is BY DEFINITION the TO snapshot as inserts —
+        # this is what lets a derived view created on an empty store
+        # refresh after its first data lands
+        if from_segments != 0:
+            raise ValueError(
+                f"version 0 has no segments, got from_segments={from_segments}"
+            )
+        if to_version == 0:
+            return spark.createDataFrame([], out_schema)
+        snap = read_store(
+            spark, catalog, meta,
+            version=None if to_version == meta.version else to_version,
+            segments=to_segments,
+        )
+        return snap.select(
+            "id", "key", "meta", F.lit("insert").alias("change_type")
+        )
     for v, s in ((from_version, from_segments), (to_version, to_segments)):
         if v not in retained:
             raise ValueError(
@@ -214,10 +265,6 @@ def read_changes(
                 "fresher snapshot)"
             )
 
-    out_schema = T.StructType(
-        list(store_schema().fields)
-        + [T.StructField("change_type", T.StringType(), False)]
-    )
     seg_paths = []
     for v in range(from_version, to_version + 1):
         lo = from_segments if v == from_version else 0
@@ -274,6 +321,20 @@ def read_changes(
     )
 
 
+def _parse_byte_size(raw: str, default: int = 134217728) -> int:
+    """Spark byte-size strings with unit suffixes ('128m', '1g',
+    '134217728b') — stripping non-digits would read '128m' as 128
+    BYTES and explode small stores into MAX_BUCKETS tiny files."""
+    import re as _re
+
+    m = _re.match(r"^\s*(\d+)\s*([kmgtp]?)i?b?\s*$", str(raw).lower())
+    if not m:
+        return default
+    mult = {"": 1, "k": 1024, "m": 1024 ** 2, "g": 1024 ** 3,
+            "t": 1024 ** 4, "p": 1024 ** 5}[m.group(2)]
+    return int(m.group(1)) * mult
+
+
 def derive_buckets(df: DataFrame) -> int:
     """Partition count for a store write, derived from Catalyst's size
     estimate over ``spark.sql.files.maxPartitionBytes`` — small stores
@@ -286,8 +347,7 @@ def derive_buckets(df: DataFrame) -> int:
         return DEFAULT_BUCKETS
     spark = df.sparkSession
     raw = str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
-    digits = "".join(ch for ch in raw if ch.isdigit())
-    target = int(digits) if digits else 134217728
+    target = _parse_byte_size(raw)
     if size <= 0 or size >= (1 << 62):  # unknown / Long.MaxValue sentinel
         return DEFAULT_BUCKETS
     return max(1, min(MAX_BUCKETS, math.ceil(size / target)))
@@ -325,9 +385,31 @@ def write_store(
         if sort_cols:
             out = out.sortWithinPartitions(*sort_cols)
         out.write.mode("overwrite").parquet(path)
-    meta.version = new_version
-    meta.deltas = 0  # a fresh base folds/obsoletes all prior segments
-    catalog.put_store(meta)
+    with catalog._lock:
+        # the rewrite folded the snapshot read at (version, deltas) as
+        # passed in `meta` — if another facade committed a delta or a
+        # version since, flipping the pointer would silently DISCARD
+        # that committed data (its rows are not in the fold). Refuse
+        # loudly; the caller re-reads and retries.
+        catalog.reload()
+        try:
+            fresh = catalog.get_store(meta.name, meta.schema)
+        except Exception:
+            fresh = None
+        if fresh is not None and (fresh.version, fresh.deltas) != (
+            meta.version, meta.deltas
+        ):
+            shutil.rmtree(path, ignore_errors=True)  # orphan fold
+            raise RuntimeError(
+                f"write_store: {meta.schema}.{meta.name} moved from "
+                f"({meta.version}, {meta.deltas}) to "
+                f"({fresh.version}, {fresh.deltas}) while the rewrite "
+                f"ran — committing would drop the concurrent writer's "
+                f"data; re-read and retry"
+            )
+        meta.version = new_version
+        meta.deltas = 0  # a fresh base folds/obsoletes all prior segments
+        catalog.put_store(meta)
     catalog.gc_versions(meta, keep=KEEP_VERSIONS)
     return meta
 
@@ -393,7 +475,8 @@ def write_delta(
     # pointer (the other writer bumped ``deltas``) and claim the next
     # free number — the losing writer's rows land in a later segment,
     # not on the floor.
-    for _attempt in range(16):
+    stalls = 0
+    for _attempt in range(64):
         try:
             seg.write.mode("errorifexists").parquet(
                 catalog.delta_path(meta, meta.deltas + 1)
@@ -405,19 +488,49 @@ def write_delta(
             catalog.reload()
             fresh = catalog.get_store(meta.name, meta.schema)
             if fresh.deltas <= meta.deltas and fresh.version == meta.version:
-                # path exists but no committed pointer covers it: a
-                # crashed writer left a partial segment — surface it.
-                raise
+                # path exists but no committed pointer covers it. TWO
+                # causes look identical from here: a writer that
+                # CRASHED mid-write (partial segment, pointer never
+                # coming), and a live writer IN FLIGHT between its
+                # multi-second segment write and its pointer commit.
+                # Wait-and-recheck before declaring a crash — raising
+                # immediately would drop this batch on the floor for
+                # the entire in-flight window of a healthy concurrent
+                # writer.
+                stalls += 1
+                if stalls >= 12:  # ~8s of pointer silence: a real crash
+                    raise
+                time.sleep(0.1 * stalls)
+                continue
+            stalls = 0
             meta = fresh
-            # our caller's len accounting was computed against a view
-            # that missed the other writer's commit — dirty the cached
-            # count so the next info call recomputes it exactly
+            # our caller's accounting was computed against a view that
+            # missed the other writer's commit — dirty BOTH caches so
+            # the next info call recomputes them exactly
             meta.len_cache = -1
+            meta.bytes_cache = -1
     else:
         raise RuntimeError(
             f"write_delta: could not claim a delta segment for {meta.name} "
-            "after 16 attempts (concurrent writer storm)"
+            "after 64 attempts (concurrent writer storm)"
         )
-    meta.deltas += 1
-    catalog.put_store(meta)
+    claimed = meta.deltas + 1
+    with catalog._lock:
+        # MAX-merge the pointer: a concurrent facade may have committed
+        # a higher segment between our claim and this bump — regressing
+        # the count would orphan its committed segment and wedge the
+        # next claim. (Cross-process facades narrow, not close, this
+        # window: the reload below adopts any pointer committed first.)
+        catalog.reload()
+        try:
+            fresh = catalog.get_store(meta.name, meta.schema)
+        except Exception:
+            fresh = None
+        if fresh is not None and fresh.version == meta.version                 and fresh.deltas >= claimed:
+            meta.deltas = fresh.deltas
+            meta.len_cache = -1
+            meta.bytes_cache = -1
+        else:
+            meta.deltas = claimed
+        catalog.put_store(meta)
     return meta

@@ -528,3 +528,62 @@ def test_store_changes_plan_never_shuffles_snapshot(engine):
     plan = buf.getvalue()
     assert "SortMergeJoin" not in plan, plan
     assert plan.count("BroadcastExchange") >= 2, plan  # id probe + pre-image
+
+
+def test_cdf_from_empty_snapshot_and_empty_store_views(spark, engine):
+    """Changes since the EMPTY snapshot (version 0) are the TO-snapshot
+    rows as inserts — the case a derived view created on an empty store
+    hits on its first refresh (version 0 never exists on disk, the
+    first SET writes the v1 base, not a delta)."""
+    from pyspark.sql import functions as F
+
+    from ahnlich_spark.operators import ivm as IVM
+
+    engine.create_store("z0", dimension=2, predicates=["g"])
+    engine.create_materialized_view("z0v", "z0", "meta['g']['s']",
+                                    measures={"c": "1"})
+    engine.set("z0", [([1.0, 0.0], {"g": "a"}), ([2.0, 0.0], {"g": "b"})])
+    engine.del_pred("z0", __import__(
+        "ahnlich_spark.operators.predicates", fromlist=["Equals"]
+    ).Equals("g", "b"))
+    f, t = engine.refresh_materialized_view("z0v")
+    assert f == (0, 0) and t != f
+    got = sorted(tuple(r) for r in
+                 engine.read_materialized_view("z0v").collect())
+    want = sorted(tuple(r) for r in IVM.full_agg(
+        engine, "z0", F.col("meta")["g"]["s"], {"c": F.lit(1)}).collect())
+    assert got == want == [("a", 1, 1)]
+    ch = engine.store_changes("z0", 0, 0)
+    assert {r["change_type"] for r in ch.collect()} <= {"insert"}
+    # historical to_segments defaults like read_store's time travel
+    assert engine.store_changes("z0", 0, 0, to_version=1).count() >= 1
+
+
+def test_torn_segment_excluded_from_retained_counts(spark, engine):
+    """A crashed writer's partial segment (no _SUCCESS marker) is
+    invisible to list_versions, so time travel and the CDF can never
+    merge a torn directory into a snapshot that was never committed."""
+    import os
+
+    engine.create_store("tn", dimension=2)
+    engine.set("tn", [([1.0, 0.0], {})])
+    engine.set("tn", [([2.0, 0.0], {})])       # d1_1 committed
+    meta = engine.catalog.get_store("tn")
+    torn = engine.catalog.delta_path(meta, meta.deltas + 1)
+    os.makedirs(torn)                            # partial: no _SUCCESS
+    with open(os.path.join(torn, "part-00000.parquet"), "wb") as f:
+        f.write(b"not parquet")
+    retained = dict(engine.catalog.list_versions(meta))
+    assert retained[meta.version] == meta.deltas  # torn dir not counted
+    assert engine.store_df("tn", version=meta.version).count() == 2
+
+
+def test_parse_byte_size_units():
+    from ahnlich_spark.sources.store_io import _parse_byte_size
+
+    assert _parse_byte_size("128m") == 128 * 1024 ** 2
+    assert _parse_byte_size("134217728") == 134217728
+    assert _parse_byte_size("1g") == 1024 ** 3
+    assert _parse_byte_size("512k") == 512 * 1024
+    assert _parse_byte_size("64MB") == 64 * 1024 ** 2
+    assert _parse_byte_size("nonsense") == 134217728
