@@ -3347,6 +3347,53 @@ def ai_bulk_set(spark, sf_dir):
     )
 
 
+def ai_bulk_set_bounded(spark, sf_dir, rows: int = 10_000):
+    """Bench-only (NOT registered as a gate): ONE bounded ingest through
+    the same Arrow-batched embed + DelPred-before-Set rewrite as
+    ``ai_bulk_set``, capped at ``rows`` texts so the 100 TB ingest path
+    has a per-round perf row without ai_bulk_set's ~125 s double
+    full-corpus cost (see bench.py BENCH_EXCLUDED). The cap uses a
+    deterministic orderkey threshold — NOT ``limit()``, whose row choice
+    is partition-order dependent — so every round ingests the same
+    texts. Returns one row (inserted, updated, store_len) so collect()
+    materializes the full pipeline."""
+    from ahnlich_spark.ai import AiEngine
+    from ahnlich_spark.plans.engine import Engine
+
+    li = _t(spark, sf_dir, "lineitem")
+    # A fixed orderkey threshold is a deterministic cut — the same
+    # texts every run, unlike ``limit()`` whose row choice is
+    # partition-order dependent. Size varies mildly with the sf dir's
+    # key density (measured: ~3.2k texts at sf0.01, ~4.5k at sf0.1 for
+    # rows=10_000) but is STABLE per sf, which is what round-over-round
+    # bench comparison needs.
+    texts = (
+        li.filter(
+            (F.col("l_orderkey") <= 4 * int(rows))
+            & (F.col("l_linenumber") == 1)
+        )
+        .select(
+            F.concat_ws(
+                " ",
+                F.lit("order"), F.col("l_orderkey").cast("string"),
+                F.lit("line"), F.col("l_linenumber").cast("string"),
+                F.lit("flag"), F.col("l_returnflag"),
+            ).alias("input"),
+            F.create_map(F.lit("flag"), F.col("l_returnflag")).alias("m"),
+        )
+    )
+    wh = tempfile.mkdtemp(prefix="ahnlich_bench_bulk_")
+    ai = AiEngine(Engine(spark, wh))
+    ai.create_store("bulkb", query_model="all-minilm-l6-v2",
+                    index_model="all-minilm-l6-v2", store_original=True)
+    r1 = ai.set("bulkb", texts, meta_col="m")
+    n = ai.engine.get_store("bulkb").len
+    return spark.createDataFrame(
+        [(r1.inserted, r1.updated, n)],
+        "inserted long, updated long, store_len long",
+    )
+
+
 # One-to-many (face-model) gate: each fake image (document text bytes)
 # yields 1 + n%3 face crops = content + chr(65+f); the stub embedding of
 # each crop reduces to a digest pair the oracle reproduces (ASCII docs,

@@ -502,15 +502,21 @@ def histogram_quantiles(
     spark = summary.sparkSession
     q_df = spark.createDataFrame(q_rows, "q_e6 long")
     # rank = ceil(q_e6 * n / 1e6), clamped to >= 1 (q=0 -> first row).
-    # The product is taken in DECIMAL(38,0): in BIGINT q_e6 * n wraps
-    # for groups past ~9.2e12 rows (a 100 TB token corpus exceeds it)
-    # and with ANSI off the wrap silently pins every quantile to the
-    # group's first bin. The rank itself is <= n and casts back safely.
+    # In BIGINT q_e6 * n wraps for groups past ~9.2e12 rows (a 100 TB
+    # token corpus exceeds it) and with ANSI off the wrap silently pins
+    # every quantile to the group's first bin.  The wrap only threatens
+    # huge groups, so branch on n: q_e6 <= 1e6, so q_e6 * n + 999999
+    # stays under 2^63-1 whenever n <= 9e12 — exact 64-bit integer path
+    # for every realistic group; groups past the threshold pay
+    # DECIMAL(38,0) for the product (never wrong, merely slower).  The
+    # rank itself is <= n and casts back safely in both branches.
     rank = F.greatest(
         F.lit(1).cast("long"),
         F.expr(
-            "CAST((CAST(q_e6 AS DECIMAL(38,0)) * n + 999999) "
-            "DIV 1000000 AS BIGINT)"
+            "CASE WHEN n <= 9000000000000 THEN "
+            "(q_e6 * n + 999999) DIV 1000000 "
+            "ELSE CAST((CAST(q_e6 AS DECIMAL(38,0)) * n + 999999) "
+            "DIV 1000000 AS BIGINT) END"
         ),
     )
     hit = cum.crossJoin(F.broadcast(q_df)).filter(F.col("cum") >= rank)

@@ -36,6 +36,18 @@ BENCH_EXCLUDED = {
 }
 
 
+# Bench-only extras: NOT gates (no oracle, never driver-graded), timed
+# so perf regressions on paths the registry can't afford to bench stay
+# visible round-over-round. ai_bulk_set_bounded covers the
+# Arrow-batched bulk-ingest path that ai_bulk_set exercises, at a
+# bounded deterministic size (~4.5k texts at sf0.1, one ingest into a
+# fresh store per run, ~5 s) instead of a double full-corpus ingest.
+def _bench_extras():
+    from ahnlich_spark.entry_queries import ai_bulk_set_bounded
+
+    return {"ai_bulk_set_bounded": ai_bulk_set_bounded}
+
+
 def bench_queries(qs) -> list:
     missing = sorted(set(BENCH_EXCLUDED) - set(qs))
     if missing:
@@ -62,7 +74,10 @@ def main() -> None:
 
     import __spark_entry__ as entry_mod
 
-    qs = entry_mod.queries()
+    qs = dict(entry_mod.queries())
+    extras = _bench_extras()
+    assert not set(extras) & set(qs), "bench extras must not shadow gates"
+    qs.update(extras)
     names = bench_queries(qs)
 
     # Criterion-style warmup AT THE TARGET SF: run every benched query
@@ -73,10 +88,24 @@ def main() -> None:
     # query recomputes its full lineage from parquet.
     entry_mod.entry(spark).collect()
     warm_dir = os.environ.get("SPARK_GRAFT_WARMUP_DIR", SF_DIR)
+    # The warmup pass is also each query's FIRST run this JVM, so its
+    # time is recorded as first_run: for fixture-cached gates
+    # (managed_view_*, incremental_*, streaming_*) the warmup builds the
+    # mutation-chain fixture and the timed repeats fold a coordinate
+    # no-op, so `best` alone under-states the true one-shot cost by up
+    # to ~100x (managed_view_join: 23.5 s first run vs 0.13 s repeat at
+    # sf0.1). first_run makes BENCH_DETAIL.json self-describing without
+    # cross-referencing SCALING.md. Caveat inside the artifact itself:
+    # first_run includes whole-stage-codegen JIT + classloader warmup,
+    # so for NON-fixture gates it over-states steady-state by ~1.2-4x.
+    first_run = {}
     if os.path.isdir(warm_dir):
         for name in names:
             try:
+                t0 = time.perf_counter()
                 qs[name](spark, warm_dir).collect()
+                if warm_dir == SF_DIR:
+                    first_run[name] = round(time.perf_counter() - t0, 3)
             except Exception:
                 pass  # warmup is best-effort; the timed run will surface errors
 
@@ -118,6 +147,14 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "first_run": first_run,
+        "first_run_note": (
+            "warmup-pass wall seconds (same JVM, run once before the "
+            "timed passes): the honest one-shot cost for fixture-"
+            "building gates whose timed repeats are coordinate no-ops; "
+            "includes codegen/classloader warmup, so it over-states "
+            "steady state for ordinary gates"
+        ),
         "sf": sf_val,
         "n_queries": len(timings),
         "queries_excluded": BENCH_EXCLUDED,
