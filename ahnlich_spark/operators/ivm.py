@@ -612,6 +612,72 @@ def cdf_join_agg_delta(
     )
 
 
+def full_join_distinct_inner(
+    eng_a,
+    store_a: str,
+    eng_b,
+    store_b: str,
+    join_a: Column,
+    join_b: Column,
+    group_expr: Column,
+    value_expr: Column,
+    version_a=None,
+    segments_a=None,
+    version_b=None,
+    segments_b=None,
+    schema: str = "public",
+) -> DataFrame:
+    """Seed of a DISTINCT-over-JOIN view's inner state: the (group,
+    value, multiplicity) pair table of the equi-join — the only time
+    the two snapshots are actually joined, exactly like the agg join
+    seed. Same shape as ``full_distinct_inner`` (group = struct(g, v),
+    n = multiplicity), so ``distinct_rollup``/``quantile_rollup`` read
+    it unchanged. Group/value expressions range over the joined row's
+    (a_key, a_meta, b_key, b_meta)."""
+    return full_join_agg(
+        eng_a, store_a, eng_b, store_b, join_a, join_b,
+        F.struct(group_expr.alias("g"), value_expr.alias("v")), {},
+        version_a=version_a, segments_a=segments_a,
+        version_b=version_b, segments_b=segments_b, schema=schema,
+    )
+
+
+def cdf_join_distinct_refresh(
+    eng_a,
+    store_a: str,
+    inner: DataFrame,
+    from_a,
+    eng_b,
+    store_b: str,
+    from_b,
+    join_a: Column,
+    join_b: Column,
+    group_expr: Column,
+    value_expr: Column,
+    to_a=None,
+    to_b=None,
+    schema: str = "public",
+) -> DataFrame:
+    """Refresh a DISTINCT-over-JOIN inner state from both stores'
+    change feeds. COUNT(DISTINCT) over a join is not additive — but
+    the joined pair MULTISET is: each (g, v) pair's multiplicity is a
+    SUM over joined rows, so the bilinear identity dA><B0 + A1><dB
+    maintains it with the struct(g, v) group and zero measures, and
+    distinctness falls out as "pair present" exactly like the
+    single-store distinct fold. O(changes on both sides) per refresh,
+    one broadcast-probed base scan per term, zero-multiplicity pairs
+    drop out in the fold; deletes stay exact where sketches cannot
+    subtract and extrema-over-join cannot avoid a re-join (see
+    plans/views.create_materialized_view)."""
+    delta = cdf_join_agg_delta(
+        eng_a, store_a, from_a, eng_b, store_b, from_b,
+        join_a, join_b,
+        F.struct(group_expr.alias("g"), value_expr.alias("v")), {},
+        to_a=to_a, to_b=to_b, schema=schema,
+    )
+    return apply_agg_delta(inner, delta, [])
+
+
 def quantile_rollup(inner: DataFrame, num: int, den: int) -> DataFrame:
     """(group, n, q) — the EXACT per-group discrete quantile at
     p = num/den from the same maintained (group, value, multiplicity)

@@ -31,6 +31,17 @@ View kinds:
                  by a BROADCAST of the other side's delta, never
                  re-joining the snapshots; the catalog records BOTH
                  stores' fold coordinates
+- ``join_distinct`` — the distinct/quantile pair state over an
+                 equi-join: the joined (group, value) MULTISET is
+                 additive (each pair's multiplicity is a sum over
+                 joined rows), so the SAME bilinear fold maintains it
+                 with a struct(g, v) group; reads roll up exactly like
+                 a single-store distinct view. Extrema over a join are
+                 REFUSED by construction: a removal-triggered rescan's
+                 trigger set spans the join (a delete on A can evict
+                 the max of any group fed through any matching B row),
+                 so the bounded-rescan contract would silently become
+                 a full re-join — see create_materialized_view
 
 The reference has no derived-view machinery at all (its stores answer
 point and similarity queries only); this is capability the base+delta
@@ -50,7 +61,7 @@ from ahnlich_spark import errors
 from ahnlich_spark.catalog import PUBLIC_SCHEMA
 from ahnlich_spark.operators import ivm as IVM
 
-_KINDS = ("agg", "distinct", "extrema", "join")
+_KINDS = ("agg", "distinct", "extrema", "join", "join_distinct")
 
 
 def _views(catalog, schema: str) -> dict:
@@ -90,6 +101,15 @@ def _state_df(engine, entry: dict, coords) -> DataFrame:
             engine, store, engine, entry["store_b"],
             F.expr(entry["join_a"]), F.expr(entry["join_b"]),
             group, _exprs(entry["measures"]),
+            version_a=va, segments_a=sa, version_b=vb, segments_b=sb,
+            schema=schema,
+        )
+    if kind == "join_distinct":
+        (va, sa), (vb, sb) = coords
+        return IVM.full_join_distinct_inner(
+            engine, store, engine, entry["store_b"],
+            F.expr(entry["join_a"]), F.expr(entry["join_b"]),
+            group, F.expr(entry["value"]),
             version_a=va, segments_a=sa, version_b=vb, segments_b=sb,
             schema=schema,
         )
@@ -171,11 +191,13 @@ def create_materialized_view(
     view kind; all expressions are SQL strings over (key, meta).
 
     ``store_b`` + ``join_on=(expr_a, expr_b)`` turn an agg view into a
-    JOIN view over the equi-join ``store >< store_b`` — the ONLY time
-    the two snapshots are actually joined is this seed; every refresh
-    is the bilinear delta. Join/group/measure expressions then range
-    over the joined row's (a_key, a_meta, b_key, b_meta) columns, and
-    NULL join keys never match (ANSI equality)."""
+    JOIN view (and a distinct view into a JOIN_DISTINCT view) over the
+    equi-join ``store >< store_b`` — the ONLY time the two snapshots
+    are actually joined is this seed; every refresh is the bilinear
+    delta. Join/group/measure/value expressions then range over the
+    joined row's (a_key, a_meta, b_key, b_meta) columns, and NULL join
+    keys never match (ANSI equality). Extrema + store_b is refused —
+    see the pinned impossibility argument below."""
     given = [x is not None for x in (measures, value, extrema)]
     if sum(given) != 1:
         raise ValueError(
@@ -186,10 +208,21 @@ def create_materialized_view(
         raise ValueError(
             "a join view needs BOTH store_b and join_on=(expr_a, expr_b)"
         )
-    if store_b is not None and measures is None:
+    if store_b is not None and extrema is not None:
+        # Pinned impossibility, not a TODO: extrema refreshes bound
+        # their removal-triggered rescans to the TOUCHED groups of ONE
+        # store's snapshot (ivm.cdf_extrema_refresh). Over a join, a
+        # single delete on A evicts the max of every group reached
+        # through any matching B row — the trigger set is defined by
+        # the JOIN, so the "bounded rescan" is a re-join of the
+        # snapshots, precisely what the view contract (seed is the
+        # only full join ever computed) forbids. agg (additive) and
+        # distinct (pair multiset, also additive) stay O(changes).
         raise ValueError(
-            "join views maintain additive aggregates: pass measures "
-            "(distinct/extrema over a join are not supported)"
+            "extrema over a join are not maintainable without "
+            "re-joining the snapshots (a one-side delete's rescan "
+            "trigger set spans the join); use measures (additive agg) "
+            "or value (distinct/quantile pair state) for join views"
         )
     m = engine.catalog.get_store(store, schema)  # raises if missing
     m_b = (engine.catalog.get_store(store_b, schema)
@@ -205,9 +238,11 @@ def create_materialized_view(
         raise errors.StoreAlreadyExists(
             f"{schema}.{name} already names a store"
         )
-    kind = ("join" if store_b is not None else
-            "agg" if measures is not None else
-            "distinct" if value is not None else "extrema")
+    if store_b is not None:
+        kind = "join" if measures is not None else "join_distinct"
+    else:
+        kind = ("agg" if measures is not None else
+                "distinct" if value is not None else "extrema")
     entry = {
         "name": name, "schema": schema, "store": store, "kind": kind,
         "group": group, "coords": None, "table": None,
@@ -215,16 +250,16 @@ def create_materialized_view(
     if kind in ("agg", "join"):
         IVM._check_measures(_exprs(measures))
         entry["measures"] = dict(measures)
-        if kind == "join":
-            entry["store_b"] = store_b
-            entry["join_a"], entry["join_b"] = join_on
-    elif kind == "distinct":
+    if kind in ("distinct", "join_distinct"):
         entry["value"] = value
-    else:
+    if kind in ("join", "join_distinct"):
+        entry["store_b"] = store_b
+        entry["join_a"], entry["join_b"] = join_on
+    if kind == "extrema":
         ex = {k: (kd, F.expr(e)) for k, (kd, e) in extrema.items()}
         IVM._check_extrema(ex)
         entry["extrema"] = {k: [kd, e] for k, (kd, e) in extrema.items()}
-    coords = ((m.version, m.deltas) if kind != "join" else
+    coords = ((m.version, m.deltas) if m_b is None else
               ((m.version, m.deltas), (m_b.version, m_b.deltas)))
     seed = _state_df(engine, entry, coords)
     with engine.catalog._lock:
@@ -259,21 +294,30 @@ def refresh_materialized_view(engine, name: str,
     m = engine.catalog.get_store(store, schema)
     group = F.expr(entry["group"])
     kind = entry["kind"]
-    if kind == "join":
+    if kind in ("join", "join_distinct"):
         ca, cb = (tuple(c) for c in entry["coords"])
         m_b = engine.catalog.get_store(entry["store_b"], schema)
         ta, tb = (m.version, m.deltas), (m_b.version, m_b.deltas)
         if (ca, cb) == (ta, tb):
             return (ca, cb), (ta, tb)
-        measures = _exprs(entry["measures"])
-        delta = IVM.cdf_join_agg_delta(
-            engine, store, ca, engine, entry["store_b"], cb,
-            F.expr(entry["join_a"]), F.expr(entry["join_b"]),
-            group, measures, to_a=ta, to_b=tb, schema=schema,
-        )
-        new = IVM.apply_agg_delta(
-            read_state(engine, name, schema), delta, list(measures)
-        )
+        if kind == "join":
+            measures = _exprs(entry["measures"])
+            delta = IVM.cdf_join_agg_delta(
+                engine, store, ca, engine, entry["store_b"], cb,
+                F.expr(entry["join_a"]), F.expr(entry["join_b"]),
+                group, measures, to_a=ta, to_b=tb, schema=schema,
+            )
+            new = IVM.apply_agg_delta(
+                read_state(engine, name, schema), delta, list(measures)
+            )
+        else:
+            new = IVM.cdf_join_distinct_refresh(
+                engine, store, read_state(engine, name, schema), ca,
+                engine, entry["store_b"], cb,
+                F.expr(entry["join_a"]), F.expr(entry["join_b"]),
+                group, F.expr(entry["value"]),
+                to_a=ta, to_b=tb, schema=schema,
+            )
         _write_generation(engine, entry, new, (ta, tb))
         return (ca, cb), (ta, tb)
     v0, s0 = entry["coords"]
@@ -326,11 +370,12 @@ def read_materialized_view(
     answerable from the pair state: pass them on a distinct view."""
     entry = _get(engine.catalog, name, schema)
     state = read_state(engine, name, schema)
-    if entry["kind"] != "distinct":
+    if entry["kind"] not in ("distinct", "join_distinct"):
         if quantile is not None:
             raise ValueError(
-                f"quantile reads need the pair state a 'distinct' view "
-                f"maintains; {schema}.{name} is kind {entry['kind']!r}"
+                f"quantile reads need the pair state a 'distinct' or "
+                f"'join_distinct' view maintains; {schema}.{name} is "
+                f"kind {entry['kind']!r}"
             )
         return state
     if quantile is not None:

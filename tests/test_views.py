@@ -265,9 +265,87 @@ def test_join_view_lifecycle_matches_recompute(engine):
     with pytest.raises(ValueError, match="BOTH store_b and join_on"):
         engine.create_materialized_view(
             "jx", "jf", JG, measures={"c100": JM}, store_b="jf")
-    with pytest.raises(ValueError, match="additive aggregates"):
+    # extrema over a join: refused by construction (a one-side
+    # delete's rescan trigger set spans the join — the pinned
+    # impossibility argument in create_materialized_view)
+    with pytest.raises(ValueError, match="re-joining the snapshots"):
         engine.create_materialized_view(
-            "jx", "jf", JG, value=JM, store_b="jf", join_on=(JA, JB))
+            "jx", "jf", JG, extrema={"mx": ("max", JM)},
+            store_b="jf", join_on=(JA, JB))
+
+
+def test_join_distinct_view_lifecycle_matches_recompute(engine):
+    """A DISTINCT-over-JOIN view: the joined (group, value) pair
+    multiset is additive, so the same bilinear fold maintains it —
+    after deletes, inserts, and a group-moving dim upsert on BOTH
+    sides, the rolled-up read and the exact discrete quantile both
+    equal the full re-join recompute; a no-op refresh skips the
+    write."""
+    from ahnlich_spark.plans import views as V
+
+    _seed_join(engine)
+    engine.create_materialized_view(
+        "jdv", "jf", JG, value=JM, store_b="jd", join_on=(JA, JB))
+    assert V._get(engine.catalog, "jdv", "public")["kind"] == "join_distinct"
+    # both sides move: fact delete + duplicate-value insert, dim
+    # delete orphaning facts, dim upsert moving rows between groups
+    engine.del_pred("jf", Equals("k", "1"))
+    engine.set("jf", [([0.02, 0.0], {"k": "2"})])      # dup value in group
+    engine.del_pred("jd", Equals("k", "3"))
+    engine.set("jd", [([2.0, 0.0], {"k": "2", "r": "9"})])
+    f, t = engine.refresh_materialized_view("jdv")
+    assert f != t
+
+    def recompute_inner():
+        return IVM.full_join_distinct_inner(
+            engine, "jf", engine, "jd",
+            F.expr(JA), F.expr(JB), F.expr(JG), F.expr(JM))
+
+    assert _rows(engine.read_materialized_view("jdv")) == _rows(
+        IVM.distinct_rollup(recompute_inner()))
+    assert _rows(engine.read_materialized_view("jdv", quantile=(1, 2))
+                 ) == _rows(IVM.quantile_rollup(recompute_inner(), 1, 2))
+    # no-op refresh: paired coordinates equal, generation untouched
+    before = V._get(engine.catalog, "jdv", "public")["table"]
+    f, t = engine.refresh_materialized_view("jdv")
+    assert f == t
+    assert V._get(engine.catalog, "jdv", "public")["table"] == before
+    # drop_store guards BOTH sides
+    with pytest.raises(errors.StoreHasDependentViews):
+        engine.drop_store("jd")
+    engine.drop_store("jd", cascade_views=True)
+    assert engine.list_materialized_views() == []
+
+
+def test_generation_gc_bounded_across_refreshes(engine):
+    """The keep-two retention contract, pinned the way store_io
+    compaction is gated: N refreshes leave at most 2 generation dirs
+    (current + previous) on disk, the catalog pointer always names one
+    of them, a reader pinned to the PREVIOUS generation still reads
+    after one refresh, and DROP removes the whole view dir."""
+    from ahnlich_spark.plans import views as V
+
+    _seed(engine, "gs")
+    engine.create_materialized_view("gv", "gs", G, measures={"e2": E2})
+    base = V._view_dir(engine.catalog, "public", "gv")
+    assert len(os.listdir(base)) == 1
+    prev_gen = None
+    for i in range(5):
+        entry = V._get(engine.catalog, "gv", "public")
+        prev_gen = entry["table"]
+        engine.set("gs", [([10.0 + i, 0.0], {"g": "a", "v": str(10 + i)})])
+        f, t = engine.refresh_materialized_view("gv")
+        assert f != t
+        entry = V._get(engine.catalog, "gv", "public")
+        gens = sorted(os.listdir(base))
+        assert len(gens) <= 2, f"generation leak after refresh {i}: {gens}"
+        assert entry["table"] in gens
+        assert prev_gen in gens  # previous retained through ONE refresh
+    # a reader pinned to the pre-refresh generation still reads
+    pinned = engine.spark.read.parquet(os.path.join(base, prev_gen))
+    assert pinned.count() > 0
+    engine.drop_materialized_view("gv")
+    assert not os.path.exists(base)
 
 
 def test_join_view_survives_engine_restart(spark, warehouse):
