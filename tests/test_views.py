@@ -434,6 +434,37 @@ def test_doorbell_refresh_concurrent_user_mutations(engine, tmp_path):
         IVM.full_agg(engine, "cc", grp, {"e2": F.expr(E2)}))
 
 
+def test_doorbell_refresh_join_distinct_both_sides(engine, tmp_path):
+    """The doorbell keeps a DISTINCT-over-JOIN view current from a
+    UNION of BOTH stores' change streams (the docstring's join recipe):
+    mutations on either side wake the fold, which catches BOTH sides up
+    from the catalog's paired coordinates — the final state equals the
+    full re-join recompute, rolled up and at the exact quantile."""
+    _seed_join(engine)
+    engine.create_materialized_view(
+        "dbj", "jf", JG, value=JM, store_b="jd", join_on=(JA, JB))
+    engine.del_pred("jf", Equals("k", "1"))
+    engine.set("jd", [([2.0, 0.0], {"k": "2", "r": "9"})])  # group move
+
+    feed = engine.store_changes_stream(
+        "jf", max_files_per_trigger=1
+    ).unionByName(engine.store_changes_stream("jd", max_files_per_trigger=1))
+    q = engine.streaming_refresh_materialized_view(
+        feed, "dbj", checkpoint=str(tmp_path / "dbj_ck"))
+    q.processAllAvailable()
+    q.stop()
+
+    def recompute_inner():
+        return IVM.full_join_distinct_inner(
+            engine, "jf", engine, "jd",
+            F.expr(JA), F.expr(JB), F.expr(JG), F.expr(JM))
+
+    assert _rows(engine.read_materialized_view("dbj")) == _rows(
+        IVM.distinct_rollup(recompute_inner()))
+    assert _rows(engine.read_materialized_view("dbj", quantile=(3, 4))
+                 ) == _rows(IVM.quantile_rollup(recompute_inner(), 3, 4))
+
+
 def test_ai_purge_cascades_views(spark, warehouse):
     """PurgeStores routes through the engine drop so managed views over
     an AI store are cascade-dropped, never left dangling."""
