@@ -108,6 +108,35 @@ def _batch_stats(df: DataFrame):
     return int(row["n"]), int(row["fp"])
 
 
+def _bucket_col(col, buckets: int):
+    """The keyed sinks' partition column: pmod(xxhash64(group), buckets)
+    — deterministic, NULL-safe (xxhash64(NULL) is a constant), and the
+    same mapping on write and read so partition pruning is exact."""
+    return F.pmod(F.xxhash64(col), F.lit(buckets)).cast("int")
+
+
+def _keep_last_merged(parts, touched=None) -> DataFrame:
+    """Keep-last per group over an ORDERED part log (later part wins) —
+    the read side every keyed sink shares. The bucket filter lands
+    BELOW the union so each part's parquet scan is partition-pruned to
+    the touched buckets."""
+    from functools import reduce
+
+    from pyspark.sql.window import Window
+
+    ordered = [
+        df.withColumn("_ord", F.lit(i)) for i, df in enumerate(parts)
+    ]
+    u = reduce(lambda x, y: x.unionByName(y), ordered)
+    if touched is not None:
+        u = u.filter(F.col("_vb").isin(touched))
+    w = Window.partitionBy("group").orderBy(F.desc("_ord"))
+    return (
+        u.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1).drop("_rn", "_ord")
+    )
+
+
 _LEDGER_REFUSE = (
     "the restarted stream batches the source differently (changed "
     "maxFilesPerTrigger / new files merged into a replayed batch). "
@@ -883,6 +912,8 @@ def streaming_materialized_join(
     state_dir: Optional[str] = None,
     from_a=None,
     from_b=None,
+    sink: str = "snapshot",
+    buckets: int = 64,
 ):
     """Continuously-maintained JOIN view over TWO live stores: each
     trigger folds ``operators/ivm.cdf_join_agg_delta`` (the bilinear
@@ -906,9 +937,36 @@ def streaming_materialized_join(
     there and the FIRST trigger folds everything since. With
     ``state_dir`` the view + coordinates persist (atomic pointer,
     overwrite-by-batch-id table, previous generation GC'd); restart
-    equals the uninterrupted run. Returns ``(query, drain)``."""
+    equals the uninterrupted run. Returns ``(query, drain)``.
+
+    ``sink`` picks the view's storage strategy, exactly like
+    ``streaming_materialized_agg``:
+
+    - ``"snapshot"`` (default): the whole (group, n, measures) table
+      per trigger — right for bounded group cardinality.
+    - ``"keyed"``: bucket-partitioned parquet delta parts under
+      ``state_dir`` (required), per trigger EXACTLY the groups the
+      bilinear delta touched — O(changes on both sides +
+      touched-bucket rows), independent of the view's group count.
+      Parts are named by FOLD COORDINATES (not batch id): the doorbell
+      makes exactly-once trivial, and coordinate naming keeps a batch
+      redelivered after a pointer swap from overwriting committed live
+      parts — it folds to NEW coordinates and writes a NEW part."""
     from ahnlich_spark.operators import ivm as IVM
 
+    if sink not in ("snapshot", "keyed"):
+        raise ValueError(f"unknown sink {sink!r}: snapshot | keyed")
+    if sink == "keyed":
+        if not state_dir:
+            raise ValueError(
+                "sink='keyed' stores the view as parquet delta parts "
+                "and needs state_dir to put them somewhere durable"
+            )
+        return _keyed_materialized_join(
+            feed, eng_a, store_a, eng_b, store_b, join_a, join_b,
+            group_expr, measures, schema, checkpoint, state_dir,
+            buckets, from_a, from_b,
+        )
     spark = eng_a.spark
     names = list(measures)
     if checkpoint and not state_dir:
@@ -1049,10 +1107,6 @@ def _keyed_materialized_agg(
     are swept on load, and parts dropped by compaction are GC'd only
     after the new pointer is live. Kill-and-restart equals the
     uninterrupted run (pytest-pinned alongside the snapshot sink)."""
-    from functools import reduce
-
-    from pyspark.sql.window import Window
-
     from ahnlich_spark.operators import ivm as IVM
 
     spark = engine.spark
@@ -1060,7 +1114,7 @@ def _keyed_materialized_agg(
     ptr_path = os.path.join(state_dir, "mviewk_state.json")
 
     def _vb(col):
-        return F.pmod(F.xxhash64(col), F.lit(buckets)).cast("int")
+        return _bucket_col(col, buckets)
 
     # the view schema comes from PLAN ANALYSIS of the seed aggregate
     # (no job runs) — parts are read with it explicitly because an
@@ -1076,21 +1130,7 @@ def _keyed_materialized_agg(
         df.write.mode("overwrite").partitionBy("_vb").parquet(path)
         return spark.read.schema(view_schema).parquet(path)
 
-    def _merged(parts, touched=None) -> DataFrame:
-        # keep-last per group over the ordered part log; the bucket
-        # filter lands BELOW the union so each part's parquet scan is
-        # partition-pruned to the touched buckets
-        ordered = [
-            df.withColumn("_ord", F.lit(i)) for i, df in enumerate(parts)
-        ]
-        u = reduce(lambda x, y: x.unionByName(y), ordered)
-        if touched is not None:
-            u = u.filter(F.col("_vb").isin(touched))
-        w = Window.partitionBy("group").orderBy(F.desc("_ord"))
-        return (
-            u.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1).drop("_rn", "_ord")
-        )
+    _merged = _keep_last_merged
 
     state = {"parts": [], "tables": [], "coords": None, "last_id": -1}
     ledger = _ReplayLedger()
@@ -1222,6 +1262,246 @@ def _keyed_materialized_agg(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start(), drain
+
+
+def _keyed_materialized_join(
+    feed: DataFrame,
+    eng_a,
+    store_a: str,
+    eng_b,
+    store_b: str,
+    join_a,
+    join_b,
+    group_expr,
+    measures: dict,
+    schema: str,
+    checkpoint: Optional[str],
+    state_dir: str,
+    buckets: int,
+    from_a,
+    from_b,
+):
+    """The high-cardinality sink behind
+    ``streaming_materialized_join(sink="keyed")`` — the keyed part-log
+    of ``_keyed_materialized_agg`` composed with the doorbell join
+    fold. Per trigger: ONE bilinear delta (each term a broadcast-probed
+    base scan), the merge/write touching EXACTLY the delta's groups,
+    reads pruned to touched ``pmod(xxhash64(group), buckets)``
+    partitions — O(changes on both sides + touched-bucket rows),
+    independent of the view's total group count.
+
+    Two deliberate departures from the single-store keyed sink:
+
+    - NO replay ledger: the feed is a pure doorbell (the fold consumes
+      no batch rows), so a replayed trigger folds from the persisted
+      PAIRED coordinates and lands the same or a further catch-up —
+      there is nothing a replay could double-count, identical to the
+      snapshot join sink's argument.
+    - Parts are named by FOLD COORDINATES, not batch id
+      (``mjoink_p<va>_<sa>_<vb>_<sb>``): coordinates advance
+      monotonically, so a batch redelivered AFTER the pointer swapped
+      folds to new coordinates and writes a NEW part, while a re-run
+      of a crashed fold overwrites only its own orphan. Batch-id
+      naming would overwrite committed live parts in place (the same
+      hazard the snapshot join sink's _commit documents).
+
+    Crash safety otherwise standard: overwrite-mode parts, atomic
+    pointer swap after the part lands, orphaned ``mjoink_*`` dirs swept
+    on load, compaction GC'd only after the new pointer is live, a
+    bucket-count change REFUSED on load."""
+    from ahnlich_spark.operators import ivm as IVM
+
+    spark = eng_a.spark
+    names = list(measures)
+    ptr_path = os.path.join(state_dir, "mjoink_state.json")
+
+    def _vb(col):
+        return _bucket_col(col, buckets)
+
+    # schema from PLAN ANALYSIS of the seed aggregate (no job runs):
+    # empty partitioned parts are legal and have no files to infer from
+    view_schema = (
+        IVM.full_join_agg(
+            eng_a, store_a, eng_b, store_b, join_a, join_b,
+            group_expr, measures, schema=schema,
+        ).withColumn("_vb", _vb(F.col("group"))).schema
+    )
+
+    def _write_part(df: DataFrame, table: str) -> DataFrame:
+        path = os.path.join(state_dir, table)
+        df.write.mode("overwrite").partitionBy("_vb").parquet(path)
+        return spark.read.schema(view_schema).parquet(path)
+
+    def _coords(eng, store):
+        m = eng.catalog.get_store(store, schema)
+        return (m.version, m.deltas)
+
+    state = {"parts": [], "tables": [], "ca": None, "cb": None}
+    p = _read_json(ptr_path)
+    if p is not None:
+        pa, pb = p.get("coords_a"), p.get("coords_b")
+        if not all(isinstance(c, (list, tuple)) and len(c) == 2
+                   for c in (pa, pb)):
+            raise ValueError(
+                f"keyed mjoin fold state in {state_dir} has no usable "
+                f"fold coordinates (pointer coords_a/coords_b missing "
+                f"or malformed — tampered, truncated, or written by a "
+                f"different fold); delete the state_dir and re-seed "
+                f"the view instead of reusing it"
+            )
+        saved_buckets = p.get("buckets")
+        if saved_buckets is not None and int(saved_buckets) != buckets:
+            raise ValueError(
+                f"keyed mjoin state in {state_dir} was written with "
+                f"buckets={saved_buckets} but this fold was started "
+                f"with buckets={buckets} — the persisted parts' _vb "
+                f"partition values would mismatch the new bucket "
+                f"mapping and silently corrupt the view; restart with "
+                f"buckets={saved_buckets} or delete the state_dir and "
+                f"re-seed"
+            )
+        state["ca"] = (int(pa[0]), int(pa[1]))
+        state["cb"] = (int(pb[0]), int(pb[1]))
+        state["tables"] = list(p["tables"])
+        state["parts"] = [
+            spark.read.schema(view_schema)
+            .parquet(os.path.join(state_dir, t))
+            for t in state["tables"]
+        ]
+        live = set(state["tables"])
+        for d in os.listdir(state_dir):
+            path = os.path.join(state_dir, d)
+            if (d.startswith("mjoink_") and d not in live
+                    and os.path.isdir(path)):
+                shutil.rmtree(path, ignore_errors=True)
+    else:
+        ca = tuple(from_a) if from_a is not None else _coords(eng_a, store_a)
+        cb = tuple(from_b) if from_b is not None else _coords(eng_b, store_b)
+        state["ca"], state["cb"] = ca, cb
+        seed = IVM.full_join_agg(
+            eng_a, store_a, eng_b, store_b, join_a, join_b,
+            group_expr, measures,
+            version_a=ca[0], segments_a=ca[1],
+            version_b=cb[0], segments_b=cb[1], schema=schema,
+        ).withColumn("_vb", _vb(F.col("group")))
+        state["parts"] = [_write_part(seed, "mjoink_seed")]
+        state["tables"] = ["mjoink_seed"]
+
+    def _commit(batch_id: int) -> None:
+        old = _read_json(ptr_path)
+        _atomic_write_json(ptr_path, {
+            "batch_id": batch_id,
+            "tables": list(state["tables"]),
+            "coords_a": list(state["ca"]),
+            "coords_b": list(state["cb"]),
+            "buckets": buckets,
+        })
+        if old is not None:
+            dead = set(old.get("tables", [])) - set(state["tables"])
+            for t in dead:
+                shutil.rmtree(os.path.join(state_dir, t),
+                              ignore_errors=True)
+
+    if p is None:
+        # pointer referencing the seed makes the seed scan one-time
+        # even across a crash before the first trigger commits
+        _commit(-1)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        ta, tb = _coords(eng_a, store_a), _coords(eng_b, store_b)
+        if (ta, tb) == (state["ca"], state["cb"]):
+            return  # coordinate no-op: zero jobs, zero writes
+        delta = IVM.cdf_join_agg_delta(
+            eng_a, store_a, state["ca"], eng_b, store_b, state["cb"],
+            join_a, join_b, group_expr, measures,
+            to_a=ta, to_b=tb, schema=schema,
+        ).withColumn("_vb", _vb(F.col("group"))).localCheckpoint()
+        touched = [r[0] for r in delta.select("_vb").distinct().collect()]
+        if touched:
+            cur = (
+                _keep_last_merged(state["parts"], touched=touched)
+                .alias("c")
+                .join(
+                    F.broadcast(delta.select("group").alias("k")),
+                    F.col("c.group").eqNullSafe(F.col("k.group")),
+                    "left_semi",
+                )
+                .drop("_vb")
+            )
+            folded = IVM.apply_agg_delta(
+                cur, delta.drop("_vb"), names, keep_zero=True
+            ).withColumn("_vb", _vb(F.col("group")))
+            table = f"mjoink_p{ta[0]}_{ta[1]}_{tb[0]}_{tb[1]}"
+            state["parts"].append(_write_part(folded, table))
+            state["tables"].append(table)
+        state["ca"], state["cb"] = ta, tb
+        if len(state["parts"]) > _COMPACT_PARTS:
+            compacted = _keep_last_merged(state["parts"]) \
+                .filter(F.col("n") > 0)
+            table = f"mjoink_c{ta[0]}_{ta[1]}_{tb[0]}_{tb[1]}"
+            state["parts"] = [_write_part(compacted, table)]
+            state["tables"] = [table]
+        _commit(batch_id)
+
+    def drain() -> DataFrame:
+        return (_keep_last_merged(state["parts"])
+                .filter(F.col("n") > 0).drop("_vb"))
+
+    writer = feed.writeStream.foreachBatch(_sink).outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start(), drain
+
+
+def streaming_materialized_join_distinct(
+    feed: DataFrame,
+    eng_a,
+    store_a: str,
+    eng_b,
+    store_b: str,
+    join_a,
+    join_b,
+    group_expr,
+    value_expr,
+    schema: str = "public",
+    checkpoint: Optional[str] = None,
+    state_dir: Optional[str] = None,
+    from_a=None,
+    from_b=None,
+    sink: str = "snapshot",
+    buckets: int = 64,
+):
+    """Continuously-maintained DISTINCT/QUANTILE view over the
+    equi-join of TWO live stores — the last cell of the maintained-view
+    matrix: (agg | distinct) x (single store | join) x (snapshot |
+    keyed). The joined (group, value) pair MULTISET is additive, so the
+    doorbell join fold maintains it with a struct(g, v) group and zero
+    measures, riding EITHER sink unchanged; exact COUNT(DISTINCT) and
+    exact discrete quantiles stay read-time rollups over live pairs,
+    subtractable under deletes on either side — what no sketch and no
+    re-join-per-trigger scheme offers. For a huge (group x value)
+    domain pass ``sink="keyed"``: per trigger the part log receives
+    exactly the pairs the bilinear delta touched.
+
+    Returns ``(query, drain)``; ``drain()`` is (group, n, n_distinct),
+    ``drain(quantile=(num, den))`` the exact discrete quantile."""
+    pair = F.struct(group_expr.alias("g"), value_expr.alias("v"))
+    q, drain_pairs = streaming_materialized_join(
+        feed, eng_a, store_a, eng_b, store_b, join_a, join_b,
+        pair, {}, schema=schema, checkpoint=checkpoint,
+        state_dir=state_dir, from_a=from_a, from_b=from_b,
+        sink=sink, buckets=buckets,
+    )
+
+    def drain(quantile: Optional[tuple] = None) -> DataFrame:
+        from ahnlich_spark.operators import ivm as IVM
+
+        inner = drain_pairs()
+        if quantile is not None:
+            return IVM.quantile_rollup(inner, *quantile)
+        return IVM.distinct_rollup(inner)
+
+    return q, drain
 
 
 def streaming_incremental_dedup(

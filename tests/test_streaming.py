@@ -2001,6 +2001,135 @@ def test_streaming_join_view_guards(spark, engine, tmp_path):
         )
 
 
+def test_streaming_join_view_keyed_restart_and_catchup(
+    spark, engine, tmp_path
+):
+    """The keyed sink composed with the doorbell join fold: per trigger
+    the part log receives exactly the bilinear delta's touched groups
+    (coordinate-named mjoink_* parts), kill-and-restart with both-side
+    mutations while down equals re-joining the final snapshots, and a
+    restart with a different bucket count is REFUSED instead of
+    silently merging parts under a mismatched _vb mapping."""
+    from ahnlich_spark.operators import ivm as IVM
+    from ahnlich_spark.operators.predicates import Equals
+    from ahnlich_spark.streaming.pipeline import streaming_materialized_join
+
+    engine.create_store("kja", dimension=2, predicates=["k"])
+    engine.create_store("kjb", dimension=2, predicates=["k", "w"])
+    engine.set("kja", [([1.0, 0.0], {"k": "p"}), ([0.0, 1.0], {"k": "q"})])
+    engine.set("kjb", [([5.0, 0.0], {"k": "p", "w": "2"}),
+                       ([6.0, 0.0], {"k": "q", "w": "3"})])
+    ja, jb = F.col("a_meta")["k"]["s"], F.col("b_meta")["k"]["s"]
+    grp = F.col("b_meta")["w"]["s"]
+    meas = {"s_e2": (F.element_at("a_key", 1) * 100).cast("long")}
+    state_dir = str(tmp_path / "kj_state")
+    ckpt = str(tmp_path / "kj_ckpt")
+
+    def fold(buckets=8):
+        feed = engine.store_changes_stream(
+            "kja", max_files_per_trigger=1
+        ).unionByName(
+            engine.store_changes_stream("kjb", max_files_per_trigger=1)
+        )
+        return streaming_materialized_join(
+            feed, engine, "kja", engine, "kjb", ja, jb, grp, meas,
+            state_dir=state_dir, checkpoint=ckpt,
+            from_a=(1, 0), from_b=(1, 0), sink="keyed", buckets=buckets,
+        )
+
+    engine.set("kja", [([0.0, 1.0], {"k": "p"})])   # fact join-key move
+    engine.set("kjb", [([5.0, 0.0], {"k": "p", "w": "9"})])  # dim regroup
+    q1, _ = fold()
+    q1.processAllAvailable()
+    q1.stop()
+    # parts are coordinate-named, never batch-id-named (the pointer
+    # mjoink_state.json is a file, not a part)
+    parts = [d for d in os.listdir(state_dir)
+             if d.startswith("mjoink_")
+             and os.path.isdir(os.path.join(state_dir, d))]
+    assert "mjoink_seed" in parts
+    assert all(d == "mjoink_seed" or d.startswith(("mjoink_p", "mjoink_c"))
+               for d in parts)
+    # both sides mutate while the fold is down
+    engine.del_pred("kjb", Equals("k", "q"))        # dim row dies
+    engine.set("kja", [([7.0, 7.0], {"k": "p"})])   # new fact
+    q2, drain2 = fold()
+    q2.processAllAvailable()
+    q2.stop()
+    got = sorted(tuple(r) for r in drain2().collect())
+    want = sorted(tuple(r) for r in IVM.full_join_agg(
+        engine, "kja", engine, "kjb", ja, jb, grp, meas,
+    ).collect())
+    assert got == want == [("9", 3, 800)]
+    # a different bucket count refuses on load
+    with pytest.raises(ValueError, match="buckets=8"):
+        fold(buckets=16)
+
+
+def test_streaming_join_distinct_keyed_rollup_and_quantile(
+    spark, engine, tmp_path
+):
+    """DISTINCT/QUANTILE over a live equi-join riding the keyed sink —
+    the last cell of the maintained-view matrix: after deletes and a
+    group-moving dim upsert on both sides plus a kill-and-restart, the
+    rolled-up read and the exact discrete quantile both equal the
+    re-joined recompute."""
+    from ahnlich_spark.operators import ivm as IVM
+    from ahnlich_spark.operators.predicates import Equals
+    from ahnlich_spark.streaming.pipeline import (
+        streaming_materialized_join_distinct,
+    )
+
+    engine.create_store("kda", dimension=2, predicates=["k"])
+    engine.create_store("kdb", dimension=2, predicates=["k", "w"])
+    engine.set("kda", [
+        ([0.01 * i, 0.0], {"k": str(i % 3)}) for i in range(1, 10)
+    ])
+    engine.set("kdb", [
+        ([float(k), 0.0], {"k": str(k), "w": str(k % 2)}) for k in range(3)
+    ])
+    ja, jb = F.col("a_meta")["k"]["s"], F.col("b_meta")["k"]["s"]
+    grp = F.col("b_meta")["w"]["s"]
+    val = (F.element_at("a_key", 1) * 100).cast("long")
+    state_dir = str(tmp_path / "kd_state")
+    ckpt = str(tmp_path / "kd_ckpt")
+
+    def fold():
+        feed = engine.store_changes_stream(
+            "kda", max_files_per_trigger=1
+        ).unionByName(
+            engine.store_changes_stream("kdb", max_files_per_trigger=1)
+        )
+        return streaming_materialized_join_distinct(
+            feed, engine, "kda", engine, "kdb", ja, jb, grp, val,
+            state_dir=state_dir, checkpoint=ckpt,
+            from_a=(1, 0), from_b=(1, 0), sink="keyed", buckets=8,
+        )
+
+    engine.del_pred("kda", Equals("k", "1"))
+    engine.set("kda", [([0.02, 0.0], {"k": "2"})])   # dup value in group
+    q1, _ = fold()
+    q1.processAllAvailable()
+    q1.stop()
+    engine.set("kdb", [([1.0, 0.0], {"k": "1", "w": "5"})])  # regroup
+    q2, drain2 = fold()
+    q2.processAllAvailable()
+    q2.stop()
+
+    def recompute_inner():
+        return IVM.full_join_distinct_inner(
+            engine, "kda", engine, "kdb", ja, jb, grp, val)
+
+    got = sorted(tuple(r) for r in drain2().collect())
+    want = sorted(tuple(r) for r in
+                  IVM.distinct_rollup(recompute_inner()).collect())
+    assert got == want and got
+    gq = sorted(tuple(r) for r in drain2(quantile=(1, 2)).collect())
+    wq = sorted(tuple(r) for r in
+                IVM.quantile_rollup(recompute_inner(), 1, 2).collect())
+    assert gq == wq
+
+
 def test_keyed_mview_restart_from_scratch_replays_and_skips(
     spark, engine, tmp_path
 ):
