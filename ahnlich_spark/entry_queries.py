@@ -9147,6 +9147,12 @@ def _managed_view_fixture(spark, sf_dir):
                       "AS BIGINT)"},
             store_b="mgvdim",
             join_on=("a_meta['label']['s']", "b_meta['k']['s']"))
+        eng.create_materialized_view(
+            "mgv_jdis", "mgv", "b_meta['r']['s']",
+            value=("CAST(round(CAST(a_key[0] AS DOUBLE) * 1000000) "
+                   "AS BIGINT)"),
+            store_b="mgvdim",
+            join_on=("a_meta['label']['s']", "b_meta['k']['s']"))
         eng.set("mgv", _ivm_entries(emb.filter(
             (F.col("vec_id") >= 200) & (F.col("vec_id") < 300)), 10))
         eng.del_pred("mgv", Equals("label", "5"))
@@ -9482,6 +9488,135 @@ def streaming_materialized_view_keyed(spark, sf_dir):
     q.processAllAvailable()
     q.stop()
     return drain().withColumnRenamed("group", "label")
+
+
+# ------------------------------------------------- pending gates (r12) --
+#
+# Fully-working gates for round-10 capabilities, NOT yet in the driver
+# registry: the registry is FROZEN at 200 through round 11 so the
+# rotation window (offset (50*ROUND) % 200) driver-grades every
+# existing gate before the count changes (VERDICT r9 item 1 — adding
+# names would reshuffle the sorted order and push never-graded gates
+# out of their scheduled windows). Each entry here is held to the SAME
+# contract as a registered gate (Spark callable + DuckDB oracle,
+# checked at sf0.001 by tests/test_pending_gates.py); registering in
+# r12 is moving a dict entry.
+
+PENDING_QUERIES: Dict[str, QueryFn] = {}
+PENDING_ORACLES: Dict[str, str] = {}
+
+
+def _pending(name: str, sql: str):
+    def deco(fn):
+        PENDING_QUERIES[name] = fn
+        PENDING_ORACLES[name] = sql
+        return fn
+    return deco
+
+
+# distinct-over-join closed form: the same final a/b relations as
+# _IVM_JOIN_SQL, rolled up as the pair multiset (n = joined rows,
+# n_distinct = distinct non-null values) — valid for BOTH the managed
+# fixture (mgv/mgvdim) and the library fixture (ivm/ivmdim), whose
+# mutation chains land identical final snapshots by construction.
+_IVM_JOIN_DISTINCT_SQL = """WITH a AS (
+  SELECT CAST(CASE WHEN vec_id >= 200 THEN label + 10 ELSE label END
+              AS VARCHAR) AS k,
+         CAST(round(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT) AS e6
+  FROM embeddings
+  WHERE vec_id < 300 AND NOT (vec_id < 200 AND label = 5)
+), b AS (
+  SELECT CAST(l AS VARCHAR) AS k,
+         CAST(CASE WHEN l = 12 THEN 9 ELSE l % 3 END AS VARCHAR) AS r
+  FROM range(0, 20) t(l) WHERE l <> 7
+)
+SELECT b.r AS r,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT a.e6) AS BIGINT) AS n_distinct
+FROM a JOIN b ON a.k = b.k
+GROUP BY 1
+"""
+
+
+@_pending("managed_view_join_distinct", _IVM_JOIN_DISTINCT_SQL)
+def managed_view_join_distinct(spark, sf_dir):
+    """A managed DISTINCT-over-JOIN view (plans/views.py
+    kind="join_distinct"): the joined (group, value) pair multiset is
+    additive, so ONE refresh folds the bilinear delta across fact-side
+    group-moving upserts + a predicate delete AND dim-side mutations
+    (row delete orphaning facts, region move) — seeded at both base
+    snapshots, never re-joined after the seed; the read rolls the pair
+    state up to (group, n, n_distinct). Lifecycle/restart/drop-guard
+    pinned in tests/test_views.py."""
+    eng = _managed_view_fixture(spark, sf_dir)
+    eng.refresh_materialized_view("mgv_jdis")
+    return eng.read_materialized_view("mgv_jdis").withColumnRenamed(
+        "group", "r"
+    )
+
+
+@_pending("streaming_materialized_join_keyed", _IVM_JOIN_SQL)
+def streaming_materialized_join_keyed(spark, sf_dir):
+    """The keyed part-log sink composed with the doorbell join fold
+    (streaming/pipeline._keyed_materialized_join): per trigger the part
+    log receives exactly the bilinear delta's touched groups
+    (fold-coordinate-named parts, no replay ledger — the doorbell
+    consumes no batch rows), reads pruned to touched buckets. Same
+    mutation chain and closed-form re-join oracle as the snapshot-sink
+    streaming join gate."""
+    from ahnlich_spark.streaming.pipeline import streaming_materialized_join
+
+    eng, v0, s0 = _ivm_join_fixture(spark, sf_dir)
+    ja, jb, grp, meas = _ivm_join_exprs()
+    run = tempfile.mkdtemp(prefix="ahnlich_mjoink_")
+    feed = eng.store_changes_stream(
+        "ivm", max_files_per_trigger=1
+    ).unionByName(eng.store_changes_stream(
+        "ivmdim", max_files_per_trigger=1
+    ))
+    q, drain = streaming_materialized_join(
+        feed, eng, "ivm", eng, "ivmdim", ja, jb, grp, meas,
+        state_dir=os.path.join(run, "state"),
+        checkpoint=os.path.join(run, "ckpt"),
+        from_a=(v0, s0), from_b=(1, 0), sink="keyed", buckets=16,
+    )
+    q.processAllAvailable()
+    q.stop()
+    return drain().withColumnRenamed("group", "r")
+
+
+@_pending("streaming_join_distinct_keyed", _IVM_JOIN_DISTINCT_SQL)
+def streaming_join_distinct_keyed(spark, sf_dir):
+    """DISTINCT/QUANTILE over a live equi-join riding the keyed sink
+    (streaming/pipeline.streaming_materialized_join_distinct) — the
+    last cell of the maintained-view matrix: the joined pair multiset
+    folds through the doorbell into bucket-partitioned parts (exactly
+    the touched pairs per trigger) and the read rolls live pairs up to
+    (group, n, n_distinct), exact under deletes on either side."""
+    from ahnlich_spark.streaming.pipeline import (
+        streaming_materialized_join_distinct,
+    )
+
+    eng, v0, s0 = _ivm_join_fixture(spark, sf_dir)
+    ja, jb, grp, _ = _ivm_join_exprs()
+    val = F.round(
+        F.element_at("a_key", 1).cast("double") * 1_000_000
+    ).cast("long")
+    run = tempfile.mkdtemp(prefix="ahnlich_jdisk_")
+    feed = eng.store_changes_stream(
+        "ivm", max_files_per_trigger=1
+    ).unionByName(eng.store_changes_stream(
+        "ivmdim", max_files_per_trigger=1
+    ))
+    q, drain = streaming_materialized_join_distinct(
+        feed, eng, "ivm", eng, "ivmdim", ja, jb, grp, val,
+        state_dir=os.path.join(run, "state"),
+        checkpoint=os.path.join(run, "ckpt"),
+        from_a=(v0, s0), from_b=(1, 0), sink="keyed", buckets=16,
+    )
+    q.processAllAvailable()
+    q.stop()
+    return drain().withColumnRenamed("group", "r")
 
 
 # ------------------------------------------------------------- entry --
