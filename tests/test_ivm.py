@@ -327,3 +327,75 @@ def test_quantile_rollup_definition_and_refresh(engine):
     assert got == want
     # a is now {7, 9} -> lower median 7; b {2,4,6,8,10} -> 6
     assert ("a", 2, 7) in got and ("b", 5, 6) in got
+
+
+@pytest.mark.parametrize("seed", [7, 23, 101])
+def test_join_distinct_refresh_randomized_chains(engine, seed):
+    """Adversarial randomized both-side mutation chains (seeded, so
+    failures replay): 4 windows of random upserts / join-key moves /
+    value changes / predicate deletes on BOTH stores, the pair state
+    refreshed after EVERY window via cdf_join_distinct_refresh — after
+    each fold the maintained state's rollup AND exact median equal the
+    state rebuilt from a full re-join of the current snapshots. Catches
+    fold-composition bugs (a window folded against state the previous
+    window corrupted) that single-window tests cannot."""
+    import random
+
+    from ahnlich_spark.operators.predicates import Equals
+
+    rng = random.Random(seed)
+    sa, sb = f"rja{seed}", f"rjb{seed}"
+    engine.create_store(sa, dimension=2, predicates=["k"])
+    engine.create_store(sb, dimension=2, predicates=["k", "w"])
+    keys = [str(k) for k in range(6)]
+    engine.set(sa, [
+        ([float(i), float(rng.randint(0, 3))], {"k": rng.choice(keys)})
+        for i in range(12)
+    ] + [([99.0, 0.0], {})])                       # NULL join key on A
+    engine.set(sb, [
+        ([float(k), 0.0], {"k": str(k), "w": str(k % 3)})
+        for k in range(5)                          # key '5' unmatched on B
+    ])
+    ja, jb = F.col("a_meta")["k"]["s"], F.col("b_meta")["k"]["s"]
+    grp = F.col("b_meta")["w"]["s"]
+    val = (F.element_at("a_key", 2) * 100).cast("long")
+
+    def coords(store):
+        m = engine.catalog.get_store(store)
+        return (m.version, m.deltas)
+
+    ca, cb = coords(sa), coords(sb)
+    inner = IVM.full_join_distinct_inner(
+        engine, sa, engine, sb, ja, jb, grp, val,
+        version_a=ca[0], segments_a=ca[1],
+        version_b=cb[0], segments_b=cb[1],
+    ).localCheckpoint()
+
+    for _ in range(4):
+        # random window on A: upserts (vector-is-PK → key/value moves)
+        engine.set(sa, [
+            ([float(rng.randint(0, 13)), float(rng.randint(0, 3))],
+             {"k": rng.choice(keys)})
+            for _ in range(rng.randint(1, 4))
+        ])
+        if rng.random() < 0.5:
+            engine.del_pred(sa, Equals("k", rng.choice(keys)))
+        # random window on B: regroup moves, deletes, late key arrival
+        if rng.random() < 0.6:
+            k = rng.randint(0, 5)
+            engine.set(sb, [([float(k), 0.0],
+                             {"k": str(k), "w": str(rng.randint(0, 4))})])
+        if rng.random() < 0.3:
+            engine.del_pred(sb, Equals("k", str(rng.randint(0, 5))))
+        ta, tb = coords(sa), coords(sb)
+        inner = IVM.cdf_join_distinct_refresh(
+            engine, sa, inner, ca, engine, sb, cb, ja, jb, grp, val,
+            to_a=ta, to_b=tb,
+        ).localCheckpoint()
+        ca, cb = ta, tb
+        rebuilt = IVM.full_join_distinct_inner(
+            engine, sa, engine, sb, ja, jb, grp, val)
+        assert _rows(IVM.distinct_rollup(inner)) == _rows(
+            IVM.distinct_rollup(rebuilt))
+        assert _rows(IVM.quantile_rollup(inner, 1, 2)) == _rows(
+            IVM.quantile_rollup(rebuilt, 1, 2))
