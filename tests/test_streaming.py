@@ -2130,6 +2130,59 @@ def test_streaming_join_distinct_keyed_rollup_and_quantile(
     assert gq == wq
 
 
+def test_keyed_join_sink_plan_pins(spark, engine, tmp_path):
+    """The keyed join sink's two scale guarantees, pinned in the plans:
+    the touched-bucket read partition-prunes every part scan on _vb
+    (the filter pushes BELOW the union into PartitionFilters), and the
+    bilinear delta joins by BROADCAST with no CartesianProduct — the
+    shapes that make a trigger O(changes + touched-bucket rows) at any
+    view size."""
+    import json
+
+    from ahnlich_spark.operators import ivm as IVM
+    from ahnlich_spark.streaming.pipeline import (
+        _keep_last_merged,
+        streaming_materialized_join,
+    )
+    from tests.test_plans import plan_of
+
+    engine.create_store("pja", dimension=2, predicates=["k"])
+    engine.create_store("pjb", dimension=2, predicates=["k", "w"])
+    engine.set("pja", [([1.0, 0.0], {"k": "p"}), ([0.0, 1.0], {"k": "q"})])
+    engine.set("pjb", [([5.0, 0.0], {"k": "p", "w": "2"}),
+                       ([6.0, 0.0], {"k": "q", "w": "3"})])
+    ja, jb = F.col("a_meta")["k"]["s"], F.col("b_meta")["k"]["s"]
+    grp = F.col("b_meta")["w"]["s"]
+    state_dir = str(tmp_path / "pj_state")
+    engine.set("pja", [([2.0, 0.0], {"k": "q"})])
+    q, _ = streaming_materialized_join(
+        engine.store_changes_stream("pja", max_files_per_trigger=1),
+        engine, "pja", engine, "pjb", ja, jb, grp, {},
+        state_dir=state_dir, from_a=(1, 0), from_b=(1, 0),
+        sink="keyed", buckets=8,
+    )
+    q.processAllAvailable()
+    q.stop()
+    with open(os.path.join(state_dir, "mjoink_state.json")) as f:
+        ptr = json.load(f)
+    assert len(ptr["tables"]) >= 2          # seed + at least one p-part
+    parts = [spark.read.parquet(os.path.join(state_dir, t))
+             for t in ptr["tables"]]
+    merged_plan = plan_of(_keep_last_merged(parts, touched=[0, 1, 2]))
+    # every part scan is partition-pruned: _vb appears in the scan's
+    # PartitionFilters, not as a post-scan Filter
+    scans = merged_plan.split("PartitionFilters")[1:]
+    assert len(scans) == len(parts), merged_plan
+    assert all("_vb" in s.split("\n")[0] for s in scans), merged_plan
+    # the bilinear delta: broadcast probes only, never a cartesian
+    delta_plan = plan_of(IVM.cdf_join_agg_delta(
+        engine, "pja", (1, 0), engine, "pjb", (1, 0), ja, jb, grp, {},
+    ))
+    assert "BroadcastHashJoin" in delta_plan, delta_plan
+    assert "CartesianProduct" not in delta_plan, delta_plan
+    assert "SortMergeJoin" not in delta_plan, delta_plan
+
+
 def test_keyed_mview_restart_from_scratch_replays_and_skips(
     spark, engine, tmp_path
 ):
