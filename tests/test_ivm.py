@@ -399,3 +399,34 @@ def test_join_distinct_refresh_randomized_chains(engine, seed):
             IVM.distinct_rollup(rebuilt))
         assert _rows(IVM.quantile_rollup(inner, 1, 2)) == _rows(
             IVM.quantile_rollup(rebuilt, 1, 2))
+
+
+def test_quantile_rollup_past_bigint_wrap_threshold(spark):
+    """The DECIMAL branch, exercised without 9e12 actual rows: the pair
+    state carries MULTIPLICITIES, so a handful of pairs with huge n put
+    a group past the BIGINT-safe bound ((2^63 - den) div num). An
+    extreme rational (999999/1000000) whose BIGINT product would wrap
+    (and, with ANSI off, silently pin the quantile to the FIRST value)
+    must still pick the true p999999 value; a small group in the same
+    call rides the fast BIGINT branch and must agree with hand-ranked
+    truth."""
+    rows = [
+        # big group: tot = 3e13 > safe_tot ~ 9.2e12 for num=999999
+        (("big", 10), 10_000_000_000_000),
+        (("big", 20), 10_000_000_000_000),
+        (("big", 30), 10_000_000_000_000),
+        # small group: rank math must stay exact on the fast path
+        (("small", 1), 2),
+        (("small", 5), 3),
+    ]
+    inner = spark.createDataFrame(
+        [{"group": {"g": g, "v": v}, "n": n} for (g, v), n in rows],
+        "group struct<g:string,v:long>, n long",
+    )
+    got = {r["group"]: (r["n"], r["q"])
+           for r in IVM.quantile_rollup(inner, 999999, 1000000).collect()}
+    # big: rank = ceil(0.999999 * 3e13) = 29999970000000 <= cum(30)
+    #      and > cum(20)=2e13 -> q = 30 (first-bin pinning would say 10)
+    assert got["big"] == (30_000_000_000_000, 30)
+    # small: tot=5, rank = ceil(4.999995) = 5 -> q = 5
+    assert got["small"] == (5, 5)

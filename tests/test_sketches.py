@@ -729,3 +729,34 @@ def test_kmv_minima_single_exchange_dedup(spark):
     final = plan.split("== Initial Plan ==")[0]
     ids = set(re.findall(r"Exchange(?:\w*)? \((\d+)\)", final))
     assert len(ids) == 2, plan
+
+
+def test_histogram_quantiles_past_bigint_wrap_threshold(spark):
+    """The conditional DECIMAL rank in histogram_quantiles, exercised
+    through SUMMARIES (counts are the state, so no 9e12 rows needed):
+    a group whose n crosses 9e12 must land q in the true quantile bin
+    — the BIGINT wrap this guards against pins every quantile to the
+    group's FIRST bin — while a small group in the same call takes the
+    fast 64-bit path and agrees with hand-ranked truth."""
+    from ahnlich_spark.operators.sketches import histogram_quantiles
+
+    summary = spark.createDataFrame(
+        [
+            ("big", 0, 4_000_000_000_000),
+            ("big", 5, 4_000_000_000_000),
+            ("big", 9, 4_000_000_000_000),   # tot 1.2e13 > 9e12
+            ("small", 2, 7),
+            ("small", 8, 3),
+        ],
+        "g string, bin long, cnt long",
+    )
+    out = {(r["g"], r["q_e6"]): (r["n"], r["bin"])
+           for r in histogram_quantiles(
+               summary, [0.5, 0.99], ["g"], 100).collect()}
+    # big: n=1.2e13; rank(0.5)=6e12 -> 2nd bin (5); rank(0.99)=1.188e13
+    # -> 3rd bin (9). First-bin pinning would report 0 for both.
+    assert out[("big", 500000)] == (12_000_000_000_000, 5)
+    assert out[("big", 990000)] == (12_000_000_000_000, 9)
+    # small: n=10; rank(0.5)=5 -> bin 2; rank(0.99)=10 -> bin 8
+    assert out[("small", 500000)] == (10, 2)
+    assert out[("small", 990000)] == (10, 8)
