@@ -368,6 +368,27 @@ def test_join_view_survives_engine_restart(spark, warehouse):
             F.expr(JA), F.expr(JB), F.expr(JG), {"c100": F.expr(JM)}))
 
 
+def test_join_distinct_view_survives_engine_restart(spark, warehouse):
+    """The join_distinct catalog entry (value expr + store_b + join
+    exprs + PAIRED coordinates) round-trips through the warehouse JSON:
+    a FRESH engine refreshes a view created by a previous one, folding
+    both-side mutations the first engine never saw, and the rolled-up
+    read equals the re-join recompute."""
+    eng1 = Engine(spark, warehouse)
+    _seed_join(eng1)
+    eng1.create_materialized_view(
+        "jdr", "jf", JG, value=JM, store_b="jd", join_on=(JA, JB))
+    eng1.set("jf", [([0.5, 0.0], {"k": "0"})])
+    eng2 = Engine(spark, warehouse)
+    eng2.set("jd", [([9.0, 0.0], {"k": "0", "r": "5"})])
+    f, t = eng2.refresh_materialized_view("jdr")
+    assert f != t
+    assert _rows(eng2.read_materialized_view("jdr")) == _rows(
+        IVM.distinct_rollup(IVM.full_join_distinct_inner(
+            eng2, "jf", eng2, "jd",
+            F.expr(JA), F.expr(JB), F.expr(JG), F.expr(JM))))
+
+
 def test_streaming_doorbell_refresh_catches_up(engine, tmp_path):
     """streaming_refresh_materialized_view keeps a managed view current
     from a change-feed doorbell: triggers fold from the catalog's
