@@ -9264,9 +9264,12 @@ def _ivm_join_exprs():
     return ja, jb, grp, meas
 
 
-# final B side: labels 0..19 minus the deleted '7', with '12' moved to
-# region 9 by an upsert — the closed form the oracle re-declares inline
-_IVM_JOIN_SQL = """WITH a AS (
+# final A/B sides of the shared join fixture's mutation chains — ONE
+# declaration composed into every join-view oracle, so a fixture change
+# can't leave a sibling oracle silently stale: A = facts at vec_id<300
+# with the second batch's label+10 remap and the label-5 delete; B =
+# labels 0..19 minus the deleted '7', with '12' moved to region 9.
+_IVM_JOIN_CTES = """WITH a AS (
   SELECT CAST(CASE WHEN vec_id >= 200 THEN label + 10 ELSE label END
               AS VARCHAR) AS k,
          CAST(round(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT) AS e6
@@ -9277,7 +9280,9 @@ _IVM_JOIN_SQL = """WITH a AS (
          CAST(CASE WHEN l = 12 THEN 9 ELSE l % 3 END AS VARCHAR) AS r
   FROM range(0, 20) t(l) WHERE l <> 7
 )
-SELECT b.r AS r,
+"""
+
+_IVM_JOIN_SQL = _IVM_JOIN_CTES + """SELECT b.r AS r,
        CAST(count(*) AS BIGINT) AS n,
        CAST(sum(a.e6) AS BIGINT) AS e6_sum
 FROM a JOIN b ON a.k = b.k
@@ -9514,23 +9519,13 @@ def _pending(name: str, sql: str):
     return deco
 
 
-# distinct-over-join closed form: the same final a/b relations as
-# _IVM_JOIN_SQL, rolled up as the pair multiset (n = joined rows,
-# n_distinct = distinct non-null values) — valid for BOTH the managed
-# fixture (mgv/mgvdim) and the library fixture (ivm/ivmdim), whose
-# mutation chains land identical final snapshots by construction.
-_IVM_JOIN_DISTINCT_SQL = """WITH a AS (
-  SELECT CAST(CASE WHEN vec_id >= 200 THEN label + 10 ELSE label END
-              AS VARCHAR) AS k,
-         CAST(round(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT) AS e6
-  FROM embeddings
-  WHERE vec_id < 300 AND NOT (vec_id < 200 AND label = 5)
-), b AS (
-  SELECT CAST(l AS VARCHAR) AS k,
-         CAST(CASE WHEN l = 12 THEN 9 ELSE l % 3 END AS VARCHAR) AS r
-  FROM range(0, 20) t(l) WHERE l <> 7
-)
-SELECT b.r AS r,
+# distinct-over-join closed form: the SAME shared a/b CTEs as
+# _IVM_JOIN_SQL (one declaration, composed — see _IVM_JOIN_CTES),
+# rolled up as the pair multiset (n = joined rows, n_distinct =
+# distinct non-null values) — valid for BOTH the managed fixture
+# (mgv/mgvdim) and the library fixture (ivm/ivmdim), whose mutation
+# chains land identical final snapshots by construction.
+_IVM_JOIN_DISTINCT_SQL = _IVM_JOIN_CTES + """SELECT b.r AS r,
        CAST(count(*) AS BIGINT) AS n,
        CAST(count(DISTINCT a.e6) AS BIGINT) AS n_distinct
 FROM a JOIN b ON a.k = b.k

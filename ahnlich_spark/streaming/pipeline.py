@@ -137,6 +137,80 @@ def _keep_last_merged(parts, touched=None) -> DataFrame:
     )
 
 
+def _keyed_part_writer(spark, state_dir: str, view_schema):
+    """Overwrite-mode bucketed part write + schema-pinned read-back,
+    shared by the keyed sinks (an EMPTY partitioned part is legal —
+    e.g. an empty replica's seed — and has no files to infer a schema
+    from, so reads carry the schema explicitly)."""
+    def write(df: DataFrame, table: str) -> DataFrame:
+        path = os.path.join(state_dir, table)
+        df.write.mode("overwrite").partitionBy("_vb").parquet(path)
+        return spark.read.schema(view_schema).parquet(path)
+    return write
+
+
+def _load_keyed_part_log(spark, state_dir: str, ptr: dict, prefix: str,
+                         view_schema, buckets: int, saved_buckets,
+                         label: str):
+    """Shared pointer-restore path of the keyed sinks: refuse a
+    bucket-count change, validate the live part list (a truncated
+    pointer that kept its coordinates but lost 'tables' must give the
+    same re-seed guidance as bad coordinates, not a bare KeyError),
+    load the parts schema-pinned, and sweep orphaned ``<prefix>*`` part
+    dirs — parts written by a trigger that crashed before its pointer
+    swap, or dropped by compaction right before a crash: unreferenced,
+    safe to drop, rewritten on replay. Returns (tables, parts)."""
+    if saved_buckets is not None and int(saved_buckets) != buckets:
+        raise ValueError(
+            f"keyed {label} state in {state_dir} was written with "
+            f"buckets={saved_buckets} but this fold was started "
+            f"with buckets={buckets} — the persisted parts' _vb "
+            f"partition values would mismatch the new bucket "
+            f"mapping and silently corrupt the view; restart with "
+            f"buckets={saved_buckets} or delete the state_dir and "
+            f"re-seed"
+        )
+    tables = ptr.get("tables")
+    if not (isinstance(tables, list)
+            and all(isinstance(t, str) for t in tables)):
+        raise ValueError(
+            f"keyed {label} state in {state_dir} has no usable part "
+            f"list (pointer 'tables' missing or malformed — tampered, "
+            f"truncated, or written by a different fold); delete the "
+            f"state_dir and re-seed the view instead of reusing it"
+        )
+    tables = list(tables)
+    parts = [
+        spark.read.schema(view_schema).parquet(os.path.join(state_dir, t))
+        for t in tables
+    ]
+    live = set(tables)
+    for d in os.listdir(state_dir):
+        path = os.path.join(state_dir, d)
+        if d.startswith(prefix) and d not in live and os.path.isdir(path):
+            shutil.rmtree(path, ignore_errors=True)
+    return tables, parts
+
+
+def _commit_keyed_pointer(ptr_path: str, state_dir: str, payload: dict,
+                          extra_dead=()) -> None:
+    """Atomic pointer swap, then GC every part dir no longer
+    referenced: parts dropped by compaction (old pointer's tables minus
+    the new list) AND same-trigger parts superseded before they ever
+    reached a pointer (``extra_dead`` — the p-part a compaction
+    replaced within its own trigger, invisible to the old-minus-new
+    diff, which would otherwise leak one dir per compaction for the
+    life of the process)."""
+    old = _read_json(ptr_path)
+    _atomic_write_json(ptr_path, payload)
+    dead = set(extra_dead)
+    if old is not None:
+        dead |= set(old.get("tables", []))
+    dead -= set(payload["tables"])
+    for t in dead:
+        shutil.rmtree(os.path.join(state_dir, t), ignore_errors=True)
+
+
 _LEDGER_REFUSE = (
     "the restarted stream batches the source differently (changed "
     "maxFilesPerTrigger / new files merged into a replayed batch). "
@@ -1125,11 +1199,7 @@ def _keyed_materialized_agg(
         .withColumn("_vb", _vb(F.col("group"))).schema
     )
 
-    def _write_part(df: DataFrame, table: str) -> DataFrame:
-        path = os.path.join(state_dir, table)
-        df.write.mode("overwrite").partitionBy("_vb").parquet(path)
-        return spark.read.schema(view_schema).parquet(path)
-
+    _write_part = _keyed_part_writer(spark, state_dir, view_schema)
     _merged = _keep_last_merged
 
     state = {"parts": [], "tables": [], "coords": None, "last_id": -1}
@@ -1146,35 +1216,13 @@ def _keyed_materialized_agg(
                 f"different fold); delete the state_dir and re-seed "
                 f"the view instead of reusing it"
             )
-        saved_buckets = (p.get("extra") or {}).get("buckets")
-        if saved_buckets is not None and int(saved_buckets) != buckets:
-            raise ValueError(
-                f"keyed mview state in {state_dir} was written with "
-                f"buckets={saved_buckets} but this fold was started "
-                f"with buckets={buckets} — the persisted parts' _vb "
-                f"partition values would mismatch the new bucket "
-                f"mapping and silently corrupt the view; restart with "
-                f"buckets={saved_buckets} or delete the state_dir and "
-                f"re-seed"
-            )
         state["coords"] = (int(coords[0]), int(coords[1]))
-        state["tables"] = list(p["tables"])
-        state["parts"] = [
-            spark.read.schema(view_schema)
-            .parquet(os.path.join(state_dir, t))
-            for t in state["tables"]
-        ]
+        state["tables"], state["parts"] = _load_keyed_part_log(
+            spark, state_dir, p, "mviewk_", view_schema, buckets,
+            (p.get("extra") or {}).get("buckets"), "mview",
+        )
         state["last_id"] = loaded_last = int(p["batch_id"])
         ledger = _ReplayLedger.from_json(p.get("ledger"))
-        # sweep orphans: parts written by a trigger that crashed before
-        # its pointer swap, or dropped by compaction right before a
-        # crash — unreferenced, safe to drop, rewritten on replay
-        live = set(state["tables"])
-        for d in os.listdir(state_dir):
-            path = os.path.join(state_dir, d)
-            if (d.startswith("mviewk_") and d not in live
-                    and os.path.isdir(path)):
-                shutil.rmtree(path, ignore_errors=True)
     else:
         m0 = engine.catalog.get_store(store, schema)
         state["coords"] = (m0.version, m0.deltas)
@@ -1185,11 +1233,10 @@ def _keyed_materialized_agg(
         state["parts"] = [_write_part(seed, "mviewk_seed")]
         state["tables"] = ["mviewk_seed"]
 
-    def _commit(batch_id: int, stats) -> None:
+    def _commit(batch_id: int, stats, extra_dead=()) -> None:
         if stats is not None:
             ledger.record(batch_id, *stats)
-        old = _read_json(ptr_path)
-        _atomic_write_json(ptr_path, {
+        _commit_keyed_pointer(ptr_path, state_dir, {
             "batch_id": batch_id,
             "tables": list(state["tables"]),
             "ledger": ledger.as_json(),
@@ -1198,13 +1245,7 @@ def _keyed_materialized_agg(
             # merging parts under a mismatched _vb mapping
             "extra": {"coords": list(state["coords"]),
                       "buckets": buckets},
-        })
-        # GC parts dropped by compaction, once the new pointer is live
-        if old is not None:
-            dead = set(old.get("tables", [])) - set(state["tables"])
-            for t in dead:
-                shutil.rmtree(os.path.join(state_dir, t),
-                              ignore_errors=True)
+        }, extra_dead=extra_dead)
 
     if p is None:
         # a pointer referencing the seed makes the seed scan a one-time
@@ -1247,13 +1288,19 @@ def _keyed_materialized_agg(
                 state["parts"].append(_write_part(folded, table))
                 state["tables"].append(table)
         state["coords"] = (v1, s1)
+        dropped = ()
         if len(state["parts"]) > _COMPACT_PARTS:
+            # remember what compaction supersedes: the p-part appended
+            # THIS trigger has never been in a pointer, so the commit's
+            # old-minus-new diff alone would leak its dir forever
+            pre = list(state["tables"])
             compacted = _merged(state["parts"]).filter(F.col("n") > 0)
             table = f"mviewk_c{batch_id}"
             state["parts"] = [_write_part(compacted, table)]
             state["tables"] = [table]
+            dropped = set(pre) - set(state["tables"])
         state["last_id"] = batch_id
-        _commit(batch_id, stats)
+        _commit(batch_id, stats, extra_dead=dropped)
 
     def drain() -> DataFrame:
         return _merged(state["parts"]).filter(F.col("n") > 0).drop("_vb")
@@ -1327,10 +1374,7 @@ def _keyed_materialized_join(
         ).withColumn("_vb", _vb(F.col("group"))).schema
     )
 
-    def _write_part(df: DataFrame, table: str) -> DataFrame:
-        path = os.path.join(state_dir, table)
-        df.write.mode("overwrite").partitionBy("_vb").parquet(path)
-        return spark.read.schema(view_schema).parquet(path)
+    _write_part = _keyed_part_writer(spark, state_dir, view_schema)
 
     def _coords(eng, store):
         m = eng.catalog.get_store(store, schema)
@@ -1349,31 +1393,12 @@ def _keyed_materialized_join(
                 f"different fold); delete the state_dir and re-seed "
                 f"the view instead of reusing it"
             )
-        saved_buckets = p.get("buckets")
-        if saved_buckets is not None and int(saved_buckets) != buckets:
-            raise ValueError(
-                f"keyed mjoin state in {state_dir} was written with "
-                f"buckets={saved_buckets} but this fold was started "
-                f"with buckets={buckets} — the persisted parts' _vb "
-                f"partition values would mismatch the new bucket "
-                f"mapping and silently corrupt the view; restart with "
-                f"buckets={saved_buckets} or delete the state_dir and "
-                f"re-seed"
-            )
         state["ca"] = (int(pa[0]), int(pa[1]))
         state["cb"] = (int(pb[0]), int(pb[1]))
-        state["tables"] = list(p["tables"])
-        state["parts"] = [
-            spark.read.schema(view_schema)
-            .parquet(os.path.join(state_dir, t))
-            for t in state["tables"]
-        ]
-        live = set(state["tables"])
-        for d in os.listdir(state_dir):
-            path = os.path.join(state_dir, d)
-            if (d.startswith("mjoink_") and d not in live
-                    and os.path.isdir(path)):
-                shutil.rmtree(path, ignore_errors=True)
+        state["tables"], state["parts"] = _load_keyed_part_log(
+            spark, state_dir, p, "mjoink_", view_schema, buckets,
+            p.get("buckets"), "mjoin",
+        )
     else:
         ca = tuple(from_a) if from_a is not None else _coords(eng_a, store_a)
         cb = tuple(from_b) if from_b is not None else _coords(eng_b, store_b)
@@ -1387,20 +1412,14 @@ def _keyed_materialized_join(
         state["parts"] = [_write_part(seed, "mjoink_seed")]
         state["tables"] = ["mjoink_seed"]
 
-    def _commit(batch_id: int) -> None:
-        old = _read_json(ptr_path)
-        _atomic_write_json(ptr_path, {
+    def _commit(batch_id: int, extra_dead=()) -> None:
+        _commit_keyed_pointer(ptr_path, state_dir, {
             "batch_id": batch_id,
             "tables": list(state["tables"]),
             "coords_a": list(state["ca"]),
             "coords_b": list(state["cb"]),
             "buckets": buckets,
-        })
-        if old is not None:
-            dead = set(old.get("tables", [])) - set(state["tables"])
-            for t in dead:
-                shutil.rmtree(os.path.join(state_dir, t),
-                              ignore_errors=True)
+        }, extra_dead=extra_dead)
 
     if p is None:
         # pointer referencing the seed makes the seed scan one-time
@@ -1435,13 +1454,19 @@ def _keyed_materialized_join(
             state["parts"].append(_write_part(folded, table))
             state["tables"].append(table)
         state["ca"], state["cb"] = ta, tb
+        dropped = ()
         if len(state["parts"]) > _COMPACT_PARTS:
+            # the p-part written THIS trigger has never reached a
+            # pointer — remember it or the commit's old-minus-new GC
+            # leaks its dir (one per compaction, process-lifetime)
+            pre = list(state["tables"])
             compacted = _keep_last_merged(state["parts"]) \
                 .filter(F.col("n") > 0)
             table = f"mjoink_c{ta[0]}_{ta[1]}_{tb[0]}_{tb[1]}"
             state["parts"] = [_write_part(compacted, table)]
             state["tables"] = [table]
-        _commit(batch_id)
+            dropped = set(pre) - set(state["tables"])
+        _commit(batch_id, extra_dead=dropped)
 
     def drain() -> DataFrame:
         return (_keep_last_merged(state["parts"])

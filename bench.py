@@ -100,11 +100,19 @@ def main() -> None:
     # so for NON-fixture gates it over-states steady-state by ~1.2-4x.
     first_run = {}
     if os.path.isdir(warm_dir):
+        # record first_run whenever the warmup ran at the target SF —
+        # compare the DIRECTORIES, not the strings, so a trailing slash
+        # or symlinked spelling of the same dir doesn't silently drop
+        # the whole first_run section
+        try:
+            warm_is_target = os.path.samefile(warm_dir, SF_DIR)
+        except OSError:
+            warm_is_target = False
         for name in names:
             try:
                 t0 = time.perf_counter()
                 qs[name](spark, warm_dir).collect()
-                if warm_dir == SF_DIR:
+                if warm_is_target:
                     first_run[name] = round(time.perf_counter() - t0, 3)
             except Exception:
                 pass  # warmup is best-effort; the timed run will surface errors

@@ -1839,7 +1839,15 @@ def test_keyed_mview_compaction_and_restart(
     q.stop()
     live = _keyed_parts(state_dir, prefix="mviewk_")
     assert [t for t in live if t.startswith("mviewk_c")], live
-    assert len([t for t in live if not t.endswith(".json")]) <= 3
+    # on-disk part dirs == EXACTLY the pointer's live tables: the
+    # p-part a compaction superseded within its own trigger (never in
+    # any pointer) must be GC'd too, not leaked until a restart sweep
+    import json as _json
+
+    with open(os.path.join(state_dir, "mviewk_state.json")) as f:
+        ptr_tables = set(_json.load(f)["tables"])
+    on_disk = {t for t in live if not t.endswith(".json")}
+    assert on_disk == ptr_tables, (on_disk, ptr_tables)
     got = _rows_null_first(drain())
     want = _rows_null_first(IVM.full_agg(replica, "kvkd", grp, measures))
     assert got == want
@@ -2128,6 +2136,67 @@ def test_streaming_join_distinct_keyed_rollup_and_quantile(
     wq = sorted(tuple(r) for r in
                 IVM.quantile_rollup(recompute_inner(), 1, 2).collect())
     assert gq == wq
+
+
+def test_keyed_join_sink_compaction_no_leak(
+    spark, engine, tmp_path, monkeypatch
+):
+    """Past _COMPACT_PARTS the keyed JOIN part log compacts to one
+    part and leaves NO unreferenced dirs: on-disk mjoink_* dirs equal
+    exactly the pointer's live tables after every trigger (the p-part
+    a compaction supersedes within its own trigger must be GC'd, not
+    leaked until a restart sweep), the drain still equals the re-join
+    recompute, and a truncated pointer that lost 'tables' refuses with
+    the re-seed guidance instead of a KeyError."""
+    import json
+
+    from ahnlich_spark.operators import ivm as IVM
+    from ahnlich_spark.streaming import pipeline as P
+
+    monkeypatch.setattr(P, "_COMPACT_PARTS", 2)
+    engine.create_store("cja", dimension=2, predicates=["k"])
+    engine.create_store("cjb", dimension=2, predicates=["k", "w"])
+    engine.set("cja", [([1.0, 0.0], {"k": "p"})])
+    engine.set("cjb", [([5.0, 0.0], {"k": "p", "w": "2"})])
+    ja, jb = F.col("a_meta")["k"]["s"], F.col("b_meta")["k"]["s"]
+    grp = F.col("b_meta")["w"]["s"]
+    state_dir = str(tmp_path / "cj_state")
+    ckpt = str(tmp_path / "cj_ckpt")
+
+    def fold():
+        return P.streaming_materialized_join(
+            engine.store_changes_stream("cja", max_files_per_trigger=1),
+            engine, "cja", engine, "cjb", ja, jb, grp, {},
+            state_dir=state_dir, checkpoint=ckpt,
+            from_a=(1, 0), from_b=(1, 0), sink="keyed", buckets=4,
+        )
+
+    # the doorbell folds any backlog as ONE catch-up, so parts must
+    # accrue across separate fold sessions: mutate -> fold -> stop,
+    # four times (each session appends one coordinate-named p-part;
+    # session 4 crosses _COMPACT_PARTS=2 and compacts)
+    for i in range(4):
+        engine.set("cja", [([float(i) + 2.0, 1.0], {"k": "p"})])
+        q, drain = fold()
+        q.processAllAvailable()
+        q.stop()
+    with open(os.path.join(state_dir, "mjoink_state.json")) as f:
+        ptr = json.load(f)
+    assert any(t.startswith("mjoink_c") for t in ptr["tables"])
+    on_disk = {d for d in os.listdir(state_dir)
+               if d.startswith("mjoink_")
+               and os.path.isdir(os.path.join(state_dir, d))}
+    assert on_disk == set(ptr["tables"]), (on_disk, ptr["tables"])
+    got = sorted(tuple(r) for r in drain().collect())
+    want = sorted(tuple(r) for r in IVM.full_join_agg(
+        engine, "cja", engine, "cjb", ja, jb, grp, {}).collect())
+    assert got == want and got
+    # truncated pointer: coords intact, tables lost -> guided refusal
+    del ptr["tables"]
+    with open(os.path.join(state_dir, "mjoink_state.json"), "w") as f:
+        json.dump(ptr, f)
+    with pytest.raises(ValueError, match="part list.*delete the state_dir"):
+        fold()
 
 
 def test_keyed_join_sink_plan_pins(spark, engine, tmp_path):
