@@ -2199,6 +2199,81 @@ def test_keyed_join_sink_compaction_no_leak(
         fold()
 
 
+@pytest.mark.parametrize("seed", [11, 47])
+def test_keyed_join_sink_randomized_sessions(spark, engine, tmp_path, seed):
+    """Adversarial randomized chains ACROSS FOLD SESSIONS (seeded, so
+    failures replay): 3 cycles of random both-side mutations, each
+    folded by a FRESH fold session restarted from the persisted part
+    log — after every cycle the drain equals re-joining the current
+    snapshots and the on-disk part dirs equal exactly the pointer's
+    live tables. Catches restore/fold-composition bugs (a session
+    folding against parts a previous session committed) that
+    single-session tests cannot."""
+    import json
+    import random
+
+    from ahnlich_spark.operators import ivm as IVM
+    from ahnlich_spark.operators.predicates import Equals
+    from ahnlich_spark.streaming.pipeline import streaming_materialized_join
+
+    rng = random.Random(seed)
+    sa, sb = f"rka{seed}", f"rkb{seed}"
+    keys = [str(k) for k in range(5)]
+    engine.create_store(sa, dimension=2, predicates=["k"])
+    engine.create_store(sb, dimension=2, predicates=["k", "w"])
+    engine.set(sa, [
+        ([float(i), float(rng.randint(0, 3))], {"k": rng.choice(keys)})
+        for i in range(8)
+    ])
+    engine.set(sb, [
+        ([float(k), 0.0], {"k": str(k), "w": str(k % 2)}) for k in range(4)
+    ])
+    ja, jb = F.col("a_meta")["k"]["s"], F.col("b_meta")["k"]["s"]
+    grp = F.col("b_meta")["w"]["s"]
+    meas = {"e2": (F.element_at("a_key", 1) * 100).cast("long")}
+    state_dir = str(tmp_path / f"rk_state{seed}")
+    ckpt = str(tmp_path / f"rk_ckpt{seed}")
+
+    def fold():
+        feed = engine.store_changes_stream(
+            sa, max_files_per_trigger=1
+        ).unionByName(engine.store_changes_stream(
+            sb, max_files_per_trigger=1))
+        return streaming_materialized_join(
+            feed, engine, sa, engine, sb, ja, jb, grp, meas,
+            state_dir=state_dir, checkpoint=ckpt,
+            from_a=(1, 0), from_b=(1, 0), sink="keyed", buckets=8,
+        )
+
+    for _ in range(3):
+        engine.set(sa, [
+            ([float(rng.randint(0, 9)), float(rng.randint(0, 3))],
+             {"k": rng.choice(keys)})
+            for _ in range(rng.randint(1, 3))
+        ])
+        if rng.random() < 0.5:
+            engine.del_pred(sa, Equals("k", rng.choice(keys)))
+        if rng.random() < 0.6:
+            k = rng.randint(0, 4)
+            engine.set(sb, [([float(k), 0.0],
+                             {"k": str(k), "w": str(rng.randint(0, 3))})])
+        if rng.random() < 0.3:
+            engine.del_pred(sb, Equals("k", str(rng.randint(0, 4))))
+        q, drain = fold()
+        q.processAllAvailable()
+        q.stop()
+        got = sorted(tuple(r) for r in drain().collect())
+        want = sorted(tuple(r) for r in IVM.full_join_agg(
+            engine, sa, engine, sb, ja, jb, grp, meas).collect())
+        assert got == want
+        with open(os.path.join(state_dir, "mjoink_state.json")) as f:
+            ptr = json.load(f)
+        on_disk = {d for d in os.listdir(state_dir)
+                   if d.startswith("mjoink_")
+                   and os.path.isdir(os.path.join(state_dir, d))}
+        assert on_disk == set(ptr["tables"]), (on_disk, ptr["tables"])
+
+
 def test_keyed_join_sink_plan_pins(spark, engine, tmp_path):
     """The keyed join sink's two scale guarantees, pinned in the plans:
     the touched-bucket read partition-prunes every part scan on _vb
