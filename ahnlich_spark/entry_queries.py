@@ -17,6 +17,7 @@ schema + order-insensitive value-hash):
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 from typing import Callable, Dict, Optional
 
@@ -3383,15 +3384,22 @@ def ai_bulk_set_bounded(spark, sf_dir, rows: int = 10_000):
         )
     )
     wh = tempfile.mkdtemp(prefix="ahnlich_bench_bulk_")
-    ai = AiEngine(Engine(spark, wh))
-    ai.create_store("bulkb", query_model="all-minilm-l6-v2",
-                    index_model="all-minilm-l6-v2", store_original=True)
-    r1 = ai.set("bulkb", texts, meta_col="m")
-    n = ai.engine.get_store("bulkb").len
-    return spark.createDataFrame(
-        [(r1.inserted, r1.updated, n)],
-        "inserted long, updated long, store_len long",
-    )
+    try:
+        ai = AiEngine(Engine(spark, wh))
+        ai.create_store("bulkb", query_model="all-minilm-l6-v2",
+                        index_model="all-minilm-l6-v2", store_original=True)
+        r1 = ai.set("bulkb", texts, meta_col="m")
+        n = ai.engine.get_store("bulkb").len
+        return spark.createDataFrame(
+            [(r1.inserted, r1.updated, n)],
+            "inserted long, updated long, store_len long",
+        )
+    finally:
+        # the result row is fully materialized driver-side above, so
+        # the store-sized warehouse (full parquet store + embeddings)
+        # is dead weight the moment we return — without this, warmup +
+        # timed bench repeats leak several such dirs into /tmp per run
+        shutil.rmtree(wh, ignore_errors=True)
 
 
 # One-to-many (face-model) gate: each fake image (document text bytes)

@@ -180,6 +180,19 @@ def _load_keyed_part_log(spark, state_dir: str, ptr: dict, prefix: str,
             f"state_dir and re-seed the view instead of reusing it"
         )
     tables = list(tables)
+    lost = [t for t in tables
+            if not os.path.isdir(os.path.join(state_dir, t))]
+    if lost:
+        # a pointer that references part dirs a partial state wipe
+        # removed must fail here with the same re-seed guidance as the
+        # other corruption modes, not as an opaque parquet
+        # PATH_NOT_FOUND at first scan
+        raise ValueError(
+            f"keyed {label} state in {state_dir} references part dirs "
+            f"that no longer exist ({sorted(lost)}) — the state dir "
+            f"was partially wiped out from under its pointer; delete "
+            f"the state_dir and re-seed the view instead of reusing it"
+        )
     parts = [
         spark.read.schema(view_schema).parquet(os.path.join(state_dir, t))
         for t in tables

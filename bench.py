@@ -76,7 +76,11 @@ def main() -> None:
 
     qs = dict(entry_mod.queries())
     extras = _bench_extras()
-    assert not set(extras) & set(qs), "bench extras must not shadow gates"
+    shadowed = set(extras) & set(qs)
+    if shadowed:
+        # explicit raise (not assert): must survive `python -O`, else a
+        # shadowing extra silently replaces a registered gate's callable
+        raise RuntimeError(f"bench extras must not shadow gates: {sorted(shadowed)}")
     qs.update(extras)
     names = bench_queries(qs)
 

@@ -2527,3 +2527,140 @@ def test_mjoin_generations_are_coords_named_and_never_reused(
     assert _rows_null_first(got) == _rows_null_first(
         IVM.full_join_agg(engine, "mjf", engine, "mjd",
                           ja, jb, grp, meas))
+
+
+def test_keyed_mview_multi_compaction_lifecycle(
+    spark, engine, tmp_path, monkeypatch
+):
+    """Drive the keyed AGG sink through AT LEAST TWO compaction cycles
+    across kill-and-restart sessions, asserting after EVERY session
+    that (a) on-disk mviewk_* dirs equal exactly the pointer's live
+    tables (disk stays bounded — no leak survives any cycle), (b) the
+    part-log length stays <= _COMPACT_PARTS + 1, and (c) drain()
+    equals the from-scratch recompute. One compaction proving the GC
+    once is not the same contract as the cadence holding forever; two
+    cycles + per-cycle equality pins the steady state."""
+    import json as _json
+
+    from ahnlich_spark.operators import ivm as IVM
+    from ahnlich_spark.streaming import pipeline as P
+
+    monkeypatch.setattr(P, "_COMPACT_PARTS", 2)
+    replica, grp, measures = _keyed_fixture(spark, engine, "kvm")
+    state_dir = str(tmp_path / "kvm_state")
+
+    def fold(ck):
+        return P.streaming_materialized_agg(
+            engine.store_changes_stream("kvm", max_files_per_trigger=1),
+            replica, "kvmd", grp, measures,
+            state_dir=state_dir, checkpoint=str(tmp_path / ck),
+            sink="keyed", buckets=4,
+        )
+
+    c_parts_seen = set()
+    for i in range(8):
+        engine.set("kvm", [([float(i), 5.0], {"t": f"g{i % 3}"})])
+        q, drain = fold("kvm_ckpt")
+        q.processAllAvailable()
+        q.stop()
+        with open(os.path.join(state_dir, "mviewk_state.json")) as f:
+            tables = _json.load(f)["tables"]
+        on_disk = {d for d in os.listdir(state_dir)
+                   if d.startswith("mviewk_")
+                   and os.path.isdir(os.path.join(state_dir, d))}
+        assert on_disk == set(tables), (i, on_disk, tables)
+        assert len(tables) <= P._COMPACT_PARTS + 1, (i, tables)
+        c_parts_seen |= {t for t in tables if t.startswith("mviewk_c")}
+        got = _rows_null_first(drain())
+        want = _rows_null_first(
+            IVM.full_agg(replica, "kvmd", grp, measures))
+        assert got == want, (i, got, want)
+    # each compaction writes a NEW coordinate-named c-part; >= 2
+    # distinct c-parts observed across sessions == >= 2 full cycles
+    assert len(c_parts_seen) >= 2, c_parts_seen
+
+
+def test_keyed_join_sink_multi_compaction_lifecycle(
+    spark, engine, tmp_path, monkeypatch
+):
+    """Same two-full-compaction-cycle contract as the AGG-sink test,
+    for the keyed JOIN sink (mjoink_): disk == pointer, bounded part
+    log, drain == re-join recompute after every fold session."""
+    import json as _json
+
+    from ahnlich_spark.operators import ivm as IVM
+    from ahnlich_spark.streaming import pipeline as P
+
+    monkeypatch.setattr(P, "_COMPACT_PARTS", 2)
+    engine.create_store("mca", dimension=2, predicates=["k"])
+    engine.create_store("mcb", dimension=2, predicates=["k", "w"])
+    engine.set("mca", [([1.0, 0.0], {"k": "p"})])
+    engine.set("mcb", [([5.0, 0.0], {"k": "p", "w": "2"}),
+                       ([6.0, 0.0], {"k": "q", "w": "3"})])
+    ja, jb = F.col("a_meta")["k"]["s"], F.col("b_meta")["k"]["s"]
+    grp = F.col("b_meta")["w"]["s"]
+    state_dir = str(tmp_path / "mc_state")
+    ckpt = str(tmp_path / "mc_ckpt")
+
+    def fold():
+        return P.streaming_materialized_join(
+            engine.store_changes_stream("mca", max_files_per_trigger=1),
+            engine, "mca", engine, "mcb", ja, jb, grp, {},
+            state_dir=state_dir, checkpoint=ckpt,
+            from_a=(1, 0), from_b=(1, 0), sink="keyed", buckets=4,
+        )
+
+    c_parts_seen = set()
+    for i in range(8):
+        engine.set("mca", [([float(i) + 2.0, 1.0],
+                            {"k": "p" if i % 2 else "q"})])
+        q, drain = fold()
+        q.processAllAvailable()
+        q.stop()
+        with open(os.path.join(state_dir, "mjoink_state.json")) as f:
+            tables = _json.load(f)["tables"]
+        on_disk = {d for d in os.listdir(state_dir)
+                   if d.startswith("mjoink_")
+                   and os.path.isdir(os.path.join(state_dir, d))}
+        assert on_disk == set(tables), (i, on_disk, tables)
+        assert len(tables) <= P._COMPACT_PARTS + 1, (i, tables)
+        c_parts_seen |= {t for t in tables if t.startswith("mjoink_c")}
+        got = sorted(tuple(r) for r in drain().collect())
+        want = sorted(tuple(r) for r in IVM.full_join_agg(
+            engine, "mca", engine, "mcb", ja, jb, grp, {}).collect())
+        assert got == want and got, (i, got, want)
+    assert len(c_parts_seen) >= 2, c_parts_seen
+
+
+def test_keyed_sink_refuses_lost_part_dir(
+    spark, engine, tmp_path
+):
+    """A pointer whose listed part dir was removed by a partial state
+    wipe refuses on LOAD with the same delete-and-re-seed guidance as
+    the other corruption modes — not an opaque parquet PATH_NOT_FOUND
+    deep inside the first scan."""
+    import json as _json
+
+    from ahnlich_spark.streaming import pipeline as P
+
+    replica, grp, measures = _keyed_fixture(spark, engine, "kvl")
+    state_dir = str(tmp_path / "kvl_state")
+
+    def fold(ck):
+        return P.streaming_materialized_agg(
+            engine.store_changes_stream("kvl", max_files_per_trigger=1),
+            replica, "kvld", grp, measures,
+            state_dir=state_dir, checkpoint=str(tmp_path / ck),
+            sink="keyed", buckets=4,
+        )
+
+    engine.set("kvl", [([4.0, 4.0], {"t": "x"})])
+    q, _ = fold("ck1")
+    q.processAllAvailable()
+    q.stop()
+    with open(os.path.join(state_dir, "mviewk_state.json")) as f:
+        tables = _json.load(f)["tables"]
+    assert tables
+    shutil.rmtree(os.path.join(state_dir, tables[0]))
+    with pytest.raises(ValueError, match="no longer exist.*re-seed"):
+        fold("ck2")
