@@ -38,6 +38,8 @@ from typing import Dict, Tuple
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ahnlich_spark.functions.intmath import safe_rank_expr
+
 
 _RESERVED_MEASURES = {"group", "n", "dn"}
 
@@ -706,26 +708,19 @@ def quantile_rollup(inner: DataFrame, num: int, den: int) -> DataFrame:
     )
     cum = Window.partitionBy("group").orderBy("v")
     tot = Window.partitionBy("group")
-    # true 64-bit integer division (SQL `div`), NOT double division
-    # cast to long — doubles lose integer exactness once num * tot
-    # nears 2^53, breaking the bit-for-bit promise. And BIGINT itself
-    # wraps once num * tot + (den-1) passes 2^63-1 — for p999999-style
-    # rationals that is the ~9.2e12-rows-per-group regime (exactly the
-    # class operators/sketches.histogram_quantiles hardened), so branch
-    # on the provably-safe bound and pay DECIMAL(38,0) only past it.
-    safe_tot = (2**63 - int(den)) // max(int(num), 1)
-    rank = (
-        f"CASE WHEN _tot <= {safe_tot} THEN "
-        f"(CAST({int(num)} AS BIGINT) * _tot "
-        f"+ CAST({int(den) - 1} AS BIGINT)) div "
-        f"CAST({int(den)} AS BIGINT) "
-        f"ELSE CAST((CAST({int(num)} AS DECIMAL(38,0)) * _tot "
-        f"+ {int(den) - 1}) DIV {int(den)} AS BIGINT) END"
-    )
+    # rank = ceil(num/den * tot) in true 64-bit integer division (SQL
+    # `div`), NOT double division cast to long — doubles lose integer
+    # exactness once num * tot nears 2^53, breaking the bit-for-bit
+    # promise. safe_rank_expr supplies the shared BIGINT-wrap
+    # hardening (DECIMAL(38,0) product only past the provably-safe
+    # per-group bound — the ~9.2e12-rows regime for p999999-style
+    # rationals): ONE derivation of the bound for this path and
+    # operators/sketches.histogram_quantiles both.
     hit = (
         vals.withColumn("_cum", F.sum("_cnt").over(cum))
         .withColumn("_tot", F.sum("_cnt").over(tot))
-        .filter(F.col("_cum") >= F.expr(rank))
+        .filter(F.col("_cum") >= safe_rank_expr(
+            str(int(num)), int(den), "_tot", num_max=int(num)))
         .groupBy("group").agg(F.min("v").alias("q"))
     )
     g, h = groups.alias("g"), hit.alias("h")

@@ -47,6 +47,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ahnlich_spark.functions.intmath import safe_rank_expr
+
 __all__ = [
     "mg_summary_merge",
     "heavy_hitter_candidates",
@@ -502,22 +504,16 @@ def histogram_quantiles(
     spark = summary.sparkSession
     q_df = spark.createDataFrame(q_rows, "q_e6 long")
     # rank = ceil(q_e6 * n / 1e6), clamped to >= 1 (q=0 -> first row).
-    # In BIGINT q_e6 * n wraps for groups past ~9.2e12 rows (a 100 TB
-    # token corpus exceeds it) and with ANSI off the wrap silently pins
-    # every quantile to the group's first bin.  The wrap only threatens
-    # huge groups, so branch on n: q_e6 <= 1e6, so q_e6 * n + 999999
-    # stays under 2^63-1 whenever n <= 9e12 — exact 64-bit integer path
-    # for every realistic group; groups past the threshold pay
-    # DECIMAL(38,0) for the product (never wrong, merely slower).  The
-    # rank itself is <= n and casts back safely in both branches.
+    # safe_rank_expr supplies the shared BIGINT-wrap hardening: exact
+    # 64-bit integer path whenever the product provably fits, else the
+    # DECIMAL(38,0) slow path (groups past ~9.2e12 rows — a 100 TB
+    # token corpus exceeds it; with ANSI off the wrap would silently
+    # pin every quantile to the group's first bin). q_e6 <= 1e6 is the
+    # static numerator bound. The rank itself is <= n and casts back
+    # safely on both branches.
     rank = F.greatest(
         F.lit(1).cast("long"),
-        F.expr(
-            "CASE WHEN n <= 9000000000000 THEN "
-            "(q_e6 * n + 999999) DIV 1000000 "
-            "ELSE CAST((CAST(q_e6 AS DECIMAL(38,0)) * n + 999999) "
-            "DIV 1000000 AS BIGINT) END"
-        ),
+        safe_rank_expr("q_e6", 1_000_000, "n", num_max=1_000_000),
     )
     hit = cum.crossJoin(F.broadcast(q_df)).filter(F.col("cum") >= rank)
     return (
