@@ -9514,6 +9514,14 @@ def streaming_materialized_view_keyed(spark, sf_dir):
 # contract as a registered gate (Spark callable + DuckDB oracle,
 # checked at sf0.001 by tests/test_pending_gates.py); registering in
 # r12 is moving a dict entry.
+#
+# r12 registration window math, re-derived on the actual 203-name
+# sorted union (round 11): offset (50*12) % 203 = 194, window =
+# sorted[194:203] + sorted[0:41] — `corpus_temperature_mix` (the last
+# never-driver-graded gate) lands IN the r12 window; the three gates
+# below land r14 (managed_view_join_distinct) and r15 (both streaming
+# keyed join gates), all before r20. Re-derive if any further name is
+# added before registration.
 
 PENDING_QUERIES: Dict[str, QueryFn] = {}
 PENDING_ORACLES: Dict[str, str] = {}

@@ -11,6 +11,7 @@ from ahnlich_spark.streaming.pipeline import (
     EVENTS_SCHEMA,
     hourly_rollup,
     read_events_stream,
+    rebucket_keyed_state,
     running_user_totals,
     session_rollup,
     streaming_exact_dedup,
@@ -21,6 +22,7 @@ __all__ = [
     "EVENTS_SCHEMA",
     "hourly_rollup",
     "read_events_stream",
+    "rebucket_keyed_state",
     "running_user_totals",
     "session_rollup",
     "streaming_exact_dedup",

@@ -224,6 +224,117 @@ def _commit_keyed_pointer(ptr_path: str, state_dir: str, payload: dict,
         shutil.rmtree(os.path.join(state_dir, t), ignore_errors=True)
 
 
+def rebucket_keyed_state(spark, state_dir: str, new_buckets: int) -> dict:
+    """Offline bucket-count migration for a keyed part-log sink
+    (``mviewk_`` / ``mjoink_``) — the door out of the load-time
+    bucket-mismatch refusal without re-seeding from scratch.
+
+    A keyed view that outgrows its bucket count (too few buckets →
+    partition pruning stops cutting the per-trigger read) could
+    previously only be rebuilt from a full re-seed, because the
+    persisted parts' ``_vb`` values are bound to the old
+    ``pmod(xxhash64(group), buckets)`` mapping and a restart with a
+    different count is refused on load. This utility is ONE
+    compaction-shaped job run while the fold is STOPPED: read the part
+    log keep-last-merged (dropping n==0 tombstone debt, exactly like a
+    compaction), recompute ``_vb`` under ``new_buckets``, write one new
+    part, and swap the pointer with only ``tables`` and the bucket
+    count changed — fold coordinates, batch id, and the replay ledger
+    ride through untouched, so the restarted fold resumes from the
+    exact state it stopped at. Crash windows match the sinks' own: a
+    crash after the part write but before the pointer swap leaves an
+    orphan ``<prefix>*`` dir the next load sweeps; the old parts are
+    GC'd only after the new pointer is live.
+
+    Returns ``{"prefix", "old_buckets", "new_buckets", "table"}``;
+    a no-op (same count) returns with ``table=None`` and writes
+    nothing."""
+    if not (isinstance(new_buckets, int) and new_buckets > 0):
+        raise ValueError(f"new_buckets must be a positive int, "
+                         f"got {new_buckets!r}")
+    found = [
+        (n, pref, lbl) for n, pref, lbl in (
+            ("mviewk_state.json", "mviewk_", "mview"),
+            ("mjoink_state.json", "mjoink_", "mjoin"),
+        ) if os.path.isfile(os.path.join(state_dir, n))
+    ]
+    if len(found) != 1:
+        raise ValueError(
+            f"{state_dir} does not hold exactly one keyed sink state "
+            f"(found pointers: {[n for n, _, _ in found]}) — rebucket "
+            f"operates on a single stopped keyed fold's state_dir"
+        )
+    ptr_name, prefix, label = found[0]
+    ptr_path = os.path.join(state_dir, ptr_name)
+    p = _read_json(ptr_path)
+    if p is None:
+        raise ValueError(
+            f"keyed {label} pointer in {state_dir} is unreadable; "
+            f"delete the state_dir and re-seed the view"
+        )
+    old = (p.get("extra") or {}).get("buckets") \
+        if prefix == "mviewk_" else p.get("buckets")
+    if old is None:
+        raise ValueError(
+            f"keyed {label} pointer in {state_dir} records no bucket "
+            f"count (written by a different fold?); delete the "
+            f"state_dir and re-seed the view"
+        )
+    old = int(old)
+    if old == new_buckets:
+        return {"prefix": prefix, "old_buckets": old,
+                "new_buckets": new_buckets, "table": None}
+    # the live parts carry the schema (partition column _vb lands
+    # last, matching the sinks' own explicit read schema); a state
+    # whose parts hold ZERO files holds zero rows — re-seeding it
+    # under the new count costs the same as rebucketing it would
+    view_schema = None
+    for t in (p.get("tables") or []):
+        # one part per read: each part dir is its own partitioned
+        # parquet root (a multi-path read trips Spark's conflicting-
+        # directory-structures guard); a file-less part (legal: an
+        # empty seed) cannot infer and the next part is tried
+        try:
+            view_schema = spark.read.parquet(
+                os.path.join(state_dir, t)).schema
+            break
+        except Exception:
+            continue
+    if view_schema is None:
+        raise ValueError(
+            f"keyed {label} state in {state_dir} has no readable "
+            f"parquet data to infer the part schema from (empty view, "
+            f"or corrupted parts); delete the state_dir and re-seed "
+            f"the view under buckets={new_buckets}"
+        )
+    # shared validation path: tables-list shape, lost part dirs,
+    # orphan sweep (saved == old passes the bucket refusal trivially)
+    tables, parts = _load_keyed_part_log(
+        spark, state_dir, p, prefix, view_schema, old, old, label,
+    )
+    merged = (
+        _keep_last_merged(parts)
+        .filter(F.col("n") > 0)
+        .drop("_vb")
+        .withColumn("_vb", _bucket_col(F.col("group"), new_buckets))
+    )
+    # overwrite-mode write named by the migration itself: a re-run of
+    # a crashed rebucket rewrites only its own orphan, and repeated
+    # A->B->A migrations overwrite dirs the prior swap already GC'd
+    table = f"{prefix}rb{old}to{new_buckets}"
+    _keyed_part_writer(spark, state_dir, view_schema)(merged, table)
+    payload = dict(p)
+    payload["tables"] = [table]
+    if prefix == "mviewk_":
+        payload["extra"] = dict(p.get("extra") or {})
+        payload["extra"]["buckets"] = new_buckets
+    else:
+        payload["buckets"] = new_buckets
+    _commit_keyed_pointer(ptr_path, state_dir, payload)
+    return {"prefix": prefix, "old_buckets": old,
+            "new_buckets": new_buckets, "table": table}
+
+
 _LEDGER_REFUSE = (
     "the restarted stream batches the source differently (changed "
     "maxFilesPerTrigger / new files merged into a replayed batch). "

@@ -2664,3 +2664,150 @@ def test_keyed_sink_refuses_lost_part_dir(
     shutil.rmtree(os.path.join(state_dir, tables[0]))
     with pytest.raises(ValueError, match="no longer exist.*re-seed"):
         fold("ck2")
+
+
+def test_rebucket_keyed_mview(spark, engine, tmp_path):
+    """The offline bucket-migration door of the keyed AGG sink: fold at
+    buckets=4, stop, rebucket to 8 — the restart that was REFUSED under
+    the mismatch guard now loads, keeps folding, and drains equal to
+    the recompute; the old parts are GC'd (disk == pointer) and a
+    restart under the OLD count is now the one refused."""
+    import json as _json
+
+    from ahnlich_spark.operators import ivm as IVM
+    from ahnlich_spark.streaming import pipeline as P
+
+    replica, grp, measures = _keyed_fixture(spark, engine, "kvb")
+    state_dir = str(tmp_path / "kvb_state")
+
+    def fold(ck, buckets):
+        return P.streaming_materialized_agg(
+            engine.store_changes_stream("kvb", max_files_per_trigger=1),
+            replica, "kvbd", grp, measures,
+            state_dir=state_dir, checkpoint=str(tmp_path / ck),
+            sink="keyed", buckets=buckets,
+        )
+
+    engine.set("kvb", [([4.0, 4.0], {"t": "x"})])
+    q, _ = fold("ck1", 4)
+    q.processAllAvailable()
+    q.stop()
+    with pytest.raises(ValueError, match="buckets=4.*buckets=8"):
+        fold("ck2", 8)
+    info = P.rebucket_keyed_state(spark, state_dir, 8)
+    assert info == {"prefix": "mviewk_", "old_buckets": 4,
+                    "new_buckets": 8, "table": "mviewk_rb4to8"}
+    with open(os.path.join(state_dir, "mviewk_state.json")) as f:
+        p = _json.load(f)
+    assert p["tables"] == ["mviewk_rb4to8"]
+    assert p["extra"]["buckets"] == 8 and p["extra"]["coords"]
+    on_disk = {d for d in os.listdir(state_dir)
+               if d.startswith("mviewk_")
+               and os.path.isdir(os.path.join(state_dir, d))}
+    assert on_disk == {"mviewk_rb4to8"}
+    # every _vb on disk obeys the NEW mapping (pmod(xxhash64, 8))
+    part = spark.read.parquet(os.path.join(state_dir, "mviewk_rb4to8"))
+    bad = part.filter(
+        F.col("_vb") != F.pmod(F.xxhash64("group"), F.lit(8)).cast("int")
+    ).count()
+    assert bad == 0
+    # the restarted fold resumes from the carried coordinates
+    engine.set("kvb", [([5.0, 5.0], {"t": "y"})])
+    q2, drain2 = fold("ck3", 8)
+    q2.processAllAvailable()
+    q2.stop()
+    got = _rows_null_first(drain2())
+    want = _rows_null_first(IVM.full_agg(replica, "kvbd", grp, measures))
+    assert got == want and ("y", 1, 500) in got
+    with pytest.raises(ValueError, match="buckets=8.*buckets=4"):
+        fold("ck4", 4)
+
+
+def test_rebucket_keyed_join_sink(spark, engine, tmp_path):
+    """Same migration contract for the keyed JOIN sink (mjoink_):
+    pointer coords_a/coords_b ride through the rebucket untouched, the
+    restarted doorbell fold catches up from them, and drain equals the
+    re-join recompute."""
+    import json as _json
+
+    from ahnlich_spark.operators import ivm as IVM
+    from ahnlich_spark.streaming import pipeline as P
+
+    engine.create_store("rba", dimension=2, predicates=["k"])
+    engine.create_store("rbb", dimension=2, predicates=["k", "w"])
+    engine.set("rba", [([1.0, 0.0], {"k": "p"})])
+    engine.set("rbb", [([5.0, 0.0], {"k": "p", "w": "2"}),
+                       ([6.0, 0.0], {"k": "q", "w": "3"})])
+    ja, jb = F.col("a_meta")["k"]["s"], F.col("b_meta")["k"]["s"]
+    grp = F.col("b_meta")["w"]["s"]
+    state_dir = str(tmp_path / "rb_state")
+
+    def fold(ck, buckets):
+        # from_a/from_b seed the fold only when no pointer exists yet;
+        # restarts resume from the pointer's carried coordinates
+        return P.streaming_materialized_join(
+            engine.store_changes_stream("rba", max_files_per_trigger=1),
+            engine, "rba", engine, "rbb", ja, jb, grp, {},
+            state_dir=state_dir, checkpoint=str(tmp_path / ck),
+            from_a=(1, 0), from_b=(1, 0), sink="keyed", buckets=buckets,
+        )
+
+    engine.set("rba", [([2.0, 1.0], {"k": "q"})])
+    q, _ = fold("ck1", 4)
+    q.processAllAvailable()
+    q.stop()
+    with pytest.raises(ValueError, match="buckets=4.*buckets=8"):
+        fold("ck2", 8)
+    with open(os.path.join(state_dir, "mjoink_state.json")) as f:
+        before = _json.load(f)
+    info = P.rebucket_keyed_state(spark, state_dir, 8)
+    assert info["table"] == "mjoink_rb4to8"
+    with open(os.path.join(state_dir, "mjoink_state.json")) as f:
+        p = _json.load(f)
+    assert p["buckets"] == 8 and p["tables"] == ["mjoink_rb4to8"]
+    assert p["coords_a"] == before["coords_a"]
+    assert p["coords_b"] == before["coords_b"]
+    # dim-side mutation while stopped; the restarted fold catches up
+    engine.set("rbb", [([7.0, 0.0], {"k": "q", "w": "9"})])
+    q2, drain2 = fold("ck3", 8)
+    q2.processAllAvailable()
+    q2.stop()
+    got = sorted(tuple(r) for r in drain2().collect())
+    want = sorted(tuple(r) for r in IVM.full_join_agg(
+        engine, "rba", engine, "rbb", ja, jb, grp, {}).collect())
+    assert got == want and got
+
+
+def test_rebucket_noop_and_errors(spark, engine, tmp_path):
+    """Rebucket edge doors: same-count is a pointer-untouched no-op,
+    bad counts and a dir with no keyed pointer refuse loudly, and an
+    all-empty (zero-row) state refuses toward re-seed (cheaper than a
+    migration that cannot even infer a schema)."""
+    import json as _json
+
+    from ahnlich_spark.streaming import pipeline as P
+
+    with pytest.raises(ValueError, match="positive int"):
+        P.rebucket_keyed_state(spark, str(tmp_path), 0)
+    empty = tmp_path / "not_a_state"
+    empty.mkdir()
+    with pytest.raises(ValueError, match="exactly one keyed sink"):
+        P.rebucket_keyed_state(spark, str(empty), 8)
+
+    replica, grp, measures = _keyed_fixture(spark, engine, "kvn")
+    state_dir = str(tmp_path / "kvn_state")
+    engine.set("kvn", [([4.0, 4.0], {"t": "x"})])
+    q, _ = P.streaming_materialized_agg(
+        engine.store_changes_stream("kvn", max_files_per_trigger=1),
+        replica, "kvnd", grp, measures,
+        state_dir=state_dir, checkpoint=str(tmp_path / "kvn_ckpt"),
+        sink="keyed", buckets=4,
+    )
+    q.processAllAvailable()
+    q.stop()
+    with open(os.path.join(state_dir, "mviewk_state.json")) as f:
+        before = f.read()
+    info = P.rebucket_keyed_state(spark, state_dir, 4)
+    assert info["table"] is None
+    with open(os.path.join(state_dir, "mviewk_state.json")) as f:
+        assert f.read() == before
