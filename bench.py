@@ -103,6 +103,19 @@ def main() -> None:
     # first_run includes whole-stage-codegen JIT + classloader warmup,
     # so for NON-fixture gates it over-states steady-state by ~1.2-4x.
     first_run = {}
+    fixture_cached = []
+
+    def _fixture_cache_size() -> int:
+        # the process-level mutation-chain fixture caches: a gate whose
+        # FIRST run grows one is exactly a gate whose first_run paid a
+        # one-time fixture build the timed repeats skip — derived
+        # empirically so the list can't drift from the code
+        from ahnlich_spark import entry_queries as EQ
+
+        return sum(
+            len(getattr(EQ, n, {})) for n in ("_MUT_FIXTURES", "_BF_FIXTURES")
+        )
+
     if os.path.isdir(warm_dir):
         # record first_run whenever the warmup ran at the target SF —
         # compare the DIRECTORIES, not the strings, so a trailing slash
@@ -114,10 +127,13 @@ def main() -> None:
             warm_is_target = False
         for name in names:
             try:
+                pre = _fixture_cache_size()
                 t0 = time.perf_counter()
                 qs[name](spark, warm_dir).collect()
                 if warm_is_target:
                     first_run[name] = round(time.perf_counter() - t0, 3)
+                    if _fixture_cache_size() > pre:
+                        fixture_cached.append(name)
             except Exception:
                 pass  # warmup is best-effort; the timed run will surface errors
 
@@ -167,6 +183,11 @@ def main() -> None:
             "includes codegen/classloader warmup, so it over-states "
             "steady state for ordinary gates"
         ),
+        # gates whose warmup run grew a process-level fixture cache:
+        # their first_run conflates a one-time mutation-chain fixture
+        # build with JIT warmup; every other gate's first_run is JIT
+        # warmup only (measured, not a hand-maintained list)
+        "fixture_cached": sorted(fixture_cached),
         "sf": sf_val,
         "n_queries": len(timings),
         "queries_excluded": BENCH_EXCLUDED,
