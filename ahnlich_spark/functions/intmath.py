@@ -47,6 +47,10 @@ def safe_rank_expr(num_sql: str, den: int, n_sql: str,
     if den <= 0 or num_max <= 0:
         raise ValueError(f"den={den} and num_max={num_max} must be > 0")
     safe_n = (2**63 - den) // num_max
+    # fragments are parenthesized so a compound expression argument
+    # (e.g. n_sql="a + b") binds as a unit instead of leaking operator
+    # precedence into the product
+    num_sql, n_sql = f"({num_sql})", f"({n_sql})"
     return F.expr(
         f"CASE WHEN {n_sql} <= {safe_n} THEN "
         f"(CAST({num_sql} AS BIGINT) * {n_sql} "

@@ -268,9 +268,13 @@ def rebucket_keyed_state(spark, state_dir: str, new_buckets: int) -> dict:
     ptr_path = os.path.join(state_dir, ptr_name)
     p = _read_json(ptr_path)
     if p is None:
+        # isfile() just held, so None means the pointer vanished
+        # between the check and the read — something else is mutating
+        # this state_dir right now
         raise ValueError(
-            f"keyed {label} pointer in {state_dir} is unreadable; "
-            f"delete the state_dir and re-seed the view"
+            f"keyed {label} pointer in {state_dir} disappeared while "
+            f"rebucket was reading it — a fold or wipe is acting on "
+            f"this state_dir concurrently; stop it and retry"
         )
     old = (p.get("extra") or {}).get("buckets") \
         if prefix == "mviewk_" else p.get("buckets")
@@ -323,6 +327,20 @@ def rebucket_keyed_state(spark, state_dir: str, new_buckets: int) -> dict:
     # A->B->A migrations overwrite dirs the prior swap already GC'd
     table = f"{prefix}rb{old}to{new_buckets}"
     _keyed_part_writer(spark, state_dir, view_schema)(merged, table)
+    # stopped-fold guard: the merge job above is the slow window — if a
+    # live fold committed during it, swapping our stale pointer over
+    # its commit (and GC'ing parts its in-memory state still lists)
+    # would brick the state at the NEXT restart. Refuse instead; the
+    # just-written rb part becomes an orphan the next load sweeps.
+    # (Residual race: a commit landing between this re-read and the
+    # swap below is undetectable without sink-side locking — rebucket
+    # is documented as an offline, fold-stopped operation.)
+    if _read_json(ptr_path) != p:
+        raise ValueError(
+            f"keyed {label} pointer in {state_dir} advanced while "
+            f"rebucket was merging — a fold is still running against "
+            f"this state_dir; stop it and re-run rebucket"
+        )
     payload = dict(p)
     payload["tables"] = [table]
     if prefix == "mviewk_":

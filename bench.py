@@ -106,14 +106,17 @@ def main() -> None:
     fixture_cached = []
 
     def _fixture_cache_size() -> int:
-        # the process-level mutation-chain fixture caches: a gate whose
-        # FIRST run grows one is exactly a gate whose first_run paid a
-        # one-time fixture build the timed repeats skip — derived
-        # empirically so the list can't drift from the code
+        # a gate whose FIRST run grows a process-level cache is exactly
+        # a gate whose first_run paid a one-time fixture build the
+        # timed repeats skip. Sum EVERY module-level dict (static
+        # registries contribute a constant) instead of naming the
+        # cache dicts — a hand-picked name list was already incomplete
+        # the day it landed (_DRIFT_FIXTURE, _PRUNED_ENGINES,
+        # _ANN_MUT_ENGINES, _AI_SIM_ENGINES were missing)
         from ahnlich_spark import entry_queries as EQ
 
         return sum(
-            len(getattr(EQ, n, {})) for n in ("_MUT_FIXTURES", "_BF_FIXTURES")
+            len(v) for v in vars(EQ).values() if isinstance(v, dict)
         )
 
     if os.path.isdir(warm_dir):

@@ -2811,3 +2811,57 @@ def test_rebucket_noop_and_errors(spark, engine, tmp_path):
     assert info["table"] is None
     with open(os.path.join(state_dir, "mviewk_state.json")) as f:
         assert f.read() == before
+
+
+def test_rebucket_refuses_concurrent_fold(
+    spark, engine, tmp_path, monkeypatch
+):
+    """The stopped-fold guard: a pointer that advances while rebucket
+    is merging (a fold still running against the state_dir) refuses
+    BEFORE the swap — swapping a stale pointer over the live fold's
+    commit would GC parts its in-memory state still lists and brick
+    the state at the next restart."""
+    import json as _json
+
+    from ahnlich_spark.streaming import pipeline as P
+
+    replica, grp, measures = _keyed_fixture(spark, engine, "kvz")
+    state_dir = str(tmp_path / "kvz_state")
+    engine.set("kvz", [([4.0, 4.0], {"t": "x"})])
+    q, _ = P.streaming_materialized_agg(
+        engine.store_changes_stream("kvz", max_files_per_trigger=1),
+        replica, "kvzd", grp, measures,
+        state_dir=state_dir, checkpoint=str(tmp_path / "kvz_ckpt"),
+        sink="keyed", buckets=4,
+    )
+    q.processAllAvailable()
+    q.stop()
+    ptr_path = os.path.join(state_dir, "mviewk_state.json")
+
+    real_writer = P._keyed_part_writer
+
+    def racing_writer(sp, sd, schema):
+        write = real_writer(sp, sd, schema)
+
+        def wrapped(df, table):
+            out = write(df, table)
+            # simulate a live fold committing mid-merge
+            with open(ptr_path) as f:
+                ptr = _json.load(f)
+            ptr["batch_id"] = int(ptr["batch_id"]) + 1
+            P._atomic_write_json(ptr_path, ptr)
+            return out
+
+        return wrapped
+
+    monkeypatch.setattr(P, "_keyed_part_writer", racing_writer)
+    with pytest.raises(ValueError, match="advanced while rebucket"):
+        P.rebucket_keyed_state(spark, state_dir, 8)
+    monkeypatch.undo()
+    # the aborted migration left the advanced pointer untouched and its
+    # rb part as an orphan the next load sweeps; a retry (fold stopped
+    # for real now) succeeds
+    with open(ptr_path) as f:
+        assert _json.load(f)["extra"]["buckets"] == 4
+    info = P.rebucket_keyed_state(spark, state_dir, 8)
+    assert info["table"] == "mviewk_rb4to8"
