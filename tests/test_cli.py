@@ -1,0 +1,90 @@
+"""``python -m ahnlich_spark`` CLI front-end.
+
+Mirrors the reference CLI's contract (ahnlich/cli/src/main.rs,
+term.rs execute_non_interactive): stdin-to-EOF non-interactive mode
+with clean stdout, parse errors to stderr with exit 1, empty input
+refused BEFORE any session spins up, execution errors inline without
+aborting the pipeline, and a REPL loop that survives bad statements.
+"""
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run_cli(stdin_text, *argv, timeout=180):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    return subprocess.run(
+        [sys.executable, "-m", "ahnlich_spark", *argv],
+        input=stdin_text, capture_output=True, text=True,
+        timeout=timeout, env=env, cwd=REPO,
+    )
+
+
+def test_cli_empty_input_fails_fast():
+    # no JVM should spin up: well under Spark-startup time
+    r = _run_cli("   \n", "--agent", "db", "--no-interactive")
+    assert r.returncode == 1
+    assert "No input provided" in r.stderr
+
+
+def test_cli_parse_error_exits_1_before_session():
+    r = _run_cli("CREATESTORE ;", "--agent", "db", "--no-interactive")
+    assert r.returncode == 1
+    assert "Error:" in r.stderr
+    # parse validation precedes the session: no Spark banner on stderr
+    assert "SparkContext" not in r.stderr
+
+
+def test_cli_db_pipeline_end_to_end(tmp_path):
+    script = (
+        "CREATESTORE vecs DIMENSION 3 PREDICATES (tag);"
+        "SET (([1,0,0], {tag: a}), ([0,1,0], {tag: b})) IN vecs;"
+        "GETSIMN 1 WITH [1,0,0] USING cosinesimilarity IN vecs;"
+        "DROPSTORE nope IF EXISTS;"
+        "DROPSTORE also_nope;"          # execution error: stays inline
+        "PING"
+    )
+    r = _run_cli(
+        script, "--agent", "db", "--no-interactive",
+        "--warehouse", str(tmp_path / "wh"), "--master", "local[4]",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = r.stdout
+    assert "StoreUpsert(inserted=2, updated=0)" in out
+    assert "similarity" in out and "1.0" in out   # rendered DataFrame
+    assert "Error:" in out                        # inline, not fatal
+    assert out.rstrip().endswith("pong")          # pipeline continued
+
+
+def test_cli_ai_agent_pipeline(tmp_path):
+    script = (
+        "CREATESTORE texts QUERYMODEL all-minilm-l6-v2 "
+        "INDEXMODEL all-minilm-l6-v2 PREDICATES (source) STOREORIGINAL;"
+        "SET (([alpha beta], {source: web})) IN texts "
+        "PREPROCESSACTION nopreprocessing;"
+        "GETSIMN 1 WITH [alpha beta] USING cosinesimilarity IN texts"
+    )
+    r = _run_cli(
+        script, "--agent", "ai", "--no-interactive",
+        "--warehouse", str(tmp_path / "wh"), "--master", "local[4]",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "StoreUpsert(inserted=1, updated=0)" in r.stdout
+    assert "alpha beta" in r.stdout    # original input round-trips
+
+
+def test_cli_repl_survives_bad_statement(tmp_path):
+    # REPL mode over a pipe: a syntax error prints and the loop
+    # continues to the next line; 'exit' leaves cleanly
+    lines = "NOT_A_STATEMENT\nPING\nexit\n"
+    r = _run_cli(
+        lines, "--agent", "db",
+        "--warehouse", str(tmp_path / "wh"), "--master", "local[4]",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "Error:" in r.stdout
+    assert "pong" in r.stdout
