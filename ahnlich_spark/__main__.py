@@ -133,10 +133,23 @@ def main(argv=None) -> int:
         return 0
 
     # ------------------------------------------------------------ REPL --
+    readline = None
     try:
-        import readline  # noqa: F401 — line editing + history when a tty
+        import readline  # line editing + persistent history when a tty
     except ImportError:
         pass
+    hist_path = None
+    if readline is not None:
+        # cross-session command history, the reference CLI's
+        # ~/.ahnlich_cli_history behavior (cli/src/history.rs)
+        import os
+
+        hist_path = os.path.join(
+            os.path.expanduser("~"), ".ahnlich_spark_history")
+        try:
+            readline.read_history_file(hist_path)
+        except OSError:
+            pass
     print(f"ahnlich_spark {args.agent} agent — warehouse "
           f"{args.warehouse} (exit/quit or Ctrl-D to leave)")
     while True:
@@ -155,6 +168,11 @@ def main(argv=None) -> int:
             print(f"Error: {e}")
             continue
         _print_results(results, args.max_rows)
+    if hist_path is not None:
+        try:
+            readline.write_history_file(hist_path)
+        except OSError:
+            pass
     return 0
 
 
