@@ -2813,6 +2813,66 @@ def test_rebucket_noop_and_errors(spark, engine, tmp_path):
         assert f.read() == before
 
 
+def test_rebucket_struct_group_pair_state(spark, engine, tmp_path):
+    """Rebucket over a STRUCT-group part log (the distinct/quantile
+    pair-multiset sinks bucket pmod(xxhash64(struct(g, v)), buckets)):
+    the migration's recomputed _vb must reproduce the sinks' own
+    struct-hash mapping, and the restarted fold's distinct AND quantile
+    rollups must equal the recompute."""
+    from ahnlich_spark.operators import ivm as IVM
+    from ahnlich_spark.streaming import pipeline as P
+
+    engine.create_store("rbs", dimension=2, predicates=["t", "v"])
+    engine.set("rbs", [
+        ([1.0, 0.0], {"t": "a", "v": "10"}),
+        ([2.0, 0.0], {"t": "a", "v": "20"}),
+        ([3.0, 0.0], {"t": "b", "v": "5"}),
+    ])
+    import tempfile as tf
+
+    from ahnlich_spark import Engine
+
+    replica = Engine(spark, tf.mkdtemp(prefix="ahnlich_rbs_wh_"))
+    replica.create_store("rbsd", dimension=2)
+    replica.set("rbsd", engine.store_df("rbs", version=1, segments=0)
+                .select("key", "meta"))
+    grp = F.col("meta")["t"]["s"]
+    val = F.col("meta")["v"]["s"].cast("long")
+    state_dir = str(tmp_path / "rbs_state")
+
+    def fold(ck, buckets):
+        return P.streaming_materialized_distinct(
+            engine.store_changes_stream("rbs", max_files_per_trigger=1),
+            replica, "rbsd", grp, val,
+            state_dir=state_dir, checkpoint=str(tmp_path / ck),
+            sink="keyed", buckets=buckets,
+        )
+
+    engine.set("rbs", [([4.0, 0.0], {"t": "b", "v": "7"})])
+    q, _ = fold("ck1", 4)
+    q.processAllAvailable()
+    q.stop()
+    info = P.rebucket_keyed_state(spark, state_dir, 8)
+    assert info["table"] == "mviewk_rb4to8"
+    part = spark.read.parquet(os.path.join(state_dir, "mviewk_rb4to8"))
+    bad = part.filter(
+        F.col("_vb") != F.pmod(F.xxhash64("group"), F.lit(8)).cast("int")
+    ).count()
+    assert bad == 0 and part.count() > 0
+    engine.set("rbs", [([5.0, 0.0], {"t": "a", "v": "30"})])
+    q2, drain2 = fold("ck2", 8)
+    q2.processAllAvailable()
+    q2.stop()
+    got = _rows_null_first(drain2())
+    want = _rows_null_first(
+        IVM.full_agg_distinct(replica, "rbsd", grp, val))
+    assert got == want and got
+    gq = _rows_null_first(drain2(quantile=(1, 2)))
+    wq = _rows_null_first(IVM.quantile_rollup(
+        IVM.full_distinct_inner(replica, "rbsd", grp, val), 1, 2))
+    assert gq == wq
+
+
 def test_rebucket_refuses_concurrent_fold(
     spark, engine, tmp_path, monkeypatch
 ):
