@@ -23,7 +23,13 @@ Reference parity choices:
 
 Spark-native departure: DataFrame-returning statements (GETKEY /
 GETPRED / GETSIMN) render as Spark tables capped at ``--max-rows``
-instead of the reference's always-materialized wire blobs.
+instead of the reference's always-materialized wire blobs. And a
+``\\sql <query>`` escape (REPL per-line; non-interactive when the
+whole input starts with it) opens the engine's SQL door — stores and
+managed materialized views are (re-)registered as
+``ahnlich_<store>`` / ``ahnlich_mv_<view>`` temp views and the rest
+of the line runs as Spark SQL, the composition surface the
+reference's gRPC-only protocol cannot offer.
 """
 
 from __future__ import annotations
@@ -73,6 +79,17 @@ def _execute(executor, agent: str, text: str):
             else executor.execute_db(text))
 
 
+_SQL_ESCAPE = "\\sql "
+
+
+def _run_sql(spark, engine, query: str, max_rows: int) -> str:
+    # re-register so the SQL sees the CURRENT snapshot (views pin the
+    # version they were built from)
+    engine.register_views()
+    engine.register_materialized_views()
+    return _render(spark.sql(query), max_rows)
+
+
 def _print_results(results, max_rows: int) -> None:
     for r in results:
         if r.ok:
@@ -100,11 +117,13 @@ def main(argv=None) -> int:
         if not text:
             print("Error: No input provided", file=sys.stderr)
             return 1
-        try:
-            (parse_ai_query if args.agent == "ai" else parse_db_query)(text)
-        except DslSyntaxError as e:
-            print(f"Error: {e}", file=sys.stderr)
-            return 1
+        if not text.startswith(_SQL_ESCAPE):
+            try:
+                (parse_ai_query if args.agent == "ai"
+                 else parse_db_query)(text)
+            except DslSyntaxError as e:
+                print(f"Error: {e}", file=sys.stderr)
+                return 1
 
     from pyspark.sql import SparkSession
 
@@ -128,6 +147,14 @@ def main(argv=None) -> int:
     executor = DslExecutor(engine, ai)
 
     if args.no_interactive:
+        if text.startswith(_SQL_ESCAPE):
+            try:
+                print(_run_sql(spark, engine, text[len(_SQL_ESCAPE):],
+                               args.max_rows))
+            except Exception as e:
+                print(f"Error: {e}", file=sys.stderr)
+                return 1
+            return 0
         # text already parsed clean above; execution errors stay inline
         _print_results(_execute(executor, args.agent, text), args.max_rows)
         return 0
@@ -161,6 +188,13 @@ def main(argv=None) -> int:
         if line.strip().lower() in ("exit", "quit"):
             break
         if not line.strip():
+            continue
+        if line.startswith(_SQL_ESCAPE):
+            try:
+                print(_run_sql(spark, engine, line[len(_SQL_ESCAPE):],
+                               args.max_rows))
+            except Exception as e:
+                print(f"Error: {e}")
             continue
         try:
             results = _execute(executor, args.agent, line)

@@ -60,6 +60,33 @@ def test_cli_db_pipeline_end_to_end(tmp_path):
     assert out.rstrip().endswith("pong")          # pipeline continued
 
 
+def test_cli_sql_escape(tmp_path):
+    # seed stores through the DSL, then query them through the SQL
+    # door in the SAME warehouse from a second invocation (REPL mode
+    # mixes both per line; non-interactive takes a whole-input \sql)
+    wh = str(tmp_path / "wh")
+    seed = (
+        "CREATESTORE vecs DIMENSION 3 PREDICATES (tag);"
+        "SET (([1,0,0], {tag: a}), ([0,1,0], {tag: b}), "
+        "([0,0,1], {tag: a})) IN vecs"
+    )
+    r = _run_cli(seed, "--agent", "db", "--no-interactive",
+                 "--warehouse", wh, "--master", "local[4]")
+    assert r.returncode == 0, r.stderr[-2000:]
+    r = _run_cli(
+        "\\sql SELECT meta['tag'].s AS tag, count(*) AS n "
+        "FROM ahnlich_vecs GROUP BY 1 ORDER BY 1",
+        "--agent", "db", "--no-interactive",
+        "--warehouse", wh, "--master", "local[4]")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "|  a|  2|" in r.stdout and "|  b|  1|" in r.stdout
+    # a bad SQL query exits 1 with the error on stderr
+    r = _run_cli("\\sql SELECT * FROM no_such_view",
+                 "--agent", "db", "--no-interactive",
+                 "--warehouse", wh, "--master", "local[4]")
+    assert r.returncode == 1 and "Error:" in r.stderr
+
+
 def test_cli_ai_agent_pipeline(tmp_path):
     script = (
         "CREATESTORE texts QUERYMODEL all-minilm-l6-v2 "
