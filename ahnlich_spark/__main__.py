@@ -55,9 +55,16 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-interactive", action="store_true",
                    help="read statements from stdin to EOF, print "
                         "results, exit (reference --no-interactive)")
-    p.add_argument("--max-rows", type=int, default=20,
+    p.add_argument("--max-rows", type=_non_negative_int, default=20,
                    help="row cap when rendering DataFrame results")
     return p
+
+
+def _non_negative_int(v: str) -> int:
+    n = int(v)
+    if n < 0:
+        raise argparse.ArgumentTypeError("--max-rows must be >= 0")
+    return n
 
 
 def _render(result, max_rows: int) -> str:
@@ -79,23 +86,50 @@ def _execute(executor, agent: str, text: str):
             else executor.execute_db(text))
 
 
-_SQL_ESCAPE = "\\sql "
+def _sql_query(text: str):
+    """The ``\\sql`` escape, tolerantly: leading whitespace and any
+    case accepted, returns the query string ('' for a bare ``\\sql``
+    so the caller can give usage guidance instead of feeding the line
+    to the DSL parser as a misleading syntax error). None = not the
+    escape."""
+    s = text.strip()
+    if s.lower() == "\\sql":
+        return ""
+    if s[:5].lower() == "\\sql" + " " or s[:5].lower() == "\\sql\t":
+        return s[5:].strip()
+    return None
 
 
 def _run_sql(spark, engine, query: str, max_rows: int) -> str:
     # re-register so the SQL sees the CURRENT snapshot (views pin the
-    # version they were built from)
-    engine.register_views()
-    engine.register_materialized_views()
+    # version they were built from). Every schema is published: public
+    # keeps the bare ahnlich_/ahnlich_mv_ names, any other schema gets
+    # ahnlich_<schema>_<store> so DSL SCHEMA-clause stores are
+    # reachable too
+    if not query:
+        raise ValueError("\\sql requires a query, e.g. "
+                         "\\sql SELECT * FROM ahnlich_<store>")
+    from ahnlich_spark.catalog import PUBLIC_SCHEMA
+
+    for schema in engine.catalog.schema_names() or [PUBLIC_SCHEMA]:
+        tag = "" if schema == PUBLIC_SCHEMA else f"{schema}_"
+        engine.register_views(schema=schema, prefix=f"ahnlich_{tag}")
+        engine.register_materialized_views(
+            schema=schema, prefix=f"ahnlich_mv_{tag}")
     return _render(spark.sql(query), max_rows)
 
 
 def _print_results(results, max_rows: int) -> None:
     for r in results:
-        if r.ok:
-            print(_render(r.result, max_rows))
-        else:
+        if not r.ok:
             print(f"Error: {r.error}")
+            continue
+        try:
+            print(_render(r.result, max_rows))
+        except Exception as e:  # DataFrame results are LAZY — the job
+            # runs at render time, so a runtime failure lands here and
+            # must stay inline like every other execution error
+            print(f"Error: {type(e).__name__}: {e}")
     sys.stdout.flush()
 
 
@@ -117,7 +151,7 @@ def main(argv=None) -> int:
         if not text:
             print("Error: No input provided", file=sys.stderr)
             return 1
-        if not text.startswith(_SQL_ESCAPE):
+        if _sql_query(text) is None:
             try:
                 (parse_ai_query if args.agent == "ai"
                  else parse_db_query)(text)
@@ -147,10 +181,10 @@ def main(argv=None) -> int:
     executor = DslExecutor(engine, ai)
 
     if args.no_interactive:
-        if text.startswith(_SQL_ESCAPE):
+        sql = _sql_query(text)
+        if sql is not None:
             try:
-                print(_run_sql(spark, engine, text[len(_SQL_ESCAPE):],
-                               args.max_rows))
+                print(_run_sql(spark, engine, sql, args.max_rows))
             except Exception as e:
                 print(f"Error: {e}", file=sys.stderr)
                 return 1
@@ -168,45 +202,59 @@ def main(argv=None) -> int:
     hist_path = None
     if readline is not None:
         # cross-session command history, the reference CLI's
-        # ~/.ahnlich_cli_history behavior (cli/src/history.rs)
+        # ~/.ahnlich_cli_history behavior (cli/src/history.rs) — capped
+        # like rustyline's, not unbounded
         import os
 
         hist_path = os.path.join(
             os.path.expanduser("~"), ".ahnlich_spark_history")
+        readline.set_history_length(1000)
         try:
             readline.read_history_file(hist_path)
-        except OSError:
-            pass
+        except (OSError, ValueError):
+            pass  # missing or unreadable history never blocks the REPL
     print(f"ahnlich_spark {args.agent} agent — warehouse "
           f"{args.warehouse} (exit/quit or Ctrl-D to leave)")
-    while True:
-        try:
-            line = input("ahnlich> ")
-        except (EOFError, KeyboardInterrupt):
-            print()
-            break
-        if line.strip().lower() in ("exit", "quit"):
-            break
-        if not line.strip():
-            continue
-        if line.startswith(_SQL_ESCAPE):
+    try:
+        while True:
             try:
-                print(_run_sql(spark, engine, line[len(_SQL_ESCAPE):],
-                               args.max_rows))
-            except Exception as e:
-                print(f"Error: {e}")
-            continue
-        try:
-            results = _execute(executor, args.agent, line)
-        except DslSyntaxError as e:
-            print(f"Error: {e}")
-            continue
-        _print_results(results, args.max_rows)
-    if hist_path is not None:
-        try:
-            readline.write_history_file(hist_path)
-        except OSError:
-            pass
+                line = input("ahnlich> ")
+            except EOFError:
+                print()
+                break
+            except KeyboardInterrupt:
+                # Ctrl-C clears the current line (the reference's
+                # rustyline behavior); Ctrl-D leaves
+                print("^C")
+                continue
+            if line.strip().lower() in ("exit", "quit"):
+                break
+            if not line.strip():
+                continue
+            try:
+                sql = _sql_query(line)
+                if sql is not None:
+                    try:
+                        print(_run_sql(spark, engine, sql, args.max_rows))
+                    except Exception as e:
+                        print(f"Error: {e}")
+                    continue
+                try:
+                    results = _execute(executor, args.agent, line)
+                except DslSyntaxError as e:
+                    print(f"Error: {e}")
+                    continue
+                _print_results(results, args.max_rows)
+            except KeyboardInterrupt:
+                # Ctrl-C mid-statement cancels that statement only
+                print("\nInterrupted")
+                continue
+    finally:
+        if hist_path is not None:
+            try:
+                readline.write_history_file(hist_path)
+            except OSError:
+                pass
     return 0
 
 

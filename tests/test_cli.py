@@ -15,8 +15,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _run_cli(stdin_text, *argv, timeout=180):
+    import tempfile
+
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    # isolate HOME: the REPL reads/writes ~/.ahnlich_spark_history and
+    # tests must not touch (or depend on) the real user history
+    env["HOME"] = tempfile.mkdtemp(prefix="ahnlich_cli_home_")
     return subprocess.run(
         [sys.executable, "-m", "ahnlich_spark", *argv],
         input=stdin_text, capture_output=True, text=True,
@@ -85,6 +90,33 @@ def test_cli_sql_escape(tmp_path):
                  "--agent", "db", "--no-interactive",
                  "--warehouse", wh, "--master", "local[4]")
     assert r.returncode == 1 and "Error:" in r.stderr
+    # tolerant detection: leading whitespace + any case still routes to
+    # the SQL door (not a misleading DSL syntax error), and a bare \sql
+    # gives usage guidance
+    r = _run_cli("   \\SQL SELECT count(*) AS n FROM ahnlich_vecs",
+                 "--agent", "db", "--no-interactive",
+                 "--warehouse", wh, "--master", "local[4]")
+    assert r.returncode == 0 and "|  3|" in r.stdout
+    r = _run_cli("\\sql", "--agent", "db", "--no-interactive",
+                 "--warehouse", wh, "--master", "local[4]")
+    assert r.returncode == 1 and "requires a query" in r.stderr
+
+
+def test_cli_sql_escape_non_public_schema(tmp_path):
+    # stores behind a DSL SCHEMA clause are reachable through the SQL
+    # door as ahnlich_<schema>_<store>
+    wh = str(tmp_path / "wh")
+    r = _run_cli(
+        "CREATESTORE v DIMENSION 2 SCHEMA s1;"
+        "SET (([1,0], {k: x}), ([0,1], {k: y})) IN v SCHEMA s1",
+        "--agent", "db", "--no-interactive",
+        "--warehouse", wh, "--master", "local[4]")
+    assert r.returncode == 0, r.stderr[-2000:]
+    r = _run_cli("\\sql SELECT count(*) AS n FROM ahnlich_s1_v",
+                 "--agent", "db", "--no-interactive",
+                 "--warehouse", wh, "--master", "local[4]")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "|  2|" in r.stdout
 
 
 def test_cli_ai_agent_pipeline(tmp_path):
