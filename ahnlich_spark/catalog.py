@@ -62,6 +62,15 @@ class StoreMeta:
     # len + dirty flag, ahnlich/db/src/engine/store.rs:72-101).
     len_cache: int = -1
     bytes_cache: int = -1
+    # JSON of the CURRENT base version's on-disk READ schema (as
+    # spark.read.parquet gives it back: index + layout columns included,
+    # partition column last), recorded once by write_store. Readers pass
+    # it explicitly so a store/delta scan never pays parquet schema
+    # inference — at 100 TB that is a footer read + file listing per
+    # query, and even locally each inference is a ~100 ms one-task job
+    # (measured; see OPTIMIZATION_r11.md). None on catalogs written
+    # before this field existed → readers fall back to inference.
+    file_schema: Optional[str] = None
 
 
 class Catalog:

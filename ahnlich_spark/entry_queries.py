@@ -85,8 +85,23 @@ def register(name: str, sql: Optional[str]):
 
 # ------------------------------------------------------------- loaders --
 
+# schema cache for the driver's input tables: parquet schema INFERENCE
+# is a file listing + footer read per call (a ~100 ms one-task Spark
+# job, measured — see OPTIMIZATION_r11.md), and every gate re-reads its
+# inputs on every invocation. Caching the SCHEMA (metadata only — never
+# rows, never results; each read still scans the parquet files) makes
+# repeat reads inference-free, exactly what a real catalog does for a
+# 100 TB table.
+_T_SCHEMAS: Dict[tuple, T.StructType] = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    key = (id(spark.sparkContext), path)
+    schema = _T_SCHEMAS.get(key)
+    if schema is None:
+        schema = _T_SCHEMAS[key] = spark.read.parquet(path).schema
+    return spark.read.schema(schema).parquet(path)
 
 
 def _qvec(spark: SparkSession, sf_dir: str):

@@ -1247,21 +1247,21 @@ def winnowing_overlap_pairs(
     fps = winnowing_fingerprints(
         df, k=k, t=t, text_col=text_col, id_col=id_col, mod_p=mod_p
     )
-    # COUNT-then-collect: the doc-frequency cap must bound the
-    # aggregation BUFFER, not just the pair expansion — collecting a
-    # boilerplate fingerprint's full id list before filtering would
-    # buffer millions of ids in one reducer at corpus scale. The count
-    # pass is map-side combinable and tiny; only surviving buckets
-    # (<= max_doc_freq members each) ever collect. The fingerprint
-    # lineage is evaluated twice — stage it to a table when that scan
-    # dominates (the per-ingest incremental face already persists it).
-    keep_fp = (
-        fps.groupBy("fp").agg(F.count(F.lit(1)).alias("_df"))
-        .filter((F.col("_df") >= 2) & (F.col("_df") <= max_doc_freq))
-        .select("fp")
-    )
+    # ONE evaluation of the fingerprint lineage: the doc-frequency cap
+    # is a COUNT window over fp — the window's exchange clusters the
+    # pairs by fp, and the following groupBy(fp) REUSES that
+    # partitioning, so cap + bucket collection cost one exchange of the
+    # skinny (id, fp) pairs in total. The previous COUNT-then-join
+    # formulation evaluated the whole explode + per-k-gram-hash +
+    # window-min lineage TWICE (once for the count, once for the join
+    # probe) — the dominant cost of this pipeline. Buffer discipline is
+    # preserved: WindowExec buffers each fp group in a spillable sorted
+    # run (never an in-memory agg buffer), and collect_list still only
+    # ever sees groups the cap already bounded at max_doc_freq ids.
+    wfp = Window.partitionBy("fp")
     buckets = (
-        fps.join(keep_fp, "fp")
+        fps.withColumn("_df", F.count(F.lit(1)).over(wfp))
+        .filter((F.col("_df") >= 2) & (F.col("_df") <= max_doc_freq))
         .groupBy("fp")
         .agg(F.sort_array(F.collect_list(id_col)).alias("_ids"))
     )
@@ -1347,16 +1347,21 @@ def winnowing_incremental_pairs(
     # noise cap over the UNION's doc frequency, applied BEFORE any
     # list is collected (same buffer-bounding discipline as the
     # one-shot face); only buckets holding at least one batch doc can
-    # produce a pair, so the corpus-only majority never collects either
-    keep_fp = (
-        both.groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("_df"),
-             F.sum(F.lit(1) - F.col("_c")).alias("_nbk"))
+    # produce a pair, so the corpus-only majority never collects
+    # either. Both cap statistics ride ONE count/sum window over fp —
+    # the union's fingerprint lineages (batch AND corpus) evaluate
+    # once, and the groupBy(fp) below reuses the window's exchange
+    # (the previous agg+join formulation re-evaluated the union per
+    # side). WindowExec buffers per-fp sorted runs that spill, so a
+    # boilerplate fingerprint never lands in an in-memory agg buffer.
+    wfp = Window.partitionBy("fp")
+    filtered = (
+        both.withColumn("_df", F.count(F.lit(1)).over(wfp))
+        .withColumn("_nbk", F.sum(F.lit(1) - F.col("_c")).over(wfp))
         .filter((F.col("_df") <= max_doc_freq) & (F.col("_nbk") >= 1))
-        .select("fp")
     )
     buckets = (
-        both.join(keep_fp, "fp")
+        filtered
         .groupBy("fp")
         .agg(
             F.sort_array(F.collect_list(F.struct("_c", "_id"))).alias("_m"),

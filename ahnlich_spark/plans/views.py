@@ -157,12 +157,16 @@ def _write_generation(engine, entry: dict, df: DataFrame,
     catalog = engine.catalog
     base = _view_dir(catalog, entry["schema"], entry["name"])
     gen = "g" + "_".join(str(int(x)) for x in _flat_coords(coords))
+    table_schema = df.schema.json()  # plan analysis only, no job
     df.write.mode("overwrite").parquet(os.path.join(base, gen))
     with catalog._lock:
         # coords + table + flush are ONE unit: another thread's flush
         # between the two field writes would persist coords paired with
         # the previous generation (wrong fold start after a restart)
         entry["coords"] = _json_coords(coords)
+        # pinned read schema: read_state then skips parquet schema
+        # inference (a per-read file listing + footer job)
+        entry["table_schema"] = table_schema
         prev, entry["table"] = entry.get("table"), gen
         catalog._flush()
     keep = {gen, prev} if prev else {gen}
@@ -351,8 +355,17 @@ def refresh_materialized_view(engine, name: str,
 
 def read_state(engine, name: str, schema: str = PUBLIC_SCHEMA) -> DataFrame:
     """The persisted state table of the view's current generation."""
+    import json as _json
+
+    from pyspark.sql import types as _T
+
     entry = _get(engine.catalog, name, schema)
-    return engine.spark.read.parquet(os.path.join(
+    reader = engine.spark.read
+    if entry.get("table_schema"):
+        # schema pinned at generation write: no inference job per read
+        reader = reader.schema(
+            _T.StructType.fromJson(_json.loads(entry["table_schema"])))
+    return reader.parquet(os.path.join(
         _view_dir(engine.catalog, schema, name), entry["table"]
     ))
 

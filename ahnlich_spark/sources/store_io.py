@@ -82,6 +82,36 @@ def internal_columns(df: DataFrame):
     return [c for c in df.columns if c.startswith(INTERNAL_PREFIXES)]
 
 
+def _base_schema(meta: StoreMeta) -> Optional[T.StructType]:
+    """The catalog-pinned read schema of the CURRENT base version, or
+    None (pre-pin catalogs / historical versions → infer)."""
+    if not meta.file_schema:
+        return None
+    import json as _json
+
+    return T.StructType.fromJson(_json.loads(meta.file_schema))
+
+
+def _delta_schema(meta: StoreMeta) -> Optional[T.StructType]:
+    """Delta segments mirror the base read schema plus the _dop marker
+    (write_delta's contract), so the pinned base schema pins them too."""
+    base = _base_schema(meta)
+    if base is None:
+        return None
+    return T.StructType(
+        list(base.fields) + [T.StructField(DELTA_OP_COL, T.ByteType())]
+    )
+
+
+def _read_pinned(spark: SparkSession, schema: Optional[T.StructType],
+                 path: str) -> DataFrame:
+    """Parquet read that skips schema inference when a pinned schema is
+    available — inference is a file listing + footer read (a one-task
+    Spark job locally, a metadata storm at 100 TB) on EVERY read."""
+    reader = spark.read if schema is None else spark.read.schema(schema)
+    return reader.parquet(path)
+
+
 def _merged_view(
     spark: SparkSession, catalog: Catalog, meta: StoreMeta, base: DataFrame
 ) -> DataFrame:
@@ -91,8 +121,9 @@ def _merged_view(
     whose build side is the broadcast delta-id set. The base side never
     shuffles, and filters above push through the union into the pruned
     base scan."""
+    dschema = _delta_schema(meta)
     segs = [
-        spark.read.parquet(catalog.delta_path(meta, i)).withColumn(
+        _read_pinned(spark, dschema, catalog.delta_path(meta, i)).withColumn(
             DELTA_SEG_COL, F.lit(i)
         )
         for i in range(1, meta.deltas + 1)
@@ -166,7 +197,9 @@ def read_store(
             raise ValueError(
                 f"segments must be in [0, {retained[v]}] for version {v}, got {segments}"
             )
-        meta = _replace(meta, version=v, deltas=s)
+        # the pinned schema describes the CURRENT version only — a
+        # historical version may predate an index backfill; infer there
+        meta = _replace(meta, version=v, deltas=s, file_schema=None)
     elif segments is not None:
         from dataclasses import replace as _replace
 
@@ -175,7 +208,7 @@ def read_store(
                 f"segments must be in [0, {meta.deltas}], got {segments}"
             )
         meta = _replace(meta, deltas=int(segments))
-    df = spark.read.parquet(catalog.store_path(meta))
+    df = _read_pinned(spark, _base_schema(meta), catalog.store_path(meta))
     if meta.deltas:
         df = _merged_view(spark, catalog, meta, df)
     if canonical:
@@ -269,14 +302,20 @@ def read_changes(
     for v in range(from_version, to_version + 1):
         lo = from_segments if v == from_version else 0
         hi = to_segments if v == to_version else retained[v]
-        seg_paths += [catalog.delta_path(meta, i, version=v)
+        seg_paths += [(v, catalog.delta_path(meta, i, version=v))
                       for i in range(lo + 1, hi + 1)]
     if not seg_paths:
         return spark.createDataFrame([], out_schema)
 
+    # segments of the CURRENT version read with the catalog-pinned
+    # schema (no inference job); older versions may predate an index
+    # rewrite, so they infer
+    dschema = _delta_schema(meta)
     segs = [
-        spark.read.parquet(p).withColumn(DELTA_SEG_COL, F.lit(n))
-        for n, p in enumerate(seg_paths, start=1)
+        _read_pinned(
+            spark, dschema if v == meta.version else None, p
+        ).withColumn(DELTA_SEG_COL, F.lit(n))
+        for n, (v, p) in enumerate(seg_paths, start=1)
     ]
     deltas = reduce(lambda a, b: a.unionByName(b), segs)
     w = Window.partitionBy("id").orderBy(
@@ -385,6 +424,12 @@ def write_store(
         if sort_cols:
             out = out.sortWithinPartitions(*sort_cols)
         out.write.mode("overwrite").parquet(path)
+    # pin the version's READ schema in the catalog: ONE inference here
+    # (the write just planned this very frame, the footer is hot) buys
+    # inference-free scans for every subsequent read of this base and
+    # its delta segments — per-read inference is a file listing +
+    # footer job that repeats at every query, ruinous at 100 TB
+    file_schema = df.sparkSession.read.parquet(path).schema.json()
     with catalog._lock:
         # the rewrite folded the snapshot read at (version, deltas) as
         # passed in `meta` — if another facade committed a delta or a
@@ -409,6 +454,7 @@ def write_store(
             )
         meta.version = new_version
         meta.deltas = 0  # a fresh base folds/obsoletes all prior segments
+        meta.file_schema = file_schema
         catalog.put_store(meta)
     catalog.gc_versions(meta, keep=KEEP_VERSIONS)
     return meta
@@ -430,12 +476,16 @@ def write_delta(
     """
     if upserts is None and tombstone_ids is None:
         return meta
-    # mirror the BASE file schema exactly (footer-only read): a dropped
-    # index can leave stale index columns in the base that fresh upserts
-    # no longer compute — those ride as nulls so merged reads union
-    # cleanly (the stale columns are dead weight until the next base
-    # rewrite clears them; queries never consult a dropped index)
-    schema_src = spark.read.parquet(catalog.store_path(meta))
+    # mirror the BASE file schema exactly: a dropped index can leave
+    # stale index columns in the base that fresh upserts no longer
+    # compute — those ride as nulls so merged reads union cleanly (the
+    # stale columns are dead weight until the next base rewrite clears
+    # them; queries never consult a dropped index). The catalog-pinned
+    # schema IS that file schema (recorded at base write), so the
+    # per-append footer read only happens on pre-pin catalogs.
+    base_schema = _base_schema(meta)
+    if base_schema is None:
+        base_schema = spark.read.parquet(catalog.store_path(meta)).schema
     if upserts is not None:
         have = set(upserts.columns)
         missing_core = {"id", "key", "meta"} - have
@@ -445,14 +495,14 @@ def write_delta(
             *[
                 F.col(f.name) if f.name in have
                 else F.lit(None).cast(f.dataType).alias(f.name)
-                for f in schema_src.schema.fields
+                for f in base_schema.fields
             ]
         )
     parts = []
     if tombstone_ids is not None:
         null_cols = [
             F.lit(None).cast(f.dataType).alias(f.name)
-            for f in schema_src.schema.fields
+            for f in base_schema.fields
             if f.name != "id"
         ]
         parts.append(
@@ -463,7 +513,7 @@ def write_delta(
     if upserts is not None:
         parts.append(
             upserts.select(
-                "id", *[f.name for f in schema_src.schema.fields if f.name != "id"],
+                "id", *[f.name for f in base_schema.fields if f.name != "id"],
                 F.lit(1).cast("tinyint").alias(DELTA_OP_COL),
             )
         )

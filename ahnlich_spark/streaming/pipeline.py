@@ -514,7 +514,19 @@ class _DfStatePersist:
         self.prefix = f"{name}_v"
         self.ledger = _ReplayLedger()
         self._loaded_last = -1
+        self._table: Optional[str] = None
         self.extra: dict = {}
+
+    def _reload(self, table: str, schema_json: Optional[str]):
+        """Lazy read-back of a state table — schema-pinned when the
+        pointer recorded it (no inference job), safe to keep lazy
+        because GC always retains the current AND previous tables, so
+        the frame stays readable until two saves from now (by which
+        time the caller's state points at a newer read-back)."""
+        reader = self.spark.read
+        if schema_json:
+            reader = reader.schema(T.StructType.fromJson(json.loads(schema_json)))
+        return reader.parquet(os.path.join(self.dir, table))
 
     def load(self):
         """(state_df | None, last persisted batch id). Fold-specific
@@ -532,11 +544,9 @@ class _DfStatePersist:
                 str(k): [int(v), None] for k, v in p["rows"].items()
             }
         self._loaded_last = int(p["batch_id"])
+        self._table = p["table"]
         self.extra = dict(p.get("extra", {}))
-        df = self.spark.read.parquet(
-            os.path.join(self.dir, p["table"])
-        ).localCheckpoint()
-        return df, self._loaded_last
+        return self._reload(p["table"], p.get("schema")), self._loaded_last
 
     def replay_guard(self, batch_df: DataFrame, batch_id: int,
                      name: str, stats=None) -> None:
@@ -547,11 +557,17 @@ class _DfStatePersist:
         self.ledger.verify(batch_id, self._loaded_last, rows, fp, name)
 
     def save(self, df: DataFrame, batch_id: int, stats,
-             extra: Optional[dict] = None) -> None:
+             extra: Optional[dict] = None) -> DataFrame:
+        """Persist the fold state for ``batch_id`` and return a LAZY
+        schema-pinned read-back of what was written. The write is the
+        trigger's ONE materialization of the fold — callers use the
+        returned frame as their new state instead of paying a separate
+        localCheckpoint job for the same rows."""
         # the first NEW batch marks the end of any from-scratch replay:
         # refuse a prefix that never accounted for every folded row
         self.ledger.seal_replay(self.name)
         table = f"{self.prefix}{batch_id}"
+        schema_json = df.schema.json()  # plan analysis only, no job
         df.write.mode("overwrite").parquet(os.path.join(self.dir, table))
         prev = _read_json(self.ptr)
         self.ledger.record(batch_id, *stats)
@@ -559,15 +575,38 @@ class _DfStatePersist:
             self.extra = dict(extra)
         _atomic_write_json(self.ptr, {
             "batch_id": batch_id, "table": table,
+            "schema": schema_json,
             "ledger": self.ledger.as_json(),
             "extra": self.extra,
         })
+        self._table = table
         if prev is not None and prev["table"] != table:
             for d in os.listdir(self.dir):
                 if (d.startswith(self.prefix) and d != table
                         and d != prev["table"]):
                     shutil.rmtree(os.path.join(self.dir, d),
                                   ignore_errors=True)
+        return self._reload(table, schema_json)
+
+    def save_pointer(self, batch_id: int, stats,
+                     extra: Optional[dict] = None) -> bool:
+        """Pointer-only commit for a trigger that changed NOTHING in
+        the fold state (a doorbell batch whose coordinates already
+        matched): records the batch in the ledger without rewriting the
+        unchanged state table. Returns False (caller must full-save)
+        when no table exists yet."""
+        p = _read_json(self.ptr)
+        if p is None or self._table is None:
+            return False
+        self.ledger.seal_replay(self.name)
+        self.ledger.record(batch_id, *stats)
+        if extra is not None:
+            self.extra = dict(extra)
+        p["batch_id"] = batch_id
+        p["ledger"] = self.ledger.as_json()
+        p["extra"] = self.extra
+        _atomic_write_json(self.ptr, p)
+        return True
 
 # streaming_incremental_dedup: compact the lazily-unioned state parts
 # once the list (and thus the union plan) grows past this many pieces
@@ -1037,19 +1076,33 @@ def streaming_materialized_agg(
         m = engine.catalog.get_store(store, schema)
         v0, s0 = state["coords"]
         v1, s1 = m.version, m.deltas
-        if (v1, s1) != (v0, s0):
+        changed = (v1, s1) != (v0, s0)
+        if changed:
             delta = IVM.cdf_agg_delta(
                 engine, store, v0, s0, group_expr, measures,
                 to_version=v1, to_segments=s1, schema=schema,
             )
-            state["agg"] = IVM.apply_agg_delta(
-                state["agg"], delta, measures
-            ).localCheckpoint()
+            new_agg = IVM.apply_agg_delta(state["agg"], delta, measures)
+            if persist:
+                # the persisting WRITE is the trigger's one
+                # materialization of the fold; the returned lazy
+                # read-back replaces a second localCheckpoint job over
+                # the same rows (guide §1.2: fewer passes)
+                state["agg"] = persist.save(
+                    new_agg, batch_id, stats, extra={"coords": [v1, s1]}
+                )
+            else:
+                state["agg"] = new_agg.localCheckpoint()
+        elif persist and not persist.save_pointer(
+            batch_id, stats, extra={"coords": [v1, s1]}
+        ):
+            # nothing folded but no table exists yet (first trigger on
+            # a never-persisted fold): full-save the seed
+            state["agg"] = persist.save(
+                state["agg"], batch_id, stats, extra={"coords": [v1, s1]}
+            )
         state["coords"] = (v1, s1)
         state["last_id"] = batch_id
-        if persist:
-            persist.save(state["agg"], batch_id, stats,
-                         extra={"coords": [v1, s1]})
 
     def drain() -> DataFrame:
         return state["agg"]
@@ -1217,9 +1270,15 @@ def streaming_materialized_join(
                 )
             state["ca"] = (int(pa[0]), int(pa[1]))
             state["cb"] = (int(pb[0]), int(pb[1]))
-            state["agg"] = spark.read.parquet(
-                os.path.join(state_dir, p["table"])
-            ).localCheckpoint()
+            # lazy, schema-pinned when recorded: GC retains the current
+            # and previous tables, so the frame stays readable until
+            # two commits from now (state points elsewhere by then)
+            reader = spark.read
+            if p.get("schema"):
+                reader = reader.schema(
+                    T.StructType.fromJson(json.loads(p["schema"])))
+            state["agg"] = reader.parquet(
+                os.path.join(state_dir, p["table"]))
     if state["agg"] is None:
         state["agg"] = IVM.full_join_agg(
             eng_a, store_a, eng_b, store_b, join_a, join_b,
@@ -1240,12 +1299,17 @@ def streaming_materialized_join(
         # here would overwrite committed live data in place.
         ca, cb = state["ca"], state["cb"]
         table = f"mjoin_g{ca[0]}_{ca[1]}_{cb[0]}_{cb[1]}"
+        schema_json = state["agg"].schema.json()  # plan analysis, no job
+        # the persisting write IS the trigger's one materialization of
+        # the (lazy) fold; the schema-pinned lazy read-back below
+        # replaces a second localCheckpoint job over the same rows
         state["agg"].write.mode("overwrite").parquet(
             os.path.join(state_dir, table)
         )
         prev = _read_json(ptr_path)
         _atomic_write_json(ptr_path, {
             "batch_id": batch_id, "table": table,
+            "schema": schema_json,
             "coords_a": list(ca), "coords_b": list(cb),
         })
         if prev is not None and prev["table"] != table:
@@ -1254,6 +1318,9 @@ def streaming_materialized_join(
                         and d != table and d != prev["table"]):
                     shutil.rmtree(os.path.join(state_dir, d),
                                   ignore_errors=True)
+        state["agg"] = spark.read.schema(
+            T.StructType.fromJson(json.loads(schema_json))
+        ).parquet(os.path.join(state_dir, table))
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         ta, tb = _coords(eng_a, store_a), _coords(eng_b, store_b)
@@ -1263,12 +1330,12 @@ def streaming_materialized_join(
                 join_a, join_b, group_expr, measures,
                 to_a=ta, to_b=tb, schema=schema,
             )
-            state["agg"] = IVM.apply_agg_delta(
-                state["agg"], delta, names
-            ).localCheckpoint()
+            state["agg"] = IVM.apply_agg_delta(state["agg"], delta, names)
             state["ca"], state["cb"] = ta, tb
             if ptr_path:
                 _commit(batch_id)
+            else:
+                state["agg"] = state["agg"].localCheckpoint()
 
     def drain() -> DataFrame:
         return state["agg"]
@@ -1813,8 +1880,10 @@ def streaming_incremental_dedup(
         # batch-keyed name: a replayed crashed trigger overwrites its
         # own orphan instead of duplicating it
         path = os.path.join(state_dir, table)
+        sch = df.schema  # plan analysis only, no job
         df.write.mode("overwrite").parquet(path)
-        return spark.read.parquet(path)
+        # schema-pinned read-back: no inference job per part
+        return spark.read.schema(sch).parquet(path)
 
     def _commit(batch_id: int, stats) -> None:
         ledger.record(batch_id, *stats)
@@ -1967,10 +2036,13 @@ def streaming_kmv_distinct(
         if state["minima"] is not None:
             bm = state["minima"].unionByName(bm)
             bm = SK.kmv_minima(bm, group_cols, k, n_salts)
-        state["minima"] = bm.localCheckpoint()
         state["last_id"] = batch_id
         if persist:
-            persist.save(state["minima"], batch_id, stats)
+            # the persisting write is the trigger's one materialization;
+            # the returned lazy read-back replaces a localCheckpoint job
+            state["minima"] = persist.save(bm, batch_id, stats)
+        else:
+            state["minima"] = bm.localCheckpoint()
 
     def drain_minima() -> DataFrame:
         if state["minima"] is None:
@@ -2042,10 +2114,11 @@ def streaming_hll_distinct(
                 .groupBy(*group_cols, "bucket")
                 .agg(F.max("r").alias("r"))
             )
-        state["registers"] = br.localCheckpoint()
         state["last_id"] = batch_id
         if persist:
-            persist.save(state["registers"], batch_id, stats)
+            state["registers"] = persist.save(br, batch_id, stats)
+        else:
+            state["registers"] = br.localCheckpoint()
 
     def drain_registers() -> DataFrame:
         if state["registers"] is None:
@@ -2117,10 +2190,11 @@ def streaming_histogram_quantiles(
                 .groupBy(*group_cols, "bin")
                 .agg(F.sum("cnt").cast("long").alias("cnt"))
             )
-        state["summ"] = bs.localCheckpoint()
         state["last_id"] = batch_id
         if persist:
-            persist.save(state["summ"], batch_id, stats)
+            state["summ"] = persist.save(bs, batch_id, stats)
+        else:
+            state["summ"] = bs.localCheckpoint()
 
     def drain_summary() -> DataFrame:
         if state["summ"] is None:
@@ -2311,10 +2385,11 @@ def streaming_cms_counts(
                 .groupBy(*group_cols, "row", "bucket")
                 .agg(F.sum("cnt").cast("long").alias("cnt"))
             )
-        state["table"] = bt.localCheckpoint()
         state["last_id"] = batch_id
         if persist:
-            persist.save(state["table"], batch_id, stats)
+            state["table"] = persist.save(bt, batch_id, stats)
+        else:
+            state["table"] = bt.localCheckpoint()
 
     def drain_table() -> DataFrame:
         if state["table"] is None:
@@ -2392,10 +2467,11 @@ def streaming_embedding_drift(
                     F.sum("sum_e9").cast("long").alias("sum_e9"),
                 )
             )
-        state["sums"] = bs.localCheckpoint()
         state["last_id"] = batch_id
         if persist:
-            persist.save(state["sums"], batch_id, stats)
+            state["sums"] = persist.save(bs, batch_id, stats)
+        else:
+            state["sums"] = bs.localCheckpoint()
 
     def drain_sums() -> DataFrame:
         if state["sums"] is None:
