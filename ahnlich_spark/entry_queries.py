@@ -95,6 +95,16 @@ def register(name: str, sql: Optional[str]):
 _T_SCHEMAS: Dict[tuple, T.StructType] = {}
 
 
+def _result_df(spark: SparkSession, rows, schema) -> DataFrame:
+    """Bounded driver-side rows (gate result tuples, tiny fixtures) as a
+    SINGLE-slice DataFrame: plain createDataFrame parallelizes into
+    #cores slices, so collecting a one-row gate result schedules ~32
+    near-empty tasks, each with its own Python-worker round. One slice
+    per 100k rows keeps every such frame at one task."""
+    n = max(1, -(-len(rows) // 100_000)) if isinstance(rows, list) and rows else 1
+    return spark.createDataFrame(spark.sparkContext.parallelize(rows, n), schema)
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     key = (id(spark.sparkContext), path)
@@ -281,7 +291,7 @@ def del_key(spark, sf_dir):
     )
     deleted = store.join(F.broadcast(probes), "id", "left_semi").count()
     remaining = store.join(F.broadcast(probes), "id", "left_anti").count()
-    return spark.createDataFrame(
+    return _result_df(spark, 
         [(deleted, remaining)], "deleted_count long, remaining long"
     )
 
@@ -395,7 +405,7 @@ def store_incremental_mutations(spark, sf_dir):
     r2 = eng.set("inc", [rows[v] for v in sorted(rows) if 100 <= v < 400])
     meta = eng.catalog.get_store("inc")
     info = eng.get_store("inc")
-    return spark.createDataFrame(
+    return _result_df(spark, 
         [(r1.inserted, dk.deleted_count, dp.deleted_count,
           r2.inserted, r2.updated, info.len, meta.version, meta.deltas)],
         "inserted1 long, deleted_keys long, deleted_pred long, "
@@ -493,7 +503,7 @@ def store_lifecycle_counts(spark, sf_dir):
     r1 = eng.set("gate", b1)
     r2 = eng.set("gate", b2)
     info = eng.get_store("gate")
-    return spark.createDataFrame(
+    return _result_df(spark, 
         [(r1.inserted, r1.updated, r2.inserted, r2.updated, info.len, info.dimension)],
         "inserted1 long, updated1 long, inserted2 long, updated2 long, store_len long, dimension long",
     )
@@ -516,7 +526,7 @@ def upsert_single_row(spark, sf_dir):
     r = eng.upsert("up", Equals("vid", "7"), new_value={"tag": "updated"}, merge_metadata=True)
     tagged = eng.get_pred("up", Equals("tag", "updated")).count()
     info = eng.get_store("up")
-    return spark.createDataFrame(
+    return _result_df(spark, 
         [(r.inserted, r.updated, tagged, info.len)],
         "inserted long, updated long, tagged_count long, store_len long",
     )
@@ -556,7 +566,7 @@ def dsl_pipeline_counts(spark, sf_dir):
     errs = [r.error for r in res if not r.ok]
     assert not errs, errs
     _create, set_r, del_r, pred_df, info = (r.result for r in res)
-    return spark.createDataFrame(
+    return _result_df(spark, 
         [(set_r.inserted, del_r.deleted_count, pred_df.count(), info.len)],
         "inserted long, deleted long, matched long, store_len long",
     )
@@ -604,7 +614,7 @@ def ai_store_lifecycle(spark, sf_dir):
     key_hits = ai.get_key("aig", [probe]).count()
     deleted = ai.del_key("aig", [probe]).deleted_count
     len_after = ai.engine.get_store("aig").len
-    return spark.createDataFrame(
+    return _result_df(spark, 
         [(store_len, n_en, key_hits, deleted, len_after)],
         "store_len long, n_en long, key_hits long, deleted long, len_after_del long",
     )
@@ -700,7 +710,7 @@ def ddl_lifecycle_counts(spark, sf_dir):
     info_ok = int(
         info.get("type") == "ahnlich_spark" and bool(info.get("version"))
     )
-    return spark.createDataFrame(
+    return _result_df(spark, 
         [(
             pred_created, pred_recreated, indexed_hits, pred_dropped,
             pred_drop_missing_ok, missing_pred_drop_error, ann_created,
@@ -775,7 +785,7 @@ def ai_upsert(spark, sf_dir):
         "aiu", And(Equals("mark", "x"), Equals("tag", str(target["doc_id"])))
     ).count()
     after = ai.engine.get_store("aiu").len
-    return spark.createDataFrame(
+    return _result_df(spark, 
         [(before, r.inserted, r.updated, key_hits_new, key_hits_old,
           marked, tag_kept, after)],
         "store_len_before long, inserted long, updated long, "
@@ -871,7 +881,7 @@ def store_change_feed(spark, sf_dir):
               ch.groupBy("change_type").agg(F.count(F.lit(1)).alias("n")).collect()}
     len_from = eng.store_df("cdf", version=1, segments=0).count()
     len_to = eng.get_store("cdf").len
-    return spark.createDataFrame(
+    return _result_df(spark, 
         [(counts.get("insert", 0), counts.get("update", 0),
           counts.get("delete", 0), len_from, len_to)],
         "n_insert long, n_update long, n_delete long, len_from long, len_to long",
@@ -2324,7 +2334,7 @@ def ann_after_mutations(spark, sf_dir):
         "vec_id", F.col("similarity").alias("score")
     )
     ranked = _rank_topk(scored, S.COSINE, _PRUNED_K)
-    sentinel = spark.createDataFrame(
+    sentinel = _result_df(spark, 
         [(-1, 0, int(eng.get_store("annm").len))],
         "vec_id long, rank_n long, score_e4 long",
     )
@@ -2902,7 +2912,7 @@ def streaming_set_ingest_gate(spark, sf_dir):
     store_len = eng.get_store("ing").len
     n_a = eng.get_pred("ing", Equals("src", "a")).count()
     n_b = eng.get_pred("ing", Equals("src", "b")).count()
-    return spark.createDataFrame(
+    return _result_df(spark, 
         [(store_len, n_a, n_b)],
         "store_len long, n_src_a long, n_src_b long",
     )
@@ -2968,7 +2978,7 @@ def streaming_change_feed(spark, sf_dir):
               .select("id").collect()}
     for r in sorted(feed, key=lambda r: (r["base_version"], r["segment"])):
         (folded.discard if r["op"] == "delete" else folded.add)(r["id"])
-    return spark.createDataFrame(
+    return _result_df(spark, 
         [(len(segs), ups, dels, len(folded), int(eng.get_store("chg").len))],
         "n_segments long, upserts long, deletes long, "
         "folded_len long, store_len long",
@@ -3357,7 +3367,7 @@ def ai_bulk_set(spark, sf_dir):
     r1 = ai.set("bulk", texts, meta_col="m")
     r2 = ai.set("bulk", texts, meta_col="m")
     n = ai.engine.get_store("bulk").len
-    return spark.createDataFrame(
+    return _result_df(spark, 
         [(r1.inserted, r1.updated, r2.inserted, r2.updated, n)],
         "inserted1 long, updated1 long, inserted2 long, updated2 long, store_len long",
     )
@@ -3405,7 +3415,7 @@ def ai_bulk_set_bounded(spark, sf_dir, rows: int = 10_000):
                         index_model="all-minilm-l6-v2", store_original=True)
         r1 = ai.set("bulkb", texts, meta_col="m")
         n = ai.engine.get_store("bulkb").len
-        return spark.createDataFrame(
+        return _result_df(spark, 
             [(r1.inserted, r1.updated, n)],
             "inserted long, updated long, store_len long",
         )
@@ -3519,7 +3529,7 @@ def ai_one_to_many_faces(spark, sf_dir):
     face_rows = imgs.select(
         (F.lit(1) + F.length(F.col("input")) % 3).alias("k")
     ).agg(F.sum("k").cast("long").alias("s")).first()["s"]
-    return spark.createDataFrame(
+    return _result_df(spark, 
         [(r.inserted, r.updated, n, int(face_rows))],
         "inserted long, updated long, store_len long, face_rows long",
     )
@@ -5169,7 +5179,7 @@ def ann_drift_retrain(spark, sf_dir):
         vals = (int(m2["max_drift_e9"]), int(m2["retrained"]),
                 int(n_before), int(n_after))
         _DRIFT_FIXTURE[ckey] = vals
-    return spark.createDataFrame(
+    return _result_df(spark, 
         [vals],
         "max_drift_e9 long, retrained long, n_before long, n_after long",
     )
@@ -5741,7 +5751,7 @@ def events_gap_fill(spark, sf_dir):
     grid = (
         bounds.select(F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h"))
         .crossJoin(
-            spark.createDataFrame(
+            _result_df(spark, 
                 [("purchase",), ("signup",)], "event_type string"
             )
         )
@@ -6895,7 +6905,7 @@ def orders_equi_depth_bands(spark, sf_dir):
     edges = [rows[0]["lo"]] + [
         rows[q]["hi"] for q in (250_000, 500_000, 750_000, 1_000_000)
     ]
-    bands = spark.createDataFrame(
+    bands = _result_df(spark, 
         [(i, int(edges[i]), int(edges[i + 1])) for i in range(4)],
         "band long, lo long, hi long",
     )
@@ -7556,7 +7566,7 @@ def orders_price_bands(spark, sf_dir):
     shuffles for the lookup (operators/joins.range_lookup_join)."""
     from ahnlich_spark.operators.joins import range_lookup_join
 
-    bands = spark.createDataFrame(_PRICE_BANDS, "band string, lo long, hi long")
+    bands = _result_df(spark, _PRICE_BANDS, "band string, lo long, hi long")
     o = _t(spark, sf_dir, "orders").select(
         "o_orderkey",
         F.round(F.col("o_totalprice") * 100).cast("long").alias("v_e2"),

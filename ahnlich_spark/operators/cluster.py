@@ -34,6 +34,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ahnlich_spark.functions import local_rows_df
+
 
 # Edge count below which the component computation runs as driver-side
 # union-find instead of iterative Spark rounds — the same crossover
@@ -97,7 +99,9 @@ def connected_components(
                     ra, rb = rb, ra
                 parent[rb] = ra
         rows = [(n, find(n)) for n in parent]
-        return spark.createDataFrame(rows, "node long, component long")
+        # one slice: the driver-solved component table is bounded
+        # (edge cap held) and is broadcast-joined downstream
+        return local_rows_df(spark, rows, "node long, component long")
     nodes = edges.select(F.col("a").alias("node")).distinct()
     nodes = _persist(nodes, reliable)
     stars = _alternating_star_components(edges, reliable, max_iter)

@@ -47,6 +47,8 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ahnlich_spark.functions import local_rows_df
+
 # The fixed training corpus: PQ codebooks are a pure function of this
 # parquet (bounded sample, deterministic Lloyd), shared verbatim by the
 # Spark expressions and the DuckDB oracle literals.
@@ -290,8 +292,9 @@ def pq_top_k_batch(
     for pid, vec in probes:
         q = [float(x) for x in vec]
         rows.append((int(pid), q, adc_lut(q, books)))
-    probes_df = spark.createDataFrame(
-        rows, "qid long, qkey array<double>, lut array<array<double>>"
+    # bounded probe list: one slice, not #cores near-empty slices
+    probes_df = local_rows_df(
+        spark, rows, "qid long, qkey array<double>, lut array<array<double>>"
     )
 
     codes = F.col(code_col) if code_col else encode_expr(vec_col, books)
@@ -612,8 +615,9 @@ def pq_top_k_batch_residual(
             int(pid), [float(x) for x in vec], blist,
             residual_luts(vec, cents, books, blist),
         ))
-    probes_df = spark.createDataFrame(
-        rows,
+    # bounded probe list: one slice, not #cores near-empty slices
+    probes_df = local_rows_df(
+        spark, rows,
         "qid long, qkey array<double>, buckets array<int>, "
         "luts array<array<array<double>>>",
     )

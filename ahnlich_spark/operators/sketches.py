@@ -47,6 +47,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ahnlich_spark.functions import local_rows_df
+
 from ahnlich_spark.functions.intmath import safe_rank_expr
 
 __all__ = [
@@ -502,7 +504,8 @@ def histogram_quantiles(
     )
     q_rows = [(int(round(q * 1_000_000)),) for q in qs]
     spark = summary.sparkSession
-    q_df = spark.createDataFrame(q_rows, "q_e6 long")
+    # one slice: a handful of quantile points, not #cores slices
+    q_df = local_rows_df(spark, q_rows, "q_e6 long")
     # rank = ceil(q_e6 * n / 1e6), clamped to >= 1 (q=0 -> first row).
     # safe_rank_expr supplies the shared BIGINT-wrap hardening: exact
     # 64-bit integer path whenever the product provably fits, else the

@@ -35,6 +35,7 @@ from ahnlich_spark.catalog import (
     StoreMeta,
 )
 from ahnlich_spark.functions import similarity as S
+from ahnlich_spark.functions import local_rows_df
 from ahnlich_spark.functions.hashing import store_key_id
 from ahnlich_spark.operators.predicates import Predicate, compile_predicate
 from ahnlich_spark.operators.topk import top_k_similar
@@ -1143,8 +1144,8 @@ class Engine:
                 (int(pid), [float(x) for x in np.asarray(list(v), dtype=np.float32)])
                 for pid, v in probes
             ]
-            probes_df = self.spark.createDataFrame(
-                rows, "qid long, qkey array<float>"
+            probes_df = local_rows_df(
+                self.spark, rows, "qid long, qkey array<float>"
             )
         if condition is not None:
             df = self._pred_filtered(meta, condition)
@@ -1193,8 +1194,8 @@ class Engine:
         def _exact():
             from ahnlich_spark.operators.topk import top_k_batch
 
-            probes_df = self.spark.createDataFrame(
-                probe_rows, "qid long, qkey array<float>"
+            probes_df = local_rows_df(
+                self.spark, probe_rows, "qid long, qkey array<float>"
             )
             return top_k_batch(
                 read_store(self.spark, self.catalog, meta), probes_df,
@@ -1257,8 +1258,8 @@ class Engine:
         from ahnlich_spark.operators.topk import top_k_batch
 
         def _exact():
-            probes_df = self.spark.createDataFrame(
-                probe_rows, "qid long, qkey array<float>"
+            probes_df = local_rows_df(
+                self.spark, probe_rows, "qid long, qkey array<float>"
             )
             return top_k_batch(
                 read_store(self.spark, self.catalog, meta), probes_df,
@@ -1454,8 +1455,9 @@ class Engine:
                              qsig, radius))
                 prefixes.update(A.feasible_prefixes(qsig, n_planes, radius))
             cands = raw.filter(F.col("_ann_sigp").isin(sorted(prefixes)))
-            probes_df = self.spark.createDataFrame(
-                plan, "qid long, qkey array<float>, qsig long, qradius int"
+            probes_df = local_rows_df(
+                self.spark, plan,
+                "qid long, qkey array<float>, qsig long, qradius int",
             )
         j = cands.join(
             F.broadcast(probes_df),
@@ -1482,7 +1484,8 @@ class Engine:
         loop, which also plans on unrounded values)."""
         if isinstance(probes, DataFrame):
             return probes
-        return self.spark.createDataFrame(
+        return local_rows_df(
+            self.spark,
             [(int(pid), [float(x) for x in v]) for pid, v in probes],
             "qid long, qkey array<double>",
         )
@@ -1572,8 +1575,9 @@ class Engine:
                              [int(b) for b in picked]))
                 all_buckets.update(picked)
             cands = raw.filter(F.col("_ann_bucket").isin(sorted(all_buckets)))
-            probes_df = self.spark.createDataFrame(
-                plan, "qid long, qkey array<float>, qbuckets array<int>"
+            probes_df = local_rows_df(
+                self.spark, plan,
+                "qid long, qkey array<float>, qbuckets array<int>",
             )
         j = cands.join(
             F.broadcast(probes_df),
@@ -2053,8 +2057,8 @@ class Engine:
         else:
             merged = {k: tuple(v) for k, v in (old["meta"] or {}).items()}
 
-        replacement = self.spark.createDataFrame(
-            [(key, merged, 0)],
+        replacement = local_rows_df(
+            self.spark, [(key, merged, 0)],
             T.StructType(
                 [
                     T.StructField("key", T.ArrayType(T.FloatType(), True), False),
@@ -2068,7 +2072,7 @@ class Engine:
         # the upsert wins within the segment; if the new key collides
         # with ANOTHER existing row's id the merge shadows it, exactly
         # as a plain Set would.
-        tomb = self.spark.createDataFrame([(int(old["id"]),)], "id long")
+        tomb = local_rows_df(self.spark, [(int(old["id"]),)], "id long")
         # value-only upsert keeps the row's id -> net count change is 0;
         # a key change may shadow another existing id (unknowable without
         # a probe) -> dirty the cached count
@@ -2111,8 +2115,10 @@ class Engine:
     # --------------------------------------------------------- helpers --
     def _keys_df(self, keys: Sequence[Sequence[float]]) -> DataFrame:
         rows = [([float(x) for x in np.asarray(list(k), dtype=np.float32)],) for k in keys]
-        return self.spark.createDataFrame(
-            rows,
+        # one slice: a driver-side key list is bounded (wire-sized);
+        # default-parallelism slices would cost #cores empty tasks per op
+        return local_rows_df(
+            self.spark, rows,
             T.StructType([T.StructField("key", T.ArrayType(T.FloatType(), True), False)]),
         )
 
@@ -2188,8 +2194,14 @@ class Engine:
                     )
                 v32 = [float(x) for x in np.asarray(list(vec), dtype=np.float32)]
                 rows.append((v32, meta_map(m or {}), i))
-            df = self.spark.createDataFrame(
-                rows,
+            # ONE slice, not the default-parallelism slices: a
+            # Python-list batch is wire-sized by construction, but
+            # parallelize() would chop it into #cores slices and every
+            # downstream stage (keep-last window, broadcast build,
+            # counting probe) would schedule #cores near-empty tasks
+            # per Engine op — pure scheduler overhead at any scale
+            df = local_rows_df(
+                self.spark, rows,
                 T.StructType(
                     [
                         T.StructField("key", T.ArrayType(T.FloatType(), True), False),
