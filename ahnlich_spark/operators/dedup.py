@@ -311,6 +311,7 @@ def minhash_lsh_incremental_pairs(
     max_bucket_size: Optional[int] = None,
     corpus_sig: Optional[DataFrame] = None,
     size_blocking: bool = False,
+    new_sig: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Incremental near-dup: an incoming BATCH checked against the
     HISTORICAL corpus (and against itself) — the production ingest
@@ -341,7 +342,14 @@ def minhash_lsh_incremental_pairs(
     The exact-verify join therefore touches batch shingles + candidate
     corpus shingles only."""
     sh_new = _shingle_table(new_df, text_col, id_col, shingle_n)
-    sig_new = _signature_aggregate(sh_new, n_hashes)
+    # ``new_sig`` mirrors ``corpus_sig`` for the BATCH side: a caller
+    # that already materialized the batch's signature table (the
+    # streaming ingest sink persists it as a state part anyway) passes
+    # it here so the shingle+minhash aggregation of the batch is not
+    # re-derived for the band keys — the shingle table itself is still
+    # needed for the exact-Jaccard verify join.
+    sig_new = new_sig if new_sig is not None \
+        else _signature_aggregate(sh_new, n_hashes)
     if corpus_sig is None:
         corpus_sig = minhash_signature_table(
             corpus_df, n_hashes, shingle_n, text_col, id_col

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ahnlich_spark.functions import local_rows_df
 from ahnlich_spark.functions import text as X
 
 
@@ -1919,24 +1920,32 @@ def streaming_incremental_dedup(
             _write_part(b, f"sincr_corpus_b{batch_id}")
             if ptr_path else b.localCheckpoint()
         )
+        # the batch's signature table is both a state part AND the band
+        # input of the pair search — materialize it ONCE (write or
+        # localCheckpoint) and reuse it via new_sig, instead of
+        # re-deriving the shingle+minhash aggregation inside the pair
+        # plan (one fewer batch-wide aggregation per trigger)
+        sig_b = D.minhash_signature_table(
+            b, n_hashes, shingle_n, text_col, id_col
+        )
+        sig_b = (
+            _write_part(sig_b, f"sincr_sig_b{batch_id}")
+            if ptr_path else sig_b.localCheckpoint()
+        )
         pairs = D.minhash_lsh_incremental_pairs(
             b,
             _union([seed_corpus] + state["corpus_parts"]),
             corpus_sig=_union([seed_sig] + state["sig_parts"]),
+            new_sig=sig_b,
             **kw,
         ).select(*(F.col(c).cast("long") for c in
                    ("i", "j", "j_in_corpus", "inter", "ni", "nj")))
-        sig_b = D.minhash_signature_table(
-            b, n_hashes, shingle_n, text_col, id_col
-        )
         if ptr_path:
             pairs = _write_part(pairs, f"sincr_pairs_b{batch_id}")
-            sig_b = _write_part(sig_b, f"sincr_sig_b{batch_id}")
             for k, suffix in _SINCR_PARTS:
                 ptr_tables[k].append(f"sincr_{suffix}_b{batch_id}")
         else:
             pairs = pairs.localCheckpoint()
-            sig_b = sig_b.localCheckpoint()
         state["pairs_parts"].append(pairs)
         state["sig_parts"].append(sig_b)
         state["corpus_parts"].append(b)
@@ -2314,8 +2323,9 @@ def streaming_heavy_hitters(
 
     def drain_topk(corpus_df: DataFrame, k: int, verify: bool = True) -> DataFrame:
         spark = corpus_df.sparkSession
-        cand = spark.createDataFrame(
-            [(v,) for v in state["counter"]], "value string"
+        # MG counter is capacity-bounded: one slice, not #cores
+        cand = local_rows_df(
+            spark, [(v,) for v in state["counter"]], "value string"
         )
         return SK.certified_topk(
             corpus_df.select(F.col(value_col).cast("string").alias("value")),
