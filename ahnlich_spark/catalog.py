@@ -17,7 +17,7 @@ import os
 import shutil
 import tempfile
 import threading
-from dataclasses import dataclass, field, asdict
+from dataclasses import dataclass, field, fields, asdict
 from typing import Dict, List, Optional
 
 from ahnlich_spark import errors
@@ -153,9 +153,15 @@ class Catalog:
             raise errors.StoreNotFound(f"store {schema}.{name} not found")
         raw = dict(stores[name])
         ai = raw.pop("ai", None)
-        meta = StoreMeta(**raw)
+        # tolerate unknown keys (forward-compatibility: an entry written
+        # by a newer engine with extra fields must degrade gracefully,
+        # not TypeError) — dataclass fields are the schema of record
+        known = {f.name for f in fields(StoreMeta)}
+        meta = StoreMeta(**{k: v for k, v in raw.items() if k in known})
         if ai:
-            meta.ai = AiBinding(**ai)
+            ai_known = {f.name for f in fields(AiBinding)}
+            meta.ai = AiBinding(
+                **{k: v for k, v in ai.items() if k in ai_known})
         return meta
 
     def put_store(self, meta: StoreMeta) -> None:

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ahnlich_spark import errors
+from ahnlich_spark.functions import local_rows_df
 from ahnlich_spark.functions import similarity as S
 from ahnlich_spark.functions import text as X
 from ahnlich_spark.functions.hashing import store_key_id
@@ -91,23 +92,27 @@ def register(name: str, sql: Optional[str]):
 # inputs on every invocation. Caching the SCHEMA (metadata only — never
 # rows, never results; each read still scans the parquet files) makes
 # repeat reads inference-free, exactly what a real catalog does for a
-# 100 TB table.
+# 100 TB table. Keyed by (path, mtime, size) — not by id(SparkContext),
+# which can be recycled after GC — so a table rewritten in place
+# re-infers instead of silently serving a stale schema.
 _T_SCHEMAS: Dict[tuple, T.StructType] = {}
 
 
 def _result_df(spark: SparkSession, rows, schema) -> DataFrame:
     """Bounded driver-side rows (gate result tuples, tiny fixtures) as a
-    SINGLE-slice DataFrame: plain createDataFrame parallelizes into
-    #cores slices, so collecting a one-row gate result schedules ~32
-    near-empty tasks, each with its own Python-worker round. One slice
-    per 100k rows keeps every such frame at one task."""
-    n = max(1, -(-len(rows) // 100_000)) if isinstance(rows, list) and rows else 1
-    return spark.createDataFrame(spark.sparkContext.parallelize(rows, n), schema)
+    data-sized DataFrame — one slice per 100k rows, so collecting a
+    one-row gate result schedules ONE task instead of #cores near-empty
+    ones (see functions.local_rows_df, the single implementation)."""
+    return local_rows_df(spark, rows, schema)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
-    key = (id(spark.sparkContext), path)
+    try:
+        st = os.stat(path)
+        key = (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        key = (path, None, None)
     schema = _T_SCHEMAS.get(key)
     if schema is None:
         schema = _T_SCHEMAS[key] = spark.read.parquet(path).schema

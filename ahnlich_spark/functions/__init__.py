@@ -11,6 +11,7 @@ from ahnlich_spark.functions.projection import project_df, projected_top_k, sign
 
 __all__ = [
     "local_rows_df",
+    "nullable_schema",
     "project_df",
     "projected_top_k",
     "sign_matrix",
@@ -22,6 +23,31 @@ __all__ = [
     "score_expr",
     "store_key_id",
 ]
+
+def nullable_schema(schema):
+    """A copy of ``schema`` with every field (recursively) nullable —
+    the safe form to PIN as a parquet read schema. An explicit
+    user-supplied schema is trusted as-is by the file source, so a
+    non-nullable field carried over from a write-side plan would turn
+    a future null in the files into silent wrong results instead of a
+    read error; parquet's own inference likewise reports everything
+    nullable."""
+    from pyspark.sql import types as T
+
+    def dt(d):
+        if isinstance(d, T.StructType):
+            return T.StructType([
+                T.StructField(f.name, dt(f.dataType), True, f.metadata)
+                for f in d.fields
+            ])
+        if isinstance(d, T.ArrayType):
+            return T.ArrayType(dt(d.elementType), True)
+        if isinstance(d, T.MapType):
+            return T.MapType(dt(d.keyType), dt(d.valueType), True)
+        return d
+
+    return dt(schema)
+
 
 def local_rows_df(spark, rows, schema, slice_rows: int = 100_000):
     """DataFrame over a bounded DRIVER-SIDE row list, sliced by data

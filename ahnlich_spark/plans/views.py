@@ -157,7 +157,12 @@ def _write_generation(engine, entry: dict, df: DataFrame,
     catalog = engine.catalog
     base = _view_dir(catalog, entry["schema"], entry["name"])
     gen = "g" + "_".join(str(int(x)) for x in _flat_coords(coords))
-    table_schema = df.schema.json()  # plan analysis only, no job
+    from ahnlich_spark.functions import nullable_schema
+
+    # nullable-normalized: a pinned read schema is trusted as-is by the
+    # file source, so write-plan non-nullability must not ride into it
+    # (ADVICE r11) — plan analysis only, no job
+    table_schema = nullable_schema(df.schema).json()
     df.write.mode("overwrite").parquet(os.path.join(base, gen))
     with catalog._lock:
         # coords + table + flush are ONE unit: another thread's flush

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ahnlich_spark.functions import local_rows_df
+from ahnlich_spark.functions import local_rows_df, nullable_schema
 from ahnlich_spark.functions import text as X
 
 
@@ -85,28 +85,75 @@ def _read_json(path: str) -> Optional[dict]:
             ) from e
 
 
-def _batch_stats(df: DataFrame):
-    """(row count, order-insensitive content fingerprint) of a batch in
-    ONE narrow aggregate job: sum of xxhash64 over all columns (sorted
-    by name so the value is independent of projection order; MAP
-    columns are canonicalized to key-sorted entry arrays first — Spark
-    refuses to hash maps because their internal entry order is not
-    stable). Two batches with equal (count, fingerprint) carry the same
-    multiset of rows up to hash collision — the replay guard compares
-    both."""
+def _stats_exprs(df: DataFrame):
+    """The replay ledger's (row count, order-insensitive content
+    fingerprint) as aggregate expressions: sum of xxhash64 over all
+    columns (sorted by name so the value is independent of projection
+    order; MAP columns are canonicalized to key-sorted entry arrays
+    first — Spark refuses to hash maps because their internal entry
+    order is not stable). Two batches with equal (count, fingerprint)
+    carry the same multiset of rows up to hash collision — the replay
+    guard compares both."""
     cols = [
         F.array_sort(F.map_entries(F.col(c)))
         if isinstance(df.schema[c].dataType, T.MapType) else F.col(c)
         for c in sorted(df.columns)
     ]
-    row = df.select(
+    return [
         F.count(F.lit(1)).alias("n"),
         F.coalesce(
             F.sum(F.xxhash64(*cols).cast("decimal(38,0)")),
             F.lit(0).cast("decimal(38,0)"),
         ).alias("fp"),
-    ).collect()[0]
+    ]
+
+
+def _batch_stats(df: DataFrame):
+    """(row count, content fingerprint) of a batch in ONE narrow
+    aggregate job — the REPLAY-path form, where the batch is about to
+    be skipped and no fold job will scan it. New batches ride
+    ``_observed_stats`` instead so the fold's own job computes the
+    same numbers for free."""
+    row = df.select(*_stats_exprs(df)).collect()[0]
     return int(row["n"]), int(row["fp"])
+
+
+def _observed_stats(df: DataFrame):
+    """Attach the replay-ledger stats to ``df`` as observe metrics
+    (CollectMetrics): the trigger's OWN fold/apply/write job computes
+    them as a side effect, deleting the separate ``_batch_stats``
+    aggregation job every persisted fold used to pay per trigger
+    (guide §1.2: fewer passes). Returns ``(observed_df, getter)``;
+    call the getter only AFTER an action has fully materialized a plan
+    containing ``observed_df`` (every row must have flowed through the
+    node — never after a limit/isEmpty-style partial action)."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    observed = df.observe(obs, *_stats_exprs(df))
+
+    def got():
+        row = obs.get
+        return int(row["n"]), int(row["fp"])
+
+    return observed, got
+
+
+def _observed_vbs(df: DataFrame):
+    """Attach a collect_set over the ``_vb`` bucket column as an
+    observe metric: the delta's pinning localCheckpoint job also
+    collects the touched buckets, deleting the keyed sinks' separate
+    distinct-collect job (guide §1.2). Returns ``(observed_df,
+    getter)``; call the getter only after the checkpoint job ran."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    observed = df.observe(obs, F.collect_set(F.col("_vb")).alias("vbs"))
+
+    def got():
+        return list(obs.get["vbs"])
+
+    return observed, got
 
 
 def _bucket_col(col, buckets: int):
@@ -143,6 +190,8 @@ def _keyed_part_writer(spark, state_dir: str, view_schema):
     shared by the keyed sinks (an EMPTY partitioned part is legal —
     e.g. an empty replica's seed — and has no files to infer a schema
     from, so reads carry the schema explicitly)."""
+    view_schema = nullable_schema(view_schema)
+
     def write(df: DataFrame, table: str) -> DataFrame:
         path = os.path.join(state_dir, table)
         df.write.mode("overwrite").partitionBy("_vb").parquet(path)
@@ -194,6 +243,7 @@ def _load_keyed_part_log(spark, state_dir: str, ptr: dict, prefix: str,
             f"was partially wiped out from under its pointer; delete "
             f"the state_dir and re-seed the view instead of reusing it"
         )
+    view_schema = nullable_schema(view_schema)
     parts = [
         spark.read.schema(view_schema).parquet(os.path.join(state_dir, t))
         for t in tables
@@ -501,11 +551,19 @@ class _DfStatePersist:
     content fingerprint) for a bounded recent window plus cumulative
     totals, so ``replay_guard`` refuses a restart that batches the
     source differently — by count, by content (same-sized batches with
-    displaced rows), or across the whole replayed prefix. Recording the
-    stats costs one narrow aggregate job per trigger on this opt-in
-    ``state_dir`` path (steady state included — the fold passes the
-    same stats it records); replayed batches pay the same one job to
-    verify."""
+    displaced rows), or across the whole replayed prefix. Ledger stats
+    ride the trigger's own apply/fold/write job as observe metrics
+    (``_observed_stats``) — no separate aggregation job; only a
+    replayed (skipped) batch pays one explicit ``_batch_stats`` job to
+    verify.
+
+    Drain contract (two-commit TTL): frames returned by ``load``/
+    ``save`` are LAZY read-backs of the state table; GC retains the
+    current and previous tables, so such a frame stays readable until
+    TWO more saves land. A consumer holding a drained frame across a
+    still-committing stream must materialize it (collect / write /
+    localCheckpoint) within that window — the same discipline as
+    reading a compacting store snapshot."""
 
     def __init__(self, spark: SparkSession, state_dir: str, name: str):
         self.spark = spark
@@ -563,13 +621,20 @@ class _DfStatePersist:
         schema-pinned read-back of what was written. The write is the
         trigger's ONE materialization of the fold — callers use the
         returned frame as their new state instead of paying a separate
-        localCheckpoint job for the same rows."""
+        localCheckpoint job for the same rows. ``stats`` may be an
+        ``_observed_stats`` getter: it is resolved AFTER the write, so
+        the write job itself computes the ledger numbers."""
         # the first NEW batch marks the end of any from-scratch replay:
         # refuse a prefix that never accounted for every folded row
         self.ledger.seal_replay(self.name)
         table = f"{self.prefix}{batch_id}"
-        schema_json = df.schema.json()  # plan analysis only, no job
+        # nullable-normalized: a pinned read schema is trusted as-is by
+        # the file source, so write-plan non-nullability must not ride
+        # into it (ADVICE r11) — plan analysis only, no job
+        schema_json = nullable_schema(df.schema).json()
         df.write.mode("overwrite").parquet(os.path.join(self.dir, table))
+        if callable(stats):
+            stats = stats()
         prev = _read_json(self.ptr)
         self.ledger.record(batch_id, *stats)
         if extra is not None:
@@ -599,6 +664,11 @@ class _DfStatePersist:
         p = _read_json(self.ptr)
         if p is None or self._table is None:
             return False
+        if callable(stats):
+            # the caller's apply/validate job has already run (the
+            # no-change decision needed the store coordinates), so the
+            # observed metrics are available
+            stats = stats()
         self.ledger.seal_replay(self.name)
         self.ledger.record(batch_id, *stats)
         if extra is not None:
@@ -997,7 +1067,12 @@ def streaming_materialized_agg(
     ``group_expr``/``measures`` are Column expressions over canonical
     (key, meta) store rows; measures must be ADDITIVE integers (see
     operators/ivm.py). Returns ``(query, drain)`` — ``drain()`` is the
-    current view, O(groups) rows.
+    current view, O(groups) rows. With ``state_dir`` the drained frame
+    is a LAZY read-back of the persisted state table with a TWO-COMMIT
+    TTL: it stays readable until two more triggers commit (GC keeps
+    current + previous tables). Materialize it (collect / write /
+    localCheckpoint) before letting a still-running stream advance
+    twice past it.
 
     ``sink`` picks the view's storage strategy:
 
@@ -1055,25 +1130,32 @@ def streaming_materialized_agg(
             state["coords"] = (int(coords[0]), int(coords[1]))
     if state["agg"] is None:
         # seed pinned to the SAME coordinates recorded for the first
-        # fold — a writer committing between get_store() and the eager
-        # materialization here would otherwise land in the seed AND in
-        # the first cdf delta (double-counted forever); the keyed sink
-        # pins identically
-        state["agg"] = IVM.full_agg(
+        # fold — a writer committing between get_store() and the first
+        # materialization would otherwise land in the seed AND in the
+        # first cdf delta (double-counted forever); the keyed sink
+        # pins identically. With a persister the seed stays LAZY: the
+        # first trigger's persisting write materializes it (version-
+        # pinned read, same KEEP_VERSIONS retention window the cdf fold
+        # itself relies on), deleting the seed localCheckpoint job.
+        seed = IVM.full_agg(
             engine, store, group_expr, measures,
             version=state["coords"][0], segments=state["coords"][1],
             schema=schema,
-        ).localCheckpoint()
+        )
+        state["agg"] = seed if persist else seed.localCheckpoint()
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        stats = _batch_stats(batch_df) if persist else None
         if persist and batch_id <= state["last_id"]:
-            persist.replay_guard(batch_df, batch_id, "mview", stats=stats)
+            persist.replay_guard(batch_df, batch_id, "mview")
             return
-        # the persisted path already counted the batch — don't pay a
-        # second job just to test emptiness
-        if (stats[0] > 0) if stats is not None else not batch_df.isEmpty():
-            engine.apply_changes(store, batch_df, schema=schema)
+        stats = None
+        if persist:
+            batch_df, stats = _observed_stats(batch_df)
+        # apply_changes validates-and-counts the whole batch in ONE
+        # full-scan job and no-ops an empty one, so the observed stats
+        # ride that job — the separate _batch_stats aggregation and the
+        # isEmpty probe are both gone (guide §1.2: fewer passes)
+        engine.apply_changes(store, batch_df, schema=schema)
         m = engine.catalog.get_store(store, schema)
         v0, s0 = state["coords"]
         v1, s1 = m.version, m.deltas
@@ -1281,13 +1363,18 @@ def streaming_materialized_join(
             state["agg"] = reader.parquet(
                 os.path.join(state_dir, p["table"]))
     if state["agg"] is None:
-        state["agg"] = IVM.full_join_agg(
+        # persisted folds keep the seed LAZY: the first committing
+        # write materializes it (version-pinned reads, covered by the
+        # same KEEP_VERSIONS retention the bilinear fold relies on) —
+        # one seed localCheckpoint job deleted per fold start
+        seed = IVM.full_join_agg(
             eng_a, store_a, eng_b, store_b, join_a, join_b,
             group_expr, measures,
             version_a=state["ca"][0], segments_a=state["ca"][1],
             version_b=state["cb"][0], segments_b=state["cb"][1],
             schema=schema,
-        ).localCheckpoint()
+        )
+        state["agg"] = seed if ptr_path else seed.localCheckpoint()
 
     def _commit(batch_id: int) -> None:
         # the generation is named by its FOLD COORDINATES, not the
@@ -1300,7 +1387,8 @@ def streaming_materialized_join(
         # here would overwrite committed live data in place.
         ca, cb = state["ca"], state["cb"]
         table = f"mjoin_g{ca[0]}_{ca[1]}_{cb[0]}_{cb[1]}"
-        schema_json = state["agg"].schema.json()  # plan analysis, no job
+        # nullable-normalized pin (ADVICE r11) — plan analysis, no job
+        schema_json = nullable_schema(state["agg"].schema).json()
         # the persisting write IS the trigger's one materialization of
         # the (lazy) fold; the schema-pinned lazy read-back below
         # replaces a second localCheckpoint job over the same rows
@@ -1445,6 +1533,10 @@ def _keyed_materialized_agg(
 
     def _commit(batch_id: int, stats, extra_dead=()) -> None:
         if stats is not None:
+            # observed getter: the trigger's apply/validate job has run
+            # by commit time, so the metrics are available
+            if callable(stats):
+                stats = stats()
             ledger.record(batch_id, *stats)
         _commit_keyed_pointer(ptr_path, state_dir, {
             "batch_id": batch_id,
@@ -1463,24 +1555,30 @@ def _keyed_materialized_agg(
         _commit(-1, None)
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        stats = _batch_stats(batch_df)
         if batch_id <= state["last_id"]:
-            ledger.verify(batch_id, loaded_last, *stats, "mviewk")
+            ledger.verify(batch_id, loaded_last, *_batch_stats(batch_df),
+                          "mviewk")
             return
         ledger.seal_replay("mviewk")
-        if stats[0] > 0:
-            engine.apply_changes(store, batch_df, schema=schema)
+        batch_df, stats = _observed_stats(batch_df)
+        # apply_changes validates-and-counts the batch in ONE full-scan
+        # job and no-ops an empty one — the observed ledger stats ride
+        # that job instead of a separate _batch_stats pass (§1.2)
+        engine.apply_changes(store, batch_df, schema=schema)
         m = engine.catalog.get_store(store, schema)
         v0, s0 = state["coords"]
         v1, s1 = m.version, m.deltas
         if (v1, s1) != (v0, s0):
-            delta = IVM.cdf_agg_delta(
+            delta, touched_of = _observed_vbs(IVM.cdf_agg_delta(
                 engine, store, v0, s0, group_expr, measures,
                 to_version=v1, to_segments=s1, schema=schema,
-            ).withColumn("_vb", _vb(F.col("group"))).localCheckpoint()
-            touched = [
-                r[0] for r in delta.select("_vb").distinct().collect()
-            ]
+            ).withColumn("_vb", _vb(F.col("group"))))
+            # the localCheckpoint that pins the delta for its three
+            # consumers ALSO collects the touched buckets (observe
+            # metrics fire on the checkpoint job) — the separate
+            # distinct-collect job is gone (§1.2)
+            delta = delta.localCheckpoint()
+            touched = touched_of()
             if touched:
                 cur = (
                     _merged(state["parts"], touched=touched).alias("c")
@@ -1640,12 +1738,15 @@ def _keyed_materialized_join(
         ta, tb = _coords(eng_a, store_a), _coords(eng_b, store_b)
         if (ta, tb) == (state["ca"], state["cb"]):
             return  # coordinate no-op: zero jobs, zero writes
-        delta = IVM.cdf_join_agg_delta(
+        delta, touched_of = _observed_vbs(IVM.cdf_join_agg_delta(
             eng_a, store_a, state["ca"], eng_b, store_b, state["cb"],
             join_a, join_b, group_expr, measures,
             to_a=ta, to_b=tb, schema=schema,
-        ).withColumn("_vb", _vb(F.col("group"))).localCheckpoint()
-        touched = [r[0] for r in delta.select("_vb").distinct().collect()]
+        ).withColumn("_vb", _vb(F.col("group"))))
+        # the pinning localCheckpoint job also collects the touched
+        # buckets (observe metrics) — no separate distinct-collect job
+        delta = delta.localCheckpoint()
+        touched = touched_of()
         if touched:
             cur = (
                 _keep_last_merged(state["parts"], touched=touched)
@@ -1836,8 +1937,13 @@ def streaming_incremental_dedup(
     pairs_schema = (
         "i long, j long, j_in_corpus long, inter long, ni long, nj long"
     )
-    seed_corpus = corpus_df.select(id_col, text_col).localCheckpoint()
-    seed_sig = corpus_sig.localCheckpoint()
+    # LAZY checkpoints: the first trigger's pair-search job materializes
+    # each seed once and every later trigger reuses the stored rows —
+    # the materialize-once contract without two eager full-scan jobs at
+    # fold start (the caller often passes an already-persisted artifact,
+    # which an eager checkpoint would pointlessly re-copy)
+    seed_corpus = corpus_df.select(id_col, text_col).localCheckpoint(eager=False)
+    seed_sig = corpus_sig.localCheckpoint(eager=False)
     # delta parts accumulated from the stream; the seed stays a separate
     # head entry so persisted parts never duplicate the caller's corpus
     state = {
@@ -1881,12 +1987,15 @@ def streaming_incremental_dedup(
         # batch-keyed name: a replayed crashed trigger overwrites its
         # own orphan instead of duplicating it
         path = os.path.join(state_dir, table)
-        sch = df.schema  # plan analysis only, no job
+        sch = nullable_schema(df.schema)  # plan analysis only, no job
         df.write.mode("overwrite").parquet(path)
         # schema-pinned read-back: no inference job per part
         return spark.read.schema(sch).parquet(path)
 
     def _commit(batch_id: int, stats) -> None:
+        # observed getter: the batch's part writes have run by now
+        if callable(stats):
+            stats = stats()
         ledger.record(batch_id, *stats)
         old = _read_json(ptr_path)
         _atomic_write_json(ptr_path, {
@@ -1904,14 +2013,18 @@ def streaming_incremental_dedup(
                 shutil.rmtree(os.path.join(state_dir, t), ignore_errors=True)
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        stats = _batch_stats(batch_df) if ptr_path else None
         if ptr_path and batch_id <= state["last_id"]:
             # replayed committed batch: its pairs/signatures/corpus rows
             # are already in the persisted parts — verify and skip
-            ledger.verify(batch_id, loaded_last, *stats, "sincr")
+            ledger.verify(batch_id, loaded_last, *_batch_stats(batch_df),
+                          "sincr")
             return
+        stats = None
         if ptr_path:
             ledger.seal_replay("sincr")
+            # ledger stats ride the batch's corpus-part write job
+            # (observe metrics) instead of a separate aggregation (§1.2)
+            batch_df, stats = _observed_stats(batch_df)
         # materialize ONLY this batch's pieces; prior parts are already
         # materialized, so the lazy union's lineage stays flat and the
         # per-trigger write cost is O(batch), not O(accumulated index)
@@ -2037,13 +2150,25 @@ def streaming_kmv_distinct(
             # verify it is byte-for-byte the batch we folded
             persist.replay_guard(batch_df, batch_id, "kmv")
             return
-        stats = _batch_stats(batch_df) if persist else None
+        stats = None
+        if persist:
+            # ledger stats ride the fold's own persisting write job
+            # (observe metrics) instead of a separate aggregation job
+            batch_df, stats = _observed_stats(batch_df)
         bh = batch_df.filter(F.col(value_col).isNotNull()).select(
             *group_cols, SK.kmv_hash(F.col(value_col)).alias("_h")
         )
         bm = SK.kmv_minima(bh, group_cols, k, n_salts)
         if state["minima"] is not None:
-            bm = state["minima"].unionByName(bm)
+            # the BATCH-derived frame is the union receiver on purpose:
+            # inside foreachBatch the batch belongs to the streaming
+            # query's CLONED session, and the observed ledger metrics
+            # only deliver when the fold's action executes under that
+            # session — a state-receiver union would re-root the plan
+            # on the main session and obs.get would wait forever.
+            # KMV merge is order-free (identical (group, _h) rows),
+            # so the swap cannot change the folded state.
+            bm = bm.unionByName(state["minima"])
             bm = SK.kmv_minima(bm, group_cols, k, n_salts)
         state["last_id"] = batch_id
         if persist:
@@ -2114,12 +2239,18 @@ def streaming_hll_distinct(
         if persist and batch_id <= state["last_id"]:
             persist.replay_guard(batch_df, batch_id, "hll")
             return
-        stats = _batch_stats(batch_df) if persist else None
+        stats = None
+        if persist:
+            # ledger stats ride the persisting write job (observe)
+            batch_df, stats = _observed_stats(batch_df)
         br = SK.hll_registers(batch_df, value_col, group_cols, m)
         if state["registers"] is not None:
+            # batch frame as union receiver: keeps the fold's action on
+            # the foreachBatch clone session so the observed ledger
+            # metrics deliver (see the KMV fold); max-merge is
+            # order-free, so the swap cannot change the state
             br = (
-                state["registers"]
-                .unionByName(br)
+                br.unionByName(state["registers"])
                 .groupBy(*group_cols, "bucket")
                 .agg(F.max("r").alias("r"))
             )
@@ -2190,12 +2321,17 @@ def streaming_histogram_quantiles(
         if persist and batch_id <= state["last_id"]:
             persist.replay_guard(batch_df, batch_id, "hist")
             return
-        stats = _batch_stats(batch_df) if persist else None
+        stats = None
+        if persist:
+            # ledger stats ride the persisting write job (observe)
+            batch_df, stats = _observed_stats(batch_df)
         bs = SK.histogram_summary(batch_df, value_col, group_cols, bin_width)
         if state["summ"] is not None:
+            # batch frame as union receiver (see the KMV fold): keeps
+            # the action on the clone session for metric delivery;
+            # count addition is order-free
             bs = (
-                state["summ"]
-                .unionByName(bs)
+                bs.unionByName(state["summ"])
                 .groupBy(*group_cols, "bin")
                 .agg(F.sum("cnt").cast("long").alias("cnt"))
             )
@@ -2279,27 +2415,28 @@ def streaming_heavy_hitters(
             ledger = _ReplayLedger.from_json(persisted.get("ledger"))
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        # the ledger tracks the NON-NULL value multiset (part_rows sums
-        # post-dropna, and the fold consumes nothing but value_col) —
-        # record and verify use the same projection, and narrowing it
-        # keeps the one extra per-trigger aggregate this opt-in path
-        # pays down to a single-column scan
-        stats = (
-            _batch_stats(
-                batch_df.filter(F.col(value_col).isNotNull())
-                .select(value_col)
-            )
-            if state_path else None
-        )
+        # the ledger tracks the NON-NULL value multiset (the fold
+        # consumes nothing but value_col and drops nulls either way) —
+        # record and verify use the same projection
+        proj = batch_df.filter(F.col(value_col).isNotNull()).select(value_col)
         if state_path and batch_id <= state["last_id"]:
             # replayed batch: verify it is the batch we folded (a
             # restart that batches the source differently must refuse,
             # not silently drop never-folded rows)
-            ledger.verify(batch_id, loaded_last, *stats, "mg")
+            ledger.verify(batch_id, loaded_last, *_batch_stats(proj), "mg")
             return
+        stats = None
         if state_path:
             ledger.seal_replay("mg")
-        summ = SK.heavy_hitter_candidates(batch_df, value_col, capacity).collect()
+            # ledger stats ride the fold's own candidate-collect job
+            # (observe metrics): heavy_hitter_candidates dropna's
+            # value_col internally, so feeding it the pre-filtered
+            # projection is row-for-row identical — and the separate
+            # single-column _batch_stats job is gone (§1.2)
+            proj, stats = _observed_stats(proj)
+        summ = SK.heavy_hitter_candidates(
+            proj if state_path else batch_df, value_col, capacity
+        ).collect()
         n_batch = sum(r["part_rows"] for r in summ)
         state["n"] += n_batch
         state["pruned"] = state["pruned"] or any(r["pruned"] for r in summ)
@@ -2309,7 +2446,8 @@ def streaming_heavy_hitters(
         state["pruned"] = state["pruned"] or len(state["counter"]) < before
         state["last_id"] = batch_id
         if state_path:
-            ledger.record(batch_id, *stats)
+            # the candidate collect above ran the observed projection
+            ledger.record(batch_id, *stats())
             _atomic_write_json(state_path, {
                 "batch_id": batch_id,
                 "counter_items": [[k, v] for k, v in state["counter"].items()],
@@ -2386,12 +2524,17 @@ def streaming_cms_counts(
         if persist and batch_id <= state["last_id"]:
             persist.replay_guard(batch_df, batch_id, "cms")
             return
-        stats = _batch_stats(batch_df) if persist else None
+        stats = None
+        if persist:
+            # ledger stats ride the persisting write job (observe)
+            batch_df, stats = _observed_stats(batch_df)
         bt = SK.cms_table(batch_df, value_col, group_cols, depth, width)
         if state["table"] is not None:
+            # batch frame as union receiver (see the KMV fold): keeps
+            # the action on the clone session for metric delivery;
+            # count addition is order-free
             bt = (
-                state["table"]
-                .unionByName(bt)
+                bt.unionByName(state["table"])
                 .groupBy(*group_cols, "row", "bucket")
                 .agg(F.sum("cnt").cast("long").alias("cnt"))
             )
@@ -2466,11 +2609,17 @@ def streaming_embedding_drift(
         if persist and batch_id <= state["last_id"]:
             persist.replay_guard(batch_df, batch_id, "drift")
             return
-        stats = _batch_stats(batch_df) if persist else None
+        stats = None
+        if persist:
+            # ledger stats ride the persisting write job (observe)
+            batch_df, stats = _observed_stats(batch_df)
         bs = _batch_sums(batch_df.filter(F.col(vec_col).isNotNull()))
         if state["sums"] is not None:
+            # batch frame as union receiver (see the KMV fold): keeps
+            # the action on the clone session for metric delivery;
+            # sum addition is order-free
             bs = (
-                state["sums"].unionByName(bs)
+                bs.unionByName(state["sums"])
                 .groupBy("dim")
                 .agg(
                     F.sum("n").cast("long").alias("n"),

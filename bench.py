@@ -140,6 +140,45 @@ def main() -> None:
             except Exception:
                 pass  # warmup is best-effort; the timed run will surface errors
 
+    # Host-drift calibration (VERDICT r11 item 7): three pinned
+    # scan-local control gates are timed warmed best-of-3 right before
+    # the timed passes and compared against committed reference seconds
+    # (idle box, 2026-08-18, min-of-5 warmed). The emitted ratio makes
+    # every BENCH_DETAIL self-normalizing: a suite-total swing with
+    # controls_ratio ~= the same swing is host drift, not code.
+    # Additions-only: the timed region, query set, and JSON contract
+    # below are untouched.
+    CONTROL_REFS = {
+        "doc_token_count": 0.117,
+        "regional_revenue": 0.403,
+        "sample_stratified": 0.172,
+    }
+    controls = {}
+    for cname, ref in CONTROL_REFS.items():
+        fn = qs.get(cname)
+        if fn is None:
+            continue
+        best = None
+        try:
+            for _ in range(3):
+                t0 = time.perf_counter()
+                fn(spark, SF_DIR).collect()
+                el = time.perf_counter() - t0
+                best = el if best is None or el < best else best
+            controls[cname] = {
+                "sec": round(best, 3), "ref_sec": ref,
+                "ratio": round(best / ref, 3),
+            }
+        except Exception:
+            pass  # calibration is best-effort; never blocks the bench
+    controls_ratio = (
+        round(
+            sorted(c["ratio"] for c in controls.values())[len(controls) // 2],
+            3,
+        )
+        if controls else None
+    )
+
     # best-of-N timed passes (criterion reports minima): the numbers
     # measure the PLAN, not transient host jitter — single-pass runs on
     # this box swing up to 20x on identical code (JIT/GC/CPU-steal;
@@ -191,6 +230,12 @@ def main() -> None:
         # build with JIT warmup; every other gate's first_run is JIT
         # warmup only (measured, not a hand-maintained list)
         "fixture_cached": sorted(fixture_cached),
+        # warmed best-of-3 control-gate seconds vs committed idle-box
+        # references — the per-run host-speed normalizer (median ratio
+        # in controls_ratio; > 1 means this run's host regime is slower
+        # than the reference by that factor)
+        "controls": controls,
+        "controls_ratio": controls_ratio,
         "sf": sf_val,
         "n_queries": len(timings),
         "queries_excluded": BENCH_EXCLUDED,
@@ -209,6 +254,7 @@ def main() -> None:
         "n_queries": len(timings),
         "queries_excluded": sorted(BENCH_EXCLUDED),
         "queries_failed": sorted(failures),
+        "controls_ratio": controls_ratio,
         "detail": "BENCH_DETAIL.json",
         "queries": {},
         "queries_omitted": 0,

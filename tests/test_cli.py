@@ -14,7 +14,11 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _run_cli(stdin_text, *argv, timeout=180):
+def _run_cli(stdin_text, *argv, timeout=420):
+    # 420 s: each CLI test boots a full JVM+Spark subprocess; under the
+    # sharded full-suite run (8 concurrent worker sessions saturating
+    # the box) a cold AI-agent boot measured ~3x its idle-box time, and
+    # a timeout kill here reports as a test failure, not slowness
     import tempfile
 
     env = dict(os.environ)
